@@ -1,0 +1,104 @@
+"""Parquet measurement/table sources.
+
+The reference's scan operator (S1 ``ReadDB``, pkg/agent/client.go:329-485)
+streams a chunked InfluxQL ``SELECT`` over HTTP and hand-decodes typed
+points. Spark-first, a "measurement" is simply a parquet (or Delta)
+table whose schema is ``(time cols, tag cols, field cols)``; the typed
+decode is schema-on-read and the chunked transfer is the partitioned
+scan Spark performs natively. The time-range scan (S2,
+pkg/agent/sync.go:162) becomes a pushed-down filter — half-open
+``[start, end)`` rather than the reference's exclusive-both-ends quirk
+that loses boundary points (SURVEY §4 "quirks").
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterable
+from functools import lru_cache
+
+import pyarrow.parquet as pq
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: Every table the driver materializes (TESTDATA.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+@lru_cache(maxsize=256)
+def _ns_timestamp_cols(path: str) -> tuple[str, ...]:
+    """Columns stored as parquet TIMESTAMP(NANOS) — Spark refuses them
+    natively (PARQUET_TYPE_ILLEGAL), so they're read as ns-epoch longs
+    via ``spark.sql.legacy.parquet.nanosAsLong``. Metadata-only probe
+    (footer read), cached per path."""
+    try:
+        schema = pq.read_schema(path)
+    except OSError:
+        # directory dataset — probe a single fragment's footer
+        schema = pq.ParquetDataset(path).schema
+    return tuple(
+        f.name for f in schema if str(f.type).startswith("timestamp[ns")
+    )
+
+
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, keep_ns: bool = False
+) -> DataFrame:
+    """Scan one table. Column pruning + predicate pushdown are free:
+    callers chain .select/.filter and Catalyst pushes both into the
+    parquet reader (verify with .explain → PushedFilters/ReadSchema).
+
+    ns-precision handling (SURVEY §7.2 hard part): TIMESTAMP(NANOS)
+    columns are read as ns-epoch longs and re-derived as µs
+    TimestampType columns of the same name, so every consumer sees
+    ordinary timestamps. With ``keep_ns`` the canonical long survives
+    as ``{col}_ns`` for full-fidelity round-trips. The wrapping
+    expression is a codegen intrinsic and does not block pushdown of
+    comparisons against literals (constant-folded to long bounds).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
+    for col in _ns_timestamp_cols(path):
+        if keep_ns:
+            df = df.withColumn(f"{col}_ns", F.col(col))
+        df = df.withColumn(col, F.timestamp_micros((F.col(col) / 1000).cast("long")))
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: Iterable[str] = TABLES
+) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in names}
+
+
+def scan_time_range(
+    df: DataFrame,
+    start,
+    end,
+    time_col: str = "ts",
+) -> DataFrame:
+    """S2: the reference's one query shape —
+    ``select * from m where time > start and time < end group by *``
+    (pkg/agent/sync.go:162). Half-open [start, end): boundary points
+    land in exactly one chunk (fixes the reference's exclusive-bounds
+    data-loss quirk). ``group by *`` is a no-op here because tags are
+    ordinary columns. The range predicate pushes down to parquet
+    row-group pruning; on a time-partitioned table it also prunes
+    partitions.
+    """
+    c: Column = F.col(time_col)
+    return df.where((c >= F.lit(start)) & (c < F.lit(end)))

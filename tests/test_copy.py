@@ -1,0 +1,87 @@
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+import pytest
+
+from syncflux_spark.operators.copy import copy_range, read_copied, sync, sync_dbrp
+
+
+def dt(*args):
+    return datetime(*args, tzinfo=timezone.utc)
+
+
+WINDOW = (dt(2024, 1, 5), dt(2024, 1, 12))
+
+
+class TestCopyRange:
+    def test_half_open_bounds(self, spark, events, tmp_path):
+        n = copy_range(events, str(tmp_path / "events"), *WINDOW)
+        expected = events.where(
+            (events.ts >= WINDOW[0].replace(tzinfo=None).isoformat())
+        ).where(events.ts < WINDOW[1].replace(tzinfo=None).isoformat()).count()
+        assert n == expected > 0
+        back = read_copied(spark, str(tmp_path), "events")
+        assert back.count() == expected
+        assert set(back.columns) == set(events.columns)
+
+    def test_idempotent_rerun(self, spark, events, tmp_path):
+        n1 = copy_range(events, str(tmp_path / "events"), *WINDOW)
+        n2 = copy_range(events, str(tmp_path / "events"), *WINDOW)
+        assert n1 == n2
+        back = read_copied(spark, str(tmp_path), "events")
+        assert back.count() == n1  # no duplication on replay
+
+    def test_filter_pushdown(self, events):
+        from syncflux_spark.sources.parquet import scan_time_range
+
+        plan = scan_time_range(events, *WINDOW)._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters" in plan and "ts" in plan
+
+
+class TestSync:
+    def test_full_window_complete(self, spark, events, tmp_path):
+        rep = sync(
+            spark,
+            {"events": events},
+            str(tmp_path),
+            dt(2024, 1, 1),
+            dt(2024, 1, 31),
+            chunk="240h",  # few chunks for test speed
+            num_workers=2,
+        )
+        assert rep.read_errors == 0 and rep.write_errors == 0
+        total = events.count()
+        assert rep.points == events.where(
+            (events.ts >= "2024-01-01") & (events.ts < "2024-01-31")
+        ).count()
+        back = read_copied(spark, str(tmp_path), "events")
+        assert back.count() == rep.points
+        # no row lost at chunk boundaries, no row duplicated
+        assert back.select("event_id").distinct().count() == rep.points
+
+    def test_recovery_rerun(self, spark, events, tmp_path):
+        calls = {"n": 0}
+
+        def fail_first(name, s, e):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise RuntimeError("injected outage")
+
+        rep = sync_dbrp(
+            spark,
+            {"events": events},
+            str(tmp_path),
+            dt(2024, 1, 1),
+            dt(2024, 1, 31),
+            chunk="360h",
+            rw_max_retries=1,  # force the chunk to fail → recovery path
+            fail_injector=fail_first,
+        )
+        assert rep.write_errors == 0  # recovered
+        back = read_copied(spark, str(tmp_path), "events")
+        expected = events.where(
+            (events.ts >= "2024-01-01") & (events.ts < "2024-01-31")
+        ).count()
+        assert back.count() == expected
+        assert back.select("event_id").distinct().count() == expected
