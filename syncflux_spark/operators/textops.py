@@ -1,0 +1,75 @@
+"""Text-analysis operators (DataFrame-level) for the documents table.
+
+Composes the expression builders in functions/text.py into the
+pipeline stages a training-data curation job runs: token counting,
+quality scoring, language ID, fingerprinting. All narrow per-row
+transforms — zero shuffles, linear scale-out.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from syncflux_spark.functions.text import (
+    lang_id,
+    lang_scores,
+    quality_metrics,
+    token_count,
+    word_fingerprint,
+)
+
+
+def analyze_tokens(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Token statistics per document."""
+    m = quality_metrics(text_col)
+    return df.select(
+        F.col(id_col),
+        m["n_chars"].alias("n_chars"),
+        m["n_tokens"].alias("n_tokens"),
+        m["n_distinct_tokens"].alias("n_distinct_tokens"),
+        m["mean_word_len"].alias("mean_word_len"),
+        m["distinct_ratio"].alias("distinct_ratio"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """A simple composite quality gate: flags docs that are too short,
+    too repetitive, or degenerate. The score is a deterministic
+    integer rubric (one point per passed check) — portable to SQL."""
+    m = quality_metrics(text_col)
+    checks = [
+        (m["n_tokens"] >= 10).cast("long"),
+        (m["n_chars"] >= 50).cast("long"),
+        (m["distinct_ratio"] >= 0.3).cast("long"),
+        (m["mean_word_len"] >= 3).cast("long"),
+    ]
+    score = checks[0]
+    for c in checks[1:]:
+        score = score + c
+    return df.select(
+        F.col(id_col),
+        m["n_tokens"].alias("n_tokens"),
+        m["distinct_ratio"].alias("distinct_ratio"),
+        score.alias("quality_score"),
+        (score >= 3).alias("passes"),
+    )
+
+
+def detect_language(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Marker-stopword language ID with per-language scores."""
+    scores = lang_scores(text_col)
+    cols = [F.col(id_col)]
+    for lang in sorted(scores):
+        cols.append(scores[lang].alias(f"score_{lang}"))
+    cols.append(lang_id(text_col).alias("pred_lang"))
+    return df.select(*cols)
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Order-insensitive word-set fingerprint + token count."""
+    return df.select(
+        F.col(id_col),
+        word_fingerprint(text_col).alias("fingerprint"),
+        token_count(text_col).alias("n_tokens"),
+    )

@@ -1,0 +1,1091 @@
+"""Query registry: every declared operator as (Spark impl, DuckDB oracle).
+
+This is the engine's public query surface, graded by the driver's
+correctness gate (row-count + schema + order-insensitive value hash at
+sf0.01). Design rules that make cross-engine hashing possible:
+
+* **Integer-exact aggregation.** Sums of 2-decimal money columns go
+  through a cents-integer transform (``round(x*100)::bigint``) so the
+  aggregate is exact integer arithmetic — immune to float summation
+  order — and only the final division back to a double happens in
+  float (single IEEE op on identical operands → bit-identical).
+  Overflow headroom: cents×cents×cents products are ≲1e11/row, so
+  int64 holds sums up to ~1e7 rows/group; at larger scale switch the
+  accumulator to decimal(38,0).
+* **Timestamps leave as epoch µs longs** (``unix_micros`` /
+  ``epoch_us``) — no timestamp-precision or timezone ambiguity.
+* **Hashes are md5 hex strings** — identical in every engine;
+  lexicographic min == numeric min for fixed-width hex.
+* **Every computed integer is cast to long/BIGINT** on both sides so
+  schemas agree (Spark ``size()`` is int32, DuckDB ``len()`` is int64).
+* **Dot products accumulate in array order in doubles** on both
+  sides → bit-identical cosines (verified: DuckDB list_dot_product ==
+  in-order fold).
+
+Reference parity: the ts_* queries cover the InfluxQL surface the
+reference emits (SURVEY §2.1-§2.6); the q* queries cover the
+relational algebra of the extended engine; dedup/text/knn queries are
+the LLM-pipeline surface (BASELINE.json north star).
+"""
+
+from __future__ import annotations
+
+import tempfile
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from syncflux_spark.functions.text import (
+    LANG_MARKERS,
+    char_shingles,
+    lang_scores,
+    quality_metrics,
+    substr_count,
+    token_count,
+    word_fingerprint,
+    words,
+)
+from syncflux_spark.functions.vectors import cosine, dot, norm, simhash_bits
+from syncflux_spark.operators import dedup as dd
+from syncflux_spark.sources.parquet import load_table
+
+
+@dataclass
+class Query:
+    spark: Callable[[SparkSession, str], DataFrame]
+    sql: str | None  # None → non-SQL-expressible (weaker rows-only check)
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def register(name: str, sql: str | None):
+    def deco(fn):
+        REGISTRY[name] = Query(spark=fn, sql=sql)
+        return fn
+
+    return deco
+
+
+# helper: integer-cents transforms -----------------------------------------
+
+
+def cents(col: str) -> F.Column:
+    return F.round(F.col(col) * 100).cast("long")
+
+
+def _sql_cents(col: str) -> str:
+    return f"CAST(ROUND({col} * 100) AS BIGINT)"
+
+
+def micros_amt(col: str) -> F.Column:
+    return F.round(F.col(col) * 1_000_000).cast("long")
+
+
+def _sql_micros(col: str) -> str:
+    return f"CAST(ROUND({col} * 1000000) AS BIGINT)"
+
+
+EV_WIN = ("2024-01-08 00:00:00", "2024-01-15 00:00:00")
+
+
+# ===========================================================================
+# Time-series surface (reference parity: SURVEY §2.1-§2.6 over `events`)
+# ===========================================================================
+
+
+@register(
+    "ts_scan_range",
+    f"""
+    SELECT event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, user_id,
+           event_type, value, props
+    FROM events
+    WHERE ts >= TIMESTAMP '{EV_WIN[0]}' AND ts < TIMESTAMP '{EV_WIN[1]}'
+    """,
+)
+def ts_scan_range(spark, sf):
+    """S1/S2 typed scan (pkg/agent/client.go:329-485, sync.go:162):
+    half-open time-range read of one measurement, full projection."""
+    ev = load_table(spark, sf, "events")
+    return (
+        ev.where((ev.ts >= EV_WIN[0]) & (ev.ts < EV_WIN[1]))
+        .select(
+            "event_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        )
+    )
+
+
+@register(
+    "ts_series_discovery",
+    "SELECT DISTINCT user_id, event_type FROM events",
+)
+def ts_series_discovery(spark, sf):
+    """`show series` analog: distinct tag sets (SURVEY §1.1 Series).
+    Map-side partial distinct collapses before the shuffle."""
+    return load_table(spark, sf, "events").select("user_id", "event_type").distinct()
+
+
+@register(
+    "ts_series_stats",
+    """
+    SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(epoch_us(MIN(ts)) AS BIGINT) AS first_us,
+           CAST(epoch_us(MAX(ts)) AS BIGINT) AS last_us
+    FROM events GROUP BY user_id, event_type
+    """,
+)
+def ts_series_stats(spark, sf):
+    """Per-series cardinality + time range (GetFirstLastTime analog,
+    pkg/agent/client.go:24-38, applied per series)."""
+    ev = load_table(spark, sf, "events")
+    return ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.unix_micros(F.min("ts")).alias("first_us"),
+        F.unix_micros(F.max("ts")).alias("last_us"),
+    )
+
+
+@register(
+    "ts_measurement_stats",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(COUNT(DISTINCT (user_id, event_type)) AS BIGINT) AS n_series,
+           CAST(epoch_us(MIN(ts)) AS BIGINT) AS first_us,
+           CAST(epoch_us(MAX(ts)) AS BIGINT) AS last_us
+    FROM events
+    """,
+)
+def ts_measurement_stats(spark, sf):
+    """Whole-measurement stats: the planning inputs for a full copy
+    (window + cardinality, C4 ReplicateDataFull hacluster.go:236-256)."""
+    ev = load_table(spark, sf, "events")
+    return ev.agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.count_distinct("user_id", "event_type").alias("n_series"),
+        F.unix_micros(F.min("ts")).alias("first_us"),
+        F.unix_micros(F.max("ts")).alias("last_us"),
+    )
+
+
+@register(
+    "ts_chunk_counts",
+    """
+    SELECT CAST(e_s - e_s % 86400 AS BIGINT) AS chunk_start_s,
+           CAST(COUNT(*) AS BIGINT) AS n_points
+    FROM (SELECT epoch_us(ts) // 1000000 AS e_s FROM events)
+    GROUP BY 1
+    """,
+)
+def ts_chunk_counts(spark, sf):
+    """Points per copy chunk (1-day chunks): the data-plane view of C1
+    chunk planning + C5 ChunkReport accounting (sync.go:118-196)."""
+    ev = load_table(spark, sf, "events")
+    e_s = F.unix_timestamp("ts")
+    return ev.groupBy(
+        (e_s - e_s % F.lit(86400)).cast("long").alias("chunk_start_s")
+    ).agg(F.count(F.lit(1)).alias("n_points"))
+
+
+@register(
+    "ts_downsample_1h",
+    f"""
+    SELECT event_type,
+           CAST(e_s - e_s % 3600 AS BIGINT) AS bucket_s,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value,
+           CAST(SUM(v_micro) AS BIGINT) / 1000000.0 AS sum_value,
+           (CAST(SUM(v_micro) AS BIGINT) / 1000000.0) / COUNT(*) AS mean_value
+    FROM (SELECT event_type, value, epoch_us(ts) // 1000000 AS e_s,
+                 {_sql_micros('value')} AS v_micro
+          FROM events)
+    GROUP BY event_type, bucket_s
+    """,
+)
+def ts_downsample_1h(spark, sf):
+    """InfluxQL `GROUP BY time(1h), *` rollup — the continuous-query /
+    downsample workload. One partial-agg shuffle; sums ride integer
+    micro-units for cross-engine exactness."""
+    ev = load_table(spark, sf, "events")
+    e_s = F.unix_timestamp("ts")
+    vm = micros_amt("value")
+    return ev.groupBy(
+        "event_type",
+        (e_s - e_s % F.lit(3600)).cast("long").alias("bucket_s"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        (F.sum(vm) / F.lit(1_000_000.0)).alias("sum_value"),
+        ((F.sum(vm) / F.lit(1_000_000.0)) / F.count(F.lit(1))).alias("mean_value"),
+    )
+
+
+@register(
+    "ts_last_per_series",
+    """
+    SELECT user_id, event_type,
+           CAST(epoch_us(ts) AS BIGINT) AS last_ts_us, value AS last_value
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                       ORDER BY ts DESC, value DESC) AS rn
+          FROM events)
+    WHERE rn = 1
+    """,
+)
+def ts_last_per_series(spark, sf):
+    """Influx `last()` per series — hash-agg via max_by (no window
+    sort; the oracle uses the window formulation, same result)."""
+    ev = load_table(spark, sf, "events")
+    pair = F.struct(F.col("ts"), F.col("value"))
+    return ev.groupBy("user_id", "event_type").agg(
+        F.unix_micros(F.max("ts")).alias("last_ts_us"),
+        F.max_by(F.col("value"), pair).alias("last_value"),
+    )
+
+
+@register(
+    "ts_first_per_series",
+    """
+    SELECT user_id, event_type,
+           CAST(epoch_us(ts) AS BIGINT) AS first_ts_us, value AS first_value
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                       ORDER BY ts ASC, value ASC) AS rn
+          FROM events)
+    WHERE rn = 1
+    """,
+)
+def ts_first_per_series(spark, sf):
+    ev = load_table(spark, sf, "events")
+    pair = F.struct(F.col("ts"), F.col("value"))
+    return ev.groupBy("user_id", "event_type").agg(
+        F.unix_micros(F.min("ts")).alias("first_ts_us"),
+        F.min_by(F.col("value"), pair).alias("first_value"),
+    )
+
+
+@register(
+    "ts_gap_detect",
+    """
+    SELECT event_type,
+           CAST(epoch_us(gap_start) AS BIGINT) AS gap_start_us,
+           CAST(epoch_us(gap_end) AS BIGINT) AS gap_end_us,
+           CAST(epoch_us(gap_end) // 1000000 - epoch_us(gap_start) // 1000000
+                AS BIGINT) AS gap_seconds
+    FROM (SELECT event_type, ts AS gap_start,
+                 lead(ts) OVER (PARTITION BY event_type ORDER BY ts, event_id)
+                   AS gap_end
+          FROM events)
+    WHERE epoch_us(gap_end) // 1000000 - epoch_us(gap_start) // 1000000 > 1800
+    """,
+)
+def ts_gap_detect(spark, sf):
+    """Downtime-gap detection from the data itself — the analytical
+    twin of the monitor's missed-window math
+    (pkg/agent/hacluster.go:305-342). Needs per-series ordering → one
+    shuffle on the series key + window sort."""
+    ev = load_table(spark, sf, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    gap_s = (F.unix_timestamp(nxt) - F.unix_timestamp(F.col("ts"))).cast("long")
+    return (
+        ev.select(
+            "event_type",
+            F.unix_micros(F.col("ts")).alias("gap_start_us"),
+            F.unix_micros(nxt).alias("gap_end_us"),
+            gap_s.alias("gap_seconds"),
+        )
+        .where(F.col("gap_seconds") > 1800)
+    )
+
+
+@register(
+    "ts_field_coercion",
+    """
+    SELECT event_id,
+           CAST(FLOOR(value) AS BIGINT) AS value_floor,
+           value > 250 AS is_high,
+           CAST(LENGTH(props) AS BIGINT) AS props_len,
+           CAST(user_id AS VARCHAR) AS user_tag
+    FROM events
+    """,
+)
+def ts_field_coercion(spark, sf):
+    """X5 typed coercion (pkg/agent/client.go:430-466): per-field cast
+    to the declared type — floor (not cast) for float→int so both
+    engines truncate identically."""
+    ev = load_table(spark, sf, "events")
+    return ev.select(
+        "event_id",
+        F.floor("value").cast("long").alias("value_floor"),
+        (F.col("value") > 250).alias("is_high"),
+        F.length("props").cast("long").alias("props_len"),
+        F.col("user_id").cast("string").alias("user_tag"),
+    )
+
+
+@register(
+    "ts_copy_roundtrip",
+    f"""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM({_sql_micros('value')}) AS BIGINT) AS sum_value_micro
+    FROM events
+    WHERE ts >= TIMESTAMP '{EV_WIN[0]}' AND ts < TIMESTAMP '{EV_WIN[1]}'
+    GROUP BY event_type
+    """,
+)
+def ts_copy_roundtrip(spark, sf):
+    """End-to-end copy operator (C1/K1, SURVEY §7.4 minimum slice):
+    actually copies the window to a scratch sink, reads it back, and
+    aggregates — proving the copied bytes, not the source, match the
+    oracle."""
+    from syncflux_spark.operators.copy import copy_range, read_copied
+
+    ev = load_table(spark, sf, "events")
+    dst = tempfile.mkdtemp(prefix="sf_copyq_")
+    copy_range(ev, f"{dst}/events", EV_WIN[0], EV_WIN[1])
+    back = read_copied(spark, dst, "events")
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(micros_amt("value")).alias("sum_value_micro"),
+    )
+
+
+# ===========================================================================
+# Relational surface (TPC-H-shaped; extended-engine coverage)
+# ===========================================================================
+
+
+@register(
+    "q1_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(SUM(price_c) AS BIGINT) / 100.0 AS sum_base_price,
+           CAST(SUM(price_c * (100 - disc_c)) AS BIGINT) / 10000.0 AS sum_disc_price,
+           CAST(SUM(price_c * (100 - disc_c) * (100 + tax_c)) AS BIGINT) / 1000000.0 AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
+           (CAST(SUM(price_c) AS BIGINT) / 100.0) / COUNT(*) AS avg_price,
+           (CAST(SUM(disc_c) AS BIGINT) / 100.0) / COUNT(*) AS avg_disc,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM (SELECT l_returnflag, l_linestatus, l_quantity,
+                 {_sql_cents('l_extendedprice')} AS price_c,
+                 {_sql_cents('l_discount')} AS disc_c,
+                 {_sql_cents('l_tax')} AS tax_c
+          FROM lineitem
+          WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00')
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark, sf):
+    """TPC-H Q1: the canonical scan→filter→hash-agg. Filter pushes to
+    parquet; partial aggregation means the shuffle carries 4 rows, not
+    6M. Money math in integer cents for cross-engine exactness."""
+    li = load_table(spark, sf, "lineitem")
+    price_c = cents("l_extendedprice")
+    disc_c = cents("l_discount")
+    tax_c = cents("l_tax")
+    qty = F.col("l_quantity").cast("long")
+    cnt = F.count(F.lit(1))
+    return (
+        li.where(F.col("l_shipdate") <= "1998-09-02 00:00:00")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).alias("sum_qty"),
+            (F.sum(price_c) / F.lit(100.0)).alias("sum_base_price"),
+            (F.sum(price_c * (F.lit(100) - disc_c)) / F.lit(10000.0)).alias(
+                "sum_disc_price"
+            ),
+            (
+                F.sum(price_c * (F.lit(100) - disc_c) * (F.lit(100) + tax_c))
+                / F.lit(1000000.0)
+            ).alias("sum_charge"),
+            (F.sum(qty) / cnt.cast("double")).alias("avg_qty"),
+            ((F.sum(price_c) / F.lit(100.0)) / cnt).alias("avg_price"),
+            ((F.sum(disc_c) / F.lit(100.0)) / cnt).alias("avg_disc"),
+            cnt.alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    f"""
+    SELECT l_orderkey,
+           CAST(SUM(price_c * (100 - disc_c)) AS BIGINT) / 10000.0 AS revenue,
+           CAST(epoch_us(o_orderdate) AS BIGINT) AS o_orderdate_us,
+           o_orderpriority
+    FROM (SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+                 {_sql_cents('l.l_extendedprice')} AS price_c,
+                 {_sql_cents('l.l_discount')} AS disc_c
+          FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+          JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+          WHERE c.c_mktsegment = 'BUILDING'
+            AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+            AND l.l_shipdate > TIMESTAMP '1997-01-01 00:00:00')
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark, sf):
+    """TPC-H Q3: selective dim filter → join → agg → top-k. The
+    customer side is broadcast (small after the segment filter); the
+    orders⋈lineitem join shuffles on orderkey. Deterministic top-10
+    via (revenue desc, orderkey) ordering."""
+    c = load_table(spark, sf, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf, "orders").where(
+        F.col("o_orderdate") < "1997-01-01 00:00:00"
+    )
+    li = load_table(spark, sf, "lineitem").where(
+        F.col("l_shipdate") > "1997-01-01 00:00:00"
+    )
+    price_c = cents("l_extendedprice")
+    disc_c = cents("l_discount")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg((F.sum(price_c * (F.lit(100) - disc_c)) / F.lit(10000.0)).alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.unix_micros("o_orderdate").alias("o_orderdate_us"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark, sf):
+    """TPC-H Q4: EXISTS decorrelates to a left-semi join — shuffles
+    only the join keys, never materializes the subquery."""
+    o = load_table(spark, sf, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01 00:00:00")
+        & (F.col("o_orderdate") < "1997-01-01 00:00:00")
+    )
+    li = load_table(spark, sf, "lineitem")
+    sat = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return sat.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    f"""
+    SELECT n.n_name,
+           CAST(SUM(pc.price_c * (100 - pc.disc_c)) AS BIGINT) / 10000.0 AS revenue
+    FROM (SELECT l.l_orderkey, l.l_suppkey,
+                 {_sql_cents('l.l_extendedprice')} AS price_c,
+                 {_sql_cents('l.l_discount')} AS disc_c
+          FROM lineitem l) pc
+    JOIN orders o ON pc.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON pc.l_suppkey = s.s_suppkey
+         AND s.s_nationkey = c.c_nationkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+)
+def q5_local_supplier_volume(spark, sf):
+    """TPC-H Q5: 6-way join. region/nation/supplier/customer broadcast
+    (small dims); the only big shuffle is orders⋈lineitem on
+    orderkey. Join order left to Catalyst + AQE."""
+    li = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01 00:00:00")
+        & (F.col("o_orderdate") < "1998-01-01 00:00:00")
+    )
+    c = load_table(spark, sf, "customer")
+    s = load_table(spark, sf, "supplier")
+    n = load_table(spark, sf, "nation")
+    r = load_table(spark, sf, "region").where(F.col("r_name") == "ASIA")
+    price_c = cents("l_extendedprice")
+    disc_c = cents("l_discount")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey),
+        )
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg((F.sum(price_c * (F.lit(100) - disc_c)) / F.lit(10000.0)).alias("revenue"))
+    )
+
+
+@register(
+    "q6_revenue_forecast",
+    f"""
+    SELECT CAST(SUM(price_c * disc_c) AS BIGINT) / 10000.0 AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM (SELECT {_sql_cents('l_extendedprice')} AS price_c,
+                 {_sql_cents('l_discount')} AS disc_c
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+            AND l_discount >= 0.05 AND l_discount <= 0.07
+            AND l_quantity < 24)
+    """,
+)
+def q6_revenue_forecast(spark, sf):
+    """TPC-H Q6: pure filter→agg — the pushdown showcase. All four
+    predicates reach the parquet reader (PushedFilters); zero shuffle
+    (single global agg of a partial-agg per partition)."""
+    li = load_table(spark, sf, "lineitem")
+    price_c = cents("l_extendedprice")
+    disc_c = cents("l_discount")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= "1996-01-01 00:00:00")
+            & (F.col("l_shipdate") < "1997-01-01 00:00:00")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            (F.sum(price_c * disc_c) / F.lit(10000.0)).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q14_promo_share",
+    f"""
+    SELECT 100.0 * CAST(SUM(CASE WHEN p.p_type LIKE 'PROMO%'
+                             THEN pc.price_c * (100 - pc.disc_c)
+                             ELSE 0 END) AS BIGINT)
+           / CAST(SUM(pc.price_c * (100 - pc.disc_c)) AS BIGINT) AS promo_share,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM (SELECT l_partkey,
+                 {_sql_cents('l_extendedprice')} AS price_c,
+                 {_sql_cents('l_discount')} AS disc_c
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+            AND l_shipdate < TIMESTAMP '1997-07-01 00:00:00') pc
+    JOIN part p ON pc.l_partkey = p.p_partkey
+    """,
+)
+def q14_promo_share(spark, sf):
+    """TPC-H Q14: conditional aggregation over a broadcast join with
+    the part dim. The share is a ratio of exact integer sums → one
+    deterministic division."""
+    li = load_table(spark, sf, "lineitem").where(
+        (F.col("l_shipdate") >= "1997-01-01 00:00:00")
+        & (F.col("l_shipdate") < "1997-07-01 00:00:00")
+    )
+    p = load_table(spark, sf, "part")
+    price_c = cents("l_extendedprice")
+    disc_c = cents("l_discount")
+    disc_price = price_c * (F.lit(100) - disc_c)
+    promo = F.when(F.col("p_type").like("PROMO%"), disc_price).otherwise(F.lit(0))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            (
+                F.lit(100.0) * F.sum(promo) / F.sum(disc_price)
+            ).alias("promo_share"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "top_customers_by_revenue",
+    f"""
+    SELECT c.c_custkey, c.c_name,
+           CAST(SUM({_sql_cents('o.o_totalprice')}) AS BIGINT) / 100.0 AS total_spend,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey, c.c_name
+    ORDER BY total_spend DESC, c_custkey
+    LIMIT 10
+    """,
+)
+def top_customers_by_revenue(spark, sf):
+    """Top-k over a join-agg: broadcast customer dim, shuffle only the
+    grouped orders. Deterministic top-10 by (spend desc, custkey)."""
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            (F.sum(cents("o_totalprice")) / F.lit(100.0)).alias("total_spend"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy(F.desc("total_spend"), F.asc("c_custkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "orders_per_month",
+    f"""
+    SELECT CAST(epoch_us(date_trunc('month', o_orderdate)) AS BIGINT) AS month_us,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM({_sql_cents('o_totalprice')}) AS BIGINT) / 100.0 AS month_revenue
+    FROM orders GROUP BY 1
+    """,
+)
+def orders_per_month(spark, sf):
+    """Calendar rollup (date_trunc month) — partial-agg friendly."""
+    o = load_table(spark, sf, "orders")
+    return o.groupBy(
+        F.unix_micros(F.date_trunc("month", "o_orderdate")).alias("month_us")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        (F.sum(cents("o_totalprice")) / F.lit(100.0)).alias("month_revenue"),
+    )
+
+
+@register(
+    "cumulative_spend_per_customer",
+    f"""
+    SELECT o_custkey, o_orderkey,
+           CAST(epoch_us(o_orderdate) AS BIGINT) AS o_orderdate_us,
+           CAST(SUM({_sql_cents('o_totalprice')}) OVER (
+                 PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) / 100.0 AS cum_spend
+    FROM orders
+    """,
+)
+def cumulative_spend_per_customer(spark, sf):
+    """Running total per customer — window aggregation with an
+    explicit ROWS frame and total ordering (orderdate, orderkey) so
+    the cumulative integer sums are engine-independent."""
+    o = load_table(spark, sf, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.unix_micros("o_orderdate").alias("o_orderdate_us"),
+        (F.sum(cents("o_totalprice")).over(w) / F.lit(100.0)).alias("cum_spend"),
+    )
+
+
+# ===========================================================================
+# Dedup / text-analysis surface (documents)
+# ===========================================================================
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS digest, CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+           CAST(COUNT(*) AS BIGINT) AS n_dups
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark, sf):
+    """Exact dedup: hash-groupBy on content digest (map-side partial
+    agg → shuffle carries one row per distinct doc)."""
+    return dd.exact_dedup_groups(load_table(spark, sf, "documents"))
+
+
+@register(
+    "dedup_normalized",
+    r"""
+    SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS digest,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+           CAST(COUNT(*) AS BIGINT) AS n_dups
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_normalized(spark, sf):
+    """Normalized exact dedup (case-fold + whitespace collapse)."""
+    return dd.normalized_dedup_groups(load_table(spark, sf, "documents"))
+
+
+def _sql_shingles() -> str:
+    """Shared CTE body: (doc_id, s) = all 5-char shingles per doc."""
+    return (
+        "SELECT doc_id, substr(text, CAST(i AS INTEGER), 5) AS s "
+        "FROM documents, unnest(range(1, greatest(length(text)-4, 0)+1)) AS t(i)"
+    )
+
+
+_MH_SELECT = ", ".join(
+    f"min(md5('{seed}' || s)) AS mh{i}" for i, seed in enumerate(dd.MINHASH_SEEDS)
+)
+
+_BANDS_SQL = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band_id, mh{b * dd.BAND_SIZE} || '|' || "
+    f"mh{b * dd.BAND_SIZE + 1} AS band_key FROM sig"
+    for b in range(len(dd.MINHASH_SEEDS) // dd.BAND_SIZE)
+)
+
+
+@register(
+    "minhash_signatures",
+    f"""
+    WITH sh AS ({_sql_shingles()})
+    SELECT doc_id, {_MH_SELECT} FROM sh GROUP BY doc_id
+    """,
+)
+def minhash_signatures(spark, sf):
+    """MinHash signatures (8 seeded md5-string min-hashes over 5-char
+    shingles) — the narrow, shuffle-free stage of LSH dedup."""
+    return dd.minhash_signatures(load_table(spark, sf, "documents"))
+
+
+@register(
+    "lsh_candidate_pairs",
+    f"""
+    WITH sh AS ({_sql_shingles()}),
+         sig AS (SELECT doc_id, {_MH_SELECT} FROM sh GROUP BY doc_id),
+         bands AS ({_BANDS_SQL})
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    """,
+)
+def lsh_candidate_pairs(spark, sf):
+    """LSH banding self-join: candidate near-dup pairs without the
+    O(n²) cross product — the join shuffles on high-entropy band keys."""
+    return dd.lsh_candidate_pairs(load_table(spark, sf, "documents"))
+
+
+@register(
+    "ngram_jaccard_pairs",
+    f"""
+    WITH sh AS ({_sql_shingles()}),
+         sig AS (SELECT doc_id, {_MH_SELECT} FROM sh GROUP BY doc_id),
+         bands AS ({_BANDS_SQL}),
+         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                  FROM bands a JOIN bands b
+                    ON a.band_id = b.band_id AND a.band_key = b.band_key
+                       AND a.doc_id < b.doc_id),
+         dsh AS (SELECT DISTINCT doc_id, s FROM sh),
+         sizes AS (SELECT doc_id, COUNT(*) AS n FROM dsh GROUP BY doc_id),
+         inter AS (SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+                   FROM cand c
+                   JOIN dsh x ON x.doc_id = c.id_a
+                   JOIN dsh y ON y.doc_id = c.id_b AND y.s = x.s
+                   GROUP BY c.id_a, c.id_b)
+    SELECT i.id_a, i.id_b,
+           CAST(i.n_inter AS BIGINT) AS n_inter,
+           CAST(sa.n + sb.n - i.n_inter AS BIGINT) AS n_union,
+           CAST(i.n_inter AS BIGINT) / CAST(sa.n + sb.n - i.n_inter AS BIGINT)
+             AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE CAST(i.n_inter AS BIGINT)
+          / CAST(sa.n + sb.n - i.n_inter AS BIGINT) >= 0.2
+    """,
+)
+def ngram_jaccard_pairs(spark, sf):
+    """Full near-dup pipeline: LSH candidates → exact shingle Jaccard
+    ≥ 0.2. Verification cost is bounded by the candidate set."""
+    return dd.ngram_jaccard_pairs(
+        load_table(spark, sf, "documents"), threshold=0.2
+    ).select("id_a", "id_b",
+             F.col("n_inter").cast("long").alias("n_inter"),
+             F.col("n_union").cast("long").alias("n_union"),
+             "jaccard")
+
+
+@register(
+    "word_jaccard_pairs",
+    r"""
+    WITH toks AS (SELECT DISTINCT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+                  FROM documents),
+         sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
+         shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+                    FROM toks a JOIN toks b ON a.w = b.w AND a.doc_id < b.doc_id
+                    GROUP BY a.doc_id, b.doc_id)
+    SELECT s.id_a, s.id_b, CAST(s.n_inter AS BIGINT) AS n_inter,
+           CAST(sa.n + sb.n - s.n_inter AS BIGINT) AS n_union,
+           CAST(s.n_inter AS BIGINT) / CAST(sa.n + sb.n - s.n_inter AS BIGINT)
+             AS jaccard
+    FROM shared s
+    JOIN sizes sa ON sa.doc_id = s.id_a
+    JOIN sizes sb ON sb.doc_id = s.id_b
+    WHERE CAST(s.n_inter AS BIGINT)
+          / CAST(sa.n + sb.n - s.n_inter AS BIGINT) >= 0.8
+    """,
+)
+def word_jaccard_pairs(spark, sf):
+    """Word-set Jaccard ≥ 0.8 via inverted-index join (shuffles on
+    words, not on the pair cross-product)."""
+    return dd.word_jaccard_all_pairs(
+        load_table(spark, sf, "documents"), threshold=0.8
+    ).select("id_a", "id_b",
+             F.col("n_inter").cast("long").alias("n_inter"),
+             F.col("n_union").cast("long").alias("n_union"),
+             "jaccard")
+
+
+_SQL_WORDS = r"string_split_regex(trim(text), '\s+')"
+
+
+@register(
+    "token_stats",
+    f"""
+    SELECT doc_id,
+           CAST(LENGTH(text) AS BIGINT) AS n_chars,
+           CAST(len({_SQL_WORDS}) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct({_SQL_WORDS})) AS BIGINT) AS n_distinct_tokens,
+           CAST(list_sum(list_transform({_SQL_WORDS}, w -> LENGTH(w))) AS BIGINT)
+             / CAST(len({_SQL_WORDS}) AS BIGINT) AS mean_word_len,
+           CAST(len(list_distinct({_SQL_WORDS})) AS BIGINT)
+             / CAST(len({_SQL_WORDS}) AS BIGINT) AS distinct_ratio
+    FROM documents
+    """,
+)
+def token_stats(spark, sf):
+    """Token counting + repetition stats — narrow per-row transforms,
+    zero shuffle."""
+    docs = load_table(spark, sf, "documents")
+    m = quality_metrics("text")
+    ws = words("text")
+    sum_len = F.aggregate(ws, F.lit(0).cast("long"), lambda a, w: a + F.length(w))
+    return docs.select(
+        "doc_id",
+        m["n_chars"].alias("n_chars"),
+        m["n_tokens"].cast("long").alias("n_tokens"),
+        m["n_distinct_tokens"].cast("long").alias("n_distinct_tokens"),
+        (sum_len / F.size(ws).cast("long")).alias("mean_word_len"),
+        (F.size(F.array_distinct(ws)).cast("long") / F.size(ws).cast("long")).alias(
+            "distinct_ratio"
+        ),
+    )
+
+
+@register(
+    "quality_scores",
+    f"""
+    SELECT doc_id, n_tokens, distinct_ratio, quality_score,
+           quality_score >= 3 AS passes
+    FROM (
+      SELECT doc_id,
+             CAST(len({_SQL_WORDS}) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct({_SQL_WORDS})) AS BIGINT)
+               / CAST(len({_SQL_WORDS}) AS BIGINT) AS distinct_ratio,
+             CAST(CASE WHEN len({_SQL_WORDS}) >= 10 THEN 1 ELSE 0 END
+             + CASE WHEN LENGTH(text) >= 50 THEN 1 ELSE 0 END
+             + CASE WHEN CAST(len(list_distinct({_SQL_WORDS})) AS BIGINT)
+                         / CAST(len({_SQL_WORDS}) AS BIGINT) >= 0.3
+                    THEN 1 ELSE 0 END
+             + CASE WHEN CAST(list_sum(list_transform({_SQL_WORDS},
+                                                      w -> LENGTH(w))) AS BIGINT)
+                         / CAST(len({_SQL_WORDS}) AS BIGINT) >= 3
+                    THEN 1 ELSE 0 END AS BIGINT) AS quality_score
+      FROM documents)
+    """,
+)
+def quality_scores(spark, sf):
+    """Composite quality gate: integer rubric (length, size, diversity,
+    word-length checks) — deterministic and filterable at scale."""
+    from syncflux_spark.operators.textops import quality_score
+
+    return quality_score(load_table(spark, sf, "documents"))
+
+
+def _sql_substr_count(needle: str) -> str:
+    pad = "' ' || text || ' '"
+    esc = needle.replace("'", "''")
+    return (
+        f"CAST((LENGTH({pad}) - LENGTH(replace({pad}, '{esc}', '')))"
+        f" / {len(needle)} AS BIGINT)"
+    )
+
+
+def _sql_lang_detect() -> str:
+    score_cols = ", ".join(
+        " + ".join(_sql_substr_count(m) for m in markers) + f" AS score_{lang}"
+        for lang, markers in LANG_MARKERS.items()
+    )
+    # replicate the Python fold in functions/text.py::lang_id exactly:
+    # reverse-alphabetical iteration, strict > to displace.
+    best = "'und'"
+    best_score = "CAST(0 AS BIGINT)"
+    for lang in sorted(LANG_MARKERS, reverse=True):
+        best = f"CASE WHEN score_{lang} > {best_score} THEN '{lang}' ELSE {best} END"
+        best_score = (
+            f"CASE WHEN score_{lang} > {best_score} THEN score_{lang} "
+            f"ELSE {best_score} END"
+        )
+    ordered = ", ".join(f"score_{lang}" for lang in sorted(LANG_MARKERS))
+    return f"""
+    SELECT doc_id, {ordered}, {best} AS pred_lang
+    FROM (SELECT doc_id, {score_cols} FROM documents)
+    """
+
+
+@register("lang_detect", _sql_lang_detect())
+def lang_detect(spark, sf):
+    """Marker-stopword language ID (n-gram heuristic): per-language
+    integer scores + argmax with deterministic tie-break."""
+    from syncflux_spark.operators.textops import detect_language
+
+    return detect_language(load_table(spark, sf, "documents"))
+
+
+@register(
+    "doc_fingerprint",
+    f"""
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct({_SQL_WORDS})), ' '))
+             AS fingerprint,
+           CAST(len({_SQL_WORDS}) AS BIGINT) AS n_tokens
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark, sf):
+    """Order-insensitive word-set fingerprint (md5 over the sorted
+    distinct vocabulary)."""
+    docs = load_table(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        word_fingerprint("text").alias("fingerprint"),
+        token_count("text").cast("long").alias("n_tokens"),
+    )
+
+
+def _sql_simhash(n_bits: int = 16) -> str:
+    w = _SQL_WORDS
+    bits = " + ".join(
+        f"CASE WHEN 2 * len(list_filter({w}, "
+        f"t -> substr(md5(t || '_{b}'), 1, 1) >= '8')) > len({w}) "
+        f"THEN {1 << b} ELSE 0 END"
+        for b in range(n_bits)
+    )
+    return f"""
+    SELECT doc_id, CAST({bits} AS BIGINT) AS simhash
+    FROM documents
+    """
+
+
+@register("simhash_fingerprint", _sql_simhash())
+def simhash_fingerprint(spark, sf):
+    """16-bit SimHash over word tokens (±1 votes from md5 parity) —
+    Hamming-close fingerprints ⇒ near-dup candidates."""
+    docs = load_table(spark, sf, "documents")
+    return docs.select(
+        "doc_id", simhash_bits(words("text"), 16).alias("simhash")
+    )
+
+
+# ===========================================================================
+# Embedding similarity surface
+# ===========================================================================
+
+_SQL_VEC = "embedding::DOUBLE[]"
+_SQL_COS = (
+    "list_dot_product(a.v, b.v) / "
+    "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
+)
+
+
+@register(
+    "emb_norms",
+    f"""
+    SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+           sqrt(list_dot_product({_SQL_VEC}, {_SQL_VEC})) AS l2_norm,
+           list_dot_product({_SQL_VEC}, {_SQL_VEC}) AS sq_norm
+    FROM embeddings
+    """,
+)
+def emb_norms(spark, sf):
+    """Per-vector norms — deterministic in-order accumulation."""
+    emb = load_table(spark, sf, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        norm("embedding").alias("l2_norm"),
+        dot("embedding", "embedding").alias("sq_norm"),
+    )
+
+
+@register(
+    "knn_threshold_pairs",
+    f"""
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {_SQL_COS} AS cos_sim
+    FROM (SELECT vec_id, {_SQL_VEC} AS v FROM embeddings WHERE vec_id < 10) a,
+         (SELECT vec_id, {_SQL_VEC} AS v FROM embeddings) b
+    WHERE a.vec_id != b.vec_id AND {_SQL_COS} >= 0.25
+    """,
+)
+def knn_threshold_pairs(spark, sf):
+    """Similarity search, threshold form: all corpus vectors with
+    cosine ≥ 0.25 to each query (vec_id < 10). Rank-free → no tie
+    sensitivity; the query side broadcasts."""
+    from syncflux_spark.operators.similarity import threshold_pairs
+
+    emb = load_table(spark, sf, "embeddings")
+    return threshold_pairs(emb, emb.where(F.col("vec_id") < 10), 0.25)
+
+
+@register(
+    "knn_topk",
+    f"""
+    SELECT query_id, neighbor_id, cos_sim, CAST(rn AS INTEGER) AS rank
+    FROM (SELECT query_id, neighbor_id, cos_sim,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos_sim DESC, neighbor_id) AS rn
+          FROM (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                       {_SQL_COS} AS cos_sim
+                FROM (SELECT vec_id, {_SQL_VEC} AS v FROM embeddings
+                      WHERE vec_id < 10) a,
+                     (SELECT vec_id, {_SQL_VEC} AS v FROM embeddings) b
+                WHERE a.vec_id != b.vec_id))
+    WHERE rn <= 5
+    """,
+)
+def knn_topk(spark, sf):
+    """Brute-force exact cosine top-5 per query — the ANN correctness
+    baseline. Bit-identical cosines make the ranking engine-stable;
+    ties break on neighbor_id."""
+    from syncflux_spark.operators.similarity import brute_force_topk
+
+    emb = load_table(spark, sf, "embeddings")
+    return brute_force_topk(emb, emb.where(F.col("vec_id") < 10), k=5)
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: q.spark for name, q in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: q.sql for name, q in REGISTRY.items() if q.sql is not None}

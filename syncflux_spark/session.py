@@ -43,6 +43,9 @@ def get_spark(app_name: str = "syncflux-spark", master: str | None = None) -> Sp
         .config("spark.sql.shuffle.partitions", DEFAULT_CPUS)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # parquet timestamps → TIMESTAMP (UTC), not TIMESTAMP_NTZ, so
+        # epoch functions (unix_micros) work and semantics match DuckDB
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

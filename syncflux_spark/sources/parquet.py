@@ -70,12 +70,17 @@ def load_table(
     comparisons against literals (constant-folded to long bounds).
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # TIMESTAMP (UTC-normalized), not TIMESTAMP_NTZ: epoch functions
+    # work and comparisons match the DuckDB oracle (session tz is UTC)
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
     for col in _ns_timestamp_cols(path):
         if keep_ns:
             df = df.withColumn(f"{col}_ns", F.col(col))
-        df = df.withColumn(col, F.timestamp_micros((F.col(col) / 1000).cast("long")))
+        # integer `div`, not `/`: ns epochs (~1.7e18) exceed double's
+        # 53-bit mantissa, so float division is off by ±1 µs
+        df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
     return df
 
 

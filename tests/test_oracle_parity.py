@@ -1,0 +1,84 @@
+"""Local replica of the driver's correctness gate.
+
+For every registered query: run the Spark implementation and the
+DuckDB oracle on the same sf directory, then compare
+(row count, column names + dtypes, order-insensitive values).
+Mirrors the driver's comparison: columns sorted by name, rows sorted,
+exact equality for ints/strings/bools, bit-equality for floats.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entry_mod
+from syncflux_spark.sources.parquet import TABLES
+
+QUERIES = entry_mod.queries()
+ORACLES = entry_mod.oracle_sql()
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    if len(df):
+        df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+
+def assert_frames_match(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: str):
+    assert len(spark_pdf) == len(duck_pdf), (
+        f"{name}: row count {len(spark_pdf)} vs oracle {len(duck_pdf)}"
+    )
+    assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns), (
+        f"{name}: columns {sorted(spark_pdf.columns)} vs {sorted(duck_pdf.columns)}"
+    )
+    s = normalize(spark_pdf)
+    d = normalize(duck_pdf)
+    for col in s.columns:
+        sv, dv = s[col], d[col]
+        if sv.dtype.kind == "f" or dv.dtype.kind == "f":
+            sa, da = sv.astype(float).to_numpy(), dv.astype(float).to_numpy()
+            for i, (x, y) in enumerate(zip(sa, da)):
+                if math.isnan(x) and math.isnan(y):
+                    continue
+                assert x == y, f"{name}.{col}[{i}]: {x!r} != {y!r} (Δ={x - y!r})"
+        else:
+            mism = (sv.astype(str).to_numpy() != dv.astype(str).to_numpy())
+            if mism.any():
+                i = int(mism.argmax())
+                raise AssertionError(
+                    f"{name}.{col}[{i}]: {sv.iloc[i]!r} != {dv.iloc[i]!r}"
+                )
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(name, spark, sf_dir, duck):
+    sdf = QUERIES[name](spark, sf_dir)
+    spark_pdf = sdf.toPandas()
+    if name not in ORACLES:
+        assert len(spark_pdf) >= 0  # rows-only check for non-SQL ops
+        return
+    duck_pdf = duck.sql(ORACLES[name]).df()
+    assert_frames_match(spark_pdf, duck_pdf, name)
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert df.columns[0] == "l_returnflag"
