@@ -28,10 +28,16 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from syncflux_spark.functions.text import char_shingles, minhash, words
+from syncflux_spark.utils import spread_for_cpu
 
 #: Seeds for the MinHash signature; (n_bands × rows_per_band) layout.
+#: 8 hashes → 2 bands of 4: candidate probability 1-(1-J⁴)² targets
+#: the true near-duplicate regime (J≳0.7). Wider bands (band_size=2)
+#: flood the candidate set on vocabulary-homogeneous corpora — 753k
+#: candidates vs 12.8k on the sf0.1 fixture — so precision is the
+#: scale lever here.
 MINHASH_SEEDS = tuple(f"s{i}" for i in range(8))
-BAND_SIZE = 2  # 8 hashes → 4 bands of 2 → catches J≳0.5 pairs w.h.p.
+BAND_SIZE = 4
 
 
 def exact_dedup_groups(
@@ -70,11 +76,31 @@ def minhash_signatures(
 ) -> DataFrame:
     """Per-document MinHash signature: one column per seed, each the
     lexicographic-min md5 over the document's k-shingles. Narrow
-    per-row transform — no shuffle."""
+    per-row transform — no shuffle.
+
+    The shingle array is materialized once in a sub-select and every
+    seeded min-hash derives from it; inlining ``minhash(text, seed)``
+    per seed would re-extract the shingles |seeds| times (Catalyst does
+    not CSE across projection expressions)."""
+    shingled = (
+        spread_for_cpu(df)
+        .select(F.col(id_col), char_shingles(text_col, k_shingle).alias("_sh"))
+        # docs shorter than the shingle width have no signature — drop
+        # them (matches the SQL formulation, where GROUP BY over zero
+        # shingle rows yields no row; keeping them would give all-NULL
+        # signatures whose concat_ws band keys collide at "")
+        .where(F.size("_sh") > 0)
+    )
+
+    def hasher(seed: str):
+        # single-arg lambda factory (a `lambda s, seed=seed` would be
+        # inspected by PySpark as the binary (element, index) form)
+        return lambda s: F.md5(F.concat(F.lit(seed), s))
+
     cols = [F.col(id_col)]
     for i, seed in enumerate(seeds):
-        cols.append(minhash(text_col, seed, k_shingle).alias(f"mh{i}"))
-    return df.select(*cols)
+        cols.append(F.array_min(F.transform("_sh", hasher(seed))).alias(f"mh{i}"))
+    return shingled.select(*cols)
 
 
 def lsh_candidate_pairs(
@@ -92,19 +118,24 @@ def lsh_candidate_pairs(
     entropy, so bucket skew is bounded by true duplicate mass."""
     sig = minhash_signatures(df, text_col, id_col, k_shingle, seeds)
     n_bands = len(seeds) // band_size
-    bands = []
-    for b in range(n_bands):
-        key = F.concat_ws(
-            "|", *[F.col(f"mh{b * band_size + j}") for j in range(band_size)]
+    # one pass: explode a (band_id, band_key) array instead of a
+    # UNION ALL of n_bands selects (a union would re-evaluate the
+    # signature subplan per band); persist the tiny per-doc band list
+    # because the self-join scans it twice.
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.concat_ws(
+                "|", *[F.col(f"mh{b * band_size + j}") for j in range(band_size)]
+            ).alias("band_key"),
         )
-        bands.append(
-            sig.select(
-                F.col(id_col), F.lit(b).alias("band_id"), key.alias("band_key")
-            )
-        )
-    all_bands = bands[0]
-    for b in bands[1:]:
-        all_bands = all_bands.unionAll(b)
+        for b in range(n_bands)
+    ]
+    all_bands = (
+        sig.select(F.col(id_col), F.explode(F.array(*band_structs)).alias("bd"))
+        .select(F.col(id_col), F.col("bd.band_id"), F.col("bd.band_key"))
+        .persist()
+    )
     a = all_bands.alias("a")
     b_ = all_bands.alias("b")
     pairs = (
@@ -136,10 +167,10 @@ def jaccard_verify(
     distinct shingle arrays. Work is O(|pairs| × shingles) — only
     candidates pay, which is the whole point of LSH. The division is a
     single op on exact integers → portable to the oracle."""
-    sh = df.select(
+    sh = spread_for_cpu(df).select(
         F.col(id_col),
         F.array_distinct(char_shingles(text_col, k_shingle)).alias("sh"),
-    )
+    ).persist()  # scanned twice (both join sides) — avoid re-shingling
     a = sh.alias("sa")
     b = sh.alias("sb")
     joined = (
@@ -188,7 +219,7 @@ def word_jaccard_all_pairs(
     inverted-index join (explode words → join on word → count shared)
     rather than a cross join, so even the 'brute force' path shuffles
     on words, not pairs."""
-    toks = df.select(
+    toks = spread_for_cpu(df).select(
         F.col(id_col), F.explode(F.array_distinct(words(text_col))).alias("w")
     )
     sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from syncflux_spark.utils import spread_for_cpu
 from syncflux_spark.functions.text import (
     lang_id,
     lang_scores,
@@ -23,7 +24,7 @@ from syncflux_spark.functions.text import (
 def analyze_tokens(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Token statistics per document."""
     m = quality_metrics(text_col)
-    return df.select(
+    return spread_for_cpu(df).select(
         F.col(id_col),
         m["n_chars"].alias("n_chars"),
         m["n_tokens"].alias("n_tokens"),
@@ -47,7 +48,7 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     score = checks[0]
     for c in checks[1:]:
         score = score + c
-    return df.select(
+    return spread_for_cpu(df).select(
         F.col(id_col),
         m["n_tokens"].alias("n_tokens"),
         m["distinct_ratio"].alias("distinct_ratio"),
@@ -63,12 +64,12 @@ def detect_language(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
     for lang in sorted(scores):
         cols.append(scores[lang].alias(f"score_{lang}"))
     cols.append(lang_id(text_col).alias("pred_lang"))
-    return df.select(*cols)
+    return spread_for_cpu(df).select(*cols)
 
 
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Order-insensitive word-set fingerprint + token count."""
-    return df.select(
+    return spread_for_cpu(df).select(
         F.col(id_col),
         word_fingerprint(text_col).alias("fingerprint"),
         token_count(text_col).alias("n_tokens"),

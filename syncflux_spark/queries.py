@@ -748,8 +748,12 @@ _MH_SELECT = ", ".join(
 )
 
 _BANDS_SQL = " UNION ALL ".join(
-    f"SELECT doc_id, {b} AS band_id, mh{b * dd.BAND_SIZE} || '|' || "
-    f"mh{b * dd.BAND_SIZE + 1} AS band_key FROM sig"
+    "SELECT doc_id, {b} AS band_id, {key} AS band_key FROM sig".format(
+        b=b,
+        key=" || '|' || ".join(
+            f"mh{b * dd.BAND_SIZE + j}" for j in range(dd.BAND_SIZE)
+        ),
+    )
     for b in range(len(dd.MINHASH_SEEDS) // dd.BAND_SIZE)
 )
 
@@ -811,14 +815,14 @@ def lsh_candidate_pairs(spark, sf):
     JOIN sizes sa ON sa.doc_id = i.id_a
     JOIN sizes sb ON sb.doc_id = i.id_b
     WHERE CAST(i.n_inter AS BIGINT)
-          / CAST(sa.n + sb.n - i.n_inter AS BIGINT) >= 0.2
+          / CAST(sa.n + sb.n - i.n_inter AS BIGINT) >= 0.5
     """,
 )
 def ngram_jaccard_pairs(spark, sf):
     """Full near-dup pipeline: LSH candidates → exact shingle Jaccard
-    ≥ 0.2. Verification cost is bounded by the candidate set."""
+    ≥ 0.5. Verification cost is bounded by the candidate set."""
     return dd.ngram_jaccard_pairs(
-        load_table(spark, sf, "documents"), threshold=0.2
+        load_table(spark, sf, "documents"), threshold=0.5
     ).select("id_a", "id_b",
              F.col("n_inter").cast("long").alias("n_inter"),
              F.col("n_union").cast("long").alias("n_union"),
