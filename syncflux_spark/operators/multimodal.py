@@ -1,0 +1,177 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Treats media as opaque ``binary`` columns with typed metadata, per the
+large-scale training-data pipeline pattern: the bytes move through the
+plan as little as possible; decode/feature-extraction runs as
+Arrow-batched ``mapInPandas`` stages; everything after feature
+extraction operates on compact typed columns (dims, vectors) so
+shuffles never carry raw media.
+
+The actual codecs (PIL/ffmpeg/torchaudio) are NOT in this container,
+so the decode kernels are deterministic STUBS behind
+``codec="fake"`` — the Spark-side contract (schemas, batch iteration,
+1→N row expansion for frame sampling, partition sizing) is real and
+tested; swapping in a real codec changes only the inner function.
+
+Scale notes:
+* media rows are big (MBs) → ``spark.sql.files.maxPartitionBytes``
+  keeps scan partitions bounded; ``spread_for_cpu`` applies when a
+  small row count carries heavy per-row decode cost.
+* ``mapInPandas`` streams Arrow record batches — memory is bounded by
+  batch size (``spark.sql.execution.arrow.maxRecordsPerBatch``), not
+  partition size, which is what makes 100 GB-per-partition video
+  tables workable.
+* feature vectors come out as ``array<float>`` ready for
+  operators/similarity.py (ANN) and operators/dedup.py (embedding
+  near-dup).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from syncflux_spark.utils import spread_for_cpu
+
+#: Schema of a media table: id + kind + opaque bytes + typed metadata.
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),  # image | audio | video
+        T.StructField("content", T.BinaryType()),
+        T.StructField("source_uri", T.StringType()),
+    ]
+)
+
+DECODED_IMAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_bytes", T.BinaryType()),
+    ]
+)
+
+
+def synth_media(spark, n: int = 100, kind: str = "image") -> DataFrame:
+    """Deterministic fake media table (testing stand-in for a real
+    binary ingest): content bytes derive from the id, with a tiny
+    16-byte header encoding fake width/height/channels."""
+
+    def payload(i: int) -> bytes:
+        w, h, c = 64 + (i % 8) * 16, 64 + (i % 5) * 32, 3
+        header = struct.pack("<III", w, h, c) + b"FAKE"
+        body = hashlib.sha256(f"{kind}-{i}".encode()).digest() * 4
+        return header + body
+
+    rows = [(i, kind, payload(i), f"synthetic://{kind}/{i}") for i in range(n)]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def _require_fake(codec: str) -> None:
+    if codec != "fake":
+        raise NotImplementedError(
+            f"codec {codec!r}: real decoders (PIL/ffmpeg) are not available "
+            "in this environment — plug one into the mapInPandas kernel"
+        )
+
+
+def decode_images(df: DataFrame, codec: str = "fake") -> DataFrame:
+    """Decode stage: bytes → image metadata. Arrow-batched
+    ``mapInPandas``; the stub parses the synthetic 16-byte header
+    (a real codec would call ``PIL.Image.open`` here)."""
+    _require_fake(codec)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            content = pdf["content"]
+            meta = [struct.unpack("<III", b[:12]) for b in content]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": [m[0] for m in meta],
+                    "height": [m[1] for m in meta],
+                    "channels": [m[2] for m in meta],
+                    "n_bytes": [len(b) for b in content],
+                }
+            )
+
+    return spread_for_cpu(df).mapInPandas(kernel, DECODED_IMAGE_SCHEMA)
+
+
+def extract_features(df: DataFrame, dim: int = 16, codec: str = "fake") -> DataFrame:
+    """Feature-extraction stage: bytes → ``array<float>`` embedding.
+    Stub: sha256-seeded deterministic vector (a real kernel would run
+    a vision/audio model over the Arrow batch). Output feeds the
+    similarity/dedup operators directly."""
+    _require_fake(codec)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for b in pdf["content"]:
+                h = hashlib.sha256(bytes(b)).digest()
+                # dim floats in [0,1) from repeated hash material
+                raw = (h * ((dim * 4) // len(h) + 1))[: dim * 4]
+                vals = struct.unpack(f"<{dim}I", raw[: dim * 4])
+                feats.append([(v % 1_000_003) / 1_000_003.0 for v in vals])
+            yield pd.DataFrame({"media_id": pdf["media_id"], "feature": feats})
+
+    return spread_for_cpu(df).mapInPandas(kernel, FEATURE_SCHEMA)
+
+
+def sample_frames(df: DataFrame, every_n: int = 4, codec: str = "fake") -> DataFrame:
+    """Frame-sampling stage (video): one input row → N frame rows —
+    the 1→N expansion shape of real frame extraction, streamed per
+    Arrow batch so memory stays bounded regardless of video length.
+    Stub frames are 32-byte slices of the content."""
+    _require_fake(codec)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for mid, b in zip(pdf["media_id"], pdf["content"]):
+                b = bytes(b)
+                n_frames = max(1, (len(b) - 16) // 32)
+                for fi in range(0, n_frames, every_n):
+                    ids.append(mid)
+                    idxs.append(fi)
+                    frames.append(b[16 + fi * 32 : 16 + fi * 32 + 32])
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "frame_bytes": frames}
+            )
+
+    return spread_for_cpu(df).mapInPandas(kernel, FRAME_SCHEMA)
+
+
+def media_stats(df: DataFrame) -> DataFrame:
+    """Metadata-only rollup — note the projection: ``length(content)``
+    is computed in the scan and the bytes themselves never reach the
+    aggregation shuffle."""
+    return df.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.length("content")).alias("total_bytes"),
+        F.avg(F.length("content")).alias("avg_bytes"),
+    )

@@ -1,0 +1,114 @@
+"""Continuous master→slave replication via Structured Streaming.
+
+hamonitor parity (SURVEY §3.2): the reference runs a poll-based
+supervisor that detects slave outages and hand-computes the missed
+window to backfill (pkg/agent/hacluster.go:259-390). Spark-first, the
+whole mechanism collapses into a checkpointed stream:
+
+    readStream(source table) → writeStream.foreachBatch(idempotent
+    append) with checkpointLocation
+
+The checkpoint's offset log IS the gap detector: if the sink (or the
+whole job) dies, the next start resumes from the last committed batch
+and replays everything missed — the reference's
+``[SlaveLastOK - CheckInterval, lastOK]`` window math
+(hacluster.go:310,321) becomes exactly-once resume for free, without
+the boundary-second fudge factor.
+
+Scale notes: a file-source stream partitions new files across the
+cluster per micro-batch; ``maxFilesPerTrigger`` bounds batch size the
+way ``data-chuck-duration`` bounds the reference's chunks. foreachBatch
+writes land in per-batch directories keyed by batch id, so a replayed
+batch overwrites its own output instead of duplicating it (the same
+idempotency design as operators/copy.py, and the parquet equivalent of
+Delta's txn log).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class ReplicationStream:
+    """One measurement's continuous replication: source directory of
+    parquet files → destination directory, exactly-once.
+
+    The reference's equivalent loop: InfluxMonitor health ticker +
+    HACluster supervisor + ReplicateData over detected gaps
+    (pkg/agent/influxmonitor.go:164-187, hacluster.go:259-390).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        src_path: str,
+        dst_path: str,
+        checkpoint_path: str,
+        max_files_per_trigger: int | None = None,
+    ):
+        self.spark = spark
+        self.src_path = src_path
+        self.dst_path = dst_path
+        self.checkpoint_path = checkpoint_path
+        self.max_files_per_trigger = max_files_per_trigger
+        self.batches_written = 0
+
+    def _write_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        """Idempotent sink: batch ``n`` always lands in ``batch=n/`` and
+        overwrites it, so checkpoint replay after a crash between
+        'sink write' and 'offset commit' cannot double-write."""
+        (
+            batch_df.write.mode("overwrite").parquet(
+                os.path.join(self.dst_path, f"batch={batch_id}")
+            )
+        )
+        self.batches_written += 1
+
+    def _reader(self):
+        # file streams need an explicit schema: take it from the
+        # source's current files (schema evolution would re-resolve on
+        # restart, which is the behavior the reference gets from
+        # re-running GetSchema after recovery, hacluster.go:331)
+        schema = self.spark.read.parquet(self.src_path).schema
+        reader = (
+            self.spark.readStream.schema(schema)
+            .option("latestFirst", "false")
+        )
+        if self.max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", self.max_files_per_trigger)
+        return reader.parquet(self.src_path)
+
+    def run_available(self) -> int:
+        """Process everything currently available, then stop (the
+        deterministic 'catch up now' trigger — used for backfill after
+        an outage and in tests). Returns batches written this run."""
+        before = self.batches_written
+        q = (
+            self._reader()
+            .writeStream.foreachBatch(self._write_batch)
+            .option("checkpointLocation", self.checkpoint_path)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return self.batches_written - before
+
+    def start_continuous(self, processing_interval: str = "10 seconds"):
+        """Continuous mode: micro-batch every ``processing_interval``
+        (the reference's check-interval cadence,
+        conf/sample.syncflux.toml:60). Returns the StreamingQuery."""
+        return (
+            self._reader()
+            .writeStream.foreachBatch(self._write_batch)
+            .option("checkpointLocation", self.checkpoint_path)
+            .trigger(processingTime=processing_interval)
+            .start()
+        )
+
+    def read_replica(self) -> DataFrame:
+        """Everything replicated so far."""
+        return self.spark.read.option("recursiveFileLookup", "true").parquet(
+            self.dst_path
+        )

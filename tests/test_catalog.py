@@ -1,0 +1,101 @@
+"""Catalog tests: schema discovery, regex filtering, replication,
+rename overlays, retention metadata (SURVEY §2.3-§2.4 / §5.1)."""
+
+from __future__ import annotations
+
+import pytest
+
+from syncflux_spark.catalog import (
+    FieldSch,
+    MeasurementSch,
+    RetPol,
+    SparkCatalog,
+)
+
+
+@pytest.fixture(scope="module")
+def cat(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("warehouse")
+    c = SparkCatalog(spark)
+    c.create_db("telegraf")
+    c.create_db("app")
+    cpu = MeasurementSch(
+        name="cpu",
+        tags=["host", "region"],
+        fields={
+            "usage": FieldSch("usage", "float"),
+            "cores": FieldSch("cores", "integer"),
+            "total": FieldSch("total", "unsigned"),
+            "up": FieldSch("up", "boolean"),
+            "note": FieldSch("note", "string"),
+        },
+    )
+    mem = MeasurementSch(name="mem", tags=["host"], fields={"used": FieldSch("used", "float")})
+    reqs = MeasurementSch(name="requests", tags=["route"], fields={"n": FieldSch("n", "integer")})
+    autogen = RetPol(name="autogen", duration="0s", default=True)
+    short = RetPol(name="short", duration="720h", default=False)
+    for m in (cpu, mem):
+        c.create_measurement("telegraf", autogen, m, location=str(root / f"t_{m.name}"))
+    c.create_measurement("telegraf", short, mem, location=str(root / "t_mem_short"))
+    c.create_measurement("app", autogen, reqs, location=str(root / "a_req"))
+    yield c
+    spark.sql("DROP DATABASE IF EXISTS telegraf CASCADE")
+    spark.sql("DROP DATABASE IF EXISTS app CASCADE")
+    spark.sql("DROP DATABASE IF EXISTS telegraf_copy CASCADE")
+
+
+class TestDiscovery:
+    def test_databases(self, cat):
+        dbs = cat.get_databases()
+        assert {"telegraf", "app"} <= set(dbs)
+        assert "_internal" not in dbs
+
+    def test_retention_policies(self, cat):
+        rps = {r.name: r for r in cat.get_retention_policies("telegraf")}
+        assert rps["autogen"].default and rps["autogen"].duration == "0s"
+        assert not rps["short"].default and rps["short"].duration == "720h"
+
+    def test_measurements(self, cat):
+        assert cat.get_measurements("telegraf", "autogen") == ["cpu", "mem"]
+        assert cat.get_measurements("telegraf", "short") == ["mem"]
+
+    def test_fields_typed(self, cat):
+        fields = cat.get_fields("telegraf", "cpu")
+        assert fields["usage"].type == "float"
+        assert fields["cores"].type == "integer"
+        assert fields["total"].type == "unsigned"  # uint64 → decimal(20,0)
+        assert fields["up"].type == "boolean"
+        assert fields["note"].type == "string"
+        assert "host" not in fields  # tags are not fields
+        assert cat.get_tags("telegraf", "cpu") == ["host", "region"]
+
+
+class TestGetSchema:
+    def test_regex_filters(self, cat):
+        # F1 semantics: hacluster.go:85-143
+        sch = cat.get_schema(db_filter="tele.*", meas_filter="c.*")
+        assert len(sch) == 1 and sch[0].name == "telegraf"
+        assert set(sch[0].rps) == {"autogen"}
+        assert set(sch[0].rps["autogen"].measurements) == {"cpu"}
+
+    def test_no_match_empty(self, cat):
+        assert cat.get_schema(db_filter="nope") == []
+
+    def test_rename_overlay(self, cat):
+        sch = cat.get_schema(db_filter="telegraf", new_db="telegraf_copy")
+        assert sch[0].target_name == "telegraf_copy"
+
+
+class TestReplicateSchema:
+    def test_replicate_with_rename(self, cat, spark, tmp_path):
+        sch = cat.get_schema(db_filter="telegraf", new_db="telegraf_copy")
+        cat.replicate_schema(sch, location_root=str(tmp_path))
+        assert cat.get_measurements("telegraf_copy", "autogen") == ["cpu", "mem"]
+        fields = cat.get_fields("telegraf_copy", "cpu")
+        assert fields["total"].type == "unsigned"
+        # schema of the created table matches source types
+        df = cat.measurement_df("telegraf_copy", "cpu")
+        kinds = dict(df.dtypes)
+        assert kinds["usage"] == "double"
+        assert kinds["total"] == "decimal(20,0)"
+        assert kinds["time_ns"] == "bigint"

@@ -1,0 +1,70 @@
+"""Multimodal plumbing tests: schemas, Arrow batch shapes, 1→N frame
+expansion, deterministic stub kernels, clean real-codec refusal."""
+
+from __future__ import annotations
+
+import pytest
+
+from syncflux_spark.operators import multimodal as mm
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    return mm.synth_media(spark, n=40).cache()
+
+
+class TestDecode:
+    def test_schema_and_values(self, spark, media):
+        out = mm.decode_images(media)
+        assert [f.name for f in out.schema.fields] == [
+            "media_id", "width", "height", "channels", "n_bytes",
+        ]
+        rows = {r.media_id: r for r in out.collect()}
+        assert len(rows) == 40
+        r0 = rows[0]
+        assert (r0.width, r0.height, r0.channels) == (64, 64, 3)
+        assert r0.n_bytes == 16 + 128
+
+    def test_deterministic(self, media):
+        a = sorted(map(tuple, mm.decode_images(media).collect()))
+        b = sorted(map(tuple, mm.decode_images(media).collect()))
+        assert a == b
+
+    def test_real_codec_refused(self, media):
+        with pytest.raises(NotImplementedError, match="pil"):
+            mm.decode_images(media, codec="pil")
+
+
+class TestFeatures:
+    def test_shape_and_range(self, media):
+        out = mm.extract_features(media, dim=16)
+        rows = out.collect()
+        assert all(len(r.feature) == 16 for r in rows)
+        assert all(0.0 <= v < 1.0 for r in rows for v in r.feature)
+
+    def test_feeds_similarity_ops(self, spark, media):
+        from syncflux_spark.operators.similarity import brute_force_topk
+
+        feats = mm.extract_features(media, dim=16).withColumnRenamed(
+            "media_id", "vec_id"
+        ).withColumnRenamed("feature", "embedding")
+        topk = brute_force_topk(feats, feats.where("vec_id < 3"), k=2)
+        got = topk.groupBy("query_id").count().collect()
+        assert all(r["count"] == 2 for r in got)
+
+
+class TestFrames:
+    def test_one_to_n_expansion(self, media):
+        frames = mm.sample_frames(media, every_n=2)
+        per = frames.groupBy("media_id").count().collect()
+        assert len(per) == 40
+        assert all(r["count"] == 2 for r in per)  # 4 frames, every 2nd
+        sizes = frames.select("frame_bytes").collect()
+        assert all(len(r.frame_bytes) == 32 for r in sizes)
+
+
+class TestStats:
+    def test_media_stats(self, media):
+        row = mm.media_stats(media).collect()[0]
+        assert row.kind == "image" and row.n_items == 40
+        assert row.total_bytes == 40 * (16 + 128)
