@@ -42,16 +42,6 @@ def char_shingles(text: Column | str, k: int = 5) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
-def minhash(text: Column | str, seed: str, k: int = 5) -> Column:
-    """One MinHash component: min over shingles of
-    ``md5(seed || shingle)`` as a hex string. Lexicographic min over
-    fixed-width lowercase hex == numeric min over the 128-bit hash, and
-    is identical in any engine — the portability trick that lets the
-    DuckDB oracle reproduce LSH exactly."""
-    sh = char_shingles(text, k)
-    return F.array_min(F.transform(sh, lambda s: F.md5(F.concat(F.lit(seed), s))))
-
-
 def word_fingerprint(text: Column | str) -> Column:
     """Document fingerprint: md5 over the sorted distinct word set —
     robust to word order and duplication (near-dup canonicalization à

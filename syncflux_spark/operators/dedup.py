@@ -27,17 +27,26 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from syncflux_spark.functions.text import char_shingles, minhash, words
-from syncflux_spark.utils import spread_for_cpu
+from syncflux_spark.functions.text import char_shingles, words
+from syncflux_spark.utils import eager_persist, spread_for_cpu
 
-#: Seeds for the MinHash signature; (n_bands × rows_per_band) layout.
-#: 8 hashes → 2 bands of 4: candidate probability 1-(1-J⁴)² targets
-#: the true near-duplicate regime (J≳0.7). Wider bands (band_size=2)
-#: flood the candidate set on vocabulary-homogeneous corpora — 753k
-#: candidates vs 12.8k on the sf0.1 fixture — so precision is the
-#: scale lever here.
-MINHASH_SEEDS = tuple(f"s{i}" for i in range(8))
+#: MinHash layout: 8 hash lanes → 2 bands of 4. Candidate probability
+#: 1-(1-J⁴)² targets the true near-duplicate regime (J≳0.7). Wider
+#: bands (band_size=2) flood the candidate set on
+#: vocabulary-homogeneous corpora — 753k candidates vs 12.8k on the
+#: sf0.1 fixture — so precision is the scale lever here.
+#:
+#: The 8 lanes are *slices* of two md5 digests per shingle
+#: (md5(s) || md5('x'||s) = 64 hex chars → 8 lanes × 8 hex chars =
+#: 32 bits each), not 8 independently-seeded md5 calls: md5 is the
+#: only hash both Spark and the DuckDB oracle compute bit-identically,
+#: and slicing cuts the digest work per shingle 4× (measured 8.9s →
+#: ~2s for the sf0.1 signature stage). Non-overlapping slices of a
+#: cryptographic digest are independent uniform draws, which is all
+#: MinHash needs.
+N_MINHASH = 8
 BAND_SIZE = 4
+LANE_WIDTH = 8  # hex chars per lane (32 bits)
 
 
 def exact_dedup_groups(
@@ -72,35 +81,49 @@ def minhash_signatures(
     text_col: str = "text",
     id_col: str = "doc_id",
     k_shingle: int = 5,
-    seeds=MINHASH_SEEDS,
+    n_hashes: int = N_MINHASH,
 ) -> DataFrame:
-    """Per-document MinHash signature: one column per seed, each the
-    lexicographic-min md5 over the document's k-shingles. Narrow
-    per-row transform — no shuffle.
+    """Per-document MinHash signature: one column per lane, each the
+    lexicographic min over the document's distinct k-shingles of an
+    8-hex-char slice of md5(s)||md5('x'||s). Narrow per-row transform
+    — no shuffle. Lexicographic min over fixed-width lowercase hex ==
+    numeric min over the 32-bit slice, identical in any engine.
 
-    The shingle array is materialized once in a sub-select and every
-    seeded min-hash derives from it; inlining ``minhash(text, seed)``
-    per seed would re-extract the shingles |seeds| times (Catalyst does
-    not CSE across projection expressions)."""
+    The shingle array is materialized once and deduplicated before
+    hashing (min is duplicate-invariant; distinct cuts digest calls
+    on repetitive text), and both digests are computed in one pass —
+    Catalyst does not CSE across projection expressions, so deriving
+    each lane from the raw text would re-shingle and re-hash
+    ``n_hashes`` times."""
     shingled = (
         spread_for_cpu(df)
-        .select(F.col(id_col), char_shingles(text_col, k_shingle).alias("_sh"))
+        .select(
+            F.col(id_col),
+            F.array_distinct(char_shingles(text_col, k_shingle)).alias("_sh"),
+        )
         # docs shorter than the shingle width have no signature — drop
         # them (matches the SQL formulation, where GROUP BY over zero
         # shingle rows yields no row; keeping them would give all-NULL
         # signatures whose concat_ws band keys collide at "")
         .where(F.size("_sh") > 0)
     )
+    hashed = shingled.select(
+        F.col(id_col),
+        F.transform(
+            "_sh", lambda s: F.concat(F.md5(s), F.md5(F.concat(F.lit("x"), s)))
+        ).alias("_hs"),
+    )
 
-    def hasher(seed: str):
-        # single-arg lambda factory (a `lambda s, seed=seed` would be
-        # inspected by PySpark as the binary (element, index) form)
-        return lambda s: F.md5(F.concat(F.lit(seed), s))
+    def lane(i: int):
+        # factory so the lambda stays unary (PySpark treats a
+        # two-parameter lambda, defaults included, as (element, index))
+        off = 1 + LANE_WIDTH * i
+        return lambda h: F.substring(h, off, LANE_WIDTH)
 
     cols = [F.col(id_col)]
-    for i, seed in enumerate(seeds):
-        cols.append(F.array_min(F.transform("_sh", hasher(seed))).alias(f"mh{i}"))
-    return shingled.select(*cols)
+    for i in range(n_hashes):
+        cols.append(F.array_min(F.transform("_hs", lane(i))).alias(f"mh{i}"))
+    return hashed.select(*cols)
 
 
 def lsh_candidate_pairs(
@@ -108,7 +131,7 @@ def lsh_candidate_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     k_shingle: int = 5,
-    seeds=MINHASH_SEEDS,
+    n_hashes: int = N_MINHASH,
     band_size: int = BAND_SIZE,
 ) -> DataFrame:
     """LSH banding: signature split into bands of ``band_size`` hashes;
@@ -116,8 +139,8 @@ def lsh_candidate_pairs(
     id_b, deduplicated across bands). The only shuffle is the
     band-key self-join; band keys are md5-concat strings with high
     entropy, so bucket skew is bounded by true duplicate mass."""
-    sig = minhash_signatures(df, text_col, id_col, k_shingle, seeds)
-    n_bands = len(seeds) // band_size
+    sig = minhash_signatures(df, text_col, id_col, k_shingle, n_hashes)
+    n_bands = n_hashes // band_size
     # one pass: explode a (band_id, band_key) array instead of a
     # UNION ALL of n_bands selects (a union would re-evaluate the
     # signature subplan per band); persist the tiny per-doc band list
@@ -131,10 +154,11 @@ def lsh_candidate_pairs(
         )
         for b in range(n_bands)
     ]
-    all_bands = (
+    # eager: a lazy persist would let the self-join's two concurrent
+    # stage scans each recompute the signature plan (utils.eager_persist)
+    all_bands = eager_persist(
         sig.select(F.col(id_col), F.explode(F.array(*band_structs)).alias("bd"))
         .select(F.col(id_col), F.col("bd.band_id"), F.col("bd.band_key"))
-        .persist()
     )
     a = all_bands.alias("a")
     b_ = all_bands.alias("b")
@@ -167,10 +191,12 @@ def jaccard_verify(
     distinct shingle arrays. Work is O(|pairs| × shingles) — only
     candidates pay, which is the whole point of LSH. The division is a
     single op on exact integers → portable to the oracle."""
-    sh = spread_for_cpu(df).select(
-        F.col(id_col),
-        F.array_distinct(char_shingles(text_col, k_shingle)).alias("sh"),
-    ).persist()  # scanned twice (both join sides) — avoid re-shingling
+    sh = eager_persist(
+        spread_for_cpu(df).select(
+            F.col(id_col),
+            F.array_distinct(char_shingles(text_col, k_shingle)).alias("sh"),
+        )
+    )  # scanned twice (both join sides) — eager so neither recomputes
     a = sh.alias("sa")
     b = sh.alias("sb")
     joined = (
@@ -197,13 +223,13 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     k_shingle: int = 5,
     threshold: float = 0.5,
-    seeds=MINHASH_SEEDS,
+    n_hashes: int = N_MINHASH,
     band_size: int = BAND_SIZE,
 ) -> DataFrame:
     """The full near-dup pipeline: LSH candidates → exact Jaccard ≥
     threshold. This is the scalable composition: at 100 TB the
     candidate set (not the corpus square) bounds the verify cost."""
-    pairs = lsh_candidate_pairs(df, text_col, id_col, k_shingle, seeds, band_size)
+    pairs = lsh_candidate_pairs(df, text_col, id_col, k_shingle, n_hashes, band_size)
     return jaccard_verify(df, pairs, text_col, id_col, k_shingle, threshold)
 
 

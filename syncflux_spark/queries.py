@@ -743,8 +743,13 @@ def _sql_shingles() -> str:
     )
 
 
+#: One digest pair per shingle, sliced into 8×8-hex-char lanes —
+#: mirrors operators/dedup.py::minhash_signatures bit-for-bit.
+_HS_SQL = "SELECT doc_id, md5(s) || md5('x' || s) AS h FROM (SELECT DISTINCT doc_id, s FROM sh)"
+
 _MH_SELECT = ", ".join(
-    f"min(md5('{seed}' || s)) AS mh{i}" for i, seed in enumerate(dd.MINHASH_SEEDS)
+    f"min(substr(h, {1 + dd.LANE_WIDTH * i}, {dd.LANE_WIDTH})) AS mh{i}"
+    for i in range(dd.N_MINHASH)
 )
 
 _BANDS_SQL = " UNION ALL ".join(
@@ -754,15 +759,16 @@ _BANDS_SQL = " UNION ALL ".join(
             f"mh{b * dd.BAND_SIZE + j}" for j in range(dd.BAND_SIZE)
         ),
     )
-    for b in range(len(dd.MINHASH_SEEDS) // dd.BAND_SIZE)
+    for b in range(dd.N_MINHASH // dd.BAND_SIZE)
 )
 
 
 @register(
     "minhash_signatures",
     f"""
-    WITH sh AS ({_sql_shingles()})
-    SELECT doc_id, {_MH_SELECT} FROM sh GROUP BY doc_id
+    WITH sh AS ({_sql_shingles()}),
+         hs AS ({_HS_SQL})
+    SELECT doc_id, {_MH_SELECT} FROM hs GROUP BY doc_id
     """,
 )
 def minhash_signatures(spark, sf):
@@ -775,7 +781,8 @@ def minhash_signatures(spark, sf):
     "lsh_candidate_pairs",
     f"""
     WITH sh AS ({_sql_shingles()}),
-         sig AS (SELECT doc_id, {_MH_SELECT} FROM sh GROUP BY doc_id),
+         hs AS ({_HS_SQL}),
+         sig AS (SELECT doc_id, {_MH_SELECT} FROM hs GROUP BY doc_id),
          bands AS ({_BANDS_SQL})
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
     FROM bands a JOIN bands b
@@ -793,7 +800,8 @@ def lsh_candidate_pairs(spark, sf):
     "ngram_jaccard_pairs",
     f"""
     WITH sh AS ({_sql_shingles()}),
-         sig AS (SELECT doc_id, {_MH_SELECT} FROM sh GROUP BY doc_id),
+         hs AS ({_HS_SQL}),
+         sig AS (SELECT doc_id, {_MH_SELECT} FROM hs GROUP BY doc_id),
          bands AS ({_BANDS_SQL}),
          cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
                   FROM bands a JOIN bands b

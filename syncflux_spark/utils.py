@@ -22,3 +22,16 @@ def spread_for_cpu(df: DataFrame, min_partitions: int | None = None) -> DataFram
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
+
+
+def eager_persist(df: DataFrame) -> DataFrame:
+    """Persist AND materialize now.
+
+    A lazy ``persist()`` feeding both sides of a self-join is a trap:
+    the join's first action schedules both scan stages concurrently,
+    each finds the cache unpopulated, and the upstream plan runs
+    twice. Forcing a ``count()`` here populates the cache once, so
+    every later scan (including concurrent ones) is a cache hit."""
+    df = df.persist()
+    df.count()
+    return df
