@@ -135,3 +135,101 @@ def chunk_counts(
         df.groupBy(time_bucket(time_col, chunk_seconds).alias("chunk_start"))
         .agg(F.count(F.lit(1)).alias("n_points"))
     )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: Sequence[str],
+    time_col: str = "ts",
+    right_value_cols: Sequence[str] = ("value",),
+    suffix: str = "_asof",
+) -> DataFrame:
+    """As-of (backward) join: for every left row, the latest right row
+    with ``right.time <= left.time`` on the same key — the canonical
+    time-series enrichment Spark lacks as a built-in (DuckDB: ``ASOF
+    JOIN``; Pandas: ``merge_asof``).
+
+    Implemented as union + running ``last(..., ignorenulls)`` window
+    rather than a range join: one shuffle on the key, one per-key sort,
+    and — crucially at 100 TB — no per-left-row range probe and no
+    candidate blow-up on wide time gaps. Left-join semantics:
+    unmatched left rows keep nulls.
+
+    The right side must be unique per (key, time) for determinism —
+    pre-aggregate it if needed (equal-time right rows otherwise make
+    "the" latest row ambiguous in any engine).
+    """
+    keys = list(key_cols)
+    rv = F.struct(
+        F.col(time_col).alias(f"{time_col}{suffix}"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in right_value_cols],
+    )
+    r2 = right.select(
+        *keys, F.col(time_col), rv.alias("_rv"), F.lit(0).alias("_side")
+    )
+    left_payload = [c for c in left.columns if c not in keys and c != time_col]
+    rv_type = r2.schema["_rv"].dataType
+    l2 = left.select(
+        *keys,
+        F.col(time_col),
+        F.lit(None).cast(rv_type).alias("_rv"),
+        F.lit(1).alias("_side"),
+        *left_payload,
+    )
+    # align schemas: right side carries nulls for the left payload
+    r2 = r2.select(
+        *keys, time_col, "_rv", "_side",
+        *[F.lit(None).cast(l2.schema[c].dataType).alias(c) for c in left_payload],
+    )
+    u = l2.unionByName(r2)
+    # right rows sort before left rows at equal timestamps (_side 0 < 1)
+    # so a same-instant right row is visible to the left row (<=, not <)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(time_col), F.col("_side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = u.withColumn("_m", F.last("_rv", ignorenulls=True).over(w))
+    out_cols = (
+        keys
+        + [time_col]
+        + left_payload
+        + [F.col(f"_m.{f.name}").alias(f.name) for f in rv_type.fields]
+    )
+    return filled.where(F.col("_side") == 1).select(*out_cols)
+
+
+def sessionize(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    gap_seconds: int,
+    time_col: str = "ts",
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the gap to
+    the previous event on the same key exceeds ``gap_seconds``.
+    Returns the input plus a per-key ``session_id`` (1-based, in time
+    order).
+
+    One shuffle on the key + one per-key sort shared by the lag and
+    the running sum (same window frame ⇒ single Window exec).
+    ``order_tiebreak`` (e.g. an event id) makes equal-timestamp
+    ordering deterministic.
+    """
+    keys = list(key_cols)
+    order = [F.col(time_col)] + (
+        [F.col(order_tiebreak)] if order_tiebreak else []
+    )
+    w = Window.partitionBy(*keys).orderBy(*order)
+    us = F.unix_micros(F.col(time_col))
+    prev = F.lag(us).over(w)
+    new_sess = (
+        prev.isNull() | ((us - prev) > gap_seconds * 1_000_000)
+    ).cast("long")
+    run = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn("session_id", F.sum(new_sess).over(run))

@@ -142,6 +142,126 @@ def lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def ivf_assign(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantization: assign every corpus vector to its
+    nearest centroid by cosine (ties → lowest centroid id). Returns
+    (id, vector, cluster_id).
+
+    Centroids here are the deterministic seed set ``id < n_centroids``
+    so the oracle can reproduce the partition exactly; at production
+    scale you'd swap in k-means|| centroids (pyspark.ml KMeans) — the
+    assignment/probe plumbing below is identical either way. The
+    centroid table broadcasts (it is tiny by construction), so
+    assignment is a map-only pass over the corpus: no shuffle."""
+    cents = corpus.where(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("centv")
+    )
+    scored = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .crossJoin(F.broadcast(cents))
+        .select(
+            id_col, vec_col, "cid", cosine(vec_col, "centv").alias("_cs")
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.desc("_cs"), F.asc("cid"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(id_col, vec_col, "cid")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: each query probes its ``nprobe`` nearest
+    centroids and scans only those inverted lists. Candidate work
+    drops ~nprobe/n_centroids vs brute force; the candidate join
+    shuffles on cluster id, which is the scale axis (raise
+    n_centroids to shrink lists and widen parallelism; at 100 TB,
+    n_centroids ~ sqrt(N) per the FAISS IVF rule of thumb).
+    Output: (query_id, neighbor_id, cos_sim, rank) like
+    :func:`brute_force_topk` — recall < 1 by design."""
+    assigned = ivf_assign(corpus, n_centroids, id_col, vec_col)
+    cents = corpus.where(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("centv")
+    )
+    from pyspark.sql import Window
+
+    pw = Window.partitionBy("query_id").orderBy(F.desc("_cs"), F.asc("cid"))
+    probes = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+        .crossJoin(F.broadcast(cents))
+        .select("query_id", "qv", "cid", cosine("qv", "centv").alias("_cs"))
+        .withColumn("_rn", F.row_number().over(pw))
+        .where(F.col("_rn") <= nprobe)
+        .select("query_id", "qv", "cid")
+    )
+    cand = probes.join(
+        assigned.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("cv"),
+            "cid",
+        ),
+        "cid",
+    ).where(F.col("query_id") != F.col("neighbor_id"))
+    scored = cand.select(
+        "query_id", "neighbor_id", cosine("qv", "cv").alias("cos_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )
+
+
+def near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float,
+    n_planes: int = 6,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate detection over the whole corpus:
+    sign-LSH bucket (2^n_planes buckets) → same-bucket self-join →
+    exact cosine ≥ threshold. The self-join shuffles on the bucket id
+    only; per-bucket work is |bucket|² — n_planes trades recall
+    (Charikar: P[same bucket] = (1 - θ/π)^n_planes) against bucket
+    size. Candidates never leave the bucket, so at 100 TB the cross
+    product never materializes."""
+    b = sign_lsh_bucket(vec_col, n_planes, dim)
+    tagged = corpus.select(
+        F.col(id_col), F.col(vec_col).alias("v"), b.alias("bk")
+    )
+    a, c = tagged.alias("a"), tagged.alias("b")
+    return (
+        a.join(
+            c,
+            (F.col("a.bk") == F.col("b.bk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            cosine("a.v", "b.v").alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )
+
+
 def embedding_norms(
     df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:

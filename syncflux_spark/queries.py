@@ -1095,6 +1095,717 @@ def knn_topk(spark, sf):
     return brute_force_topk(emb, emb.where(F.col("vec_id") < 10), k=5)
 
 
+# ===========================================================================
+# Time-series analytics extras: as-of join, sessionization, pivot
+# ===========================================================================
+
+
+@register(
+    "ts_asof_purchase",
+    """
+    WITH clicks AS (SELECT user_id, ts, event_id FROM events
+                    WHERE event_type = 'click'),
+         purch AS (SELECT user_id, ts, MAX(value) AS pv FROM events
+                   WHERE event_type = 'purchase' GROUP BY user_id, ts)
+    SELECT c.event_id, c.user_id,
+           CAST(epoch_us(c.ts) AS BIGINT) AS ts_us,
+           CAST(epoch_us(p.ts) AS BIGINT) AS purchase_ts_us,
+           p.pv AS purchase_value
+    FROM clicks c ASOF LEFT JOIN purch p
+      ON c.user_id = p.user_id AND p.ts <= c.ts
+    """,
+)
+def ts_asof_purchase(spark, sf):
+    """As-of join: each click enriched with the user's most recent
+    prior (or same-instant) purchase. Union+window implementation —
+    one shuffle on the key, no per-row range probe (operators/
+    downsample.py::asof_join); the oracle uses DuckDB's native ASOF
+    JOIN, so parity validates the semantics, not just the plumbing.
+    The right side is pre-aggregated per (user, ts) so 'latest' is
+    well-defined in both engines."""
+    from syncflux_spark.operators.downsample import asof_join
+
+    ev = load_table(spark, sf, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    purch = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("pv"))
+    )
+    joined = asof_join(clicks, purch, ["user_id"], "ts", ["pv"])
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.unix_micros("ts_asof").alias("purchase_ts_us"),
+        F.col("pv_asof").alias("purchase_value"),
+    )
+
+
+@register(
+    "ts_sessionize",
+    """
+    WITH flagged AS (
+      SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS us,
+             CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                    OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, us,
+             CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id,
+           CAST(MIN(us) AS BIGINT) AS start_us,
+           CAST(MAX(us) AS BIGINT) AS end_us,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def ts_sessionize(spark, sf):
+    """Gap-based sessionization (30-min inactivity closes a session):
+    per-user session summaries. One shuffle on user_id; lag and the
+    running session counter share the same sort (operators/
+    downsample.py::sessionize). Equal-timestamp ordering is pinned by
+    event_id on both engines."""
+    from syncflux_spark.operators.downsample import sessionize
+
+    ev = load_table(spark, sf, "events")
+    s = sessionize(ev, ["user_id"], 1800, "ts", "event_id")
+    return s.groupBy("user_id", "session_id").agg(
+        F.min(F.unix_micros("ts")).alias("start_us"),
+        F.max(F.unix_micros("ts")).alias("end_us"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "ts_pivot_daily_counts",
+    """
+    SELECT CAST(epoch_us(date_trunc('day', ts)) AS BIGINT) AS day_us,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_click,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_view,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS n_signup,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_error,
+           CAST(COUNT(*) AS BIGINT) AS n_total
+    FROM events GROUP BY 1
+    """,
+)
+def ts_pivot_daily_counts(spark, sf):
+    """Pivot (long→wide) on a fixed category set: day × event_type
+    counts as columns. Expressed as conditional aggregation — a single
+    hash agg, unlike df.pivot which needs a category-discovery pass."""
+    ev = load_table(spark, sf, "events")
+
+    def n(t):
+        return F.count(F.when(F.col("event_type") == t, 1)).alias(f"n_{t}")
+
+    return ev.groupBy(
+        F.unix_micros(F.date_trunc("day", "ts")).alias("day_us")
+    ).agg(
+        n("click"), n("view"), n("purchase"), n("signup"), n("error"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+
+
+# ===========================================================================
+# Relational surface II: rollup + the rest of the TPC-H-expressible set
+# ===========================================================================
+
+
+_REV_C = (
+    f"{_sql_cents('l_extendedprice')} * (100 - {_sql_cents('l_discount')})"
+)
+
+
+@register(
+    "revenue_rollup_region",
+    f"""
+    SELECT CASE WHEN GROUPING(r_name) = 1 THEN 'ALL' ELSE r_name END AS region,
+           CASE WHEN GROUPING(n_name) = 1 THEN 'ALL' ELSE n_name END AS nation,
+           CAST(SUM(rev_c) AS BIGINT) / 10000.0 AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM (SELECT r_name, n_name, {_REV_C} AS rev_c
+          FROM lineitem
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey)
+    GROUP BY ROLLUP(r_name, n_name)
+    """,
+)
+def revenue_rollup_region(spark, sf):
+    """ROLLUP(region, nation) revenue: hierarchical grand-totals in one
+    pass (Spark expands grouping sets inside a single hash agg).
+    GROUPING() placeholders become 'ALL' so the output has no nulls to
+    hash. Dims broadcast; only lineitem shuffles."""
+    li = load_table(spark, sf, "lineitem")
+    s = load_table(spark, sf, "supplier")
+    n = load_table(spark, sf, "nation")
+    r = load_table(spark, sf, "region")
+    rev_c = cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
+    joined = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("r_name", "n_name", rev_c.alias("rev_c"))
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            (F.sum("rev_c") / F.lit(10000.0)).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+            # grouping() is only legal inside the rollup's own agg list
+            F.grouping("r_name").alias("_gr"),
+            F.grouping("n_name").alias("_gn"),
+        )
+        .select(
+            F.when(F.col("_gr") == 1, "ALL").otherwise(F.col("r_name")).alias("region"),
+            F.when(F.col("_gn") == 1, "ALL").otherwise(F.col("n_name")).alias("nation"),
+            "revenue",
+            "n_items",
+        )
+    )
+
+
+@register(
+    "q7_volume_shipping",
+    f"""
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(SUM(rev_c) AS BIGINT) / 10000.0 AS revenue
+    FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                 CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+                 {_REV_C} AS rev_c
+          FROM supplier
+          JOIN lineitem ON s_suppkey = l_suppkey
+          JOIN orders ON o_orderkey = l_orderkey
+          JOIN customer ON c_custkey = o_custkey
+          JOIN nation n1 ON s_nationkey = n1.n_nationkey
+          JOIN nation n2 ON c_nationkey = n2.n_nationkey
+          WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+              OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+            AND l_shipdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+                               AND TIMESTAMP '1996-12-31 00:00:00')
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_volume_shipping(spark, sf):
+    """TPC-H Q7: bilateral trade volume by year. The two nation-filter
+    dims broadcast (each prunes to one row); lineitem⋈orders shuffles
+    on orderkey — the only big exchange."""
+    li = load_table(spark, sf, "lineitem").where(
+        (F.col("l_shipdate") >= "1995-01-01")
+        & (F.col("l_shipdate") <= "1996-12-31 00:00:00")
+    )
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    s = load_table(spark, sf, "supplier")
+    n = load_table(spark, sf, "nation")
+    n1 = n.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    rev_c = cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("n1_key"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("n2_key"))
+        .where(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg((F.sum(rev_c) / F.lit(10000.0)).alias("revenue"))
+    )
+
+
+@register(
+    "q8_market_share",
+    f"""
+    SELECT o_year,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_2' THEN rev_c ELSE 0 END)
+                AS BIGINT)
+           / CAST(SUM(rev_c) AS DOUBLE) AS mkt_share
+    FROM (SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+                 {_REV_C} AS rev_c, n2.n_name AS supp_nation
+          FROM part
+          JOIN lineitem ON p_partkey = l_partkey
+          JOIN supplier ON s_suppkey = l_suppkey
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation n1 ON c_nationkey = n1.n_nationkey
+          JOIN region ON n1.n_regionkey = r_regionkey
+          JOIN nation n2 ON s_nationkey = n2.n_nationkey
+          WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+            AND o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+                                AND TIMESTAMP '1996-12-31 00:00:00')
+    GROUP BY o_year
+    """,
+)
+def q8_market_share(spark, sf):
+    """TPC-H Q8: national market share inside a region. Ratio of two
+    exact integer sums → one float division. part/supplier/nation/
+    region broadcast; the fact-side joins shuffle on orderkey."""
+    p = load_table(spark, sf, "part").where(F.col("p_type") == "PROMO")
+    li = load_table(spark, sf, "lineitem")
+    s = load_table(spark, sf, "supplier")
+    o = load_table(spark, sf, "orders").where(
+        (F.col("o_orderdate") >= "1995-01-01")
+        & (F.col("o_orderdate") <= "1996-12-31 00:00:00")
+    )
+    c = load_table(spark, sf, "customer")
+    n = load_table(spark, sf, "nation")
+    r = load_table(spark, sf, "region").where(F.col("r_name") == "ASIA")
+    n1 = n.select(F.col("n_nationkey").alias("n1_key"), "n_regionkey")
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    rev_c = cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
+    joined = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), c.c_nationkey == F.col("n1_key"))
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .join(F.broadcast(n2), s.s_nationkey == F.col("n2_key"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            rev_c.alias("rev_c"),
+            "supp_nation",
+        )
+    )
+    return joined.groupBy("o_year").agg(
+        (
+            F.sum(F.when(F.col("supp_nation") == "NATION_2", F.col("rev_c")).otherwise(F.lit(0)))
+            / F.sum("rev_c").cast("double")
+        ).alias("mkt_share")
+    )
+
+
+@register(
+    "q10_returned_items",
+    f"""
+    SELECT c_custkey, c_name,
+           CAST(SUM(rev_c) AS BIGINT) / 10000.0 AS revenue,
+           c_acctbal, n_name
+    FROM (SELECT c_custkey, c_name, c_acctbal, n_name, {_REV_C} AS rev_c
+          FROM customer
+          JOIN orders ON c_custkey = o_custkey
+          JOIN lineitem ON l_orderkey = o_orderkey
+          JOIN nation ON c_nationkey = n_nationkey
+          WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+            AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+            AND l_returnflag = 'R')
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark, sf):
+    """TPC-H Q10: top-20 customers by returned-item revenue in a
+    quarter. Orders prune on the date filter before the join; nation
+    broadcasts; deterministic top-k by (revenue desc, custkey)."""
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders").where(
+        (F.col("o_orderdate") >= "1997-01-01")
+        & (F.col("o_orderdate") < "1997-04-01")
+    )
+    li = load_table(spark, sf, "lineitem").where(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf, "nation")
+    rev_c = cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg((F.sum(rev_c) / F.lit(10000.0)).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q13_customer_distribution",
+    """
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+          FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+          GROUP BY c_custkey)
+    GROUP BY c_count
+    """,
+)
+def q13_customer_distribution(spark, sf):
+    """TPC-H Q13: order-count histogram over customers, keeping
+    zero-order customers via the left outer join (COUNT(col) skips the
+    nulls an unmatched row produces). Two cascaded hash aggs."""
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+@register(
+    "q15_top_supplier",
+    f"""
+    WITH rev AS (
+      SELECT l_suppkey, CAST(SUM({_REV_C}) AS BIGINT) AS total_c
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_c / 10000.0 AS total_revenue
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE total_c = (SELECT MAX(total_c) FROM rev)
+    """,
+)
+def q15_top_supplier(spark, sf):
+    """TPC-H Q15: supplier(s) with the maximum quarterly revenue. The
+    scalar max is computed once and broadcast — no global sort, and
+    exact integer cents make 'equal to the max' engine-stable."""
+    li = load_table(spark, sf, "lineitem").where(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    s = load_table(spark, sf, "supplier")
+    rev_c = cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
+    rev = li.groupBy("l_suppkey").agg(F.sum(rev_c).alias("total_c"))
+    mx = rev.agg(F.max("total_c").alias("max_c"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("total_c") == F.col("max_c"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("total_c") / F.lit(10000.0)).alias("total_revenue"),
+        )
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    f"""
+    SELECT CAST(SUM(price_c) AS BIGINT) / 100.0 / 7.0 AS avg_yearly
+    FROM (SELECT {_sql_cents('l_extendedprice')} AS price_c
+          FROM lineitem
+          JOIN part ON p_partkey = l_partkey
+          JOIN (SELECT l_partkey AS pk, AVG(l_quantity) AS avg_qty
+                FROM lineitem GROUP BY l_partkey) pa
+            ON pa.pk = l_partkey
+          WHERE p_brand = 'Brand#23' AND l_quantity < 0.2 * avg_qty)
+    """,
+)
+def q17_small_quantity_revenue(spark, sf):
+    """TPC-H Q17 (container filter dropped — fixture has no
+    p_container): revenue locked in sub-20%-of-average-quantity
+    orders. The correlated scalar subquery decorrelates to a per-part
+    aggregate joined back on partkey; quantities are integral doubles
+    so the average is order-independent-exact."""
+    li = load_table(spark, sf, "lineitem")
+    p = load_table(spark, sf, "part").where(F.col("p_brand") == "Brand#23")
+    pa = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(pa, li.l_partkey == F.col("pk"))
+        .where(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            (F.sum(cents("l_extendedprice")) / F.lit(100.0) / F.lit(7.0)).alias(
+                "avg_yearly"
+            )
+        )
+    )
+
+
+@register(
+    "q18_large_orders",
+    """
+    SELECT c_custkey, c_name, o_orderkey,
+           CAST(epoch_us(o_orderdate) AS BIGINT) AS o_orderdate_us,
+           o_totalprice,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                         GROUP BY l_orderkey
+                         HAVING SUM(l_quantity) > 200)
+    GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def q18_large_orders(spark, sf):
+    """TPC-H Q18: customers with orders above 200 total quantity. The
+    IN-subquery is a semi-join on the pre-aggregated lineitem —
+    aggregate-then-join keeps the shuffle at one row per qualifying
+    order."""
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_q"))
+        .where(F.col("_q") > 200)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(big.withColumnRenamed("l_orderkey", "_bk"), li.l_orderkey == F.col("_bk"), "left_semi")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.unix_micros("o_orderdate").alias("o_orderdate_us"),
+            "o_totalprice",
+            "sum_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+@register(
+    "q19_discounted_revenue",
+    f"""
+    SELECT CAST(SUM(rev_c) AS BIGINT) / 10000.0 AS revenue
+    FROM (SELECT {_REV_C} AS rev_c
+          FROM lineitem JOIN part ON p_partkey = l_partkey
+          WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+                 AND l_quantity BETWEEN 1 AND 11)
+             OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+                 AND l_quantity BETWEEN 10 AND 20)
+             OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+                 AND l_quantity BETWEEN 20 AND 30))
+    """,
+)
+def q19_discounted_revenue(spark, sf):
+    """TPC-H Q19 (container predicates replaced with p_size bands —
+    fixture has no p_container): disjunctive multi-band filter over a
+    broadcast part join, single global sum."""
+    li = load_table(spark, sf, "lineitem")
+    p = load_table(spark, sf, "part")
+    rev_c = cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
+    q = F.col("l_quantity")
+    sz = F.col("p_size")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & sz.between(1, 5) & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & sz.between(1, 10) & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & sz.between(1, 15) & q.between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .where(cond)
+        .agg((F.sum(rev_c) / F.lit(10000.0)).alias("revenue"))
+    )
+
+
+@register(
+    "q22_inactive_customers",
+    f"""
+    SELECT n_name,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(SUM({_sql_cents('c_acctbal')}) AS BIGINT) / 100.0 AS totacctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE {_sql_cents('c_acctbal')} > (
+            SELECT AVG({_sql_cents('c_acctbal')}) FROM customer
+            WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    GROUP BY n_name
+    """,
+)
+def q22_inactive_customers(spark, sf):
+    """TPC-H Q22 (phone-prefix filter replaced by the nation dim —
+    fixture has no c_phone): above-average-balance customers with no
+    recent orders. The scalar average broadcasts; NOT EXISTS is a
+    left-anti join against date-pruned orders; the average rides
+    integer cents so the threshold is engine-exact."""
+    c = load_table(spark, sf, "customer")
+    n = load_table(spark, sf, "nation")
+    o = load_table(spark, sf, "orders").where(
+        F.col("o_orderdate") >= "2000-01-01"
+    )
+    avg_bal = c.where(F.col("c_acctbal") > 0).agg(
+        F.avg(cents("c_acctbal")).alias("avg_c")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .where(cents("c_acctbal") > F.col("avg_c"))
+        .join(o.select(F.col("o_custkey").alias("_ok")), F.col("c_custkey") == F.col("_ok"), "left_anti")
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            (F.sum(cents("c_acctbal")) / F.lit(100.0)).alias("totacctbal"),
+        )
+    )
+
+
+# ===========================================================================
+# Approximate similarity: IVF and sign-LSH (the 100 TB ANN scale paths)
+# ===========================================================================
+
+
+def _sql_cos(a: str, b: str) -> str:
+    return (
+        f"list_dot_product({a}, {b}) / "
+        f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+    )
+
+
+@register(
+    "ivf_topk",
+    f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cent AS (SELECT vec_id AS cid, v AS cv FROM v WHERE vec_id < 16),
+    assign AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT a.vec_id, a.v, c.cid,
+               row_number() OVER (PARTITION BY a.vec_id
+                                  ORDER BY {_sql_cos('a.v', 'c.cv')} DESC, c.cid)
+                 AS rn
+        FROM v a CROSS JOIN cent c)
+      WHERE rn = 1),
+    probe AS (
+      SELECT vec_id AS query_id, v AS qv, cid FROM (
+        SELECT q.vec_id, q.v, c.cid,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {_sql_cos('q.v', 'c.cv')} DESC, c.cid)
+                 AS rn
+        FROM v q CROSS JOIN cent c WHERE q.vec_id < 10)
+      WHERE rn <= 4),
+    cand AS (
+      SELECT p.query_id, p.qv, a.vec_id AS neighbor_id, a.v AS cv
+      FROM probe p JOIN assign a USING (cid)
+      WHERE a.vec_id != p.query_id)
+    SELECT query_id, neighbor_id, cos_sim, CAST(rn AS INTEGER) AS rank
+    FROM (SELECT query_id, neighbor_id,
+                 {_sql_cos('qv', 'cv')} AS cos_sim,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY {_sql_cos('qv', 'cv')} DESC,
+                                             neighbor_id) AS rn
+          FROM cand)
+    WHERE rn <= 5
+    """,
+)
+def ivf_topk(spark, sf):
+    """IVF approximate top-5: 16 deterministic seed centroids, each
+    query probes its 4 nearest lists (operators/similarity.py::
+    ivf_topk). ~4/16 of the corpus scanned per query vs brute force;
+    the oracle reproduces the identical partition, so the comparison
+    checks the algorithm, not just recall."""
+    from syncflux_spark.operators.similarity import ivf_topk as _ivf
+
+    emb = load_table(spark, sf, "embeddings")
+    out = _ivf(
+        emb,
+        emb.where(F.col("vec_id") < 10),
+        k=5,
+        n_centroids=16,
+        nprobe=4,
+    )
+    return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+def _sql_sign_bucket(vec: str, n_planes: int, dim: int) -> str:
+    """Sign-LSH bucket bitmap — literal hyperplanes identical to
+    operators/similarity.py::_hyperplane."""
+    from syncflux_spark.operators.similarity import _hyperplane
+
+    terms = []
+    for p in range(n_planes):
+        coeffs = ", ".join(repr(_hyperplane(p, d)) for d in range(dim))
+        terms.append(
+            f"(CASE WHEN list_dot_product({vec}, [{coeffs}]) >= 0 "
+            f"THEN {1 << p} ELSE 0 END)"
+        )
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+@register(
+    "lsh_ann_topk",
+    f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                      {_sql_sign_bucket('embedding::DOUBLE[]', 4, 64)} AS bk
+               FROM embeddings)
+    SELECT query_id, neighbor_id, cos_sim, CAST(rn AS INTEGER) AS rank
+    FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 {_sql_cos('q.v', 'c.v')} AS cos_sim,
+                 row_number() OVER (PARTITION BY q.vec_id
+                                    ORDER BY {_sql_cos('q.v', 'c.v')} DESC,
+                                             c.vec_id) AS rn
+          FROM v q JOIN v c ON q.bk = c.bk AND q.vec_id != c.vec_id
+          WHERE q.vec_id < 10)
+    WHERE rn <= 5
+    """,
+)
+def lsh_ann_topk(spark, sf):
+    """Sign-LSH approximate top-5: candidates share a 4-plane
+    random-hyperplane sign bucket (16 buckets), so each query compares
+    against ~1/16 of the corpus. Hyperplanes are md5-derived literals
+    — bit-identical in the oracle (operators/similarity.py::lsh_topk)."""
+    from syncflux_spark.operators.similarity import lsh_topk
+
+    emb = load_table(spark, sf, "embeddings")
+    out = lsh_topk(
+        emb, emb.where(F.col("vec_id") < 10), k=5, n_planes=4, dim=64
+    )
+    return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+@register(
+    "emb_near_dup_pairs",
+    f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                      {_sql_sign_bucket('embedding::DOUBLE[]', 4, 64)} AS bk
+               FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {_sql_cos('a.v', 'b.v')} AS cos_sim
+    FROM v a JOIN v b ON a.bk = b.bk AND a.vec_id < b.vec_id
+    WHERE {_sql_cos('a.v', 'b.v')} >= 0.3
+    """,
+)
+def emb_near_dup_pairs(spark, sf):
+    """Embedding-cosine near-duplicate pairs over the whole corpus:
+    sign-LSH bucket self-join (16 buckets) → exact cosine ≥ 0.3 on
+    same-bucket pairs only. The corpus cross-product never
+    materializes — the scale property that matters at 100 TB
+    (operators/similarity.py::near_dup_pairs)."""
+    from syncflux_spark.operators.similarity import near_dup_pairs
+
+    emb = load_table(spark, sf, "embeddings")
+    return near_dup_pairs(emb, threshold=0.3, n_planes=4, dim=64)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.spark for name, q in REGISTRY.items()}
 
