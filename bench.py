@@ -25,10 +25,14 @@ HEADLINE = [
     "ts_scan_range",
     "ts_downsample_1h",
     "ts_last_per_series",
+    "ts_asof_purchase",
+    "ts_sessionize",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q6_revenue_forecast",
+    "q8_market_share",
+    "q18_large_orders",
     "cumulative_spend_per_customer",
     "dedup_exact",
     "lsh_candidate_pairs",
@@ -36,6 +40,8 @@ HEADLINE = [
     "token_stats",
     "lang_detect",
     "knn_topk",
+    "ivf_topk",
+    "emb_near_dup_pairs",
 ]
 
 

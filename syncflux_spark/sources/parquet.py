@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import os
 from collections.abc import Iterable
+from datetime import datetime, timezone
 from functools import lru_cache
 
 import pyarrow.parquet as pq
@@ -55,20 +56,23 @@ def _ns_timestamp_cols(path: str) -> tuple[str, ...]:
 
 
 def load_table(
-    spark: SparkSession, sf_dir: str, name: str, keep_ns: bool = False
+    spark: SparkSession, sf_dir: str, name: str, keep_ns: bool = True
 ) -> DataFrame:
     """Scan one table. Column pruning + predicate pushdown are free:
     callers chain .select/.filter and Catalyst pushes both into the
     parquet reader (verify with .explain → PushedFilters/ReadSchema).
 
     ns-precision handling (SURVEY §7.2 hard part): TIMESTAMP(NANOS)
-    columns are read as ns-epoch longs and re-derived as µs
-    TimestampType columns of the same name, so every consumer sees
-    ordinary timestamps. With ``keep_ns`` the canonical long survives
-    as ``{col}_ns`` for full-fidelity round-trips. The wrapping
-    expression is a codegen intrinsic and does not block pushdown of
-    comparisons against literals (constant-folded to long bounds).
-    """
+    columns are read as ns-epoch longs; the canonical long survives as
+    ``{col}_ns`` and a µs TimestampType column of the original name is
+    derived for ordinary consumers. **Time-range predicates must hit
+    the long column** (use :func:`scan_time_range`): Catalyst does not
+    invert ``timestamp_micros(x div 1000) >= C`` into a raw-column
+    bound, so a filter on the derived timestamp reaches parquet as
+    ``IsNotNull`` only — a full scan at 100 TB — while a long
+    comparison on ``{col}_ns`` prunes row groups (and time partitions)
+    normally. ``keep_ns=False`` drops the long for schema-minimal
+    reads."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # TIMESTAMP (UTC-normalized), not TIMESTAMP_NTZ: epoch functions
     # work and comparisons match the DuckDB oracle (session tz is UTC)
@@ -90,6 +94,20 @@ def load_tables(
     return {name: load_table(spark, sf_dir, name) for name in names}
 
 
+def _to_ns_epoch(x) -> int:
+    """Timestamp-ish → ns-epoch int. Naive datetimes/strings are UTC
+    (the session timezone). Integer input is already ns."""
+    if isinstance(x, int):
+        return x
+    if isinstance(x, str):
+        x = datetime.fromisoformat(x)
+    if isinstance(x, datetime):
+        if x.tzinfo is None:
+            x = x.replace(tzinfo=timezone.utc)
+        return int(x.timestamp()) * 1_000_000_000 + x.microsecond * 1_000
+    raise TypeError(f"cannot convert {type(x).__name__} to ns epoch")
+
+
 def scan_time_range(
     df: DataFrame,
     start,
@@ -101,9 +119,20 @@ def scan_time_range(
     (pkg/agent/sync.go:162). Half-open [start, end): boundary points
     land in exactly one chunk (fixes the reference's exclusive-bounds
     data-loss quirk). ``group by *`` is a no-op here because tags are
-    ordinary columns. The range predicate pushes down to parquet
-    row-group pruning; on a time-partitioned table it also prunes
-    partitions.
-    """
-    c: Column = F.col(time_col)
+    ordinary columns.
+
+    When the table carries a canonical ``{time_col}_ns`` long (ns
+    parquet via :func:`load_table`), the predicate is expressed on the
+    long — the form that actually reaches the parquet reader as a
+    range filter (row-group + partition pruning); a predicate on the
+    derived timestamp would push only ``IsNotNull``. Otherwise the
+    timestamp column is compared directly (µs/ms parquet pushes that
+    fine)."""
+    ns_col = f"{time_col}_ns"
+    if ns_col in df.columns:
+        c: Column = F.col(ns_col)
+        return df.where(
+            (c >= F.lit(_to_ns_epoch(start))) & (c < F.lit(_to_ns_epoch(end)))
+        )
+    c = F.col(time_col)
     return df.where((c >= F.lit(start)) & (c < F.lit(end)))

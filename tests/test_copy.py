@@ -36,7 +36,16 @@ class TestCopyRange:
         from syncflux_spark.sources.parquet import scan_time_range
 
         plan = scan_time_range(events, *WINDOW)._jdf.queryExecution().executedPlan().toString()
-        assert "PushedFilters" in plan and "ts" in plan
+        # the RANGE must reach the parquet scan as long bounds on the
+        # raw ns column (row-group pruning), not just IsNotNull — a
+        # derived-timestamp filter pushes only the null check and
+        # full-scans at 100 TB. Catalyst rewrites ts_ns back to the
+        # raw column, so assert on the ns epoch literals.
+        from syncflux_spark.sources.parquet import _to_ns_epoch
+
+        lo, hi = _to_ns_epoch(WINDOW[0]), _to_ns_epoch(WINDOW[1])
+        scan = plan[plan.index("FileScan") :]
+        assert f"(ts#" in plan and str(lo) in scan and str(hi) in scan
 
 
 class TestSync:
