@@ -1,0 +1,185 @@
+"""CLI surface parity (SURVEY §2.9, pkg/main.go:77-119).
+
+The reference's flags, re-expressed for the Spark engine::
+
+    python -m syncflux_spark -action copy -src-root SRC -dst-root DST \
+        [-meas REGEX] [-start T] [-end T] [-chunk 5m] [-num-workers 4]
+    python -m syncflux_spark -action replicaschema [-db RE] [-rp RE] \
+        [-meas RE] [-newdb NAME] [-newrp NAME]
+    python -m syncflux_spark -action fullcopy ...   (schema + data)
+    python -m syncflux_spark -action hamonitor -src-root SRC -dst-root DST \
+        [-once] [-http-port 4090]
+
+Time flags accept the reference's grammar (X3 parseInputTime,
+pkg/util.go:9-28): integer epoch-seconds, ``-1h``-style relative
+durations, or RFC3339. Defaults: start=now-24h, end=now
+(main.go:47-49). Durations accept Go syntax (``5m``, ``8760h``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from datetime import datetime, timedelta, timezone
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="syncflux_spark", description="PySpark-native syncflux engine"
+    )
+    # single-dash long flags, matching the Go CLI surface (main.go:77-119)
+    p.add_argument("-action", required=True,
+                   choices=["copy", "replicaschema", "fullcopy", "hamonitor"])
+    p.add_argument("-src-root", dest="src_root", default=None,
+                   help="source warehouse dir of {measurement}.parquet")
+    p.add_argument("-dst-root", dest="dst_root", default=None,
+                   help="destination root dir")
+    p.add_argument("-db", default=".*", help="database regex filter")
+    p.add_argument("-rp", default=".*", help="retention-policy regex filter")
+    p.add_argument("-meas", default=".*", help="measurement regex filter")
+    p.add_argument("-newdb", default="", help="rename target database")
+    p.add_argument("-newrp", default="", help="rename target default RP")
+    p.add_argument("-chunk", default="5m", help="chunk duration (Go syntax)")
+    p.add_argument("-start", default="-24h", help="window start (epoch s | -dur | RFC3339)")
+    p.add_argument("-end", default="+0s", help="window end")
+    p.add_argument("-full", action="store_true",
+                   help="copy the full RP retention window")
+    p.add_argument("-max-retention-interval", dest="max_retention",
+                   default="8760h")
+    p.add_argument("-num-workers", dest="num_workers", type=int, default=4)
+    p.add_argument("-check-interval", dest="check_interval", default="10s")
+    p.add_argument("-http-port", dest="http_port", type=int, default=4090)
+    p.add_argument("-once", action="store_true",
+                   help="hamonitor: one supervision cycle, then exit")
+    p.add_argument("-master", default="local[*]", help="Spark master URL")
+    p.add_argument("-v", action="count", default=0)
+    return p
+
+
+def _window(args) -> tuple[datetime, datetime]:
+    from syncflux_spark.functions.time import parse_input_time
+
+    now = datetime.now(timezone.utc)
+    return parse_input_time(args.start, now=now), parse_input_time(args.end, now=now)
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    from pyspark.sql import SparkSession
+
+    from syncflux_spark.session import get_spark
+
+    # only stop a session we created — under pytest (or any embedding
+    # process) get_spark returns the shared active session, and
+    # stopping it would kill the caller's JVM state
+    owns_session = SparkSession.getActiveSession() is None
+    spark = get_spark("syncflux-cli", master=args.master)
+
+    try:
+        if args.action == "copy":
+            return _run_copy(spark, args)
+        if args.action == "replicaschema":
+            return _run_replicaschema(spark, args)
+        if args.action == "fullcopy":
+            _run_replicaschema(spark, args)
+            return _run_copy(spark, args)
+        if args.action == "hamonitor":
+            return _run_hamonitor(spark, args)
+        return 2
+    finally:
+        if owns_session:
+            spark.stop()
+
+
+def _run_copy(spark, args) -> int:
+    from syncflux_spark.agent import action_copy
+
+    if not (args.src_root and args.dst_root):
+        print("copy requires -src-root and -dst-root", file=sys.stderr)
+        return 2
+    if args.full:
+        start = datetime.fromtimestamp(0, tz=timezone.utc)
+        end = datetime.now(timezone.utc)
+        from syncflux_spark.functions.time import parse_duration
+
+        start = max(start, end - parse_duration(args.max_retention))
+    else:
+        start, end = _window(args)
+    rep = action_copy(
+        spark, args.src_root, args.dst_root, start, end,
+        meas_filter=args.meas, chunk=args.chunk, num_workers=args.num_workers,
+    )
+    print(json.dumps(rep.as_dict()))
+    return 0 if not rep.bad_chunks else 1
+
+
+def _run_replicaschema(spark, args) -> int:
+    from syncflux_spark.agent import action_replicaschema
+    from syncflux_spark.catalog import SparkCatalog
+
+    schema = action_replicaschema(
+        SparkCatalog(spark),
+        db_filter=args.db, rp_filter=args.rp, meas_filter=args.meas,
+        new_db=args.newdb, new_rp=args.newrp,
+    )
+    print(json.dumps({
+        "databases": [
+            {"name": db.name, "target": db.target_name,
+             "rps": {rp.name: sorted(rp.measurements) for rp in db.rps.values()}}
+            for db in schema
+        ]
+    }))
+    return 0
+
+
+def _run_hamonitor(spark, args) -> int:
+    """M1-M4 wiring: health probes over both warehouses + status API.
+    ``-once`` runs a single supervision cycle and prints the cluster
+    status (the daemon loop is HAMonitor.start / StatusServer.start)."""
+    from syncflux_spark.agent import discover_measurements
+    from syncflux_spark.streaming.monitor import HAMonitor
+    from syncflux_spark.webui.api import StatusServer
+
+    if not (args.src_root and args.dst_root):
+        print("hamonitor requires -src-root and -dst-root", file=sys.stderr)
+        return 2
+
+    def probe_master() -> bool:
+        return bool(discover_measurements(spark, args.src_root))
+
+    def probe_slave() -> bool:
+        import os
+
+        return os.path.isdir(args.dst_root)
+
+    from syncflux_spark.functions.time import parse_duration
+
+    mon = HAMonitor(
+        probe_master,
+        probe_slave,
+        check_interval=parse_duration(args.check_interval),
+    )
+    if args.once:
+        import dataclasses
+
+        status = mon.check_once()
+        print(json.dumps(dataclasses.asdict(status), default=str))
+        return 0
+    server = StatusServer(mon, port=args.http_port)
+    port = server.start()
+    mon.start()
+    print(json.dumps({"listening": port}))
+    try:
+        import time as _t
+
+        while True:
+            _t.sleep(3600)
+    except KeyboardInterrupt:
+        mon.stop()
+        server.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

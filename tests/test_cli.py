@@ -1,0 +1,76 @@
+"""CLI surface tests (SURVEY §2.9): the four actions end-to-end on a
+temp warehouse, driving the same agent layer the reference's main.go
+dispatches to (main.go:293-306)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from syncflux_spark.cli import build_parser, main
+
+
+def test_parser_defaults():
+    args = build_parser().parse_args(["-action", "copy"])
+    assert args.chunk == "5m" and args.meas == ".*"
+    assert args.start == "-24h" and args.num_workers == 4
+
+
+def test_copy_requires_roots(capsys):
+    rc = main(["-action", "copy", "-master", "local[2]"])
+    assert rc == 2
+
+
+def test_action_copy_roundtrip(spark, sf_dir, tmp_path, capsys):
+    from syncflux_spark.agent import action_copy, discover_measurements
+    from syncflux_spark.operators.copy import read_copied
+
+    ms = discover_measurements(spark, sf_dir, "^events$")
+    assert list(ms) == ["events"]
+    rep = action_copy(
+        spark, sf_dir, str(tmp_path),
+        __import__("datetime").datetime(2024, 1, 1),
+        __import__("datetime").datetime(2024, 2, 1),
+        meas_filter="^events$", chunk="240h", num_workers=2,
+    )
+    assert rep.bad_chunks == []
+    back = read_copied(spark, str(tmp_path), "events")
+    assert back.count() == rep.points > 0
+
+
+def test_action_replicaschema_rename(spark, tmp_path):
+    from syncflux_spark.agent import action_replicaschema
+    from syncflux_spark.catalog import RetPol, SparkCatalog
+
+    cat = SparkCatalog(spark)
+    db = f"clidb_{tmp_path.name.replace('-', '_')}"
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    cat.create_db(db)
+    rp = RetPol(name="autogen", duration="0s", default=True)
+    from syncflux_spark.catalog import FieldSch, MeasurementSch
+
+    meas = MeasurementSch(
+        name="cpu", fields={"usage": FieldSch("usage", "float")}, tags=["host"]
+    )
+    cat.create_measurement(db, rp, meas, location=str(tmp_path / "cpu"))
+    schema = action_replicaschema(
+        cat, db_filter=f"^{db}$", new_db=f"{db}_replica",
+        location_root=str(tmp_path / "replica"),
+    )
+    assert [d.target_name for d in schema] == [f"{db}_replica"]
+    tables = [t.name for t in spark.catalog.listTables(f"{db}_replica")]
+    assert any("cpu" in t for t in tables)
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    spark.sql(f"DROP DATABASE IF EXISTS {db}_replica CASCADE")
+
+
+def test_hamonitor_once(spark, sf_dir, tmp_path):
+    from syncflux_spark.functions.time import parse_duration
+    from syncflux_spark.streaming.monitor import HAMonitor
+
+    mon = HAMonitor(
+        lambda: True, lambda: True, check_interval=parse_duration("10s")
+    )
+    st = mon.check_once()
+    assert st.master_state and st.slave_state
