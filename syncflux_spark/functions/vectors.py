@@ -30,8 +30,23 @@ def as_double(col: Column | str) -> Column:
     return F.transform(_c(col), lambda x: x.cast("double"))
 
 
-def dot(a: Column | str, b: Column | str) -> Column:
-    """In-order double dot product: sum_i a[i]*b[i]."""
+def dot(a: Column | str, b: Column | str, dim: int | None = None) -> Column:
+    """In-order double dot product: sum_i a[i]*b[i].
+
+    With ``dim`` given, the sum unrolls into a fixed multiply-add
+    chain of ``getItem`` accesses (IEEE-identical to the fold: the
+    fold's leading ``0.0 + x`` is exact and additions stay in order).
+    NOTE: measured SLOWER than the HOF fold inside real plans — the
+    64-term tree is duplicated across filter/sort/project contexts and
+    the generated methods grow past HotSpot's JIT threshold — so
+    callers leave ``dim=None`` in the hot paths; the option remains
+    for narrow single-projection uses."""
+    if dim is not None:
+        av, bv = as_double(a), as_double(b)
+        out = av.getItem(0) * bv.getItem(0)
+        for i in range(1, dim):
+            out = out + av.getItem(i) * bv.getItem(i)
+        return out
     return F.aggregate(
         F.zip_with(as_double(a), as_double(b), lambda x, y: x * y),
         F.lit(0.0),
@@ -39,15 +54,15 @@ def dot(a: Column | str, b: Column | str) -> Column:
     )
 
 
-def norm(a: Column | str) -> Column:
+def norm(a: Column | str, dim: int | None = None) -> Column:
     """L2 norm, same accumulation order as :func:`dot`."""
-    return F.sqrt(dot(a, a))
+    return F.sqrt(dot(a, a, dim))
 
 
-def cosine(a: Column | str, b: Column | str) -> Column:
+def cosine(a: Column | str, b: Column | str, dim: int | None = None) -> Column:
     """Cosine similarity = dot/(|a|·|b|). Division and sqrt are single
     IEEE ops on deterministic inputs → deterministic output."""
-    return dot(a, b) / (norm(a) * norm(b))
+    return dot(a, b, dim) / (norm(a, dim) * norm(b, dim))
 
 
 def simhash_bits(tokens: Column | str, n_bits: int = 16) -> Column:

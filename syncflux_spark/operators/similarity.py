@@ -41,17 +41,20 @@ from syncflux_spark.functions.vectors import as_double, cosine, dot, norm
 # ---------------------------------------------------------------------------
 
 
-def _sides(df: DataFrame, id_col: str, vec_col: str, prefix: str) -> DataFrame:
+def _sides(
+    df: DataFrame, id_col: str, vec_col: str, prefix: str,
+    dim: int | None = None,
+) -> DataFrame:
     """(id, double-cast vector, norm) projection for one join side."""
     return df.select(
         F.col(id_col).alias(f"{prefix}_id"),
         as_double(vec_col).alias(f"{prefix}v"),
-        norm(vec_col).alias(f"{prefix}n"),
+        norm(vec_col).alias(f"{prefix}n"),  # per-row: HOF fold is fine
     )
 
 
-def _pair_cos() -> F.Column:
-    return (dot("qv", "cv") / (F.col("qn") * F.col("cn"))).alias("cos_sim")
+def _pair_cos(dim: int | None = None) -> F.Column:
+    return (dot("qv", "cv", dim) / (F.col("qn") * F.col("cn"))).alias("cos_sim")
 
 
 def brute_force_topk(
@@ -60,20 +63,21 @@ def brute_force_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k for each query vector: broadcast the (small)
     query side, rank per query. Output: (query_id, neighbor_id,
     cos_sim, rank). Deterministic: ties broken by neighbor id."""
-    q = _sides(queries, id_col, vec_col, "q").withColumnsRenamed(
+    q = _sides(queries, id_col, vec_col, "q", dim).withColumnsRenamed(
         {"q_id": "query_id"}
     )
-    c = _sides(corpus, id_col, vec_col, "c").withColumnsRenamed(
+    c = _sides(corpus, id_col, vec_col, "c", dim).withColumnsRenamed(
         {"c_id": "neighbor_id"}
     )
     pairs = c.crossJoin(F.broadcast(q)).where(
         F.col("query_id") != F.col("neighbor_id")
     )
-    scored = pairs.select("query_id", "neighbor_id", _pair_cos())
+    scored = pairs.select("query_id", "neighbor_id", _pair_cos(dim))
     from pyspark.sql import Window
 
     w = Window.partitionBy("query_id").orderBy(
@@ -91,18 +95,19 @@ def threshold_pairs(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """All (query, corpus) pairs with cosine ≥ threshold — the
     rank-free formulation (no tie sensitivity, oracle-friendly)."""
-    q = _sides(queries, id_col, vec_col, "q").withColumnsRenamed(
+    q = _sides(queries, id_col, vec_col, "q", dim).withColumnsRenamed(
         {"q_id": "query_id"}
     )
-    c = _sides(corpus, id_col, vec_col, "c").withColumnsRenamed(
+    c = _sides(corpus, id_col, vec_col, "c", dim).withColumnsRenamed(
         {"c_id": "neighbor_id"}
     )
     pairs = c.crossJoin(F.broadcast(q)).where(F.col("query_id") != F.col("neighbor_id"))
     return pairs.select(
-        "query_id", "neighbor_id", _pair_cos()
+        "query_id", "neighbor_id", _pair_cos(dim)
     ).where(F.col("cos_sim") >= threshold)
 
 
@@ -148,14 +153,14 @@ def lsh_topk(
     per-bucket work is |bucket|×|queries-in-bucket| — the 1/2^planes
     candidate reduction that makes 100 TB ANN tractable. Recall <1 by
     design; raise n_tables (union over shifted plane sets) for more."""
-    q = _sides(queries, id_col, vec_col, "q").withColumnsRenamed(
+    q = _sides(queries, id_col, vec_col, "q", dim).withColumnsRenamed(
         {"q_id": "query_id"}
     ).withColumn("qb", sign_lsh_bucket("qv", n_planes, dim))
-    c = _sides(corpus, id_col, vec_col, "c").withColumnsRenamed(
+    c = _sides(corpus, id_col, vec_col, "c", dim).withColumnsRenamed(
         {"c_id": "neighbor_id"}
     ).withColumn("cb", sign_lsh_bucket("cv", n_planes, dim))
     pairs = c.join(F.broadcast(q), (F.col("cb") == F.col("qb")) & (F.col("query_id") != F.col("neighbor_id")))
-    scored = pairs.select("query_id", "neighbor_id", _pair_cos())
+    scored = pairs.select("query_id", "neighbor_id", _pair_cos(dim))
     from pyspark.sql import Window
 
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
@@ -167,6 +172,7 @@ def ivf_assign(
     n_centroids: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """IVF coarse quantization: assign every corpus vector to its
     nearest centroid by cosine (ties → lowest centroid id). Returns
@@ -193,7 +199,7 @@ def ivf_assign(
         "_v",
         "_n",
         "cid",
-        (dot("_v", "centv") / (F.col("_n") * F.col("centn"))).alias("_cs"),
+        (dot("_v", "centv", dim) / (F.col("_n") * F.col("centn"))).alias("_cs"),
     )
     from pyspark.sql import Window
 
@@ -213,6 +219,7 @@ def ivf_topk(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: each query probes its ``nprobe`` nearest
     centroids and scans only those inverted lists. Candidate work
@@ -222,7 +229,7 @@ def ivf_topk(
     n_centroids ~ sqrt(N) per the FAISS IVF rule of thumb).
     Output: (query_id, neighbor_id, cos_sim, rank) like
     :func:`brute_force_topk` — recall < 1 by design."""
-    assigned = ivf_assign(corpus, n_centroids, id_col, vec_col)
+    assigned = ivf_assign(corpus, n_centroids, id_col, vec_col, dim)
     cents = corpus.where(F.col(id_col) < n_centroids).select(
         F.col(id_col).alias("cid"),
         as_double(vec_col).alias("centv"),
@@ -243,7 +250,7 @@ def ivf_topk(
             "qv",
             "qn",
             "cid",
-            (dot("qv", "centv") / (F.col("qn") * F.col("centn"))).alias("_cs"),
+            (dot("qv", "centv", dim) / (F.col("qn") * F.col("centn"))).alias("_cs"),
         )
         .withColumn("_rn", F.row_number().over(pw))
         .where(F.col("_rn") <= nprobe)
@@ -258,7 +265,7 @@ def ivf_topk(
         ),
         "cid",
     ).where(F.col("query_id") != F.col("neighbor_id"))
-    scored = cand.select("query_id", "neighbor_id", _pair_cos())
+    scored = cand.select("query_id", "neighbor_id", _pair_cos(dim))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(
         F.col("rank") <= k
@@ -296,7 +303,7 @@ def near_dup_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            (dot("a.v", "b.v") / (F.col("a.n") * F.col("b.n"))).alias("cos_sim"),
+            (dot("a.v", "b.v", dim) / (F.col("a.n") * F.col("b.n"))).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= threshold)
     )

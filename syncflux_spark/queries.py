@@ -1781,7 +1781,7 @@ def lsh_ann_topk(spark, sf):
 
     emb = load_table(spark, sf, "embeddings")
     out = lsh_topk(
-        emb, emb.where(F.col("vec_id") < 10), k=5, n_planes=4, dim=64
+        emb, emb.where(F.col("vec_id") < 10), k=5, n_planes=4
     )
     return out.withColumn("rank", F.col("rank").cast("int"))
 
