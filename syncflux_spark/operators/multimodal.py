@@ -175,3 +175,33 @@ def media_stats(df: DataFrame) -> DataFrame:
         F.sum(F.length("content")).alias("total_bytes"),
         F.avg(F.length("content")).alias("avg_bytes"),
     )
+
+
+def media_from_documents(docs: DataFrame) -> DataFrame:
+    """Build a MEDIA_SCHEMA table from the ``documents`` fixture: the
+    utf-8 text bytes become the opaque payload behind the synthetic
+    16-byte header (width/height derived deterministically from the
+    id, so an oracle can recompute them without touching the bytes).
+    This is the binary-ingest stand-in that lets the decode /
+    frame-sample / feature plumbing run against driver testdata."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            content = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                w, h, c = 64 + int(did) % 8 * 16, 64 + int(did) % 5 * 32, 3
+                content.append(
+                    struct.pack("<III", w, h, c) + b"FAKE" + str(text).encode()
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": "doc-blob",
+                    "content": content,
+                    "source_uri": "synthetic://documents/" + pdf["doc_id"].astype(str),
+                }
+            )
+
+    return spread_for_cpu(docs.select("doc_id", "text")).mapInPandas(
+        kernel, MEDIA_SCHEMA
+    )

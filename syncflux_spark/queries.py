@@ -1810,6 +1810,116 @@ def emb_near_dup_pairs(spark, sf):
     return near_dup_pairs(emb, threshold=0.3, n_planes=4, dim=64)
 
 
+# ===========================================================================
+# Streaming + multimodal plumbing (oracle-checked where the output is
+# arithmetic on the fixtures; rows-only where it is hash-derived)
+# ===========================================================================
+
+
+@register(
+    "stream_replicate_counts",
+    f"""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM({_sql_micros('value')}) AS BIGINT) AS sum_value_micro
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_replicate_counts(spark, sf):
+    """Structured-Streaming replication end-to-end: availableNow
+    stream of the events files → checkpointed foreachBatch idempotent
+    sink → aggregate the REPLICA. Matching the oracle (which reads the
+    source) proves the replicated bytes are complete and exact — the
+    hamonitor data path (SURVEY §3.2) under the correctness gate."""
+    from syncflux_spark.streaming.replicate import ReplicationStream
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    root = tempfile.mkdtemp(prefix="sf_stream_")
+    rs = ReplicationStream(
+        spark, sf, f"{root}/dst", f"{root}/ckpt",
+        path_glob_filter="events.parquet",
+    )
+    rs.run_available()
+    rep = rs.read_replica()
+    return rep.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(micros_amt("value")).alias("sum_value_micro"),
+    )
+
+
+@register(
+    "mm_decode_meta",
+    """
+    SELECT doc_id AS media_id,
+           CAST(64 + doc_id % 8 * 16 AS INTEGER) AS width,
+           CAST(64 + doc_id % 5 * 32 AS INTEGER) AS height,
+           3 AS channels,
+           CAST(16 + strlen(text) AS BIGINT) AS n_bytes
+    FROM documents
+    """,
+)
+def mm_decode_meta(spark, sf):
+    """Multimodal decode plumbing under the oracle gate: documents →
+    binary media (utf-8 payload behind a 16-byte packed header, built
+    in one Arrow-batched mapInPandas) → decode kernel parsing the
+    header back out. The oracle recomputes the header fields
+    arithmetically, so a hash match proves the bytes round-tripped
+    through the binary column and both mapInPandas stages intact."""
+    from syncflux_spark.operators.multimodal import (
+        decode_images,
+        media_from_documents,
+    )
+
+    media = media_from_documents(load_table(spark, sf, "documents"))
+    return decode_images(media)
+
+
+@register(
+    "mm_frame_counts",
+    """
+    SELECT doc_id AS media_id,
+           CAST((GREATEST(1, strlen(text) // 32) + 3) // 4 AS BIGINT)
+             AS n_frames
+    FROM documents
+    """,
+)
+def mm_frame_counts(spark, sf):
+    """Frame-sampling plumbing (1→N row expansion in mapInPandas,
+    every 4th 32-byte frame) aggregated back to a per-media count the
+    oracle can recompute from payload length."""
+    from syncflux_spark.operators.multimodal import (
+        media_from_documents,
+        sample_frames,
+    )
+
+    media = media_from_documents(load_table(spark, sf, "documents"))
+    frames = sample_frames(media, every_n=4)
+    return frames.groupBy("media_id").agg(F.count(F.lit(1)).alias("n_frames"))
+
+
+@register("mm_feature_knn", None)  # hash-derived features → rows-only gate
+def mm_feature_knn(spark, sf):
+    """Feature-extraction → ANN composition: sha256-stub features
+    (stand-in for a vision model in the mapInPandas kernel) feed the
+    exact top-k operator directly — the media → embedding → similarity
+    pipeline shape at 100 TB. Deterministic but not SQL-expressible
+    (sha256+unpack), so the driver records the weaker rows-only check."""
+    from syncflux_spark.operators.multimodal import (
+        extract_features,
+        media_from_documents,
+    )
+    from syncflux_spark.operators.similarity import brute_force_topk
+
+    media = media_from_documents(load_table(spark, sf, "documents"))
+    feats = extract_features(media, dim=8)
+    return brute_force_topk(
+        feats,
+        feats.where(F.col("media_id") < 5),
+        k=3,
+        id_col="media_id",
+        vec_col="feature",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.spark for name, q in REGISTRY.items()}
 

@@ -47,12 +47,16 @@ class ReplicationStream:
         dst_path: str,
         checkpoint_path: str,
         max_files_per_trigger: int | None = None,
+        path_glob_filter: str | None = None,
     ):
         self.spark = spark
         self.src_path = src_path
         self.dst_path = dst_path
         self.checkpoint_path = checkpoint_path
         self.max_files_per_trigger = max_files_per_trigger
+        #: file streams require a DIRECTORY source; a glob filter
+        #: scopes the stream to one measurement's files within it
+        self.path_glob_filter = path_glob_filter
         self.batches_written = 0
 
     def _write_batch(self, batch_df: DataFrame, batch_id: int) -> None:
@@ -71,11 +75,16 @@ class ReplicationStream:
         # source's current files (schema evolution would re-resolve on
         # restart, which is the behavior the reference gets from
         # re-running GetSchema after recovery, hacluster.go:331)
-        schema = self.spark.read.parquet(self.src_path).schema
+        batch_reader = self.spark.read
+        if self.path_glob_filter:
+            batch_reader = batch_reader.option("pathGlobFilter", self.path_glob_filter)
+        schema = batch_reader.parquet(self.src_path).schema
         reader = (
             self.spark.readStream.schema(schema)
             .option("latestFirst", "false")
         )
+        if self.path_glob_filter:
+            reader = reader.option("pathGlobFilter", self.path_glob_filter)
         if self.max_files_per_trigger:
             reader = reader.option("maxFilesPerTrigger", self.max_files_per_trigger)
         return reader.parquet(self.src_path)
