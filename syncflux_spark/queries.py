@@ -1810,6 +1810,145 @@ def emb_near_dup_pairs(spark, sf):
     return near_dup_pairs(emb, threshold=0.3, n_planes=4, dim=64)
 
 
+@register(
+    "dedup_keep_documents",
+    """
+    WITH keep AS (SELECT MIN(doc_id) AS doc_id FROM documents
+                  GROUP BY md5(text))
+    SELECT d.doc_id, d.lang, d.source, d.n_chars
+    FROM documents d JOIN keep USING (doc_id)
+    """,
+)
+def dedup_keep_documents(spark, sf):
+    """Dedup applied, not just reported: the corpus after dropping
+    non-representative exact duplicates — a left-semi join against the
+    per-digest min-id keep list (the shuffle carries only ids)."""
+    docs = load_table(spark, sf, "documents")
+    keep = dd.exact_dedup_groups(docs).select("keep_id")
+    return docs.join(
+        keep, docs.doc_id == keep.keep_id, "left_semi"
+    ).select("doc_id", "lang", "source", "n_chars")
+
+
+@register(
+    "q9_product_profit",
+    f"""
+    SELECT n_name, o_year, CAST(SUM(rev_c) AS BIGINT) / 10000.0 AS profit
+    FROM (SELECT n_name,
+                 CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+                 {_REV_C} AS rev_c
+          FROM lineitem
+          JOIN part ON p_partkey = l_partkey
+          JOIN supplier ON s_suppkey = l_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+          JOIN orders ON o_orderkey = l_orderkey
+          WHERE p_name LIKE '%red%')
+    GROUP BY n_name, o_year
+    """,
+)
+def q9_product_profit(spark, sf):
+    """TPC-H Q9 shape (supply-cost term dropped — fixture has no
+    partsupp): revenue of 'red' parts by supplier nation × order year.
+    part/supplier/nation broadcast after the LIKE prune; lineitem ⋈
+    orders is the only big shuffle."""
+    li = load_table(spark, sf, "lineitem")
+    p = load_table(spark, sf, "part").where(F.col("p_name").like("%red%"))
+    s = load_table(spark, sf, "supplier")
+    n = load_table(spark, sf, "nation")
+    o = load_table(spark, sf, "orders")
+    rev_c = cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("n_name", F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg((F.sum(rev_c) / F.lit(10000.0)).alias("profit"))
+    )
+
+
+@register(
+    "supplier_rank_in_nation",
+    f"""
+    SELECT n_name, s_suppkey, s_name,
+           CAST(rc AS BIGINT) / 10000.0 AS revenue,
+           CAST(rn AS INTEGER) AS rank_in_nation
+    FROM (SELECT n_name, s_suppkey, s_name, rc,
+                 row_number() OVER (PARTITION BY n_name
+                                    ORDER BY rc DESC, s_suppkey) AS rn
+          FROM (SELECT n_name, s_suppkey, s_name,
+                       CAST(SUM({_REV_C}) AS BIGINT) AS rc
+                FROM lineitem
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation ON s_nationkey = n_nationkey
+                GROUP BY n_name, s_suppkey, s_name))
+    WHERE rn <= 3
+    """,
+)
+def supplier_rank_in_nation(spark, sf):
+    """Top-N per group: top-3 suppliers by lifetime revenue within
+    each nation. Aggregate-then-rank — the window sorts one row per
+    supplier, not per lineitem; exact integer revenue makes the
+    ranking engine-stable (ties by suppkey)."""
+    li = load_table(spark, sf, "lineitem")
+    s = load_table(spark, sf, "supplier")
+    n = load_table(spark, sf, "nation")
+    rev_c = cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
+    agg = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name", "s_suppkey", "s_name")
+        .agg(F.sum(rev_c).alias("rc"))
+    )
+    w = Window.partitionBy("n_name").orderBy(F.desc("rc"), F.asc("s_suppkey"))
+    return (
+        agg.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select(
+            "n_name",
+            "s_suppkey",
+            "s_name",
+            (F.col("rc") / F.lit(10000.0)).alias("revenue"),
+            F.col("rn").cast("int").alias("rank_in_nation"),
+        )
+    )
+
+
+@register(
+    "top_users_per_event_type",
+    f"""
+    SELECT event_type, user_id,
+           CAST(sv AS BIGINT) / 1000000.0 AS total_value,
+           CAST(rn AS INTEGER) AS rank
+    FROM (SELECT event_type, user_id, sv,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY sv DESC, user_id) AS rn
+          FROM (SELECT event_type, user_id,
+                       CAST(SUM({_sql_micros('value')}) AS BIGINT) AS sv
+                FROM events GROUP BY event_type, user_id))
+    WHERE rn <= 3
+    """,
+)
+def top_users_per_event_type(spark, sf):
+    """Top-N per group on the time-series side: top-3 users by summed
+    value per event type (integer micro-units for exactness)."""
+    ev = load_table(spark, sf, "events")
+    agg = ev.groupBy("event_type", "user_id").agg(
+        F.sum(micros_amt("value")).alias("sv")
+    )
+    w = Window.partitionBy("event_type").orderBy(F.desc("sv"), F.asc("user_id"))
+    return (
+        agg.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select(
+            "event_type",
+            "user_id",
+            (F.col("sv") / F.lit(1000000.0)).alias("total_value"),
+            F.col("rn").cast("int").alias("rank"),
+        )
+    )
+
+
 # ===========================================================================
 # Streaming + multimodal plumbing (oracle-checked where the output is
 # arithmetic on the fixtures; rows-only where it is hash-derived)

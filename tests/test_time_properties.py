@@ -1,0 +1,85 @@
+"""Property-based tests (hypothesis) for the window/chunk math — the
+planning logic every copy/sync run depends on (C1 sync.go:118-146, X4
+client.go:24-38). The properties encode the invariants the reference
+gets wrong (SURVEY §4 quirks): full coverage of [start, end) with no
+boundary loss and no overlap."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta, timezone
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from syncflux_spark.functions.time import (
+    chunk_windows,
+    copy_window,
+    parse_duration,
+)
+
+EPOCH = datetime(2020, 1, 1, tzinfo=timezone.utc)
+
+spans = st.integers(min_value=1, max_value=90 * 24 * 3600)  # ≤ 90 days, s
+chunks = st.integers(min_value=1, max_value=14 * 24 * 3600)
+offsets = st.integers(min_value=0, max_value=10**6)
+
+
+@settings(max_examples=50, deadline=None)
+@given(span=spans, chunk=chunks, off=offsets)
+def test_chunks_cover_window_exactly(span, chunk, off):
+    start = EPOCH + timedelta(seconds=off)
+    end = start + timedelta(seconds=span)
+    wins = chunk_windows(start, end, timedelta(seconds=chunk))
+    # newest-first
+    assert all(wins[i][1] > wins[i + 1][1] for i in range(len(wins) - 1))
+    # exact tiling: sorted windows are contiguous, cover [start, end)
+    s_sorted = sorted(wins)
+    assert s_sorted[0][0] == start
+    assert s_sorted[-1][1] == end
+    for (s1, e1), (s2, e2) in zip(s_sorted, s_sorted[1:]):
+        assert e1 == s2  # no gap, no overlap — no boundary-second loss
+    # every window non-empty and ≤ chunk wide
+    for s, e in wins:
+        assert timedelta(0) < e - s <= timedelta(seconds=chunk)
+
+
+@settings(max_examples=50, deadline=None)
+@given(span=spans, chunk=chunks, maxret=st.integers(1, 30 * 24 * 3600))
+def test_chunk_clamp_never_exceeds_retention_plus_one(span, chunk, maxret):
+    start = EPOCH
+    end = start + timedelta(seconds=span)
+    wins = chunk_windows(
+        start, end, timedelta(seconds=chunk), timedelta(seconds=maxret)
+    )
+    # sync.go:122-126: at most maxret/chunk + 1 chunks
+    assert len(wins) <= int(timedelta(seconds=maxret) / timedelta(seconds=chunk)) + 1
+    if wins:  # clamped windows still end at `end` (newest data first)
+        assert wins[0][1] == end
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    dur=st.one_of(st.none(), st.integers(0, 10**6).map(lambda s: timedelta(seconds=s))),
+    maxret=st.integers(1, 10**6).map(lambda s: timedelta(seconds=s)),
+)
+def test_copy_window_clamp(dur, maxret):
+    now = EPOCH
+    start, end = copy_window(dur, maxret, now)
+    assert end == now
+    span = end - start
+    assert span <= maxret
+    # infinite (None/0) or over-long RPs clamp to maxret, else exact
+    if dur is None or dur <= timedelta(0) or dur > maxret:
+        assert span == maxret
+    else:
+        assert span == dur
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    n=st.integers(0, 10**6),
+    unit=st.sampled_from(["s", "m", "h"]),
+)
+def test_parse_duration_units(n, unit):
+    mult = {"s": 1, "m": 60, "h": 3600}[unit]
+    assert parse_duration(f"{n}{unit}") == timedelta(seconds=n * mult)
