@@ -31,9 +31,9 @@ Spark-first design notes
   (``part=<start_ns>-<end_ns>``) with overwrite semantics, so a re-run
   of a chunk replaces exactly that chunk's output — the parquet
   equivalent of a Delta ``replaceWhere``/dynamic partition overwrite.
-* Counts come from the scan side (`df.count()` on the chunk) — at
-  cluster scale swap for ``df.observe`` metrics to avoid the extra
-  job; kept simple here because each chunk is already one job.
+* Counts ride ``df.observe`` metrics ON the write pass — a separate
+  ``count()`` action would scan every chunk twice, which at 100 TB
+  doubles the read I/O of a full copy.
 """
 
 from __future__ import annotations
@@ -145,15 +145,21 @@ def copy_range(
     The write goes to a window-keyed subdirectory and *overwrites* it,
     making re-runs idempotent (chunk replay semantics, SURVEY §7.3 #1).
     """
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
     window = scan_time_range(df, start, end, time_col=time_col)
     part = f"win={_win_key(start, end)}"
-    n = window.count()
+    # row count observed on the write pass itself (C5 accounting,
+    # sync.go:151-196) — no second scan of the chunk
+    obs = Observation()
+    window = window.observe(obs, F.count(F.lit(1)).alias("n"))
     (
         window.write.mode("overwrite")
         .option("maxRecordsPerFile", max_records_per_file)
         .parquet(f"{dst_path}/{part}")
     )
-    return n
+    return int(obs.get["n"])
 
 
 def _win_key(start, end) -> str:

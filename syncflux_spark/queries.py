@@ -1811,6 +1811,37 @@ def emb_near_dup_pairs(spark, sf):
 
 
 @register(
+    "ts_upsert_collapse",
+    """
+    SELECT user_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+           CAST(MAX(event_id) AS BIGINT) AS event_id,
+           MAX_BY(value, event_id) AS value,
+           CAST(COUNT(*) AS BIGINT) AS n_versions
+    FROM (SELECT * FROM events UNION ALL
+          SELECT * FROM events WHERE event_type = 'purchase')
+    GROUP BY user_id, event_type, ts
+    """,
+)
+def ts_upsert_collapse(spark, sf):
+    """Influx upsert semantics (SURVEY §7.3 hard-part #4): duplicate
+    (series, time) points collapse last-write-wins. The input is the
+    events table unioned with a re-copied slice (simulating a chunk
+    replay into an append-only sink); the collapse is one hash agg
+    keyed by (tags, time) with max_by picking the winning version —
+    the batch form of the MERGE the reference gets implicitly from
+    InfluxDB (sync.go:215-232 would double-write without it)."""
+    ev = load_table(spark, sf, "events")
+    replayed = ev.unionByName(ev.where(F.col("event_type") == "purchase"))
+    return replayed.groupBy(
+        "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    ).agg(
+        F.max("event_id").alias("event_id"),
+        F.max_by("value", "event_id").alias("value"),
+        F.count(F.lit(1)).alias("n_versions"),
+    )
+
+
+@register(
     "dedup_keep_documents",
     """
     WITH keep AS (SELECT MIN(doc_id) AS doc_id FROM documents

@@ -35,3 +35,32 @@ def eager_persist(df: DataFrame) -> DataFrame:
     df = df.persist()
     df.count()
     return df
+
+
+def salted_join(
+    left,
+    right,
+    keys: list[str],
+    n_salts: int = 8,
+    how: str = "inner",
+):
+    """Skew-resistant equi-join: append a salt to the LEFT side's key
+    (hash-derived, deterministic) and explode the RIGHT side across
+    all salts, so one hot key spreads over ``n_salts`` shuffle
+    partitions instead of one straggler task.
+
+    Use when a join key is pathologically skewed AND AQE's runtime
+    skew-join split isn't available/enough (e.g. the skew is inside a
+    single key, which partition-splitting can't fix without salting).
+    The right side replicates ×n_salts — apply to the smaller input.
+    At 100 TB: salt the fact side, replicate the dim side.
+    """
+    from pyspark.sql import functions as F
+
+    salt_l = F.pmod(F.xxhash64(*[F.col(k) for k in keys], F.monotonically_increasing_id()), F.lit(n_salts))
+    lhs = left.withColumn("_salt", salt_l)
+    rhs = right.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    out = lhs.join(rhs, keys + ["_salt"], how)
+    return out.drop("_salt")

@@ -80,3 +80,16 @@ def test_sessionize_equal_ts_tiebreak(spark):
     )
     out = sessionize(df, ["user_id"], 60, "ts", "event_id")
     assert [r.session_id for r in out.orderBy("event_id").collect()] == [1, 1]
+
+
+def test_salted_join_matches_plain_join(spark):
+    from syncflux_spark.utils import salted_join
+
+    left = spark.createDataFrame(
+        [(1, i) for i in range(100)] + [(2, 0)], "k long, v long"
+    )  # key 1 is hot
+    right = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k long, s string")
+    got = salted_join(left, right, ["k"], n_salts=4)
+    plain = left.join(right, "k")
+    assert got.count() == plain.count() == 101
+    assert sorted(r.s for r in got.select("s").distinct().collect()) == ["a", "b"]
