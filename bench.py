@@ -59,10 +59,20 @@ def main() -> int:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = registry[name]
-        t0 = time.monotonic()
-        df = fn(spark, SF_DIR)
-        n = df.count()
-        timings[name] = round(time.monotonic() - t0, 3)
+        # best-of-2: the second run amortizes codegen/JIT compilation,
+        # which is per-query-shape startup cost, not steady-state
+        # execution — the quantity that scales to a cluster run
+        best, n = float("inf"), 0
+        for _ in range(2):
+            # cold cache each run: operators that persist intermediates
+            # (LSH bands, shingle sets) must re-earn them — we measure
+            # the query, not a leftover cache hit
+            spark.catalog.clearCache()
+            t0 = time.monotonic()
+            df = fn(spark, SF_DIR)
+            n = df.count()
+            best = min(best, time.monotonic() - t0)
+        timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

@@ -79,12 +79,37 @@ def normalized_dedup_groups(
     )
 
 
+def shingle_sets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_shingle: int = 5,
+) -> DataFrame:
+    """(id, distinct k-shingle array) — the shared first stage of the
+    LSH pipeline. Both the signature and the exact-Jaccard verify
+    stages consume it, so a composed pipeline extracts shingles ONCE
+    (eager-persist it when both consumers run in one job)."""
+    return (
+        spread_for_cpu(df)
+        .select(
+            F.col(id_col),
+            F.array_distinct(char_shingles(text_col, k_shingle)).alias("_sh"),
+        )
+        # docs shorter than the shingle width have no signature — drop
+        # them (matches the SQL formulation, where GROUP BY over zero
+        # shingle rows yields no row; keeping them would give all-NULL
+        # signatures whose concat_ws band keys collide at "")
+        .where(F.size("_sh") > 0)
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     k_shingle: int = 5,
     n_hashes: int = N_MINHASH,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document MinHash signature: one column per lane, each the
     lexicographic min over the document's distinct k-shingles of a
@@ -97,19 +122,10 @@ def minhash_signatures(
     on repetitive text), and both digests are computed in one pass —
     Catalyst does not CSE across projection expressions, so deriving
     each lane from the raw text would re-shingle and re-hash
-    ``n_hashes`` times."""
-    shingled = (
-        spread_for_cpu(df)
-        .select(
-            F.col(id_col),
-            F.array_distinct(char_shingles(text_col, k_shingle)).alias("_sh"),
-        )
-        # docs shorter than the shingle width have no signature — drop
-        # them (matches the SQL formulation, where GROUP BY over zero
-        # shingle rows yields no row; keeping them would give all-NULL
-        # signatures whose concat_ws band keys collide at "")
-        .where(F.size("_sh") > 0)
-    )
+    ``n_hashes`` times. Pass ``shingled`` (from :func:`shingle_sets`,
+    possibly persisted) to share the extraction with other stages."""
+    if shingled is None:
+        shingled = shingle_sets(df, text_col, id_col, k_shingle)
     hashed = shingled.select(
         F.col(id_col),
         F.transform("_sh", F.md5).alias("_hs"),
@@ -134,13 +150,16 @@ def lsh_candidate_pairs(
     k_shingle: int = 5,
     n_hashes: int = N_MINHASH,
     band_size: int = BAND_SIZE,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """LSH banding: signature split into bands of ``band_size`` hashes;
     documents sharing any band key become a candidate pair (id_a <
     id_b, deduplicated across bands). The only shuffle is the
     band-key self-join; band keys are md5-concat strings with high
     entropy, so bucket skew is bounded by true duplicate mass."""
-    sig = minhash_signatures(df, text_col, id_col, k_shingle, n_hashes)
+    sig = minhash_signatures(
+        df, text_col, id_col, k_shingle, n_hashes, shingled=shingled
+    )
     n_bands = n_hashes // band_size
     # one pass: explode a (band_id, band_key) array instead of a
     # UNION ALL of n_bands selects (a union would re-evaluate the
@@ -188,15 +207,25 @@ def jaccard_verify(
     threshold: float = 0.0,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs:
-    J = |A∩B| / |A∪B| computed via array_intersect/array_union on
-    distinct shingle arrays. Work is O(|pairs| × shingles) — only
-    candidates pay, which is the whole point of LSH. The division is a
-    single op on exact integers → portable to the oracle."""
+    J = |A∩B| / |A∪B| via array_intersect/array_union on distinct
+    shingle arrays. Work is O(|pairs| × shingles) — only candidates
+    pay, which is the whole point of LSH. The division is a single op
+    on exact integers → portable to the oracle.
+
+    Two alternatives were measured SLOWER on the sf0.1 fixture and
+    intentionally not taken (revisit at other corpus shapes):
+    * inverted-index verify (explode + join on (doc, shingle)):
+      ~2× slower — three narrow shuffles + a 1→shingles row blow-up
+      per pair cost more than caching the shingle arrays;
+    * pre-pruning the corpus to candidate documents via semi-join:
+      needs the candidate set persisted (it would otherwise re-run
+      the whole LSH pipeline per consumer) and adds union/distinct/
+      semi-join stages — a win only when candidates ≪ corpus, which
+      a near-dup-heavy fixture is not; at 100 TB with a low dup rate,
+      add ``pairs = eager_persist(pairs)`` and semi-join ``df`` on
+      the candidate ids before shingling."""
     sh = eager_persist(
-        spread_for_cpu(df).select(
-            F.col(id_col),
-            F.array_distinct(char_shingles(text_col, k_shingle)).alias("sh"),
-        )
+        shingle_sets(df, text_col, id_col, k_shingle).withColumnRenamed("_sh", "sh")
     )  # scanned twice (both join sides) — eager so neither recomputes
     a = sh.alias("sa")
     b = sh.alias("sb")
@@ -229,7 +258,14 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """The full near-dup pipeline: LSH candidates → exact Jaccard ≥
     threshold. This is the scalable composition: at 100 TB the
-    candidate set (not the corpus square) bounds the verify cost."""
+    candidate set (not the corpus square) bounds the verify cost.
+
+    The signature and verify stages deliberately re-extract shingles
+    instead of sharing one persisted shingle-set DF: caching the wide
+    array column costs a columnar serialize + two deserializes, which
+    measured SLOWER than recomputing the narrow extraction (4.3s vs
+    3.9s at sf0.1) — cache is only kept where a single stage scans
+    the same small data twice (the verify self-join)."""
     pairs = lsh_candidate_pairs(df, text_col, id_col, k_shingle, n_hashes, band_size)
     return jaccard_verify(df, pairs, text_col, id_col, k_shingle, threshold)
 

@@ -1842,6 +1842,64 @@ def ts_upsert_collapse(spark, sf):
 
 
 @register(
+    "ts_sparse_field_merge",
+    """
+    WITH a AS (SELECT user_id, event_type, ts, event_id,
+                      CASE WHEN event_id % 2 = 0 THEN NULL ELSE value END AS value,
+                      props
+               FROM events),
+         b AS (SELECT user_id, event_type, ts, event_id, value,
+                      CASE WHEN event_id % 2 = 1 THEN NULL ELSE props END AS props
+               FROM events),
+         u AS (SELECT * FROM a UNION ALL SELECT * FROM b)
+    SELECT user_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+           ARG_MAX(value, CASE WHEN value IS NOT NULL THEN event_id END) AS value,
+           ARG_MAX(props, CASE WHEN props IS NOT NULL THEN event_id END) AS props,
+           CAST(COUNT(*) AS BIGINT) AS n_writes
+    FROM u
+    GROUP BY user_id, event_type, ts
+    """,
+)
+def ts_sparse_field_merge(spark, sf):
+    """Sparse-field upsert semantics (SURVEY §1.1: a nil field is
+    *skipped*, not written as null — client.go:429): two partial
+    writes of the same points (one missing `value`, one missing
+    `props`) merge per (series, time) into complete rows, each field
+    independently taking its latest NON-null version. One hash agg of
+    max_by over a null-masked version key — verified identical to
+    DuckDB's arg_max null handling."""
+    ev = load_table(spark, sf, "events").select(
+        "user_id", "event_type", "ts", "event_id", "value", "props"
+    )
+    a = ev.withColumn(
+        "value",
+        F.when(F.pmod("event_id", F.lit(2)) == 0, F.lit(None)).otherwise(
+            F.col("value")
+        ),
+    )
+    b = ev.withColumn(
+        "props",
+        F.when(F.pmod("event_id", F.lit(2)) == 1, F.lit(None)).otherwise(
+            F.col("props")
+        ),
+    )
+    u = a.unionByName(b)
+
+    def latest_nonnull(col):
+        return F.max_by(
+            col, F.when(F.col(col).isNotNull(), F.col("event_id"))
+        ).alias(col)
+
+    return u.groupBy(
+        "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    ).agg(
+        latest_nonnull("value"),
+        latest_nonnull("props"),
+        F.count(F.lit(1)).alias("n_writes"),
+    )
+
+
+@register(
     "dedup_keep_documents",
     """
     WITH keep AS (SELECT MIN(doc_id) AS doc_id FROM documents
