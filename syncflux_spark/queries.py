@@ -1841,6 +1841,157 @@ def ts_upsert_collapse(spark, sf):
     )
 
 
+_SERIES_W = "PARTITION BY user_id, event_type ORDER BY ts, event_id"
+
+
+@register(
+    "ts_derivative",
+    f"""
+    SELECT user_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+           (CAST(v_micro - LAG(v_micro) OVER ({_SERIES_W}) AS BIGINT)
+            / 1000000.0)
+           / (CAST(epoch_us(ts) - LAG(epoch_us(ts)) OVER ({_SERIES_W})
+                   AS BIGINT) / 1000000.0) AS rate_per_s
+    FROM (SELECT user_id, event_type, ts, event_id,
+                 {_sql_micros('value')} AS v_micro
+          FROM events)
+    QUALIFY LAG(v_micro) OVER ({_SERIES_W}) IS NOT NULL
+        AND epoch_us(ts) != LAG(epoch_us(ts)) OVER ({_SERIES_W})
+    """,
+)
+def ts_derivative(spark, sf):
+    """InfluxQL ``derivative(value, 1s)``: per-series value rate via
+    lag over one per-series sort. Numerator/denominator ride exact
+    integers; equal-timestamp neighbors are excluded (rate undefined).
+    """
+    ev = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    vm = micros_amt("value")
+    us = F.unix_micros("ts")
+    d = ev.select(
+        "user_id",
+        "event_type",
+        us.alias("ts_us"),
+        ((vm - F.lag(vm).over(w)) / F.lit(1000000.0)).alias("dv"),
+        ((us - F.lag(us).over(w)) / F.lit(1000000.0)).alias("dt"),
+    )
+    return d.where(F.col("dv").isNotNull() & (F.col("dt") != 0)).select(
+        "user_id", "event_type", "ts_us", (F.col("dv") / F.col("dt")).alias("rate_per_s")
+    )
+
+
+@register(
+    "ts_difference",
+    f"""
+    SELECT user_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+           CAST(v_micro - LAG(v_micro) OVER ({_SERIES_W}) AS BIGINT) / 1000000.0
+             AS diff_value
+    FROM (SELECT user_id, event_type, ts, event_id,
+                 {_sql_micros('value')} AS v_micro
+          FROM events)
+    QUALIFY LAG(v_micro) OVER ({_SERIES_W}) IS NOT NULL
+    """,
+)
+def ts_difference(spark, sf):
+    """InfluxQL ``difference(value)``: per-series first difference
+    (exact integer subtraction, one float division at the end)."""
+    ev = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    vm = micros_amt("value")
+    d = ev.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        ((vm - F.lag(vm).over(w)) / F.lit(1000000.0)).alias("diff_value"),
+    )
+    return d.where(F.col("diff_value").isNotNull())
+
+
+@register(
+    "ts_elapsed",
+    f"""
+    SELECT user_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+           CAST(epoch_us(ts) - LAG(epoch_us(ts)) OVER ({_SERIES_W}) AS BIGINT)
+             AS elapsed_us
+    FROM events
+    QUALIFY LAG(epoch_us(ts)) OVER ({_SERIES_W}) IS NOT NULL
+    """,
+)
+def ts_elapsed(spark, sf):
+    """InfluxQL ``elapsed(value)``: µs between consecutive points of a
+    series — the inter-arrival profile gap_detect thresholds on."""
+    ev = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    d = ev.select(
+        "user_id",
+        "event_type",
+        us.alias("ts_us"),
+        (us - F.lag(us).over(w)).alias("elapsed_us"),
+    )
+    return d.where(F.col("elapsed_us").isNotNull())
+
+
+@register(
+    "ts_moving_average",
+    f"""
+    SELECT user_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+           (CAST(SUM(v_micro) OVER w AS BIGINT) / 1000000.0)
+             / CAST(COUNT(*) OVER w AS BIGINT) AS ma4
+    FROM (SELECT user_id, event_type, ts, event_id,
+                 {_sql_micros('value')} AS v_micro
+          FROM events)
+    WINDOW w AS ({_SERIES_W} ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+    """,
+)
+def ts_moving_average(spark, sf):
+    """InfluxQL ``moving_average(value, 4)``: trailing 4-point mean per
+    series. The frame sum rides exact integer micros (windowed float
+    sums are accumulation-order-dependent across engines; integer
+    sums are not), one division at the end."""
+    ev = load_table(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id", "event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    vm = micros_amt("value")
+    return ev.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        ((F.sum(vm).over(w) / F.lit(1000000.0)) / F.count(F.lit(1)).over(w)).alias(
+            "ma4"
+        ),
+    )
+
+
+@register(
+    "ts_percentiles",
+    f"""
+    SELECT user_id, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           quantile_cont(v_micro, 0.5) / 1000000.0 AS p50,
+           quantile_cont(v_micro, 0.95) / 1000000.0 AS p95
+    FROM (SELECT user_id, event_type, {_sql_micros('value')} AS v_micro
+          FROM events)
+    GROUP BY user_id, event_type
+    """,
+)
+def ts_percentiles(spark, sf):
+    """Exact interpolated percentiles per series (InfluxQL
+    ``percentile``-family). Inputs are exact integer micros, and both
+    engines use the same (n-1)·p linear interpolation — verified
+    bit-identical — so even this float-heavy aggregate hashes."""
+    ev = load_table(spark, sf, "events")
+    vm = micros_amt("value")
+    return ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        (F.percentile(vm, 0.5) / F.lit(1000000.0)).alias("p50"),
+        (F.percentile(vm, 0.95) / F.lit(1000000.0)).alias("p95"),
+    )
+
+
 @register(
     "ts_sparse_field_merge",
     """
