@@ -307,3 +307,63 @@ def word_jaccard_all_pairs(
         .where(F.col("jaccard") >= threshold)
     )
     return out
+
+
+def duplicate_components(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over the verified near-dup graph: every
+    document labeled with the min doc id reachable through Jaccard ≥
+    threshold edges — the transitive closure that turns pairwise
+    near-dups into dedup GROUPS (pairs alone under-merge: A~B, B~C
+    must collapse to one keep-document even when A~C is below
+    threshold).
+
+    Iterative min-label propagation (the Pregel/GraphX pattern,
+    driver-coordinated like any Spark iterative algorithm): each round
+    every node takes the min of its own label and its neighbors';
+    converges in O(component diameter) rounds, which for near-dup
+    clusters is tiny. Each round is one shuffle on the edge list;
+    labels are eager-persisted per round and the previous round
+    unpersisted so lineage and memory stay bounded.
+    """
+    edges = eager_persist(
+        ngram_jaccard_pairs(df, text_col, id_col, threshold=threshold).select(
+            "id_a", "id_b"
+        )
+    )
+    sym = edges.union(
+        edges.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    )
+    labels = eager_persist(
+        df.select(F.col(id_col)).withColumn("component", F.col(id_col))
+    )
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(labels, sym.id_a == labels[id_col])
+            .groupBy(F.col("id_b").alias(id_col))
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = eager_persist(
+            labels.join(nbr, on=id_col, how="left").select(
+                F.col(id_col),
+                F.least(
+                    "component", F.coalesce("nbr_min", "component")
+                ).alias("component"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on=id_col)
+            .where(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

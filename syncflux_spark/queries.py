@@ -1023,6 +1023,44 @@ def simhash_fingerprint(spark, sf):
     )
 
 
+#: transitive closure of the verified near-dup graph — DuckDB computes
+#: it with a recursive CTE; Spark with iterative label propagation
+_COMPONENTS_SQL_TEMPLATE = """
+    WITH RECURSIVE edges AS ({edges}),
+    sym AS (SELECT id_a AS a, id_b AS b FROM edges
+            UNION ALL SELECT id_b, id_a FROM edges),
+    reach(id, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT s.b, reach.r FROM reach JOIN sym s ON s.a = reach.id
+    )
+    SELECT id AS doc_id, CAST(MIN(r) AS BIGINT) AS component
+    FROM reach GROUP BY id
+"""
+
+
+def _register_components():
+    edges_sql = REGISTRY["ngram_jaccard_pairs"].sql
+
+    @register(
+        "dedup_components",
+        _COMPONENTS_SQL_TEMPLATE.format(edges=edges_sql),
+    )
+    def dedup_components(spark, sf):
+        """Near-dup clusters as connected components: min-reachable-id
+        label per document over Jaccard ≥ 0.5 edges. Spark runs
+        iterative label propagation (driver-coordinated rounds, one
+        shuffle each, Pregel-style); the oracle computes the same
+        closure with a recursive CTE — matching hashes validate a
+        genuinely iterative distributed algorithm."""
+        return dd.duplicate_components(
+            load_table(spark, sf, "documents"), threshold=0.5
+        )
+
+
+_register_components()
+
+
 # ===========================================================================
 # Embedding similarity surface
 # ===========================================================================
