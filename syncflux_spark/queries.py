@@ -2264,6 +2264,35 @@ def stream_replicate_counts(spark, sf):
 
 
 @register(
+    "stream_stateful_totals",
+    f"""
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM({_sql_micros('value')}) AS BIGINT) AS sum_value_micro,
+           CAST(MAX(epoch_us(ts)) AS BIGINT) AS last_ts_us
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_stateful_totals(spark, sf):
+    """Custom stateful streaming operator under the oracle gate:
+    ``applyInPandasWithState`` folds the event stream into
+    checkpointed per-user state (count, exact-integer value sum, last
+    timestamp) and emits updated summaries per micro-batch; the final
+    state must equal the batch aggregate the oracle computes. State
+    survival across restarts is separately proven in
+    tests/test_streaming.py::TestStatefulUserTotals."""
+    from syncflux_spark.streaming.stateful import StatefulUserTotals
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    root = tempfile.mkdtemp(prefix="sf_stateful_")
+    op = StatefulUserTotals(
+        spark, sf, f"{root}/dst", f"{root}/ckpt",
+        path_glob_filter="events.parquet",
+    )
+    op.run_available()
+    return op.current_totals()
+
+
+@register(
     "mm_decode_meta",
     """
     SELECT doc_id AS media_id,

@@ -1,0 +1,160 @@
+"""Custom stateful streaming operators via ``applyInPandasWithState``.
+
+The reference has no true streaming (SURVEY §2.6) — its stateful
+surface is the HA supervisor's in-memory counters. This module is the
+Spark-native generalization: per-key state that survives micro-batches
+AND process restarts (checkpointed), expressed with the Arrow-batched
+pandas state API — the pattern a 100 TB pipeline uses for
+sessionization, rate tracking, and incremental per-series rollups on
+live data.
+
+Design: state is a single struct row per key; each micro-batch folds
+its rows into the state and emits the UPDATED running summary for
+keys seen in that batch (update semantics — the sink dedups by key,
+here via batch-keyed overwrite directories like
+streaming/replicate.py). Arrow moves batches, no row-at-a-time Python.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+#: running per-series totals: the stateful analog of ts_series_stats
+TOTALS_OUTPUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_value_micro", T.LongType()),
+        T.StructField("last_ts_us", T.LongType()),
+    ]
+)
+TOTALS_STATE = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("sv", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+    ]
+)
+
+
+def _totals_fn(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    n, sv, last_us = state.get if state.exists else (0, 0, 0)
+    import numpy as np
+
+    for pdf in pdfs:
+        n += len(pdf)
+        # exact integer micros (the cross-engine determinism rule).
+        # floor(x + 0.5), not np.round: numpy rounds half-to-even,
+        # SQL ROUND rounds half away from zero (values are positive)
+        v = pdf["value"].astype(float).to_numpy() * 1_000_000
+        sv += int(np.floor(v + 0.5).astype("int64").sum())
+        # ts arrives as ns-epoch long (nanosAsLong parquet read)
+        last_us = max(last_us, int(pdf["ts"].max()) // 1_000)
+    state.update((n, sv, last_us))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "sum_value_micro": [sv],
+            "last_ts_us": [last_us],
+        }
+    )
+
+
+class StatefulUserTotals:
+    """Checkpointed running per-user totals over an event stream.
+
+    Each ``run_available()`` processes the files that appeared since
+    the last run; per-user state (count, value sum, last timestamp)
+    persists in the state store across runs — restart-safe incremental
+    aggregation, the applyInPandasWithState replacement for the
+    reference's in-memory supervisor counters (hacluster.go:46-56).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        src_path: str,
+        dst_path: str,
+        checkpoint_path: str,
+        path_glob_filter: str | None = None,
+    ):
+        self.spark = spark
+        self.src_path = src_path
+        self.dst_path = dst_path
+        self.checkpoint_path = checkpoint_path
+        self.path_glob_filter = path_glob_filter
+
+    def _reader(self):
+        batch_reader = self.spark.read
+        if self.path_glob_filter:
+            batch_reader = batch_reader.option(
+                "pathGlobFilter", self.path_glob_filter
+            )
+        schema = batch_reader.parquet(self.src_path).schema
+        reader = self.spark.readStream.schema(schema)
+        if self.path_glob_filter:
+            reader = reader.option("pathGlobFilter", self.path_glob_filter)
+        return reader.parquet(self.src_path)
+
+    def run_available(self) -> None:
+        """One availableNow pass: fold new files into per-key state,
+        write each batch's updated summaries to a batch-keyed dir
+        (idempotent under checkpoint replay)."""
+        stream = (
+            self._reader()
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                _totals_fn,
+                TOTALS_OUTPUT,
+                TOTALS_STATE,
+                "update",
+                GroupStateTimeout.NoTimeout,
+            )
+        )
+
+        def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+            batch_df.write.mode("overwrite").parquet(
+                os.path.join(self.dst_path, f"batch={batch_id}")
+            )
+
+        q = (
+            stream.writeStream.foreachBatch(write_batch)
+            .outputMode("update")
+            .option("checkpointLocation", self.checkpoint_path)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def current_totals(self) -> DataFrame:
+        """Latest summary per user across all emitted batches (update
+        sink semantics: newest batch wins per key)."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        out = (
+            self.spark.read.option("recursiveFileLookup", "true")
+            .option("basePath", self.dst_path)
+            .parquet(self.dst_path)
+        )
+        # batch id from the directory name (partition column)
+        files = out.withColumn(
+            "_batch",
+            F.regexp_extract(F.input_file_name(), r"batch=(\d+)", 1).cast("long"),
+        )
+        w = Window.partitionBy("user_id").orderBy(F.desc("_batch"))
+        return (
+            files.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("user_id", "n_events", "sum_value_micro", "last_ts_us")
+        )

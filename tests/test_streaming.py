@@ -106,3 +106,43 @@ class TestHAMonitor:
         st = m.check_once()  # recover raises; monitor survives
         assert st.cluster_state == ClusterState.OK
         assert st.num_recovers == 1
+
+
+class TestStatefulUserTotals:
+    def test_state_survives_restarts(self, spark, tmp_path):
+        """Two incremental runs: the second only sees new files but its
+        output includes totals accumulated from the first (checkpointed
+        per-key state) — the applyInPandasWithState cross-batch
+        guarantee a naive per-batch agg would break."""
+        from syncflux_spark.streaming.stateful import StatefulUserTotals
+
+        src = str(tmp_path / "src")
+        rows1 = [(1, 1_000_000_000, 2.0), (1, 2_000_000_000, 3.0), (2, 1_500_000_000, 1.0)]
+        spark.createDataFrame(rows1, "user_id long, ts long, value double").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+        s1 = StatefulUserTotals(
+            spark, src, str(tmp_path / "dst"), str(tmp_path / "ckpt")
+        )
+        s1.run_available()
+        t1 = {r.user_id: r for r in s1.current_totals().collect()}
+        assert t1[1].n_events == 2 and t1[1].sum_value_micro == 5_000_000
+        assert t1[2].n_events == 1
+
+        # second wave of files: user 1 again + new user 3
+        rows2 = [(1, 3_000_000_000, 0.5), (3, 1_000_000_000, 9.0)]
+        spark.createDataFrame(rows2, "user_id long, ts long, value double").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+        s2 = StatefulUserTotals(  # fresh object, same checkpoint
+            spark, src, str(tmp_path / "dst"), str(tmp_path / "ckpt")
+        )
+        s2.run_available()
+        t2 = {r.user_id: r for r in s2.current_totals().collect()}
+        assert t2[1].n_events == 3  # 2 (from run 1's state) + 1 new
+        assert t2[1].sum_value_micro == 5_500_000
+        assert t2[1].last_ts_us == 3_000_000
+        assert t2[3].n_events == 1
+        assert t2[2].n_events == 1  # untouched key keeps its state
