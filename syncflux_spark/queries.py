@@ -1879,6 +1879,53 @@ def ts_upsert_collapse(spark, sf):
     )
 
 
+@register(
+    "ts_json_props",
+    """
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS sum_k,
+           CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS min_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS max_k,
+           CAST(COUNT(json_extract_string(props, '$.k')) AS BIGINT) AS n_with_k
+    FROM events GROUP BY event_type
+    """,
+)
+def ts_json_props(spark, sf):
+    """Semi-structured column handling: extract a typed field from the
+    JSON props column and aggregate it — JSONPath stays JVM-side
+    (get_json_object), no UDF. At scale, promote hot JSON fields to
+    typed columns at ingest; this is the query-side fallback."""
+    ev = load_table(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+        F.count(k).alias("n_with_k"),
+    )
+
+
+@register(
+    "users_click_no_purchase",
+    """
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+    EXCEPT
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    """,
+)
+def users_click_no_purchase(spark, sf):
+    """Set difference (EXCEPT): users who clicked but never purchased.
+    Distinct-then-subtract — both sides collapse map-side before the
+    anti shuffle."""
+    ev = load_table(spark, sf, "events")
+    clicks = ev.where(F.col("event_type") == "click").select("user_id").distinct()
+    buys = ev.where(F.col("event_type") == "purchase").select("user_id").distinct()
+    return clicks.exceptAll(buys)
+
+
 _SERIES_W = "PARTITION BY user_id, event_type ORDER BY ts, event_id"
 
 
