@@ -26,7 +26,7 @@ import hashlib
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from syncflux_spark.functions.vectors import as_double, cosine, dot, norm
+from syncflux_spark.functions.vectors import as_double, dot, norm
 
 # ---------------------------------------------------------------------------
 # Per-pair scoring discipline: every pairwise stage below pre-casts the

@@ -39,15 +39,12 @@ from pyspark.sql import functions as F
 
 from syncflux_spark.functions.text import (
     LANG_MARKERS,
-    char_shingles,
-    lang_scores,
     quality_metrics,
-    substr_count,
     token_count,
     word_fingerprint,
     words,
 )
-from syncflux_spark.functions.vectors import cosine, dot, norm, simhash_bits
+from syncflux_spark.functions.vectors import dot, norm, simhash_bits
 from syncflux_spark.operators import dedup as dd
 from syncflux_spark.sources.parquet import load_table
 
