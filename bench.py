@@ -32,8 +32,14 @@ HEADLINE = [
     "q5_local_supplier_volume",
     "q6_revenue_forecast",
     "q8_market_share",
+    "q10_returned_items",
+    "q13_customer_distribution",
     "q18_large_orders",
+    "revenue_rollup_region",
+    "supplier_rank_in_nation",
     "cumulative_spend_per_customer",
+    "ts_moving_average",
+    "ts_percentiles",
     "dedup_exact",
     "lsh_candidate_pairs",
     "ngram_jaccard_pairs",

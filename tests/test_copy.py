@@ -94,3 +94,28 @@ class TestSync:
         ).count()
         assert back.count() == expected
         assert back.select("event_id").distinct().count() == expected
+
+
+def test_scan_time_range_non_ns_table(spark, sf_dir):
+    """Fallback path: tables whose timestamps parquet stores at µs/ms
+    (orders) have no ts_ns column — the predicate lands directly on
+    the timestamp and still pushes to the scan."""
+    from syncflux_spark.sources.parquet import load_table, scan_time_range
+
+    o = load_table(spark, sf_dir, "orders")
+    assert "o_orderdate_ns" not in o.columns
+    out = scan_time_range(
+        o, "1997-01-01 00:00:00", "1998-01-01 00:00:00", time_col="o_orderdate"
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "1997-01-01" in plan  # literal bound reached the plan
+    n = out.count()
+    assert 0 < n < o.count()
+
+
+def test_load_table_keep_ns_false(spark, sf_dir):
+    from syncflux_spark.sources.parquet import load_table
+
+    ev = load_table(spark, sf_dir, "events", keep_ns=False)
+    assert "ts_ns" not in ev.columns
+    assert dict(ev.dtypes)["ts"] == "timestamp"
