@@ -2410,6 +2410,246 @@ def mm_feature_knn(spark, sf):
     )
 
 
+@register(
+    "q2_min_cost_supplier",
+    f"""
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(CAST(ROUND(100 * l_extendedprice / l_quantity) AS BIGINT)) AS unit_c
+      FROM lineitem GROUP BY l_partkey, l_suppkey),
+    eu AS (
+      SELECT c.l_partkey, c.l_suppkey, c.unit_c, s.s_name, n.n_name
+      FROM cost c
+      JOIN supplier s ON s.s_suppkey = c.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'EUROPE')
+    SELECT p.p_partkey, eu.s_name, eu.n_name, eu.unit_c / 100.0 AS min_cost
+    FROM eu
+    JOIN part p ON p.p_partkey = eu.l_partkey
+    WHERE p.p_type = 'STANDARD' AND p.p_size <= 10
+      AND eu.unit_c = (SELECT MIN(e2.unit_c) FROM eu e2
+                       WHERE e2.l_partkey = eu.l_partkey)
+    """,
+)
+def q2_min_cost_supplier(spark, sf):
+    """TPC-H Q2 re-expressed without partsupp (fixture has none;
+    supply cost := the supplier's cheapest observed unit price in
+    lineitem, integer cents so MIN is exact). The classic correlated
+    min-subquery decorrelates to a window MIN over partkey — one
+    shuffle on (partkey, suppkey) for the cost aggregate, then
+    broadcast joins against supplier/nation/region/part dims.
+    Reference parity: syncflux has no joins at all (SURVEY §2.7);
+    this is extended relational surface."""
+    li = load_table(spark, sf, "lineitem")
+    s = load_table(spark, sf, "supplier")
+    n = load_table(spark, sf, "nation")
+    r = load_table(spark, sf, "region").where(F.col("r_name") == "EUROPE")
+    p = load_table(spark, sf, "part").where(
+        (F.col("p_type") == "STANDARD") & (F.col("p_size") <= 10)
+    )
+    unit_c = F.round(F.lit(100) * F.col("l_extendedprice") / F.col("l_quantity")).cast(
+        "long"
+    )
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(F.min(unit_c).alias("unit_c"))
+    eu = (
+        cost.join(F.broadcast(s), cost.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("l_partkey", "unit_c", "s_name", "n_name")
+    )
+    w = Window.partitionBy("l_partkey")
+    return (
+        eu.withColumn("min_c", F.min("unit_c").over(w))
+        .where(F.col("unit_c") == F.col("min_c"))
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .select(
+            "p_partkey",
+            "s_name",
+            "n_name",
+            (F.col("unit_c") / F.lit(100.0)).alias("min_cost"),
+        )
+    )
+
+
+@register(
+    "q11_important_parts",
+    f"""
+    WITH val AS (
+      SELECT l.l_partkey AS partkey,
+             SUM({_sql_cents('l.l_extendedprice')}) AS value_c
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name = 'NATION_7'
+      GROUP BY l.l_partkey)
+    SELECT partkey, value_c / 100.0 AS part_value
+    FROM val
+    WHERE value_c > (SELECT CAST(SUM(value_c) * 0.001 AS BIGINT) FROM val)
+    """,
+)
+def q11_important_parts(spark, sf):
+    """TPC-H Q11 shape (partsupp value → lineitem revenue value):
+    parts whose NATION_7-supplied value exceeds 0.1% of that nation's
+    total. The scalar subquery over the same aggregate becomes a
+    1-row broadcast cross-join — the per-part aggregate is computed
+    once and reused for both sides (no second scan thanks to plan
+    reuse), and the threshold compare is integer-exact."""
+    li = load_table(spark, sf, "lineitem")
+    s = load_table(spark, sf, "supplier")
+    n = load_table(spark, sf, "nation").where(F.col("n_name") == "NATION_7")
+    val = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum(cents("l_extendedprice")).alias("value_c"))
+    )
+    total = val.agg(
+        (F.sum("value_c") * F.lit(0.001)).cast("long").alias("threshold_c")
+    )
+    return (
+        val.join(F.broadcast(total))
+        .where(F.col("value_c") > F.col("threshold_c"))
+        .select("partkey", (F.col("value_c") / F.lit(100.0)).alias("part_value"))
+    )
+
+
+@register(
+    "q16_supplier_counts",
+    """
+    SELECT p_brand, p_type, p_size,
+           CAST(COUNT(DISTINCT ps.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+    JOIN part ON p_partkey = ps.l_partkey
+    WHERE p_brand <> 'Brand#9'
+      AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+      AND ps.l_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%0')
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q16_supplier_counts(spark, sf):
+    """TPC-H Q16 (part-supplier pairs derived from lineitem — the
+    fixture has no partsupp): distinct-supplier counts per
+    (brand, type, size), excluding a NOT IN supplier set. The NOT IN
+    becomes a broadcast left-anti join (s_suppkey is non-null, so
+    anti-join ≡ NOT IN); COUNT(DISTINCT) shuffles once on the group
+    keys with partial distinct map-side."""
+    li = load_table(spark, sf, "lineitem")
+    p = load_table(spark, sf, "part").where(
+        (F.col("p_brand") != "Brand#9")
+        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    )
+    bad = (
+        load_table(spark, sf, "supplier")
+        .where(F.col("s_name").like("%0"))
+        .select("s_suppkey")
+    )
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    return (
+        ps.join(F.broadcast(bad), ps.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q20_excess_suppliers",
+    """
+    SELECT s_name, n_name
+    FROM supplier
+    JOIN nation ON n_nationkey = s_nationkey
+    WHERE s_suppkey IN (
+      SELECT l_suppkey
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE 'red%'
+        AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY l_suppkey
+      HAVING SUM(l_quantity) > 50)
+    """,
+)
+def q20_excess_suppliers(spark, sf):
+    """TPC-H Q20 shape: suppliers who shipped >50 units of red parts
+    in 1997. IN-subquery → aggregate + left-semi join; the part
+    filter broadcasts into the lineitem scan and the shipdate
+    predicate pushes down to parquet row groups. Quantities are
+    integral doubles, so the HAVING sum is exact."""
+    li = load_table(spark, sf, "lineitem").where(
+        (F.col("l_shipdate") >= "1997-01-01 00:00:00")
+        & (F.col("l_shipdate") < "1998-01-01 00:00:00")
+    )
+    p = load_table(spark, sf, "part").where(F.col("p_name").like("red%"))
+    s = load_table(spark, sf, "supplier")
+    n = load_table(spark, sf, "nation")
+    heavy = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .where(F.col("qty") > 50)
+        .select("l_suppkey")
+    )
+    return (
+        s.join(F.broadcast(heavy), s.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("s_name", "n_name")
+    )
+
+
+@register(
+    "revenue_cube_flags",
+    f"""
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           CAST(SUM({_sql_cents('l_extendedprice')}) AS BIGINT) / 100.0 AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem
+    GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+)
+def revenue_cube_flags(spark, sf):
+    """CUBE grouping-set aggregate over (returnflag, linestatus) —
+    all four grouping combinations in one shuffle (Spark expands
+    grouping sets map-side, so it's one pass over lineitem, not
+    four). Flags are non-null in the data, so COALESCE('ALL')
+    unambiguously labels the rollup rows."""
+    li = load_table(spark, sf, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            (F.sum(cents("l_extendedprice")) / F.lit(100.0)).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "revenue",
+            "n_items",
+        )
+    )
+
+
+@register(
+    "users_click_and_purchase",
+    """
+    SELECT user_id FROM events WHERE event_type = 'click'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+)
+def users_click_and_purchase(spark, sf):
+    """INTERSECT set operation (complement of the EXCEPT query):
+    users with both click and purchase events. Spark plans this as
+    an aggregate + left-semi join after per-side distinct — one
+    shuffle per side on user_id."""
+    ev = load_table(spark, sf, "events")
+    clicks = ev.where(F.col("event_type") == "click").select("user_id")
+    buys = ev.where(F.col("event_type") == "purchase").select("user_id")
+    return clicks.intersect(buys)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.spark for name, q in REGISTRY.items()}
 
