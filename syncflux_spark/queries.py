@@ -2411,6 +2411,70 @@ def mm_feature_knn(spark, sf):
 
 
 @register(
+    "stream_windowed_rollup",
+    f"""
+    SELECT CAST(e_s - e_s % 3600 AS BIGINT) AS bucket_s, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(v_micro) AS BIGINT) AS sum_value_micro
+    FROM (SELECT event_type, epoch_us(ts) // 1000000 AS e_s,
+                 {_sql_micros('value')} AS v_micro
+          FROM events)
+    GROUP BY bucket_s, event_type
+    """,
+)
+def stream_windowed_rollup(spark, sf):
+    """Watermarked event-time windowed aggregation end-to-end: the
+    events file streamed with a 10-minute watermark, hourly tumbling
+    windows emitted append-mode to a parquet sink. Two far-future
+    sentinel rows drive the watermark past every real window (each
+    availableNow run emits windows the PREVIOUS run's watermark
+    passed), so the sink holds exactly one row per (hour, type) —
+    matching the batch oracle proves emit-exactly-once plus
+    no-data-loss through the streaming state store."""
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from syncflux_spark.streaming.windowed import WindowedRollupStream
+
+    root = tempfile.mkdtemp(prefix="sf_wmstream_")
+    src = os.path.join(root, "src")
+    os.makedirs(src)
+    shutil.copy(
+        os.path.join(sf, "events.parquet"), os.path.join(src, "events.parquet")
+    )
+    ws = WindowedRollupStream(spark, src, f"{root}/dst", f"{root}/ckpt")
+    ws.run_available()
+    max_ns = (
+        load_table(spark, sf, "events").agg(F.max("ts_ns").alias("m")).collect()[0].m
+    )
+
+    def sentinel(name: str, ts_ns: int) -> None:
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array([-1], pa.int64()),
+                    "ts": pa.array([ts_ns], pa.int64()),
+                    "user_id": pa.array([-1], pa.int64()),
+                    "event_type": pa.array(["__flush__"]),
+                    "value": pa.array([0.0], pa.float64()),
+                    "props": pa.array(["{}"]),
+                }
+            ),
+            os.path.join(src, name),
+        )
+
+    hour_ns = 3600 * 10**9
+    sentinel("zz_flush1.parquet", max_ns + 2 * hour_ns)
+    ws.run_available()
+    sentinel("zz_flush2.parquet", max_ns + 4 * hour_ns)
+    ws.run_available()
+    return ws.read_rollup().where(F.col("event_type") != "__flush__")
+
+
+@register(
     "q2_min_cost_supplier",
     f"""
     WITH cost AS (

@@ -7,7 +7,12 @@ from __future__ import annotations
 import os
 from datetime import timedelta
 
-from syncflux_spark.streaming import ClusterState, HAMonitor, ReplicationStream
+from syncflux_spark.streaming import (
+    ClusterState,
+    HAMonitor,
+    ReplicationStream,
+    WindowedRollupStream,
+)
 
 
 def _write_src(spark, path, ids):
@@ -146,3 +151,61 @@ class TestStatefulUserTotals:
         assert t2[1].last_ts_us == 3_000_000
         assert t2[3].n_events == 1
         assert t2[2].n_events == 1  # untouched key keeps its state
+
+
+class TestWindowedRollup:
+    BASE = 1704067200  # 2024-01-01T00:00:00Z
+
+    def _write(self, spark, path, rows):
+        """rows: (minutes_from_base, event_type, value) → one parquet file
+        with the events schema (ts = ns-epoch long)."""
+        data = [
+            (i, (self.BASE + 60 * m) * 1_000_000_000, 1, et, v, "{}")
+            for i, (m, et, v) in enumerate(rows)
+        ]
+        spark.createDataFrame(
+            data,
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string",
+        ).coalesce(1).write.mode("append").parquet(path)
+
+    def test_watermark_emit_late_and_drop(self, spark, tmp_path):
+        src = str(tmp_path / "src")
+        dst = str(tmp_path / "dst")
+        ckpt = str(tmp_path / "ckpt")
+
+        # run 1: hour-0 (2 rows) + hour-1 (2 rows); watermark → 01:40
+        self._write(spark, src, [(10, "a", 1.5), (20, "a", 1.5),
+                                 (90, "a", 1.5), (110, "a", 1.5)])
+        ws = WindowedRollupStream(spark, src, dst, ckpt)
+        ws.run_available()
+
+        # run 2: hour-2 row advances watermark past hour-1's end;
+        #   00:30 is LATER than the 01:40 watermark → dropped;
+        #   01:45 is within watermark (hour-1 still open) → folded in.
+        self._write(spark, src, [(150, "a", 1.5), (30, "a", 99.0),
+                                 (105, "a", 1.5)])
+        ws2 = WindowedRollupStream(spark, src, dst, ckpt)  # restart, same ckpt
+        ws2.run_available()
+
+        # run 3: hour-3 row advances watermark past hour-2's end
+        self._write(spark, src, [(210, "a", 1.5)])
+        ws3 = WindowedRollupStream(spark, src, dst, ckpt)
+        ws3.run_available()
+
+        got = {
+            r.bucket_s: r
+            for r in ws3.read_rollup().collect()
+        }
+        h = 3600
+        # hour-0 emitted once, WITHOUT the too-late 99.0 row
+        assert got[self.BASE + 0 * h].n_rows == 2
+        assert got[self.BASE + 0 * h].sum_value_micro == 3_000_000
+        # hour-1 includes the late-but-within-watermark 01:45 row
+        assert got[self.BASE + 1 * h].n_rows == 3
+        assert got[self.BASE + 1 * h].sum_value_micro == 4_500_000
+        # hour-2 emitted after run 3; hour-3 still pending
+        assert got[self.BASE + 2 * h].n_rows == 1
+        assert self.BASE + 3 * h not in got
+        # exactly-once: one row per emitted window
+        assert ws3.read_rollup().count() == len(got)
