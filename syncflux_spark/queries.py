@@ -2714,6 +2714,178 @@ def users_click_and_purchase(spark, sf):
     return clicks.intersect(buys)
 
 
+@register(
+    "ts_integral",
+    f"""
+    SELECT user_id, event_type,
+           CAST(SUM(seg) AS BIGINT) / 200000000.0 AS integral_vs
+    FROM (SELECT user_id, event_type,
+                 (v_c + LAG(v_c) OVER ({_SERIES_W}))
+                 * (epoch_us(ts) - LAG(epoch_us(ts)) OVER ({_SERIES_W})) AS seg
+          FROM (SELECT user_id, event_type, ts, event_id,
+                       {_sql_cents('value')} AS v_c
+                FROM events))
+    WHERE seg IS NOT NULL
+    GROUP BY user_id, event_type
+    """,
+)
+def ts_integral(spark, sf):
+    """InfluxQL ``integral(value, 1s)``: per-series trapezoidal area
+    under the value curve. Each segment is (v_i + v_{{i-1}}) ·
+    Δt_µs in integer cents×µs — the telescoping bound
+    2·max(v_c)·span_µs ≈ 3e17 keeps the per-series sum inside int64
+    at any point density — and the single final division by 2·100·1e6
+    yields value·seconds. One per-series sort (window lag), one
+    partial-agg shuffle."""
+    ev = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    vc = cents("value")
+    us = F.unix_micros("ts")
+    seg = (vc + F.lag(vc).over(w)) * (us - F.lag(us).over(w))
+    return (
+        ev.select("user_id", "event_type", seg.alias("seg"))
+        .where(F.col("seg").isNotNull())
+        .groupBy("user_id", "event_type")
+        .agg((F.sum("seg") / F.lit(200_000_000.0)).alias("integral_vs"))
+    )
+
+
+@register(
+    "ts_spread_stddev",
+    f"""
+    SELECT user_id, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(MAX(v_micro) - MIN(v_micro) AS BIGINT) / 1000000.0 AS spread,
+           SQRT((CAST(SUM(v_micro * v_micro) AS DOUBLE)
+                 - CAST(SUM(v_micro) AS DOUBLE) * CAST(SUM(v_micro) AS DOUBLE)
+                   / COUNT(*))
+                / (COUNT(*) - 1)) / 1000000.0 AS stddev
+    FROM (SELECT user_id, event_type, {_sql_micros('value')} AS v_micro
+          FROM events)
+    GROUP BY user_id, event_type
+    HAVING COUNT(*) >= 2
+    """,
+)
+def ts_spread_stddev(spark, sf):
+    """InfluxQL ``spread(value)`` + ``stddev(value)`` per series.
+    Spread rides exact integer micros. Sample stddev uses the
+    sum-of-squares identity over integer micros (Σx² ≤ 4e17 per
+    series — inside int64) with the float steps in one fixed order,
+    so Spark and the oracle produce bit-identical doubles. Single
+    partial-agg shuffle; no sort."""
+    ev = load_table(spark, sf, "events")
+    vm = micros_amt("value")
+    n = F.count(F.lit(1))
+    sx = F.sum(vm).cast("double")
+    sxx = F.sum(vm * vm).cast("double")
+    return (
+        ev.groupBy("user_id", "event_type")
+        .agg(
+            n.alias("n_points"),
+            ((F.max(vm) - F.min(vm)) / F.lit(1_000_000.0)).alias("spread"),
+            (
+                F.sqrt((sxx - sx * sx / n) / (n - F.lit(1))) / F.lit(1_000_000.0)
+            ).alias("stddev"),
+        )
+        .where(F.col("n_points") >= 2)
+    )
+
+
+@register(
+    "ts_mode",
+    f"""
+    SELECT user_id, event_type,
+           v_micro / 1000000.0 AS mode_value,
+           CAST(n AS BIGINT) AS n_occurrences
+    FROM (SELECT user_id, event_type, v_micro, n,
+                 ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                    ORDER BY n DESC, v_micro ASC) AS rk
+          FROM (SELECT user_id, event_type,
+                       {_sql_micros('value')} AS v_micro, COUNT(*) AS n
+                FROM events
+                GROUP BY user_id, event_type, v_micro))
+    WHERE rk = 1
+    """,
+)
+def ts_mode(spark, sf):
+    """InfluxQL ``mode(value)``: most frequent value per series, ties
+    broken by smallest value (deterministic in both engines). Two
+    shuffles: count per (series, value), then a per-series top-1 via
+    row_number — the count aggregate collapses map-side first, so the
+    window input is one row per distinct value, not per point."""
+    ev = load_table(spark, sf, "events")
+    vm = micros_amt("value")
+    counted = ev.groupBy("user_id", "event_type", vm.alias("v_micro")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("n").desc(), F.col("v_micro").asc()
+    )
+    return (
+        counted.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            (F.col("v_micro") / F.lit(1_000_000.0)).alias("mode_value"),
+            F.col("n").alias("n_occurrences"),
+        )
+    )
+
+
+@register(
+    "ts_cumulative_sum",
+    f"""
+    SELECT user_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+           CAST(SUM(v_micro) OVER ({_SERIES_W}
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           / 1000000.0 AS cum_value
+    FROM (SELECT user_id, event_type, ts, event_id,
+                 {_sql_micros('value')} AS v_micro
+          FROM events)
+    """,
+)
+def ts_cumulative_sum(spark, sf):
+    """InfluxQL ``cumulative_sum(value)``: per-series running total.
+    Integer-micro accumulation makes the running sum exact under any
+    partial-agg order; one per-series sort, no extra shuffle beyond
+    the window exchange."""
+    ev = load_table(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id", "event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        (F.sum(micros_amt("value")).over(w) / F.lit(1_000_000.0)).alias("cum_value"),
+    )
+
+
+@register(
+    "ts_value_histogram",
+    f"""
+    SELECT event_type, CAST(v_micro // 10000000 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_points
+    FROM (SELECT event_type, {_sql_micros('value')} AS v_micro FROM events)
+    GROUP BY event_type, bucket
+    """,
+)
+def ts_value_histogram(spark, sf):
+    """Value-distribution histogram: 10-unit buckets per event type
+    (values are non-negative, so integer division == floor in both
+    engines). Single partial-agg shuffle on (type, bucket) — the
+    histogram shape InfluxQL exposes as ``histogram()`` and
+    monitoring UIs build downsample panels from."""
+    ev = load_table(spark, sf, "events")
+    bucket = (micros_amt("value") / F.lit(10_000_000)).cast("long")
+    return ev.groupBy("event_type", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_points")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.spark for name, q in REGISTRY.items()}
 
