@@ -74,6 +74,16 @@ FRAME_SCHEMA = T.StructType(
     ]
 )
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("content", T.BinaryType()),
+    ]
+)
+
 
 def synth_media(spark, n: int = 100, kind: str = "image") -> DataFrame:
     """Deterministic fake media table (testing stand-in for a real
@@ -164,6 +174,47 @@ def sample_frames(df: DataFrame, every_n: int = 4, codec: str = "fake") -> DataF
             )
 
     return spread_for_cpu(df).mapInPandas(kernel, FRAME_SCHEMA)
+
+
+def resize_images(
+    df: DataFrame, target_w: int = 224, target_h: int = 224, codec: str = "fake"
+) -> DataFrame:
+    """Resize stage: bytes → bytes at the model's input resolution —
+    the classic pre-training normalization step (a real kernel would
+    ``PIL.Image.resize`` / ``cv2.resize`` inside the batch loop). The
+    stub rewrites the synthetic header to the target dims and scales
+    the body length proportionally to the pixel-count ratio, which
+    preserves the property a real resize has: output size tracks
+    target area, not source area. Output rows keep the MEDIA binary
+    shape so further stages (feature extraction, frame sampling)
+    compose downstream of the resize."""
+    _require_fake(codec)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, cs, outs = [], [], [], [], []
+            for mid, b in zip(pdf["media_id"], pdf["content"]):
+                b = bytes(b)
+                _, _, c = struct.unpack("<III", b[:12])
+                body = b[16:]
+                n_out = max(32, (target_w * target_h * c) // 4096)
+                scaled = (body * (n_out // max(1, len(body)) + 1))[:n_out]
+                ids.append(mid)
+                ws.append(target_w)
+                hs.append(target_h)
+                cs.append(c)
+                outs.append(struct.pack("<III", target_w, target_h, c) + b"FAKE" + scaled)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "width": ws,
+                    "height": hs,
+                    "channels": cs,
+                    "content": outs,
+                }
+            )
+
+    return spread_for_cpu(df).mapInPandas(kernel, RESIZED_SCHEMA)
 
 
 def media_stats(df: DataFrame) -> DataFrame:

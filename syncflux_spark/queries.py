@@ -2886,6 +2886,44 @@ def ts_value_histogram(spark, sf):
     )
 
 
+@register(
+    "lp_roundtrip_stats",
+    f"""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM({_sql_micros('value')}) AS BIGINT) AS sum_value_micro,
+           CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def lp_roundtrip_stats(spark, sf):
+    """InfluxDB line-protocol codec end-to-end: serialize every event
+    to the wire format (typed fields, spec escaping, ns timestamp —
+    the reference's write path, client.go:471-477) and parse it back
+    with the schema-on-read decoder, then aggregate the DECODED rows.
+    Matching the oracle (which reads the original table) proves the
+    codec is lossless for every row — including the JSON `props`
+    strings full of quotes/commas/equals. Both directions are pure
+    Catalyst expressions (regex + concat), so the whole pipeline stays
+    in whole-stage codegen: no UDF, no shuffle before the final agg."""
+    from syncflux_spark.sources.line_protocol import (
+        parse_line_protocol,
+        to_line_protocol,
+    )
+
+    ev = load_table(spark, sf, "events")
+    tags = ["user_id", "event_type"]
+    fields = {"event_id": "integer", "value": "float", "props": "string"}
+    lines = to_line_protocol(ev, "events", tags, fields)
+    back = parse_line_protocol(lines, tags, fields)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(micros_amt("value")).alias("sum_value_micro"),
+        F.sum("event_id").alias("sum_event_id"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.spark for name, q in REGISTRY.items()}
 

@@ -1,0 +1,183 @@
+"""InfluxDB line-protocol sink and source, as pure column expressions.
+
+The reference's write path serializes every point to line protocol via
+the influx client (``client.NewPoint`` pkg/agent/client.go:471-477,
+written at client.go:531-559); its read path gets JSON back. A
+Spark-first engine keeps data columnar end-to-end, but interop with
+the Influx ecosystem still needs the wire format — so this module
+provides both directions as Catalyst expressions (regexp/concat — JVM
+whole-stage-codegen, no Python in the row path):
+
+* :func:`to_line_protocol` — DataFrame → one ``line`` string column:
+  ``measurement,tag=v field=v,field2=v ts_ns`` with spec escaping
+  (tags escape ``,= `` and ``\\``; string fields are quoted with
+  ``\\"`` escapes; integers carry the ``i`` suffix; null fields are
+  OMITTED — the reference's sparse-field semantics, SURVEY §1.1).
+* :func:`parse_line_protocol` — lines → typed columns, schema-on-read
+  like the reference's field map (``ReadDB``'s typed decode,
+  client.go:430-466): the caller declares tag names and field types.
+
+Parsing strategy (regex, quote-aware): split ``head fields ts`` with
+one anchored regex (greedy middle — quoted field values may contain
+spaces; the nanosecond timestamp after the LAST space is unambiguous),
+then tokenize the field segment with ``regexp_extract_all`` whose
+pattern consumes quoted strings atomically, so separators inside
+quotes never split a token. Declared tags are extracted individually
+from the head (escaped separators honored).
+
+Scale: both directions are narrow per-row transforms — no shuffle, no
+UDF; they pipeline into whatever scan/write surrounds them and
+whole-stage-codegen fuses the regex chain. At 100 TB this is the
+format boundary for a DSv2 Influx connector; the expressions are the
+connector's codec either way.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: field type names accepted by parse_line_protocol (the reference's
+#: field-schema types, SURVEY §1.2; uint maps to decimal like X5)
+FIELD_TYPES = ("float", "integer", "unsigned", "boolean", "string")
+
+
+def _esc_name(c: Column) -> Column:
+    """Escape a measurement/tag/field-key token: ``\\`` ``,`` ``=`` and space."""
+    return F.regexp_replace(c, r"([,= \\])", r"\\$1")
+
+
+def _esc_measurement(c: Column) -> Column:
+    """Measurements escape commas and spaces (``=`` is legal there)."""
+    return F.regexp_replace(c, r"([, \\])", r"\\$1")
+
+
+def _esc_string_field(c: Column) -> Column:
+    return F.concat(
+        F.lit('"'), F.regexp_replace(c, r'(["\\])', r"\\$1"), F.lit('"')
+    )
+
+
+def _unesc(c: Column) -> Column:
+    """Reverse any ``\\x`` escape in one pass."""
+    return F.regexp_replace(c, r"\\(.)", r"$1")
+
+
+def _fmt_field(name: str, dtype: str) -> Column:
+    """``name=value`` token, or NULL when the field is null (concat_ws
+    then drops it — sparse fields are omitted, not written as null)."""
+    col = F.col(name)
+    if dtype == "integer":
+        val = F.concat(col.cast("string"), F.lit("i"))
+    elif dtype == "unsigned":
+        val = F.concat(col.cast("decimal(20,0)").cast("string"), F.lit("u"))
+    elif dtype == "boolean":
+        val = F.when(col, F.lit("true")).otherwise(F.lit("false"))
+    elif dtype == "string":
+        val = _esc_string_field(col)
+    else:  # float
+        val = col.cast("string")
+    return F.when(
+        col.isNotNull(), F.concat(_esc_name(F.lit(name)), F.lit("="), val)
+    )
+
+
+def to_line_protocol(
+    df: DataFrame,
+    measurement: str | Column,
+    tag_cols: list[str],
+    field_types: dict[str, str],
+    time_ns_col: str = "ts_ns",
+    out_col: str = "line",
+) -> DataFrame:
+    """Serialize rows to one line-protocol string column.
+
+    ``measurement`` may be a literal name or a Column (per-row
+    measurement, the multi-table copy case). Tags are written in the
+    given order with null tags omitted; fields per ``field_types``
+    (name → float|integer|unsigned|boolean|string)."""
+    meas = (
+        _esc_measurement(F.lit(measurement))
+        if isinstance(measurement, str)
+        else _esc_measurement(measurement)
+    )
+    tag_tokens = [
+        F.when(
+            F.col(t).isNotNull(),
+            F.concat(
+                _esc_name(F.lit(t)), F.lit("="), _esc_name(F.col(t).cast("string"))
+            ),
+        )
+        for t in tag_cols
+    ]
+    head = F.concat_ws(",", meas, *tag_tokens)
+    fields = F.concat_ws(
+        ",", *[_fmt_field(n, dt) for n, dt in field_types.items()]
+    )
+    line = F.concat_ws(
+        " ", head, fields, F.col(time_ns_col).cast("long").cast("string")
+    )
+    return df.select(line.alias(out_col))
+
+
+#: one field token: key=( quoted-string | bare-value ); quoted strings
+#: are consumed atomically so ``,``/``=``/spaces inside never split
+_FIELD_TOKEN = r'((?:\\.|[^,=\\"])+)=("(?:[^"\\]|\\.)*"|(?:\\.|[^,\\"])+)'
+
+
+def parse_line_protocol(
+    lines: DataFrame,
+    tag_cols: list[str],
+    field_types: dict[str, str],
+    line_col: str = "line",
+) -> DataFrame:
+    """Parse line-protocol strings into typed columns:
+    ``measurement`` + one string column per declared tag + one typed
+    column per declared field + ``ts_ns`` (long). Undeclared
+    tags/fields are ignored; declared-but-absent ones come back null
+    (schema-on-read, exactly the reference's field-map decode)."""
+    raw = F.col(line_col)
+    head = F.regexp_extract(raw, r"^((?:\\.|[^ \\])+) ", 1)
+    ts = F.regexp_extract(raw, r" (\d+)$", 1).cast("long")
+    fseg = F.regexp_extract(raw, r"^(?:\\.|[^ \\])+ (.*) \d+$", 1)
+
+    meas = _unesc(F.regexp_extract(head, r"^((?:\\.|[^,\\])+)", 1))
+
+    def tag(t: str) -> Column:
+        pat = r",%s=((?:\\.|[^,\\])+)" % t
+        v = F.regexp_extract(head, pat, 1)
+        return F.when(v != "", _unesc(v)).alias(t)
+
+    # tokenize once, build a key→raw-value map, then pull declared keys
+    toks = F.regexp_extract_all(fseg, F.lit(_FIELD_TOKEN), 0)
+    entries = F.transform(
+        toks,
+        lambda tok: F.struct(
+            _unesc(F.regexp_extract(tok, r'^((?:\\.|[^,=\\"])+)=', 1)).alias("key"),
+            F.regexp_replace(tok, r'^(?:\\.|[^,=\\"])+=', "").alias("val"),
+        ),
+    )
+    fmap = F.map_from_entries(entries)
+
+    def field(name: str, dtype: str) -> Column:
+        v = fmap.getItem(name)
+        if dtype == "integer":
+            out = F.regexp_replace(v, r"i$", "").cast("long")
+        elif dtype == "unsigned":
+            out = F.regexp_replace(v, r"u$", "").cast("decimal(20,0)")
+        elif dtype == "boolean":
+            out = F.when(v.isin("true", "t", "True", "TRUE"), F.lit(True)).when(
+                v.isin("false", "f", "False", "FALSE"), F.lit(False)
+            )
+        elif dtype == "string":
+            out = _unesc(v.substr(F.lit(2), F.length(v) - 2))
+        else:  # float
+            out = v.cast("double")
+        return out.alias(name)
+
+    cols: list[Column] = [meas.alias("measurement")]
+    cols += [tag(t) for t in tag_cols]
+    for n, dt in field_types.items():
+        cols.append(field(n, dt))
+    cols.append(ts.alias("ts_ns"))
+    return lines.select(*cols)

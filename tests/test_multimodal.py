@@ -68,3 +68,24 @@ class TestStats:
         row = mm.media_stats(media).collect()[0]
         assert row.kind == "image" and row.n_items == 40
         assert row.total_bytes == 40 * (16 + 128)
+
+
+class TestResize:
+    def test_dims_and_composability(self, spark, media):
+        out = mm.resize_images(media, target_w=128, target_h=96)
+        rows = out.collect()
+        assert len(rows) == media.count()
+        assert all(r.width == 128 and r.height == 96 for r in rows)
+        # header rewritten; body scaled to target area
+        import struct as st
+
+        for r in rows:
+            w, h, c = st.unpack("<III", bytes(r.content)[:12])
+            assert (w, h) == (128, 96) and c == r.channels
+        # composes downstream: decode of resized media sees new dims
+        dec = mm.decode_images(out.select("media_id", "content"))
+        assert all(d.width == 128 for d in dec.collect())
+
+    def test_real_codec_refused(self, media):
+        with pytest.raises(NotImplementedError):
+            mm.resize_images(media, codec="pil")
