@@ -1,0 +1,111 @@
+"""Physical-plan regression tests: the scale properties the engine
+claims (SURVEY §4, README scale notes) asserted against
+`.explain`-level plan text, so a refactor that silently drops a
+broadcast, un-pushes a filter, or sneaks a Python UDF into a hot path
+fails CI instead of surfacing as a 100×-scale regression.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry_mod
+
+QUERIES = entry_mod.queries()
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    return (
+        QUERIES[name](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+
+
+class TestScanDiscipline:
+    def test_time_range_pushed_to_parquet(self, spark, sf_dir):
+        """ts_scan_range's bounds must reach the scan (row-group
+        skipping at 100 TB), not sit in a post-scan Filter only."""
+        plan = plan_of(spark, sf_dir, "ts_scan_range")
+        scan_lines = [ln for ln in plan.splitlines() if "FileScan" in ln]
+        assert scan_lines
+        # the ns bound literal must appear in the scan's DataFilters,
+        # not only in a post-scan Filter node
+        assert any("DataFilters: [isnotnull" in ln and "170" in ln
+                   for ln in scan_lines)
+
+    def test_column_pruning_on_projection_query(self, spark, sf_dir):
+        """A 2-column aggregate must not read the whole events schema
+        (props is the widest column — it must be pruned)."""
+        plan = plan_of(spark, sf_dir, "ts_series_discovery")
+        scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+        assert scan and all("props" not in ln for ln in scan)
+
+    def test_q6_filters_pushed(self, spark, sf_dir):
+        plan = plan_of(spark, sf_dir, "q6_revenue_forecast")
+        assert "PushedFilters: [" in plan
+        assert "l_shipdate" in plan.split("PushedFilters")[1][:400]
+
+
+class TestJoinStrategy:
+    @pytest.mark.parametrize(
+        "name",
+        ["q5_local_supplier_volume", "q8_market_share", "q2_min_cost_supplier"],
+    )
+    def test_dims_broadcast(self, spark, sf_dir, name):
+        """Small dimensions must broadcast — a shuffle join against
+        region/nation/supplier would add full-fact-table exchanges."""
+        plan = plan_of(spark, sf_dir, name)
+        assert "BroadcastHashJoin" in plan
+
+    def test_q16_not_in_is_broadcast_anti(self, spark, sf_dir):
+        plan = plan_of(spark, sf_dir, "q16_supplier_counts")
+        assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+    def test_q20_semi_join(self, spark, sf_dir):
+        plan = plan_of(spark, sf_dir, "q20_excess_suppliers")
+        assert "LeftSemi" in plan
+
+
+class TestExecutionDiscipline:
+    @pytest.mark.parametrize(
+        "name",
+        [
+            "q1_pricing_summary",
+            "ts_downsample_1h",
+            "dedup_exact",
+            "lp_roundtrip_stats",
+            "ts_integral",
+        ],
+    )
+    def test_no_python_in_hot_path(self, spark, sf_dir, name):
+        """Relational/TS/codec paths must stay JVM-side; Python rows
+        (BatchEvalPython) or even Arrow UDFs here would cap throughput
+        at serialization speed."""
+        plan = plan_of(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+
+    def test_whole_stage_codegen_on_agg(self, spark, sf_dir):
+        """`*(n)` node prefixes are the codegen-stage markers; the
+        aggregate and scan must sit inside one (AQE shows them only
+        once the plan is final, hence the collect)."""
+        df = QUERIES["q1_pricing_summary"](spark, sf_dir)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "*(" in plan
+
+    def test_cube_is_single_expand_not_union(self, spark, sf_dir):
+        """CUBE must plan as one Expand over one scan — a UNION of 4
+        grouping queries would scan lineitem 4 times."""
+        plan = plan_of(spark, sf_dir, "revenue_cube_flags")
+        assert plan.count("Scan parquet") == 1
+        assert "Expand" in plan
+
+    def test_partial_aggregation_before_shuffle(self, spark, sf_dir):
+        """Map-side partial agg (HashAggregate before Exchange) is
+        what keeps 100 TB group-bys shuffle-light."""
+        plan = plan_of(spark, sf_dir, "ts_downsample_1h")
+        pre_exchange = plan.split("Exchange")[-1]  # deepest = before shuffle
+        assert "HashAggregate" in pre_exchange
