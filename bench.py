@@ -35,11 +35,16 @@ HEADLINE = [
     "q10_returned_items",
     "q13_customer_distribution",
     "q18_large_orders",
+    "q2_min_cost_supplier",
+    "q16_supplier_counts",
     "revenue_rollup_region",
+    "revenue_cube_flags",
     "supplier_rank_in_nation",
     "cumulative_spend_per_customer",
     "ts_moving_average",
     "ts_percentiles",
+    "ts_integral",
+    "lp_roundtrip_stats",
     "dedup_exact",
     "lsh_candidate_pairs",
     "ngram_jaccard_pairs",

@@ -2924,6 +2924,69 @@ def lp_roundtrip_stats(spark, sf):
     )
 
 
+def _text_format_roundtrip(spark, sf, fmt: str) -> DataFrame:
+    """Shared body of the CSV / JSON-lines interchange gates: export
+    the events table (ns clock as long), read it back with a declared
+    schema, return the re-derived rows."""
+    import os
+
+    from syncflux_spark.sources.formats import read_text_table, write_text_table
+
+    root = tempfile.mkdtemp(prefix=f"sf_{fmt}_")
+    path = os.path.join(root, "events")
+    write_text_table(load_table(spark, sf, "events"), path, fmt)
+    return read_text_table(spark, path, fmt)
+
+
+@register(
+    "csv_roundtrip_stats",
+    f"""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM({_sql_micros('value')}) AS BIGINT) AS sum_value_micro,
+           CAST(MIN(epoch_us(ts)) AS BIGINT) AS min_ts_us,
+           CAST(MAX(epoch_us(ts)) AS BIGINT) AS max_ts_us
+    FROM events GROUP BY event_type
+    """,
+)
+def csv_roundtrip_stats(spark, sf):
+    """CSV interchange: events exported to CSV (quoted JSON props and
+    all) and read back with a declared schema, then aggregated.
+    Matching the oracle on the ORIGINAL table proves the text
+    roundtrip is lossless — including ns timestamps, which ride a
+    plain long because a CSV timestamp column would truncate to µs."""
+    back = _text_format_roundtrip(spark, sf, "csv")
+    us = F.unix_micros("ts")
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(micros_amt("value")).alias("sum_value_micro"),
+        F.min(us).alias("min_ts_us"),
+        F.max(us).alias("max_ts_us"),
+    )
+
+
+@register(
+    "json_roundtrip_stats",
+    f"""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
+           CAST(SUM(CASE WHEN props IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_props
+    FROM events GROUP BY event_type
+    """,
+)
+def json_roundtrip_stats(spark, sf):
+    """JSON-lines interchange: same gate as the CSV one, exercising
+    the nested-quoting path (JSON strings inside JSON values)."""
+    back = _text_format_roundtrip(spark, sf, "json")
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("event_id").alias("sum_event_id"),
+        F.sum(
+            F.when(F.col("props").isNotNull(), F.lit(1)).otherwise(F.lit(0))
+        ).alias("n_props"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.spark for name, q in REGISTRY.items()}
 
