@@ -2987,6 +2987,45 @@ def json_roundtrip_stats(spark, sf):
     )
 
 
+@register(
+    "ts_trailing_1h_stats",
+    f"""
+    SELECT user_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+           CAST(SUM(v_micro) OVER w AS BIGINT) AS sum_value_micro_1h
+    FROM (SELECT user_id, event_type, ts,
+                 epoch_us(ts) // 1000000 AS e_s,
+                 {_sql_micros('value')} AS v_micro
+          FROM events)
+    WINDOW w AS (PARTITION BY user_id, event_type ORDER BY e_s
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
+)
+def ts_trailing_1h_stats(spark, sf):
+    """Trailing time-window stats: for every point, count and sum over
+    the preceding hour of ITS OWN series — a RANGE frame over epoch
+    seconds, not a row frame, so irregular sampling gets correct
+    time-based windows (the InfluxQL ``GROUP BY time()`` sibling that
+    SQL expresses per-point). Peers at the same second share a frame
+    in both engines; integer-micro sums keep it exact. One per-series
+    sort, no self-join — the naive formulation (range self-join on
+    t-3600 ≤ t' ≤ t) would be O(n·window) shuffle work at 100 TB."""
+    ev = load_table(spark, sf, "events")
+    e_s = F.expr("unix_micros(ts) div 1000000")  # integer division: exact
+    w = (
+        Window.partitionBy("user_id", "event_type")
+        .orderBy(e_s)
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.sum(micros_amt("value")).over(w).alias("sum_value_micro_1h"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.spark for name, q in REGISTRY.items()}
 
