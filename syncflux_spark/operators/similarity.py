@@ -118,14 +118,18 @@ def _hyperplane(plane: int, dim: int) -> float:
     return int(h[:8], 16) / float(1 << 31) - 1.0
 
 
-def sign_lsh_bucket(vec_col, n_planes: int, dim: int) -> F.Column:
+def sign_lsh_bucket(
+    vec_col, n_planes: int, dim: int, plane_offset: int = 0
+) -> F.Column:
     """Random-hyperplane sign bucket: bit p = [v · h_p >= 0]. Returns a
     long bitmap. The per-plane dot is a fixed linear combination of
-    the vector's components — pure codegen arithmetic."""
+    the vector's components — pure codegen arithmetic.
+    ``plane_offset`` selects an independent plane set, so multi-table
+    LSH (table t = planes [t·n, (t+1)·n)) reuses one implementation."""
     v = as_double(vec_col)
     bucket = F.lit(0).cast("long")
     for p in range(n_planes):
-        coeffs = [_hyperplane(p, d) for d in range(dim)]
+        coeffs = [_hyperplane(plane_offset + p, d) for d in range(dim)]
         dp = F.aggregate(
             F.zip_with(
                 v,
@@ -145,21 +149,59 @@ def lsh_topk(
     k: int = 5,
     n_planes: int = 8,
     dim: int = 64,
+    n_tables: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: compare only vectors sharing the sign-LSH
-    bucket. The join shuffles on the bucket id (2^n_planes buckets);
-    per-bucket work is |bucket|×|queries-in-bucket| — the 1/2^planes
-    candidate reduction that makes 100 TB ANN tractable. Recall <1 by
-    design; raise n_tables (union over shifted plane sets) for more."""
-    q = _sides(queries, id_col, vec_col, "q", dim).withColumnsRenamed(
-        {"q_id": "query_id"}
-    ).withColumn("qb", sign_lsh_bucket("qv", n_planes, dim))
-    c = _sides(corpus, id_col, vec_col, "c", dim).withColumnsRenamed(
-        {"c_id": "neighbor_id"}
-    ).withColumn("cb", sign_lsh_bucket("cv", n_planes, dim))
-    pairs = c.join(F.broadcast(q), (F.col("cb") == F.col("qb")) & (F.col("query_id") != F.col("neighbor_id")))
+    """Approximate top-k: compare only vectors sharing a sign-LSH
+    bucket in ANY of ``n_tables`` independent hash tables. Each table
+    cuts candidates ~2^n_planes-fold; tables union recall up as
+    1-(1-p)^T (Charikar '02) — n_planes trades cost per table, and
+    n_tables buys recall, which is the dial that matters at 100 TB
+    (measured on the sf0.001 fixture: 0.10 recall@5 with one 4-plane
+    table → 0.57 with four).
+
+    Plan shape: every table's (bucket → candidate) map is one struct
+    in a per-row array, exploded to (table, bucket) rows — a single
+    corpus/query scan regardless of T — then ONE join on
+    (table, bucket) and a distinct before scoring, so a pair matching
+    in several tables is scored once."""
+    tables = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                sign_lsh_bucket("qv", n_planes, dim, t * n_planes).alias("bk"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    q = (
+        _sides(queries, id_col, vec_col, "q", dim)
+        .withColumnsRenamed({"q_id": "query_id"})
+        .select("*", F.explode(tables).alias("qt"))
+        .select("query_id", "qv", "qn", "qt.tbl", "qt.bk")
+    )
+    ctables = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                sign_lsh_bucket("cv", n_planes, dim, t * n_planes).alias("bk"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    c = (
+        _sides(corpus, id_col, vec_col, "c", dim)
+        .withColumnsRenamed({"c_id": "neighbor_id"})
+        .select("*", F.explode(ctables).alias("ct"))
+        .select("neighbor_id", "cv", "cn", "ct.tbl", "ct.bk")
+    )
+    pairs = (
+        c.join(F.broadcast(q), ["tbl", "bk"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "qv", "qn", "cv", "cn")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
     scored = pairs.select("query_id", "neighbor_id", _pair_cos(dim))
     from pyspark.sql import Window
 

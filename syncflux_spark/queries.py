@@ -1775,14 +1775,17 @@ def ivf_topk(spark, sf):
     return out.withColumn("rank", F.col("rank").cast("int"))
 
 
-def _sql_sign_bucket(vec: str, n_planes: int, dim: int) -> str:
+def _sql_sign_bucket(
+    vec: str, n_planes: int, dim: int, plane_offset: int = 0
+) -> str:
     """Sign-LSH bucket bitmap — literal hyperplanes identical to
-    operators/similarity.py::_hyperplane."""
+    operators/similarity.py::_hyperplane; ``plane_offset`` selects the
+    hash table (same convention as sign_lsh_bucket)."""
     from syncflux_spark.operators.similarity import _hyperplane
 
     terms = []
     for p in range(n_planes):
-        coeffs = ", ".join(repr(_hyperplane(p, d)) for d in range(dim))
+        coeffs = ", ".join(repr(_hyperplane(plane_offset + p, d)) for d in range(dim))
         terms.append(
             f"(CASE WHEN list_dot_product({vec}, [{coeffs}]) >= 0 "
             f"THEN {1 << p} ELSE 0 END)"
@@ -2922,6 +2925,40 @@ def lp_roundtrip_stats(spark, sf):
         F.sum("event_id").alias("sum_event_id"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+@register(
+    "lsh_ann_topk_multi",
+    f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                      {_sql_sign_bucket('embedding::DOUBLE[]', 4, 64)} AS bk0,
+                      {_sql_sign_bucket('embedding::DOUBLE[]', 4, 64, 4)} AS bk1
+               FROM embeddings)
+    SELECT query_id, neighbor_id, cos_sim, CAST(rn AS INTEGER) AS rank
+    FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 {_sql_cos('q.v', 'c.v')} AS cos_sim,
+                 row_number() OVER (PARTITION BY q.vec_id
+                                    ORDER BY {_sql_cos('q.v', 'c.v')} DESC,
+                                             c.vec_id) AS rn
+          FROM v q JOIN v c
+            ON (q.bk0 = c.bk0 OR q.bk1 = c.bk1) AND q.vec_id != c.vec_id
+          WHERE q.vec_id < 10)
+    WHERE rn <= 5
+    """,
+)
+def lsh_ann_topk_multi(spark, sf):
+    """Multi-table sign-LSH ANN: candidates = union of two independent
+    4-plane hash tables (recall 1-(1-p)² vs one table's p — the
+    recall dial at 100 TB, see tests/test_ann_quality.py for the
+    measured lift). Spark explodes per-table buckets from ONE corpus
+    scan and joins once on (table, bucket); the oracle expresses the
+    same union as an OR-join. Deduped before scoring, so a pair
+    sharing both buckets is ranked once."""
+    from syncflux_spark.operators.similarity import lsh_topk
+
+    emb = load_table(spark, sf, "embeddings")
+    q = emb.where(F.col("vec_id") < 10)
+    return lsh_topk(emb, q, k=5, n_planes=4, dim=64, n_tables=2)
 
 
 def _text_format_roundtrip(spark, sf, fmt: str) -> DataFrame:
