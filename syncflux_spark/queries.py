@@ -2961,6 +2961,61 @@ def lsh_ann_topk_multi(spark, sf):
     return lsh_topk(emb, q, k=5, n_planes=4, dim=64, n_tables=2)
 
 
+@register(
+    "ts_top_bottom",
+    f"""
+    SELECT user_id, event_type, which, value, CAST(rk AS INTEGER) AS rk
+    FROM (
+      SELECT user_id, event_type, 'top' AS which, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY {_sql_micros('value')} DESC, event_id) AS rk
+      FROM events
+      UNION ALL
+      SELECT user_id, event_type, 'bottom' AS which, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY {_sql_micros('value')} ASC, event_id) AS rk
+      FROM events)
+    WHERE rk <= 3
+    """,
+)
+def ts_top_bottom(spark, sf):
+    """InfluxQL ``top(value, 3)`` + ``bottom(value, 3)`` per series in
+    one result (ties broken by event_id — deterministic in both
+    engines; ordering compares integer micros so float formatting
+    can't flip ranks). Spark computes both directions from one scan:
+    two window ranks over the same partitioning, so the exchange is
+    shared and only the sort differs."""
+    ev = load_table(spark, sf, "events").select(
+        "user_id", "event_type", "event_id", "value"
+    )
+    vm = micros_amt("value")
+    base = Window.partitionBy("user_id", "event_type")
+    w_top = base.orderBy(vm.desc(), F.col("event_id"))
+    w_bot = base.orderBy(vm.asc(), F.col("event_id"))
+    ranked = ev.select(
+        "user_id",
+        "event_type",
+        "value",
+        F.row_number().over(w_top).alias("rk_top"),
+        F.row_number().over(w_bot).alias("rk_bot"),
+    )
+    top = ranked.where(F.col("rk_top") <= 3).select(
+        "user_id",
+        "event_type",
+        F.lit("top").alias("which"),
+        "value",
+        F.col("rk_top").alias("rk"),
+    )
+    bottom = ranked.where(F.col("rk_bot") <= 3).select(
+        "user_id",
+        "event_type",
+        F.lit("bottom").alias("which"),
+        "value",
+        F.col("rk_bot").alias("rk"),
+    )
+    return top.unionAll(bottom)
+
+
 def _text_format_roundtrip(spark, sf, fmt: str) -> DataFrame:
     """Shared body of the CSV / JSON-lines interchange gates: export
     the events table (ns clock as long), read it back with a declared
