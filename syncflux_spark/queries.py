@@ -2515,10 +2515,21 @@ def q2_min_cost_supplier(spark, sf):
     p = load_table(spark, sf, "part").where(
         (F.col("p_type") == "STANDARD") & (F.col("p_size") <= 10)
     )
+    # prune FIRST: the part predicate keeps ~1% of parts, so a
+    # broadcast semi-join ahead of the cost aggregate shrinks both the
+    # groupBy shuffle and the window input by that factor (the oracle's
+    # decorrelated form filters after aggregating — same rows out, but
+    # at 100 TB the early semi-join is the difference between
+    # aggregating the whole fact table and aggregating 1% of it)
+    li_f = li.join(
+        F.broadcast(p.select("p_partkey")),
+        li.l_partkey == F.col("p_partkey"),
+        "left_semi",
+    )
     unit_c = F.round(F.lit(100) * F.col("l_extendedprice") / F.col("l_quantity")).cast(
         "long"
     )
-    cost = li.groupBy("l_partkey", "l_suppkey").agg(F.min(unit_c).alias("unit_c"))
+    cost = li_f.groupBy("l_partkey", "l_suppkey").agg(F.min(unit_c).alias("unit_c"))
     eu = (
         cost.join(F.broadcast(s), cost.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
