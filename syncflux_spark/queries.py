@@ -3027,6 +3027,130 @@ def ts_top_bottom(spark, sf):
     return top.unionAll(bottom)
 
 
+@register(
+    "ts_downsample_fill",
+    f"""
+    WITH b AS (SELECT event_type, CAST(e_s - e_s % 3600 AS BIGINT) AS bucket_s,
+                      CAST(COUNT(*) AS BIGINT) AS n,
+                      CAST(SUM(v_micro) AS BIGINT) AS s
+               FROM (SELECT event_type, epoch_us(ts) // 1000000 AS e_s,
+                            {_sql_micros('value')} AS v_micro
+                     FROM events)
+               GROUP BY event_type, bucket_s),
+         r AS (SELECT MIN(bucket_s) AS mn, MAX(bucket_s) AS mx FROM b),
+         hours AS (SELECT unnest(generate_series(mn, mx, 3600)) AS bucket_s
+                   FROM r),
+         types AS (SELECT DISTINCT event_type FROM events)
+    SELECT t.event_type, CAST(h.bucket_s AS BIGINT) AS bucket_s,
+           CAST(COALESCE(b.n, 0) AS BIGINT) AS n_points,
+           CAST(COALESCE(b.s, 0) AS BIGINT) AS sum_value_micro,
+           CAST(COALESCE(b.n, 0) > 0 AS BOOLEAN) AS observed
+    FROM hours h
+    CROSS JOIN types t
+    LEFT JOIN b ON b.event_type = t.event_type AND b.bucket_s = h.bucket_s
+    """,
+)
+def ts_downsample_fill(spark, sf):
+    """InfluxQL ``GROUP BY time(1h) fill(0)``: the downsample grid is
+    DENSIFIED — every (type, hour) slot in the observed range exists
+    in the output, empty ones filled with zero and flagged. The hour
+    spine is generated from the data's own min/max bucket (a 1-row
+    aggregate exploded through ``sequence`` — no driver round-trip)
+    and cross-joined with the distinct type list; the real rollup
+    left-joins onto the grid. At 100 TB the grid is tiny (hours ×
+    types) next to the fact aggregate, so densification adds one
+    broadcast-ready join, not a second fact scan."""
+    ev = load_table(spark, sf, "events")
+    e_s = F.expr("unix_micros(ts) div 1000000")
+    b = ev.groupBy(
+        "event_type", (e_s - e_s % F.lit(3600)).cast("long").alias("bucket_s")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(micros_amt("value")).alias("s"),
+    )
+    hours = (
+        b.agg(F.min("bucket_s").alias("mn"), F.max("bucket_s").alias("mx"))
+        .select(
+            F.explode(F.sequence("mn", "mx", F.lit(3600))).alias("bucket_s")
+        )
+    )
+    types = ev.select("event_type").distinct()
+    grid = hours.crossJoin(F.broadcast(types))
+    return grid.join(b, ["event_type", "bucket_s"], "left").select(
+        "event_type",
+        "bucket_s",
+        F.coalesce("n", F.lit(0)).alias("n_points"),
+        F.coalesce("s", F.lit(0)).alias("sum_value_micro"),
+        (F.coalesce("n", F.lit(0)) > 0).alias("observed"),
+    )
+
+
+@register(
+    "ts_downsample_fill_previous",
+    f"""
+    WITH b AS (SELECT event_type, CAST(e_s - e_s % 3600 AS BIGINT) AS bucket_s,
+                      CAST(SUM(v_micro) AS BIGINT) AS s
+               FROM (SELECT event_type, epoch_us(ts) // 1000000 AS e_s,
+                            {_sql_micros('value')} AS v_micro
+                     FROM events)
+               GROUP BY event_type, bucket_s),
+         r AS (SELECT MIN(bucket_s) AS mn, MAX(bucket_s) AS mx FROM b),
+         hours AS (SELECT unnest(generate_series(mn, mx, 3600)) AS bucket_s
+                   FROM r),
+         types AS (SELECT DISTINCT event_type FROM events)
+    SELECT event_type, bucket_s,
+           CAST(COALESCE(filled, 0) AS BIGINT) AS sum_value_micro_filled
+    FROM (SELECT t.event_type, CAST(h.bucket_s AS BIGINT) AS bucket_s,
+                 last_value(b.s IGNORE NULLS)
+                   OVER (PARTITION BY t.event_type ORDER BY h.bucket_s
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS filled
+          FROM hours h
+          CROSS JOIN types t
+          LEFT JOIN b ON b.event_type = t.event_type
+                     AND b.bucket_s = h.bucket_s)
+    """,
+)
+def ts_downsample_fill_previous(spark, sf):
+    """InfluxQL ``fill(previous)``: empty hours carry the last
+    observed hour's value forward per series — the monitoring-
+    dashboard gap semantics. Forward-fill = running ``last_value``
+    with IGNORE NULLS over the densified grid (one window pass; the
+    leading gap before any observation fills with 0 to keep the
+    output total)."""
+    ev = load_table(spark, sf, "events")
+    e_s = F.expr("unix_micros(ts) div 1000000")
+    b = ev.groupBy(
+        "event_type", (e_s - e_s % F.lit(3600)).cast("long").alias("bucket_s")
+    ).agg(F.sum(micros_amt("value")).alias("s"))
+    hours = (
+        b.agg(F.min("bucket_s").alias("mn"), F.max("bucket_s").alias("mx"))
+        .select(
+            F.explode(F.sequence("mn", "mx", F.lit(3600))).alias("bucket_s")
+        )
+    )
+    types = ev.select("event_type").distinct()
+    grid = hours.crossJoin(F.broadcast(types))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(b, ["event_type", "bucket_s"], "left")
+        .select(
+            "event_type",
+            "bucket_s",
+            F.last("s", ignorenulls=True).over(w).alias("filled"),
+        )
+        .select(
+            "event_type",
+            "bucket_s",
+            F.coalesce("filled", F.lit(0)).alias("sum_value_micro_filled"),
+        )
+    )
+
+
 def _text_format_roundtrip(spark, sf, fmt: str) -> DataFrame:
     """Shared body of the CSV / JSON-lines interchange gates: export
     the events table (ns clock as long), read it back with a declared
