@@ -124,6 +124,12 @@ def minhash_signatures(
     each lane from the raw text would re-shingle and re-hash
     ``n_hashes`` times. Pass ``shingled`` (from :func:`shingle_sets`,
     possibly persisted) to share the extraction with other stages."""
+    if n_hashes * LANE_WIDTH > 32:
+        raise ValueError(
+            f"n_hashes={n_hashes} needs {n_hashes * LANE_WIDTH} hex chars but an "
+            "md5 digest has 32 — extra lanes would read past the digest and "
+            "degenerate to empty strings (every doc colliding in those bands)"
+        )
     if shingled is None:
         shingled = shingle_sets(df, text_col, id_col, k_shingle)
     hashed = shingled.select(
@@ -276,32 +282,79 @@ def word_jaccard_all_pairs(
     id_col: str = "doc_id",
     threshold: float = 0.5,
 ) -> DataFrame:
-    """Brute-force word-set Jaccard over all pairs — the O(n²)
-    correctness baseline used by tests/oracle at small scale; at real
-    scale use :func:`ngram_jaccard_pairs`. Implemented as an
-    inverted-index join (explode words → join on word → count shared)
-    rather than a cross join, so even the 'brute force' path shuffles
-    on words, not pairs."""
+    """Exact word-set Jaccard ≥ threshold over all pairs, via
+    **prefix filtering** (the AllPairs/PPJoin family — Xiao et al.,
+    WWW'08): candidates are generated by self-joining only each
+    document's *prefix* — its ``n - ceil(t·n) + 1`` globally rarest
+    tokens under a total order by (document frequency, token). Any
+    pair with J ≥ t must share a prefix token (pigeonhole on the
+    required overlap t·max(|A|,|B|)), so the output is IDENTICAL to
+    the naive inverted-index join — but a corpus-wide stop word
+    ("the", present in every doc) never enters a prefix unless a doc
+    is almost all stop words, so no join key carries an O(n) posting
+    list and the ~n² hot-key reducer of the naive formulation cannot
+    form. Verification joins candidates back to full word arrays and
+    computes the exact intersection.
+
+    The naive join-on-every-token variant was the round-1
+    implementation; it answered correctly but put every document
+    sharing one hot token into a single shuffle partition — the
+    classic skewed-key self-join scale-killer."""
     toks = spread_for_cpu(df).select(
         F.col(id_col), F.explode(F.array_distinct(words(text_col))).alias("w")
     )
-    sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
-    a, b = toks.alias("a"), toks.alias("b")
-    shared = (
-        a.join(b, (F.col("a.w") == F.col("b.w")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+    # global document frequency — the canonical rare-first total order
+    dfreq = toks.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    docs = eager_persist(
+        toks.join(dfreq, "w")
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list(F.struct("df", "w"))).alias("sw"))
+        .select(
+            F.col(id_col),
+            F.transform("sw", lambda x: x["w"]).alias("ws"),
+            F.size("sw").alias("n"),
+        )
+        .withColumn(
+            # n - ceil(t·n) + 1; the 1e-9 guards binary-float overshoot
+            # (0.3·10 = 3.0000000000000004 → ceil 4 would under-size
+            # the prefix and silently drop true pairs)
+            "plen",
+            F.col("n")
+            - F.ceil(F.lit(threshold) * F.col("n") - F.lit(1e-9)).cast("int")
+            + 1,
+        )
+    )  # scanned three times: two prefix-join sides + verify
+    pref = docs.select(
+        F.col(id_col), F.explode(F.slice("ws", F.lit(1), F.col("plen"))).alias("w")
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.w") == F.col("b.w"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    da = docs.select(F.col(id_col), F.col("ws").alias("ws_a"), F.col("n").alias("n_a"))
+    db = docs.select(F.col(id_col), F.col("ws").alias("ws_b"), F.col("n").alias("n_b"))
     out = (
-        shared.join(sa, F.col("id_a") == F.col(f"sa.{id_col}"))
-        .join(sb, F.col("id_b") == F.col(f"sb.{id_col}"))
+        cand.join(da, cand.id_a == da[id_col])
+        .join(db, cand.id_b == db[id_col])
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("ws_a", "ws_b")).alias("n_inter"),
+            (F.col("n_a") + F.col("n_b")).alias("_n_sum"),
+        )
         .select(
             "id_a",
             "id_b",
             "n_inter",
-            (F.col("sa.n") + F.col("sb.n") - F.col("n_inter")).alias("n_union"),
+            (F.col("_n_sum") - F.col("n_inter")).alias("n_union"),
         )
         .withColumn("jaccard", F.col("n_inter") / F.col("n_union"))
         .where(F.col("jaccard") >= threshold)
@@ -366,4 +419,18 @@ def duplicate_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # max_iter rounds exhausted with labels still moving: the
+        # result is NOT the transitive closure (components with
+        # diameter > max_iter keep split labels) and would silently
+        # diverge from the oracle's recursive-CTE closure
+        import warnings
+
+        warnings.warn(
+            f"duplicate_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing); increase max_iter",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    edges.unpersist()
     return labels

@@ -2563,7 +2563,7 @@ def q2_min_cost_supplier(spark, sf):
       GROUP BY l.l_partkey)
     SELECT partkey, value_c / 100.0 AS part_value
     FROM val
-    WHERE value_c > (SELECT CAST(SUM(value_c) * 0.001 AS BIGINT) FROM val)
+    WHERE value_c > (SELECT SUM(value_c) // 1000 FROM val)
     """,
 )
 def q11_important_parts(spark, sf):
@@ -2582,9 +2582,10 @@ def q11_important_parts(spark, sf):
         .groupBy(F.col("l_partkey").alias("partkey"))
         .agg(F.sum(cents("l_extendedprice")).alias("value_c"))
     )
-    total = val.agg(
-        (F.sum("value_c") * F.lit(0.001)).cast("long").alias("threshold_c")
-    )
+    # 0.1% threshold in exact integer arithmetic (div ≡ DuckDB // for
+    # the non-negative sum) — a float multiply + cast truncates in
+    # Spark but rounds in DuckDB, so exactly-between sums would flip
+    total = val.agg(F.expr("sum(value_c) div 1000").alias("threshold_c"))
     return (
         val.join(F.broadcast(total))
         .where(F.col("value_c") > F.col("threshold_c"))

@@ -104,7 +104,11 @@ def _to_ns_epoch(x) -> int:
     if isinstance(x, datetime):
         if x.tzinfo is None:
             x = x.replace(tzinfo=timezone.utc)
-        return int(x.timestamp()) * 1_000_000_000 + x.microsecond * 1_000
+        # integer epoch delta, not int(timestamp()): truncation toward
+        # zero puts pre-1970 sub-second datetimes a full second late
+        delta = x - datetime(1970, 1, 1, tzinfo=timezone.utc)
+        micros = (delta.days * 86_400 + delta.seconds) * 1_000_000 + delta.microseconds
+        return micros * 1_000
     raise TypeError(f"cannot convert {type(x).__name__} to ns epoch")
 
 

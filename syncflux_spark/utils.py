@@ -54,10 +54,21 @@ def salted_join(
     single key, which partition-splitting can't fix without salting).
     The right side replicates ×n_salts — apply to the smaller input.
     At 100 TB: salt the fact side, replicate the dim side.
+
+    Only left-preserving joins are allowed: the right side is
+    replicated across every salt, so a right/full outer join would
+    emit each unmatched right row ``n_salts`` times.  The salt is
+    derived from the left row's full content (not a nondeterministic
+    row id) so task retries recompute the identical salt.
     """
     from pyspark.sql import functions as F
 
-    salt_l = F.pmod(F.xxhash64(*[F.col(k) for k in keys], F.monotonically_increasing_id()), F.lit(n_salts))
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti", "leftsemi", "leftanti"):
+        raise ValueError(
+            f"salted_join supports left-preserving joins only, got how={how!r}: "
+            "the replicated right side would duplicate unmatched right rows"
+        )
+    salt_l = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns], F.lit(0x5A17)), F.lit(n_salts))
     lhs = left.withColumn("_salt", salt_l)
     rhs = right.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))

@@ -67,6 +67,14 @@ class TestJoinStrategy:
         plan = plan_of(spark, sf_dir, "q20_excess_suppliers")
         assert "LeftSemi" in plan
 
+    def test_word_jaccard_joins_on_prefix_not_all_tokens(self, spark, sf_dir):
+        """The word-Jaccard self-join must go through the prefix-filter
+        stage (slice of the rare-first sorted token array), never the
+        raw inverted index — a corpus-wide stop word on a raw token
+        join key funnels ~n² candidate rows through one reducer."""
+        plan = plan_of(spark, sf_dir, "word_jaccard_pairs")
+        assert "slice(" in plan
+
 
 class TestExecutionDiscipline:
     @pytest.mark.parametrize(
