@@ -313,22 +313,43 @@ class SparkCatalog:
     # -- retention enforcement ---------------------------------------------
     def enforce_retention(self, db: str, now_ns: int) -> dict[str, int]:
         """Drop expired data per RP duration — the Spark-side meaning of
-        a retention policy (SURVEY §1.4): a periodic DELETE/partition
-        drop. Returns rows-remaining per table. On a partitioned
-        production table this is a metadata-only partition drop."""
-        results = {}
-        for tbl in self.spark.catalog.listTables(db):
-            full = f"{db}.{tbl.name}"
-            props = self._table_props(full)
-            dur = props.get(f"{RP_PROP_PREFIX}duration", "0s")
-            from syncflux_spark.functions.time import parse_duration
+        a retention policy (SURVEY §1.4; reference: RP duration drives
+        both the copy window and Influx-side expiry,
+        /root/reference/pkg/agent/client.go:24-38). Returns rows
+        DROPPED per table (0 = nothing expired).
 
+        Parquet tables have no in-place DELETE, so expiry is a
+        rewrite: survivors land in a staging table, then overwrite the
+        original (which keeps its RP TBLPROPERTIES), then the staging
+        table is dropped. Tables where nothing expired are detected
+        with one pushed-down count and skipped — the rewrite is only
+        paid when data actually ages out. On a production table
+        partitioned by time bucket this becomes a metadata-only
+        ``ALTER TABLE .. DROP PARTITION`` instead of a rewrite; the
+        staging swap is the layout-agnostic fallback."""
+        from syncflux_spark.functions.time import parse_duration
+
+        results: dict[str, int] = {}
+        for tbl in self.spark.catalog.listTables(db):
+            full = f"`{db}`.`{tbl.name}`"
+            props = self._table_props(f"{db}.{tbl.name}")
+            dur = props.get(f"{RP_PROP_PREFIX}duration", "0s")
             d = parse_duration(dur)
             if d.total_seconds() <= 0:
                 continue  # infinite retention
             cutoff = now_ns - int(d.total_seconds() * 1e9)
-            df = self.spark.table(full).where(f"time_ns >= {cutoff}")
-            results[full] = df.count()
+            expired = self.spark.table(full).where(f"time_ns < {cutoff}").count()
+            results[full.replace("`", "")] = expired
+            if expired == 0:
+                continue
+            staging = f"`{db}`.`{tbl.name}__rp_expire_tmp`"
+            self.spark.sql(f"DROP TABLE IF EXISTS {staging}")
+            self.spark.sql(
+                f"CREATE TABLE {staging} USING PARQUET AS "
+                f"SELECT * FROM {full} WHERE time_ns >= {cutoff}"
+            )
+            self.spark.sql(f"INSERT OVERWRITE TABLE {full} SELECT * FROM {staging}")
+            self.spark.sql(f"DROP TABLE {staging}")
         return results
 
     # -- helpers ------------------------------------------------------------

@@ -99,3 +99,46 @@ class TestReplicateSchema:
         assert kinds["usage"] == "double"
         assert kinds["total"] == "decimal(20,0)"
         assert kinds["time_ns"] == "bigint"
+
+
+class TestRetentionEnforcement:
+    def test_expired_rows_deleted(self, cat, spark, tmp_path):
+        """A table under a finite-duration RP must physically shrink
+        when enforce_retention runs past its cutoff, keep survivors
+        intact, and keep its RP metadata readable afterwards."""
+        rp = RetPol(name="week", duration="168h", default=True)
+        m = MeasurementSch(
+            name="temp", tags=["host"], fields={"v": FieldSch("v", "float")}
+        )
+        cat.create_db("expiry")
+        cat.create_measurement("expiry", rp, m, location=str(tmp_path / "temp"))
+        try:
+            hour_ns = 3_600 * 10**9
+            now_ns = 1_700_000_000 * 10**9
+            rows = [
+                # 3 expired (older than 168h), 2 surviving
+                (now_ns - 200 * hour_ns, "a", 1.0),
+                (now_ns - 180 * hour_ns, "a", 2.0),
+                (now_ns - 169 * hour_ns, "b", 3.0),
+                (now_ns - 100 * hour_ns, "a", 4.0),
+                (now_ns - 1 * hour_ns, "b", 5.0),
+            ]
+            df = spark.createDataFrame(
+                [(t, None, h, v) for t, h, v in rows],
+                "time_ns bigint, ts timestamp, host string, v double",
+            )
+            df.write.insertInto("expiry.week__temp")
+            dropped = cat.enforce_retention("expiry", now_ns)
+            assert dropped["expiry.week__temp"] == 3
+            left = spark.table("expiry.week__temp")
+            assert left.count() == 2
+            assert sorted(r["v"] for r in left.collect()) == [4.0, 5.0]
+            # idempotent: second pass drops nothing (and skips rewrite)
+            assert cat.enforce_retention("expiry", now_ns) == {
+                "expiry.week__temp": 0
+            }
+            # RP metadata survives the overwrite
+            rps = {r.name: r for r in cat.get_retention_policies("expiry")}
+            assert rps["week"].duration == "168h"
+        finally:
+            spark.sql("DROP DATABASE IF EXISTS expiry CASCADE")
