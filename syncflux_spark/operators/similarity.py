@@ -314,13 +314,30 @@ def ivf_topk(
     )
 
 
+def auto_planes(n_rows: int, target_bucket_size: int = 1024) -> int:
+    """Plane count sized to the corpus: 2^planes buckets so the
+    *expected* bucket holds ~``target_bucket_size`` vectors. A fixed
+    plane count is the classic LSH scale trap — 6 planes = 64 buckets
+    means per-bucket |bucket|² work grows as (N/64)², so the
+    "cross product never materializes" claim only holds if planes
+    grow as log2(N). Capped at 24 (16M buckets) — beyond that,
+    bucket-count overhead dominates and n_tables is the better dial."""
+    import math
+
+    if n_rows <= target_bucket_size:
+        return 0  # one bucket == exact all-pairs; fine at this size
+    return min(24, math.ceil(math.log2(n_rows / target_bucket_size)))
+
+
 def near_dup_pairs(
     corpus: DataFrame,
     threshold: float,
-    n_planes: int = 6,
+    n_planes: int | None = None,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_tables: int = 1,
+    target_bucket_size: int = 1024,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate detection over the whole corpus:
     sign-LSH bucket (2^n_planes buckets) → same-bucket self-join →
@@ -328,7 +345,18 @@ def near_dup_pairs(
     only; per-bucket work is |bucket|² — n_planes trades recall
     (Charikar: P[same bucket] = (1 - θ/π)^n_planes) against bucket
     size. Candidates never leave the bucket, so at 100 TB the cross
-    product never materializes.
+    product never materializes — PROVIDED planes scale with the
+    corpus, which is why ``n_planes=None`` (the default) sizes them
+    from a cheap corpus count via :func:`auto_planes` instead of
+    trusting a fixed dial.
+
+    Recall lost to higher plane counts is bought back with
+    ``n_tables`` independent plane sets (same multi-table banding as
+    :func:`lsh_topk`): a pair is a candidate if it shares a bucket in
+    ANY table — P = 1-(1-p)^T — and each extra table adds one struct
+    to a per-row array, not a second corpus scan; pairs matching in
+    several tables are deduplicated before the (expensive) exact
+    cosine so each is scored once.
 
     The tagged projection is eager-persisted: both self-join sides
     scan it, and the bucket bitmap costs n_planes×dim multiply-adds
@@ -337,25 +365,50 @@ def near_dup_pairs(
     where caching the much wider array column lost)."""
     from syncflux_spark.utils import eager_persist
 
+    if n_planes is None:
+        n_planes = auto_planes(corpus.count(), target_bucket_size)
+    if n_planes == 0:
+        n_tables = 1  # all tables would be the same single bucket
+    tables = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                sign_lsh_bucket(vec_col, n_planes, dim, t * n_planes).alias("bk"),
+            )
+            for t in range(n_tables)
+        ]
+    )
     tagged = eager_persist(
         corpus.select(
             F.col(id_col),
             as_double(vec_col).alias("v"),
             norm(vec_col).alias("n"),
-            sign_lsh_bucket(vec_col, n_planes, dim).alias("bk"),
-        )
+            F.explode(tables).alias("tb"),
+        ).select(F.col(id_col), "v", "n", "tb.tbl", "tb.bk")
     )
     a, c = tagged.alias("a"), tagged.alias("b")
-    return (
+    pairs = (
         a.join(
             c,
-            (F.col("a.bk") == F.col("b.bk"))
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bk") == F.col("b.bk"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            (dot("a.v", "b.v", dim) / (F.col("a.n") * F.col("b.n"))).alias("cos_sim"),
+            F.col("a.v").alias("va"),
+            F.col("a.n").alias("na"),
+            F.col("b.v").alias("vb"),
+            F.col("b.n").alias("nb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            (dot("va", "vb", dim) / (F.col("na") * F.col("nb"))).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= threshold)
     )

@@ -80,3 +80,73 @@ def test_ivf_more_probes_more_recall(spark, emb, truth):
     r8 = _recall(ivf_topk(emb, q, k=K, n_centroids=16, nprobe=8), truth)
     assert r8 >= r2
     assert r8 >= 0.7, f"nprobe=8 recall too low: {r8:.2f}"
+
+
+class TestNearDupAutoPlanes:
+    """near_dup_pairs' auto-sized planes: the 100 TB guard is that
+    bucket granularity GROWS with the corpus instead of a fixed 64
+    buckets whose per-bucket n² work scales as (N/64)²."""
+
+    def test_auto_planes_formula(self):
+        from syncflux_spark.operators.similarity import auto_planes
+
+        assert auto_planes(500, target_bucket_size=1024) == 0
+        assert auto_planes(2048, target_bucket_size=1024) == 1
+        assert auto_planes(1 << 20, target_bucket_size=1024) == 10
+        # 100 TB regime stays capped where n_tables takes over
+        assert auto_planes(10**12, target_bucket_size=1024) == 24
+
+    def test_bounded_buckets_on_skewed_corpus(self, spark):
+        """A half-space-biased (sign-skewed) corpus must still split:
+        with auto-sized planes the largest bucket stays within a small
+        multiple of the target, instead of one bucket swallowing the
+        corpus."""
+        from syncflux_spark.operators.similarity import (
+            auto_planes,
+            sign_lsh_bucket,
+        )
+
+        n, dim, target = 4096, 16, 64
+        # deterministic skew: every component positive-leaning
+        rows = spark.range(n).select(
+            F.col("id").alias("vec_id"),
+            F.array(
+                *[
+                    (
+                        F.pmod(F.xxhash64(F.col("id"), F.lit(d)), F.lit(1000))
+                        / 1000.0
+                        - 0.25
+                    ).cast("double")
+                    for d in range(dim)
+                ]
+            ).alias("embedding"),
+        )
+        p = auto_planes(n, target_bucket_size=target)
+        assert p == 6
+        sizes = (
+            rows.select(sign_lsh_bucket("embedding", p, dim).alias("bk"))
+            .groupBy("bk")
+            .count()
+        )
+        max_bucket = sizes.agg(F.max("count")).collect()[0][0]
+        assert max_bucket <= 8 * target, (
+            f"largest bucket {max_bucket} vs target {target}: skewed corpus "
+            "defeated the plane split"
+        )
+
+    def test_more_tables_superset_pairs(self, spark, emb):
+        """Multi-table banding only ADDS candidate pairs (recall dial):
+        every pair found with 1 table must appear with 2 tables."""
+        from syncflux_spark.operators.similarity import near_dup_pairs
+
+        def pairs(t):
+            return {
+                (r.id_a, r.id_b)
+                for r in near_dup_pairs(
+                    emb, threshold=0.3, n_planes=4, dim=64, n_tables=t
+                ).collect()
+            }
+
+        p1, p2 = pairs(1), pairs(2)
+        assert p1 <= p2
+        assert len(p2) > len(p1)  # the second plane set finds new pairs
