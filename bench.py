@@ -4,9 +4,13 @@
 ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is timed end-to-end (plan + execute + collect to count).
-A warmup query first absorbs JVM/codegen startup so numbers reflect
-steady-state execution, which is what scales to the cluster.
+Each query is timed end-to-end through a noop write sink, which
+executes the FULL plan — every projection is computed and every row
+produced. Timing `.count()` instead would let Catalyst prune
+unreferenced projections, under-measuring projection-heavy queries
+(scan ranges, codec roundtrips). A warmup query first absorbs
+JVM/codegen startup so numbers reflect steady-state execution, which
+is what scales to the cluster.
 """
 
 from __future__ import annotations
@@ -36,7 +40,9 @@ HEADLINE = [
     "q13_customer_distribution",
     "q18_large_orders",
     "q2_min_cost_supplier",
+    "q12_priority_shipping",
     "q16_supplier_counts",
+    "q21_waiting_suppliers",
     "revenue_rollup_region",
     "revenue_cube_flags",
     "supplier_rank_in_nation",
@@ -57,6 +63,9 @@ HEADLINE = [
 
 
 def main() -> int:
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
     from syncflux_spark import queries as q
     from syncflux_spark.session import get_spark
 
@@ -79,10 +88,19 @@ def main() -> int:
             # (LSH bands, shingle sets) must re-earn them — we measure
             # the query, not a leftover cache hit
             spark.catalog.clearCache()
+            obs = Observation()
             t0 = time.monotonic()
             df = fn(spark, SF_DIR)
-            n = df.count()
+            # noop sink: the FULL plan executes (every projection paid,
+            # unlike count(), which lets Catalyst prune them), nothing
+            # is collected to the driver or written to disk; the
+            # observation rides the same pass, so the row count costs
+            # no extra execution
+            df.observe(obs, F.count(F.lit(1)).alias("n")).write.format(
+                "noop"
+            ).mode("overwrite").save()
             best = min(best, time.monotonic() - t0)
+            n = obs.get["n"]
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
 

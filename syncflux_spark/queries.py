@@ -2594,6 +2594,114 @@ def q11_important_parts(spark, sf):
 
 
 @register(
+    "q12_priority_shipping",
+    """
+    SELECT l_returnflag AS ship_class,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_returnflag IN ('A', 'R')
+      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_returnflag
+    """,
+)
+def q12_priority_shipping(spark, sf):
+    """TPC-H Q12 shape (shipmode → returnflag: the fixture carries no
+    l_shipmode/l_commitdate/l_receiptdate, so the mode classes are the
+    A/R return flags and the date window rides l_shipdate): per class,
+    how many lines belong to critical- vs normal-priority orders. One
+    fact-fact join pruned to two columns a side, then a two-key CASE
+    aggregate — partial agg collapses to ≤2 rows per map task before
+    the shuffle."""
+    li = load_table(spark, sf, "lineitem").where(
+        F.col("l_returnflag").isin("A", "R")
+        & (F.col("l_shipdate") >= "1996-01-01 00:00:00")
+        & (F.col("l_shipdate") < "1997-01-01 00:00:00")
+    )
+    o = load_table(spark, sf, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("l_returnflag").alias("ship_class"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q21_waiting_suppliers",
+    """
+    WITH late AS (
+      SELECT l_orderkey, l_suppkey
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE o_orderstatus = 'F'
+        AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM late l1
+    JOIN supplier ON s_suppkey = l1.l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    WHERE n_name = 'NATION_3'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM late l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey)
+    GROUP BY s_name
+    """,
+)
+def q21_waiting_suppliers(spark, sf):
+    """TPC-H Q21 (waiting suppliers; "late" adapted to shipping >90
+    days after the order date — the fixture has no commit/receipt
+    dates): suppliers in one nation who were the ONLY late supplier on
+    a finalized multi-supplier order. The double correlation
+    decorrelates to one left-semi (another supplier exists on the
+    order) and one left-anti (no OTHER supplier was late) on the late
+    set — never a correlated re-scan per row. The late set feeds both
+    its own rows and the anti side, so it is eager-persisted; the
+    supplier/nation dims broadcast."""
+    from syncflux_spark.utils import eager_persist
+
+    li = load_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = (
+        load_table(spark, sf, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    late = eager_persist(
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    l2 = li.select(F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2"))
+    l3 = late.select(F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3"))
+    l1 = late.join(
+        l2,
+        (F.col("l_orderkey") == F.col("o2")) & (F.col("l_suppkey") != F.col("s2")),
+        "left_semi",
+    ).join(
+        l3,
+        (F.col("l_orderkey") == F.col("o3")) & (F.col("l_suppkey") != F.col("s3")),
+        "left_anti",
+    )
+    s = load_table(spark, sf, "supplier")
+    n = load_table(spark, sf, "nation").where(F.col("n_name") == "NATION_3")
+    return (
+        l1.join(F.broadcast(s), l1.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@register(
     "q16_supplier_counts",
     """
     SELECT p_brand, p_type, p_size,

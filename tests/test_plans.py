@@ -67,6 +67,13 @@ class TestJoinStrategy:
         plan = plan_of(spark, sf_dir, "q20_excess_suppliers")
         assert "LeftSemi" in plan
 
+    def test_q21_decorrelates_to_semi_and_anti(self, spark, sf_dir):
+        """Q21's EXISTS/NOT-EXISTS double correlation must plan as one
+        left-semi plus one left-anti join — a correlated re-scan per
+        outer row is the classic decorrelation failure."""
+        plan = plan_of(spark, sf_dir, "q21_waiting_suppliers")
+        assert "LeftSemi" in plan and "LeftAnti" in plan
+
     def test_word_jaccard_joins_on_prefix_not_all_tokens(self, spark, sf_dir):
         """The word-Jaccard self-join must go through the prefix-filter
         stage (slice of the rare-first sorted token array), never the
