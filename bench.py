@@ -54,6 +54,7 @@ HEADLINE = [
     "dedup_exact",
     "lsh_candidate_pairs",
     "ngram_jaccard_pairs",
+    "simhash_near_pairs",
     "token_stats",
     "lang_detect",
     "knn_topk",

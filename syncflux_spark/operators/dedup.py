@@ -362,6 +362,70 @@ def word_jaccard_all_pairs(
     return out
 
 
+def simhash_near_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bits: int = 16,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-duplicate PAIRS within Hamming distance
+    ``max_hamming`` — the search operator that turns the fingerprint
+    column into a dedup primitive.
+
+    Bucketing is exact, not probabilistic: the fingerprint splits into
+    ``max_hamming + 1`` disjoint bit bands, and by pigeonhole two
+    fingerprints differing in ≤ max_hamming bits agree on at least one
+    whole band — so a self-join on (band_id, band_bits) finds EVERY
+    qualifying pair (100% recall), and the cheap
+    ``bit_count(a XOR b) <= k`` verify discards band-collision false
+    positives. One shuffle on the band key; per-bucket work is
+    |bucket|², bounded by 2^band_width granularity — at larger corpora
+    raise n_bits (wider fingerprint, finer bands) exactly like the
+    MinHash banding above."""
+    from syncflux_spark.functions.vectors import simhash_bits
+
+    fp = spread_for_cpu(df).select(
+        F.col(id_col), simhash_bits(words(text_col), n_bits).alias("simhash")
+    )
+    n_bands = max_hamming + 1
+    bounds = [i * n_bits // n_bands for i in range(n_bands + 1)]
+    band_structs = []
+    for b in range(n_bands):
+        lo, width = bounds[b], bounds[b + 1] - bounds[b]
+        band_structs.append(
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.shiftright("simhash", lo)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("band_bits"),
+            )
+        )
+    banded = eager_persist(
+        fp.select(
+            F.col(id_col), "simhash", F.explode(F.array(*band_structs)).alias("bd")
+        ).select(F.col(id_col), "simhash", "bd.band_id", "bd.band_bits")
+    )  # both self-join sides scan it
+    a, b_ = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b_,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_bits") == F.col("b.band_bits"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+            .cast("long")
+            .alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
 def duplicate_components(
     df: DataFrame,
     text_col: str = "text",

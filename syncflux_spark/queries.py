@@ -1020,6 +1020,31 @@ def simhash_fingerprint(spark, sf):
     )
 
 
+@register(
+    "simhash_near_pairs",
+    f"""
+    WITH fp AS ({_sql_simhash()}),
+    bands AS (
+      SELECT doc_id, simhash, b.band_id,
+             (simhash >> (band_id * 4)) & 15 AS band_bits
+      FROM fp, (VALUES (0), (1), (2), (3)) AS b(band_id))
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.band_bits = b.band_bits
+     AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def simhash_near_pairs(spark, sf):
+    """Hamming-≤3 SimHash pairs via pigeonhole band buckets (4 bands ×
+    4 bits: ≤3 differing bits ⇒ some band identical → exact recall),
+    verified by bit_count(a XOR b)
+    (operators/dedup.py::simhash_near_pairs)."""
+    docs = load_table(spark, sf, "documents")
+    return dd.simhash_near_pairs(docs, max_hamming=3)
+
+
 #: transitive closure of the verified near-dup graph — DuckDB computes
 #: it with a recursive CTE; Spark with iterative label propagation
 _COMPONENTS_SQL_TEMPLATE = """

@@ -150,3 +150,33 @@ class TestNearDupAutoPlanes:
         p1, p2 = pairs(1), pairs(2)
         assert p1 <= p2
         assert len(p2) > len(p1)  # the second plane set finds new pairs
+
+
+def test_simhash_band_search_is_exact(spark, sf_dir):
+    """The pigeonhole banding claims 100% recall: pairs found via the
+    (band_id, band_bits) self-join must EQUAL the brute-force
+    all-pairs Hamming filter — not approximate it."""
+    from syncflux_spark.functions.text import words
+    from syncflux_spark.functions.vectors import simhash_bits
+    from syncflux_spark.operators.dedup import simhash_near_pairs
+    from syncflux_spark.sources.parquet import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    banded = {
+        (r.id_a, r.id_b)
+        for r in simhash_near_pairs(docs, max_hamming=3).collect()
+    }
+    fp = docs.select("doc_id", simhash_bits(words("text"), 16).alias("sh"))
+    a, b = fp.alias("a"), fp.alias("b")
+    brute = {
+        (r.id_a, r.id_b)
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))).alias("h"),
+        )
+        .where(F.col("h") <= 3)
+        .collect()
+    }
+    assert banded == brute and len(brute) > 0
