@@ -121,7 +121,8 @@ def action_copy(
     discover measurements by regex, chunk-sync the window."""
     ms = discover_measurements(spark, src_root, meas_filter)
     return sync_dbrp(
-        spark, ms, dst_root, start, end, chunk=chunk, num_workers=num_workers
+        spark, ms, dst_root, start, end, chunk=chunk, num_workers=num_workers,
+        src_label=src_root,
     )
 
 

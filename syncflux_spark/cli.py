@@ -14,6 +14,16 @@ Time flags accept the reference's grammar (X3 parseInputTime,
 pkg/util.go:9-28): integer epoch-seconds, ``-1h``-style relative
 durations, or RFC3339. Defaults: start=now-24h, end=now
 (main.go:47-49). Durations accept Go syntax (``5m``, ``8760h``).
+
+``-config FILE`` loads a reference-format TOML config
+(syncflux_spark.config); precedence is explicit flags > config file >
+built-in defaults, matching main.go's viper wiring. ``-master-db`` /
+``-slave-db`` select [[influxdb]] entries whose ``location`` becomes
+src/dst root (the reference spells these flags -master/-slave;
+``-master`` here is the Spark master URL, so the *-db suffix
+disambiguates). ``-version`` prints the version and exits; ``-pidfile``
+writes the PID (main.go:55-75); ``-logmode``/``-logs`` are accepted
+for surface parity.
 """
 
 from __future__ import annotations
@@ -29,8 +39,19 @@ def build_parser() -> argparse.ArgumentParser:
         prog="syncflux_spark", description="PySpark-native syncflux engine"
     )
     # single-dash long flags, matching the Go CLI surface (main.go:77-119)
-    p.add_argument("-action", required=True,
+    p.add_argument("-action", default=None,
                    choices=["copy", "replicaschema", "fullcopy", "hamonitor"])
+    p.add_argument("-config", default=None, help="TOML config file")
+    p.add_argument("-version", action="store_true",
+                   help="display the version and exit")
+    p.add_argument("-master-db", dest="master_db", default="",
+                   help="config [[influxdb]] entry to read from")
+    p.add_argument("-slave-db", dest="slave_db", default="",
+                   help="config [[influxdb]] entry to write to")
+    p.add_argument("-pidfile", default="", help="path to pid file")
+    p.add_argument("-logmode", default="console",
+                   help="log mode [console/file]")
+    p.add_argument("-logs", default="./log", help="log directory")
     p.add_argument("-src-root", dest="src_root", default=None,
                    help="source warehouse dir of {measurement}.parquet")
     p.add_argument("-dst-root", dest="dst_root", default=None,
@@ -64,8 +85,61 @@ def _window(args) -> tuple[datetime, datetime]:
     return parse_input_time(args.start, now=now), parse_input_time(args.end, now=now)
 
 
+def _apply_config(parser: argparse.ArgumentParser, args) -> None:
+    """Fill flag values from the config file wherever the user kept the
+    built-in default — explicit flags win, file beats defaults (the
+    reference's flag/viper precedence, main.go:121-170)."""
+    from syncflux_spark.config import load_config
+
+    cfg = load_config(args.config)
+    g = cfg.general
+
+    def fill(attr: str, value) -> None:
+        if value in ("", None):
+            return
+        if getattr(args, attr) == parser.get_default(attr):
+            setattr(args, attr, value)
+
+    fill("chunk", g.data_chunk_duration)
+    fill("num_workers", g.num_workers)
+    fill("check_interval", g.check_interval)
+    fill("max_retention", g.max_retention_interval)
+    fill("master_db", g.master_db)
+    fill("slave_db", g.slave_db)
+    fill("http_port", cfg.http.port)
+    # warehouse roots resolve through the (possibly flag-overridden)
+    # entry names
+    src = cfg.warehouse(args.master_db)
+    dst = cfg.warehouse(args.slave_db)
+    if src:
+        fill("src_root", src.location)
+    if dst:
+        fill("dst_root", dst.location)
+
+
+def _write_pidfile(path: str) -> None:
+    """main.go:55-75: ensure the directory, write our PID."""
+    import os
+
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "w") as fh:
+        fh.write(str(os.getpid()))
+
+
 def main(argv: list[str] | None = None) -> int:
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    if args.version:
+        from syncflux_spark import __version__
+
+        print(f"syncflux_spark v{__version__}")
+        return 0
+    if args.action is None:
+        parser.error("-action is required (or use -version)")
+    if args.config:
+        _apply_config(parser, args)
+    if args.pidfile:
+        _write_pidfile(args.pidfile)
     from pyspark.sql import SparkSession
 
     from syncflux_spark.session import get_spark

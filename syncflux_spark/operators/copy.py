@@ -184,6 +184,7 @@ def sync(
     rw_max_retries: int = 5,
     rw_retry_delay: float = 0.0,
     fail_injector=None,
+    src_label: str = "src",
 ) -> SyncReport:
     """C1 ``Sync`` (pkg/agent/sync.go:95-213).
 
@@ -200,7 +201,7 @@ def sync(
     failed read/write (test hook for recovery semantics, §5.3 tests).
     """
     windows = chunk_windows(start, end, chunk, max_retention)
-    report = SyncReport(src="src", dst=dst_root, start=start, end=end)
+    report = SyncReport(src=src_label, dst=dst_root, start=start, end=end)
     total = len(windows)
 
     for i, (s, e) in enumerate(windows):

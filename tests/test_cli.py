@@ -74,3 +74,93 @@ def test_hamonitor_once(spark, sf_dir, tmp_path):
     )
     st = mon.check_once()
     assert st.master_state and st.slave_state
+
+
+def test_version_flag(capsys):
+    rc = main(["-version"])
+    assert rc == 0
+    assert capsys.readouterr().out.startswith("syncflux_spark v")
+
+
+def test_config_file_defaults_and_flag_precedence(tmp_path):
+    """Config fills unset flags (reference key names, including the
+    sample file's data-chuck-duration spelling); explicit flags win."""
+    from syncflux_spark.cli import _apply_config, build_parser
+    from syncflux_spark.config import load_config
+
+    conf = tmp_path / "syncflux.toml"
+    conf.write_text(
+        """
+[General]
+ master-db = "wh01"
+ slave-db = "wh02"
+ data-chuck-duration = "2m"
+ num-workers = 7
+ check-interval = "30s"
+
+[http]
+ bind-addr = "127.0.0.1:9999"
+
+[[influxdb]]
+ name = "wh01"
+ location = "/data/src"
+
+[[influxdb]]
+ name = "wh02"
+ location = "/data/dst"
+"""
+    )
+    cfg = load_config(str(conf))
+    assert cfg.general.data_chunk_duration == "2m"
+    assert cfg.master_location == "/data/src"
+    assert cfg.http.port == 9999
+
+    parser = build_parser()
+    args = parser.parse_args(["-action", "copy", "-config", str(conf)])
+    _apply_config(parser, args)
+    assert args.chunk == "2m" and args.num_workers == 7
+    assert args.check_interval == "30s" and args.http_port == 9999
+    assert args.src_root == "/data/src" and args.dst_root == "/data/dst"
+
+    # explicit flags beat the file
+    args2 = parser.parse_args(
+        ["-action", "copy", "-config", str(conf), "-chunk", "9m",
+         "-src-root", "/elsewhere"]
+    )
+    _apply_config(parser, args2)
+    assert args2.chunk == "9m" and args2.src_root == "/elsewhere"
+    assert args2.dst_root == "/data/dst"
+
+
+def test_config_driven_copy_end_to_end(spark, sf_dir, tmp_path, capsys):
+    """The reference workflow: everything from the config file, only
+    the action and window on the command line."""
+    dst = tmp_path / "dst"
+    conf = tmp_path / "syncflux.toml"
+    conf.write_text(
+        f"""
+[General]
+ master-db = "src"
+ slave-db = "dst"
+ data-chunk-duration = "240h"
+ num-workers = 2
+
+[[influxdb]]
+ name = "src"
+ location = "{sf_dir}"
+
+[[influxdb]]
+ name = "dst"
+ location = "{dst}"
+"""
+    )
+    rc = main(
+        ["-action", "copy", "-config", str(conf), "-meas", "^events$",
+         "-start", "2024-01-01T00:00:00+00:00",
+         "-end", "2024-02-01T00:00:00+00:00",
+         "-pidfile", str(tmp_path / "pid" / "syncflux.pid")]
+    )
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["points"] > 0 and not rep["bad_chunks"]
+    assert (tmp_path / "pid" / "syncflux.pid").read_text().isdigit()
