@@ -33,6 +33,17 @@ US_PER_SEC = 1_000_000
 # ---------------------------------------------------------------------------
 
 
+def ns_to_us(col: Column | str) -> Column:
+    """THE ns-epoch → µs-epoch conversion (int64 → int64, truncating
+    toward zero like SQL ``div``). Every ns→µs path in the engine —
+    X1 below and the source loaders — rides this one helper so two
+    formulations can never drift apart. Integer ``div`` (not ``/``):
+    ns epochs (~1.7e18) exceed double's 53-bit mantissa, so float
+    division corrupts the low microsecond."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.call_function("div", c, F.lit(1000))
+
+
 def unixnano_to_ts(col: Column | str) -> Column:
     """X1: int64 ns-epoch → TimestampType (µs precision).
 
@@ -40,11 +51,9 @@ def unixnano_to_ts(col: Column | str) -> Column:
     (pkg/agent/client.go:312-316). Spark keeps µs, so the sub-µs part
     truncates; keep the original long column when ns fidelity matters.
     ``timestamp_micros`` is a JVM intrinsic — whole-stage codegen, no
-    UDF. Integer `div` (not `/`): ns epochs exceed double's mantissa,
-    so float division corrupts the low microsecond.
+    UDF.
     """
-    c = F.col(col) if isinstance(col, str) else col
-    return F.timestamp_micros((c.cast("decimal(20,0)") / 1000).cast("long"))
+    return F.timestamp_micros(ns_to_us(col))
 
 
 def str_unixnano_to_ts(col: Column | str) -> Column:

@@ -209,27 +209,78 @@ def lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def seed_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic seed centroids (``id < n_centroids``) — the
+    oracle-reproducible choice; quantization quality is whatever the
+    first rows happen to be. Schema: (cid, centv, centn)."""
+    return corpus.where(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cid"),
+        as_double(vec_col).alias("centv"),
+        norm(vec_col).alias("centn"),
+    )
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+    max_iter: int = 20,
+) -> DataFrame:
+    """k-means|| centroids (pyspark.ml KMeans, Bahmani et al. '12) —
+    the production IVF path at 100 TB: the parallel init + Lloyd
+    rounds run as distributed Spark jobs, and the resulting quantizer
+    actually adapts to the data distribution, so inverted lists are
+    balanced instead of inheriting whatever the first
+    ``n_centroids`` rows looked like. Deterministic for a fixed seed
+    within Spark, but NOT reproducible in a SQL oracle — IVF queries
+    built on these centroids get the weaker rows-only gate, with
+    recall gated by tests/test_ann_quality.py instead. Same
+    (cid, centv, centn) schema as :func:`seed_centroids`, so every
+    downstream assignment/probe plan is unchanged."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = corpus.select(array_to_vector(as_double(vec_col)).alias("features"))
+    model = KMeans(
+        k=n_centroids, seed=seed, maxIter=max_iter, initMode="k-means||"
+    ).fit(feats)
+    spark = corpus.sparkSession
+    rows = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    cents = spark.createDataFrame(rows, "cid int, centv array<double>")
+    return cents.select("cid", "centv", norm("centv").alias("centn"))
+
+
 def ivf_assign(
     corpus: DataFrame,
     n_centroids: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF coarse quantization: assign every corpus vector to its
     nearest centroid by cosine (ties → lowest centroid id). Returns
     (id, vector, cluster_id).
 
-    Centroids here are the deterministic seed set ``id < n_centroids``
-    so the oracle can reproduce the partition exactly; at production
-    scale you'd swap in k-means|| centroids (pyspark.ml KMeans) — the
-    assignment/probe plumbing below is identical either way. The
-    centroid table broadcasts (it is tiny by construction), so
-    assignment is a map-only pass over the corpus: no shuffle."""
-    cents = corpus.where(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("cid"),
-        as_double(vec_col).alias("centv"),
-        norm(vec_col).alias("centn"),
+    ``centroids`` accepts any (cid, centv, centn) table —
+    :func:`seed_centroids` (default: oracle-reproducible) or
+    :func:`kmeans_centroids` (production) — the assignment plumbing is
+    identical either way. The centroid table broadcasts (it is tiny
+    by construction), so assignment is a map-only pass over the
+    corpus: no shuffle."""
+    cents = (
+        centroids
+        if centroids is not None
+        else seed_centroids(corpus, n_centroids, id_col, vec_col)
     )
     rows = corpus.select(
         F.col(id_col),
@@ -262,21 +313,23 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: each query probes its ``nprobe`` nearest
     centroids and scans only those inverted lists. Candidate work
     drops ~nprobe/n_centroids vs brute force; the candidate join
     shuffles on cluster id, which is the scale axis (raise
     n_centroids to shrink lists and widen parallelism; at 100 TB,
-    n_centroids ~ sqrt(N) per the FAISS IVF rule of thumb).
+    n_centroids ~ sqrt(N) per the FAISS IVF rule of thumb, built with
+    :func:`kmeans_centroids` and passed via ``centroids``).
     Output: (query_id, neighbor_id, cos_sim, rank) like
     :func:`brute_force_topk` — recall < 1 by design."""
-    assigned = ivf_assign(corpus, n_centroids, id_col, vec_col, dim)
-    cents = corpus.where(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("cid"),
-        as_double(vec_col).alias("centv"),
-        norm(vec_col).alias("centn"),
+    cents = (
+        centroids
+        if centroids is not None
+        else seed_centroids(corpus, n_centroids, id_col, vec_col)
     )
+    assigned = ivf_assign(corpus, n_centroids, id_col, vec_col, dim, cents)
     from pyspark.sql import Window
 
     pw = Window.partitionBy("query_id").orderBy(F.desc("_cs"), F.asc("cid"))

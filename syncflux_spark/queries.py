@@ -1800,6 +1800,32 @@ def ivf_topk(spark, sf):
     return out.withColumn("rank", F.col("rank").cast("int"))
 
 
+@register("ivf_topk_kmeans", None)  # k-means|| is not SQL-reproducible
+def ivf_topk_kmeans(spark, sf):
+    """IVF top-5 over k-means|| centroids — the production quantizer
+    (operators/similarity.py::kmeans_centroids): distributed init +
+    Lloyd rounds adapt the partition to the data, balancing inverted
+    lists. Deterministic under the fixed seed but not expressible as a
+    DuckDB oracle → rows-only gate here; recall vs exact search is
+    gated in tests/test_ann_quality.py."""
+    from syncflux_spark.operators.similarity import (
+        ivf_topk as _ivf,
+        kmeans_centroids,
+    )
+
+    emb = load_table(spark, sf, "embeddings")
+    cents = kmeans_centroids(emb, n_centroids=16)
+    out = _ivf(
+        emb,
+        emb.where(F.col("vec_id") < 10),
+        k=5,
+        n_centroids=16,
+        nprobe=4,
+        centroids=cents,
+    )
+    return out.withColumn("rank", F.col("rank").cast("int"))
+
+
 def _sql_sign_bucket(
     vec: str, n_planes: int, dim: int, plane_offset: int = 0
 ) -> str:

@@ -22,6 +22,8 @@ import pyarrow.parquet as pq
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from syncflux_spark.functions.time import unixnano_to_ts
+
 #: Every table the driver materializes (TESTDATA.md).
 TABLES = (
     "region",
@@ -82,9 +84,7 @@ def load_table(
     for col in _ns_timestamp_cols(path):
         if keep_ns:
             df = df.withColumn(f"{col}_ns", F.col(col))
-        # integer `div`, not `/`: ns epochs (~1.7e18) exceed double's
-        # 53-bit mantissa, so float division is off by ±1 µs
-        df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+        df = df.withColumn(col, unixnano_to_ts(col))
     return df
 
 
