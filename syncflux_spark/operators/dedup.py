@@ -426,38 +426,46 @@ def simhash_near_pairs(
     )
 
 
-def duplicate_components(
-    df: DataFrame,
-    text_col: str = "text",
+def connected_components(
+    nodes: DataFrame,
+    pairs: DataFrame,
     id_col: str = "doc_id",
-    threshold: float = 0.5,
     max_iter: int = 20,
 ) -> DataFrame:
-    """Connected components over the verified near-dup graph: every
-    document labeled with the min doc id reachable through Jaccard ≥
-    threshold edges — the transitive closure that turns pairwise
-    near-dups into dedup GROUPS (pairs alone under-merge: A~B, B~C
-    must collapse to one keep-document even when A~C is below
-    threshold).
+    """Connected components over an arbitrary undirected pair graph:
+    every node labeled with the min node id reachable through edges —
+    the transitive closure that turns pairwise matches into GROUPS
+    (pairs alone under-merge: A~B, B~C must collapse to one group
+    even when A~C has no direct edge). ``nodes``: one column
+    ``id_col``; ``pairs``: (id_a, id_b).
 
     Iterative min-label propagation (the Pregel/GraphX pattern,
     driver-coordinated like any Spark iterative algorithm): each round
     every node takes the min of its own label and its neighbors';
     converges in O(component diameter) rounds, which for near-dup
-    clusters is tiny. Each round is one shuffle on the edge list;
-    labels are eager-persisted per round and the previous round
-    unpersisted so lineage and memory stay bounded.
+    clusters is tiny. Each round is one shuffle on the edge list.
+
+    Edges and per-round labels go through ``localCheckpoint`` (eager),
+    NOT ``persist``: ``labels`` feeds two plan branches per round
+    (neighbor-min and the least/coalesce merge), so with persist-only
+    the LOGICAL plan doubles every round even though the data is
+    cached — 2^rounds × the edge plan's size. With a candidate
+    generator whose leaves carry big literal trees (sign-LSH
+    hyperplane arrays) that reached Spark's 2 GB plan-string cap and
+    OOMed the driver around round 10. Checkpointing truncates lineage
+    to the materialized RDD, keeping every round's plan O(1). (On a
+    cluster, executor loss invalidates localCheckpoint data — for a
+    long-running production job set a checkpoint dir and swap in
+    ``checkpoint``; the loop is unchanged.)
     """
-    edges = eager_persist(
-        ngram_jaccard_pairs(df, text_col, id_col, threshold=threshold).select(
-            "id_a", "id_b"
-        )
-    )
+    edges = pairs.select("id_a", "id_b").localCheckpoint()
     sym = edges.union(
         edges.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
     )
-    labels = eager_persist(
-        df.select(F.col(id_col)).withColumn("component", F.col(id_col))
+    labels = (
+        nodes.select(F.col(id_col))
+        .withColumn("component", F.col(id_col))
+        .localCheckpoint()
     )
     for _ in range(max_iter):
         nbr = (
@@ -465,13 +473,15 @@ def duplicate_components(
             .groupBy(F.col("id_b").alias(id_col))
             .agg(F.min("component").alias("nbr_min"))
         )
-        new_labels = eager_persist(
-            labels.join(nbr, on=id_col, how="left").select(
+        new_labels = (
+            labels.join(nbr, on=id_col, how="left")
+            .select(
                 F.col(id_col),
                 F.least(
                     "component", F.coalesce("nbr_min", "component")
                 ).alias("component"),
             )
+            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
@@ -479,7 +489,6 @@ def duplicate_components(
             .where(F.col("n.component") != F.col("o.component"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
@@ -491,10 +500,52 @@ def duplicate_components(
         import warnings
 
         warnings.warn(
-            f"duplicate_components did not converge in {max_iter} rounds "
+            f"connected_components did not converge in {max_iter} rounds "
             f"({changed} labels still changing); increase max_iter",
             RuntimeWarning,
             stacklevel=2,
         )
-    edges.unpersist()
     return labels
+
+
+def duplicate_components(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Dedup GROUPS over the verified text near-dup graph: connected
+    components of :func:`ngram_jaccard_pairs` edges (see
+    :func:`connected_components` for the propagation pattern)."""
+    pairs = ngram_jaccard_pairs(df, text_col, id_col, threshold=threshold)
+    return connected_components(
+        df.select(F.col(id_col)), pairs, id_col, max_iter
+    )
+
+
+def embedding_components(
+    corpus: DataFrame,
+    threshold: float = 0.3,
+    n_planes: int | None = None,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_iter: int = 20,
+) -> DataFrame:
+    """SEMANTIC dedup groups: connected components over the
+    embedding-cosine near-dup graph
+    (operators/similarity.py::near_dup_pairs edges with cosine ≥
+    threshold) — the "keep one per meaning cluster" primitive of an
+    LLM training pipeline, complementing the lexical
+    :func:`duplicate_components`. Same label propagation, same
+    scale shape: bucketed candidate generation, then O(diameter)
+    rounds of one shuffle each."""
+    from syncflux_spark.operators.similarity import near_dup_pairs
+
+    pairs = near_dup_pairs(
+        corpus, threshold, n_planes, dim, id_col=id_col, vec_col=vec_col
+    )
+    return connected_components(
+        corpus.select(F.col(id_col)), pairs, id_col, max_iter
+    )

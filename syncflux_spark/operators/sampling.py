@@ -1,0 +1,116 @@
+"""Deterministic sampling & dataset splits for training pipelines.
+
+A 100 TB corpus can't use ``df.sample`` for train/val/test assignment:
+Spark's sampler is seeded per-partition, so adding files, changing
+partitioning, or re-running on a different cluster reshuffles which
+rows land where — silently leaking held-out documents into training.
+The primitives here derive the assignment from a **content hash of the
+row's id plus a salt**, so a document's split is a pure function of
+its identity: stable across runs, engines, partitionings, and
+incremental corpus growth (new docs don't move old ones).
+
+Mechanics: ``md5(id || salt)`` is uniform; its first 4 hex chars give
+a 16-bit bucket compared AS A STRING against precomputed hex
+thresholds (fixed-width lowercase hex compares lexicographically ==
+numerically, the same trick as the MinHash lanes in operators/dedup.py
+— and the only formulation both Spark and a SQL oracle reproduce
+bit-for-bit without integer-parsing builtins). Granularity is
+1/65536 ≈ 0.0015%; fractions round down to it.
+
+Everything is a pure column expression — no shuffle, no UDF; the
+assignment rides whatever scan produces the rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_BUCKETS = 1 << 16  # 4 hex chars
+
+
+def _hex_threshold(fraction: float) -> str:
+    """Cumulative fraction → 4-hex-char upper bound (floor)."""
+    n = min(_BUCKETS, max(0, int(fraction * _BUCKETS)))
+    return format(n, "04x")
+
+
+def _bucket(id_col: str, salt: str) -> Column:
+    return F.substring(
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 4
+    )
+
+
+def split_thresholds(fractions: dict[str, float]) -> list[tuple[str, str]]:
+    """[(split_name, cumulative-upper-bound-hex)] in declaration order;
+    the last split absorbs the rounding remainder. Shared by the Spark
+    operator and SQL-oracle generation so both use identical bounds."""
+    total = sum(fractions.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    out, cum = [], 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        cum += fractions[name]
+        out.append((name, _hex_threshold(cum)))
+    out.append((names[-1], "ffff~"))  # "~" > any hex char: catch-all
+    return out
+
+
+def split_assign(
+    df: DataFrame,
+    fractions: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    salt: str = "split-v1",
+) -> DataFrame:
+    """Append a ``split`` column assigning each row to train/val/test
+    (or any named fractions) by salted content hash. Change ``salt``
+    to draw a fresh independent assignment; keep it fixed to keep the
+    split stable forever."""
+    fractions = fractions or {"train": 0.9, "val": 0.05, "test": 0.05}
+    b = _bucket(id_col, salt)
+    bounds = split_thresholds(fractions)
+    expr = None
+    for name, bound in bounds[:-1]:
+        cond = b < F.lit(bound)
+        expr = (
+            F.when(cond, F.lit(name))
+            if expr is None
+            else expr.when(cond, F.lit(name))
+        )
+    last = F.lit(bounds[-1][0])
+    return df.withColumn(
+        "split", last if expr is None else expr.otherwise(last)
+    )
+
+
+def deterministic_sample(
+    df: DataFrame,
+    rate: float,
+    id_col: str = "doc_id",
+    salt: str = "sample-v1",
+) -> DataFrame:
+    """Keep ~``rate`` of rows, chosen by salted content hash — the
+    reproducible alternative to ``df.sample`` (same rows survive
+    regardless of partitioning or cluster). Different salts give
+    independent samples; the same salt at a higher rate yields a
+    SUPERSET of the lower rate's rows (nested samples, the property
+    that makes scaling-law subsets comparable)."""
+    return df.where(_bucket(id_col, salt) < F.lit(_hex_threshold(rate)))
+
+
+def sql_bucket(id_col: str, salt: str) -> str:
+    """DuckDB mirror of the bucket expression (oracle generation)."""
+    return f"substr(md5(CAST({id_col} AS VARCHAR) || '{salt}'), 1, 4)"
+
+
+def sql_split_case(
+    fractions: dict[str, float], id_col: str = "doc_id", salt: str = "split-v1"
+) -> str:
+    """DuckDB CASE expression equivalent to :func:`split_assign`."""
+    b = sql_bucket(id_col, salt)
+    parts = []
+    for name, bound in split_thresholds(fractions)[:-1]:
+        parts.append(f"WHEN {b} < '{bound}' THEN '{name}'")
+    last = list(fractions)[-1]
+    return f"CASE {' '.join(parts)} ELSE '{last}' END"

@@ -46,6 +46,7 @@ from syncflux_spark.functions.text import (
 )
 from syncflux_spark.functions.vectors import dot, norm, simhash_bits
 from syncflux_spark.operators import dedup as dd
+from syncflux_spark.operators import sampling as smp
 from syncflux_spark.sources.parquet import load_table
 
 
@@ -870,6 +871,41 @@ def word_jaccard_pairs(spark, sf):
 
 
 _SQL_WORDS = r"string_split_regex(trim(text), '\s+')"
+
+_SPLIT_FRACTIONS = {"train": 0.9, "val": 0.05, "test": 0.05}
+
+
+@register(
+    "doc_split_assign",
+    f"""
+    SELECT doc_id,
+           {smp.sql_split_case(_SPLIT_FRACTIONS)} AS split
+    FROM documents
+    """,
+)
+def doc_split_assign(spark, sf):
+    """Deterministic train/val/test assignment by salted content hash
+    (operators/sampling.py::split_assign): a document's split is a
+    pure function of its id — stable across runs, partitionings and
+    corpus growth, unlike df.sample's per-partition seeding. Pure
+    column expression, no shuffle."""
+    docs = load_table(spark, sf, "documents")
+    return smp.split_assign(docs, _SPLIT_FRACTIONS).select("doc_id", "split")
+
+
+@register(
+    "doc_sample_10pct",
+    f"""
+    SELECT doc_id FROM documents
+    WHERE {smp.sql_bucket('doc_id', 'sample-v1')} < '1999'
+    """,
+)
+def doc_sample_10pct(spark, sf):
+    """Deterministic ~10% corpus sample (hash-thresholded, nested:
+    a higher rate with the same salt is a superset —
+    operators/sampling.py::deterministic_sample)."""
+    docs = load_table(spark, sf, "documents")
+    return smp.deterministic_sample(docs, 0.1).select("doc_id")
 
 
 @register(
@@ -1899,6 +1935,42 @@ def emb_near_dup_pairs(spark, sf):
     return near_dup_pairs(emb, threshold=0.3, n_planes=4, dim=64)
 
 
+def _register_emb_components():
+    edges_sql = REGISTRY["emb_near_dup_pairs"].sql
+
+    @register(
+        "emb_dedup_components",
+        f"""
+        WITH RECURSIVE edges AS ({edges_sql}),
+        sym AS (SELECT id_a AS a, id_b AS b FROM edges
+                UNION ALL SELECT id_b, id_a FROM edges),
+        reach(id, r) AS (
+          SELECT vec_id, vec_id FROM embeddings
+          UNION
+          SELECT s.b, reach.r FROM reach JOIN sym s ON s.a = reach.id
+        )
+        SELECT id AS vec_id, CAST(MIN(r) AS BIGINT) AS component
+        FROM reach GROUP BY id
+        """,
+    )
+    def emb_dedup_components(spark, sf):
+        """SEMANTIC dedup groups: connected components over the
+        cosine ≥ 0.3 embedding near-dup graph (same 16-bucket sign-LSH
+        candidates as emb_near_dup_pairs, so the oracle reproduces the
+        identical graph). Spark: iterative label propagation; oracle:
+        recursive CTE — matching hashes validate the distributed
+        iteration (operators/dedup.py::embedding_components)."""
+        return dd.embedding_components(
+            load_table(spark, sf, "embeddings"),
+            threshold=0.3,
+            n_planes=4,
+            dim=64,
+        )
+
+
+_register_emb_components()
+
+
 @register(
     "ts_upsert_collapse",
     """
@@ -2041,6 +2113,80 @@ def ts_difference(spark, sf):
         ((vm - F.lag(vm).over(w)) / F.lit(1000000.0)).alias("diff_value"),
     )
     return d.where(F.col("diff_value").isNotNull())
+
+
+@register(
+    "ts_nn_derivative",
+    f"""
+    SELECT * FROM (
+      SELECT user_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+             (CAST(v_micro - LAG(v_micro) OVER ({_SERIES_W}) AS BIGINT)
+              / 1000000.0)
+             / (CAST(epoch_us(ts) - LAG(epoch_us(ts)) OVER ({_SERIES_W})
+                     AS BIGINT) / 1000000.0) AS rate_per_s
+      FROM (SELECT user_id, event_type, ts, event_id,
+                   {_sql_micros('value')} AS v_micro
+            FROM events)
+      QUALIFY LAG(v_micro) OVER ({_SERIES_W}) IS NOT NULL
+          AND epoch_us(ts) != LAG(epoch_us(ts)) OVER ({_SERIES_W}))
+    WHERE rate_per_s >= 0
+    """,
+)
+def ts_nn_derivative(spark, sf):
+    """InfluxQL ``non_negative_derivative(value, 1s)``: the derivative
+    with counter-reset (negative-rate) rows dropped — the monotone-
+    counter form used for request/byte counters. Same plan as
+    ts_derivative plus one filter on the computed rate."""
+    ev = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    vm = micros_amt("value")
+    us = F.unix_micros("ts")
+    d = ev.select(
+        "user_id",
+        "event_type",
+        us.alias("ts_us"),
+        ((vm - F.lag(vm).over(w)) / F.lit(1000000.0)).alias("dv"),
+        ((us - F.lag(us).over(w)) / F.lit(1000000.0)).alias("dt"),
+    )
+    return (
+        d.where(F.col("dv").isNotNull() & (F.col("dt") != 0))
+        .select(
+            "user_id",
+            "event_type",
+            "ts_us",
+            (F.col("dv") / F.col("dt")).alias("rate_per_s"),
+        )
+        .where(F.col("rate_per_s") >= 0)
+    )
+
+
+@register(
+    "ts_nn_difference",
+    f"""
+    SELECT * FROM (
+      SELECT user_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+             CAST(v_micro - LAG(v_micro) OVER ({_SERIES_W}) AS BIGINT)
+               / 1000000.0 AS diff_value
+      FROM (SELECT user_id, event_type, ts, event_id,
+                   {_sql_micros('value')} AS v_micro
+            FROM events)
+      QUALIFY LAG(v_micro) OVER ({_SERIES_W}) IS NOT NULL)
+    WHERE diff_value >= 0
+    """,
+)
+def ts_nn_difference(spark, sf):
+    """InfluxQL ``non_negative_difference(value)``: first difference
+    with decreases dropped."""
+    ev = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    vm = micros_amt("value")
+    d = ev.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        ((vm - F.lag(vm).over(w)) / F.lit(1000000.0)).alias("diff_value"),
+    )
+    return d.where(F.col("diff_value").isNotNull() & (F.col("diff_value") >= 0))
 
 
 @register(

@@ -1,0 +1,58 @@
+"""Deterministic sampling/split properties (operators/sampling.py):
+the guarantees a training pipeline actually relies on, beyond the
+oracle's value-hash check."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from syncflux_spark.operators.sampling import (
+    deterministic_sample,
+    split_assign,
+    split_thresholds,
+)
+from syncflux_spark.sources.parquet import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+def test_split_covers_everything_once(docs):
+    out = split_assign(docs)
+    assert out.count() == docs.count()
+    counts = {r["split"]: r["count"] for r in out.groupBy("split").count().collect()}
+    assert set(counts) <= {"train", "val", "test"}
+    n = sum(counts.values())
+    # 500 docs: loose sanity bounds, not exact fractions
+    assert counts["train"] / n > 0.8
+    assert counts.get("val", 0) > 0 and counts.get("test", 0) > 0
+
+
+def test_split_stable_under_repartition(docs):
+    a = {(r.doc_id, r.split) for r in split_assign(docs).collect()}
+    b = {
+        (r.doc_id, r.split)
+        for r in split_assign(docs.repartition(13)).collect()
+    }
+    assert a == b  # df.sample would fail this
+
+
+def test_nested_samples(docs):
+    s5 = {r.doc_id for r in deterministic_sample(docs, 0.05).collect()}
+    s20 = {r.doc_id for r in deterministic_sample(docs, 0.20).collect()}
+    assert s5 <= s20
+    assert 0 < len(s5) < len(s20)
+
+
+def test_independent_salts_differ(docs):
+    a = {r.doc_id for r in deterministic_sample(docs, 0.2, salt="a").collect()}
+    b = {r.doc_id for r in deterministic_sample(docs, 0.2, salt="b").collect()}
+    assert a != b
+
+
+def test_bad_fractions_rejected():
+    with pytest.raises(ValueError):
+        split_thresholds({"train": 0.5, "test": 0.2})
