@@ -65,6 +65,30 @@ def cosine(a: Column | str, b: Column | str, dim: int | None = None) -> Column:
     return dot(a, b, dim) / (norm(a, dim) * norm(b, dim))
 
 
+def int8_scale(vec: Column | str) -> Column:
+    """Symmetric int8 quantization scale: max|v| / 127. One scale per
+    vector (the FAISS SQ8-style scheme) — 4× smaller than float32,
+    which at 100 TB of embeddings is the difference between spilling
+    and fitting the ANN working set in memory."""
+    return F.array_max(F.transform(as_double(vec), lambda x: F.abs(x))) / F.lit(
+        127.0
+    )
+
+
+def quantize_int8(vec: Column | str, scale: Column) -> Column:
+    """v → round(v/scale) as int8-range longs. Rounding is explicit
+    ``floor(x + 0.5)`` — portable: engines disagree on round()'s
+    half-even vs half-away behavior, floor never."""
+    return F.transform(
+        as_double(vec), lambda x: F.floor(x / scale + F.lit(0.5))
+    )
+
+
+def dequantize(qvec: Column | str, scale: Column) -> Column:
+    """int8-range longs → doubles (q · scale)."""
+    return F.transform(_c(qvec) if isinstance(qvec, str) else qvec, lambda q: q * scale)
+
+
 def simhash_bits(tokens: Column | str, n_bits: int = 16) -> Column:
     """SimHash over a token array: for each bit b, sign of
     sum_tokens(±1 by md5(token||b) parity) — expressed with

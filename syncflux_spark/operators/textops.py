@@ -74,3 +74,34 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         word_fingerprint(text_col).alias("fingerprint"),
         token_count(text_col).alias("n_tokens"),
     )
+
+
+def vocab_top_terms(
+    df: DataFrame,
+    k: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus vocabulary statistics: the top-``k`` tokens by document
+    frequency, with total term frequency alongside — the
+    stop-word/domain-term profile a pipeline consults before setting
+    dedup caps or quality filters. (word, doc_freq, total_tf).
+
+    Two partial-aggregating shuffles (per-doc distinct, then global
+    per-word), then top-k via sort+limit — Spark plans that as
+    TakeOrderedAndProject (per-partition heaps + merge on the driver),
+    NOT a global sort shuffle, so the vocabulary never materializes
+    in one place. Ties are impossible in the limit: (doc_freq DESC,
+    word ASC) is a total order because word is unique."""
+    from syncflux_spark.functions.text import words
+
+    toks = df.select(F.col(id_col), F.explode(words(text_col)).alias("w"))
+    per_word = toks.groupBy("w").agg(
+        F.count_distinct(F.col(id_col)).alias("doc_freq"),
+        F.count(F.lit(1)).alias("total_tf"),
+    )
+    return (
+        per_word.orderBy(F.desc("doc_freq"), F.asc("w"))
+        .limit(k)
+        .select(F.col("w").alias("word"), "doc_freq", "total_tf")
+    )

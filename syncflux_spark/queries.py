@@ -1131,6 +1131,87 @@ _SQL_COS = (
 
 
 @register(
+    "emb_quantize_int8",
+    f"""
+    WITH v AS (SELECT vec_id, {_SQL_VEC} AS v FROM embeddings),
+    s AS (SELECT vec_id, v,
+                 list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+          FROM v),
+    d AS (SELECT vec_id, v, scale,
+                 list_transform(list_transform(v, x -> floor(x / scale + 0.5)),
+                                q -> q * scale) AS dq
+          FROM s WHERE scale > 0)
+    SELECT vec_id, scale,
+           sqrt(list_dot_product(v, v) - 2 * list_dot_product(v, dq)
+                + list_dot_product(dq, dq)) AS err_l2,
+           list_dot_product(v, dq)
+             / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(dq, dq)))
+             AS recon_cos
+    FROM d
+    """,
+)
+def emb_quantize_int8(spark, sf):
+    """Symmetric int8 scalar quantization of the embedding column
+    (functions/vectors.py::quantize_int8): per-vector scale = max|v|/127,
+    explicit floor(x+0.5) rounding (round() half-mode differs between
+    engines; floor never does). Emits reconstruction diagnostics —
+    L2 error and original↔dequantized cosine — as scalars; the int8
+    payload itself is 4× smaller than float32, which at 100 TB decides
+    whether the ANN working set fits executor memory. Pure HOF column
+    math, no shuffle, no UDF."""
+    from syncflux_spark.functions.vectors import (
+        as_double,
+        dequantize,
+        int8_scale,
+        quantize_int8,
+    )
+
+    emb = load_table(spark, sf, "embeddings")
+    s = emb.select(
+        "vec_id",
+        as_double("embedding").alias("v"),
+        int8_scale("embedding").alias("scale"),
+    ).where(F.col("scale") > 0)
+    d = s.select(
+        "vec_id",
+        "v",
+        "scale",
+        dequantize(quantize_int8("v", F.col("scale")), F.col("scale")).alias("dq"),
+    )
+    return d.select(
+        "vec_id",
+        "scale",
+        F.sqrt(
+            dot("v", "v") - F.lit(2) * dot("v", "dq") + dot("dq", "dq")
+        ).alias("err_l2"),
+        (dot("v", "dq") / (F.sqrt(dot("v", "v")) * F.sqrt(dot("dq", "dq")))).alias(
+            "recon_cos"
+        ),
+    )
+
+
+@register(
+    "vocab_top_terms",
+    f"""
+    SELECT w AS word, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq,
+           CAST(COUNT(*) AS BIGINT) AS total_tf
+    FROM (SELECT doc_id, unnest({_SQL_WORDS}) AS w FROM documents)
+    GROUP BY w
+    ORDER BY doc_freq DESC, word
+    LIMIT 100
+    """,
+)
+def vocab_top_terms(spark, sf):
+    """Top-100 vocabulary terms by document frequency — the stop-word/
+    domain profile consulted before dedup caps and quality filters.
+    Plans as TakeOrderedAndProject (per-partition heaps), never a
+    global sort (operators/textops.py::vocab_top_terms)."""
+    from syncflux_spark.operators.textops import vocab_top_terms as _vt
+
+    return _vt(load_table(spark, sf, "documents"), k=100)
+
+
+@register(
     "emb_norms",
     f"""
     SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,

@@ -202,3 +202,55 @@ def test_ivf_kmeans_centroids_recall(spark, emb, truth):
     )
     assert r4 >= 0.5, f"k-means IVF recall collapsed: {r4:.2f}"
     assert r8 >= r4, "nprobe dial lost monotonicity under k-means centroids"
+
+
+def test_int8_quantization_quality(spark, emb):
+    """SQ8 must be nearly lossless for similarity purposes: cosine
+    between original and dequantized vector > 0.999 for every row,
+    per-element error bounded by scale/2."""
+    from syncflux_spark.functions.vectors import (
+        as_double,
+        dequantize,
+        int8_scale,
+        quantize_int8,
+    )
+
+    s = emb.select(
+        "vec_id",
+        as_double("embedding").alias("v"),
+        int8_scale("embedding").alias("scale"),
+    ).where(F.col("scale") > 0)
+    d = s.select(
+        "vec_id",
+        "v",
+        "scale",
+        dequantize(quantize_int8("v", F.col("scale")), F.col("scale")).alias("dq"),
+    )
+    checked = d.select(
+        F.min(
+            F.aggregate(
+                F.zip_with("v", "dq", lambda a, b: (a - b) / F.col("scale")),
+                F.lit(0.0),
+                lambda acc, e: F.greatest(acc, F.abs(e)),
+            )
+            <= 0.5000001
+        ).alias("err_ok"),
+        F.min(
+            F.aggregate(
+                F.zip_with("v", "dq", lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ).alias("_"),
+    ).collect()[0]
+    assert checked["err_ok"]
+    from syncflux_spark.queries import queries
+
+    import os
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    cos_min = (
+        queries()["emb_quantize_int8"](spark, sf)
+        .agg(F.min("recon_cos"))
+        .collect()[0][0]
+    )
+    assert cos_min > 0.999, f"int8 reconstruction cosine degraded: {cos_min}"

@@ -118,6 +118,13 @@ class TestExecutionDiscipline:
         assert plan.count("Scan parquet") == 1
         assert "Expand" in plan
 
+    def test_vocab_topk_is_heap_not_global_sort(self, spark, sf_dir):
+        """Top-k by frequency must plan as TakeOrderedAndProject
+        (per-partition heaps merged on the driver) — a global Sort of
+        the whole vocabulary would shuffle every term to order 100."""
+        plan = plan_of(spark, sf_dir, "vocab_top_terms")
+        assert "TakeOrderedAndProject" in plan
+
     def test_partial_aggregation_before_shuffle(self, spark, sf_dir):
         """Map-side partial agg (HashAggregate before Exchange) is
         what keeps 100 TB group-bys shuffle-light."""
