@@ -50,6 +50,48 @@ def word_fingerprint(text: Column | str) -> Column:
     return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(ws))))
 
 
+def word_bigrams(text: Column | str) -> Column:
+    """All adjacent word pairs joined with a single space. Empty
+    array for one-token docs (``sequence(1, 0)`` counts down, so the
+    n>=1 guard is required, mirroring char_shingles)."""
+    ws = words(text)
+    n = F.size(ws) - F.lit(1)
+    return F.when(
+        n >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.concat_ws(
+                " ", F.element_at(ws, i), F.element_at(ws, i + F.lit(1))
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def longest_equal_run(arr: Column) -> Column:
+    """Length of the longest run of equal ADJACENT elements, as a
+    single in-row fold (no explode, no shuffle). On a sorted array
+    this is the max element multiplicity — the building block for
+    Gopher/C4-style repetition filters (most-repeated token / n-gram
+    share) computed entirely inside whole-stage codegen."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        run = F.when(x.eqNullSafe(acc["prev"]), acc["run"] + F.lit(1)).otherwise(
+            F.lit(1).cast("long")
+        )
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    return F.aggregate(arr, init, step, lambda acc: acc["best"])
+
+
 def substr_count(text: Column | str, needle: str) -> Column:
     """Non-overlapping occurrence count of ``needle`` via the
     length-difference trick (identical semantics in Spark and DuckDB's

@@ -15,9 +15,12 @@ from syncflux_spark.utils import spread_for_cpu
 from syncflux_spark.functions.text import (
     lang_id,
     lang_scores,
+    longest_equal_run,
     quality_metrics,
     token_count,
+    word_bigrams,
     word_fingerprint,
+    words,
 )
 
 
@@ -73,6 +76,39 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         F.col(id_col),
         word_fingerprint(text_col).alias("fingerprint"),
         token_count(text_col).alias("n_tokens"),
+    )
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher/C4-style repetition signals per document: the share of
+    the most frequent token and bigram, and the longest consecutive
+    same-token run. High top-bigram share or long runs mark the
+    boilerplate / keyword-stuffed docs a curation pipeline drops.
+
+    Every signal is an in-row array fold (sort the token/bigram list,
+    take the longest equal-adjacent run = max multiplicity) — zero
+    shuffles and no per-doc groupBy, so it scales exactly like a
+    projection. Counts are exact longs; the single ratio is one
+    long/long division (portable to the DuckDB oracle, which computes
+    the same counts via unnest + GROUP BY)."""
+    ws = words(F.col(text_col))
+    bg = word_bigrams(F.col(text_col))
+    n_tokens = F.size(ws).cast("long")
+    n_bigrams = F.size(bg).cast("long")
+    top_token_cnt = longest_equal_run(F.array_sort(ws))
+    top_bigram_cnt = longest_equal_run(F.array_sort(bg))
+    return spread_for_cpu(df).select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        n_bigrams.alias("n_bigrams"),
+        top_token_cnt.alias("top_token_cnt"),
+        top_bigram_cnt.alias("top_bigram_cnt"),
+        longest_equal_run(ws).alias("max_token_run"),
+        F.when(n_bigrams > 0, top_bigram_cnt / n_bigrams)
+        .otherwise(F.lit(None).cast("double"))
+        .alias("top_bigram_frac"),
     )
 
 

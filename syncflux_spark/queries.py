@@ -1212,6 +1212,57 @@ def vocab_top_terms(spark, sf):
 
 
 @register(
+    "repetition_stats",
+    f"""
+    WITH w AS (SELECT doc_id, {_SQL_WORDS} AS ws FROM documents),
+    pos AS (SELECT doc_id, ws,
+                   unnest(generate_series(1, len(ws))) AS i FROM w),
+    tok AS (SELECT doc_id, i, ws[i] AS t,
+                   CASE WHEN i < len(ws) THEN ws[i] || ' ' || ws[i+1] END AS b
+            FROM pos),
+    tc AS (SELECT doc_id, MAX(c) AS top_token_cnt FROM
+            (SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY doc_id, t)
+           GROUP BY doc_id),
+    bc AS (SELECT doc_id, MAX(c) AS top_bigram_cnt FROM
+            (SELECT doc_id, b, COUNT(*) AS c FROM tok
+             WHERE b IS NOT NULL GROUP BY doc_id, b)
+           GROUP BY doc_id),
+    mr AS (SELECT doc_id, MAX(c) AS max_token_run FROM
+            (SELECT doc_id, t, g, COUNT(*) AS c FROM
+              (SELECT doc_id, t,
+                      i - ROW_NUMBER() OVER (PARTITION BY doc_id, t ORDER BY i)
+                        AS g
+               FROM tok)
+             GROUP BY doc_id, t, g)
+           GROUP BY doc_id),
+    base AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+                    CAST(GREATEST(len(ws) - 1, 0) AS BIGINT) AS n_bigrams
+             FROM w)
+    SELECT base.doc_id, n_tokens, n_bigrams,
+           CAST(COALESCE(top_token_cnt, 0) AS BIGINT) AS top_token_cnt,
+           CAST(COALESCE(top_bigram_cnt, 0) AS BIGINT) AS top_bigram_cnt,
+           CAST(COALESCE(max_token_run, 0) AS BIGINT) AS max_token_run,
+           CASE WHEN n_bigrams > 0
+                THEN CAST(COALESCE(top_bigram_cnt, 0) AS BIGINT) / n_bigrams
+           END AS top_bigram_frac
+    FROM base
+    LEFT JOIN tc USING (doc_id)
+    LEFT JOIN bc USING (doc_id)
+    LEFT JOIN mr USING (doc_id)
+    """,
+)
+def repetition_stats(spark, sf):
+    """Gopher/C4-style repetition filters: top token/bigram share and
+    longest same-token run, all computed as in-row array folds (zero
+    shuffle — operators/textops.py::repetition_stats); the oracle
+    recomputes the same exact counts via unnest + GROUP BY and a
+    gaps-and-islands window for the run length."""
+    from syncflux_spark.operators.textops import repetition_stats as _rs
+
+    return _rs(load_table(spark, sf, "documents"))
+
+
+@register(
     "emb_norms",
     f"""
     SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
