@@ -3653,6 +3653,33 @@ def json_roundtrip_stats(spark, sf):
 
 
 @register(
+    "orc_roundtrip_stats",
+    f"""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(MIN(epoch_us(ts)) AS BIGINT) AS min_ts_us,
+           CAST(MAX(epoch_us(ts)) AS BIGINT) AS max_ts_us
+    FROM events GROUP BY event_type
+    """,
+)
+def orc_roundtrip_stats(spark, sf):
+    """ORC interchange: the third builtin columnar/text sink after
+    CSV and JSON-lines — same ns-clock-as-long convention (ORC
+    timestamps are µs like Spark's, so the long column is what makes
+    the roundtrip lossless). Unlike the text formats ORC keeps real
+    types and min/max stripe statistics, so it is the interchange
+    format of choice when the consumer is another columnar engine."""
+    back = _text_format_roundtrip(spark, sf, "orc")
+    us = F.unix_micros("ts")
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.min(us).alias("min_ts_us"),
+        F.max(us).alias("max_ts_us"),
+    )
+
+
+@register(
     "ts_trailing_1h_stats",
     f"""
     SELECT user_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS ts_us,

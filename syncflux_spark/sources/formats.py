@@ -45,8 +45,8 @@ def write_text_table(
     schema: T.StructType = EVENTS_TEXT_SCHEMA,
     drop_cols: tuple[str, ...] = ("ts",),
 ) -> None:
-    """Export a measurement table to ``csv`` or ``json`` (lines),
-    columns in the declared interchange-schema ORDER — CSV readers
+    """Export a measurement table to ``csv``, ``json`` (lines), or
+    ``orc``, columns in the declared interchange-schema ORDER — CSV readers
     bind by position, so writer and reader must share one ordering.
     Derived µs timestamp columns are dropped — ``ts_ns`` is the one
     canonical clock and survives as a plain long. CSV gets a header
