@@ -3244,6 +3244,61 @@ def ts_spread_stddev(spark, sf):
 
 
 @register(
+    "ts_count_distinct",
+    f"""
+    SELECT user_id, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(COUNT(DISTINCT {_sql_micros('value')}) AS BIGINT) AS n_distinct
+    FROM events
+    GROUP BY user_id, event_type
+    """,
+)
+def ts_count_distinct(spark, sf):
+    """InfluxQL ``COUNT(DISTINCT value)`` per series. Distinctness is
+    taken over exact integer micros (double equality is well-defined
+    but engine repr games aren't worth playing). Spark plans exact
+    count-distinct as a two-phase Expand + partial agg — no
+    driver-side set, scales with the series count."""
+    ev = load_table(spark, sf, "events")
+    return ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.count_distinct(micros_amt("value")).alias("n_distinct"),
+    )
+
+
+@register(
+    "ts_math_transforms",
+    """
+    SELECT event_id,
+           ABS(value) AS abs_v,
+           CAST(CEIL(value) AS BIGINT) AS ceil_v,
+           CAST(FLOOR(value) AS BIGINT) AS floor_v,
+           SQRT(value) AS sqrt_v,
+           value * value AS sq_v
+    FROM events
+    """,
+)
+def ts_math_transforms(spark, sf):
+    """InfluxQL math-function family (ABS/CEIL/FLOOR/SQRT/POW) as a
+    pure projection. Only IEEE-754-exact ops are exposed (abs, ceil,
+    floor, correctly-rounded sqrt, pow(x,2) as x*x) so results are
+    bit-identical on any engine; LN/LOG/EXP are deliberately absent —
+    libm rounding differs across platforms, which would make results
+    engine-dependent (the same reason the oracle gate would flag
+    them)."""
+    ev = load_table(spark, sf, "events")
+    v = F.col("value")
+    return ev.select(
+        "event_id",
+        F.abs(v).alias("abs_v"),
+        F.ceil(v).alias("ceil_v"),
+        F.floor(v).alias("floor_v"),
+        F.sqrt(v).alias("sqrt_v"),
+        (v * v).alias("sq_v"),
+    )
+
+
+@register(
     "ts_mode",
     f"""
     SELECT user_id, event_type,
