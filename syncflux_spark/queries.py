@@ -2640,6 +2640,48 @@ def stream_replicate_counts(spark, sf):
 
 
 @register(
+    "stream_dedup_counts",
+    f"""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM({_sql_micros('value')}) AS BIGINT) AS sum_value_micro
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_dedup_counts(spark, sf):
+    """Streaming dedup under the oracle gate: the source directory is
+    staged with the events file TWICE, one file per micro-batch
+    (``maxFilesPerTrigger=1``), so every row is re-delivered in a
+    LATER batch than its first copy —
+    ``dropDuplicatesWithinWatermark`` must drop the repeats via the
+    checkpointed state store, not intra-batch dedup. Matching the
+    oracle on the single-copy source proves exactly-once key
+    semantics (streaming/dedup.py)."""
+    import os
+    import shutil
+
+    from syncflux_spark.streaming.dedup import DedupReplicationStream
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    root = tempfile.mkdtemp(prefix="sf_sdedup_")
+    src = os.path.join(root, "src")
+    os.makedirs(src)
+    for copy_name in ("a", "b"):
+        shutil.copy(
+            os.path.join(sf, "events.parquet"),
+            os.path.join(src, f"events_{copy_name}.parquet"),
+        )
+    op = DedupReplicationStream(
+        spark, src, f"{root}/dst", f"{root}/ckpt", max_files_per_trigger=1
+    )
+    op.run_available()
+    rep = op.read_replica()
+    return rep.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(micros_amt("value")).alias("sum_value_micro"),
+    )
+
+
+@register(
     "stream_stateful_totals",
     f"""
     SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,

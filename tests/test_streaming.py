@@ -57,6 +57,44 @@ class TestReplicationStream:
         assert s2.read_replica().count() == 5
 
 
+class TestDedupReplicationStream:
+    BASE_NS = 1_704_067_200 * 1_000_000_000
+
+    def _write(self, spark, path, ids):
+        rows = [(i, self.BASE_NS + i * 1_000_000_000, f"v{i}") for i in ids]
+        spark.createDataFrame(rows, ["id", "ts", "v"]).coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+
+    def test_cross_batch_and_cross_restart_dedup(self, spark, tmp_path):
+        from syncflux_spark.streaming.dedup import DedupReplicationStream
+
+        src = str(tmp_path / "src")
+        dst = str(tmp_path / "dst")
+        ckpt = str(tmp_path / "ckpt")
+        # two files with overlapping keys; maxFilesPerTrigger=1 forces
+        # the repeats into a LATER micro-batch than their first copy
+        self._write(spark, src, range(0, 10))
+        self._write(spark, src, range(5, 15))
+
+        s1 = DedupReplicationStream(
+            spark, src, dst, ckpt, key_cols=("id",), max_files_per_trigger=1
+        )
+        assert s1.run_available() >= 2  # really crossed a batch boundary
+        got = sorted(r.id for r in s1.read_replica().collect())
+        assert got == list(range(15))  # each key exactly once
+
+        # restart: old keys re-delivered after a stop must still be
+        # dropped — the key state lives in the checkpointed state store
+        self._write(spark, src, list(range(0, 5)) + list(range(15, 18)))
+        s2 = DedupReplicationStream(
+            spark, src, dst, ckpt, key_cols=("id",), max_files_per_trigger=1
+        )
+        s2.run_available()
+        got = sorted(r.id for r in s2.read_replica().collect())
+        assert got == list(range(18))
+
+
 class TestHAMonitor:
     def test_state_machine_cycle(self):
         # scripted probes: slave healthy, then down, then back
