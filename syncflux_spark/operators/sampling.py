@@ -30,9 +30,12 @@ _BUCKETS = 1 << 16  # 4 hex chars
 
 
 def _hex_threshold(fraction: float) -> str:
-    """Cumulative fraction → 4-hex-char upper bound (floor)."""
+    """Cumulative fraction → 4-hex-char upper bound (floor). A full
+    1.0 maps to ``"~"`` (> any hex char) so rate-1.0 keeps every row —
+    the 5-digit ``"10000"`` would compare LESS than most 4-hex buckets
+    lexicographically."""
     n = min(_BUCKETS, max(0, int(fraction * _BUCKETS)))
-    return format(n, "04x")
+    return "~" if n >= _BUCKETS else format(n, "04x")
 
 
 def _bucket(id_col: str, salt: str) -> Column:
@@ -97,6 +100,47 @@ def deterministic_sample(
     SUPERSET of the lower rate's rows (nested samples, the property
     that makes scaling-law subsets comparable)."""
     return df.where(_bucket(id_col, salt) < F.lit(_hex_threshold(rate)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    class_col: str,
+    id_col: str = "doc_id",
+    salt: str = "strat-v1",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Per-class deterministic sampling — the corpus-rebalancing
+    primitive (downweight the dominant language/source, keep the rest
+    whole). Same salted-hash bucket as :func:`deterministic_sample`,
+    but the keep-threshold is selected by ``class_col``; within every
+    class the kept rows are stable and nested across rate changes.
+    Still a pure column expression: the per-class CASE costs nothing
+    and nothing shuffles."""
+    b = _bucket(id_col, salt)
+    thr = None
+    for cls, rate in rates.items():
+        cond = F.col(class_col) == F.lit(cls)
+        bound = F.lit(_hex_threshold(rate))
+        thr = F.when(cond, bound) if thr is None else thr.when(cond, bound)
+    default = F.lit(_hex_threshold(default_rate))
+    return df.where(b < (default if thr is None else thr.otherwise(default)))
+
+
+def sql_stratified_where(
+    rates: dict[str, float],
+    class_col: str,
+    id_col: str = "doc_id",
+    salt: str = "strat-v1",
+    default_rate: float = 0.0,
+) -> str:
+    """DuckDB WHERE-clause mirror of :func:`stratified_sample`."""
+    whens = " ".join(
+        f"WHEN {class_col} = '{cls}' THEN '{_hex_threshold(rate)}'"
+        for cls, rate in rates.items()
+    )
+    case = f"CASE {whens} ELSE '{_hex_threshold(default_rate)}' END"
+    return f"{sql_bucket(id_col, salt)} < {case}"
 
 
 def sql_bucket(id_col: str, salt: str) -> str:

@@ -908,6 +908,27 @@ def doc_sample_10pct(spark, sf):
     return smp.deterministic_sample(docs, 0.1).select("doc_id")
 
 
+_STRAT_RATES = {"en": 0.3}
+
+
+@register(
+    "doc_stratified_sample",
+    f"""
+    SELECT doc_id, lang FROM documents
+    WHERE {smp.sql_stratified_where(_STRAT_RATES, 'lang', default_rate=1.0)}
+    """,
+)
+def doc_stratified_sample(spark, sf):
+    """Corpus rebalancing: deterministically downsample the dominant
+    language ('en' → 30%) while keeping every other class whole —
+    per-class salted-hash thresholds, stable under repartition and
+    corpus growth (operators/sampling.py::stratified_sample)."""
+    docs = load_table(spark, sf, "documents")
+    return smp.stratified_sample(
+        docs, _STRAT_RATES, "lang", default_rate=1.0
+    ).select("doc_id", "lang")
+
+
 @register(
     "token_stats",
     f"""

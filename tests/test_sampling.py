@@ -11,6 +11,7 @@ from syncflux_spark.operators.sampling import (
     deterministic_sample,
     split_assign,
     split_thresholds,
+    stratified_sample,
 )
 from syncflux_spark.sources.parquet import load_table
 
@@ -56,3 +57,27 @@ def test_independent_salts_differ(docs):
 def test_bad_fractions_rejected():
     with pytest.raises(ValueError):
         split_thresholds({"train": 0.5, "test": 0.2})
+
+
+def test_stratified_rates_and_full_keep(docs):
+    out = stratified_sample(docs, {"en": 0.3}, "lang", default_rate=1.0)
+    per = {r["lang"]: r["count"] for r in out.groupBy("lang").count().collect()}
+    full = {r["lang"]: r["count"] for r in docs.groupBy("lang").count().collect()}
+    # non-en classes: rate 1.0 keeps EVERY row (the "~" threshold)
+    for lang in full:
+        if lang != "en":
+            assert per[lang] == full[lang]
+    assert 0.15 < per["en"] / full["en"] < 0.45  # ~30%, loose bounds
+
+
+def test_stratified_nested_within_class(docs):
+    lo = {
+        r.doc_id
+        for r in stratified_sample(docs, {"en": 0.1}, "lang").collect()
+    }
+    hi = {
+        r.doc_id
+        for r in stratified_sample(docs, {"en": 0.4}, "lang").collect()
+    }
+    assert lo <= hi
+    assert 0 < len(lo) < len(hi)
