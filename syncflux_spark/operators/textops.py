@@ -79,6 +79,43 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def doc_top_terms(
+    df: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document salient terms: rank terms by (tf DESC, corpus
+    doc-frequency ASC, term ASC) and keep the top ``k`` — the TF-IDF
+    ordering with the log taken out. A log changes no per-document
+    ranking that (tf, df) doesn't already decide, and libm logs are
+    engine/platform-dependent — integers are the portable (and
+    cheaper) formulation.
+
+    One explode feeds everything: tf = per-(doc, term) counts; df is
+    re-aggregated FROM tf (each tf row is one distinct (doc, term), so
+    df = row count per term — no second pass over the corpus). Join
+    back on term, rank with a per-doc window. Shuffles: tf partial-agg,
+    df re-agg, term join, doc window — all on bounded keys; no
+    all-pairs anywhere."""
+    from pyspark.sql import Window
+
+    toks = df.select(F.col(id_col), F.explode(words(F.col(text_col))).alias("w"))
+    tf = toks.groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    win = Window.partitionBy(id_col).orderBy(
+        F.desc("tf"), F.asc("df"), F.asc("w")
+    )
+    return (
+        tf.join(dfreq, "w")
+        .select(
+            F.col(id_col),
+            F.col("w").alias("term"),
+            "tf",
+            "df",
+            F.row_number().over(win).cast("long").alias("rank"),
+        )
+        .where(F.col("rank") <= k)
+    )
+
+
 def repetition_stats(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -1233,6 +1233,33 @@ def vocab_top_terms(spark, sf):
 
 
 @register(
+    "doc_top_terms",
+    f"""
+    WITH tf AS (
+      SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf FROM
+        (SELECT doc_id, unnest({_SQL_WORDS}) AS w FROM documents)
+      GROUP BY doc_id, w),
+    dfreq AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY w)
+    SELECT doc_id, term, tf, df, rank FROM (
+      SELECT tf.doc_id, tf.w AS term, tf.tf, dfreq.df,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY tf.tf DESC, dfreq.df ASC, tf.w ASC) AS BIGINT) AS rank
+      FROM tf JOIN dfreq USING (w))
+    WHERE rank <= 3
+    """,
+)
+def doc_top_terms(spark, sf):
+    """Per-doc salient terms by log-free TF-IDF ordering (tf DESC,
+    corpus df ASC, term ASC) — keyword extraction at corpus scale with
+    a single explode feeding both frequency tables
+    (operators/textops.py::doc_top_terms)."""
+    from syncflux_spark.operators.textops import doc_top_terms as _tt
+
+    return _tt(load_table(spark, sf, "documents"), k=3)
+
+
+@register(
     "repetition_stats",
     f"""
     WITH w AS (SELECT doc_id, {_SQL_WORDS} AS ws FROM documents),
