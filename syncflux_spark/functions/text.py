@@ -50,21 +50,26 @@ def word_fingerprint(text: Column | str) -> Column:
     return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(ws))))
 
 
-def word_bigrams(text: Column | str) -> Column:
-    """All adjacent word pairs joined with a single space. Empty
-    array for one-token docs (``sequence(1, 0)`` counts down, so the
-    n>=1 guard is required, mirroring char_shingles)."""
+def word_shingles(text: Column | str, k: int) -> Column:
+    """All overlapping k-WORD shingles, space-joined. Empty array when
+    the doc has fewer than k tokens (``sequence(1, 0)`` counts down,
+    so the n>=1 guard is required, mirroring char_shingles)."""
     ws = words(text)
-    n = F.size(ws) - F.lit(1)
+    n = F.size(ws) - F.lit(k - 1)
     return F.when(
         n >= 1,
         F.transform(
             F.sequence(F.lit(1), n),
             lambda i: F.concat_ws(
-                " ", F.element_at(ws, i), F.element_at(ws, i + F.lit(1))
+                " ", *[F.element_at(ws, i + F.lit(j)) for j in range(k)]
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def word_bigrams(text: Column | str) -> Column:
+    """All adjacent word pairs joined with a single space."""
+    return word_shingles(text, 2)
 
 
 def longest_equal_run(arr: Column) -> Column:

@@ -549,3 +549,40 @@ def embedding_components(
     return connected_components(
         corpus.select(F.col(id_col)), pairs, id_col, max_iter
     )
+
+
+def contamination_check(
+    train: DataFrame,
+    benchmark: DataFrame,
+    k: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any
+    k-word shingle with an evaluation/benchmark set, with the count
+    of distinct shared shingles as evidence — the standard pretraining
+    hygiene step (eval answers leaking into training data inflate
+    scores). Real pipelines use k≈8-13 words; the dial is exposed.
+
+    Scale shape: the benchmark side is an eval suite — thousands of
+    docs, not billions — so its distinct shingle set is broadcast and
+    the training corpus is probed with a map-side hash join: ONE scan
+    of the training side, no shuffle of it. A benchmark too large to
+    broadcast degrades gracefully to a shuffle join on the shingle
+    key (drop the broadcast hint), same semantics."""
+    from syncflux_spark.functions.text import word_shingles
+
+    bench_sh = (
+        benchmark.select(
+            F.explode(word_shingles(F.col(text_col), k)).alias("sh")
+        )
+        .distinct()
+    )
+    train_sh = train.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), k)).alias("sh")
+    ).distinct()
+    return (
+        train_sh.join(F.broadcast(bench_sh), "sh")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
+    )

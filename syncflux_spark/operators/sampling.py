@@ -158,3 +158,64 @@ def sql_split_case(
         parts.append(f"WHEN {b} < '{bound}' THEN '{name}'")
     last = list(fractions)[-1]
     return f"CASE {' '.join(parts)} ELSE '{last}' END"
+
+
+def quota_cap(
+    df: DataFrame,
+    n_per_class: int,
+    class_col: str,
+    id_col: str = "doc_id",
+    salt: str = "quota-v1",
+) -> DataFrame:
+    """Cap each class (source/domain) at ``n_per_class`` rows — the
+    C4-style "no domain dominates" step. Which rows survive is
+    deterministic: rank by salted hash then id (a total order), so
+    re-runs and repartitions keep the same subset, and raising the cap
+    yields a superset. One shuffle on the class key; a pathologically
+    hot class concentrates its rank computation in one task, but the
+    window only carries a counter — state is O(1) per task, so the
+    skew cost is scan time, not memory."""
+    from pyspark.sql import Window
+
+    win = Window.partitionBy(class_col).orderBy(
+        _bucket(id_col, salt), F.col(id_col)
+    )
+    return (
+        df.withColumn("class_rank", F.row_number().over(win).cast("long"))
+        .where(F.col("class_rank") <= n_per_class)
+    )
+
+
+def pack_bins(
+    df: DataFrame,
+    token_budget: int,
+    token_col: str,
+    class_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sequence packing: concatenate documents in deterministic order
+    (by id, within each class/shard) and chunk the token stream into
+    ``token_budget``-sized context windows; each doc is assigned the
+    bin where it STARTS. This is the standard pretraining
+    concat-then-chunk packing, shaped for Spark: one window cumsum per
+    class partition (exact integers), no global sort — packing is
+    per-shard by design so 1000 executors pack 1000 shards
+    independently."""
+    from pyspark.sql import Window
+
+    win = (
+        Window.partitionBy(class_col)
+        .orderBy(F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(F.col(token_col)).over(win)
+    return df.select(
+        F.col(id_col),
+        F.col(class_col),
+        F.col(token_col),
+        cum.alias("cum_tokens"),
+        F.expr(f"(sum({token_col}) over (partition by {class_col} "
+               f"order by {id_col} rows between unbounded preceding and "
+               f"current row) - {token_col}) div {token_budget}")
+        .alias("bin"),
+    )

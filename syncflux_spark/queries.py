@@ -930,6 +930,53 @@ def doc_stratified_sample(spark, sf):
 
 
 @register(
+    "source_quota_cap",
+    f"""
+    SELECT doc_id, source, class_rank FROM (
+      SELECT doc_id, source,
+             CAST(ROW_NUMBER() OVER (PARTITION BY source
+               ORDER BY {smp.sql_bucket('doc_id', 'quota-v1')}, doc_id)
+               AS BIGINT) AS class_rank
+      FROM documents)
+    WHERE class_rank <= 10
+    """,
+)
+def source_quota_cap(spark, sf):
+    """C4-style per-domain quota: keep at most 10 docs per source,
+    chosen by deterministic salted-hash rank — stable under re-runs,
+    nested as the cap rises (operators/sampling.py::quota_cap)."""
+    docs = load_table(spark, sf, "documents")
+    return smp.quota_cap(docs, 10, "source").select(
+        "doc_id", "source", "class_rank"
+    )
+
+
+@register(
+    "doc_pack_bins",
+    r"""
+    SELECT doc_id, source, n_tokens,
+           CAST(SUM(n_tokens) OVER w AS BIGINT) AS cum_tokens,
+           CAST((SUM(n_tokens) OVER w - n_tokens) // 500 AS BIGINT) AS bin
+    FROM (SELECT doc_id, source,
+                 CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                   AS n_tokens
+          FROM documents)
+    WINDOW w AS (PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def doc_pack_bins(spark, sf):
+    """Sequence packing: concat-then-chunk each source's token stream
+    into 500-token context windows, each doc assigned the bin where it
+    starts — per-shard window cumsum, no global sort
+    (operators/sampling.py::pack_bins)."""
+    docs = load_table(spark, sf, "documents").withColumn(
+        "n_tokens", token_count("text").cast("long")
+    )
+    return smp.pack_bins(docs, 500, "n_tokens", "source")
+
+
+@register(
     "token_stats",
     f"""
     SELECT doc_id,
@@ -1230,6 +1277,33 @@ def vocab_top_terms(spark, sf):
     from syncflux_spark.operators.textops import vocab_top_terms as _vt
 
     return _vt(load_table(spark, sf, "documents"), k=100)
+
+
+@register(
+    "benchmark_contamination",
+    r"""
+    WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+               FROM documents),
+    sh AS (SELECT doc_id, array_to_string(ws[i:i+3], ' ') AS s
+           FROM (SELECT doc_id, ws,
+                        unnest(generate_series(1, len(ws) - 3)) AS i FROM w)),
+    bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 20 = 0),
+    tr AS (SELECT DISTINCT doc_id, s FROM sh WHERE doc_id % 20 != 0)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_shingles
+    FROM tr JOIN bench USING (s)
+    GROUP BY doc_id
+    """,
+)
+def benchmark_contamination(spark, sf):
+    """Decontamination gate: training docs (doc_id % 20 != 0) sharing
+    any 4-word shingle with the held-out benchmark slice (doc_id % 20
+    == 0), with distinct-shared-shingle counts. Benchmark shingles are
+    broadcast — one map-side probe of the training corpus, no shuffle
+    of the big side (operators/dedup.py::contamination_check)."""
+    docs = load_table(spark, sf, "documents")
+    bench = docs.where(F.col("doc_id") % 20 == 0)
+    train = docs.where(F.col("doc_id") % 20 != 0)
+    return dd.contamination_check(train, bench, k=4)
 
 
 @register(
