@@ -131,3 +131,20 @@ class TestExecutionDiscipline:
         plan = plan_of(spark, sf_dir, "ts_downsample_1h")
         pre_exchange = plan.split("Exchange")[-1]  # deepest = before shuffle
         assert "HashAggregate" in pre_exchange
+
+    def test_repetition_stats_is_shuffle_free(self, spark, sf_dir):
+        """The repetition metrics are in-row array folds: no join, no
+        aggregate, and the only Exchange allowed is the deliberate
+        spread_for_cpu round-robin (per-doc groupBys would shuffle the
+        whole corpus)."""
+        plan = plan_of(spark, sf_dir, "repetition_stats")
+        assert "Join" not in plan
+        assert "HashAggregate" not in plan
+        assert plan.count("Exchange") <= 1
+
+    def test_contamination_broadcasts_benchmark(self, spark, sf_dir):
+        """Decontamination must probe the training corpus with a
+        broadcast of the benchmark shingles — shuffling the training
+        side on the shingle key would be a full-corpus exchange."""
+        plan = plan_of(spark, sf_dir, "benchmark_contamination")
+        assert "BroadcastHashJoin" in plan
