@@ -57,6 +57,10 @@ HEADLINE = [
     "simhash_near_pairs",
     "token_stats",
     "lang_detect",
+    "repetition_stats",
+    "doc_top_terms",
+    "benchmark_contamination",
+    "ts_count_distinct",
     "knn_topk",
     "ivf_topk",
     "emb_near_dup_pairs",

@@ -50,21 +50,32 @@ def word_fingerprint(text: Column | str) -> Column:
     return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(ws))))
 
 
-def word_shingles(text: Column | str, k: int) -> Column:
-    """All overlapping k-WORD shingles, space-joined. Empty array when
-    the doc has fewer than k tokens (``sequence(1, 0)`` counts down,
-    so the n>=1 guard is required, mirroring char_shingles)."""
-    ws = words(text)
+def shingles_of_words(ws: Column, k: int) -> Column:
+    """All overlapping k-word shingles of a words ARRAY, space-joined.
+    Empty array below k tokens (``sequence(1, 0)`` counts down, so the
+    n>=1 guard is required, mirroring char_shingles).
+
+    Built as ``array_join(slice(ws, i, k))`` — ONE reference to ``ws``
+    per element. Free subexpressions inside a higher-order-function
+    lambda are re-evaluated per ELEMENT, not per row, so hot callers
+    must pass a bound column (stage ``words(text)`` in a projection
+    first), or the tokenizing split runs once per shingle — measured
+    4× on benchmark_contamination at sf0.1."""
     n = F.size(ws) - F.lit(k - 1)
     return F.when(
         n >= 1,
         F.transform(
             F.sequence(F.lit(1), n),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(ws, i + F.lit(j)) for j in range(k)]
-            ),
+            lambda i: F.array_join(F.slice(ws, i, F.lit(k)), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def word_shingles(text: Column | str, k: int) -> Column:
+    """k-word shingles straight from a text expression — convenience
+    form; see :func:`shingles_of_words` for why hot paths should stage
+    the words array as a column instead."""
+    return shingles_of_words(words(text), k)
 
 
 def word_bigrams(text: Column | str) -> Column:

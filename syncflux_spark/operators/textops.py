@@ -17,8 +17,8 @@ from syncflux_spark.functions.text import (
     lang_scores,
     longest_equal_run,
     quality_metrics,
+    shingles_of_words,
     token_count,
-    word_bigrams,
     word_fingerprint,
     words,
 )
@@ -130,13 +130,22 @@ def repetition_stats(
     projection. Counts are exact longs; the single ratio is one
     long/long division (portable to the DuckDB oracle, which computes
     the same counts via unnest + GROUP BY)."""
-    ws = words(F.col(text_col))
-    bg = word_bigrams(F.col(text_col))
+    # stage words/bigrams as bound columns: the bigram lambda would
+    # otherwise re-run the tokenizing split per element
+    # (functions/text.py::shingles_of_words)
+    staged = spread_for_cpu(df).select(
+        F.col(id_col), words(F.col(text_col)).alias("__ws")
+    ).select(
+        F.col(id_col),
+        F.col("__ws"),
+        shingles_of_words(F.col("__ws"), 2).alias("__bg"),
+    )
+    ws, bg = F.col("__ws"), F.col("__bg")
     n_tokens = F.size(ws).cast("long")
     n_bigrams = F.size(bg).cast("long")
     top_token_cnt = longest_equal_run(F.array_sort(ws))
     top_bigram_cnt = longest_equal_run(F.array_sort(bg))
-    return spread_for_cpu(df).select(
+    return staged.select(
         F.col(id_col),
         n_tokens.alias("n_tokens"),
         n_bigrams.alias("n_bigrams"),

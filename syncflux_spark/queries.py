@@ -3808,6 +3808,172 @@ def ts_downsample_fill_previous(spark, sf):
     )
 
 
+@register(
+    "ts_downsample_fill_linear",
+    f"""
+    WITH b AS (SELECT event_type, CAST(e_s - e_s % 3600 AS BIGINT) AS bucket_s,
+                      CAST(SUM(v_micro) AS BIGINT) AS s
+               FROM (SELECT event_type, epoch_us(ts) // 1000000 AS e_s,
+                            {_sql_micros('value')} AS v_micro
+                     FROM events)
+               GROUP BY event_type, bucket_s),
+         r AS (SELECT MIN(bucket_s) AS mn, MAX(bucket_s) AS mx FROM b),
+         hours AS (SELECT unnest(generate_series(mn, mx, 3600)) AS bucket_s
+                   FROM r),
+         types AS (SELECT DISTINCT event_type FROM events),
+         g AS (SELECT t.event_type, CAST(h.bucket_s AS BIGINT) AS bucket_s,
+                      b.s,
+                      last_value(b.s IGNORE NULLS) OVER wp AS p,
+                      last_value(CASE WHEN b.s IS NOT NULL
+                                      THEN h.bucket_s END IGNORE NULLS)
+                        OVER wp AS bp,
+                      first_value(b.s IGNORE NULLS) OVER wn AS nx,
+                      first_value(CASE WHEN b.s IS NOT NULL
+                                       THEN h.bucket_s END IGNORE NULLS)
+                        OVER wn AS bn
+               FROM hours h
+               CROSS JOIN types t
+               LEFT JOIN b ON b.event_type = t.event_type
+                          AND b.bucket_s = h.bucket_s
+               WINDOW wp AS (PARTITION BY t.event_type ORDER BY h.bucket_s
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                      wn AS (PARTITION BY t.event_type ORDER BY h.bucket_s
+                             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+    SELECT event_type, bucket_s,
+           CASE WHEN s IS NOT NULL THEN CAST(s AS DOUBLE)
+                WHEN p IS NOT NULL AND nx IS NOT NULL
+                THEN p + (nx - p) * (CAST(bucket_s - bp AS DOUBLE) / (bn - bp))
+           END AS sum_value_micro_linear,
+           s IS NOT NULL AS observed
+    FROM g
+    """,
+)
+def ts_downsample_fill_linear(spark, sf):
+    """InfluxQL ``fill(linear)``: empty hours interpolate between the
+    previous and next observed hour per series; the gaps before the
+    first and after the last observation stay NULL (reference
+    semantics). Two window passes over the densified grid (running
+    last / first with IGNORE NULLS carry both neighbour value and
+    position); the interpolation is three float ops in one fixed
+    order, so Spark and the oracle agree bitwise."""
+    ev = load_table(spark, sf, "events")
+    e_s = F.expr("unix_micros(ts) div 1000000")
+    b = ev.groupBy(
+        "event_type", (e_s - e_s % F.lit(3600)).cast("long").alias("bucket_s")
+    ).agg(F.sum(micros_amt("value")).alias("s"))
+    hours = (
+        b.agg(F.min("bucket_s").alias("mn"), F.max("bucket_s").alias("mx"))
+        .select(
+            F.explode(F.sequence("mn", "mx", F.lit(3600))).alias("bucket_s")
+        )
+    )
+    types = ev.select("event_type").distinct()
+    grid = hours.crossJoin(F.broadcast(types))
+    wp = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_s")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_bucket = F.when(F.col("s").isNotNull(), F.col("bucket_s"))
+    g = grid.join(b, ["event_type", "bucket_s"], "left").select(
+        "event_type",
+        "bucket_s",
+        "s",
+        F.last("s", ignorenulls=True).over(wp).alias("p"),
+        F.last(obs_bucket, ignorenulls=True).over(wp).alias("bp"),
+        F.first("s", ignorenulls=True).over(wn).alias("nx"),
+        F.first(obs_bucket, ignorenulls=True).over(wn).alias("bn"),
+    )
+    interp = F.col("p") + (F.col("nx") - F.col("p")) * (
+        (F.col("bucket_s") - F.col("bp")).cast("double")
+        / (F.col("bn") - F.col("bp"))
+    )
+    return g.select(
+        "event_type",
+        "bucket_s",
+        F.when(F.col("s").isNotNull(), F.col("s").cast("double"))
+        .when(F.col("p").isNotNull() & F.col("nx").isNotNull(), interp)
+        .alias("sum_value_micro_linear"),
+        F.col("s").isNotNull().alias("observed"),
+    )
+
+
+@register(
+    "ts_series_cardinality",
+    """
+    SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_measurements,
+           CAST(COUNT(DISTINCT CAST(user_id AS VARCHAR) || '|' || event_type)
+                AS BIGINT) AS n_series
+    FROM events
+    """,
+)
+def ts_series_cardinality(spark, sf):
+    """InfluxQL ``SHOW SERIES CARDINALITY`` / ``SHOW MEASUREMENT
+    CARDINALITY``: the index-size numbers a capacity planner asks for.
+    Exact distinct counts (Expand + partial agg two-phase plan — no
+    driver-side set)."""
+    ev = load_table(spark, sf, "events")
+    series_key = F.concat(
+        F.col("user_id").cast("string"), F.lit("|"), F.col("event_type")
+    )
+    return ev.agg(
+        F.count_distinct("user_id").alias("n_users"),
+        F.count_distinct("event_type").alias("n_measurements"),
+        F.count_distinct(series_key).alias("n_series"),
+    )
+
+
+@register(
+    "emb_class_centroids",
+    f"""
+    WITH e AS (SELECT label, {_SQL_VEC} AS v FROM embeddings),
+    x AS (SELECT label, v, unnest(generate_series(1, len(v))) AS dim FROM e)
+    SELECT label, CAST(dim AS BIGINT) AS dim,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(CAST(FLOOR(v[dim] * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_micro,
+           CAST(SUM(CAST(FLOOR(v[dim] * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+             / CAST(COUNT(*) AS BIGINT) / 1000000.0 AS mean_val
+    FROM x GROUP BY label, dim
+    """,
+)
+def emb_class_centroids(spark, sf):
+    """Per-label centroid of the embedding column, one row per
+    (label, dimension) — the class-prototype primitive behind IVF
+    coarse quantizers and semantic-cluster summaries. Summing floats
+    across rows is order-dependent (partial aggregates arrive in any
+    order), so each component is quantized to exact integer micros
+    with portable floor(x+0.5) rounding, summed exactly, and divided
+    once at the end — the engine's standard exact-integer ride
+    (posexplode + two-phase hash agg; shuffle carries label×dim
+    groups, not vectors)."""
+    emb = load_table(spark, sf, "embeddings")
+    d = emb.select("label", F.posexplode("embedding").alias("pos", "x"))
+    xm = F.floor(F.col("x").cast("double") * 1_000_000 + F.lit(0.5)).cast("long")
+    return (
+        d.groupBy("label", (F.col("pos") + 1).cast("long").alias("dim"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum(xm).alias("sum_micro"),
+        )
+        .select(
+            "label",
+            "dim",
+            "n_vecs",
+            "sum_micro",
+            (
+                (F.col("sum_micro") / F.col("n_vecs")) / F.lit(1_000_000.0)
+            ).alias("mean_val"),
+        )
+    )
+
+
 def _text_format_roundtrip(spark, sf, fmt: str) -> DataFrame:
     """Shared body of the CSV / JSON-lines interchange gates: export
     the events table (ns clock as long), read it back with a declared
