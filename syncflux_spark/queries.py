@@ -3904,6 +3904,41 @@ def ts_downsample_fill_linear(spark, sf):
 
 
 @register(
+    "bucketed_join_revenue",
+    f"""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM({_sql_cents('l_extendedprice')}
+                    * (100 - {_sql_cents('l_discount')})) AS BIGINT)
+             / 10000.0 AS revenue
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def bucketed_join_revenue(spark, sf):
+    """Fact-to-fact join through BUCKETED storage: both sides are
+    materialized bucketed+sorted on the join key, so the
+    SortMergeJoin reads co-located buckets with no Exchange under it
+    (asserted in test_plans.py) — the one-time write shuffle replaces
+    the per-query shuffle of both fact tables, which is the layout
+    decision that matters most at 100 TB
+    (sources/bucketed.py::cobucketed_join)."""
+    from syncflux_spark.sources.bucketed import cobucketed_join
+
+    o = load_table(spark, sf, "orders").select("o_orderkey", "o_orderpriority")
+    li = load_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    j = cobucketed_join(spark, o, li, "o_orderkey", "l_orderkey", "sfb_rev")
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        (
+            F.sum(cents("l_extendedprice") * (F.lit(100) - cents("l_discount")))
+            / F.lit(10000.0)
+        ).alias("revenue"),
+    )
+
+
+@register(
     "ts_series_cardinality",
     """
     SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,

@@ -142,6 +142,16 @@ class TestExecutionDiscipline:
         assert "HashAggregate" not in plan
         assert plan.count("Exchange") <= 1
 
+    def test_bucketed_join_has_no_exchange_under_join(self, spark, sf_dir):
+        """Co-located bucketed tables must SortMergeJoin without
+        shuffling either side — the only Exchange in the whole plan is
+        the final small groupBy. If bucketing stopped reaching the
+        planner this count jumps to 3."""
+        plan = plan_of(spark, sf_dir, "bucketed_join_revenue")
+        assert "SortMergeJoin" in plan
+        assert plan.count("Exchange") == 1
+        assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan
+
     def test_contamination_broadcasts_benchmark(self, spark, sf_dir):
         """Decontamination must probe the training corpus with a
         broadcast of the benchmark shingles — shuffling the training
