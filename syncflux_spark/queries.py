@@ -3964,6 +3964,97 @@ def ts_series_cardinality(spark, sf):
     )
 
 
+def _sql_random_projection(out_dim: int = 16, dim: int = 64) -> str:
+    from syncflux_spark.operators.similarity import _hyperplane
+
+    vq = (
+        f"list_transform({_SQL_VEC}, "
+        "x -> CAST(FLOOR(x * 1000000 + 0.5) AS BIGINT))"
+    )
+    cols = []
+    for j in range(out_dim):
+        lits = ", ".join(
+            str(round(_hyperplane(50_000 + j, d) * 1_000_000))
+            for d in range(dim)
+        )
+        cols.append(
+            f"list_dot_product(vq, [{lits}]) / 1000000000000.0 AS p{j}"
+        )
+    return (
+        f"SELECT vec_id, {', '.join(cols)} "
+        f"FROM (SELECT vec_id, {vq} AS vq FROM embeddings)"
+    )
+
+
+@register("emb_random_projection", _sql_random_projection())
+def emb_random_projection(spark, sf):
+    """Deterministic JL random projection 64→16 dims — identical
+    md5-derived planes on both engines, FIXED-POINT int64 dot (every
+    partial sum < 2^53, so any accumulation order is exact — float
+    dots are order-dependent and DuckDB reassociates long + chains),
+    one divide at the end
+    (operators/similarity.py::random_projection)."""
+    from syncflux_spark.operators.similarity import random_projection
+
+    return random_projection(load_table(spark, sf, "embeddings"))
+
+
+@register(
+    "ts_trend_slope",
+    f"""
+    SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n_points,
+           (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(x * y) AS DOUBLE)
+            - CAST(SUM(x) AS DOUBLE) * CAST(SUM(y) AS DOUBLE))
+           / (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(x * x) AS DOUBLE)
+              - CAST(SUM(x) AS DOUBLE) * CAST(SUM(x) AS DOUBLE))
+             AS slope_micro_per_s
+    FROM (SELECT user_id, event_type,
+                 epoch_us(ts) // 1000000 - 1704067200 AS x,
+                 {_sql_micros('value')} AS y
+          FROM events)
+    GROUP BY user_id, event_type
+    HAVING COUNT(*) >= 2
+       AND (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(x * x) AS DOUBLE)
+            - CAST(SUM(x) AS DOUBLE) * CAST(SUM(x) AS DOUBLE)) != 0
+    """,
+)
+def ts_trend_slope(spark, sf):
+    """Per-series least-squares trend (micros per second): closed-form
+    OLS over exact integer sums — x is rebased to the dataset epoch so
+    Σxy stays inside int64 (2.7e6 s span × 4.9e8 micros × rows/series)
+    and the four-sum combination happens once, in double, in one fixed
+    op order on both engines. One partial-agg shuffle, no window, no
+    second pass."""
+    ev = load_table(spark, sf, "events")
+    x = F.expr("unix_micros(ts) div 1000000") - F.lit(1_704_067_200)
+    y = micros_amt("value")
+    agg = ev.select(
+        "user_id", "event_type", x.alias("x"), y.alias("y")
+    ).groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n_d = F.col("n_points").cast("double")
+    num = n_d * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col(
+        "sy"
+    ).cast("double")
+    den = n_d * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col(
+        "sx"
+    ).cast("double")
+    return (
+        agg.where((F.col("n_points") >= 2) & (den != 0))
+        .select(
+            "user_id",
+            "event_type",
+            "n_points",
+            (num / den).alias("slope_micro_per_s"),
+        )
+    )
+
+
 @register(
     "emb_class_centroids",
     f"""
