@@ -19,6 +19,9 @@ Rules that make it work (and that the plan test asserts):
 
 from __future__ import annotations
 
+import shutil
+from urllib.parse import urlparse
+
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -31,7 +34,16 @@ def write_bucketed(
 ) -> None:
     """Materialize ``df`` as a catalog-managed parquet table bucketed
     (and optionally sorted) by ``key``. Overwrites any previous
-    layout of the same name."""
+    layout of the same name — including an ORPHANED warehouse
+    directory from an earlier session: the in-memory catalog forgets
+    tables on restart but the warehouse path survives, and
+    ``saveAsTable`` refuses a "new" table whose location exists
+    (LOCATION_ALREADY_EXISTS)."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    if wh:
+        shutil.rmtree(f"{wh}/{table.lower()}", ignore_errors=True)
     w = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, key)
     if sort:
         w = w.sortBy(key)
