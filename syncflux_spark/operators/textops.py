@@ -158,6 +158,41 @@ def repetition_stats(
     )
 
 
+def bigram_top_terms(
+    df: DataFrame,
+    k: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus bigram statistics: top-``k`` adjacent word pairs by
+    document frequency, with total occurrence counts — the phrase-level
+    companion to :func:`vocab_top_terms` (boilerplate headers, license
+    blurbs and navigation chrome show up here long before they dominate
+    any unigram list). (bigram, doc_freq, total_tf).
+
+    The words array is staged as a real column before the shingle
+    lambda (free subexpressions inside higher-order-function lambdas
+    re-evaluate per element — see functions/text.py::shingles_of_words),
+    then the same two partial-aggregating shuffles + per-partition
+    top-k heap merge as the unigram path: TakeOrderedAndProject, never
+    a global sort."""
+    from syncflux_spark.functions.text import shingles_of_words, words
+
+    staged = df.select(F.col(id_col), words(text_col).alias("ws"))
+    toks = staged.select(
+        F.col(id_col), F.explode(shingles_of_words(F.col("ws"), 2)).alias("bg")
+    )
+    per = toks.groupBy("bg").agg(
+        F.count_distinct(F.col(id_col)).alias("doc_freq"),
+        F.count(F.lit(1)).alias("total_tf"),
+    )
+    return (
+        per.orderBy(F.desc("doc_freq"), F.asc("bg"))
+        .limit(k)
+        .select(F.col("bg").alias("bigram"), "doc_freq", "total_tf")
+    )
+
+
 def vocab_top_terms(
     df: DataFrame,
     k: int = 100,

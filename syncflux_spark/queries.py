@@ -1280,6 +1280,32 @@ def vocab_top_terms(spark, sf):
 
 
 @register(
+    "bigram_top_terms",
+    f"""
+    WITH w AS (SELECT doc_id, {_SQL_WORDS} AS ws FROM documents),
+    bg AS (SELECT doc_id, array_to_string(ws[i:i+1], ' ') AS bg
+           FROM (SELECT doc_id, ws,
+                        unnest(generate_series(1, len(ws) - 1)) AS i FROM w))
+    SELECT bg AS bigram, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq,
+           CAST(COUNT(*) AS BIGINT) AS total_tf
+    FROM bg
+    GROUP BY bg
+    ORDER BY doc_freq DESC, bigram
+    LIMIT 100
+    """,
+)
+def bigram_top_terms(spark, sf):
+    """Top-100 corpus bigrams by document frequency — the phrase-level
+    boilerplate profile (license blurbs, navigation chrome) consulted
+    alongside the unigram vocabulary. Words staged before the shingle
+    lambda; top-k plans as TakeOrderedAndProject
+    (operators/textops.py::bigram_top_terms)."""
+    from syncflux_spark.operators.textops import bigram_top_terms as _bt
+
+    return _bt(load_table(spark, sf, "documents"), k=100)
+
+
+@register(
     "benchmark_contamination",
     r"""
     WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
@@ -4052,6 +4078,48 @@ def ts_trend_slope(spark, sf):
             "n_points",
             (num / den).alias("slope_micro_per_s"),
         )
+    )
+
+
+@register(
+    "ts_ema",
+    """
+    SELECT user_id, event_type, CAST(len(vals) AS BIGINT) AS n_points,
+           list_reduce(vals, (acc, x) -> 0.5::DOUBLE * x + 0.5::DOUBLE * acc)
+             AS ema_half
+    FROM (SELECT user_id, event_type, list(value ORDER BY ts, value) AS vals
+          FROM events GROUP BY user_id, event_type)
+    ORDER BY user_id, event_type
+    """,
+)
+def ts_ema(spark, sf):
+    """Influx `exponential_moving_average` endpoint per series, with a
+    dyadic half-life (alpha = 1/2): EMA_1 = x_1, EMA_t = x_t/2 +
+    EMA_{t-1}/2. EMA is inherently sequential, so it runs as an
+    in-row left fold over the time-ordered value list (one shuffle to
+    group the series, zero window sorts); multiplying by 0.5 is a
+    power-of-two scale — exact in IEEE — so the fold is bit-identical
+    across engines (DuckDB list_reduce seeds with the first element;
+    Spark seeds aggregate() with element 1 and folds the rest).
+    State per series is the value list — bounded by series length;
+    unbounded series would stream through
+    streaming/stateful.py::running_totals instead."""
+    ev = load_table(spark, sf, "events")
+    vals = F.transform(
+        F.array_sort(F.collect_list(F.struct("ts", "value"))),
+        lambda s: s["value"],
+    )
+    g = ev.groupBy("user_id", "event_type").agg(vals.alias("vals"))
+    ema = F.aggregate(
+        F.slice(F.col("vals"), F.lit(2), F.size("vals") - F.lit(1)),
+        F.element_at("vals", F.lit(1)),
+        lambda acc, x: F.lit(0.5) * x + F.lit(0.5) * acc,
+    )
+    return g.select(
+        "user_id",
+        "event_type",
+        F.size("vals").cast("long").alias("n_points"),
+        ema.alias("ema_half"),
     )
 
 
