@@ -4082,6 +4082,65 @@ def ts_trend_slope(spark, sf):
 
 
 @register(
+    "outage_event_counts",
+    """
+    WITH g AS (SELECT event_type, epoch_us(ts) AS s,
+                      epoch_us(lead(ts) OVER (PARTITION BY event_type
+                                              ORDER BY ts, event_id)) AS e
+               FROM events),
+    w AS (SELECT event_type, s, e FROM g WHERE e - s > 1800000000)
+    SELECT w.event_type AS outage_type,
+           CAST(w.s AS BIGINT) AS gap_start_us,
+           CAST(w.e AS BIGINT) AS gap_end_us,
+           CAST(COUNT(*) AS BIGINT) AS n_other_events
+    FROM w JOIN events ev
+      ON epoch_us(ev.ts) > w.s AND epoch_us(ev.ts) < w.e
+     AND ev.event_type != w.event_type
+    GROUP BY w.event_type, w.s, w.e
+    """,
+)
+def outage_event_counts(spark, sf):
+    """Range join, bin-bucketed: per-event-type silence windows (>30
+    min between consecutive points) counted against every OTHER type's
+    events falling strictly inside them — "what was the rest of the
+    system doing during checkout outages". The containment predicate
+    runs through operators/intervals.py::binned_interval_join: both
+    sides keyed by a 1-hour time bin so the plan is an equality hash
+    join plus a residual filter — never BroadcastNestedLoopJoin — and
+    the fact side is not duplicated (one bin per point; intervals here
+    span <=4 bins). Plan-asserted in tests/test_plans.py."""
+    from syncflux_spark.operators.intervals import binned_interval_join
+
+    ev = load_table(spark, sf, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    g = ev.select(
+        F.col("event_type").alias("outage_type"),
+        F.unix_micros("ts").alias("s"),
+        F.unix_micros(F.lead("ts").over(w)).alias("e"),
+    )
+    wins = g.where(F.col("e") - F.col("s") > 1_800_000_000)
+    pts = ev.select(F.unix_micros("ts").alias("ts_us"), "event_type")
+    joined = binned_interval_join(
+        pts,
+        wins,
+        point_ts="ts_us",
+        start="s",
+        end="e",
+        bin_width_us=3_600_000_000,
+        extra_cond=F.col("event_type") != F.col("outage_type"),
+        closed="open",
+    )
+    return joined.groupBy("outage_type", "s", "e").agg(
+        F.count(F.lit(1)).alias("n_other_events")
+    ).select(
+        "outage_type",
+        F.col("s").alias("gap_start_us"),
+        F.col("e").alias("gap_end_us"),
+        "n_other_events",
+    )
+
+
+@register(
     "ts_ema",
     """
     SELECT user_id, event_type, CAST(len(vals) AS BIGINT) AS n_points,

@@ -82,6 +82,15 @@ class TestJoinStrategy:
         plan = plan_of(spark, sf_dir, "word_jaccard_pairs")
         assert "slice(" in plan
 
+    def test_range_join_is_binned_equality_not_nested_loop(self, spark, sf_dir):
+        """The interval-containment join must ride the time-bin
+        equality key (binned_interval_join): a raw BETWEEN range join
+        plans as BroadcastNestedLoopJoin — every point probed against
+        every interval, quadratic at scale."""
+        plan = plan_of(spark, sf_dir, "outage_event_counts")
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+
 
 class TestExecutionDiscipline:
     @pytest.mark.parametrize(
