@@ -158,6 +158,33 @@ def repetition_stats(
     )
 
 
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("url", r"https?://[^\s]+", "<URL>"),
+    ("phone", r"\b\d{3}-\d{4}\b", "<PHONE>"),
+]
+"""(name, pattern, mask) triples, applied in order. Patterns stick to
+the regex subset Java (Spark) and RE2 (DuckDB/Go) agree on — character
+classes, bounded repeats, \\b — no lookaround, no backrefs."""
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Mask PII-shaped spans (emails, URLs, phone fragments) and count
+    what was masked — the redaction pass a training-data pipeline runs
+    before anything is retained. Pure column expressions: per-pattern
+    `regexp_count` on the source text plus a chained `regexp_replace`,
+    all inside whole-stage codegen — no UDFs, no shuffle, scales as a
+    map-only pass. Output: (id, n_<pattern>..., scrubbed)."""
+    counts = []
+    masked = F.col(text_col)
+    for name, pat, token in PII_PATTERNS:
+        counts.append(
+            F.regexp_count(F.col(text_col), F.lit(pat)).cast("long").alias(f"n_{name}")
+        )
+        masked = F.regexp_replace(masked, pat, token)
+    return df.select(F.col(id_col), *counts, masked.alias("scrubbed"))
+
+
 def bigram_top_terms(
     df: DataFrame,
     k: int = 100,

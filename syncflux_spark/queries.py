@@ -1306,6 +1306,72 @@ def bigram_top_terms(spark, sf):
 
 
 @register(
+    "pii_scrub_stats",
+    r"""
+    WITH staged AS (
+      SELECT doc_id,
+             trim(text) || ' user' || CAST(doc_id AS VARCHAR)
+               || '@example.com https://h' || CAST(doc_id % 97 AS VARCHAR)
+               || '.example.com/p/' || CAST(doc_id AS VARCHAR)
+               || CASE WHEN doc_id % 3 = 0
+                       THEN ' ref 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                       ELSE '' END AS t
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(t, 'https?://[^\s]+')) AS BIGINT) AS n_url,
+           CAST(len(regexp_extract_all(t, '\b\d{3}-\d{4}\b')) AS BIGINT) AS n_phone,
+           md5(regexp_replace(regexp_replace(regexp_replace(t,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 'https?://[^\s]+', '<URL>', 'g'),
+                 '\b\d{3}-\d{4}\b', '<PHONE>', 'g')) AS scrub_hash
+    FROM staged
+    """,
+)
+def pii_scrub_stats(spark, sf):
+    """PII redaction pass over the corpus: mask emails / URLs / phone
+    fragments, count masks per doc, hash the scrubbed text. The
+    fixture corpus is PII-free by construction, so the query first
+    injects deterministic doc_id-derived PII spans — the masks are
+    then non-trivial and the oracle verifies the exact scrubbed bytes.
+    Map-only whole-stage-codegen pass, no UDFs, no shuffle
+    (operators/textops.py::scrub_pii)."""
+    from syncflux_spark.operators.textops import scrub_pii
+
+    docs = load_table(spark, sf, "documents")
+    did = F.col("doc_id").cast("string")
+    phone = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(
+            F.lit(" ref 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ),
+    ).otherwise(F.lit(""))
+    staged = docs.select(
+        "doc_id",
+        F.concat(
+            F.trim(F.col("text")),
+            F.lit(" user"),
+            did,
+            F.lit("@example.com https://h"),
+            (F.col("doc_id") % 97).cast("string"),
+            F.lit(".example.com/p/"),
+            did,
+            phone,
+        ).alias("text"),
+    )
+    out = scrub_pii(staged)
+    return out.select(
+        "doc_id",
+        "n_email",
+        "n_url",
+        "n_phone",
+        F.md5(F.col("scrubbed")).alias("scrub_hash"),
+    )
+
+
+@register(
     "benchmark_contamination",
     r"""
     WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
