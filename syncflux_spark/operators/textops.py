@@ -158,6 +158,73 @@ def repetition_stats(
     )
 
 
+def bm25_rank(
+    df: DataFrame,
+    terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keyword search: rank documents by a BM25-shaped score for a
+    fixed bag of query ``terms``. (doc_id, score), top-``k``.
+
+    The idf factor is the log-free rational form (N - df + ½)/(df + ½)
+    — a monotone transform of the textbook ln(1 + ·), so the RANKING
+    is identical while every arithmetic step stays in plain IEEE ops
+    (no libm, bit-identical across engines).
+
+    Scale shape: the token explode is filtered to the query terms
+    before any aggregation (predicate on the exploded value — the
+    corpus-sized token stream never reaches a shuffle); doc length
+    comes free from the staged words array; the three corpus scalars
+    (N, Σdl, per-term df) are broadcast back via 1-row / |terms|-row
+    cross joins; the final top-k is TakeOrderedAndProject. Per-term
+    partial scores collapse in one fixed left-assoc sum so the float
+    result is order-deterministic."""
+    from syncflux_spark.functions.text import words
+
+    staged = df.select(F.col(id_col), words(text_col).alias("ws"))
+    dl = staged.select(F.col(id_col), F.size("ws").cast("long").alias("dl"))
+    tf = (
+        staged.select(F.col(id_col), F.explode("ws").alias("t"))
+        .where(F.col("t").isin(terms))
+        .groupBy(id_col, "t")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("total_dl")
+    )
+    dfreq = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    n_d = F.col("n").cast("double")
+    df_d = F.col("df").cast("double")
+    tf_d = F.col("tf").cast("double")
+    dl_d = F.col("dl").cast("double")
+    idf = (n_d - df_d + F.lit(0.5)) / (df_d + F.lit(0.5))
+    avgdl = F.col("total_dl").cast("double") / n_d
+    den = tf_d + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * (dl_d / avgdl))
+    sc = (
+        tf.join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .join(F.broadcast(dfreq), "t")
+        .select(F.col(id_col), "t", ((idf * (tf_d * F.lit(k1 + 1.0))) / den).alias("s"))
+    )
+    per_term = [
+        F.coalesce(F.max(F.when(F.col("t") == t, F.col("s"))), F.lit(0.0))
+        for t in terms
+    ]
+    score = per_term[0]
+    for p in per_term[1:]:
+        score = score + p
+    return (
+        sc.groupBy(id_col)
+        .agg(score.alias("score"))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 PII_PATTERNS: list[tuple[str, str, str]] = [
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("url", r"https?://[^\s]+", "<URL>"),

@@ -1306,6 +1306,51 @@ def bigram_top_terms(spark, sf):
 
 
 @register(
+    "bm25_search",
+    f"""
+    WITH w AS (SELECT doc_id, {_SQL_WORDS} AS ws FROM documents),
+    dl AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl FROM w),
+    tf AS (SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM (SELECT doc_id, unnest(ws) AS t FROM w)
+           WHERE t IN ('batch', 'scan', 'window')
+           GROUP BY doc_id, t),
+    stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(dl) AS BIGINT) AS total_dl FROM dl),
+    dfq AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY t),
+    sc AS (SELECT tf.doc_id, tf.t,
+             ((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5::DOUBLE)
+              / (CAST(df AS DOUBLE) + 0.5::DOUBLE))
+             * (CAST(tf AS DOUBLE) * 2.2::DOUBLE)
+             / (CAST(tf AS DOUBLE) + 1.2::DOUBLE *
+                (0.25::DOUBLE + 0.75::DOUBLE *
+                 (CAST(dl AS DOUBLE)
+                  / (CAST(total_dl AS DOUBLE) / CAST(n AS DOUBLE))))) AS s
+           FROM tf JOIN dl USING (doc_id) CROSS JOIN stats JOIN dfq USING (t))
+    SELECT doc_id,
+           COALESCE(MAX(CASE WHEN t = 'batch' THEN s END), 0.0::DOUBLE)
+         + COALESCE(MAX(CASE WHEN t = 'scan' THEN s END), 0.0::DOUBLE)
+         + COALESCE(MAX(CASE WHEN t = 'window' THEN s END), 0.0::DOUBLE)
+           AS score
+    FROM sc GROUP BY doc_id
+    ORDER BY score DESC, doc_id
+    LIMIT 50
+    """,
+)
+def bm25_search(spark, sf):
+    """Keyword search over the corpus: top-50 docs by BM25 score for
+    the query bag {{batch, scan, window}} (k1=1.2, b=0.75; log-free
+    rational idf — ranking-identical, libm-free so both engines agree
+    bitwise). The corpus-sized token stream is filtered to the query
+    terms before any shuffle; corpus scalars broadcast; top-k is a
+    per-partition heap (operators/textops.py::bm25_rank)."""
+    from syncflux_spark.operators.textops import bm25_rank
+
+    return bm25_rank(
+        load_table(spark, sf, "documents"), terms=["batch", "scan", "window"]
+    )
+
+
+@register(
     "pii_scrub_stats",
     r"""
     WITH staged AS (
