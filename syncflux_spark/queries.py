@@ -2440,6 +2440,109 @@ def users_click_no_purchase(spark, sf):
     return clicks.exceptAll(buys)
 
 
+@register(
+    "funnel_conversion",
+    """
+    WITH ev AS (SELECT user_id, event_type,
+                       CAST(epoch_us(ts) AS BIGINT) AS tus FROM events),
+    v AS (SELECT user_id, MIN(tus) AS t1 FROM ev
+          WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT ev.user_id, MIN(tus) AS t2 FROM ev JOIN v USING (user_id)
+          WHERE event_type = 'click' AND tus >= v.t1 GROUP BY ev.user_id),
+    p AS (SELECT ev.user_id, MIN(tus) AS t3 FROM ev JOIN c USING (user_id)
+          WHERE event_type = 'purchase' AND tus >= c.t2 GROUP BY ev.user_id)
+    SELECT v.user_id, v.t1 AS t1_us, c.t2 AS t2_us, p.t3 AS t3_us,
+           CAST(1 + CASE WHEN c.t2 IS NULL THEN 0 ELSE 1 END
+                  + CASE WHEN p.t3 IS NULL THEN 0 ELSE 1 END AS BIGINT) AS step
+    FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+    """,
+)
+def funnel_conversion(spark, sf):
+    """Ordered conversion funnel view → click → purchase per user:
+    stage k's timestamp is the earliest qualifying event AT OR AFTER
+    stage k-1's (not merely the user's earliest — ordering is the
+    point of a funnel). Three stage-filtered partial-agg mins chained
+    by equality joins on user_id; all timestamps ride exact µs longs.
+    The per-stage filter runs before each shuffle, so each stage
+    moves only that stage's events."""
+    ev = load_table(spark, sf, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("tus")
+    )
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("tus").alias("t1"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("tus") >= F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("tus").alias("t2"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("tus") >= F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("tus").alias("t3"))
+    )
+    step = (
+        F.lit(1)
+        + F.when(F.col("t2").isNull(), 0).otherwise(1)
+        + F.when(F.col("t3").isNull(), 0).otherwise(1)
+    ).cast("long")
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            F.col("t1").alias("t1_us"),
+            F.col("t2").alias("t2_us"),
+            F.col("t3").alias("t3_us"),
+            step.alias("step"),
+        )
+    )
+
+
+@register(
+    "cohort_retention",
+    """
+    WITH f AS (SELECT user_id,
+                      MIN(epoch_us(ts)) // 604800000000 AS w0
+               FROM events GROUP BY user_id),
+    a AS (SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS w
+          FROM events)
+    SELECT CAST(w0 AS BIGINT) AS cohort_week,
+           CAST(w - w0 AS BIGINT) AS week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM a JOIN f USING (user_id)
+    GROUP BY w0, w - w0
+    """,
+)
+def cohort_retention(spark, sf):
+    """Cohort retention triangle: users grouped by first-seen epoch
+    week, counted in each subsequent week they were active. Two
+    partial-agg passes over the fact (first-seen min, distinct
+    user-weeks) joined on user_id; the final count groups a
+    users×weeks-sized frame, never the raw events. Week ids are
+    exact integer µs-epoch divisions."""
+    ev = load_table(spark, sf, "events")
+    wk = F.expr("unix_micros(ts) div 604800000000")
+    f = ev.groupBy("user_id").agg(
+        F.expr("min(unix_micros(ts)) div 604800000000").alias("w0")
+    )
+    a = ev.select("user_id", wk.alias("w")).distinct()
+    return (
+        a.join(f, "user_id")
+        .groupBy(
+            F.col("w0").alias("cohort_week"),
+            (F.col("w") - F.col("w0")).alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
 _SERIES_W = "PARTITION BY user_id, event_type ORDER BY ts, event_id"
 
 
