@@ -2506,6 +2506,72 @@ def funnel_conversion(spark, sf):
 
 
 @register(
+    "kmv_distinct_users",
+    """
+    WITH h AS (SELECT DISTINCT event_type,
+                 ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT
+                   AS v
+               FROM events),
+    r AS (SELECT event_type, v,
+                 row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn
+          FROM h),
+    s AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_sample,
+                 CAST(MAX(v) AS BIGINT) AS kth_hash
+          FROM r WHERE rn <= 64 GROUP BY event_type),
+    x AS (SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT)
+                   AS exact_distinct
+          FROM events GROUP BY event_type)
+    SELECT s.event_type, n_sample, kth_hash,
+           CASE WHEN n_sample < 64 OR kth_hash = 0
+                THEN CAST(n_sample AS DOUBLE)
+                ELSE 17732923532771328.0::DOUBLE / CAST(kth_hash AS BIGINT)::DOUBLE
+           END AS est_distinct,
+           exact_distinct
+    FROM s JOIN x USING (event_type)
+    """,
+)
+def kmv_distinct_users(spark, sf):
+    """Distinct-count sketch, KMV (bottom-k minimum values, k=64):
+    estimate per-type distinct users as (k-1)/frac(kth-smallest hash).
+    Unlike HLL the sketch is a deterministic function of the data —
+    md5-derived 48-bit hash values, k smallest per group — so two
+    engines agree bitwise and the oracle checks the ESTIMATE itself,
+    with the exact count alongside for the error budget. The rank<=k
+    filter triggers Spark's WindowGroupLimit: a per-partition bottom-k
+    heap runs before the per-group sort, so the full distinct-hash set
+    is never globally sorted; mergeability of bottom-k is what makes
+    the sketch shuffle-light at 100 TB. 17732923532771328 = 63·2^48
+    (exactly representable; single IEEE division)."""
+    ev = load_table(spark, sf, "events")
+    h = ev.select(
+        "event_type",
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 12), 16, 10)
+        .cast("long")
+        .alias("v"),
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy("v")
+    s = (
+        h.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 64)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_sample"),
+            F.max("v").alias("kth_hash"),
+        )
+    )
+    x = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_distinct")
+    )
+    est = F.when(
+        (F.col("n_sample") < 64) | (F.col("kth_hash") == 0),
+        F.col("n_sample").cast("double"),
+    ).otherwise(F.lit(17732923532771328.0) / F.col("kth_hash").cast("double"))
+    return s.join(x, "event_type").select(
+        "event_type", "n_sample", "kth_hash", est.alias("est_distinct"), "exact_distinct"
+    )
+
+
+@register(
     "cohort_retention",
     """
     WITH f AS (SELECT user_id,
