@@ -64,6 +64,14 @@ HEADLINE = [
     "knn_topk",
     "ivf_topk",
     "emb_near_dup_pairs",
+    "bm25_search",
+    "bigram_top_terms",
+    "pii_scrub_stats",
+    "funnel_conversion",
+    "cohort_retention",
+    "kmv_distinct_users",
+    "outage_event_counts",
+    "ts_ema",
 ]
 
 

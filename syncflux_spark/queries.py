@@ -3277,6 +3277,43 @@ def stream_windowed_rollup(spark, sf):
 
 
 @register(
+    "stream_attribution_pairs",
+    """
+    SELECT e1.user_id,
+           CAST(epoch_us(e1.ts) AS BIGINT) AS purchase_us,
+           CAST(epoch_us(e2.ts) AS BIGINT) AS click_us
+    FROM events e1 JOIN events e2
+      ON e2.user_id = e1.user_id
+     AND e1.event_type = 'purchase' AND e2.event_type = 'click'
+     AND epoch_us(e2.ts) >= epoch_us(e1.ts) - 3600000000
+     AND epoch_us(e2.ts) <= epoch_us(e1.ts)
+    """,
+)
+def stream_attribution_pairs(spark, sf):
+    """Stream-stream interval join end-to-end: purchases and clicks
+    read as two watermarked streams, inner-joined on user_id with a
+    trailing-hour event-time bound, pairs emitted append-mode through
+    a checkpointed parquet sink. Matching the batch self-join oracle
+    proves no pair is lost or duplicated through the join state store.
+    Inner-join output needs no watermark wait, so one availableNow
+    pass emits everything (streaming/joins.py)."""
+    import os
+    import shutil
+
+    from syncflux_spark.streaming.joins import ClickAttributionStream
+
+    root = tempfile.mkdtemp(prefix="sf_ssjoin_")
+    src = os.path.join(root, "src")
+    os.makedirs(src)
+    shutil.copy(
+        os.path.join(sf, "events.parquet"), os.path.join(src, "events.parquet")
+    )
+    st = ClickAttributionStream(spark, src, f"{root}/dst", f"{root}/ckpt")
+    st.run_available()
+    return st.read_pairs()
+
+
+@register(
     "q2_min_cost_supplier",
     f"""
     WITH cost AS (
