@@ -4405,7 +4405,7 @@ def ts_trend_slope(spark, sf):
                       epoch_us(lead(ts) OVER (PARTITION BY event_type
                                               ORDER BY ts, event_id)) AS e
                FROM events),
-    w AS (SELECT event_type, s, e FROM g WHERE e - s > 1800000000)
+    w AS (SELECT event_type, s, e FROM g WHERE e - s > 300000000)
     SELECT w.event_type AS outage_type,
            CAST(w.s AS BIGINT) AS gap_start_us,
            CAST(w.e AS BIGINT) AS gap_end_us,
@@ -4417,8 +4417,9 @@ def ts_trend_slope(spark, sf):
     """,
 )
 def outage_event_counts(spark, sf):
-    """Range join, bin-bucketed: per-event-type silence windows (>30
-    min between consecutive points) counted against every OTHER type's
+    """Range join, bin-bucketed: per-event-type silence windows (>5
+    min between consecutive points — meaningful at every fixture
+    scale: data density rises with sf, so a fixed 30-min bar empties) counted against every OTHER type's
     events falling strictly inside them — "what was the rest of the
     system doing during checkout outages". The containment predicate
     runs through operators/intervals.py::binned_interval_join: both
@@ -4435,7 +4436,7 @@ def outage_event_counts(spark, sf):
         F.unix_micros("ts").alias("s"),
         F.unix_micros(F.lead("ts").over(w)).alias("e"),
     )
-    wins = g.where(F.col("e") - F.col("s") > 1_800_000_000)
+    wins = g.where(F.col("e") - F.col("s") > 300_000_000)
     pts = ev.select(F.unix_micros("ts").alias("ts_us"), "event_type")
     joined = binned_interval_join(
         pts,
