@@ -3277,6 +3277,92 @@ def stream_windowed_rollup(spark, sf):
 
 
 @register(
+    "stream_session_rollup",
+    """
+    WITH flagged AS (
+      SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS us,
+             CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                    OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, us,
+             CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           CAST(MIN(us) AS BIGINT) AS start_us,
+           CAST(MAX(us) AS BIGINT) AS end_us,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def stream_session_rollup(spark, sf):
+    """Streaming gap-based sessionization end-to-end: the events file
+    streamed through ``F.session_window`` (30-min inactivity gap,
+    10-min watermark), per-user sessions emitted append-mode once the
+    watermark passes their close. A session boundary here is decided
+    by the state store merging/extending open windows — matching the
+    batch lag-and-running-sum oracle (the same SQL that gates
+    ts_sessionize) proves the two formulations agree session-for-
+    session. Sentinel rows flush the final sessions exactly as in
+    stream_windowed_rollup. Boundary note: at a gap of EXACTLY the
+    threshold the two formulations diverge (session_window's end is
+    exclusive — a last+gap event opens a new session; the oracle
+    splits only on strictly-greater), so sub-µs-probability boundary
+    rows would need the oracle's >= form; the µs-grain fixture has
+    none (probed: 0 exact-1800s gaps).
+    """
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from syncflux_spark.streaming.windowed import SessionWindowStream
+
+    root = tempfile.mkdtemp(prefix="sf_sessstream_")
+    src = os.path.join(root, "src")
+    os.makedirs(src)
+    shutil.copy(
+        os.path.join(sf, "events.parquet"), os.path.join(src, "events.parquet")
+    )
+    ws = SessionWindowStream(
+        spark, src, f"{root}/dst", f"{root}/ckpt", group_cols=("user_id",)
+    )
+    ws.run_available()
+    max_ns = (
+        load_table(spark, sf, "events").agg(F.max("ts_ns").alias("m")).collect()[0].m
+    )
+
+    def sentinel(name: str, ts_ns: int) -> None:
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array([-1], pa.int64()),
+                    "ts": pa.array([ts_ns], pa.int64()),
+                    "user_id": pa.array([-1], pa.int64()),
+                    "event_type": pa.array(["__flush__"]),
+                    "value": pa.array([0.0], pa.float64()),
+                    "props": pa.array(["{}"]),
+                }
+            ),
+            os.path.join(src, name),
+        )
+
+    hour_ns = 3600 * 10**9
+    sentinel("zz_flush1.parquet", max_ns + 2 * hour_ns)
+    ws.run_available()
+    sentinel("zz_flush2.parquet", max_ns + 4 * hour_ns)
+    ws.run_available()
+    return ws.read_rollup().where(F.col("user_id") != -1)
+
+
+@register(
     "stream_attribution_pairs",
     """
     SELECT e1.user_id,

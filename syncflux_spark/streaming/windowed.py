@@ -126,3 +126,47 @@ class WindowedRollupStream:
         """Windows emitted so far (the parquet sink's commit log hides
         uncommitted files, so this is always a consistent snapshot)."""
         return self.spark.read.parquet(self.dst_path)
+
+
+class SessionWindowStream(WindowedRollupStream):
+    """Continuous gap-based sessionization: ``F.session_window`` merges
+    a user's events whose inter-arrival gap is under ``session_gap``
+    into one growing window; the state store extends/merges open
+    sessions as events arrive and emits a session once the watermark
+    passes its close (last event + gap). This is the streaming twin of
+    the batch operator (operators/downsample.py::sessionize) — same
+    session boundaries, verified against the same oracle.
+
+    Output: ``user_id``, ``start_us``, ``end_us`` (last-event time —
+    Spark's session end is last+gap, subtracted back out so the batch
+    oracle's MAX(ts) matches exactly), ``n_events``.
+
+    Scale: session state is per open session per user, evicted at
+    watermark close — O(active users × open sessions), not O(stream);
+    sharded by the grouping key like every stateful operator here.
+    """
+
+    def __init__(self, *args, session_gap_us: int = 1_800_000_000, **kwargs):
+        super().__init__(*args, **kwargs)
+        self._gap_us = session_gap_us
+        self.session_gap = f"{session_gap_us // 1_000_000} seconds"
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        evt = (
+            unixnano_to_ts(self.time_col) if self.time_is_ns else F.col(self.time_col)
+        )
+        return (
+            df.withColumn("_evt", evt)
+            .withWatermark("_evt", self.watermark_delay)
+            .groupBy(
+                F.session_window("_evt", self.session_gap).alias("_w"),
+                *self.group_cols,
+            )
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                *self.group_cols,
+                F.unix_micros("_w.start").alias("start_us"),
+                (F.unix_micros("_w.end") - F.lit(self._gap_us)).alias("end_us"),
+                "n_events",
+            )
+        )
