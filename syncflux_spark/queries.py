@@ -4415,6 +4415,64 @@ def _sql_random_projection(out_dim: int = 16, dim: int = 64) -> str:
     )
 
 
+@register(
+    "emb_covariance",
+    f"""
+    WITH q AS (SELECT list_transform({_SQL_VEC},
+                 x -> CAST(ROUND(x * 1000000) AS BIGINT)) AS v
+               FROM embeddings),
+    p AS (SELECT v, unnest(generate_series(1, len(v))) AS i FROM q),
+    pp AS (SELECT v[i] AS vi, v[j] AS vj, i, j
+           FROM (SELECT v, i, unnest(generate_series(i, len(v))) AS j FROM p))
+    SELECT CAST(i - 1 AS BIGINT) AS i, CAST(j - 1 AS BIGINT) AS j,
+           ((CAST(SUM(vi * vj) AS DOUBLE)
+             - CAST(SUM(vi) AS DOUBLE) * CAST(SUM(vj) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE))
+            / CAST(COUNT(*) AS DOUBLE)) / 1000000000000.0::DOUBLE AS cov
+    FROM pp GROUP BY i, j
+    """,
+)
+def emb_covariance(spark, sf):
+    """Upper-triangle covariance matrix of the embedding corpus (the
+    d×d input to PCA / whitening / Mahalanobis). Each vector is
+    quantized to exact micros ints, pair products accumulate in int64
+    (partial sums < 2^53 ⇒ any accumulation order exact — the same
+    fixed-point discipline as emb_random_projection), and the
+    (Σxy − ΣxΣy/n)/n combination happens once in double, fixed op
+    order. Plan: two nested posexplodes fan each row to d(d+1)/2
+    pair terms that collapse map-side into ≤ d² partial aggregates
+    per partition — the shuffle moves O(d² × partitions), never
+    O(n·d²). At 100 TB (n ≳ 9e6 per group at micros² magnitudes)
+    swap the int64 accumulator for decimal(38,0); symmetry gives the
+    lower triangle for free."""
+    from syncflux_spark.functions.vectors import as_double
+
+    e = load_table(spark, sf, "embeddings")
+    q = e.select(
+        F.transform(as_double("embedding"), lambda x: F.round(x * 1_000_000).cast("long")).alias("v")
+    )
+    xi = q.select(F.posexplode("v").alias("i", "vi"), F.col("v"))
+    xij = xi.select(
+        "i", "vi", F.posexplode(F.slice("v", F.col("i") + 1, F.size("v") - F.col("i"))).alias("j0", "vj")
+    ).select("i", "vi", (F.col("i") + F.col("j0")).alias("j"), "vj")
+    agg = xij.groupBy("i", "j").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("vi").alias("sx"),
+        F.sum("vj").alias("sy"),
+        F.sum(F.col("vi") * F.col("vj")).alias("sxy"),
+    )
+    n_d = F.col("n").cast("double")
+    cov = (
+        (F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy").cast("double") / n_d)
+        / n_d
+    ) / F.lit(1_000_000_000_000.0)
+    return agg.select(
+        F.col("i").cast("long").alias("i"),
+        F.col("j").cast("long").alias("j"),
+        cov.alias("cov"),
+    )
+
+
 @register("emb_random_projection", _sql_random_projection())
 def emb_random_projection(spark, sf):
     """Deterministic JL random projection 64→16 dims — identical
