@@ -158,6 +158,63 @@ def repetition_stats(
     )
 
 
+def lm_predictability(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Statistical language-model quality score: per document, the
+    mean in-corpus bigram transition probability P(w2|w1) =
+    count(w1 w2) / count(w1 ·) — the log-free cousin of CCNet's LM
+    perplexity filter (documents whose word transitions are unusual
+    for the corpus score low: boilerplate scores high, shuffled or
+    off-domain text scores low). (doc_id, n_bigrams, mean_prob);
+    docs with fewer than two words drop out.
+
+    Exactness: each transition probability is ONE double division of
+    exact integer counts; the per-doc mean folds the probabilities in
+    bigram-position order (sorted in-row fold), so the float sum has
+    one deterministic association on every engine.
+
+    Scale: the transition table is vocabulary-shaped, built by two
+    partial-agg passes over the exploded corpus and joined back
+    broadcast when small (Spark auto-broadcasts under the threshold;
+    a web-scale bigram table falls back to a hash join on the bigram
+    key — both fine, the corpus-sized side is never collected)."""
+    from syncflux_spark.functions.text import shingles_of_words, words
+
+    staged = df.select(F.col(id_col), words(text_col).alias("ws"))
+    bg = staged.select(
+        F.col(id_col),
+        F.posexplode(shingles_of_words(F.col("ws"), 2)).alias("i", "bg"),
+    )
+    cb = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bg"))
+    cw = (
+        cb.withColumn("w1", F.split(F.col("bg"), " ").getItem(0))
+        .groupBy("w1")
+        .agg(F.sum("c_bg").alias("c_w1"))
+    )
+    pt = (
+        cb.withColumn("w1", F.split(F.col("bg"), " ").getItem(0))
+        .join(cw, "w1")
+        .select(
+            "bg",
+            (F.col("c_bg").cast("double") / F.col("c_w1").cast("double")).alias("p"),
+        )
+    )
+    j = bg.join(pt, "bg")
+    arr = F.transform(
+        F.array_sort(F.collect_list(F.struct("i", "p"))), lambda s: s["p"]
+    )
+    g = j.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x).alias("total"),
+    )
+    return g.select(
+        F.col(id_col),
+        "n_bigrams",
+        (F.col("total") / F.col("n_bigrams").cast("double")).alias("mean_prob"),
+    )
+
+
 def bm25_rank(
     df: DataFrame,
     terms: list[str],

@@ -1306,6 +1306,36 @@ def bigram_top_terms(spark, sf):
 
 
 @register(
+    "lm_predictability",
+    f"""
+    WITH w AS (SELECT doc_id, {_SQL_WORDS} AS ws FROM documents),
+    bg AS (SELECT doc_id, i, array_to_string(ws[i:i+1], ' ') AS bg
+           FROM (SELECT doc_id, ws,
+                        unnest(generate_series(1, len(ws) - 1)) AS i FROM w)),
+    cb AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS c_bg FROM bg GROUP BY bg),
+    cw AS (SELECT split_part(bg, ' ', 1) AS w1,
+                  CAST(SUM(c_bg) AS BIGINT) AS c_w1 FROM cb GROUP BY w1),
+    pt AS (SELECT cb.bg, CAST(c_bg AS DOUBLE) / CAST(c_w1 AS DOUBLE) AS p
+           FROM cb JOIN cw ON split_part(cb.bg, ' ', 1) = cw.w1),
+    j AS (SELECT doc_id, i, p FROM bg JOIN pt USING (bg))
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           list_reduce([0.0::DOUBLE] || list(p ORDER BY i), (acc, x) -> acc + x)
+             / CAST(COUNT(*) AS DOUBLE) AS mean_prob
+    FROM j GROUP BY doc_id
+    """,
+)
+def lm_predictability(spark, sf):
+    """Per-doc mean in-corpus bigram transition probability — the
+    log-free statistical-LM quality filter (CCNet-style): shuffled or
+    off-domain text scores low. Probabilities are single divisions of
+    exact counts, summed per doc in bigram-position order via an
+    in-row fold (operators/textops.py::lm_predictability)."""
+    from syncflux_spark.operators.textops import lm_predictability as _lm
+
+    return _lm(load_table(spark, sf, "documents"))
+
+
+@register(
     "bm25_search",
     f"""
     WITH w AS (SELECT doc_id, {_SQL_WORDS} AS ws FROM documents),
