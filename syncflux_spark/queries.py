@@ -2536,6 +2536,42 @@ def funnel_conversion(spark, sf):
 
 
 @register(
+    "partitioned_scan_counts",
+    """
+    SELECT strftime(ts, '%Y-%m-%d') AS dt, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    WHERE strftime(ts, '%Y-%m-%d') BETWEEN '2024-01-10' AND '2024-01-20'
+    GROUP BY dt, event_type
+    """,
+)
+def partitioned_scan_counts(spark, sf):
+    """Date-partitioned layout round-trip: events rewritten as
+    ``dt=YYYY-MM-DD/`` directories, then an 11-day range scanned back
+    with the date predicate as a PARTITION filter — whole directories
+    pruned driver-side before any file opens (the 100-TB lever:
+    don't read it at all). Counts per (day, type) match the oracle
+    computed straight off the raw table, proving the layout loses
+    nothing and the pruned scan sees exactly the in-range rows.
+    Plan-asserted in tests/test_plans.py (PartitionFilters carry the
+    dt bounds; sources/partitioned.py)."""
+    import os
+
+    from syncflux_spark.sources.partitioned import (
+        read_date_range,
+        write_date_partitioned,
+    )
+
+    root = tempfile.mkdtemp(prefix="sf_dtpart_")
+    dst = os.path.join(root, "events_by_day")
+    write_date_partitioned(load_table(spark, sf, "events"), dst)
+    rd = read_date_range(spark, dst, "2024-01-10", "2024-01-20")
+    return rd.groupBy(
+        F.col("dt").cast("string").alias("dt"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
     "kmv_distinct_users",
     """
     WITH h AS (SELECT DISTINCT event_type,

@@ -42,6 +42,18 @@ class TestScanDiscipline:
         scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
         assert scan and all("props" not in ln for ln in scan)
 
+    def test_date_partition_pruning(self, spark, sf_dir):
+        """The date-partitioned layout's range predicate must prune at
+        the PARTITION level (directory listing), not merely row-level —
+        PartitionFilters must carry the dt bounds."""
+        plan = plan_of(spark, sf_dir, "partitioned_scan_counts")
+        scan = [ln for ln in plan.splitlines() if "FileScan" in ln]
+        assert scan
+        assert any(
+            "PartitionFilters:" in ln and "2024-01-10" in ln and "dt" in ln
+            for ln in scan
+        )
+
     def test_q6_filters_pushed(self, spark, sf_dir):
         plan = plan_of(spark, sf_dir, "q6_revenue_forecast")
         assert "PushedFilters: [" in plan
