@@ -149,6 +149,39 @@ def minhash_signatures(
     return hashed.select(*cols)
 
 
+def band_keys(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_shingle: int = 5,
+    n_hashes: int = N_MINHASH,
+    band_size: int = BAND_SIZE,
+    shingled: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document LSH band keys: (id, band_id, band_key), one row
+    per band. One pass — the (band_id, band_key) structs are exploded
+    from a single array instead of a UNION ALL of n_bands selects (a
+    union would re-evaluate the signature subplan per band). Callers
+    that scan the result more than once (the self-join) should wrap it
+    in ``eager_persist``."""
+    sig = minhash_signatures(
+        df, text_col, id_col, k_shingle, n_hashes, shingled=shingled
+    )
+    n_bands = n_hashes // band_size
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.concat_ws(
+                "|", *[F.col(f"mh{b * band_size + j}") for j in range(band_size)]
+            ).alias("band_key"),
+        )
+        for b in range(n_bands)
+    ]
+    return sig.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("bd")
+    ).select(F.col(id_col), F.col("bd.band_id"), F.col("bd.band_key"))
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -163,28 +196,12 @@ def lsh_candidate_pairs(
     id_b, deduplicated across bands). The only shuffle is the
     band-key self-join; band keys are md5-concat strings with high
     entropy, so bucket skew is bounded by true duplicate mass."""
-    sig = minhash_signatures(
-        df, text_col, id_col, k_shingle, n_hashes, shingled=shingled
-    )
-    n_bands = n_hashes // band_size
-    # one pass: explode a (band_id, band_key) array instead of a
-    # UNION ALL of n_bands selects (a union would re-evaluate the
-    # signature subplan per band); persist the tiny per-doc band list
-    # because the self-join scans it twice.
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band_id"),
-            F.concat_ws(
-                "|", *[F.col(f"mh{b * band_size + j}") for j in range(band_size)]
-            ).alias("band_key"),
-        )
-        for b in range(n_bands)
-    ]
     # eager: a lazy persist would let the self-join's two concurrent
     # stage scans each recompute the signature plan (utils.eager_persist)
     all_bands = eager_persist(
-        sig.select(F.col(id_col), F.explode(F.array(*band_structs)).alias("bd"))
-        .select(F.col(id_col), F.col("bd.band_id"), F.col("bd.band_key"))
+        band_keys(
+            df, text_col, id_col, k_shingle, n_hashes, band_size, shingled=shingled
+        )
     )
     a = all_bands.alias("a")
     b_ = all_bands.alias("b")
@@ -274,6 +291,75 @@ def ngram_jaccard_pairs(
     the same small data twice (the verify self-join)."""
     pairs = lsh_candidate_pairs(df, text_col, id_col, k_shingle, n_hashes, band_size)
     return jaccard_verify(df, pairs, text_col, id_col, k_shingle, threshold)
+
+
+def incremental_dedup(
+    batch: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_shingle: int = 5,
+    threshold: float = 0.5,
+    n_hashes: int = N_MINHASH,
+    band_size: int = BAND_SIZE,
+) -> DataFrame:
+    """Admission control for an ingest batch against an EXISTING
+    corpus — the steady-state form of dedup (a production pipeline
+    rarely re-dedups the world; it gates what's new against what's
+    kept). Per batch document: ``exact_dup`` (content digest already
+    in the corpus), ``near_dup`` (shares an LSH band with a corpus
+    doc AND shingle-Jaccard ≥ threshold), ``accepted`` (neither).
+    Flags are 0/1 longs.
+
+    Scale shape: the exact gate is a digest left-semi probe (corpus
+    side reduced to distinct digests — at 100 TB this is the
+    bucketed/partitioned lookup table an ingest service maintains);
+    the near gate joins batch bands to corpus bands — a batch×corpus
+    band join whose cost is driven by the BATCH size, not corpus²;
+    verify pays only for candidates. Corpus band keys and digests
+    are recomputed here from text — a real deployment persists both
+    as incremental indexes and this operator reads them instead
+    (band_keys / exact digests are exactly the columns to store)."""
+    b_dig = batch.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("digest")
+    )
+    c_dig = corpus.select(F.md5(F.col(text_col)).alias("digest")).distinct()
+    exact_ids = (
+        b_dig.join(c_dig, "digest", "left_semi").select(id_col).distinct()
+    )
+    bb = band_keys(batch, text_col, id_col, k_shingle, n_hashes, band_size)
+    cb = band_keys(corpus, text_col, id_col, k_shingle, n_hashes, band_size)
+    cand = (
+        bb.alias("a")
+        .join(
+            cb.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    both = batch.select(F.col(id_col), F.col(text_col)).unionByName(
+        corpus.select(F.col(id_col), F.col(text_col))
+    )
+    near = jaccard_verify(both, cand, text_col, id_col, k_shingle, threshold)
+    near_ids = near.select(F.col("id_a").alias(id_col)).distinct()
+    flags = (
+        batch.select(id_col)
+        .join(exact_ids.withColumn("_e", F.lit(1)), id_col, "left")
+        .join(near_ids.withColumn("_n", F.lit(1)), id_col, "left")
+    )
+    e = F.coalesce(F.col("_e"), F.lit(0)).cast("long")
+    n = F.coalesce(F.col("_n"), F.lit(0)).cast("long")
+    return flags.select(
+        F.col(id_col),
+        e.alias("exact_dup"),
+        n.alias("near_dup"),
+        F.when((e == 0) & (n == 0), F.lit(1)).otherwise(F.lit(0)).cast("long").alias("accepted"),
+    )
 
 
 def word_jaccard_all_pairs(
