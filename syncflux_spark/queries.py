@@ -1358,6 +1358,124 @@ def bigram_top_terms(spark, sf):
 
 
 @register(
+    "doc_chunk_windows",
+    f"""
+    WITH w AS (SELECT doc_id, {_SQL_WORDS} AS ws FROM documents),
+    c AS (SELECT doc_id, CAST((start - 1) // 24 AS BIGINT) AS chunk_id,
+                 ws[start:start+31] AS cw
+          FROM (SELECT doc_id, ws,
+                       unnest(generate_series(1, len(ws), 24)) AS start
+                FROM w))
+    SELECT doc_id, chunk_id, CAST(len(cw) AS BIGINT) AS n_tokens,
+           md5(array_to_string(cw, ' ')) AS chunk_hash
+    FROM c
+    """,
+)
+def doc_chunk_windows(spark, sf):
+    """Context-window chunking for training prep: each document split
+    into 32-token windows with stride 24 (8-token overlap), emitted as
+    (doc_id, chunk_id, n_tokens, chunk_hash). Pure in-row array ops —
+    a sequence of chunk starts exploded, each chunk a slice of the
+    staged words array; map-only, no shuffle, the 1→N expansion is
+    bounded by tokens/stride. The oracle verifies exact chunk BYTES
+    via md5."""
+    docs = load_table(spark, sf, "documents")
+    staged = docs.select("doc_id", words("text").alias("ws"))
+    ch = staged.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("ws"), F.lit(24)),
+                lambda s: F.slice("ws", s, 32),
+            )
+        ).alias("chunk_id", "cw"),
+    )
+    return ch.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.size("cw").cast("long").alias("n_tokens"),
+        F.md5(F.array_join("cw", " ")).alias("chunk_hash"),
+    )
+
+
+@register(
+    "corpus_mixture_stats",
+    f"""
+    WITH t AS (SELECT source, lang,
+                      CAST(len({_SQL_WORDS}) AS BIGINT) AS n_tok
+               FROM documents),
+    g AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+          FROM t GROUP BY source, lang)
+    SELECT source, lang, n_docs, n_tokens,
+           CAST(n_tokens AS DOUBLE)
+             / CAST(SUM(n_tokens) OVER () AS DOUBLE) AS token_share
+    FROM g
+    """,
+)
+def corpus_mixture_stats(spark, sf):
+    """Mixture composition report: docs / tokens / corpus token share
+    per (source, lang) — the table a data-mixing plan is written
+    against. One partial-agg shuffle to group; the share divides by a
+    window total over the GROUP-level frame (a handful of rows), so
+    the corpus is scanned once; exact integer token sums, single
+    division."""
+    docs = load_table(spark, sf, "documents")
+    g = (
+        docs.select("source", "lang", F.size(words("text")).cast("long").alias("n_tok"))
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+    )
+    total = F.sum("n_tokens").over(Window.partitionBy())
+    return g.select(
+        "source",
+        "lang",
+        "n_docs",
+        "n_tokens",
+        (F.col("n_tokens").cast("double") / total.cast("double")).alias("token_share"),
+    )
+
+
+@register(
+    "doc_size_weighted_sample",
+    f"""
+    WITH w AS (SELECT doc_id, CAST(len({_SQL_WORDS}) AS BIGINT) AS n_tok
+               FROM documents)
+    SELECT doc_id, n_tok,
+           least(greatest(CAST(n_tok AS DOUBLE) / 400.0::DOUBLE,
+                          0.1::DOUBLE), 1.0::DOUBLE) AS keep_p
+    FROM w
+    WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+               AS BIGINT)
+          < CAST(least(greatest(CAST(n_tok AS DOUBLE) / 400.0::DOUBLE,
+                                0.1::DOUBLE), 1.0::DOUBLE)
+                 * 281474976710656.0::DOUBLE AS BIGINT)
+    """,
+)
+def doc_size_weighted_sample(spark, sf):
+    """Deterministic weighted sampling: keep probability proportional
+    to document length (clamped to [0.1, 1]) — sampling ∝ size, the
+    standard mixing lever for length-skewed corpora. The coin is the
+    doc_id's md5-derived 48-bit fraction compared against p·2^48 as an
+    exact integer threshold — reproducible across engines, runs and
+    partitionings, no RNG state. Map-only, no shuffle."""
+    docs = load_table(spark, sf, "documents")
+    w = docs.select("doc_id", F.size(words("text")).cast("long").alias("n_tok"))
+    p = F.least(
+        F.greatest(F.col("n_tok").cast("double") / F.lit(400.0), F.lit(0.1)),
+        F.lit(1.0),
+    )
+    coin = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10
+    ).cast("long")
+    thresh = (p * F.lit(281474976710656.0)).cast("long")
+    return w.select("doc_id", "n_tok", p.alias("keep_p")).where(coin < thresh)
+
+
+@register(
     "lm_predictability",
     f"""
     WITH w AS (SELECT doc_id, {_SQL_WORDS} AS ws FROM documents),
