@@ -2845,6 +2845,41 @@ def cohort_retention(spark, sf):
     )
 
 
+@register(
+    "ts_sample_per_series",
+    """
+    SELECT user_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS ts_us, value
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY user_id, event_type
+            ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
+          FROM events)
+    WHERE rn <= 5
+    """,
+)
+def ts_sample_per_series(spark, sf):
+    """InfluxQL ``SAMPLE(value, 5)`` per series, made deterministic:
+    rank events by the md5 of their id (a uniform, reproducible
+    shuffle of each series) and keep the first five — same sample on
+    every engine, run and partitioning, unlike RNG-based sampling.
+    The rank<=k predicate triggers WindowGroupLimit: per-partition
+    top-k heaps flow into the single series shuffle, so a series'
+    full history is never sorted."""
+    ev = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.md5(F.col("event_id").cast("string")), "event_id"
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select(
+            "user_id",
+            "event_type",
+            F.unix_micros("ts").alias("ts_us"),
+            "value",
+        )
+    )
+
+
 _SERIES_W = "PARTITION BY user_id, event_type ORDER BY ts, event_id"
 
 
