@@ -1,0 +1,68 @@
+"""Small-file compaction: rewrite a parquet dataset into right-sized files.
+
+Streaming sinks and incremental ingest accrete small files (every
+micro-batch commits at least one per partition); at 100 TB the listing
++ footer overhead of millions of kilobyte files dominates scan setup
+long before row data does. Compaction is the maintenance pass that
+rewrites a dataset into files near the scan-optimal size (one file ≈
+one scan split ≈ ``spark.sql.files.maxPartitionBytes``).
+
+Spark-first shape: size the target file count from the dataset's
+actual bytes (driver-side metadata listing — no data read), then
+rewrite through ``repartition(n)`` — a round-robin shuffle that yields
+uniform output files regardless of input skew. ``coalesce`` would
+avoid the shuffle but inherits input unevenness (it only glues
+adjacent partitions), so uniformity — the thing compaction is FOR —
+argues for the shuffle; it touches each byte once, the same cost any
+rewrite pays.
+
+The rewrite goes through a staging directory + atomic swap so readers
+never observe a half-compacted dataset (same crash-safety pattern as
+catalog.py::enforce_retention's staging rewrite).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import SparkSession
+
+
+def dataset_bytes(path: str) -> int:
+    """Total bytes of data files under ``path`` (driver-side walk)."""
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if not f.startswith(("_", ".")):
+                total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def data_file_count(path: str) -> int:
+    return sum(
+        1
+        for _root, _dirs, files in os.walk(path)
+        for f in files
+        if not f.startswith(("_", "."))
+    )
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Rewrite the parquet dataset at ``path`` into
+    ``ceil(bytes / target_file_bytes)`` files. Returns the new file
+    count. Staging + atomic directory swap; the old layout is removed
+    only after the rewrite commits."""
+    n = max(1, -(-dataset_bytes(path) // target_file_bytes))
+    staging = f"{path}.compact-{uuid.uuid4().hex[:8]}"
+    spark.read.parquet(path).repartition(n).write.mode("overwrite").parquet(staging)
+    old = f"{path}.old-{uuid.uuid4().hex[:8]}"
+    os.rename(path, old)
+    os.rename(staging, path)
+    shutil.rmtree(old)
+    return data_file_count(path)

@@ -479,6 +479,66 @@ def embedding_norms(
     )
 
 
+def top_eigenvector(
+    df,
+    vec_col: str = "embedding",
+    n_iter: int = 10,
+):
+    """Matrix-free power iteration for the top principal direction of
+    the (uncentered) second-moment matrix M = Σ x xᵀ / n — the first
+    step of PCA / spectral denoising at corpus scale.
+
+    The d×d matrix is NEVER materialized: each iteration computes
+    M·v = Σ x (x·v) / n as one distributed pass — broadcast v (d
+    doubles), a codegen dot per row, a per-row scalar-vector scale,
+    and an element-wise array SUM aggregate — then normalizes on the
+    driver (d-sized work). Cost is n_iter scans of n×d; state shipped
+    per iteration is d doubles each way. This is how power iteration /
+    Lanczos runs on a 1000-executor cluster: the data never moves, the
+    d-vector does.
+
+    Deterministic: fixed all-ones/√d init and a fixed iteration count
+    (convergence is the test's job, not the operator's); float sums
+    across rows are accumulation-order-dependent, so this operator is
+    registered rows-only (no bitwise oracle) and its numerics are
+    gated against numpy eigendecomposition in tests/test_ann_quality.py.
+
+    Returns a 1-row DataFrame: (n_iter, dim, eigenvalue, eigenvector).
+    """
+    import math
+
+    from pyspark.sql import functions as F
+
+    from syncflux_spark.functions.vectors import as_double
+
+    spark = df.sparkSession
+    x = df.select(as_double(vec_col).alias("x"))
+    n = x.count()
+    dim = len(x.first()["x"])
+    v = [1.0 / math.sqrt(dim)] * dim
+    eigenvalue = 0.0
+    for _ in range(n_iter):
+        vlit = F.array(*[F.lit(c) for c in v])
+        dotv = F.aggregate(
+            F.zip_with("x", vlit, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, y: acc + y,
+        )
+        contrib = x.select(F.transform("x", lambda c: c * dotv).alias("cx"))
+        summed = contrib.agg(
+            F.array(
+                *[F.sum(F.element_at("cx", i + 1)) for i in range(dim)]
+            ).alias("mv")
+        ).collect()[0]["mv"]
+        mv = [c / n for c in summed]
+        eigenvalue = math.sqrt(sum(c * c for c in mv))
+        v = [c / eigenvalue for c in mv] if eigenvalue > 0 else v
+    return spark.createDataFrame(
+        [(n_iter, dim, float(eigenvalue), [float(c) for c in v])],
+        "n_iter int, dim int, eigenvalue double, eigenvector array<double>",
+    )
+
+
 def random_projection(
     df: DataFrame,
     out_dim: int = 16,

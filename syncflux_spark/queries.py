@@ -2427,6 +2427,21 @@ def ivf_topk(spark, sf):
     return out.withColumn("rank", F.col("rank").cast("int"))
 
 
+@register("emb_top_eigenvector", None)  # cross-row float sums: no bitwise oracle
+def emb_top_eigenvector(spark, sf):
+    """Top principal direction of the embedding second-moment matrix
+    via matrix-free power iteration — M·v recomputed per round as one
+    distributed pass (broadcast d-vector, codegen dot, element-wise
+    array-sum aggregate); the d×d matrix never materializes
+    (operators/similarity.py::top_eigenvector). Cross-row float
+    accumulation is order-dependent → rows-only gate here; the
+    numerics are gated against numpy eigendecomposition in
+    tests/test_ann_quality.py::test_power_iteration_matches_numpy."""
+    from syncflux_spark.operators.similarity import top_eigenvector
+
+    return top_eigenvector(load_table(spark, sf, "embeddings"))
+
+
 @register("ivf_topk_kmeans", None)  # k-means|| is not SQL-reproducible
 def ivf_topk_kmeans(spark, sf):
     """IVF top-5 over k-means|| centroids — the production quantizer
@@ -2842,6 +2857,61 @@ def cohort_retention(spark, sf):
             (F.col("w") - F.col("w0")).alias("week_offset"),
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+@register(
+    "ts_outliers",
+    f"""
+    WITH s AS (SELECT user_id, event_type,
+                      CAST(epoch_us(ts) AS BIGINT) AS ts_us, value,
+                      {_sql_micros('value')} AS vm,
+                      CAST(SUM({_sql_micros('value')}) OVER w AS DOUBLE) AS sx,
+                      CAST(SUM({_sql_micros('value')} * {_sql_micros('value')})
+                           OVER w AS DOUBLE) AS sxx,
+                      CAST(COUNT(*) OVER w AS DOUBLE) AS n
+               FROM events
+               WINDOW w AS (PARTITION BY user_id, event_type))
+    SELECT user_id, event_type, ts_us, value,
+           (CAST(vm AS DOUBLE) - sx / n)
+             / SQRT((sxx - sx * sx / n) / (n - 1.0::DOUBLE)) AS z
+    FROM s
+    WHERE n >= 3.0::DOUBLE
+      AND SQRT((sxx - sx * sx / n) / (n - 1.0::DOUBLE)) > 0.0::DOUBLE
+      AND abs(CAST(vm AS DOUBLE) - sx / n)
+          > 3.0::DOUBLE * SQRT((sxx - sx * sx / n) / (n - 1.0::DOUBLE))
+    """,
+)
+def ts_outliers(spark, sf):
+    """Per-series anomaly detection: events more than 3 sample
+    standard deviations from their series mean, with the z-score.
+    The moments are whole-partition window sums over exact integer
+    micros (order-independent ⇒ deterministic; Σx² ≤ 4e17/series
+    stays in int64 — same budget as ts_spread_stddev), so one series
+    shuffle serves both the stats and the row-level filter — no
+    aggregate-then-join-back second shuffle. The float combination
+    (mean, σ, z) runs in one fixed op order on both engines."""
+    ev = load_table(spark, sf, "events")
+    vm = micros_amt("value")
+    w = Window.partitionBy("user_id", "event_type")
+    s = ev.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        "value",
+        vm.alias("vm"),
+        F.sum(vm).over(w).cast("double").alias("sx"),
+        F.sum(vm * vm).over(w).cast("double").alias("sxx"),
+        F.count(F.lit(1)).over(w).cast("double").alias("n"),
+    )
+    dev = F.col("vm").cast("double") - F.col("sx") / F.col("n")
+    sig = F.sqrt(
+        (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+        / (F.col("n") - F.lit(1.0))
+    )
+    return (
+        s.where((F.col("n") >= 3.0) & (sig > 0.0) & (F.abs(dev) > F.lit(3.0) * sig))
+        .select("user_id", "event_type", "ts_us", "value", (dev / sig).alias("z"))
     )
 
 

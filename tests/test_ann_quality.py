@@ -254,3 +254,44 @@ def test_int8_quantization_quality(spark, emb):
         .collect()[0][0]
     )
     assert cos_min > 0.999, f"int8 reconstruction cosine degraded: {cos_min}"
+
+
+def test_power_iteration_matches_numpy(spark, emb):
+    """The distributed matrix-free power iteration must be
+    ALGEBRAICALLY the same computation as the local one: run the
+    identical iteration in numpy from the identical init and demand
+    near-bit agreement — a wrong per-round M·v pass (dropped /n,
+    transposed product, off-by-one dim) diverges immediately. The
+    true-eigenpair check is deliberately loose: the fixture's spectrum
+    is nearly flat (random-ish embeddings ⇒ tiny eigengap), so 20
+    rounds bound the eigenvalue but not the direction — convergence
+    RATE is a property of the spectrum, not of this operator."""
+    import math
+
+    import numpy as np
+
+    from syncflux_spark.operators.similarity import top_eigenvector
+
+    n_iter = 20
+    row = top_eigenvector(emb, n_iter=n_iter).collect()[0]
+    v = np.array(row.eigenvector)
+
+    X = np.array(
+        [r.x for r in emb.select(F.col("embedding").cast("array<double>").alias("x")).collect()]
+    )
+    M = X.T @ X / len(X)
+
+    ref = np.full(X.shape[1], 1.0 / math.sqrt(X.shape[1]))
+    ev_ref = 0.0
+    for _ in range(n_iter):
+        mv = M @ ref
+        ev_ref = float(np.linalg.norm(mv))
+        ref = mv / ev_ref
+    # same algorithm, same init, same rounds → only float-order drift
+    assert float(v @ ref) > 1.0 - 1e-9
+    assert abs(row.eigenvalue - ev_ref) / ev_ref < 1e-9
+
+    # loose spectral sanity: the eigenvalue estimate (which converges
+    # ~(λ2/λ1)^2k, much faster than the vector) is near the true λ1
+    top_val = np.linalg.eigh(M)[0][-1]
+    assert abs(row.eigenvalue - top_val) / top_val < 0.05
