@@ -2656,6 +2656,87 @@ def users_click_no_purchase(spark, sf):
 
 
 @register(
+    "event_transitions",
+    """
+    WITH t AS (SELECT event_type AS from_type,
+                      lead(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id) AS to_type
+               FROM events),
+    g AS (SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+          FROM t WHERE to_type IS NOT NULL GROUP BY from_type, to_type)
+    SELECT from_type, to_type, n,
+           CAST(n AS DOUBLE)
+             / CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT)::DOUBLE AS p
+    FROM g
+    """,
+)
+def event_transitions(spark, sf):
+    """First-order Markov transition matrix of user behavior: counts
+    and probabilities of event_type → next event_type within each
+    user's timeline. One shuffle on user_id for the lead window, one
+    partial-agg shuffle to the |types|² matrix; probabilities are a
+    single division of exact counts over a matrix-sized window
+    total."""
+    ev = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).where(F.col("to_type").isNotNull())
+    g = t.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n"))
+    tot = F.sum("n").over(Window.partitionBy("from_type"))
+    return g.select(
+        "from_type",
+        "to_type",
+        "n",
+        (F.col("n").cast("double") / tot.cast("double")).alias("p"),
+    )
+
+
+@register(
+    "sliding_distinct_users",
+    """
+    WITH ud AS (SELECT DISTINCT user_id,
+                       CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+                FROM events),
+    w AS (SELECT user_id, day + i AS win_day
+          FROM ud, unnest(generate_series(0, 6)) AS t(i)),
+    b AS (SELECT CAST(MIN(day) AS BIGINT) AS lo, CAST(MAX(day) AS BIGINT) AS hi
+          FROM ud)
+    SELECT CAST(win_day AS BIGINT) AS day,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users_7d
+    FROM w, b WHERE win_day BETWEEN b.lo AND b.hi
+    GROUP BY win_day
+    """,
+)
+def sliding_distinct_users(spark, sf):
+    """7-day sliding distinct users (rolling actives): distinct does
+    NOT decompose over sliding windows, so the scale-correct exact
+    form maps each (user, active-day) to the ≤7 windows it serves —
+    explode by a constant 0..6, distinct once upstream — and counts
+    distinct per window. Work is |distinct user-days|×7, independent
+    of raw event volume; the alternative self-join over a 7-day range
+    re-scans events per window. Window ids outside the observed day
+    span are clipped to match the oracle."""
+    ev = load_table(spark, sf, "events")
+    ud = ev.select(
+        "user_id", F.expr("unix_micros(ts) div 86400000000").alias("day")
+    ).distinct()
+    b = ud.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    w = ud.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"),
+        (F.col("day") + F.col("i")).alias("win_day"),
+    )
+    return (
+        w.crossJoin(F.broadcast(b))
+        .where((F.col("win_day") >= F.col("lo")) & (F.col("win_day") <= F.col("hi")))
+        .groupBy(F.col("win_day").alias("day"))
+        .agg(F.count_distinct("user_id").alias("users_7d"))
+    )
+
+
+@register(
     "funnel_conversion",
     """
     WITH ev AS (SELECT user_id, event_type,
