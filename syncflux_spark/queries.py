@@ -2427,6 +2427,23 @@ def ivf_topk(spark, sf):
     return out.withColumn("rank", F.col("rank").cast("int"))
 
 
+@register("doc_pagerank", None)  # cross-row float sums: no bitwise oracle
+def doc_pagerank(spark, sf):
+    """PageRank over the verified near-dup graph — ranks the hub
+    documents of duplicate neighborhoods (canonical-copy selection
+    keeps the highest-ranked cluster member). Ten rounds of one
+    join + one partial-agg shuffle each, lineage-checkpointed
+    (operators/graph.py::pagerank over
+    operators/dedup.py::ngram_jaccard_pairs edges). Rows-only gate;
+    numerics gated vs a numpy replica in
+    tests/test_ann_quality.py::test_pagerank_matches_numpy."""
+    from syncflux_spark.operators.graph import pagerank
+
+    docs = load_table(spark, sf, "documents")
+    pairs = dd.ngram_jaccard_pairs(docs, threshold=0.5)
+    return pagerank(docs.select("doc_id"), pairs.select("id_a", "id_b"))
+
+
 @register("emb_top_eigenvector", None)  # cross-row float sums: no bitwise oracle
 def emb_top_eigenvector(spark, sf):
     """Top principal direction of the embedding second-moment matrix

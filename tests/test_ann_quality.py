@@ -295,3 +295,41 @@ def test_power_iteration_matches_numpy(spark, emb):
     # ~(λ2/λ1)^2k, much faster than the vector) is near the true λ1
     top_val = np.linalg.eigh(M)[0][-1]
     assert abs(row.eigenvalue - top_val) / top_val < 0.05
+
+
+def test_pagerank_matches_numpy(spark, sf_dir):
+    """The distributed PageRank rounds must agree with a local numpy
+    replica of the identical iteration (same init, damping, rounds) —
+    only cross-row float-order drift is tolerated. A dropped degree
+    division, missed symmetrization, or lost isolated-node floor
+    shifts ranks far beyond 1e-9."""
+    import numpy as np
+
+    from syncflux_spark.operators.dedup import ngram_jaccard_pairs
+    from syncflux_spark.operators.graph import pagerank
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5).select("id_a", "id_b")
+    got = {
+        r.doc_id: r.rank
+        for r in pagerank(docs.select("doc_id"), pairs, n_iter=10).collect()
+    }
+
+    ids = sorted(r.doc_id for r in docs.select("doc_id").collect())
+    idx = {d: i for i, d in enumerate(ids)}
+    n = len(ids)
+    edges = [(idx[r.id_a], idx[r.id_b]) for r in pairs.collect()]
+    nbrs: dict[int, list[int]] = {}
+    for a, b in edges:
+        nbrs.setdefault(a, []).append(b)
+        nbrs.setdefault(b, []).append(a)
+    rank = np.full(n, 1.0 / n)
+    for _ in range(10):
+        nxt = np.full(n, 0.15 / n)
+        for u, vs in nbrs.items():
+            share = 0.85 * rank[u] / len(vs)
+            for v in vs:
+                nxt[v] += share
+        rank = nxt
+    for d, i in idx.items():
+        assert abs(got[d] - rank[i]) < 1e-9, (d, got[d], rank[i])
