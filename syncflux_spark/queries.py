@@ -1476,6 +1476,35 @@ def doc_size_weighted_sample(spark, sf):
 
 
 @register(
+    "token_diversity",
+    f"""
+    WITH tf AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+                FROM (SELECT doc_id, unnest({_SQL_WORDS}) AS w FROM documents)
+                GROUP BY doc_id, w),
+    g AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+                 CAST(COUNT(*) AS BIGINT) AS n_types,
+                 CAST(SUM(tf * tf) AS BIGINT) AS sum_tf2
+          FROM tf GROUP BY doc_id)
+    SELECT doc_id, n_tokens, n_types,
+           CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS ttr,
+           1.0::DOUBLE - CAST(sum_tf2 AS DOUBLE)
+             / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE)) AS gini
+    FROM g WHERE n_tokens > 0
+    """,
+)
+def token_diversity(spark, sf):
+    """Per-doc lexical diversity: type-token ratio + Gini impurity of
+    the token distribution (log-free entropy stand-in, exact-rational).
+    The Spark side folds the sorted words array in-row — no explode,
+    no shuffle; the oracle states the same semantics relationally and
+    exact integers make them identical
+    (operators/textops.py::token_diversity)."""
+    from syncflux_spark.operators.textops import token_diversity as _td
+
+    return _td(load_table(spark, sf, "documents"))
+
+
+@register(
     "lm_predictability",
     f"""
     WITH w AS (SELECT doc_id, {_SQL_WORDS} AS ws FROM documents),
