@@ -3042,6 +3042,129 @@ def ts_outliers(spark, sf):
     )
 
 
+_SERIES_W = "PARTITION BY user_id, event_type ORDER BY ts, event_id"
+
+
+@register(
+    "ts_counter_increase",
+    f"""
+    WITH d AS (SELECT user_id, event_type,
+                      epoch_us(ts) // 3600000000 AS hour_bucket,
+                      {_sql_micros('value')}
+                        - LAG({_sql_micros('value')}) OVER ({_SERIES_W}) AS dm
+               FROM events)
+    SELECT user_id, event_type, CAST(hour_bucket AS BIGINT) AS hour_bucket,
+           CAST(SUM(CASE WHEN dm > 0 THEN dm ELSE 0 END) AS BIGINT)
+             AS increase_micro,
+           CAST(SUM(CASE WHEN dm < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_resets
+    FROM d WHERE dm IS NOT NULL
+    GROUP BY user_id, event_type, hour_bucket
+    """,
+)
+def ts_counter_increase(spark, sf):
+    """Prometheus-style counter `increase()` per series per hour:
+    monotonic growth summed with reset awareness — a drop is a counter
+    restart, so only positive deltas count and resets are tallied, not
+    subtracted. One per-series window sort feeds both the delta and
+    the hourly rollup; deltas ride exact integer micros."""
+    ev = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    vm = micros_amt("value")
+    d = ev.select(
+        "user_id",
+        "event_type",
+        F.expr("unix_micros(ts) div 3600000000").alias("hour_bucket"),
+        (vm - F.lag(vm).over(w)).alias("dm"),
+    ).where(F.col("dm").isNotNull())
+    return d.groupBy("user_id", "event_type", "hour_bucket").agg(
+        F.sum(F.when(F.col("dm") > 0, F.col("dm")).otherwise(0)).alias(
+            "increase_micro"
+        ),
+        F.sum(F.when(F.col("dm") < 0, 1).otherwise(0)).alias("n_resets"),
+    )
+
+
+@register(
+    "customer_rfm_segments",
+    """
+    WITH base AS (
+      SELECT o_custkey,
+             MAX(epoch_us(o_orderdate)) AS last_us,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS monetary_c
+      FROM orders GROUP BY o_custkey),
+    scored AS (
+      SELECT o_custkey AS custkey, frequency, monetary_c,
+             CAST(last_us AS BIGINT) AS last_us,
+             CAST(ntile(4) OVER (ORDER BY last_us DESC, o_custkey) AS BIGINT)
+               AS r_quartile,
+             CAST(ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS BIGINT)
+               AS f_quartile,
+             CAST(ntile(4) OVER (ORDER BY monetary_c DESC, o_custkey) AS BIGINT)
+               AS m_quartile
+      FROM base)
+    SELECT custkey, last_us, frequency, monetary_c / 100.0 AS monetary,
+           r_quartile, f_quartile, m_quartile,
+           CASE WHEN r_quartile = 1 AND f_quartile = 1 AND m_quartile = 1
+                THEN 'champion'
+                WHEN r_quartile >= 3 AND f_quartile <= 2 THEN 'at_risk'
+                WHEN r_quartile <= 2 THEN 'active'
+                ELSE 'dormant' END AS segment
+    FROM scored
+    """,
+)
+def customer_rfm_segments(spark, sf):
+    """RFM customer segmentation: recency / frequency / monetary
+    quartiles (ntile over total orders — ties pinned by custkey so the
+    quartile assignment is a total order on both engines) composed
+    into standard segment labels. Money rides exact cents; one
+    partial-agg shuffle to per-customer rows, then three global-order
+    windows over the CUSTOMER-sized frame (ntile needs a global sort —
+    acceptable because the frame is per-customer aggregates, ~1e9 rows
+    at 100 TB, not raw orders; range-partitioned sort, no single-node
+    bottleneck)."""
+    o = load_table(spark, sf, "orders")
+    base = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max(F.unix_micros("o_orderdate")).alias("last_us"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(cents("o_totalprice")).alias("monetary_c"),
+    )
+    rq = F.ntile(4).over(Window.orderBy(F.desc("last_us"), F.asc("custkey")))
+    fq = F.ntile(4).over(Window.orderBy(F.desc("frequency"), F.asc("custkey")))
+    mq = F.ntile(4).over(Window.orderBy(F.desc("monetary_c"), F.asc("custkey")))
+    scored = base.select(
+        "custkey",
+        "last_us",
+        "frequency",
+        "monetary_c",
+        rq.cast("long").alias("r_quartile"),
+        fq.cast("long").alias("f_quartile"),
+        mq.cast("long").alias("m_quartile"),
+    )
+    seg = (
+        F.when(
+            (F.col("r_quartile") == 1)
+            & (F.col("f_quartile") == 1)
+            & (F.col("m_quartile") == 1),
+            "champion",
+        )
+        .when((F.col("r_quartile") >= 3) & (F.col("f_quartile") <= 2), "at_risk")
+        .when(F.col("r_quartile") <= 2, "active")
+        .otherwise("dormant")
+    )
+    return scored.select(
+        "custkey",
+        "last_us",
+        "frequency",
+        (F.col("monetary_c") / F.lit(100.0)).alias("monetary"),
+        "r_quartile",
+        "f_quartile",
+        "m_quartile",
+        seg.alias("segment"),
+    )
+
+
 @register(
     "ts_sample_per_series",
     """
@@ -3075,9 +3198,6 @@ def ts_sample_per_series(spark, sf):
             "value",
         )
     )
-
-
-_SERIES_W = "PARTITION BY user_id, event_type ORDER BY ts, event_id"
 
 
 @register(
