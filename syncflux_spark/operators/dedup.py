@@ -293,6 +293,60 @@ def ngram_jaccard_pairs(
     return jaccard_verify(df, pairs, text_col, id_col, k_shingle, threshold)
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_shingle: int = 5,
+    threshold: float = 0.8,
+    n_hashes: int = N_MINHASH,
+    band_size: int = BAND_SIZE,
+) -> DataFrame:
+    """ASYMMETRIC near-dup detection: shingle containment
+    C(A→B) = |A∩B|/|A| — a short document quoted inside a long one
+    has high containment but low Jaccard (the union is dominated by
+    the long doc), so symmetric dedup misses exactly the
+    quote/excerpt/boilerplate-wrapper case this catches. Emits
+    candidate pairs with both containments and flags pairs where
+    either direction clears ``threshold``.
+
+    Candidates come from the same MinHash LSH banding as the Jaccard
+    path — honest caveat, stated rather than hidden: MinHash collision
+    probability tracks JACCARD, so a tiny-doc-in-huge-doc pair can
+    evade banding (the principled scale fix is a size-stratified
+    index or suffix filtering; at moderate size skew the shared bands
+    still fire, and the verify here is exact). Verify cost is
+    O(candidates × shingles), identical shape to jaccard_verify."""
+    pairs = lsh_candidate_pairs(df, text_col, id_col, k_shingle, n_hashes, band_size)
+    sh = eager_persist(
+        shingle_sets(df, text_col, id_col, k_shingle).withColumnRenamed("_sh", "sh")
+    )
+    a = sh.alias("ca")
+    b = sh.alias("cb")
+    joined = (
+        pairs.join(a, pairs.id_a == F.col(f"ca.{id_col}"))
+        .join(b, pairs.id_b == F.col(f"cb.{id_col}"))
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("ca.sh", "cb.sh")).cast("long").alias("n_inter"),
+            F.size("ca.sh").cast("long").alias("n_a"),
+            F.size("cb.sh").cast("long").alias("n_b"),
+        )
+    )
+    c_ab = F.col("n_inter").cast("double") / F.col("n_a").cast("double")
+    c_ba = F.col("n_inter").cast("double") / F.col("n_b").cast("double")
+    return joined.select(
+        "id_a",
+        "id_b",
+        "n_inter",
+        "n_a",
+        "n_b",
+        c_ab.alias("c_ab"),
+        c_ba.alias("c_ba"),
+    ).where((c_ab >= threshold) | (c_ba >= threshold))
+
+
 def incremental_dedup(
     batch: DataFrame,
     corpus: DataFrame,

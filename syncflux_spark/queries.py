@@ -851,6 +851,44 @@ def dedup_incremental(spark, sf):
 
 
 @register(
+    "containment_pairs",
+    f"""
+    WITH sh AS ({_sql_shingles()}),
+         hs AS ({_HS_SQL}),
+         sig AS (SELECT doc_id, {_MH_SELECT} FROM hs GROUP BY doc_id),
+         bands AS ({_BANDS_SQL}),
+         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                  FROM bands a JOIN bands b
+                    ON a.band_id = b.band_id AND a.band_key = b.band_key
+                       AND a.doc_id < b.doc_id),
+         dsh AS (SELECT DISTINCT doc_id, s FROM sh),
+         sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+                   FROM dsh GROUP BY doc_id),
+         inter AS (SELECT c.id_a, c.id_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+                   FROM cand c
+                   JOIN dsh x ON x.doc_id = c.id_a
+                   JOIN dsh y ON y.doc_id = c.id_b AND y.s = x.s
+                   GROUP BY c.id_a, c.id_b)
+    SELECT i.id_a, i.id_b, i.n_inter,
+           sa.n AS n_a, sb.n AS n_b,
+           CAST(i.n_inter AS DOUBLE) / CAST(sa.n AS DOUBLE) AS c_ab,
+           CAST(i.n_inter AS DOUBLE) / CAST(sb.n AS DOUBLE) AS c_ba
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE CAST(i.n_inter AS DOUBLE) / CAST(sa.n AS DOUBLE) >= 0.8
+       OR CAST(i.n_inter AS DOUBLE) / CAST(sb.n AS DOUBLE) >= 0.8
+    """,
+)
+def containment_pairs(spark, sf):
+    """Asymmetric shingle containment over LSH candidates — the
+    quote/excerpt detector symmetric Jaccard misses (candidate-
+    generation caveat for extreme size skew documented at
+    operators/dedup.py::containment_pairs)."""
+    return dd.containment_pairs(load_table(spark, sf, "documents"))
+
+
+@register(
     "ngram_jaccard_pairs",
     f"""
     WITH sh AS ({_sql_shingles()}),
