@@ -72,6 +72,15 @@ HEADLINE = [
     "kmv_distinct_users",
     "outage_event_counts",
     "ts_ema",
+    "dedup_incremental",
+    "containment_pairs",
+    "lm_predictability",
+    "token_diversity",
+    "doc_chunk_windows",
+    "ts_outliers",
+    "event_transitions",
+    "sliding_distinct_users",
+    "customer_rfm_segments",
 ]
 
 
