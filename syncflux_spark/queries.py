@@ -1273,6 +1273,29 @@ def _register_components():
             load_table(spark, sf, "documents"), threshold=0.5
         )
 
+    keep_sql = _COMPONENTS_SQL_TEMPLATE.format(edges=edges_sql).replace(
+        "SELECT id AS doc_id, CAST(MIN(r) AS BIGINT) AS component\n"
+        "    FROM reach GROUP BY id",
+        "SELECT CAST(component AS BIGINT) AS keep_id,\n"
+        "           CAST(COUNT(*) AS BIGINT) AS group_size\n"
+        "    FROM (SELECT id, MIN(r) AS component FROM reach GROUP BY id)\n"
+        "    GROUP BY component",
+    )
+
+    @register("dedup_near_keep", keep_sql)
+    def dedup_near_keep(spark, sf):
+        """The APPLIED form of near-dup clustering: one canonical
+        representative per component (the min-id member) with its
+        cluster size — the doc list a curation pipeline actually
+        keeps. One extra partial-agg shuffle on top of
+        dedup_components' label propagation."""
+        comp = dd.duplicate_components(
+            load_table(spark, sf, "documents"), threshold=0.5
+        )
+        return comp.groupBy(F.col("component").alias("keep_id")).agg(
+            F.count(F.lit(1)).alias("group_size")
+        )
+
 
 _register_components()
 
