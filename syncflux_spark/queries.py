@@ -5294,6 +5294,113 @@ def ts_ema(spark, sf):
 
 
 @register(
+    "ts_holt_winters",
+    # The natural oracle form — list_reduce with a STRUCT accumulator —
+    # miscomputes in DuckDB v1.0.0 (beyond 3 elements the lambda's
+    # acc fields desynchronize: fold prefix [100,60,80] ends at
+    # {l:77,b:-4}, a manual step from {77,-4} with x=20 gives b=-11,
+    # but the 4-element fold returns b=-7). A recursive CTE walking
+    # rn→rn+1 carries the state in scalar columns instead; depth =
+    # max series length.
+    """
+    WITH RECURSIVE x AS (
+      SELECT user_id, event_type,
+             CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS xm,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, value) AS rn,
+             count(*) OVER (PARTITION BY user_id, event_type) AS n
+      FROM events
+    ),
+    st AS (
+      SELECT user_id, event_type, rn, n, xm AS l, CAST(0 AS BIGINT) AS b
+      FROM x WHERE rn = 1
+      UNION ALL
+      SELECT x.user_id, x.event_type, x.rn, x.n,
+             CAST(FLOOR((x.xm + st.l + st.b)::DOUBLE / 2.0) AS BIGINT) AS l,
+             CAST(FLOOR((CAST(FLOOR((x.xm + st.l + st.b)::DOUBLE / 2.0)
+                              AS BIGINT) - st.l)::DOUBLE / 4.0) AS BIGINT)
+               + (st.b - CAST(FLOOR(st.b::DOUBLE / 4.0) AS BIGINT)) AS b
+      FROM st JOIN x ON x.user_id = st.user_id
+                    AND x.event_type = st.event_type
+                    AND x.rn = st.rn + 1
+    )
+    SELECT user_id, event_type, CAST(n AS BIGINT) AS n_points,
+           l AS level_micro, b AS trend_micro,
+           CAST(l + 1 * b AS BIGINT) AS fc1_micro,
+           CAST(l + 2 * b AS BIGINT) AS fc2_micro,
+           CAST(l + 3 * b AS BIGINT) AS fc3_micro,
+           (l + b) / 1000000.0 AS forecast_next
+    FROM st WHERE rn = n
+    """,
+)
+def ts_holt_winters(spark, sf):
+    """Influx ``HOLT_WINTERS`` sibling: additive double exponential
+    smoothing (level + trend, non-seasonal) per series, with h-step
+    forecasts. InfluxQL fits α/β by Nelder-Mead (non-reproducible
+    numerics); this engine's variant fixes dyadic constants α=1/2,
+    β=1/4 and runs the recurrence in FIXED-POINT int64 micros with
+    floor division, so the state sequence is a deterministic integer
+    recurrence — bit-identical in any engine, immune to float
+    reassociation (DuckDB reorders float `+` chains; integer ops are
+    associative so the mirrored fold cannot drift).
+
+        s_t = ⌊(x_t + s_{t-1} + b_{t-1}) / 2⌋
+        b_t = ⌊(s_t - s_{t-1}) / 4⌋ + (b_{t-1} - ⌊b_{t-1}/4⌋)
+        forecast_h = s_T + h·b_T          (s_1 = x_1, b_1 = 0)
+
+    Same scale shape as ts_ema: one shuffle to group each series,
+    then an in-row left fold over the time-ordered list (the fold
+    state rides a struct; both engines seed with element 1). Series
+    state is bounded by series length — unbounded series would
+    stream through streaming/stateful.py instead."""
+    ev = load_table(spark, sf, "events")
+    vals = F.transform(
+        F.array_sort(F.collect_list(F.struct("ts", "value"))),
+        lambda s: F.floor(s["value"] * 1_000_000 + F.lit(0.5)).cast("long"),
+    )
+    g = ev.groupBy("user_id", "event_type").agg(vals.alias("vals"))
+    sts = F.transform(
+        F.col("vals"),
+        lambda x: F.struct(
+            x.alias("x"), x.alias("l"), F.lit(0).cast("long").alias("b")
+        ),
+    )
+
+    def step(acc, e):
+        s_new = F.floor(
+            (e["x"] + acc["l"] + acc["b"]).cast("double") / F.lit(2.0)
+        ).cast("long")
+        b_new = (
+            F.floor((s_new - acc["l"]).cast("double") / F.lit(4.0)).cast("long")
+            + (acc["b"] - F.floor(acc["b"].cast("double") / F.lit(4.0)).cast("long"))
+        )
+        return F.struct(e["x"].alias("x"), s_new.alias("l"), b_new.alias("b"))
+
+    g = g.select(
+        "user_id",
+        "event_type",
+        F.size("vals").cast("long").alias("n_points"),
+        F.aggregate(
+            F.slice(sts, F.lit(2), F.size("vals") - F.lit(1)),
+            F.element_at(sts, F.lit(1)),
+            step,
+        ).alias("fin"),
+    )
+    lvl, tr = F.col("fin.l"), F.col("fin.b")
+    return g.select(
+        "user_id",
+        "event_type",
+        "n_points",
+        lvl.alias("level_micro"),
+        tr.alias("trend_micro"),
+        (lvl + F.lit(1) * tr).cast("long").alias("fc1_micro"),
+        (lvl + F.lit(2) * tr).cast("long").alias("fc2_micro"),
+        (lvl + F.lit(3) * tr).cast("long").alias("fc3_micro"),
+        ((lvl + tr) / F.lit(1_000_000.0)).alias("forecast_next"),
+    )
+
+
+@register(
     "emb_class_centroids",
     f"""
     WITH e AS (SELECT label, {_SQL_VEC} AS v FROM embeddings),
