@@ -19,7 +19,7 @@ at most one bin: no post-join dedup is needed.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -58,3 +58,60 @@ def binned_interval_join(
     if extra_cond is not None:
         cond = cond & extra_cond
     return pt.join(iv, cond).drop("_bin")
+
+
+def merge_intervals(
+    intervals: DataFrame,
+    keys: list[str],
+    start: str = "s",
+    end: str = "e",
+    order_tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Union of overlapping/touching intervals per key group — the
+    gaps-and-islands merge (SLA uptime, covered-time accounting,
+    sessionized spans). Returns one row per merged island:
+    key columns + (island_start, island_end, n_intervals).
+
+    Classic two-window formulation, zero joins: order intervals by
+    (start, end), flag an island OPEN where start exceeds the running
+    max of all previous ends (an interval that starts at or before
+    that max overlaps/touches the running island), and prefix-sum the
+    flags into island ids — then one groupBy collapses each island.
+    Both windows share the group partitioning, so at scale this is
+    one exchange + one sort, and the running max is O(1) state per
+    row (no self-join; the naive overlap self-join is quadratic in
+    interval density).
+
+    All arithmetic is integer comparison on epoch-µs longs →
+    engine-portable. Ordering is made total via ``order_tiebreak``
+    (e.g. a unique id column) so both engines walk rows identically;
+    the merged result itself is order-invariant, the tiebreak only
+    pins peer order for bit-identical intermediate flags.
+    """
+    tb = order_tiebreak or []
+    w_order = Window.partitionBy(*keys).orderBy(start, end, *tb)
+    prev_max = F.max(end).over(
+        w_order.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = intervals.select(
+        *keys,
+        F.col(start),
+        F.col(end),
+        *[F.col(c) for c in tb],  # the island window reuses the tiebreak order
+        F.when(prev_max.isNull() | (F.col(start) > prev_max), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("_open"),
+    )
+    island = F.sum("_open").over(
+        w_order.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        flagged.withColumn("_island", island)
+        .groupBy(*keys, "_island")
+        .agg(
+            F.min(start).alias("island_start"),
+            F.max(end).alias("island_end"),
+            F.count(F.lit(1)).cast("long").alias("n_intervals"),
+        )
+        .drop("_island")
+    )

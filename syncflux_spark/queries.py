@@ -5401,6 +5401,160 @@ def ts_holt_winters(spark, sf):
 
 
 @register(
+    "ts_chande_momentum",
+    """
+    WITH d AS (
+      SELECT user_id, event_type, event_id,
+             CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+             CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)
+               - lag(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) OVER w
+               AS diff
+      FROM events
+      WINDOW w AS (PARTITION BY user_id, event_type
+                   ORDER BY ts, value, event_id)
+    ),
+    s AS (
+      SELECT user_id, event_type, ts_us,
+             CAST(COUNT(diff) OVER f AS BIGINT) AS n_diffs,
+             SUM(GREATEST(diff, 0)) OVER f AS up,
+             SUM(-LEAST(diff, 0)) OVER f AS down
+      FROM d
+      WINDOW f AS (PARTITION BY user_id, event_type
+                   ORDER BY ts_us, event_id
+                   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, event_type, ts_us, n_diffs,
+           CAST(up AS BIGINT) AS up_micro, CAST(down AS BIGINT) AS down_micro,
+           CASE WHEN up + down > 0
+                THEN 100.0 * (up - down) / (up + down) END AS cmo
+    FROM s
+    """,
+)
+def ts_chande_momentum(spark, sf):
+    """Influx ``CHANDE_MOMENTUM_OSCILLATOR(value, 4)``: per series,
+    consecutive-point moves split into up/down magnitudes, summed over
+    a trailing 4-move ROWS frame; CMO = 100·(up−down)/(up+down) in
+    [−100, 100] — the momentum transform of the InfluxQL analytics
+    family. Moves ride exact integer micros so the frame sums are
+    order-independent; the single float expression (100.0·Δ)/Σ is one
+    fixed op sequence → bit-identical cross-engine. Two per-series
+    window sorts (lag, then frame) and zero joins; at 100 TB both
+    windows share the same partitioning, so the second sort is
+    exchange-free after the first."""
+    ev = load_table(spark, sf, "events")
+    xm = F.floor(F.col("value") * 1_000_000 + F.lit(0.5)).cast("long")
+    wl = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "value", "event_id"
+    )
+    d = ev.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        (xm - F.lag(xm).over(wl)).alias("diff"),
+    )
+    wf = (
+        Window.partitionBy("user_id", "event_type")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(-3, 0)
+    )
+    s = d.select(
+        "user_id",
+        "event_type",
+        "ts_us",
+        F.count("diff").over(wf).cast("long").alias("n_diffs"),
+        F.sum(F.greatest("diff", F.lit(0))).over(wf).alias("up"),
+        F.sum(-F.least("diff", F.lit(0))).over(wf).alias("down"),
+    )
+    up, down = F.col("up"), F.col("down")
+    return s.select(
+        "user_id",
+        "event_type",
+        "ts_us",
+        "n_diffs",
+        up.cast("long").alias("up_micro"),
+        down.cast("long").alias("down_micro"),
+        F.when(up + down > 0, F.lit(100.0) * (up - down) / (up + down)).alias(
+            "cmo"
+        ),
+    )
+
+
+@register(
+    "ts_interval_coverage",
+    """
+    WITH iv AS (
+      SELECT event_type, event_id,
+             CAST(epoch_us(ts) AS BIGINT) AS s,
+             CAST(epoch_us(ts) AS BIGINT)
+               + CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS e
+      FROM events
+    ),
+    flagged AS (
+      SELECT event_type, s, e, event_id,
+             CASE WHEN MAX(e) OVER (PARTITION BY event_type ORDER BY s, e, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       IS NULL
+                    OR s > MAX(e) OVER (PARTITION BY event_type ORDER BY s, e, event_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS opens
+      FROM iv
+    ),
+    isl AS (
+      SELECT event_type, s, e,
+             SUM(opens) OVER (PARTITION BY event_type ORDER BY s, e, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS island
+      FROM flagged
+    ),
+    merged AS (
+      SELECT event_type, island, MIN(s) AS island_start, MAX(e) AS island_end,
+             CAST(COUNT(*) AS BIGINT) AS n_intervals
+      FROM isl GROUP BY event_type, island
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(SUM(n_intervals) AS BIGINT) AS n_intervals,
+           CAST(SUM(island_end - island_start) AS BIGINT) AS covered_us,
+           CAST(MAX(island_end - island_start) AS BIGINT) AS max_island_us
+    FROM merged GROUP BY event_type
+    """,
+)
+def ts_interval_coverage(spark, sf):
+    """Covered-time accounting per event type: each event opens an
+    activity interval [ts, ts + value seconds); overlapping intervals
+    merge into islands (operators/intervals.py::merge_intervals — the
+    two-window gaps-and-islands formulation, no self-join), then one
+    aggregate reports island count, total covered µs, and the longest
+    contiguous span — the uptime/SLA primitive over raw event spans.
+    Exact integer µs throughout. One exchange on event_type feeds
+    both window sorts AND the final aggregate — at 100 TB the whole
+    query is a single shuffle."""
+    from syncflux_spark.operators.intervals import merge_intervals
+
+    ev = load_table(spark, sf, "events")
+    iv = ev.select(
+        "event_type",
+        "event_id",
+        F.unix_micros("ts").alias("s"),
+        (
+            F.unix_micros("ts")
+            + F.floor(F.col("value") * 1_000_000 + F.lit(0.5)).cast("long")
+        ).alias("e"),
+    )
+    merged = merge_intervals(
+        iv, keys=["event_type"], start="s", end="e", order_tiebreak=["event_id"]
+    )
+    span = F.col("island_end") - F.col("island_start")
+    return merged.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_islands"),
+        F.sum("n_intervals").cast("long").alias("n_intervals"),
+        F.sum(span).cast("long").alias("covered_us"),
+        F.max(span).cast("long").alias("max_island_us"),
+    )
+
+
+@register(
     "emb_class_centroids",
     f"""
     WITH e AS (SELECT label, {_SQL_VEC} AS v FROM embeddings),
