@@ -78,3 +78,48 @@ def pagerank(
             .localCheckpoint()
         )
     return ranks
+
+
+def triangle_counts(
+    pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-node triangle participation over an undirected pair graph
+    (``pairs``: id_a < id_b, distinct) — the local clustering signal
+    that separates tight duplicate cliques from chains of borderline
+    matches (a doc in many triangles sits in a dense near-dup cluster;
+    a bridge doc linking two clusters sits in few).
+
+    One triangle (a<b<c) is found exactly once by joining the
+    id-oriented edge list three ways: (a,b)⋈(b,c)⋈(a,c) — the
+    standard SQL triangle enumeration; each join shuffles on a single
+    node key. The id orientation bounds a hub's join fanout by its
+    out-degree under "<"; on graphs with extreme hubs the refinement
+    is DEGREE orientation (re-point every edge low-degree →
+    high-degree, ties by id) which provably caps per-vertex work at
+    O(arboricity) — same output, one extra degree-computation pass;
+    the LSH dedup graph's band-entropy already bounds skew, so the
+    simple orientation is kept and the dial documented. Returns
+    (id_col, n_triangles) for nodes in ≥1 triangle.
+    """
+    from syncflux_spark.utils import eager_persist
+
+    e = eager_persist(pairs.select("id_a", "id_b").distinct())
+    tri = (
+        e.alias("e1")
+        .join(e.alias("e2"), F.col("e1.id_b") == F.col("e2.id_a"))
+        .join(
+            e.alias("e3"),
+            (F.col("e3.id_a") == F.col("e1.id_a"))
+            & (F.col("e3.id_b") == F.col("e2.id_b")),
+        )
+        .select(
+            F.col("e1.id_a").alias("a"),
+            F.col("e1.id_b").alias("b"),
+            F.col("e2.id_b").alias("c"),
+        )
+    )
+    return (
+        tri.select(F.explode(F.array("a", "b", "c")).alias(id_col))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )

@@ -799,6 +799,87 @@ def lsh_candidate_pairs(spark, sf):
 
 
 @register(
+    "doc_novelty",
+    f"""
+    WITH sh AS ({_sql_shingles()}),
+         dsh AS (SELECT DISTINCT doc_id, s FROM sh),
+         dfreq AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS df
+                   FROM dsh GROUP BY s)
+    SELECT d.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN f.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unique,
+           CAST(SUM(CASE WHEN f.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             / CAST(COUNT(*) AS BIGINT) AS novelty
+    FROM dsh d JOIN dfreq f ON f.s = d.s
+    GROUP BY d.doc_id
+    """,
+)
+def doc_novelty(spark, sf):
+    """Novelty score: the fraction of a document's distinct
+    5-shingles that appear NOWHERE else in the corpus — the inverse
+    of boilerplate saturation, and a cheap data-mixing signal (a
+    corpus whose mean novelty collapses is feeding the model the same
+    n-grams again). Shape: one explode of per-doc distinct shingles,
+    a map-side-combined document-frequency aggregate, a shuffle join
+    back on the shingle key, and a per-doc aggregate — no self-join,
+    no pairs; cost is linear in corpus shingle volume. The df side at
+    100 TB is the same incremental index incremental_dedup reads.
+    Integer counts ride to one final division."""
+    docs = load_table(spark, sf, "documents")
+    ex = dd.shingle_sets(docs).select(
+        "doc_id", F.explode("_sh").alias("s")
+    )
+    dfreq = ex.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    uniq = F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).cast("long")
+    return (
+        ex.join(dfreq, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            uniq.alias("n_unique"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_unique",
+            (F.col("n_unique") / F.col("n_shingles")).alias("novelty"),
+        )
+    )
+
+
+@register(
+    "dedup_graph_triangles",
+    f"""
+    WITH sh AS ({_sql_shingles()}),
+         hs AS ({_HS_SQL}),
+         sig AS (SELECT doc_id, {_MH_SELECT} FROM hs GROUP BY doc_id),
+         bands AS ({_BANDS_SQL}),
+         e AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+               FROM bands a JOIN bands b
+                 ON a.band_id = b.band_id AND a.band_key = b.band_key
+                AND a.doc_id < b.doc_id),
+         tri AS (SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+                 FROM e e1
+                 JOIN e e2 ON e2.id_a = e1.id_b
+                 JOIN e e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM (SELECT unnest([a, b, c]) AS doc_id FROM tri)
+    GROUP BY doc_id
+    """,
+)
+def dedup_graph_triangles(spark, sf):
+    """Triangle participation over the LSH candidate graph
+    (operators/graph.py::triangle_counts): dense duplicate cliques
+    light up with high counts, bridge documents joining two clusters
+    stay low — the cluster-density diagnostic for dedup QA."""
+    from syncflux_spark.operators.graph import triangle_counts
+
+    pairs = dd.lsh_candidate_pairs(load_table(spark, sf, "documents"))
+    return triangle_counts(pairs)
+
+
+@register(
     "dedup_incremental",
     f"""
     WITH sh AS ({_sql_shingles()}),
@@ -2942,6 +3023,133 @@ def partitioned_scan_counts(spark, sf):
     return rd.groupBy(
         F.col("dt").cast("string").alias("dt"), "event_type"
     ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "kmv_set_overlap",
+    """
+    WITH h AS (SELECT DISTINCT event_type,
+                 ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT
+                   AS v
+               FROM events),
+    t AS (SELECT DISTINCT event_type FROM h),
+    tp AS (SELECT x.event_type AS t1, y.event_type AS t2
+           FROM t x JOIN t y ON x.event_type < y.event_type),
+    m AS (SELECT t1, t2, t1 AS et FROM tp
+          UNION ALL SELECT t1, t2, t2 AS et FROM tp),
+    g AS (SELECT m.t1, m.t2, h.v,
+                 MAX(CASE WHEN h.event_type = m.t1 THEN 1 ELSE 0 END) AS in_a,
+                 MAX(CASE WHEN h.event_type = m.t2 THEN 1 ELSE 0 END) AS in_b
+          FROM m JOIN h ON h.event_type = m.et
+          GROUP BY m.t1, m.t2, h.v),
+    ex AS (SELECT t1, t2, CAST(COUNT(*) AS BIGINT) AS n_union,
+                  CAST(SUM(in_a * in_b) AS BIGINT) AS n_inter
+           FROM g GROUP BY t1, t2),
+    r AS (SELECT t1, t2, v, in_a, in_b,
+                 row_number() OVER (PARTITION BY t1, t2 ORDER BY v) AS rn
+          FROM g),
+    sk AS (SELECT t1, t2, CAST(COUNT(*) AS BIGINT) AS n_sample,
+                  CAST(MAX(v) AS BIGINT) AS kth_hash,
+                  CAST(SUM(in_a * in_b) AS BIGINT) AS n_both_topk
+           FROM r WHERE rn <= 64 GROUP BY t1, t2)
+    SELECT sk.t1 AS type_a, sk.t2 AS type_b, n_sample, kth_hash, n_both_topk,
+           CAST(n_both_topk AS BIGINT) / CAST(n_sample AS BIGINT)
+             AS jaccard_est,
+           CASE WHEN n_sample < 64 OR kth_hash = 0
+                THEN CAST(n_sample AS DOUBLE)
+                ELSE 17732923532771328.0::DOUBLE / CAST(kth_hash AS BIGINT)::DOUBLE
+           END AS est_union,
+           (CAST(n_both_topk AS BIGINT) / CAST(n_sample AS BIGINT))
+             * (CASE WHEN n_sample < 64 OR kth_hash = 0
+                     THEN CAST(n_sample AS DOUBLE)
+                     ELSE 17732923532771328.0::DOUBLE
+                          / CAST(kth_hash AS BIGINT)::DOUBLE END)
+             AS est_intersection,
+           CAST(n_inter AS BIGINT) / CAST(n_union AS BIGINT) AS exact_jaccard
+    FROM sk JOIN ex ON ex.t1 = sk.t1 AND ex.t2 = sk.t2
+    """,
+)
+def kmv_set_overlap(spark, sf):
+    """KMV sketch SET OPERATIONS: for every event-type pair, estimate
+    union size, Jaccard, and intersection size of the two user sets
+    from ONE mergeable bottom-64 sketch per type — the audience-
+    overlap question answered without holding either set. The
+    estimator is the standard KMV combinator (Beyer et al. '07):
+    bottom-k of A∪B is computable from bottom-k(A) ∪ bottom-k(B);
+    J_est = |{bottom-k of the union} ∩ A ∩ B| / k; intersection ≈
+    J_est · union_est. Deterministic md5-derived 48-bit hashes mean
+    both engines produce the IDENTICAL sketch, so the oracle checks
+    the estimates themselves, with the exact Jaccard alongside as the
+    error budget. Pair explosion is |types|² metadata, never data;
+    per-pair work is bottom-k heaps (WindowGroupLimit) over the
+    distinct-hash stream. At 100 TB the per-type sketches are tiny
+    persisted state and pair estimates are sketch-only arithmetic."""
+    ev = load_table(spark, sf, "events")
+    h = ev.select(
+        "event_type",
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 12), 16, 10)
+        .cast("long")
+        .alias("v"),
+    ).distinct()
+    t = h.select("event_type").distinct()
+    tp = (
+        t.alias("x")
+        .join(t.alias("y"), F.col("x.event_type") < F.col("y.event_type"))
+        .select(
+            F.col("x.event_type").alias("t1"), F.col("y.event_type").alias("t2")
+        )
+    )
+    m = tp.select("t1", "t2", F.col("t1").alias("et")).unionByName(
+        tp.select("t1", "t2", F.col("t2").alias("et"))
+    )
+    g = (
+        m.join(h, m.et == h.event_type)
+        .groupBy("t1", "t2", "v")
+        .agg(
+            F.max(F.when(F.col("et") == F.col("t1"), 1).otherwise(0)).alias(
+                "in_a"
+            ),
+            F.max(F.when(F.col("et") == F.col("t2"), 1).otherwise(0)).alias(
+                "in_b"
+            ),
+        )
+    )
+    from syncflux_spark.utils import eager_persist
+
+    g = eager_persist(g)  # feeds both the exact and the sketch branch
+    ex = g.groupBy("t1", "t2").agg(
+        F.count(F.lit(1)).cast("long").alias("n_union"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("n_inter"),
+    )
+    w = Window.partitionBy("t1", "t2").orderBy("v")
+    sk = (
+        g.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 64)
+        .groupBy("t1", "t2")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sample"),
+            F.max("v").cast("long").alias("kth_hash"),
+            F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias(
+                "n_both_topk"
+            ),
+        )
+    )
+    jac = F.col("n_both_topk") / F.col("n_sample")
+    est_u = F.when(
+        (F.col("n_sample") < 64) | (F.col("kth_hash") == 0),
+        F.col("n_sample").cast("double"),
+    ).otherwise(F.lit(17732923532771328.0) / F.col("kth_hash").cast("double"))
+    return sk.join(ex, ["t1", "t2"]).select(
+        F.col("t1").alias("type_a"),
+        F.col("t2").alias("type_b"),
+        "n_sample",
+        "kth_hash",
+        "n_both_topk",
+        jac.alias("jaccard_est"),
+        est_u.alias("est_union"),
+        (jac * est_u).alias("est_intersection"),
+        (F.col("n_inter") / F.col("n_union")).alias("exact_jaccard"),
+    )
 
 
 @register(
