@@ -5763,6 +5763,284 @@ def ts_interval_coverage(spark, sf):
 
 
 @register(
+    "ts_rolling_median",
+    """
+    WITH x AS (
+      SELECT user_id, event_type, event_id,
+             CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+             CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS xm
+      FROM events
+    ),
+    f AS (
+      SELECT user_id, event_type, ts_us,
+             list_sort(list(xm) OVER (PARTITION BY user_id, event_type
+                                      ORDER BY ts_us, event_id
+                                      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+               AS fr
+      FROM x
+    )
+    SELECT user_id, event_type, ts_us,
+           CAST(len(fr) AS BIGINT) AS n_window,
+           CASE WHEN len(fr) % 2 = 1 THEN CAST(fr[(len(fr) + 1) // 2] AS DOUBLE)
+                ELSE (fr[len(fr) // 2] + fr[len(fr) // 2 + 1]) / 2.0
+           END AS median_micro
+    FROM f
+    """,
+)
+def ts_rolling_median(spark, sf):
+    """Rolling MEDIAN over a trailing 5-point frame per series — the
+    robust running baseline (a single spike moves a moving average by
+    spike/n; it doesn't move the median at all), Influx MEDIAN's
+    per-window sibling. Frames are tiny fixed-size arrays, so the
+    median is an in-row sort + index pick — no percentile UDAF, no
+    cross-engine interpolation ambiguity: odd frames index the middle
+    element, even frames average the two middles in one exact IEEE op
+    over integer micros. Window collect rides the same per-series
+    sort as every other ts_* window — one exchange at scale."""
+    ev = load_table(spark, sf, "events")
+    xm = F.floor(F.col("value") * 1_000_000 + F.lit(0.5)).cast("long")
+    w = (
+        Window.partitionBy("user_id", "event_type")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(-4, 0)
+    )
+    f = ev.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        xm.alias("xm"),
+    ).select(
+        "user_id",
+        "event_type",
+        "ts_us",
+        F.sort_array(F.collect_list("xm").over(w)).alias("fr"),
+    )
+    n = F.size("fr")
+    odd = F.element_at("fr", ((n + 1) / 2).cast("int")).cast("double")
+    even = (
+        F.element_at("fr", (n / 2).cast("int"))
+        + F.element_at("fr", (n / 2).cast("int") + 1)
+    ) / F.lit(2.0)
+    return f.select(
+        "user_id",
+        "event_type",
+        "ts_us",
+        n.cast("long").alias("n_window"),
+        F.when(n % 2 == 1, odd).otherwise(even).alias("median_micro"),
+    )
+
+
+@register(
+    "ts_mad_outliers",
+    """
+    WITH g AS (
+      SELECT user_id, event_type,
+             list_sort(list(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)))
+               AS xs
+      FROM events GROUP BY user_id, event_type
+    ),
+    med AS (
+      SELECT user_id, event_type, xs,
+             CASE WHEN len(xs) % 2 = 1
+                  THEN CAST(xs[(len(xs) + 1) // 2] AS DOUBLE)
+                  ELSE (xs[len(xs) // 2] + xs[len(xs) // 2 + 1]) / 2.0
+             END AS med
+      FROM g
+    ),
+    dev AS (
+      SELECT user_id, event_type, xs, med,
+             list_sort(list_transform(xs, x -> abs(x - med))) AS ds
+      FROM med
+    )
+    SELECT user_id, event_type,
+           CAST(len(xs) AS BIGINT) AS n_points,
+           med AS median_micro,
+           CASE WHEN len(ds) % 2 = 1 THEN ds[(len(ds) + 1) // 2]
+                ELSE (ds[len(ds) // 2] + ds[len(ds) // 2 + 1]) / 2.0
+           END AS mad_micro,
+           CAST(len(list_filter(xs,
+                x -> abs(x - med) > 3.0 * (CASE WHEN len(ds) % 2 = 1
+                     THEN ds[(len(ds) + 1) // 2]
+                     ELSE (ds[len(ds) // 2] + ds[len(ds) // 2 + 1]) / 2.0 END)))
+             AS BIGINT) AS n_outliers
+    FROM dev
+    """,
+)
+def ts_mad_outliers(spark, sf):
+    """Robust per-series outlier detection: |x − median| > 3·MAD
+    (median absolute deviation). The mean/stddev z-score (ts_outliers)
+    is itself dragged by the outliers it hunts — masking; the median/
+    MAD pair has a 50% breakdown point, the robust-statistics
+    standard. Series are grouped once, then every statistic is in-row
+    array math over the sorted micros list (sort → index for the
+    median, transform → sort → index for MAD, filter → count for the
+    flags): zero windows, zero joins, ONE shuffle for the whole
+    query. Medians use the same odd/even index-or-average recipe as
+    ts_rolling_median — deterministic, no interpolation ambiguity.
+    |x − med| is float-exact: med is integer or half-integer and x
+    integer, both well under 2^52."""
+    ev = load_table(spark, sf, "events")
+    xm = F.floor(F.col("value") * 1_000_000 + F.lit(0.5)).cast("long")
+    g = ev.groupBy("user_id", "event_type").agg(
+        F.sort_array(F.collect_list(xm)).alias("xs")
+    )
+
+    def _median(arr):
+        n = F.size(arr)
+        odd = F.element_at(arr, ((n + 1) / 2).cast("int")).cast("double")
+        even = (
+            F.element_at(arr, (n / 2).cast("int"))
+            + F.element_at(arr, (n / 2).cast("int") + 1)
+        ) / F.lit(2.0)
+        return F.when(n % 2 == 1, odd).otherwise(even)
+
+    med = g.select(
+        "user_id", "event_type", "xs", _median(F.col("xs")).alias("med")
+    )
+    dev = med.select(
+        "user_id",
+        "event_type",
+        "xs",
+        "med",
+        F.sort_array(
+            F.transform("xs", lambda x: F.abs(x - F.col("med")))
+        ).alias("ds"),
+    )
+    # stage MAD as a real column: referenced inside the filter lambda it
+    # would re-evaluate (array sort + index) per element
+    staged = dev.withColumn("mad", _median(F.col("ds")))
+    return staged.select(
+        "user_id",
+        "event_type",
+        F.size("xs").cast("long").alias("n_points"),
+        F.col("med").alias("median_micro"),
+        F.col("mad").alias("mad_micro"),
+        F.size(
+            F.filter(
+                "xs",
+                lambda x: F.abs(x - F.col("med")) > F.lit(3.0) * F.col("mad"),
+            )
+        )
+        .cast("long")
+        .alias("n_outliers"),
+    )
+
+
+@register(
+    "ts_rsi",
+    """
+    WITH RECURSIVE x AS (
+      SELECT user_id, event_type,
+             CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS xm,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, value) AS rn,
+             count(*) OVER (PARTITION BY user_id, event_type) AS n
+      FROM events
+    ),
+    st AS (
+      SELECT user_id, event_type, rn, n, xm,
+             CAST(0 AS BIGINT) AS ag, CAST(0 AS BIGINT) AS al
+      FROM x WHERE rn = 1
+      UNION ALL
+      SELECT x.user_id, x.event_type, x.rn, x.n, x.xm,
+             CASE WHEN st.rn = 1 THEN GREATEST(x.xm - st.xm, 0)
+                  ELSE CAST(FLOOR((3 * st.ag
+                       + GREATEST(x.xm - st.xm, 0))::DOUBLE / 4.0) AS BIGINT)
+             END AS ag,
+             CASE WHEN st.rn = 1 THEN GREATEST(st.xm - x.xm, 0)
+                  ELSE CAST(FLOOR((3 * st.al
+                       + GREATEST(st.xm - x.xm, 0))::DOUBLE / 4.0) AS BIGINT)
+             END AS al
+      FROM st JOIN x ON x.user_id = st.user_id
+                    AND x.event_type = st.event_type
+                    AND x.rn = st.rn + 1
+    )
+    SELECT user_id, event_type, CAST(n AS BIGINT) AS n_points,
+           ag AS avg_gain_micro, al AS avg_loss_micro,
+           CASE WHEN n = 1 THEN NULL
+                WHEN al = 0 AND ag = 0 THEN 50.0::DOUBLE
+                WHEN al = 0 THEN 100.0::DOUBLE
+                ELSE 100.0::DOUBLE - 100.0::DOUBLE
+                     / (1.0::DOUBLE + CAST(ag AS BIGINT) / CAST(al AS BIGINT))
+           END AS rsi
+    FROM st WHERE rn = n
+    """,
+)
+def ts_rsi(spark, sf):
+    """Influx ``RELATIVE_STRENGTH_INDEX(value, 4)`` endpoint per
+    series: consecutive moves split into gains/losses, Wilder-smoothed
+    (avg' = (3·avg + move)/4, seeded by the first move), RSI =
+    100 − 100/(1 + gain/loss). The smoothing runs the same
+    FIXED-POINT floor recurrence as ts_holt_winters — deterministic
+    integer state, recursive-CTE oracle — and the final RSI is one
+    fixed 4-op float chain (÷, +, ÷, −) on identical operands, so no
+    engine can reassociate it. Flat series pin to 50, loss-free to
+    100, single-point series to NULL. Same single-shuffle
+    group-and-fold scale shape as the other sequential ts_* ops."""
+    ev = load_table(spark, sf, "events")
+    vals = F.transform(
+        F.array_sort(F.collect_list(F.struct("ts", "value"))),
+        lambda s: F.floor(s["value"] * 1_000_000 + F.lit(0.5)).cast("long"),
+    )
+    g = ev.groupBy("user_id", "event_type").agg(vals.alias("vals"))
+    zero = F.lit(0).cast("long")
+
+    def step(acc, x):
+        gain = F.greatest(x - acc["xm"], zero)
+        loss = F.greatest(acc["xm"] - x, zero)
+        first = acc["k"] == 0
+        ag = F.when(first, gain).otherwise(
+            F.floor((3 * acc["ag"] + gain).cast("double") / F.lit(4.0)).cast(
+                "long"
+            )
+        )
+        al = F.when(first, loss).otherwise(
+            F.floor((3 * acc["al"] + loss).cast("double") / F.lit(4.0)).cast(
+                "long"
+            )
+        )
+        return F.struct(
+            x.alias("xm"),
+            ag.alias("ag"),
+            al.alias("al"),
+            (acc["k"] + 1).alias("k"),
+        )
+
+    seed = F.struct(
+        F.element_at("vals", F.lit(1)).alias("xm"),
+        zero.alias("ag"),
+        zero.alias("al"),
+        F.lit(0).cast("long").alias("k"),
+    )
+    g = g.select(
+        "user_id",
+        "event_type",
+        F.size("vals").cast("long").alias("n_points"),
+        F.aggregate(
+            F.slice(F.col("vals"), F.lit(2), F.size("vals") - F.lit(1)),
+            seed,
+            step,
+        ).alias("fin"),
+    )
+    ag, al = F.col("fin.ag"), F.col("fin.al")
+    rsi = (
+        F.when(F.col("n_points") == 1, F.lit(None).cast("double"))
+        .when((al == 0) & (ag == 0), F.lit(50.0))
+        .when(al == 0, F.lit(100.0))
+        .otherwise(F.lit(100.0) - F.lit(100.0) / (F.lit(1.0) + ag / al))
+    )
+    return g.select(
+        "user_id",
+        "event_type",
+        "n_points",
+        ag.alias("avg_gain_micro"),
+        al.alias("avg_loss_micro"),
+        rsi.alias("rsi"),
+    )
+
+
+@register(
     "emb_class_centroids",
     f"""
     WITH e AS (SELECT label, {_SQL_VEC} AS v FROM embeddings),
