@@ -6041,6 +6041,184 @@ def ts_rsi(spark, sf):
 
 
 @register(
+    "ts_kaufman_er",
+    """
+    WITH d AS (
+      SELECT user_id, event_type, event_id,
+             CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+             CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS xm,
+             CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)
+               - lag(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) OVER w
+               AS diff,
+             lag(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT), 4) OVER w
+               AS x_lag4
+      FROM events
+      WINDOW w AS (PARTITION BY user_id, event_type
+                   ORDER BY ts, value, event_id)
+    ),
+    s AS (
+      SELECT user_id, event_type, ts_us, xm, x_lag4,
+             SUM(ABS(diff)) OVER f AS volatility
+      FROM d
+      WINDOW f AS (PARTITION BY user_id, event_type
+                   ORDER BY ts_us, event_id
+                   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, event_type, ts_us,
+           CAST(ABS(xm - x_lag4) AS BIGINT) AS change_micro,
+           CAST(volatility AS BIGINT) AS volatility_micro,
+           CASE WHEN volatility > 0
+                THEN CAST(ABS(xm - x_lag4) AS BIGINT)
+                     / CAST(volatility AS BIGINT) END AS efficiency_ratio
+    FROM s WHERE x_lag4 IS NOT NULL
+    """,
+)
+def ts_kaufman_er(spark, sf):
+    """Influx ``KAUFMANS_EFFICIENCY_RATIO(value, 4)``: net 4-step
+    price change over the sum of the 4 absolute step moves — 1.0 for
+    a straight trend, →0 for pure churn; the signal/noise dial that
+    drives Kaufman's adaptive MA. Numerator (lag-4 delta) and
+    denominator (ROWS-frame sum of |move|) are both exact integer
+    micros off the same per-series window sort; one division at the
+    end. Rows without 4 predecessors drop (InfluxQL emits from the
+    n-th point), zero-volatility frames yield NULL."""
+    ev = load_table(spark, sf, "events")
+    xm = F.floor(F.col("value") * 1_000_000 + F.lit(0.5)).cast("long")
+    wl = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "value", "event_id"
+    )
+    d = ev.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        xm.alias("xm"),
+        (xm - F.lag(xm).over(wl)).alias("diff"),
+        F.lag(xm, 4).over(wl).alias("x_lag4"),
+    )
+    wf = (
+        Window.partitionBy("user_id", "event_type")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(-3, 0)
+    )
+    s = d.select(
+        "user_id",
+        "event_type",
+        "ts_us",
+        "xm",
+        "x_lag4",
+        F.sum(F.abs("diff")).over(wf).alias("volatility"),
+    ).where(F.col("x_lag4").isNotNull())
+    change = F.abs(F.col("xm") - F.col("x_lag4")).cast("long")
+    vol = F.col("volatility").cast("long")
+    return s.select(
+        "user_id",
+        "event_type",
+        "ts_us",
+        change.alias("change_micro"),
+        vol.alias("volatility_micro"),
+        F.when(vol > 0, change / vol).alias("efficiency_ratio"),
+    )
+
+
+@register(
+    "ts_ema_cascade",
+    """
+    WITH RECURSIVE x AS (
+      SELECT user_id, event_type,
+             CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS xm,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, value) AS rn,
+             count(*) OVER (PARTITION BY user_id, event_type) AS n
+      FROM events
+    ),
+    st AS (
+      SELECT user_id, event_type, rn, n,
+             xm AS e1, xm AS e2, xm AS e3, xm AS p3
+      FROM x WHERE rn = 1
+      UNION ALL
+      SELECT x.user_id, x.event_type, x.rn, x.n,
+             CAST(FLOOR((st.e1 + x.xm)::DOUBLE / 2.0) AS BIGINT) AS e1,
+             CAST(FLOOR((st.e2 + CAST(FLOOR((st.e1 + x.xm)::DOUBLE / 2.0)
+                                 AS BIGINT))::DOUBLE / 2.0) AS BIGINT) AS e2,
+             CAST(FLOOR((st.e3
+               + CAST(FLOOR((st.e2 + CAST(FLOOR((st.e1 + x.xm)::DOUBLE / 2.0)
+                                     AS BIGINT))::DOUBLE / 2.0) AS BIGINT)
+               )::DOUBLE / 2.0) AS BIGINT) AS e3,
+             st.e3 AS p3
+      FROM st JOIN x ON x.user_id = st.user_id
+                    AND x.event_type = st.event_type
+                    AND x.rn = st.rn + 1
+    )
+    SELECT user_id, event_type, CAST(n AS BIGINT) AS n_points,
+           e1 AS ema_micro,
+           CAST(2 * e1 - e2 AS BIGINT) AS dema_micro,
+           CAST(3 * e1 - 3 * e2 + e3 AS BIGINT) AS tema_micro,
+           CASE WHEN n > 1 AND p3 != 0
+                THEN 100.0::DOUBLE * (e3 - p3) / CAST(p3 AS BIGINT) END
+             AS trix_pct
+    FROM st WHERE rn = n
+    """,
+)
+def ts_ema_cascade(spark, sf):
+    """The EMA-cascade family endpoint per series — Influx
+    ``DOUBLE_EXPONENTIAL_MOVING_AVERAGE`` (DEMA = 2·e1 − e2),
+    ``TRIPLE_EMA`` (TEMA = 3·e1 − 3·e2 + e3) and
+    ``TRIPLE_EXPONENTIAL_DERIVATIVE`` (TRIX = %Δ of e3) from ONE
+    pass: three chained α=½ EMAs (e2 smooths e1, e3 smooths e2) run
+    as a single fixed-point floor recurrence carrying (e1,e2,e3,
+    prev-e3) — same deterministic integer state machine as
+    ts_holt_winters, same recursive-CTE oracle. The lag-compensation
+    arithmetic on the final states is pure int64; TRIX is one fixed
+    float chain (−, ·, ÷). Single shuffle, in-row fold."""
+    ev = load_table(spark, sf, "events")
+    vals = F.transform(
+        F.array_sort(F.collect_list(F.struct("ts", "value"))),
+        lambda s: F.floor(s["value"] * 1_000_000 + F.lit(0.5)).cast("long"),
+    )
+    g = ev.groupBy("user_id", "event_type").agg(vals.alias("vals"))
+
+    def half(a, b):
+        return F.floor((a + b).cast("double") / F.lit(2.0)).cast("long")
+
+    def step(acc, x):
+        e1 = half(acc["e1"], x)
+        e2 = half(acc["e2"], e1)
+        e3 = half(acc["e3"], e2)
+        return F.struct(
+            e1.alias("e1"), e2.alias("e2"), e3.alias("e3"), acc["e3"].alias("p3")
+        )
+
+    first = F.element_at("vals", F.lit(1))
+    seed = F.struct(
+        first.alias("e1"), first.alias("e2"), first.alias("e3"), first.alias("p3")
+    )
+    g = g.select(
+        "user_id",
+        "event_type",
+        F.size("vals").cast("long").alias("n_points"),
+        F.aggregate(
+            F.slice(F.col("vals"), F.lit(2), F.size("vals") - F.lit(1)),
+            seed,
+            step,
+        ).alias("fin"),
+    )
+    e1, e2, e3, p3 = (F.col(f"fin.{c}") for c in ("e1", "e2", "e3", "p3"))
+    return g.select(
+        "user_id",
+        "event_type",
+        "n_points",
+        e1.alias("ema_micro"),
+        (2 * e1 - e2).cast("long").alias("dema_micro"),
+        (3 * e1 - 3 * e2 + e3).cast("long").alias("tema_micro"),
+        F.when(
+            (F.col("n_points") > 1) & (p3 != 0),
+            F.lit(100.0) * (e3 - p3) / p3,
+        ).alias("trix_pct"),
+    )
+
+
+@register(
     "emb_class_centroids",
     f"""
     WITH e AS (SELECT label, {_SQL_VEC} AS v FROM embeddings),
