@@ -179,3 +179,41 @@ class TestExecutionDiscipline:
         side on the shingle key would be a full-corpus exchange."""
         plan = plan_of(spark, sf_dir, "benchmark_contamination")
         assert "BroadcastHashJoin" in plan
+
+
+class TestSingleShuffleTsFamily:
+    @pytest.mark.parametrize(
+        "name",
+        [
+            "ts_interval_coverage",
+            "ts_mad_outliers",
+            "ts_holt_winters",
+            "ts_ema_cascade",
+            "ts_rsi",
+        ],
+    )
+    def test_one_exchange_no_python(self, spark, sf_dir, name):
+        """The group-and-fold / gaps-and-islands ts_* operators claim
+        'one shuffle for the whole query': every window and every
+        in-row fold rides the single per-series exchange. A second
+        Exchange here means a window lost the partitioning or a fold
+        became a join."""
+        plan = plan_of(spark, sf_dir, name)
+        assert plan.count("Exchange") == 1, plan
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+
+    def test_kmv_overlap_uses_group_topk_heap(self, spark, sf_dir):
+        """The bottom-64 sketch must run as WindowGroupLimit
+        (per-partition top-k heaps before the per-group sort), not a
+        full per-group sort of every distinct hash."""
+        plan = plan_of(spark, sf_dir, "kmv_set_overlap")
+        assert "WindowGroupLimit" in plan
+
+    def test_triangle_join_is_hash_equality(self, spark, sf_dir):
+        """Triangle enumeration must stay an equality-join cascade on
+        node keys — nested-loop or cartesian here is the quadratic
+        failure mode."""
+        plan = plan_of(spark, sf_dir, "dedup_graph_triangles")
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
