@@ -81,6 +81,13 @@ HEADLINE = [
     "event_transitions",
     "sliding_distinct_users",
     "customer_rfm_segments",
+    "ts_holt_winters",
+    "ts_interval_coverage",
+    "ts_mad_outliers",
+    "ts_rolling_median",
+    "kmv_set_overlap",
+    "dedup_graph_triangles",
+    "doc_novelty",
 ]
 
 
