@@ -880,6 +880,73 @@ def dedup_graph_triangles(spark, sf):
 
 
 @register(
+    "dedup_graph_clustering",
+    f"""
+    WITH sh AS ({_sql_shingles()}),
+         hs AS ({_HS_SQL}),
+         sig AS (SELECT doc_id, {_MH_SELECT} FROM hs GROUP BY doc_id),
+         bands AS ({_BANDS_SQL}),
+         e AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+               FROM bands a JOIN bands b
+                 ON a.band_id = b.band_id AND a.band_key = b.band_key
+                AND a.doc_id < b.doc_id),
+         deg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS degree
+                 FROM (SELECT id_a AS doc_id FROM e
+                       UNION ALL SELECT id_b FROM e)
+                 GROUP BY doc_id),
+         tri AS (SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+                 FROM e e1
+                 JOIN e e2 ON e2.id_a = e1.id_b
+                 JOIN e e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b),
+         tc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+                FROM (SELECT unnest([a, b, c]) AS doc_id FROM tri)
+                GROUP BY doc_id)
+    SELECT d.doc_id, d.degree,
+           CAST(COALESCE(tc.n_triangles, 0) AS BIGINT) AS n_triangles,
+           CASE WHEN d.degree >= 2
+                THEN 2.0::DOUBLE * CAST(COALESCE(tc.n_triangles, 0) AS BIGINT)
+                     / CAST(d.degree * (d.degree - 1) AS BIGINT)
+                ELSE 0.0::DOUBLE END AS clustering
+    FROM deg d LEFT JOIN tc ON tc.doc_id = d.doc_id
+    """,
+)
+def dedup_graph_clustering(spark, sf):
+    """Local clustering coefficient over the LSH candidate graph:
+    triangles through a node over its possible wedge pairs,
+    C(v) = 2·T(v) / (deg(v)·(deg(v)−1)) — ~1 inside duplicate
+    cliques, →0 for bridge/chain nodes, so thresholding C(v) is the
+    cheap classifier between "true duplicate cluster" and "chained
+    borderline matches" before committing to a merge. Degree is one
+    explode+agg over the edge list; triangles reuse
+    operators/graph.py::triangle_counts; the combination is a single
+    left join plus one fixed float expression (2.0·T then ÷) on
+    exact integers."""
+    from syncflux_spark.operators.graph import triangle_counts
+    from syncflux_spark.utils import eager_persist
+
+    pairs = eager_persist(
+        dd.lsh_candidate_pairs(load_table(spark, sf, "documents"))
+    )  # feeds degree, and three scans inside triangle_counts
+    deg = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    tc = triangle_counts(pairs)
+    d = F.col("degree")
+    t = F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long")
+    return deg.join(tc, "doc_id", "left").select(
+        "doc_id",
+        "degree",
+        t.alias("n_triangles"),
+        F.when(d >= 2, F.lit(2.0) * t / (d * (d - 1)).cast("long"))
+        .otherwise(F.lit(0.0))
+        .alias("clustering"),
+    )
+
+
+@register(
     "dedup_incremental",
     f"""
     WITH sh AS ({_sql_shingles()}),
@@ -2045,6 +2112,116 @@ def ts_sessionize(spark, sf):
         F.min(F.unix_micros("ts")).alias("start_us"),
         F.max(F.unix_micros("ts")).alias("end_us"),
         F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "session_type_lift",
+    """
+    WITH flagged AS (
+      SELECT user_id, event_id, event_type,
+             CAST(epoch_us(ts) AS BIGINT) AS us,
+             CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                    OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, event_type,
+             CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session_id
+      FROM flagged
+    ),
+    st AS (SELECT DISTINCT user_id, session_id, event_type FROM sess),
+    n_tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions
+              FROM (SELECT DISTINCT user_id, session_id FROM st)),
+    per_type AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_type
+                 FROM st GROUP BY event_type),
+    pair AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                    CAST(COUNT(*) AS BIGINT) AS n_both
+             FROM st a JOIN st b
+               ON a.user_id = b.user_id AND a.session_id = b.session_id
+              AND a.event_type < b.event_type
+             GROUP BY a.event_type, b.event_type)
+    SELECT type_a, type_b, n_both, pa.n_type AS n_a, pb.n_type AS n_b,
+           n_sessions,
+           CAST(n_both * n_sessions AS BIGINT)
+             / CAST(pa.n_type * pb.n_type AS BIGINT) AS lift
+    FROM pair
+    JOIN per_type pa ON pa.event_type = type_a
+    JOIN per_type pb ON pb.event_type = type_b
+    CROSS JOIN n_tot
+    """,
+)
+def session_type_lift(spark, sf):
+    """Market-basket lift over sessions: for every event-type pair,
+    P(a,b)/(P(a)·P(b)) with sessions as baskets — >1 means the types
+    co-occur beyond chance (the association signal behind
+    "users who X also Y"). Baskets come from the same 30-min
+    gap sessionization as ts_sessionize; the pair join is WITHIN a
+    (user, session) key — bounded by per-session distinct types
+    (≤ the type vocabulary), never a global self-join — and the
+    single-row total is broadcast. Exact integer counts ride to one
+    division: lift = (n_both·N) / (n_a·n_b); n_both·N ≲ sessions²
+    needs int64 headroom ~2^62 at 1e9 sessions — the documented
+    switch point to decimal(38,0)."""
+    from syncflux_spark.operators.downsample import sessionize
+
+    ev = load_table(spark, sf, "events")
+    st = (
+        sessionize(ev, ["user_id"], 1800, "ts", "event_id")
+        .select("user_id", "session_id", "event_type")
+        .distinct()
+    )
+    from syncflux_spark.utils import eager_persist
+
+    st = eager_persist(st)  # three consumers: totals, per-type, pair join
+    n_tot = (
+        st.select("user_id", "session_id")
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+    )
+    per_type = st.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_type")
+    )
+    a, b = st.alias("a"), st.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.session_id") == F.col("b.session_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+    )
+    pa = per_type.select(
+        F.col("event_type").alias("type_a"), F.col("n_type").alias("n_a")
+    )
+    pb = per_type.select(
+        F.col("event_type").alias("type_b"), F.col("n_type").alias("n_b")
+    )
+    out = (
+        pair.join(F.broadcast(pa), "type_a")
+        .join(F.broadcast(pb), "type_b")
+        .crossJoin(F.broadcast(n_tot))
+    )
+    return out.select(
+        "type_a",
+        "type_b",
+        "n_both",
+        "n_a",
+        "n_b",
+        "n_sessions",
+        (
+            (F.col("n_both") * F.col("n_sessions")).cast("long")
+            / (F.col("n_a") * F.col("n_b")).cast("long")
+        ).alias("lift"),
     )
 
 
