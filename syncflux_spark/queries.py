@@ -4144,6 +4144,62 @@ def stream_dedup_counts(spark, sf):
 
 
 @register(
+    "stream_kmv_users",
+    """
+    WITH h AS (SELECT DISTINCT event_type,
+                 ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT
+                   AS v
+               FROM events),
+    r AS (SELECT event_type, v,
+                 row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn
+          FROM h)
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_sample,
+           CAST(MAX(v) AS BIGINT) AS kth_hash,
+           CASE WHEN COUNT(*) < 64 OR MAX(v) = 0
+                THEN CAST(COUNT(*) AS DOUBLE)
+                ELSE 17732923532771328.0::DOUBLE / CAST(MAX(v) AS BIGINT)::DOUBLE
+           END AS est_distinct
+    FROM r WHERE rn <= 64 GROUP BY event_type
+    """,
+)
+def stream_kmv_users(spark, sf):
+    """STREAMING distinct-count sketch under the full oracle gate:
+    the event file is delivered TWICE in separate micro-batches
+    (``maxFilesPerTrigger=1``), each batch folds into per-type
+    bottom-64 hash state via ``applyInPandasWithState``, and the
+    final sketch must equal — bitwise, estimate included — the KMV
+    the oracle computes from the single-copy batch table. That works
+    because bottom-k is a mergeable, duplicate-insensitive summary;
+    it is the strongest correctness statement a streaming sketch can
+    make, and most streaming systems can't make it (HLL register
+    order depends on delivery). O(k) state per key regardless of
+    stream cardinality (streaming/stateful.py::StreamingKmvSketch)."""
+    import os
+    import shutil
+
+    from syncflux_spark.streaming.stateful import StreamingKmvSketch
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    root = tempfile.mkdtemp(prefix="sf_skmv_")
+    src = os.path.join(root, "src")
+    os.makedirs(src)
+    for copy_name in ("a", "b"):
+        shutil.copy(
+            os.path.join(sf, "events.parquet"),
+            os.path.join(src, f"events_{copy_name}.parquet"),
+        )
+    op = StreamingKmvSketch(
+        spark,
+        src,
+        f"{root}/dst",
+        f"{root}/ckpt",
+        max_files_per_trigger=1,
+    )
+    op.run_available()
+    return op.current_sketches()
+
+
+@register(
     "stream_stateful_totals",
     f"""
     SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,

@@ -158,3 +158,142 @@ class StatefulUserTotals:
             .where(F.col("_rn") == 1)
             .select("user_id", "n_events", "sum_value_micro", "last_ts_us")
         )
+
+
+#: streaming KMV distinct sketch: per-type bottom-64 hash state
+KMV_OUTPUT = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("n_sample", T.LongType()),
+        T.StructField("kth_hash", T.LongType()),
+        T.StructField("est_distinct", T.DoubleType()),
+    ]
+)
+KMV_STATE = T.StructType(
+    [T.StructField("hashes", T.ArrayType(T.LongType()))]
+)
+
+KMV_K = 64
+#: 63·2^48 — the (k−1)/frac(kth) estimator numerator, exactly
+#: representable (matches queries.py::kmv_distinct_users)
+_KMV_NUM = 17732923532771328.0
+
+
+def _kmv_fn(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Fold a micro-batch into the bottom-64 KMV sketch. Pruning to
+    the k smallest per batch is lossless: bottom-k is a mergeable
+    summary — bottom-k(A ∪ B) = bottom-k(bottom-k(A) ∪ B) — which is
+    exactly why the streamed sketch must equal the batch-computed
+    oracle bit-for-bit, duplicates and re-deliveries included."""
+    import hashlib
+
+    hs = set(state.get[0]) if state.exists else set()
+    for pdf in pdfs:
+        for uid in pdf["user_id"].astype("int64").unique():
+            # identical to F.md5(cast(user_id as string))[:12] as int48
+            h = int(hashlib.md5(str(uid).encode()).hexdigest()[:12], 16)
+            hs.add(h)
+    bottom = sorted(hs)[:KMV_K]
+    state.update((bottom,))
+    n = len(bottom)
+    kth = bottom[-1] if bottom else 0
+    est = float(n) if (n < KMV_K or kth == 0) else _KMV_NUM / float(kth)
+    yield pd.DataFrame(
+        {
+            "event_type": [key[0]],
+            "n_sample": [n],
+            "kth_hash": [kth],
+            "est_distinct": [est],
+        }
+    )
+
+
+class StreamingKmvSketch:
+    """Checkpointed streaming distinct-count sketch per event type:
+    the unbounded-cardinality companion to StatefulUserTotals — state
+    is O(k) per key no matter how many distinct users flow through,
+    the property that makes the sketch the RIGHT streaming answer at
+    100 TB (exact streaming distinct needs unbounded state). Same
+    availableNow / batch-keyed-sink / newest-batch-wins plumbing as
+    the totals operator."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        src_path: str,
+        dst_path: str,
+        checkpoint_path: str,
+        path_glob_filter: str | None = None,
+        max_files_per_trigger: int | None = None,
+    ):
+        self.spark = spark
+        self.src_path = src_path
+        self.dst_path = dst_path
+        self.checkpoint_path = checkpoint_path
+        self.path_glob_filter = path_glob_filter
+        self.max_files_per_trigger = max_files_per_trigger
+
+    def _reader(self):
+        batch_reader = self.spark.read
+        if self.path_glob_filter:
+            batch_reader = batch_reader.option(
+                "pathGlobFilter", self.path_glob_filter
+            )
+        schema = batch_reader.parquet(self.src_path).schema
+        reader = self.spark.readStream.schema(schema)
+        if self.path_glob_filter:
+            reader = reader.option("pathGlobFilter", self.path_glob_filter)
+        if self.max_files_per_trigger:
+            reader = reader.option(
+                "maxFilesPerTrigger", str(self.max_files_per_trigger)
+            )
+        return reader.parquet(self.src_path)
+
+    def run_available(self) -> None:
+        stream = (
+            self._reader()
+            .groupBy("event_type")
+            .applyInPandasWithState(
+                _kmv_fn,
+                KMV_OUTPUT,
+                KMV_STATE,
+                "update",
+                GroupStateTimeout.NoTimeout,
+            )
+        )
+
+        def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+            batch_df.write.mode("overwrite").parquet(
+                os.path.join(self.dst_path, f"batch={batch_id}")
+            )
+
+        q = (
+            stream.writeStream.foreachBatch(write_batch)
+            .outputMode("update")
+            .option("checkpointLocation", self.checkpoint_path)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def current_sketches(self) -> DataFrame:
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        out = (
+            self.spark.read.option("recursiveFileLookup", "true")
+            .option("basePath", self.dst_path)
+            .parquet(self.dst_path)
+        )
+        files = out.withColumn(
+            "_batch",
+            F.regexp_extract(F.input_file_name(), r"batch=(\d+)", 1).cast("long"),
+        )
+        w = Window.partitionBy("event_type").orderBy(F.desc("_batch"))
+        return (
+            files.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("event_type", "n_sample", "kth_hash", "est_distinct")
+        )

@@ -247,3 +247,50 @@ class TestWindowedRollup:
         assert self.BASE + 3 * h not in got
         # exactly-once: one row per emitted window
         assert ws3.read_rollup().count() == len(got)
+
+
+class TestStreamingKmvSketch:
+    def test_sketch_state_survives_restart_and_dups(self, spark, tmp_path):
+        """The bottom-k state must merge across runs (fresh operator,
+        same checkpoint) and be insensitive to re-delivered users: a
+        second wave containing only already-seen ids must leave every
+        sketch unchanged."""
+        import hashlib
+
+        from syncflux_spark.streaming.stateful import StreamingKmvSketch
+
+        src = str(tmp_path / "src")
+        rows1 = [(uid, 1_000_000_000, "click", 1.0) for uid in range(100)]
+        spark.createDataFrame(
+            rows1, "user_id long, ts long, event_type string, value double"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+        s1 = StreamingKmvSketch(
+            spark, src, str(tmp_path / "dst"), str(tmp_path / "ckpt")
+        )
+        s1.run_available()
+        t1 = {r.event_type: r for r in s1.current_sketches().collect()}
+        assert t1["click"].n_sample == 64
+        expect_kth = sorted(
+            int(hashlib.md5(str(u).encode()).hexdigest()[:12], 16)
+            for u in range(100)
+        )[63]
+        assert t1["click"].kth_hash == expect_kth
+
+        # wave 2: 50 re-delivered ids + 50 new ones
+        rows2 = [(uid, 2_000_000_000, "click", 1.0) for uid in range(50, 150)]
+        spark.createDataFrame(
+            rows2, "user_id long, ts long, event_type string, value double"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+        s2 = StreamingKmvSketch(  # fresh object, same checkpoint
+            spark, src, str(tmp_path / "dst"), str(tmp_path / "ckpt")
+        )
+        s2.run_available()
+        t2 = {r.event_type: r for r in s2.current_sketches().collect()}
+        expect_kth2 = sorted(
+            int(hashlib.md5(str(u).encode()).hexdigest()[:12], 16)
+            for u in range(150)
+        )[63]
+        assert t2["click"].kth_hash == expect_kth2
+        assert t2["click"].n_sample == 64
