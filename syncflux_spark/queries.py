@@ -3330,6 +3330,216 @@ def kmv_set_overlap(spark, sf):
 
 
 @register(
+    "cms_user_counts",
+    """
+    WITH ev AS (SELECT user_id, md5(CAST(user_id AS VARCHAR)) AS h
+                FROM events),
+    cells AS (
+      SELECT i, ('0x' || substring(h, 1 + 2 * i, 2))::BIGINT AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM ev, (SELECT unnest([0, 1, 2, 3]) AS i)
+      GROUP BY i, bucket
+    ),
+    exact AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_n,
+                     md5(CAST(user_id AS VARCHAR)) AS h
+              FROM events GROUP BY user_id),
+    top AS (SELECT user_id, exact_n, h,
+                   row_number() OVER (ORDER BY exact_n DESC, user_id) AS rn
+            FROM exact),
+    probes AS (
+      SELECT user_id, exact_n, i,
+             ('0x' || substring(h, 1 + 2 * i, 2))::BIGINT AS bucket
+      FROM top, (SELECT unnest([0, 1, 2, 3]) AS i)
+      WHERE rn <= 20
+    )
+    SELECT p.user_id, p.exact_n,
+           CAST(MIN(c.cnt) AS BIGINT) AS est_n,
+           CAST(MIN(c.cnt) - p.exact_n AS BIGINT) AS overcount
+    FROM probes p JOIN cells c ON c.i = p.i AND c.bucket = p.bucket
+    GROUP BY p.user_id, p.exact_n
+    """,
+)
+def cms_user_counts(spark, sf):
+    """Count-Min sketch (4 rows × 256 buckets) over per-user event
+    counts, probed at the top-20 heavy hitters: est = min over the 4
+    hash rows of the user's cell, always ≥ exact (one-sided error) —
+    the frequency sketch that answers "how often did X occur" in
+    O(d·w) memory at any stream size. The 4 row-hashes are disjoint
+    byte slices of ONE md5 per key (the engine's standard
+    deterministic-hash trick), and CMS merge is cell-wise integer
+    ADDITION — commutative, so any partitioning/partial-agg order
+    produces the identical matrix and the oracle checks the
+    ESTIMATES, not just plumbing. Build is one explode(4)+agg; the
+    1024-cell matrix broadcasts to probes. est_n ≥ exact_n is also
+    asserted as an invariant in tests."""
+    ev = load_table(spark, sf, "events")
+    h = F.md5(F.col("user_id").cast("string"))
+    cell_structs = [
+        F.struct(
+            F.lit(i).alias("i"),
+            F.conv(F.substring(h, 1 + 2 * i, 2), 16, 10)
+            .cast("long")
+            .alias("bucket"),
+        )
+        for i in range(4)
+    ]
+    cells = (
+        ev.select(F.explode(F.array(*cell_structs)).alias("c"))
+        .groupBy(F.col("c.i").alias("i"), F.col("c.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    exact = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_n")
+    )
+    w = Window.orderBy(F.desc("exact_n"), "user_id")
+    top = (
+        exact.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 20)
+        .drop("rn")
+    )
+    hp = F.md5(F.col("user_id").cast("string"))
+    probe_structs = [
+        F.struct(
+            F.lit(i).alias("i"),
+            F.conv(F.substring(hp, 1 + 2 * i, 2), 16, 10)
+            .cast("long")
+            .alias("bucket"),
+        )
+        for i in range(4)
+    ]
+    probes = top.select(
+        "user_id",
+        "exact_n",
+        F.explode(F.array(*probe_structs)).alias("c"),
+    ).select("user_id", "exact_n", F.col("c.i").alias("i"), F.col("c.bucket").alias("bucket"))
+    return (
+        probes.join(F.broadcast(cells), ["i", "bucket"])
+        .groupBy("user_id", "exact_n")
+        .agg(F.min("cnt").cast("long").alias("est_n"))
+        .select(
+            "user_id",
+            "exact_n",
+            "est_n",
+            (F.col("est_n") - F.col("exact_n")).cast("long").alias("overcount"),
+        )
+    )
+
+
+@register(
+    "bloom_purchase_filter",
+    """
+    WITH members AS (SELECT user_id FROM events
+                     WHERE event_type = 'purchase'
+                     GROUP BY user_id HAVING COUNT(*) > 13),
+    bits AS (
+      SELECT DISTINCT
+             ('0x' || substring(md5(CAST(user_id AS VARCHAR)),
+                               1 + 3 * i, 3))::BIGINT % 2048 AS pos
+      FROM members, (SELECT unnest([0, 1, 2]) AS i)
+    ),
+    allu AS (SELECT DISTINCT user_id FROM events),
+    probe AS (
+      SELECT u.user_id,
+             ('0x' || substring(md5(CAST(u.user_id AS VARCHAR)),
+                               1 + 3 * i, 3))::BIGINT % 2048 AS pos
+      FROM allu u, (SELECT unnest([0, 1, 2]) AS i)
+    ),
+    hit AS (
+      SELECT p.user_id,
+             CAST(COUNT(b.pos) AS BIGINT) AS n_hit
+      FROM probe p LEFT JOIN bits b ON b.pos = p.pos
+      GROUP BY p.user_id
+    ),
+    flags AS (
+      SELECT h.user_id,
+             CASE WHEN h.n_hit = 3 THEN 1 ELSE 0 END AS claimed,
+             CASE WHEN m.user_id IS NULL THEN 0 ELSE 1 END AS actual
+      FROM hit h LEFT JOIN members m ON m.user_id = h.user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(actual) AS BIGINT) AS n_members,
+           CAST(SUM(claimed) AS BIGINT) AS n_claimed,
+           CAST(SUM(CASE WHEN claimed = 1 AND actual = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_pos,
+           CASE WHEN COUNT(*) > SUM(actual)
+                THEN CAST(SUM(CASE WHEN claimed = 1 AND actual = 0
+                               THEN 1 ELSE 0 END) AS BIGINT)
+                     / CAST(COUNT(*) - SUM(actual) AS BIGINT) END AS fp_rate
+    FROM flags
+    """,
+)
+def bloom_purchase_filter(spark, sf):
+    """Bloom-filter membership with DETERMINISTIC hashing: the
+    heavy-purchaser set (>13 purchases — the per-user purchase median
+    is a stable 13 at every fixture sf, so the split stays ~half the
+    population at any scale) compiled to a 2048-bit / 3-hash filter (three
+    12-bit md5 slices mod 2048 per key), probed by every distinct
+    user; reports claimed vs actual membership and the realized
+    false-positive rate — with zero false NEGATIVES by construction,
+    which the oracle enforces (n_claimed ⊇ n_members exactly). A
+    bloom bitset is an OR of per-key bits — commutative like every
+    sketch in this engine, so the distributed build equals the
+    oracle's regardless of partitioning. The bit SET (≤2048 rows)
+    broadcasts to the probe side; at 100 TB this is the pre-shuffle
+    row filter pattern (probe the broadcast filter map-side, pay the
+    join only for probable members — Spark's own runtime bloom
+    pushdown, here as an explicit, engine-portable operator)."""
+    ev = load_table(spark, sf, "events")
+
+    def positions(df, col="user_id"):
+        h = F.md5(F.col(col).cast("string"))
+        ps = [
+            F.conv(F.substring(h, 1 + 3 * i, 3), 16, 10).cast("long") % 2048
+            for i in range(3)
+        ]
+        return df.select(col, F.explode(F.array(*ps)).alias("pos"))
+
+    members = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") > 13)
+        .select("user_id")
+    )
+    from syncflux_spark.utils import eager_persist
+
+    members = eager_persist(members)  # bits build + actual-flag join
+    bits = positions(members).select("pos").distinct()
+    allu = ev.select("user_id").distinct()
+    hit = (
+        positions(allu)
+        .join(F.broadcast(bits.withColumn("_b", F.lit(1))), "pos", "left")
+        .groupBy("user_id")
+        .agg(F.count("_b").cast("long").alias("n_hit"))
+    )
+    flags = hit.join(
+        members.withColumn("_m", F.lit(1)), "user_id", "left"
+    ).select(
+        F.when(F.col("n_hit") == 3, 1).otherwise(0).alias("claimed"),
+        F.when(F.col("_m").isNull(), 0).otherwise(1).alias("actual"),
+    )
+    fp = F.sum(
+        F.when((F.col("claimed") == 1) & (F.col("actual") == 0), 1).otherwise(0)
+    ).cast("long")
+    return flags.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("actual").cast("long").alias("n_members"),
+        F.sum("claimed").cast("long").alias("n_claimed"),
+        fp.alias("n_false_pos"),
+    ).select(
+        "n_users",
+        "n_members",
+        "n_claimed",
+        "n_false_pos",
+        F.when(
+            F.col("n_users") > F.col("n_members"),
+            F.col("n_false_pos")
+            / (F.col("n_users") - F.col("n_members")).cast("long"),
+        ).alias("fp_rate"),
+    )
+
+
+@register(
     "kmv_distinct_users",
     """
     WITH h AS (SELECT DISTINCT event_type,
