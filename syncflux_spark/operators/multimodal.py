@@ -256,3 +256,50 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
     return spread_for_cpu(docs.select("doc_id", "text")).mapInPandas(
         kernel, MEDIA_SCHEMA
     )
+
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("phash", T.LongType()),
+    ]
+)
+
+
+def perceptual_hash(df: DataFrame, codec: str = "fake") -> DataFrame:
+    """Perceptual fingerprint stage: bytes → 64-bit pHash-style
+    signature via block-mean thresholding — split the decoded payload
+    into 64 blocks, bit i = (block-i mean > global mean). Identical
+    payloads give identical hashes and small payload perturbations
+    flip few bits, which is the property perceptual dedup needs
+    (pair search within Hamming ≤ k reuses the same pigeonhole
+    banding as operators/dedup.py::simhash_near_pairs — the hash is
+    the only thing that changes). A real kernel computes the 32×32
+    DCT of the grayscale image here; the stub block-means the fake
+    payload — same batch shape, same output type, deterministic.
+    Like every media stage: Arrow-batched mapInPandas, bytes never
+    survive past this projection."""
+    _require_fake(codec)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = []
+            for b in pdf["content"]:
+                body = bytes(b)[16:] or b"\x00"
+                n = len(body)
+                # 64 contiguous blocks (last one absorbs the remainder)
+                step = max(1, n // 64)
+                blocks = [body[i * step : (i + 1) * step] for i in range(63)]
+                blocks.append(body[63 * step :])
+                gmean = sum(body) / n
+                bits = 0
+                for i, blk in enumerate(blocks):
+                    if blk and (sum(blk) / len(blk)) > gmean:
+                        bits |= 1 << i
+                # two's-complement into a signed long column
+                hashes.append(bits - (1 << 64) if bits >= (1 << 63) else bits)
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "phash": hashes}
+            )
+
+    return spread_for_cpu(df).mapInPandas(kernel, PHASH_SCHEMA)

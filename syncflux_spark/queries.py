@@ -4465,6 +4465,34 @@ def mm_decode_meta(spark, sf):
     return decode_images(media)
 
 
+@register("mm_phash_dedup", None)
+def mm_phash_dedup(spark, sf):
+    """Perceptual-hash dedup over the binary media column: documents
+    → media bytes → 64-bit block-mean pHash (Arrow mapInPandas,
+    operators/multimodal.py::perceptual_hash) → hash-groupBy dedup
+    groups (phash, keep_id, n_dups) — the media twin of
+    dedup_exact, which is how image dedup actually runs at scale
+    (fingerprint once, shuffle 8-byte hashes, never bytes). Not
+    SQL-expressible (the fingerprint kernel is the Python stage), so
+    the driver records rows-only; the STRONG gate is
+    tests/test_multimodal.py::test_phash_coarsens_exact_dedup —
+    identical payloads must hash identically, so every exact-text
+    dup group lands whole inside one phash group (phash partitions
+    COARSEN the exact partition; near-identical payloads may merge
+    further — that's the perceptual part, not an error)."""
+    from syncflux_spark.operators.multimodal import (
+        media_from_documents,
+        perceptual_hash,
+    )
+
+    media = media_from_documents(load_table(spark, sf, "documents"))
+    ph = perceptual_hash(media)
+    return ph.groupBy("phash").agg(
+        F.min("media_id").alias("keep_id"),
+        F.count(F.lit(1)).cast("long").alias("n_dups"),
+    )
+
+
 @register(
     "mm_frame_counts",
     """

@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from syncflux_spark.operators import multimodal as mm
 
 
@@ -89,3 +91,36 @@ class TestResize:
     def test_real_codec_refused(self, media):
         with pytest.raises(NotImplementedError):
             mm.resize_images(media, codec="pil")
+
+
+class TestPerceptualHash:
+    def test_phash_coarsens_exact_dedup(self, spark, sf_dir):
+        """Identical payloads must produce identical perceptual
+        hashes: every exact-text duplicate group maps into exactly
+        one phash bucket (the phash partition coarsens the exact
+        partition — merging near-identical payloads is allowed,
+        splitting an exact group is a bug)."""
+        from syncflux_spark.operators import dedup as dd
+        from syncflux_spark.operators.multimodal import (
+            media_from_documents,
+            perceptual_hash,
+        )
+        from syncflux_spark.sources.parquet import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        ph = perceptual_hash(media_from_documents(docs))
+        digests = docs.select(
+            F.col("doc_id").alias("media_id"), F.md5("text").alias("digest")
+        )
+        both = ph.join(digests, "media_id")
+        # per exact-digest group: all members share one phash
+        split = (
+            both.groupBy("digest")
+            .agg(F.count_distinct("phash").alias("n_hashes"))
+            .where(F.col("n_hashes") > 1)
+            .count()
+        )
+        assert split == 0
+        n_phash = ph.select("phash").distinct().count()
+        n_exact = digests.select("digest").distinct().count()
+        assert 1 < n_phash <= n_exact
