@@ -2030,6 +2030,136 @@ def knn_topk(spark, sf):
 
 
 @register(
+    "pq_ann_topk",
+    """
+    WITH v AS (SELECT vec_id,
+                      list_transform(embedding::DOUBLE[],
+                        x -> CAST(FLOOR(x * 1000000 + 0.5) AS BIGINT)) AS vm
+               FROM embeddings),
+    ms AS (SELECT unnest(generate_series(0, 7)) AS m),
+    sub AS (SELECT vec_id, m, vm[m * 8 + 1 : m * 8 + 8] AS subv FROM v, ms),
+    cb AS (SELECT m, vec_id AS code, subv AS cw FROM sub WHERE vec_id < 16),
+    enc0 AS (SELECT s.vec_id, s.m, c.code,
+                    list_reduce(
+                      list_transform(range(1, 9),
+                        i -> (s.subv[i] - c.cw[i]) * (s.subv[i] - c.cw[i])),
+                      (a, b) -> a + b) AS d
+             FROM sub s JOIN cb c ON c.m = s.m),
+    enc AS (SELECT vec_id, m, code FROM
+              (SELECT vec_id, m, code,
+                      row_number() OVER (PARTITION BY vec_id, m
+                                         ORDER BY d, code) AS rn
+               FROM enc0)
+            WHERE rn = 1),
+    qt AS (SELECT s.vec_id AS query_id, s.m, c.code,
+                  list_reduce(
+                    list_transform(range(1, 9),
+                      i -> (s.subv[i] - c.cw[i]) * (s.subv[i] - c.cw[i])),
+                    (a, b) -> a + b) AS qd
+           FROM sub s JOIN cb c ON c.m = s.m
+           WHERE s.vec_id < 10),
+    adc AS (SELECT q.query_id, e.vec_id,
+                   CAST(SUM(q.qd) AS BIGINT) AS approx_d_micro2
+            FROM enc e JOIN qt q ON q.m = e.m AND q.code = e.code
+            WHERE q.query_id != e.vec_id
+            GROUP BY q.query_id, e.vec_id)
+    SELECT query_id, vec_id AS neighbor_id, approx_d_micro2,
+           CAST(rn AS INTEGER) AS rank
+    FROM (SELECT query_id, vec_id, approx_d_micro2,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY approx_d_micro2, vec_id) AS rn
+          FROM adc)
+    WHERE rn <= 5
+    """,
+)
+def pq_ann_topk(spark, sf):
+    """Product-quantization ANN (operators/similarity.py::pq_topk):
+    64-dim vectors compressed to 8 subspace codes against a
+    16-codeword book, queries scored by asymmetric distance — the
+    memory-side half of the production IVF+PQ pairing (IVF prunes
+    which lists to scan; PQ makes the scanned lists 64× smaller).
+    Everything is exact integer µ² arithmetic, so the oracle checks
+    the index build (encoding argmins), the ADC tables, and the final
+    ranking bit-for-bit — an oracle-gated ANN index, which float PQ
+    cannot offer. Recall vs exact cosine is gated separately in
+    tests/test_ann_quality.py."""
+    from syncflux_spark.operators.similarity import pq_topk
+
+    emb = load_table(spark, sf, "embeddings")
+    return pq_topk(emb, emb.where(F.col("vec_id") < 10), k=5)
+
+
+@register(
+    "pq_rescored_topk",
+    """
+    WITH v AS (SELECT vec_id,
+                      list_transform(embedding::DOUBLE[],
+                        x -> CAST(FLOOR(x * 1000000 + 0.5) AS BIGINT)) AS vm
+               FROM embeddings),
+    ms AS (SELECT unnest(generate_series(0, 7)) AS m),
+    sub AS (SELECT vec_id, m, vm[m * 8 + 1 : m * 8 + 8] AS subv FROM v, ms),
+    cb AS (SELECT m, vec_id AS code, subv AS cw FROM sub WHERE vec_id < 16),
+    enc0 AS (SELECT s.vec_id, s.m, c.code,
+                    list_reduce(
+                      list_transform(range(1, 9),
+                        i -> (s.subv[i] - c.cw[i]) * (s.subv[i] - c.cw[i])),
+                      (a, b) -> a + b) AS d
+             FROM sub s JOIN cb c ON c.m = s.m),
+    enc AS (SELECT vec_id, m, code FROM
+              (SELECT vec_id, m, code,
+                      row_number() OVER (PARTITION BY vec_id, m
+                                         ORDER BY d, code) AS rn
+               FROM enc0)
+            WHERE rn = 1),
+    qt AS (SELECT s.vec_id AS query_id, s.m, c.code,
+                  list_reduce(
+                    list_transform(range(1, 9),
+                      i -> (s.subv[i] - c.cw[i]) * (s.subv[i] - c.cw[i])),
+                    (a, b) -> a + b) AS qd
+           FROM sub s JOIN cb c ON c.m = s.m
+           WHERE s.vec_id < 10),
+    adc AS (SELECT q.query_id, e.vec_id,
+                   CAST(SUM(q.qd) AS BIGINT) AS ad
+            FROM enc e JOIN qt q ON q.m = e.m AND q.code = e.code
+            WHERE q.query_id != e.vec_id
+            GROUP BY q.query_id, e.vec_id),
+    short AS (SELECT query_id, vec_id FROM
+                (SELECT query_id, vec_id,
+                        row_number() OVER (PARTITION BY query_id
+                                           ORDER BY ad, vec_id) AS rn
+                 FROM adc)
+              WHERE rn <= 50),
+    resc AS (SELECT s.query_id, s.vec_id AS neighbor_id,
+                    list_reduce(
+                      list_transform(range(1, 65),
+                        i -> (qv.vm[i] - nv.vm[i]) * (qv.vm[i] - nv.vm[i])),
+                      (a, b) -> a + b) AS d_micro2
+             FROM short s
+             JOIN v nv ON nv.vec_id = s.vec_id
+             JOIN v qv ON qv.vec_id = s.query_id)
+    SELECT query_id, neighbor_id, d_micro2, CAST(rn AS INTEGER) AS rank
+    FROM (SELECT query_id, neighbor_id, d_micro2,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY d_micro2, neighbor_id) AS rn
+          FROM resc)
+    WHERE rn <= 5
+    """,
+)
+def pq_rescored_topk(spark, sf):
+    """Two-stage PQ retrieval under the oracle gate: ADC shortlist
+    (R=50) re-ranked by exact integer L2 over the full vectors —
+    recall@5 0.16 → 0.72 on this fixture vs raw ADC
+    (operators/similarity.py::pq_rescored_topk). Both stages are
+    exact integer arithmetic, so the oracle replays the COMPLETE
+    retrieval pipeline — compressed scan, shortlist cut, rescore,
+    final ranking — bit-for-bit."""
+    from syncflux_spark.operators.similarity import pq_rescored_topk as pq_r
+
+    emb = load_table(spark, sf, "embeddings")
+    return pq_r(emb, emb.where(F.col("vec_id") < 10), k=5, shortlist=50)
+
+
+@register(
     "ts_asof_purchase",
     """
     WITH clicks AS (SELECT user_id, ts, event_id FROM events
