@@ -88,6 +88,9 @@ HEADLINE = [
     "kmv_set_overlap",
     "dedup_graph_triangles",
     "doc_novelty",
+    "pq_rescored_topk",
+    "cms_user_counts",
+    "session_type_lift",
 ]
 
 

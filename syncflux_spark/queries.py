@@ -2160,6 +2160,109 @@ def pq_rescored_topk(spark, sf):
 
 
 @register(
+    "drift_value_chi2",
+    """
+    WITH b AS (
+      SELECT event_type,
+             LEAST(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) // 50000000, 9)
+               AS bin,
+             CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS in_a
+      FROM events
+    ),
+    c AS (
+      SELECT event_type, bin,
+             CAST(SUM(in_a) AS BIGINT) AS n_a,
+             CAST(SUM(1 - in_a) AS BIGINT) AS n_b
+      FROM b GROUP BY event_type, bin
+    ),
+    t AS (
+      SELECT event_type, bin, n_a, n_b,
+             CAST(SUM(n_a) OVER (PARTITION BY event_type) AS BIGINT) AS tot_a,
+             CAST(SUM(n_b) OVER (PARTITION BY event_type) AS BIGINT) AS tot_b
+      FROM c
+    ),
+    contrib AS (
+      SELECT event_type, bin, n_a, n_b,
+             CASE WHEN n_a > 0 AND tot_a > 0 THEN
+               (n_b - CAST(n_a * tot_b AS BIGINT)
+                      / CAST(tot_a AS BIGINT))
+               * (n_b - CAST(n_a * tot_b AS BIGINT) / CAST(tot_a AS BIGINT))
+               / (CAST(n_a * tot_b AS BIGINT) / CAST(tot_a AS BIGINT))
+             END AS term
+      FROM t
+    ),
+    g AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_bins,
+             CAST(COUNT(term) AS BIGINT) AS n_bins_used,
+             list(term ORDER BY bin) AS terms
+      FROM contrib GROUP BY event_type
+    )
+    SELECT event_type, n_bins, n_bins_used,
+           list_reduce([0.0::DOUBLE] || list_filter(terms, x -> x IS NOT NULL),
+                       (a, x) -> a + x) AS chi2
+    FROM g
+    """,
+)
+def drift_value_chi2(spark, sf):
+    """Distribution-drift detector: Pearson χ² between the value
+    histograms of the month's first and second half, per event type —
+    the data-quality gate a 100 TB ingest pipeline runs before
+    appending a new partition (feature drift upstream shows up here
+    before it shows up in model metrics). 10 fixed 50-unit value
+    bins; expected-under-no-drift e = n_a·(tot_b/tot_a) per bin;
+    χ² = Σ (n_b−e)²/e over bins with support. Counts are exact
+    integers; each bin's term is one fixed float chain; the
+    cross-bin sum — the one float reduction — runs as an IN-ROW fold
+    in bin order (zero-seeded, skipping empty bins), the engine's
+    standard trick for order-deterministic float totals. One shuffle
+    for the histogram, per-type totals ride a whole-partition window
+    on it."""
+    ev = load_table(spark, sf, "events")
+    b = ev.select(
+        "event_type",
+        F.least(F.expr(
+            "CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) div 50000000"
+        ), F.lit(9)).alias("bin"),
+        F.when(F.col("ts") < F.lit("2024-01-16").cast("timestamp"), 1)
+        .otherwise(0)
+        .alias("in_a"),
+    )
+    c = b.groupBy("event_type", "bin").agg(
+        F.sum("in_a").cast("long").alias("n_a"),
+        F.sum(1 - F.col("in_a")).cast("long").alias("n_b"),
+    )
+    wt = Window.partitionBy("event_type")
+    t = c.select(
+        "event_type",
+        "bin",
+        "n_a",
+        "n_b",
+        F.sum("n_a").over(wt).cast("long").alias("tot_a"),
+        F.sum("n_b").over(wt).cast("long").alias("tot_b"),
+    )
+    e = (F.col("n_a") * F.col("tot_b")).cast("long") / F.col("tot_a").cast(
+        "long"
+    )
+    term = F.when(
+        (F.col("n_a") > 0) & (F.col("tot_a") > 0),
+        (F.col("n_b") - e) * (F.col("n_b") - e) / e,
+    )
+    contrib = t.select("event_type", "bin", term.alias("term"))
+    g = contrib.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+        F.count("term").cast("long").alias("n_bins_used"),
+        F.array_sort(F.collect_list(F.struct("bin", "term"))).alias("_ts"),
+    )
+    chi2 = F.aggregate(
+        F.filter(F.transform("_ts", lambda s: s["term"]), lambda x: x.isNotNull()),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return g.select("event_type", "n_bins", "n_bins_used", chi2.alias("chi2"))
+
+
+@register(
     "ts_asof_purchase",
     """
     WITH clicks AS (SELECT user_id, ts, event_id FROM events
@@ -2200,6 +2303,70 @@ def ts_asof_purchase(spark, sf):
         F.unix_micros("ts").alias("ts_us"),
         F.unix_micros("ts_asof").alias("purchase_ts_us"),
         F.col("pv_asof").alias("purchase_value"),
+    )
+
+
+@register(
+    "ts_asof_tolerance",
+    """
+    WITH clicks AS (SELECT user_id, ts, event_id FROM events
+                    WHERE event_type = 'click'),
+         purch AS (SELECT user_id, ts, MAX(value) AS pv FROM events
+                   WHERE event_type = 'purchase' GROUP BY user_id, ts),
+         matched AS (
+           SELECT c.event_id, c.user_id,
+                  CAST(epoch_us(c.ts) AS BIGINT) AS ts_us,
+                  CAST(epoch_us(p.ts) AS BIGINT) AS asof_ts_us,
+                  p.pv
+           FROM clicks c ASOF LEFT JOIN purch p
+             ON c.user_id = p.user_id AND c.ts >= p.ts)
+    SELECT event_id, user_id, ts_us,
+           CASE WHEN ts_us - asof_ts_us <= 3600000000
+                THEN asof_ts_us END AS purchase_ts_us,
+           CASE WHEN ts_us - asof_ts_us <= 3600000000
+                THEN pv END AS purchase_value,
+           CASE WHEN asof_ts_us IS NOT NULL
+                 AND ts_us - asof_ts_us <= 3600000000
+                THEN 1 ELSE 0 END AS fresh
+    FROM matched
+    """,
+)
+def ts_asof_tolerance(spark, sf):
+    """As-of join with a STALENESS BOUND (pandas merge_asof
+    ``tolerance`` semantics): each click takes the user's most recent
+    prior purchase only if it happened within the last hour —
+    matches older than the tolerance are nulled AFTER the as-of
+    resolution, not re-matched to nothing-newer (the subtle
+    difference from filtering the right side first: a stale nearest
+    match must not let an even-staler one through). Same
+    union+window single-shuffle plumbing as ts_asof_purchase; the
+    tolerance is a post-projection, costing nothing. The oracle uses
+    DuckDB's native ASOF JOIN plus the same post-case, so parity
+    validates semantics against an independent implementation."""
+    from syncflux_spark.operators.downsample import asof_join
+
+    ev = load_table(spark, sf, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    purch = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("pv"))
+    )
+    joined = asof_join(clicks, purch, ["user_id"], "ts", ["pv"])
+    ts_us = F.unix_micros("ts")
+    asof_us = F.unix_micros("ts_asof")
+    fresh_cond = (ts_us - asof_us) <= 3_600_000_000
+    return joined.select(
+        "event_id",
+        "user_id",
+        ts_us.alias("ts_us"),
+        F.when(fresh_cond, asof_us).alias("purchase_ts_us"),
+        F.when(fresh_cond, F.col("pv_asof")).alias("purchase_value"),
+        F.when(asof_us.isNotNull() & fresh_cond, 1)
+        .otherwise(0)
+        .alias("fresh"),
     )
 
 
