@@ -2371,6 +2371,327 @@ def ts_asof_tolerance(spark, sf):
 
 
 @register(
+    "ts_type_correlation",
+    """
+    WITH h AS (
+      SELECT event_type,
+             CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS hr,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, hr
+    ),
+    hours AS (SELECT DISTINCT hr FROM h),
+    types AS (SELECT DISTINCT event_type FROM h),
+    grid AS (SELECT t.event_type, hours.hr,
+                    CAST(COALESCE(h.n, 0) AS BIGINT) AS n
+             FROM types t CROSS JOIN hours
+             LEFT JOIN h ON h.event_type = t.event_type
+                        AND h.hr = hours.hr),
+    pair AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(COUNT(*) AS BIGINT) AS n_hours,
+             CAST(SUM(a.n) AS BIGINT) AS sx,
+             CAST(SUM(b.n) AS BIGINT) AS sy,
+             CAST(SUM(a.n * b.n) AS BIGINT) AS sxy,
+             CAST(SUM(a.n * a.n) AS BIGINT) AS sxx,
+             CAST(SUM(b.n * b.n) AS BIGINT) AS syy
+      FROM grid a JOIN grid b
+        ON a.hr = b.hr AND a.event_type < b.event_type
+      GROUP BY a.event_type, b.event_type
+    )
+    SELECT type_a, type_b, n_hours,
+           CASE WHEN (n_hours * sxx - sx * sx) > 0
+                 AND (n_hours * syy - sy * sy) > 0
+                THEN (CAST(n_hours * sxy - sx * sy AS BIGINT))
+                     / (sqrt(CAST(n_hours * sxx - sx * sx AS BIGINT))
+                        * sqrt(CAST(n_hours * syy - sy * sy AS BIGINT)))
+           END AS pearson_r
+    FROM pair
+    """,
+)
+def ts_type_correlation(spark, sf):
+    """Cross-series correlation matrix: Pearson r between the HOURLY
+    count series of every event-type pair — the "which metrics move
+    together" observability primitive (error counts tracking checkout
+    outages, etc.). Hour grids are densified with zeros first
+    (missing hours carry signal; skipping them biases r toward
+    co-active hours). All five moments (Σx, Σy, Σxy, Σx², Σy²) are
+    exact int64 sums over the joined grid — order-free — and r is
+    ONE fixed float chain (two sqrts, one divide) on them;
+    n·Σx² ≲ 744·(hourly count)² keeps int64 headroom to ~10¹⁴
+    hourly events. The hour grid is |types|·|hours| — metadata-sized
+    relative to raw events — so the pair join is cheap at any
+    corpus scale; raw events shuffle exactly once into the hourly
+    rollup."""
+    ev = load_table(spark, sf, "events")
+    h = ev.groupBy(
+        "event_type",
+        F.unix_micros(F.date_trunc("hour", "ts")).alias("hr"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    from syncflux_spark.utils import eager_persist
+
+    h = eager_persist(h)  # hours dim, types dim, and the grid read it
+    hours = h.select("hr").distinct()
+    types = h.select("event_type").distinct()
+    grid = (
+        types.crossJoin(hours)
+        .join(h, ["event_type", "hr"], "left")
+        .select(
+            "event_type", "hr", F.coalesce("n", F.lit(0)).cast("long").alias("n")
+        )
+    )
+    a, b = grid.alias("a"), grid.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.hr") == F.col("b.hr"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hours"),
+            F.sum("a.n").cast("long").alias("sx"),
+            F.sum("b.n").cast("long").alias("sy"),
+            F.sum(F.col("a.n") * F.col("b.n")).cast("long").alias("sxy"),
+            F.sum(F.col("a.n") * F.col("a.n")).cast("long").alias("sxx"),
+            F.sum(F.col("b.n") * F.col("b.n")).cast("long").alias("syy"),
+        )
+    )
+    n = F.col("n_hours")
+    vx = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("long")
+    vy = (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("long")
+    cov = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("long")
+    return pair.select(
+        "type_a",
+        "type_b",
+        "n_hours",
+        F.when((vx > 0) & (vy > 0), cov / (F.sqrt(vx) * F.sqrt(vy))).alias(
+            "pearson_r"
+        ),
+    )
+
+
+@register(
+    "ts_changepoint",
+    """
+    WITH g AS (
+      SELECT user_id, event_type,
+             list(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)
+                  ORDER BY ts, value) AS xs,
+             list(CAST(epoch_us(ts) AS BIGINT) ORDER BY ts, value) AS tss
+      FROM events GROUP BY user_id, event_type
+    ),
+    d AS (
+      SELECT user_id, event_type, xs, tss,
+             CAST(len(xs) AS BIGINT) AS n,
+             list_reduce([CAST(0 AS BIGINT)] || xs, (a, x) -> a + x) AS s,
+             list_transform(range(1, len(xs)),
+               t -> abs(CAST(len(xs) AS BIGINT)
+                          * list_reduce([CAST(0 AS BIGINT)] || xs[1:t],
+                                        (a, x) -> a + x)
+                        - CAST(t AS BIGINT)
+                          * list_reduce([CAST(0 AS BIGINT)] || xs,
+                                        (a, x) -> a + x))) AS devs
+      FROM g
+    )
+    SELECT user_id, event_type, n AS n_points,
+           CASE WHEN n > 1 THEN CAST(list_position(devs, list_max(devs))
+                                     AS BIGINT) END AS cp_index,
+           CASE WHEN n > 1 THEN tss[list_position(devs, list_max(devs))]
+           END AS cp_ts_us,
+           CASE WHEN n > 1 THEN list_max(devs) END AS max_dev_scaled,
+           CASE WHEN n > 1 THEN
+             CASE WHEN n * list_reduce([CAST(0 AS BIGINT)]
+                          || xs[1:list_position(devs, list_max(devs))],
+                          (a, x) -> a + x)
+                       - CAST(list_position(devs, list_max(devs)) AS BIGINT) * s
+                       > 0
+                  THEN 1 ELSE -1 END
+           END AS direction
+    FROM d
+    """,
+)
+def ts_changepoint(spark, sf):
+    """CUSUM changepoint detection per series: the index t maximizing
+    |n·(Σᵢ≤t xᵢ) − t·Σx| — the classic cumulative-deviation statistic
+    (a level shift at t makes the prefix sums bow away from the
+    straight line t·mean), reported with its timestamp and the shift
+    direction. The usual formulation subtracts the MEAN per step
+    (a division); multiplying through by n keeps every deviation an
+    exact int64 — n·Σ|x| ≲ 2⁵³ up to ~10⁶-point series at 10⁶-micro
+    values — so argmax and ties (first maximizing index) are
+    engine-deterministic with no float anywhere. In-row O(n²) prefix
+    sums over the sorted value list (series here are ≤ dozens of
+    points; a million-point series would flip to the single-pass
+    running-fold form). One shuffle, plan-asserted single-exchange."""
+    ev = load_table(spark, sf, "events")
+    g = ev.groupBy("user_id", "event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ts", "value"))),
+            lambda s: F.floor(s["value"] * 1_000_000 + F.lit(0.5)).cast("long"),
+        ).alias("xs"),
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "value", F.unix_micros("ts").alias("us")))
+            ),
+            lambda s: s["us"],
+        ).alias("tss"),
+    )
+    n = F.size("xs").cast("long")
+    total = F.aggregate("xs", F.lit(0).cast("long"), lambda a, x: a + x)
+
+    def prefix(t):
+        return F.aggregate(
+            F.slice("xs", F.lit(1), t), F.lit(0).cast("long"), lambda a, x: a + x
+        )
+
+    d = g.select(
+        "user_id",
+        "event_type",
+        "xs",
+        "tss",
+        n.alias("n"),
+        total.alias("s"),
+        F.transform(
+            # sequence(1, 0) would DESCEND for single-point series —
+            # clamp to an empty sequence instead
+            F.when(
+                F.size("xs") > 1, F.sequence(F.lit(1), F.size("xs") - 1)
+            ).otherwise(F.array().cast("array<int>")),
+            lambda t: F.abs(n * prefix(t) - t.cast("long") * total),
+        ).alias("devs"),
+    )
+    cp = F.array_position(F.col("devs"), F.array_max("devs")).cast("long")
+    seg = F.aggregate(
+        F.slice("xs", F.lit(1), cp.cast("int")),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    has = F.col("n") > 1
+    return d.select(
+        "user_id",
+        "event_type",
+        F.col("n").alias("n_points"),
+        F.when(has, cp).alias("cp_index"),
+        F.when(has, F.element_at("tss", cp.cast("int"))).alias("cp_ts_us"),
+        F.when(has, F.array_max("devs")).alias("max_dev_scaled"),
+        F.when(
+            has,
+            F.when(F.col("n") * seg - cp * F.col("s") > 0, 1).otherwise(-1),
+        ).alias("direction"),
+    )
+
+
+@register(
+    "ts_theil_sen",
+    """
+    WITH g AS (
+      SELECT user_id, event_type,
+             list(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)
+                  ORDER BY ts, value) AS xs,
+             list(CAST(epoch_us(ts) AS BIGINT) ORDER BY ts, value) AS tss
+      FROM events GROUP BY user_id, event_type
+    ),
+    sl AS (
+      SELECT user_id, event_type, CAST(len(xs) AS BIGINT) AS n_points,
+             list_sort(flatten(list_transform(range(1, len(xs)),
+               i -> list_transform(range(i + 1, len(xs) + 1),
+                 j -> CASE WHEN tss[j] != tss[i]
+                      THEN (xs[j] - xs[i]) / (tss[j] - tss[i]) END)))) AS sls
+      FROM g
+    ),
+    f AS (
+      SELECT user_id, event_type, n_points,
+             list_filter(sls, x -> x IS NOT NULL) AS s
+      FROM sl
+    )
+    SELECT user_id, event_type, n_points,
+           CAST(len(s) AS BIGINT) AS n_pairs,
+           CASE WHEN len(s) = 0 THEN NULL
+                WHEN len(s) % 2 = 1 THEN s[(len(s) + 1) // 2]
+                ELSE (s[len(s) // 2] + s[len(s) // 2 + 1]) / 2.0
+           END AS slope_micro_per_us
+    FROM f
+    """,
+)
+def ts_theil_sen(spark, sf):
+    """Theil–Sen robust trend estimator per series: the MEDIAN of all
+    pairwise slopes (xⱼ−xᵢ)/(tⱼ−tᵢ) — breakdown point 29%, so a
+    third of the points can be garbage before the trend moves, where
+    the OLS slope (ts_trend_slope) is dragged by a single spike.
+    Each slope is ONE float division of exact integer micros/µs on
+    identical operands, the median is the same sort+index recipe as
+    ts_rolling_median (no interpolation ambiguity), and same-instant
+    pairs (Δt = 0) are excluded in both engines before the sort.
+    In-row O(n²) pairs over the sorted list — fine at per-series
+    dozens; million-point series would switch to the
+    O(n log n) Siegel repeated-median refinement. One shuffle."""
+    ev = load_table(spark, sf, "events")
+    g = ev.groupBy("user_id", "event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ts", "value"))),
+            lambda s: F.floor(s["value"] * 1_000_000 + F.lit(0.5)).cast("long"),
+        ).alias("xs"),
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("ts", "value", F.unix_micros("ts").alias("us"))
+                )
+            ),
+            lambda s: s["us"],
+        ).alias("tss"),
+    )
+    nsz = F.size("xs")
+
+    def slope(i, j):
+        xi, xj = F.element_at("xs", i.cast("int")), F.element_at(
+            "xs", j.cast("int")
+        )
+        ti, tj = F.element_at("tss", i.cast("int")), F.element_at(
+            "tss", j.cast("int")
+        )
+        return F.when(tj != ti, (xj - xi) / (tj - ti))
+
+    sls = F.sort_array(
+        F.flatten(
+            F.transform(
+                # clamp: sequence(1, 0) descends on single-point series
+                F.when(nsz > 1, F.sequence(F.lit(1), nsz - 1)).otherwise(
+                    F.array().cast("array<int>")
+                ),
+                lambda i: F.transform(
+                    F.sequence(i + 1, nsz), lambda j: slope(i, j)
+                ),
+            )
+        )
+    )
+    sl = g.select(
+        "user_id",
+        "event_type",
+        nsz.cast("long").alias("n_points"),
+        F.filter(sls, lambda x: x.isNotNull()).alias("s"),
+    )
+    ns = F.size("s")
+    odd = F.element_at("s", ((ns + 1) / 2).cast("int"))
+    even = (
+        F.element_at("s", (ns / 2).cast("int"))
+        + F.element_at("s", (ns / 2).cast("int") + 1)
+    ) / F.lit(2.0)
+    return sl.select(
+        "user_id",
+        "event_type",
+        "n_points",
+        ns.cast("long").alias("n_pairs"),
+        F.when(ns == 0, F.lit(None).cast("double"))
+        .when(ns % 2 == 1, odd)
+        .otherwise(even)
+        .alias("slope_micro_per_us"),
+    )
+
+
+@register(
     "ts_sessionize",
     """
     WITH flagged AS (

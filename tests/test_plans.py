@@ -190,6 +190,8 @@ class TestSingleShuffleTsFamily:
             "ts_holt_winters",
             "ts_ema_cascade",
             "ts_rsi",
+            "ts_changepoint",
+            "ts_theil_sen",
         ],
     )
     def test_one_exchange_no_python(self, spark, sf_dir, name):
