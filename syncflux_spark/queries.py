@@ -4158,6 +4158,66 @@ def bloom_purchase_filter(spark, sf):
 
 
 @register(
+    "zorder_scan_counts",
+    """
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_value_micro
+    FROM events
+    WHERE user_id BETWEEN 40 AND 60
+      AND ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-15'
+    GROUP BY event_type
+    """,
+)
+def zorder_scan_counts(spark, sf):
+    """Z-order clustered layout round-trip: events rewritten
+    Morton-ordered on (user_id, time) — sources/zorder.py — then a
+    2-D predicate (user range × week) scanned back; counts must match
+    the oracle on the raw table, proving the interleave/partition/
+    sort pipeline loses nothing. The LAYOUT benefit (the 2-D
+    predicate's rows concentrate in a fraction of the files, so
+    row-group stats skip the rest — the thing neither time-sort nor
+    date partitioning gives for the user dimension) is asserted
+    separately in tests/test_zorder.py with a files-touched
+    comparison against a time-sorted copy."""
+    import os
+
+    from syncflux_spark.sources.zorder import read_zordered, write_zordered
+
+    ev = load_table(spark, sf, "events")
+    root = tempfile.mkdtemp(prefix="sf_zorder_")
+    dst = os.path.join(root, "events_z")
+    write_zordered(
+        ev.select(
+            "event_id", "user_id", "event_type", "value", F.col("ts_ns")
+        ),
+        dst,
+        "user_id",
+        "ts_ns",
+    )
+    rd = read_zordered(spark, dst)
+    lo = 1704672000000000000  # 2024-01-08 UTC as ns
+    hi = 1705276800000000000  # 2024-01-15
+    return (
+        rd.where(
+            (F.col("user_id") >= 40)
+            & (F.col("user_id") <= 60)
+            & (F.col("ts_ns") >= lo)
+            & (F.col("ts_ns") < hi)
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(
+                F.floor(F.col("value") * 1_000_000 + F.lit(0.5)).cast("long")
+            )
+            .cast("long")
+            .alias("sum_value_micro"),
+        )
+    )
+
+
+@register(
     "kmv_distinct_users",
     """
     WITH h AS (SELECT DISTINCT event_type,
