@@ -947,6 +947,51 @@ def dedup_graph_clustering(spark, sf):
 
 
 @register(
+    "dedup_rate_by_source",
+    """
+    WITH d AS (SELECT doc_id, source, md5(text) AS digest FROM documents),
+    keep AS (SELECT digest, MIN(doc_id) AS keep_id FROM d GROUP BY digest)
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN d.doc_id != k.keep_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dropped,
+           CAST(SUM(CASE WHEN d.doc_id != k.keep_id THEN 1 ELSE 0 END)
+                AS BIGINT) / CAST(COUNT(*) AS BIGINT) AS dup_rate
+    FROM d JOIN keep k ON k.digest = d.digest
+    GROUP BY d.source
+    """,
+)
+def dedup_rate_by_source(spark, sf):
+    """Dedup health dashboard: per ingest source, how many documents
+    the exact-dedup pass would drop (keep = lowest doc_id per
+    digest) and the resulting dup rate — the per-feed quality signal
+    that tells a pipeline operator WHICH crawler or dump is feeding
+    them copies, before paying for near-dup passes on it. One digest
+    aggregate + one digest join, both map-side combined; the same
+    shape as dedup_exact with the report pivoted onto metadata."""
+    docs = load_table(spark, sf, "documents")
+    d = docs.select("doc_id", "source", F.md5("text").alias("digest"))
+    keep = d.groupBy("digest").agg(F.min("doc_id").alias("keep_id"))
+    dropped = F.sum(
+        F.when(F.col("doc_id") != F.col("keep_id"), 1).otherwise(0)
+    ).cast("long")
+    return (
+        d.join(keep, "digest")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            dropped.alias("n_dropped"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_dropped",
+            (F.col("n_dropped") / F.col("n_docs")).alias("dup_rate"),
+        )
+    )
+
+
+@register(
     "dedup_incremental",
     f"""
     WITH sh AS ({_sql_shingles()}),
