@@ -352,6 +352,48 @@ class SparkCatalog:
             self.spark.sql(f"DROP TABLE {staging}")
         return results
 
+    # -- subject erasure ---------------------------------------------------
+    def erase_keys(
+        self, db: str, key_col: str, values: list
+    ) -> dict[str, int]:
+        """Right-to-be-forgotten pass: delete every row whose
+        ``key_col`` is in ``values`` from every table in ``db`` that
+        has that column; returns rows DROPPED per table. Same
+        staging-rewrite mechanics as :meth:`enforce_retention`
+        (parquet has no in-place DELETE), with the same skip-if-clean
+        fast path so untouched tables cost one pushed-down count.
+        At 100 TB the erasure set is a broadcast anti-join against
+        each table and the rewrite touches only partitions the
+        pushed-down IN-filter says contain the subject — erasure
+        requests batch naturally (collect a day's requests, one
+        rewrite)."""
+        in_list = ", ".join(repr(v) for v in values)
+        results: dict[str, int] = {}
+        for tbl in self.spark.catalog.listTables(db):
+            full = f"`{db}`.`{tbl.name}`"
+            cols = [f.name for f in self.spark.table(full).schema.fields]
+            if key_col not in cols:
+                continue
+            hit = (
+                self.spark.table(full)
+                .where(f"`{key_col}` IN ({in_list})")
+                .count()
+            )
+            results[full.replace("`", "")] = hit
+            if hit == 0:
+                continue
+            staging = f"`{db}`.`{tbl.name}__erase_tmp`"
+            self.spark.sql(f"DROP TABLE IF EXISTS {staging}")
+            self.spark.sql(
+                f"CREATE TABLE {staging} USING PARQUET AS "
+                f"SELECT * FROM {full} WHERE `{key_col}` NOT IN ({in_list})"
+            )
+            self.spark.sql(
+                f"INSERT OVERWRITE TABLE {full} SELECT * FROM {staging}"
+            )
+            self.spark.sql(f"DROP TABLE {staging}")
+        return results
+
     # -- helpers ------------------------------------------------------------
     @staticmethod
     def _table_name(db: str, rp: str, measurement: str) -> str:

@@ -142,3 +142,40 @@ class TestRetentionEnforcement:
             assert rps["week"].duration == "168h"
         finally:
             spark.sql("DROP DATABASE IF EXISTS expiry CASCADE")
+
+
+class TestErasure:
+    def test_erase_keys_deletes_across_tables(self, cat, spark, tmp_path):
+        """erase_keys must remove every row for the subject keys from
+        every table carrying the key column, skip tables without it,
+        report per-table drop counts, and be idempotent."""
+        rp = RetPol(name="autogen", duration="0s", default=True)
+        m1 = MeasurementSch(
+            name="clicks", tags=["host"], fields={"v": FieldSch("v", "float")}
+        )
+        cat.create_db("gdpr")
+        cat.create_measurement("gdpr", rp, m1, location=str(tmp_path / "c1"))
+        try:
+            df = spark.createDataFrame(
+                [
+                    (1_000, None, "u1", 1.0),
+                    (2_000, None, "u2", 2.0),
+                    (3_000, None, "u1", 3.0),
+                    (4_000, None, "u3", 4.0),
+                ],
+                "time_ns bigint, ts timestamp, host string, v double",
+            )
+            df.write.insertInto("gdpr.autogen__clicks")
+            dropped = cat.erase_keys("gdpr", "host", ["u1", "u9"])
+            assert dropped["gdpr.autogen__clicks"] == 2
+            left = spark.table("gdpr.autogen__clicks")
+            assert left.count() == 2
+            assert sorted(r["host"] for r in left.collect()) == ["u2", "u3"]
+            # second pass: nothing left to erase, rewrite skipped
+            assert cat.erase_keys("gdpr", "host", ["u1"]) == {
+                "gdpr.autogen__clicks": 0
+            }
+            # a table without the key column is skipped entirely
+            assert "gdpr.autogen__nokey" not in dropped
+        finally:
+            spark.sql("DROP DATABASE IF EXISTS gdpr CASCADE")
