@@ -2737,6 +2737,58 @@ def ts_theil_sen(spark, sf):
 
 
 @register(
+    "ts_hourly_bands",
+    """
+    WITH g AS (
+      SELECT event_type,
+             CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS hr,
+             list_sort(list(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)))
+               AS xs
+      FROM events GROUP BY event_type, hr
+    )
+    SELECT event_type, hr, CAST(len(xs) AS BIGINT) AS n,
+           xs[CAST(CEIL(0.50 * len(xs)) AS BIGINT)] AS p50_micro,
+           xs[CAST(CEIL(0.95 * len(xs)) AS BIGINT)] AS p95_micro,
+           xs[CAST(CEIL(0.99 * len(xs)) AS BIGINT)] AS p99_micro,
+           xs[len(xs)] AS max_micro
+    FROM g
+    """,
+)
+def ts_hourly_bands(spark, sf):
+    """The latency-band dashboard: p50/p95/p99/max of value per
+    (event type, hour) — the query every observability screen runs
+    all day. Quantiles use the NEAREST-RANK definition (element at
+    ⌈q·n⌉ of the sorted hourly list): an actual observed value, no
+    interpolation — which is both what SRE percentile semantics want
+    (a latency that really happened) and what makes the result
+    engine-exact with zero float discipline. Hourly groups are small
+    in-row arrays; one shuffle on (type, hour); at 100 TB hourly
+    per-key volumes are bounded by time, not corpus size, so the
+    in-row sort holds (a pathological key would pre-aggregate to
+    t-digest — losing the oracle, gaining the bound)."""
+    ev = load_table(spark, sf, "events")
+    xm = F.floor(F.col("value") * 1_000_000 + F.lit(0.5)).cast("long")
+    g = ev.groupBy(
+        "event_type",
+        F.unix_micros(F.date_trunc("hour", "ts")).alias("hr"),
+    ).agg(F.sort_array(F.collect_list(xm)).alias("xs"))
+    n = F.size("xs")
+
+    def q(p):
+        return F.element_at("xs", F.ceil(F.lit(p) * n).cast("int"))
+
+    return g.select(
+        "event_type",
+        "hr",
+        n.cast("long").alias("n"),
+        q(0.50).alias("p50_micro"),
+        q(0.95).alias("p95_micro"),
+        q(0.99).alias("p99_micro"),
+        F.element_at("xs", n.cast("int")).alias("max_micro"),
+    )
+
+
+@register(
     "ts_sessionize",
     """
     WITH flagged AS (
@@ -2885,6 +2937,100 @@ def session_type_lift(spark, sf):
             (F.col("n_both") * F.col("n_sessions")).cast("long")
             / (F.col("n_a") * F.col("n_b")).cast("long")
         ).alias("lift"),
+    )
+
+
+@register(
+    "session_top_paths",
+    """
+    WITH flagged AS (
+      SELECT user_id, event_id, event_type,
+             CAST(epoch_us(ts) AS BIGINT) AS us,
+             CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                    OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, event_id, event_type, us,
+             CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session_id
+      FROM flagged
+    ),
+    seqs AS (
+      SELECT user_id, session_id,
+             list(event_type ORDER BY us, event_id) AS path
+      FROM sess GROUP BY user_id, session_id
+    ),
+    grams AS (
+      SELECT unnest(list_transform(range(1, len(path) - 1),
+               i -> path[i] || '>' || path[i + 1] || '>' || path[i + 2]))
+               AS path3
+      FROM seqs WHERE len(path) >= 3
+    ),
+    counts AS (SELECT path3, CAST(COUNT(*) AS BIGINT) AS n
+               FROM grams GROUP BY path3)
+    SELECT path3, n, CAST(rn AS BIGINT) AS rank
+    FROM (SELECT path3, n,
+                 row_number() OVER (ORDER BY n DESC, path3) AS rn
+          FROM counts)
+    WHERE rn <= 10
+    """,
+)
+def session_top_paths(spark, sf):
+    """User-journey mining: the 10 most common 3-step event paths
+    within sessions ("view>click>purchase") — the sequence-pattern
+    query behind funnel DISCOVERY (funnel_conversion measures a
+    path you name; this finds the paths worth naming). Sessions from
+    the shared 30-min gap sessionization; per-session ordered type
+    list built in-row, 3-grams sliced from it (no self-joins — the
+    n-gram explode is linear in events), global count, top-10 with
+    deterministic ties. The final ORDER BY n is a 10-row
+    WindowGroupLimit-style cut over distinct paths — path vocabulary,
+    not event volume."""
+    from syncflux_spark.operators.downsample import sessionize
+
+    ev = load_table(spark, sf, "events")
+    s = sessionize(ev, ["user_id"], 1800, "ts", "event_id")
+    seqs = s.groupBy("user_id", "session_id").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.unix_micros("ts").alias("us"),
+                        "event_id",
+                        "event_type",
+                    )
+                )
+            ),
+            lambda x: x["event_type"],
+        ).alias("path")
+    )
+    n = F.size("path")
+    grams = (
+        seqs.where(n >= 3)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), n - 2),
+                    lambda i: F.concat_ws(
+                        ">",
+                        F.element_at("path", i),
+                        F.element_at("path", i + 1),
+                        F.element_at("path", i + 2),
+                    ),
+                )
+            ).alias("path3")
+        )
+    )
+    counts = grams.groupBy("path3").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w = Window.orderBy(F.desc("n"), "path3")
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 10)
+        .select("path3", "n", "rank")
     )
 
 
