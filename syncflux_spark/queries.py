@@ -1322,6 +1322,160 @@ def quality_scores(spark, sf):
     return quality_score(load_table(spark, sf, "documents"))
 
 
+@register(
+    "corpus_filter_report",
+    f"""
+    WITH m AS (
+      SELECT source,
+             LENGTH(text) AS n_chars,
+             CAST(len({_SQL_WORDS}) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct({_SQL_WORDS})) AS BIGINT) AS n_distinct,
+             CAST(list_sum(list_transform({_SQL_WORDS}, w -> LENGTH(w)))
+                  AS BIGINT) AS sum_wlen
+      FROM documents
+    ),
+    r AS (
+      SELECT source,
+             CASE WHEN n_chars < 50 THEN 'too_short'
+                  WHEN n_tokens < 10 THEN 'too_few_tokens'
+                  WHEN CAST(n_distinct AS BIGINT) / CAST(n_tokens AS BIGINT)
+                       < 0.3 THEN 'low_diversity'
+                  WHEN CAST(sum_wlen AS BIGINT) / CAST(n_tokens AS BIGINT)
+                       < 3 THEN 'short_words'
+                  ELSE 'kept' END AS reason
+      FROM m
+    ),
+    c AS (SELECT source, reason, CAST(COUNT(*) AS BIGINT) AS n_docs
+          FROM r GROUP BY source, reason)
+    SELECT source, reason, n_docs,
+           CAST(SUM(n_docs) OVER (PARTITION BY source) AS BIGINT)
+             AS source_total,
+           CAST(n_docs AS BIGINT)
+             / CAST(SUM(n_docs) OVER (PARTITION BY source) AS BIGINT) AS share
+    FROM c
+    """,
+)
+def corpus_filter_report(spark, sf):
+    """The filter-pass audit every corpus pipeline ships with its
+    dataset card: per ingest source, documents bucketed by the FIRST
+    quality rule they fail (length → token count → lexical diversity
+    → word length, the C4/Gopher-style cascade) or 'kept', with each
+    bucket's share of the source. First-failure attribution (a CASE
+    cascade, not independent flags) is what makes the report
+    actionable — it tells the operator which rule to tune per feed
+    without double counting. Single scan, one (source, reason)
+    aggregate, per-source totals ride a whole-partition window of
+    exact ints."""
+    docs = load_table(spark, sf, "documents")
+    ws = words("text")
+    n_chars = F.length("text")
+    n_tokens = F.size(ws).cast("long")
+    n_distinct = F.size(F.array_distinct(ws)).cast("long")
+    sum_wlen = F.aggregate(
+        ws, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    reason = (
+        F.when(n_chars < 50, F.lit("too_short"))
+        .when(n_tokens < 10, F.lit("too_few_tokens"))
+        .when(n_distinct / n_tokens < 0.3, F.lit("low_diversity"))
+        .when(sum_wlen / n_tokens < 3, F.lit("short_words"))
+        .otherwise(F.lit("kept"))
+    )
+    c = (
+        docs.select("source", reason.alias("reason"))
+        .groupBy("source", "reason")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    w = Window.partitionBy("source")
+    tot = F.sum("n_docs").over(w).cast("long")
+    return c.select(
+        "source",
+        "reason",
+        "n_docs",
+        tot.alias("source_total"),
+        (F.col("n_docs") / tot).alias("share"),
+    )
+
+
+
+@register(
+    "vocab_growth_curve",
+    f"""
+    WITH mx AS (SELECT MAX(doc_id) + 1 AS nd FROM documents),
+    toks AS (SELECT doc_id, unnest({_SQL_WORDS}) AS w FROM documents),
+    per_doc AS (SELECT d.doc_id,
+                       LEAST(d.doc_id * 10 // mx.nd, 9) AS decile,
+                       CAST(len({_SQL_WORDS}) AS BIGINT) AS n_tokens
+                FROM documents d CROSS JOIN mx),
+    tok_dec AS (SELECT decile, CAST(SUM(n_tokens) AS BIGINT) AS toks
+                FROM per_doc GROUP BY decile),
+    firsts AS (SELECT w, MIN(doc_id) AS first_doc FROM toks GROUP BY w),
+    new_dec AS (SELECT LEAST(f.first_doc * 10 // mx.nd, 9) AS decile,
+                       CAST(COUNT(*) AS BIGINT) AS new_types
+                FROM firsts f CROSS JOIN mx GROUP BY decile),
+    g AS (SELECT t.decile, t.toks, COALESCE(n.new_types, 0) AS new_types
+          FROM tok_dec t LEFT JOIN new_dec n ON n.decile = t.decile)
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(SUM(toks) OVER o AS BIGINT) AS tokens_cum,
+           CAST(SUM(new_types) OVER o AS BIGINT) AS types_cum,
+           CAST(SUM(new_types) OVER o AS BIGINT)
+             / CAST(SUM(toks) OVER o AS BIGINT) AS type_token_ratio
+    FROM g
+    WINDOW o AS (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+    """,
+)
+def vocab_growth_curve(spark, sf):
+    """Heaps-law vocabulary growth: cumulative distinct word types vs
+    cumulative token volume at 10 corpus checkpoints (doc-id
+    deciles) — the curve that says whether more data is still buying
+    vocabulary (healthy crawl) or flattening into repetition
+    (saturated/duplicated feed). Each type is attributed to the
+    decile of its FIRST occurrence — one vocab-sized min-aggregate —
+    so the cumulative counts are two 10-row window sums, not 10
+    rescans. Everything integer; one division per checkpoint."""
+    docs = load_table(spark, sf, "documents")
+    nd = docs.agg((F.max("doc_id") + 1).alias("nd"))
+    per_doc = (
+        docs.crossJoin(F.broadcast(nd))
+        .select(
+            F.least((F.col("doc_id") * 10 / F.col("nd")).cast("long"), F.lit(9))
+            .alias("decile"),
+            F.size(words("text")).cast("long").alias("n_tokens"),
+        )
+        .groupBy("decile")
+        .agg(F.sum("n_tokens").cast("long").alias("toks"))
+    )
+    firsts = (
+        docs.select("doc_id", F.explode(words("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    new_dec = (
+        firsts.crossJoin(F.broadcast(nd))
+        .select(
+            F.least(
+                (F.col("first_doc") * 10 / F.col("nd")).cast("long"), F.lit(9)
+            ).alias("decile")
+        )
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).cast("long").alias("new_types"))
+    )
+    g = per_doc.join(new_dec, "decile", "left").select(
+        "decile",
+        "toks",
+        F.coalesce("new_types", F.lit(0)).cast("long").alias("new_types"),
+    )
+    o = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    tc = F.sum("toks").over(o).cast("long")
+    yc = F.sum("new_types").over(o).cast("long")
+    return g.select(
+        "decile",
+        tc.alias("tokens_cum"),
+        yc.alias("types_cum"),
+        (yc / tc).alias("type_token_ratio"),
+    )
+
+
 def _sql_substr_count(needle: str) -> str:
     pad = "' ' || text || ' '"
     esc = needle.replace("'", "''")
