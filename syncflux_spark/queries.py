@@ -2943,6 +2943,77 @@ def ts_hourly_bands(spark, sf):
 
 
 @register(
+    "conversion_latency_daily",
+    """
+    WITH clicks AS (SELECT user_id, ts FROM events
+                    WHERE event_type = 'click'),
+         purch AS (SELECT user_id, ts, event_id FROM events
+                   WHERE event_type = 'purchase'),
+         pairs AS (
+           SELECT p.user_id,
+                  CAST(epoch_us(date_trunc('day', p.ts)) AS BIGINT) AS day_us,
+                  CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS delay_us
+           FROM purch p ASOF JOIN clicks c
+             ON p.user_id = c.user_id AND p.ts >= c.ts),
+         g AS (SELECT day_us, list_sort(list(delay_us)) AS ds,
+                      CAST(SUM(delay_us) AS BIGINT) AS sum_delay
+               FROM pairs GROUP BY day_us)
+    SELECT day_us, CAST(len(ds) AS BIGINT) AS n_conversions,
+           ds[CAST(CEIL(0.50 * len(ds)) AS BIGINT)] AS p50_delay_us,
+           ds[CAST(CEIL(0.90 * len(ds)) AS BIGINT)] AS p90_delay_us,
+           CAST(sum_delay AS BIGINT) / CAST(len(ds) AS BIGINT)
+             AS mean_delay_us
+    FROM g
+    """,
+)
+def conversion_latency_daily(spark, sf):
+    """Time-to-convert distribution: for every purchase, the delay
+    since the user's most recent prior click (as-of semantics —
+    attribution to the LAST touch, not any touch), rolled up per day
+    as p50/p90/mean — the marketing-latency dashboard, and the
+    operator pattern for any event-to-event latency (alert→ack,
+    deploy→error). Delays are exact integer µs; percentiles use the
+    nearest-rank recipe over per-day in-row arrays (daily volumes
+    bound the array, which is what makes the in-row sort scale-safe);
+    the mean is one division of exact sums. Purchases with no prior
+    click drop out (inner as-of)."""
+    from syncflux_spark.operators.downsample import asof_join
+
+    ev = load_table(spark, sf, "events")
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts")
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    joined = asof_join(
+        purch,
+        clicks.select("user_id", "ts", F.lit(1).alias("_m")),
+        ["user_id"],
+        "ts",
+        ["_m"],
+    )
+    pairs = joined.where(F.col("_m_asof").isNotNull()).select(
+        F.unix_micros(F.date_trunc("day", "ts")).alias("day_us"),
+        (F.unix_micros("ts") - F.unix_micros("ts_asof")).alias("delay_us"),
+    )
+    g = pairs.groupBy("day_us").agg(
+        F.sort_array(F.collect_list("delay_us")).alias("ds"),
+        F.sum("delay_us").cast("long").alias("sum_delay"),
+    )
+    n = F.size("ds")
+
+    def q(p):
+        return F.element_at("ds", F.ceil(F.lit(p) * n).cast("int"))
+
+    return g.select(
+        "day_us",
+        n.cast("long").alias("n_conversions"),
+        q(0.50).alias("p50_delay_us"),
+        q(0.90).alias("p90_delay_us"),
+        (F.col("sum_delay") / n.cast("long")).alias("mean_delay_us"),
+    )
+
+
+@register(
     "ts_sessionize",
     """
     WITH flagged AS (
