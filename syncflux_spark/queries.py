@@ -7957,6 +7957,253 @@ def ts_trailing_1h_stats(spark, sf):
     )
 
 
+@register(
+    "table_profile",
+    f"""
+    WITH a AS (
+      SELECT COUNT(*) AS n_rows,
+             COUNT(o_orderkey) AS nn1, COUNT(DISTINCT o_orderkey) AS nd1,
+             CAST(MIN(o_orderkey) AS VARCHAR) AS mn1,
+             CAST(MAX(o_orderkey) AS VARCHAR) AS mx1,
+             COUNT(o_custkey) AS nn2, COUNT(DISTINCT o_custkey) AS nd2,
+             CAST(MIN(o_custkey) AS VARCHAR) AS mn2,
+             CAST(MAX(o_custkey) AS VARCHAR) AS mx2,
+             COUNT(o_orderstatus) AS nn3,
+             COUNT(DISTINCT o_orderstatus) AS nd3,
+             MIN(o_orderstatus) AS mn3, MAX(o_orderstatus) AS mx3,
+             COUNT(o_totalprice) AS nn4,
+             COUNT(DISTINCT {_sql_cents('o_totalprice')}) AS nd4,
+             CAST(MIN({_sql_cents('o_totalprice')}) AS VARCHAR) AS mn4,
+             CAST(MAX({_sql_cents('o_totalprice')}) AS VARCHAR) AS mx4,
+             COUNT(o_orderdate) AS nn5,
+             COUNT(DISTINCT o_orderdate) AS nd5,
+             CAST(CAST(epoch_us(MIN(o_orderdate)) AS BIGINT) AS VARCHAR)
+               AS mn5,
+             CAST(CAST(epoch_us(MAX(o_orderdate)) AS BIGINT) AS VARCHAR)
+               AS mx5,
+             COUNT(o_orderpriority) AS nn6,
+             COUNT(DISTINCT o_orderpriority) AS nd6,
+             MIN(o_orderpriority) AS mn6, MAX(o_orderpriority) AS mx6
+      FROM orders)
+    SELECT 'o_orderkey' AS col_name, n_rows, n_rows - nn1 AS n_null,
+           nd1 AS n_distinct, mn1 AS min_repr, mx1 AS max_repr FROM a
+    UNION ALL
+    SELECT 'o_custkey', n_rows, n_rows - nn2, nd2, mn2, mx2 FROM a
+    UNION ALL
+    SELECT 'o_orderstatus', n_rows, n_rows - nn3, nd3, mn3, mx3 FROM a
+    UNION ALL
+    SELECT 'o_totalprice_cents', n_rows, n_rows - nn4, nd4, mn4, mx4 FROM a
+    UNION ALL
+    SELECT 'o_orderdate_us', n_rows, n_rows - nn5, nd5, mn5, mx5 FROM a
+    UNION ALL
+    SELECT 'o_orderpriority', n_rows, n_rows - nn6, nd6, mn6, mx6 FROM a
+    """,
+)
+def table_profile(spark, sf):
+    """Column-level data profile of a table in ONE scan: per column the
+    row count, null count, exact distinct count, and min/max (rendered
+    to strings through engine-stable representations: ints verbatim,
+    money as cents, timestamps as epoch-µs — never float/date
+    formatting, which differs across engines). The ingestion-QA
+    operator every pipeline runs before trusting a new drop. All six
+    columns' aggregates ride a single Aggregate (the multi-DISTINCT
+    is one Expand pass — ~7× row replication map-side, still one scan
+    and one shuffle), then a 6-struct explode unpivots the 1-row
+    result; at 100 TB swap COUNT(DISTINCT) for approx_count_distinct
+    per column to drop the Expand entirely (documented dial, exact
+    here to stay oracle-comparable)."""
+    o = load_table(spark, sf, "orders")
+    tp_c = cents("o_totalprice")
+    od_us = F.unix_micros(F.col("o_orderdate"))
+    a = o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("o_orderkey").alias("nn1"),
+        F.countDistinct("o_orderkey").alias("nd1"),
+        F.min("o_orderkey").cast("string").alias("mn1"),
+        F.max("o_orderkey").cast("string").alias("mx1"),
+        F.count("o_custkey").alias("nn2"),
+        F.countDistinct("o_custkey").alias("nd2"),
+        F.min("o_custkey").cast("string").alias("mn2"),
+        F.max("o_custkey").cast("string").alias("mx2"),
+        F.count("o_orderstatus").alias("nn3"),
+        F.countDistinct("o_orderstatus").alias("nd3"),
+        F.min("o_orderstatus").alias("mn3"),
+        F.max("o_orderstatus").alias("mx3"),
+        F.count("o_totalprice").alias("nn4"),
+        F.countDistinct(tp_c).alias("nd4"),
+        F.min(tp_c).cast("string").alias("mn4"),
+        F.max(tp_c).cast("string").alias("mx4"),
+        F.count("o_orderdate").alias("nn5"),
+        F.countDistinct("o_orderdate").alias("nd5"),
+        F.min(od_us).cast("string").alias("mn5"),
+        F.max(od_us).cast("string").alias("mx5"),
+        F.count("o_orderpriority").alias("nn6"),
+        F.countDistinct("o_orderpriority").alias("nd6"),
+        F.min("o_orderpriority").alias("mn6"),
+        F.max("o_orderpriority").alias("mx6"),
+    )
+
+    def row(name, i):
+        return F.struct(
+            F.lit(name).alias("col_name"),
+            F.col("n_rows"),
+            (F.col("n_rows") - F.col(f"nn{i}")).alias("n_null"),
+            F.col(f"nd{i}").alias("n_distinct"),
+            F.col(f"mn{i}").alias("min_repr"),
+            F.col(f"mx{i}").alias("max_repr"),
+        )
+
+    return a.select(
+        F.explode(
+            F.array(
+                row("o_orderkey", 1),
+                row("o_custkey", 2),
+                row("o_orderstatus", 3),
+                row("o_totalprice_cents", 4),
+                row("o_orderdate_us", 5),
+                row("o_orderpriority", 6),
+            )
+        ).alias("p")
+    ).select("p.*")
+
+
+@register(
+    "ts_acf",
+    """
+    WITH b AS (
+      SELECT CAST(epoch_us(date_trunc('hour', MIN(ts))) AS BIGINT) AS h0,
+             CAST(epoch_us(date_trunc('hour', MAX(ts))) AS BIGINT) AS h1
+      FROM events),
+    hrs AS (SELECT h0 + 3600000000 *
+                   unnest(range(0, (h1 - h0) // 3600000000 + 1)) AS hr_us
+            FROM b),
+    types AS (SELECT DISTINCT event_type FROM events),
+    hc AS (SELECT event_type,
+                  CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS hr_us,
+                  COUNT(*) AS c
+           FROM events GROUP BY 1, 2),
+    dense AS (
+      SELECT t.event_type, h.hr_us, CAST(COALESCE(hc.c, 0) AS BIGINT) AS c
+      FROM types t CROSS JOIN hrs h
+      LEFT JOIN hc ON hc.event_type = t.event_type AND hc.hr_us = h.hr_us),
+    st AS (SELECT event_type, COUNT(*) AS n, SUM(c) AS s
+           FROM dense GROUP BY 1),
+    led AS (
+      SELECT d.event_type, st.n, st.s, d.c,
+             lead(d.c, 1) OVER w AS l1,
+             lead(d.c, 2) OVER w AS l2,
+             lead(d.c, 3) OVER w AS l3
+      FROM dense d JOIN st USING (event_type)
+      WINDOW w AS (PARTITION BY d.event_type ORDER BY d.hr_us)),
+    agg AS (
+      SELECT event_type, n, s,
+             SUM((n*c - s) * (n*c - s)) AS den,
+             SUM(CASE WHEN l1 IS NOT NULL
+                      THEN (n*c - s) * (n*l1 - s) END) AS num1,
+             SUM(CASE WHEN l2 IS NOT NULL
+                      THEN (n*c - s) * (n*l2 - s) END) AS num2,
+             SUM(CASE WHEN l3 IS NOT NULL
+                      THEN (n*c - s) * (n*l3 - s) END) AS num3
+      FROM led GROUP BY event_type, n, s)
+    SELECT event_type, CAST(1 AS BIGINT) AS lag, n AS n_hours,
+           num1 AS acf_num, den AS acf_den,
+           CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE) AS acf
+    FROM agg
+    UNION ALL
+    SELECT event_type, 2, n, num2, den,
+           CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE) FROM agg
+    UNION ALL
+    SELECT event_type, 3, n, num3, den,
+           CAST(num3 AS DOUBLE) / CAST(den AS DOUBLE) FROM agg
+    """,
+)
+def ts_acf(spark, sf):
+    """Autocorrelation function at lags 1–3 hours for each event
+    type's hourly-count series — THE seasonality/memory diagnostic
+    before fitting any forecast (a daily cycle shows as acf rising
+    back toward lag 24; white noise hovers near 0). Semantics: the
+    series is the DENSE hourly grid over the table's global [min,max]
+    hour with absent hours as 0 (ACF over a gappy series would be
+    wrong), and acf_k = Σ_t (n·x_t − S)(n·x_{t+k} − S) / Σ_t (n·x_t −
+    S)² — the mean-centered sums multiplied through by n so every
+    term is an exact int64 (n ≤ series length, bounded by the
+    retention window; n·x ≤ ~2^40 at 100 TB scale keeps products
+    under 2^63). One float division at the end, same op both engines.
+    Plan: grid = broadcast 1-row bounds × sequence-explode per type
+    (no shuffle), counts join on (type, hour), then a single
+    per-series window sort produces all three lags via lead() — no
+    self-join per lag, which is what makes K lags cost one sort
+    instead of K shuffles at scale."""
+    ev = load_table(spark, sf, "events")
+    hr = F.unix_micros(F.date_trunc("hour", F.col("ts")))
+    STEP = 3_600_000_000
+    b = ev.agg(F.min(hr).alias("h0"), F.max(hr).alias("h1"))
+    types = ev.select("event_type").distinct()
+    # n is pure bounds arithmetic and s is a whole-partition window
+    # sum over the dense grid (order-independent: exact ints) — no
+    # second aggregation pass or join-back, the grid subplan stays
+    # single-use
+    grid = types.crossJoin(F.broadcast(b)).select(
+        "event_type",
+        (
+            F.expr("(h1 - h0) div 3600000000") + F.lit(1)
+        ).alias("n"),
+        F.explode(
+            F.sequence(F.col("h0"), F.col("h1"), F.lit(STEP))
+        ).alias("hr_us"),
+    )
+    hc = ev.groupBy("event_type", hr.alias("hr_us")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    dense = grid.join(hc, ["event_type", "hr_us"], "left").select(
+        "event_type", "n", "hr_us", F.coalesce("c", F.lit(0)).alias("c")
+    )
+    w = Window.partitionBy("event_type").orderBy("hr_us")
+    wp = Window.partitionBy("event_type")
+    led = dense.select(
+        "event_type",
+        "n",
+        F.sum("c").over(wp).alias("s"),
+        "c",
+        F.lead("c", 1).over(w).alias("l1"),
+        F.lead("c", 2).over(w).alias("l2"),
+        F.lead("c", 3).over(w).alias("l3"),
+    )
+    dev = F.col("n") * F.col("c") - F.col("s")
+
+    def num(lc):
+        return F.sum(
+            F.when(
+                F.col(lc).isNotNull(),
+                dev * (F.col("n") * F.col(lc) - F.col("s")),
+            )
+        )
+
+    agg = led.groupBy("event_type", "n", "s").agg(
+        F.sum(dev * dev).alias("den"),
+        num("l1").alias("num1"),
+        num("l2").alias("num2"),
+        num("l3").alias("num3"),
+    )
+
+    def lag_row(k):
+        return F.struct(
+            F.lit(k).cast("long").alias("lag"),
+            F.col("n").alias("n_hours"),
+            F.col(f"num{k}").alias("acf_num"),
+            F.col("den").alias("acf_den"),
+            (
+                F.col(f"num{k}").cast("double")
+                / F.col("den").cast("double")
+            ).alias("acf"),
+        )
+
+    return agg.select(
+        "event_type",
+        F.explode(F.array(lag_row(1), lag_row(2), lag_row(3))).alias("p"),
+    ).select("event_type", "p.*")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.spark for name, q in REGISTRY.items()}
 
