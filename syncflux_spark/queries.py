@@ -5634,6 +5634,36 @@ def mm_feature_knn(spark, sf):
     )
 
 
+def _write_events_sentinel(src: str, name: str, ts_ns: int) -> None:
+    """Append a far-future ``__flush__`` row to a staged events stream
+    directory, matching the physical ts type of the staged file (ns
+    parquet stores an int64; µs parquet a timestamp[us]) so the
+    stream's enforced schema accepts the sentinel file."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src_type = pq.read_schema(os.path.join(src, "events.parquet")).field("ts").type
+    if str(src_type).startswith("timestamp"):
+        ts_arr = pa.array([ts_ns // 1000], pa.timestamp("us"))
+    else:
+        ts_arr = pa.array([ts_ns], pa.int64())
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([-1], pa.int64()),
+                "ts": ts_arr,
+                "user_id": pa.array([-1], pa.int64()),
+                "event_type": pa.array(["__flush__"]),
+                "value": pa.array([0.0], pa.float64()),
+                "props": pa.array(["{}"]),
+            }
+        ),
+        os.path.join(src, name),
+    )
+
+
 @register(
     "stream_windowed_rollup",
     f"""
@@ -5658,9 +5688,6 @@ def stream_windowed_rollup(spark, sf):
     import os
     import shutil
 
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
     from syncflux_spark.streaming.windowed import WindowedRollupStream
 
     root = tempfile.mkdtemp(prefix="sf_wmstream_")
@@ -5676,19 +5703,7 @@ def stream_windowed_rollup(spark, sf):
     )
 
     def sentinel(name: str, ts_ns: int) -> None:
-        pq.write_table(
-            pa.table(
-                {
-                    "event_id": pa.array([-1], pa.int64()),
-                    "ts": pa.array([ts_ns], pa.int64()),
-                    "user_id": pa.array([-1], pa.int64()),
-                    "event_type": pa.array(["__flush__"]),
-                    "value": pa.array([0.0], pa.float64()),
-                    "props": pa.array(["{}"]),
-                }
-            ),
-            os.path.join(src, name),
-        )
+        _write_events_sentinel(src, name, ts_ns)
 
     hour_ns = 3600 * 10**9
     sentinel("zz_flush1.parquet", max_ns + 2 * hour_ns)
@@ -5742,9 +5757,6 @@ def stream_session_rollup(spark, sf):
     import os
     import shutil
 
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
     from syncflux_spark.streaming.windowed import SessionWindowStream
 
     root = tempfile.mkdtemp(prefix="sf_sessstream_")
@@ -5762,19 +5774,7 @@ def stream_session_rollup(spark, sf):
     )
 
     def sentinel(name: str, ts_ns: int) -> None:
-        pq.write_table(
-            pa.table(
-                {
-                    "event_id": pa.array([-1], pa.int64()),
-                    "ts": pa.array([ts_ns], pa.int64()),
-                    "user_id": pa.array([-1], pa.int64()),
-                    "event_type": pa.array(["__flush__"]),
-                    "value": pa.array([0.0], pa.float64()),
-                    "props": pa.array(["{}"]),
-                }
-            ),
-            os.path.join(src, name),
-        )
+        _write_events_sentinel(src, name, ts_ns)
 
     hour_ns = 3600 * 10**9
     sentinel("zz_flush1.parquet", max_ns + 2 * hour_ns)

@@ -57,6 +57,23 @@ def _ns_timestamp_cols(path: str) -> tuple[str, ...]:
     )
 
 
+@lru_cache(maxsize=256)
+def _us_timestamp_cols(path: str) -> tuple[str, ...]:
+    """Columns stored as parquet µs/ms TIMESTAMP — Spark reads these
+    natively as TimestampType; the canonical ``{col}_ns`` long is
+    *derived* (exact: µs → ×1000) rather than raw. Footer-only probe,
+    cached per path."""
+    try:
+        schema = pq.read_schema(path)
+    except OSError:
+        schema = pq.ParquetDataset(path).schema
+    return tuple(
+        f.name
+        for f in schema
+        if str(f.type).startswith(("timestamp[us", "timestamp[ms"))
+    )
+
+
 def load_table(
     spark: SparkSession, sf_dir: str, name: str, keep_ns: bool = True
 ) -> DataFrame:
@@ -64,17 +81,27 @@ def load_table(
     callers chain .select/.filter and Catalyst pushes both into the
     parquet reader (verify with .explain → PushedFilters/ReadSchema).
 
-    ns-precision handling (SURVEY §7.2 hard part): TIMESTAMP(NANOS)
-    columns are read as ns-epoch longs; the canonical long survives as
-    ``{col}_ns`` and a µs TimestampType column of the original name is
-    derived for ordinary consumers. **Time-range predicates must hit
-    the long column** (use :func:`scan_time_range`): Catalyst does not
-    invert ``timestamp_micros(x div 1000) >= C`` into a raw-column
-    bound, so a filter on the derived timestamp reaches parquet as
-    ``IsNotNull`` only — a full scan at 100 TB — while a long
-    comparison on ``{col}_ns`` prunes row groups (and time partitions)
-    normally. ``keep_ns=False`` drops the long for schema-minimal
-    reads."""
+    ns-precision handling (SURVEY §7.2 hard part): every timestamp
+    column gets a canonical ``{col}_ns`` epoch-long companion so query
+    code has ONE integer-exact time representation regardless of the
+    file's physical precision.
+
+    - TIMESTAMP(NANOS) files: Spark refuses them natively, so the raw
+      column is read as a ns long (``nanosAsLong``), survives as
+      ``{col}_ns``, and a µs TimestampType of the original name is
+      derived. **Range predicates must hit the long** — a filter on
+      the derived timestamp reaches parquet as ``IsNotNull`` only.
+    - TIMESTAMP(µs/ms) files (what the driver generates now): the raw
+      column IS the TimestampType; ``{col}_ns`` is derived
+      (``unix_micros × 1000``, exact). Here the situation inverts:
+      predicates on the raw timestamp push down; the derived long
+      doesn't. The companion is derived only for the conventional
+      measurement time column ``ts`` — relational date columns
+      (o_orderdate, l_shipdate) stay schema-clean.
+
+    :func:`scan_time_range` emits both predicate forms so the
+    row-group-pruning one applies in either layout. ``keep_ns=False``
+    skips the companion longs for schema-minimal reads."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # TIMESTAMP (UTC-normalized), not TIMESTAMP_NTZ: epoch functions
     # work and comparisons match the DuckDB oracle (session tz is UTC)
@@ -85,6 +112,12 @@ def load_table(
         if keep_ns:
             df = df.withColumn(f"{col}_ns", F.col(col))
         df = df.withColumn(col, unixnano_to_ts(col))
+    if keep_ns:
+        for col in _us_timestamp_cols(path):
+            if col == "ts":
+                df = df.withColumn(
+                    f"{col}_ns", F.unix_micros(F.col(col)) * F.lit(1000)
+                )
     return df
 
 
@@ -125,18 +158,31 @@ def scan_time_range(
     data-loss quirk). ``group by *`` is a no-op here because tags are
     ordinary columns.
 
-    When the table carries a canonical ``{time_col}_ns`` long (ns
-    parquet via :func:`load_table`), the predicate is expressed on the
-    long — the form that actually reaches the parquet reader as a
-    range filter (row-group + partition pruning); a predicate on the
-    derived timestamp would push only ``IsNotNull``. Otherwise the
-    timestamp column is compared directly (µs/ms parquet pushes that
-    fine)."""
+    When the table carries a canonical ``{time_col}_ns`` long, TWO
+    predicate forms are emitted: the exact ns-long comparison (the
+    semantic filter) plus a µs-bracket on the timestamp column itself
+    (``[floor_us(start), ceil_us(end))`` — a superset, so it never
+    drops a qualifying row). Exactly one of the two columns is raw in
+    any given layout (ns parquet → the long is raw; µs/ms parquet →
+    the timestamp is raw), and only predicates on the raw column reach
+    the parquet reader as row-group/partition-pruning range filters —
+    Catalyst won't invert the derived column's expression. Emitting
+    both costs one redundant codegen comparison and guarantees
+    pushdown either way; tests/test_copy.py asserts the range reaches
+    the FileScan."""
     ns_col = f"{time_col}_ns"
     if ns_col in df.columns:
+        lo_ns, hi_ns = _to_ns_epoch(start), _to_ns_epoch(end)
         c: Column = F.col(ns_col)
-        return df.where(
-            (c >= F.lit(_to_ns_epoch(start))) & (c < F.lit(_to_ns_epoch(end)))
-        )
+        cond = (c >= F.lit(lo_ns)) & (c < F.lit(hi_ns))
+        if time_col in df.columns:
+            t = F.col(time_col)
+            lo_us, hi_us = lo_ns // 1000, (hi_ns + 999) // 1000
+            cond = (
+                cond
+                & (t >= F.timestamp_micros(F.lit(lo_us)))
+                & (t < F.timestamp_micros(F.lit(hi_us)))
+            )
+        return df.where(cond)
     c = F.col(time_col)
     return df.where((c >= F.lit(start)) & (c < F.lit(end)))

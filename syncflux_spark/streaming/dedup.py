@@ -49,7 +49,12 @@ class DedupReplicationStream(ReplicationStream):
 
     def _reader(self):
         df = super()._reader()
-        event_time = F.timestamp_micros(ns_to_us(self.time_ns_col))
+        # ns parquet scans the time column as an epoch long
+        # (nanosAsLong); µs parquet as TimestampType directly.
+        if dict(df.dtypes).get(self.time_ns_col) == "bigint":
+            event_time = F.timestamp_micros(ns_to_us(self.time_ns_col))
+        else:
+            event_time = F.col(self.time_ns_col)
         return (
             df.withColumn("__event_time", event_time)
             .withWatermark("__event_time", self.horizon)

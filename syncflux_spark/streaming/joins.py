@@ -46,7 +46,7 @@ class ClickAttributionStream:
         attribution_window: str = "1 hour",
         watermark_delay: str = "1 hour",
         time_col: str = "ts",
-        time_is_ns: bool = True,
+        time_is_ns: bool | None = None,
     ):
         self.spark = spark
         self.src_path = src_path
@@ -59,9 +59,16 @@ class ClickAttributionStream:
 
     def _side(self, event_type: str, alias: str) -> DataFrame:
         self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # TIMESTAMP, not TIMESTAMP_NTZ: watermarks require the tz-aware type
+        self.spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         schema = self.spark.read.parquet(self.src_path).schema
+        # ns parquet scans the time column as an epoch long
+        # (nanosAsLong); µs parquet as TimestampType. None = detect.
+        is_ns = self.time_is_ns
+        if is_ns is None:
+            is_ns = schema[self.time_col].dataType.simpleString() == "bigint"
         evt = (
-            unixnano_to_ts(self.time_col) if self.time_is_ns else F.col(self.time_col)
+            unixnano_to_ts(self.time_col) if is_ns else F.col(self.time_col)
         )
         return (
             self.spark.readStream.schema(schema)

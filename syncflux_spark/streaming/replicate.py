@@ -75,6 +75,9 @@ class ReplicationStream:
         # source's current files (schema evolution would re-resolve on
         # restart, which is the behavior the reference gets from
         # re-running GetSchema after recovery, hacluster.go:331)
+        # TIMESTAMP, not TIMESTAMP_NTZ: downstream watermarks (dedup
+        # subclass) require the tz-aware type; session tz is UTC
+        self.spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         batch_reader = self.spark.read
         if self.path_glob_filter:
             batch_reader = batch_reader.option("pathGlobFilter", self.path_glob_filter)

@@ -57,8 +57,13 @@ def _totals_fn(
         # SQL ROUND rounds half away from zero (values are positive)
         v = pdf["value"].astype(float).to_numpy() * 1_000_000
         sv += int(np.floor(v + 0.5).astype("int64").sum())
-        # ts arrives as ns-epoch long (nanosAsLong parquet read)
-        last_us = max(last_us, int(pdf["ts"].max()) // 1_000)
+        # ts arrives as a ns-epoch long (nanosAsLong read of ns
+        # parquet) or as datetime64 (µs parquet) — normalize to µs
+        ts = pdf["ts"]
+        if ts.dtype.kind == "M":  # datetime64[*]
+            last_us = max(last_us, int(ts.max().value) // 1_000)
+        else:
+            last_us = max(last_us, int(ts.max()) // 1_000)
     state.update((n, sv, last_us))
     yield pd.DataFrame(
         {

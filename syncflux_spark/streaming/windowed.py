@@ -51,7 +51,7 @@ class WindowedRollupStream:
         group_cols: tuple[str, ...] = ("event_type",),
         value_col: str = "value",
         time_col: str = "ts",
-        time_is_ns: bool = True,
+        time_is_ns: bool | None = None,
         path_glob_filter: str | None = None,
         max_files_per_trigger: int | None = None,
     ):
@@ -64,15 +64,20 @@ class WindowedRollupStream:
         self.group_cols = tuple(group_cols)
         self.value_col = value_col
         self.time_col = time_col
-        #: events.parquet stores TIMESTAMP(NANOS); with the legacy
-        #: nanosAsLong conf it scans as a long we re-derive µs from
-        #: (sources/parquet.py has the batch twin of this handling)
+        #: physical time representation: ns parquet scans the column
+        #: as an epoch long (nanosAsLong conf) we re-derive µs from;
+        #: µs parquet arrives as TimestampType directly. None = detect
+        #: from the scanned dtype (sources/parquet.py is the batch
+        #: twin of this handling).
         self.time_is_ns = time_is_ns
         self.path_glob_filter = path_glob_filter
         self.max_files_per_trigger = max_files_per_trigger
 
     def _reader(self) -> DataFrame:
         self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # TIMESTAMP, not TIMESTAMP_NTZ: watermarks require the
+        # tz-aware type (and the session tz is UTC everywhere here)
+        self.spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         batch_reader = self.spark.read
         if self.path_glob_filter:
             batch_reader = batch_reader.option("pathGlobFilter", self.path_glob_filter)
@@ -84,10 +89,14 @@ class WindowedRollupStream:
             reader = reader.option("maxFilesPerTrigger", self.max_files_per_trigger)
         return reader.parquet(self.src_path)
 
+    def _event_time(self, df: DataFrame):
+        is_ns = self.time_is_ns
+        if is_ns is None:
+            is_ns = dict(df.dtypes).get(self.time_col) == "bigint"
+        return unixnano_to_ts(self.time_col) if is_ns else F.col(self.time_col)
+
     def _transform(self, df: DataFrame) -> DataFrame:
-        evt = (
-            unixnano_to_ts(self.time_col) if self.time_is_ns else F.col(self.time_col)
-        )
+        evt = self._event_time(df)
         win = F.window("_evt", self.window_duration)
         return (
             df.withColumn("_evt", evt)
@@ -152,9 +161,7 @@ class SessionWindowStream(WindowedRollupStream):
         self.session_gap = f"{session_gap_us // 1_000_000} seconds"
 
     def _transform(self, df: DataFrame) -> DataFrame:
-        evt = (
-            unixnano_to_ts(self.time_col) if self.time_is_ns else F.col(self.time_col)
-        )
+        evt = self._event_time(df)
         return (
             df.withColumn("_evt", evt)
             .withWatermark("_evt", self.watermark_delay)

@@ -36,16 +36,22 @@ class TestCopyRange:
         from syncflux_spark.sources.parquet import scan_time_range
 
         plan = scan_time_range(events, *WINDOW)._jdf.queryExecution().executedPlan().toString()
-        # the RANGE must reach the parquet scan as long bounds on the
-        # raw ns column (row-group pruning), not just IsNotNull — a
-        # derived-timestamp filter pushes only the null check and
-        # full-scans at 100 TB. Catalyst rewrites ts_ns back to the
-        # raw column, so assert on the ns epoch literals.
+        # the RANGE must reach the parquet scan as bounds on the RAW
+        # column (row-group pruning), not just IsNotNull — a filter
+        # only on the derived companion column pushes the null check
+        # alone and full-scans at 100 TB. Which column is raw depends
+        # on the file's physical precision (ns parquet → the ts_ns
+        # long; µs parquet → the ts timestamp), so accept either
+        # pushed literal form, but require a real >=/< range.
         from syncflux_spark.sources.parquet import _to_ns_epoch
 
         lo, hi = _to_ns_epoch(WINDOW[0]), _to_ns_epoch(WINDOW[1])
         scan = plan[plan.index("FileScan") :]
-        assert f"(ts#" in plan and str(lo) in scan and str(hi) in scan
+        ns_pushed = str(lo) in scan and str(hi) in scan
+        ts_pushed = (
+            "GreaterThanOrEqual(ts," in scan and "LessThan(ts," in scan
+        )
+        assert ns_pushed or ts_pushed, scan
 
 
 class TestSync:
