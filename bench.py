@@ -91,6 +91,7 @@ HEADLINE = [
     "pq_rescored_topk",
     "cms_user_counts",
     "session_type_lift",
+    "influxql_mean_1h",
 ]
 
 

@@ -1,0 +1,957 @@
+"""InfluxQL 1.x front-end: parse the statement surface the reference
+drives at InfluxDB and compile it onto this engine's DataFrame plans.
+
+The reference never evaluates a query itself — it *emits* InfluxQL
+strings over HTTP (`show databases` pkg/agent/client.go:161, `show
+retention policies` client.go:188, `show measurements` client.go:273,
+`show field keys` client.go:239, the `select * .. where time .. group
+by *` scan pkg/agent/sync.go:162, and the DDL statements
+client.go:84-156). A user switching from the reference therefore holds
+InfluxQL text in their configs and dashboards; this module lets that
+text run against Spark tables directly:
+
+* metadata statements route to :class:`~syncflux_spark.catalog.SparkCatalog`
+  (same SHOW result shapes InfluxDB returns);
+* ``SELECT`` compiles to a declarative DataFrame plan — time-range
+  predicates go through :func:`scan_time_range` so they reach the
+  parquet scan as pushed range filters, ``GROUP BY time(iv)`` becomes
+  a single hash aggregation on an integer bucket (partial agg before
+  the one shuffle), ``fill(..)`` densifies via the same grid-join
+  pattern as the downsample family (broadcast spine join, never a
+  second fact scan, never a driver loop). Nothing here collects rows
+  on the driver; at 100 TB the compiled plan is exactly the plan a
+  hand-written DataFrame query would produce.
+
+Aggregate semantics follow InfluxQL 1.8 docs: ``mean sum count min
+max first last spread stddev median mode percentile(N) distinct``.
+``percentile``/``median`` are nearest-rank (the value at position
+``ceil(N/100 * n)`` of the sorted list — Influx returns an actual
+field value, not an interpolation); ``mode`` ties break to the lowest
+value; ``first``/``last`` take the value at min/max time with
+value-order tiebreak (deterministic under concurrent points, which
+InfluxDB leaves unspecified).
+
+Grammar subset (everything syncflux emits + the common interactive
+dialect): SELECT projections of fields / aggregate calls, FROM one
+measurement (optionally ``db.rp.m``), WHERE with time bounds
+(RFC3339 strings, epoch-ns integers, ``now() - <duration>``), tag
+equality / regex matches and field comparisons combined with
+AND/OR, GROUP BY ``time(interval[,offset])``, tag names or ``*``,
+``fill(null|none|0|<value>|previous|linear)``, ORDER BY time
+[ASC|DESC], LIMIT/OFFSET, plus SHOW DATABASES / RETENTION POLICIES /
+MEASUREMENTS / FIELD KEYS / TAG KEYS and CREATE DATABASE /
+CREATE|ALTER RETENTION POLICY.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field as dc_field
+from datetime import datetime, timedelta, timezone
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from syncflux_spark.functions.time import parse_duration
+
+# ---------------------------------------------------------------------------
+# Lexer
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<ws>\s+)
+  | (?P<duration>\d+(?:\.\d+)?(?:ns|u|µ|ms|s|m|h|d|w)(?:\d+(?:\.\d+)?(?:ns|u|µ|ms|s|m|h|d|w))*)
+  | (?P<number>\d+\.\d+|\.\d+|\d+)
+  | (?P<qident>"(?:[^"\\]|\\.)*")
+  | (?P<string>'(?:[^'\\]|\\.)*')
+  | (?P<regex>/(?:[^/\\]|\\.)+/)
+  | (?P<op><=|>=|!=|<>|=~|!~|[=<>(),.*;+-])
+  | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
+    """,
+    re.VERBOSE,
+)
+
+
+@dataclass
+class Tok:
+    kind: str
+    text: str
+
+
+def _lex(q: str) -> list[Tok]:
+    out: list[Tok] = []
+    pos = 0
+    while pos < len(q):
+        m = _TOKEN_RE.match(q, pos)
+        if not m:
+            raise InfluxQLError(f"unexpected character {q[pos]!r} at {pos}")
+        pos = m.end()
+        kind = m.lastgroup
+        if kind == "ws":
+            continue
+        text = m.group()
+        if kind == "qident":
+            text = text[1:-1].replace('\\"', '"').replace("\\\\", "\\")
+        elif kind == "string":
+            text = text[1:-1].replace("\\'", "'").replace("\\\\", "\\")
+        elif kind == "regex":
+            text = text[1:-1]
+        out.append(Tok(kind, text))
+    return out
+
+
+class InfluxQLError(ValueError):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# AST
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class Proj:
+    """One projection item: a bare field or ``func(field[, arg])``."""
+
+    func: str | None  # None = raw field
+    field: str  # field name or '*'
+    arg: float | None = None  # percentile argument
+    alias: str | None = None
+
+    @property
+    def out_name(self) -> str:
+        if self.alias:
+            return self.alias
+        if self.func is None:
+            return self.field
+        return self.func  # influx names the column after the function
+
+
+@dataclass
+class TimeBound:
+    lo_ns: int | None
+    hi_ns: int | None
+    lo_inclusive: bool = True
+    hi_inclusive: bool = False
+
+
+@dataclass
+class SelectStmt:
+    projs: list[Proj]
+    measurement: str
+    db: str | None = None
+    rp: str | None = None
+    where: "Expr | None" = None
+    time: TimeBound = dc_field(default_factory=lambda: TimeBound(None, None))
+    group_time_ns: int | None = None
+    group_offset_ns: int = 0
+    group_tags: list[str] = dc_field(default_factory=list)
+    group_star: bool = False
+    fill: str | float | None = None  # 'null'|'none'|'previous'|'linear'|number
+    order_desc: bool = False
+    limit: int | None = None
+    offset: int | None = None
+
+
+@dataclass
+class Expr:
+    """Non-time WHERE predicate tree."""
+
+    op: str  # 'and' 'or' 'cmp' 'regex'
+    left: "Expr | None" = None
+    right: "Expr | None" = None
+    key: str | None = None
+    cmp: str | None = None
+    value: object = None
+
+
+@dataclass
+class ShowStmt:
+    what: str  # databases | retention policies | measurements | field keys | tag keys
+    db: str | None = None
+    measurement: str | None = None
+
+
+@dataclass
+class CreateDatabaseStmt:
+    db: str
+    duration: str | None = None
+    replication: int = 1
+    shard_duration: str | None = None
+    rp_name: str | None = None
+
+
+@dataclass
+class RetentionPolicyStmt:
+    verb: str  # create | alter
+    rp: str
+    db: str
+    duration: str | None = None
+    replication: int | None = None
+    shard_duration: str | None = None
+    default: bool = False
+
+
+# ---------------------------------------------------------------------------
+# Parser
+# ---------------------------------------------------------------------------
+
+_AGG_FUNCS = {
+    "count",
+    "sum",
+    "mean",
+    "min",
+    "max",
+    "first",
+    "last",
+    "spread",
+    "stddev",
+    "median",
+    "mode",
+    "distinct",
+    "percentile",
+}
+
+
+class _Parser:
+    def __init__(self, q: str, now: datetime | None = None):
+        self.toks = _lex(q)
+        self.i = 0
+        self.now = now or datetime.now(timezone.utc)
+
+    # -- token helpers ------------------------------------------------------
+    def peek(self, k: int = 0) -> Tok | None:
+        j = self.i + k
+        return self.toks[j] if j < len(self.toks) else None
+
+    def next(self) -> Tok:
+        if self.i >= len(self.toks):
+            raise InfluxQLError("unexpected end of statement")
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def accept_kw(self, *words: str) -> bool:
+        save = self.i
+        for w in words:
+            t = self.peek()
+            if t is None or t.kind not in ("ident",) or t.text.lower() != w:
+                self.i = save
+                return False
+            self.i += 1
+        return True
+
+    def expect_kw(self, *words: str) -> None:
+        if not self.accept_kw(*words):
+            got = self.peek().text if self.peek() else "<eof>"
+            raise InfluxQLError(f"expected {' '.join(words).upper()}, got {got!r}")
+
+    def expect_op(self, op: str) -> None:
+        t = self.next()
+        if t.text != op:
+            raise InfluxQLError(f"expected {op!r}, got {t.text!r}")
+
+    def ident(self) -> str:
+        t = self.next()
+        if t.kind not in ("ident", "qident"):
+            raise InfluxQLError(f"expected identifier, got {t.text!r}")
+        return t.text
+
+    # -- entry --------------------------------------------------------------
+    def parse(self):
+        t = self.peek()
+        if t is None:
+            raise InfluxQLError("empty statement")
+        w = t.text.lower()
+        if w == "select":
+            return self.select()
+        if w == "show":
+            return self.show()
+        if w == "create" and self.peek(1) and self.peek(1).text.lower() == "database":
+            return self.create_database()
+        if w in ("create", "alter"):
+            return self.retention_policy()
+        raise InfluxQLError(f"unsupported statement {t.text!r}")
+
+    # -- SELECT -------------------------------------------------------------
+    def select(self) -> SelectStmt:
+        self.expect_kw("select")
+        projs = [self.proj()]
+        while self.peek() and self.peek().text == ",":
+            self.next()
+            projs.append(self.proj())
+        self.expect_kw("from")
+        db = rp = None
+        name = self.ident() if self.peek().text != "*" else self.next().text
+        parts = [name]
+        while self.peek() and self.peek().text == ".":
+            self.next()
+            parts.append(self.ident())
+        if len(parts) == 3:
+            db, rp, meas = parts
+        elif len(parts) == 2:
+            db, meas = parts[0], parts[1]
+        elif len(parts) == 1:
+            meas = parts[0]
+        else:
+            raise InfluxQLError("too many dots in measurement name")
+        st = SelectStmt(projs=projs, measurement=meas, db=db, rp=rp)
+        if self.accept_kw("where"):
+            st.where = self.where_expr(st)
+        if self.accept_kw("group", "by"):
+            self.group_by(st)
+        if self.peek() and self.peek().text.lower() == "fill":
+            self.next()
+            self.expect_op("(")
+            t = self.next()
+            if t.kind == "number":
+                st.fill = float(t.text)
+            elif t.text == "0":
+                st.fill = 0.0
+            elif t.text.lower() in ("null", "none", "previous", "linear"):
+                st.fill = t.text.lower()
+            else:
+                raise InfluxQLError(f"bad fill argument {t.text!r}")
+            self.expect_op(")")
+        if self.accept_kw("order", "by"):
+            self.expect_kw("time")
+            if self.accept_kw("desc"):
+                st.order_desc = True
+            else:
+                self.accept_kw("asc")
+        if self.accept_kw("limit"):
+            st.limit = int(self.next().text)
+        if self.accept_kw("offset"):
+            st.offset = int(self.next().text)
+        if self.peek() and self.peek().text == ";":
+            self.next()
+        if self.peek() is not None:
+            raise InfluxQLError(f"trailing input at {self.peek().text!r}")
+        return st
+
+    def proj(self) -> Proj:
+        t = self.peek()
+        if t.text == "*":
+            self.next()
+            return Proj(func=None, field="*")
+        if (
+            t.kind == "ident"
+            and t.text.lower() in _AGG_FUNCS
+            and self.peek(1)
+            and self.peek(1).text == "("
+        ):
+            func = self.next().text.lower()
+            self.expect_op("(")
+            inner = self.peek()
+            if func == "count" and inner.text.lower() == "distinct":
+                # count(distinct f) — influx spells this count(distinct(f))
+                self.next()
+                self.expect_op("(")
+                fld = self.ident()
+                self.expect_op(")")
+                func = "count_distinct"
+            elif func == "distinct":
+                fld = self.ident()
+                func = "distinct"
+            else:
+                fld = self.ident() if inner.text != "*" else self.next().text
+            arg = None
+            if self.peek() and self.peek().text == ",":
+                self.next()
+                arg = float(self.next().text)
+            self.expect_op(")")
+            alias = self.ident() if self.accept_kw("as") else None
+            if func == "percentile" and arg is None:
+                raise InfluxQLError("percentile requires an argument")
+            return Proj(func=func, field=fld, arg=arg, alias=alias)
+        fld = self.ident()
+        alias = self.ident() if self.accept_kw("as") else None
+        return Proj(func=None, field=fld, alias=alias)
+
+    # WHERE: collect time bounds into st.time; everything else into a tree
+    def where_expr(self, st: SelectStmt) -> Expr | None:
+        expr = self.or_expr(st)
+        return expr
+
+    def or_expr(self, st: SelectStmt) -> Expr | None:
+        left = self.and_expr(st)
+        while self.accept_kw("or"):
+            right = self.and_expr(st)
+            if left is None or right is None:
+                raise InfluxQLError("time bounds cannot appear under OR")
+            left = Expr("or", left=left, right=right)
+        return left
+
+    def and_expr(self, st: SelectStmt) -> Expr | None:
+        left = self.cmp_expr(st)
+        while self.accept_kw("and"):
+            right = self.cmp_expr(st)
+            if left is None:
+                left = right
+            elif right is not None:
+                left = Expr("and", left=left, right=right)
+        return left
+
+    def cmp_expr(self, st: SelectStmt) -> Expr | None:
+        if self.peek() and self.peek().text == "(":
+            self.next()
+            e = self.or_expr(st)
+            self.expect_op(")")
+            return e
+        key = self.ident()
+        t = self.next()
+        op = t.text
+        if op not in ("=", "!=", "<>", "<", "<=", ">", ">=", "=~", "!~"):
+            raise InfluxQLError(f"bad comparison operator {op!r}")
+        if key.lower() == "time":
+            ns = self.time_value()
+            if op in (">", ">="):
+                st.time.lo_ns, st.time.lo_inclusive = ns, op == ">="
+                if op == ">":
+                    st.time.lo_ns = ns + 1
+                    st.time.lo_inclusive = True
+            elif op in ("<", "<="):
+                st.time.hi_ns = ns + 1 if op == "<=" else ns
+                st.time.hi_inclusive = False
+            elif op == "=":
+                st.time.lo_ns, st.time.hi_ns = ns, ns + 1
+            else:
+                raise InfluxQLError(f"unsupported time operator {op!r}")
+            return None
+        if op in ("=~", "!~"):
+            t2 = self.next()
+            if t2.kind != "regex":
+                raise InfluxQLError("=~ requires /regex/")
+            return Expr("regex", key=key, cmp=op, value=t2.text)
+        val = self.value()
+        return Expr("cmp", key=key, cmp=op, value=val)
+
+    def time_value(self) -> int:
+        """A time operand → ns epoch. RFC3339 string, bare epoch-ns
+        integer, or now() [± duration] (pkg/util.go:9-28 shapes)."""
+        t = self.next()
+        if t.kind == "string":
+            s = t.text.replace("T", " ").replace("Z", "")
+            dt = datetime.fromisoformat(s).replace(tzinfo=timezone.utc)
+            delta = dt - datetime(1970, 1, 1, tzinfo=timezone.utc)
+            micros = (delta.days * 86_400 + delta.seconds) * 1_000_000 + delta.microseconds
+            return micros * 1_000
+        if t.kind == "number":
+            return int(t.text)  # influx: bare integers in WHERE time are ns
+        if t.kind == "ident" and t.text.lower() == "now":
+            self.expect_op("(")
+            self.expect_op(")")
+            ns = int(self.now.timestamp() * 1_000_000) * 1_000
+            nxt = self.peek()
+            if nxt and nxt.text in ("+", "-"):
+                sign = 1 if self.next().text == "+" else -1
+                d = self.next()
+                if d.kind != "duration":
+                    raise InfluxQLError("expected duration after now() ±")
+                ns += sign * int(parse_duration(d.text).total_seconds() * 1e9)
+            return ns
+        raise InfluxQLError(f"bad time operand {t.text!r}")
+
+    def value(self):
+        t = self.next()
+        if t.kind == "string":
+            return t.text
+        if t.kind == "number":
+            return float(t.text) if "." in t.text else int(t.text)
+        if t.kind == "duration":
+            return int(parse_duration(t.text).total_seconds() * 1e9)
+        if t.kind == "ident" and t.text.lower() in ("true", "false"):
+            return t.text.lower() == "true"
+        raise InfluxQLError(f"bad literal {t.text!r}")
+
+    def group_by(self, st: SelectStmt) -> None:
+        while True:
+            t = self.peek()
+            if t is None:
+                break
+            if t.text == "*":
+                self.next()
+                st.group_star = True
+            elif t.kind == "ident" and t.text.lower() == "time" and self.peek(1) and self.peek(1).text == "(":
+                self.next()
+                self.expect_op("(")
+                d = self.next()
+                if d.kind != "duration":
+                    raise InfluxQLError("time() requires a duration")
+                st.group_time_ns = int(parse_duration(d.text).total_seconds() * 1e9)
+                if self.peek() and self.peek().text == ",":
+                    self.next()
+                    off = self.next()
+                    st.group_offset_ns = int(
+                        parse_duration(off.text).total_seconds() * 1e9
+                    )
+                self.expect_op(")")
+            else:
+                st.group_tags.append(self.ident())
+            if self.peek() and self.peek().text == ",":
+                self.next()
+                continue
+            break
+
+    # -- SHOW ---------------------------------------------------------------
+    def show(self) -> ShowStmt:
+        self.expect_kw("show")
+        if self.accept_kw("databases"):
+            return ShowStmt("databases")
+        if self.accept_kw("retention", "policies"):
+            db = self.ident() if self.accept_kw("on") else None
+            return ShowStmt("retention policies", db=db)
+        if self.accept_kw("measurements"):
+            db = self.ident() if self.accept_kw("on") else None
+            return ShowStmt("measurements", db=db)
+        if self.accept_kw("field", "keys"):
+            db = self.ident() if self.accept_kw("on") else None
+            meas = self.ident() if self.accept_kw("from") else None
+            return ShowStmt("field keys", db=db, measurement=meas)
+        if self.accept_kw("tag", "keys"):
+            db = self.ident() if self.accept_kw("on") else None
+            meas = self.ident() if self.accept_kw("from") else None
+            return ShowStmt("tag keys", db=db, measurement=meas)
+        raise InfluxQLError("unsupported SHOW statement")
+
+    # -- DDL ----------------------------------------------------------------
+    def create_database(self) -> CreateDatabaseStmt:
+        self.expect_kw("create", "database")
+        st = CreateDatabaseStmt(db=self.ident())
+        if self.accept_kw("with"):
+            while True:
+                if self.accept_kw("duration"):
+                    st.duration = self.next().text
+                elif self.accept_kw("replication"):
+                    st.replication = int(self.next().text)
+                elif self.accept_kw("shard", "duration"):
+                    st.shard_duration = self.next().text
+                elif self.accept_kw("name"):
+                    st.rp_name = self.ident()
+                else:
+                    break
+        return st
+
+    def retention_policy(self) -> RetentionPolicyStmt:
+        verb = self.next().text.lower()
+        self.expect_kw("retention", "policy")
+        rp = self.ident()
+        self.expect_kw("on")
+        db = self.ident()
+        st = RetentionPolicyStmt(verb=verb, rp=rp, db=db)
+        while self.peek() is not None:
+            if self.accept_kw("duration"):
+                st.duration = self.next().text
+            elif self.accept_kw("replication"):
+                st.replication = int(self.next().text)
+            elif self.accept_kw("shard", "duration"):
+                st.shard_duration = self.next().text
+            elif self.accept_kw("default"):
+                st.default = True
+            elif self.peek().text == ";":
+                self.next()
+            else:
+                raise InfluxQLError(f"unexpected token {self.peek().text!r}")
+        return st
+
+
+def parse(q: str, now: datetime | None = None):
+    """Parse one InfluxQL statement → AST dataclass."""
+    return _Parser(q, now=now).parse()
+
+
+# ---------------------------------------------------------------------------
+# Compiler / engine
+# ---------------------------------------------------------------------------
+
+
+class InfluxQLEngine:
+    """Execute InfluxQL against registered Spark tables.
+
+    ``tables`` maps measurement name → DataFrame (the events-shaped
+    convention: ``ts``/``ts_ns`` time columns, tag columns, field
+    columns). ``tags`` lists the tag columns per measurement (used by
+    ``GROUP BY *`` and the field/tag split of ``SELECT *``); anything
+    not a tag and not a time column is a field. Metadata statements
+    need a :class:`SparkCatalog` (optional otherwise).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        tables: dict[str, DataFrame] | None = None,
+        tags: dict[str, list[str]] | None = None,
+        catalog=None,
+        now: datetime | None = None,
+    ):
+        self.spark = spark
+        self.tables = dict(tables or {})
+        self.tags = dict(tags or {})
+        self.catalog = catalog
+        self.now = now
+
+    def register_table(
+        self, name: str, df: DataFrame, tags: list[str] | None = None
+    ) -> None:
+        self.tables[name] = df
+        if tags is not None:
+            self.tags[name] = list(tags)
+
+    # -- public API ---------------------------------------------------------
+    def query(self, q: str) -> DataFrame:
+        """Parse + execute one statement, returning a DataFrame (SELECT
+        and SHOW; DDL statements return an empty status frame)."""
+        st = parse(q, now=self.now)
+        if isinstance(st, SelectStmt):
+            return self._select(st)
+        if isinstance(st, ShowStmt):
+            return self._show(st)
+        if isinstance(st, CreateDatabaseStmt):
+            self._require_catalog().create_db(st.db)
+            return self.spark.createDataFrame([(st.db,)], "created string")
+        if isinstance(st, RetentionPolicyStmt):
+            return self._retention(st)
+        raise InfluxQLError(f"unhandled statement {type(st).__name__}")
+
+    # -- SELECT compilation -------------------------------------------------
+    def _select(self, st: SelectStmt) -> DataFrame:
+        df = self._resolve(st)
+        tag_cols = [t for t in self.tags.get(st.measurement, []) if t in df.columns]
+        time_col = "ts" if "ts" in df.columns else None
+
+        # 1. WHERE — time range through the pushdown-safe scan helper
+        if st.time.lo_ns is not None or st.time.hi_ns is not None:
+            from syncflux_spark.sources.parquet import scan_time_range
+
+            lo = st.time.lo_ns if st.time.lo_ns is not None else 0
+            hi = st.time.hi_ns if st.time.hi_ns is not None else (1 << 62)
+            df = scan_time_range(df, lo, hi)
+        if st.where is not None:
+            df = df.where(self._expr(st.where))
+
+        has_agg = any(p.func for p in st.projs)
+        if not has_agg:
+            return self._select_raw(st, df, tag_cols, time_col)
+        return self._select_agg(st, df, tag_cols)
+
+    def _select_raw(
+        self, st: SelectStmt, df: DataFrame, tag_cols: list[str], time_col
+    ) -> DataFrame:
+        cols: list[Column] = []
+        if time_col:
+            cols.append(F.col("ts_ns").alias("time") if "ts_ns" in df.columns
+                        else F.unix_micros(time_col).alias("time"))
+        for p in st.projs:
+            if p.field == "*":
+                used = {time_col, "ts_ns"}
+                cols += [F.col(c) for c in df.columns if c not in used]
+            else:
+                cols.append(F.col(p.field).alias(p.out_name))
+        out = df.select(*cols)
+        if st.order_desc:
+            out = out.orderBy(F.desc("time"))
+        elif time_col:
+            out = out.orderBy(F.asc("time"))
+        if st.offset:
+            out = out.offset(st.offset)
+        if st.limit is not None:
+            out = out.limit(st.limit)
+        return out
+
+    def _select_agg(
+        self, st: SelectStmt, df: DataFrame, tag_cols: list[str]
+    ) -> DataFrame:
+        group_tags = list(tag_cols) if st.group_star else [
+            t for t in st.group_tags if t in df.columns
+        ]
+        keys: list[Column] = [F.col(t) for t in group_tags]
+        ns = F.col("ts_ns") if "ts_ns" in df.columns else (
+            F.unix_micros("ts") * F.lit(1000) if "ts" in df.columns else None
+        )
+        bucket = None
+        if st.group_time_ns:
+            if ns is None:
+                raise InfluxQLError("GROUP BY time() requires a time column")
+            iv, off = st.group_time_ns, st.group_offset_ns
+            bucket = ((ns - off) - (ns - off) % F.lit(iv) + off).alias("time")
+            keys = [bucket] + keys
+
+        aggs, posts = [], []
+        for idx, p in enumerate(st.projs):
+            aggs.extend(self._agg_exprs(p, idx, ns))
+            posts.append(self._agg_post(p, idx))
+        out = df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
+        sel = ([F.col("time")] if bucket is not None else []) + [
+            F.col(t) for t in group_tags
+        ] + posts
+        out = out.select(*sel)
+
+        if st.group_time_ns and st.fill not in (None, "none"):
+            out = self._fill(out, st, group_tags)
+        order = [F.desc("time")] if st.order_desc else (
+            [F.asc("time")] if bucket is not None else []
+        )
+        if order:
+            out = out.orderBy(*order)
+        if st.offset:
+            out = out.offset(st.offset)
+        if st.limit is not None:
+            out = out.limit(st.limit)
+        return out
+
+    def _agg_exprs(self, p: Proj, idx: int, ns: Column | None = None) -> list[Column]:
+        """Partial-aggregable pieces for projection ``idx``; the final
+        value is assembled by :meth:`_agg_post`. Everything is a stock
+        hash-agg function → map-side partial aggregation before the
+        single shuffle."""
+        v = F.col(p.field)
+        n = f"_a{idx}"
+        fn = p.func
+        if fn == "count":
+            return [F.count(v).alias(n)]
+        if fn == "count_distinct":
+            return [F.countDistinct(v).alias(n)]
+        if fn == "sum":
+            return [F.sum(v).alias(n)]
+        if fn == "mean":
+            return [F.sum(v).alias(f"{n}s"), F.count(v).alias(f"{n}c")]
+        if fn == "min":
+            return [F.min(v).alias(n)]
+        if fn == "max":
+            return [F.max(v).alias(n)]
+        if fn == "spread":
+            return [F.min(v).alias(f"{n}mn"), F.max(v).alias(f"{n}mx")]
+        if fn == "stddev":
+            return [F.stddev_samp(v).alias(n)]
+        if fn in ("first", "last"):
+            if ns is None:
+                raise InfluxQLError(f"{fn}() requires a time column")
+            # value at min/max time; ties (same ns) break through the
+            # struct's value ordering — deterministic
+            agg = F.min if fn == "first" else F.max
+            return [agg(F.struct(ns.alias("t"), v.alias(p.field))).alias(n)]
+        if fn in ("median", "percentile"):
+            return [F.sort_array(F.collect_list(v)).alias(n)]
+        if fn == "mode":
+            return [F.sort_array(F.collect_list(v)).alias(n)]
+        if fn == "distinct":
+            return [F.array_sort(F.collect_set(v)).alias(n)]
+        raise InfluxQLError(f"unsupported aggregate {fn!r}")
+
+    def _agg_post(self, p: Proj, idx: int) -> Column:
+        n = f"_a{idx}"
+        fn = p.func
+        name = p.out_name
+        if fn in ("count", "count_distinct", "sum", "min", "max", "stddev"):
+            return F.col(n).alias(name)
+        if fn == "mean":
+            return (F.col(f"{n}s") / F.col(f"{n}c")).alias(name)
+        if fn == "spread":
+            return (F.col(f"{n}mx") - F.col(f"{n}mn")).alias(name)
+        if fn in ("first", "last"):
+            return F.col(n).getField(p.field).alias(name)
+        if fn == "median":
+            return self._nearest_rank(n, 50.0).alias(name)
+        if fn == "percentile":
+            return self._nearest_rank(n, float(p.arg)).alias(name)
+        if fn == "mode":
+            # most frequent value, ties to the lowest: fold over the
+            # sorted array counting runs — no second shuffle
+            return F.expr(
+                f"""aggregate({n},
+                    struct(CAST(NULL AS DOUBLE) AS best, 0L AS bestn,
+                           CAST(NULL AS DOUBLE) AS cur, 0L AS curn),
+                    (acc, x) -> CASE
+                      WHEN acc.cur IS NOT NULL AND x = acc.cur THEN
+                        struct(acc.best AS best, acc.bestn AS bestn,
+                               acc.cur AS cur, acc.curn + 1L AS curn)
+                      ELSE struct(
+                        CASE WHEN acc.curn > acc.bestn THEN acc.cur ELSE acc.best END AS best,
+                        CASE WHEN acc.curn > acc.bestn THEN acc.curn ELSE acc.bestn END AS bestn,
+                        CAST(x AS DOUBLE) AS cur, 1L AS curn) END,
+                    acc -> CASE WHEN acc.curn > acc.bestn THEN acc.cur
+                                ELSE acc.best END)"""
+            ).alias(name)
+        if fn == "distinct":
+            return F.col(n).alias(name)
+        raise InfluxQLError(f"unsupported aggregate {fn!r}")
+
+    @staticmethod
+    def _nearest_rank(arr_col: str, pct: float) -> Column:
+        """InfluxQL percentile: the field value at position
+        ``ceil(pct/100 * n)`` of the ascending sort (an actual sample,
+        not an interpolation)."""
+        sz = F.size(F.col(arr_col))
+        pos = F.greatest(
+            F.lit(1), F.ceil(sz.cast("double") * F.lit(pct / 100.0)).cast("int")
+        )
+        return F.when(sz > 0, F.element_at(F.col(arr_col), pos))
+
+    def _fill(self, out: DataFrame, st: SelectStmt, group_tags: list[str]) -> DataFrame:
+        """Densify the time grid: spine from min/max bucket via
+        ``sequence`` (no driver round-trip), cross-join the distinct
+        tag combinations (broadcast — the grid is tiny next to the
+        fact aggregate), left-join the real rollup, then fill."""
+        iv = st.group_time_ns
+        spine = out.agg(
+            F.min("time").alias("mn"), F.max("time").alias("mx")
+        ).select(F.explode(F.sequence("mn", "mx", F.lit(iv))).alias("time"))
+        if group_tags:
+            combos = out.select(*group_tags).distinct()
+            grid = spine.crossJoin(F.broadcast(combos))
+        else:
+            grid = spine
+        joined = grid.join(out, ["time"] + group_tags, "left")
+        value_cols = [c for c in out.columns if c not in ["time"] + group_tags]
+        if st.fill == "null":
+            return joined
+        if isinstance(st.fill, float):
+            # cast the fill literal to each column's own type so
+            # fill(0) keeps integer counts integer
+            types = dict(joined.dtypes)
+            return joined.select(
+                "time",
+                *group_tags,
+                *[
+                    F.coalesce(F.col(c), F.lit(st.fill).cast(types[c])).alias(c)
+                    for c in value_cols
+                ],
+            )
+        if st.fill == "previous":
+            w = (
+                Window.partitionBy(*group_tags)
+                .orderBy("time")
+                .rowsBetween(Window.unboundedPreceding, 0)
+                if group_tags
+                else Window.orderBy("time").rowsBetween(
+                    Window.unboundedPreceding, 0
+                )
+            )
+            return joined.select(
+                "time",
+                *group_tags,
+                *[F.last(F.col(c), ignorenulls=True).over(w).alias(c) for c in value_cols],
+            )
+        if st.fill == "linear":
+            part = list(group_tags)
+            wprev = (
+                Window.partitionBy(*part).orderBy("time")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            )
+            wnext = (
+                Window.partitionBy(*part).orderBy("time")
+                .rowsBetween(0, Window.unboundedFollowing)
+            )
+            cols = ["time", *group_tags]
+            sel = list(cols)
+            for c in value_cols:
+                pv = F.last(F.col(c), ignorenulls=True).over(wprev)
+                pt = F.last(
+                    F.when(F.col(c).isNotNull(), F.col("time")), ignorenulls=True
+                ).over(wprev)
+                nv = F.first(F.col(c), ignorenulls=True).over(wnext)
+                nt = F.first(
+                    F.when(F.col(c).isNotNull(), F.col("time")), ignorenulls=True
+                ).over(wnext)
+                interp = pv + (nv - pv) * (
+                    (F.col("time") - pt).cast("double") / (nt - pt).cast("double")
+                )
+                sel.append(
+                    F.when(F.col(c).isNotNull(), F.col(c))
+                    .otherwise(
+                        F.when(pt.isNotNull() & nt.isNotNull(), interp)
+                    )
+                    .alias(c)
+                )
+            return joined.select(*sel)
+        raise InfluxQLError(f"unsupported fill {st.fill!r}")
+
+    # -- WHERE non-time predicates -----------------------------------------
+    def _expr(self, e: Expr) -> Column:
+        if e.op == "and":
+            return self._expr(e.left) & self._expr(e.right)
+        if e.op == "or":
+            return self._expr(e.left) | self._expr(e.right)
+        if e.op == "regex":
+            c = F.col(e.key).rlike(e.value)
+            return c if e.cmp == "=~" else ~c
+        c = F.col(e.key)
+        v = F.lit(e.value)
+        return {
+            "=": c == v,
+            "!=": c != v,
+            "<>": c != v,
+            "<": c < v,
+            "<=": c <= v,
+            ">": c > v,
+            ">=": c >= v,
+        }[e.cmp]
+
+    # -- SHOW / DDL ---------------------------------------------------------
+    def _show(self, st: ShowStmt) -> DataFrame:
+        if st.what == "databases":
+            if self.catalog is not None:
+                names = self.catalog.get_databases()
+            else:
+                names = sorted(self.tables)
+            return self.spark.createDataFrame([(n,) for n in names], "name string")
+        cat = self._require_catalog()
+        if st.what == "retention policies":
+            rows = [
+                (r.name, r.duration, r.shard_duration, r.n_replicas, r.default)
+                for r in cat.get_retention_policies(st.db)
+            ]
+            return self.spark.createDataFrame(
+                rows,
+                "name string, duration string, shardGroupDuration string, "
+                "replicaN int, `default` boolean",
+            )
+        if st.what == "measurements":
+            rows = [(m,) for m in cat.get_measurements(st.db)]
+            return self.spark.createDataFrame(rows, "name string")
+        if st.what == "field keys":
+            fields = cat.get_fields(st.db, st.measurement)
+            rows = [(f.name, f.type) for f in fields.values()]
+            return self.spark.createDataFrame(
+                sorted(rows), "fieldKey string, fieldType string"
+            )
+        if st.what == "tag keys":
+            rows = [(t,) for t in cat.get_tags(st.db, st.measurement)]
+            return self.spark.createDataFrame(rows, "tagKey string")
+        raise InfluxQLError(f"unhandled SHOW {st.what!r}")
+
+    def _retention(self, st: RetentionPolicyStmt) -> DataFrame:
+        from syncflux_spark.catalog import RetPol
+
+        cat = self._require_catalog()
+        if st.verb == "alter" and st.duration is None and st.default:
+            cat.set_default_rp(st.db, st.rp)
+        else:
+            rp = RetPol(
+                name=st.rp,
+                duration=st.duration or "0s",
+                shard_duration=st.shard_duration or "168h",
+                n_replicas=st.replication or 1,
+                default=st.default,
+            )
+            # RP metadata lands on measurement tables at creation time
+            # (catalog.create_measurement); record default flips now
+            if st.default:
+                cat.set_default_rp(st.db, st.rp)
+        return self.spark.createDataFrame([(st.rp,)], "rp string")
+
+    # -- helpers ------------------------------------------------------------
+    def _resolve(self, st: SelectStmt) -> DataFrame:
+        if st.measurement in self.tables:
+            return self.tables[st.measurement]
+        if self.catalog is not None and st.db:
+            return self.catalog.measurement_df(
+                st.db, st.measurement, st.rp or "autogen"
+            )
+        raise InfluxQLError(f"unknown measurement {st.measurement!r}")
+
+    def _require_catalog(self):
+        if self.catalog is None:
+            raise InfluxQLError("statement requires a catalog")
+        return self.catalog

@@ -8204,6 +8204,136 @@ def ts_acf(spark, sf):
     ).select("event_type", "p.*")
 
 
+# ===========================================================================
+# InfluxQL front-end (syncflux_spark/influxql.py) under the oracle gate
+# ===========================================================================
+#
+# These entries run InfluxQL TEXT through the full parse → compile →
+# execute path — the statement dialect a reference user's dashboards
+# already speak (scan template pkg/agent/sync.go:162, SHOW/DDL
+# client.go:84-310). `value` is pre-scaled to integer micros so every
+# aggregate is exact integer arithmetic (registry hashing rule #1).
+
+
+def _influxql_events(spark, sf):
+    from syncflux_spark.influxql import InfluxQLEngine
+
+    ev = load_table(spark, sf, "events").withColumn("value", micros_amt("value"))
+    return InfluxQLEngine(
+        spark, tables={"events": ev}, tags={"events": ["event_type", "user_id"]}
+    )
+
+
+@register(
+    "influxql_mean_1h",
+    f"""
+    SELECT (u - u % 3600000000) * 1000 AS time, event_type,
+           CAST(SUM(v) AS DOUBLE) / COUNT(*) AS mean_micro,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM (SELECT epoch_us(ts) AS u, event_type,
+                 {_sql_micros('value')} AS v
+          FROM events
+          WHERE ts >= TIMESTAMP '{EV_WIN[0]}' AND ts < TIMESTAMP '{EV_WIN[1]}')
+    GROUP BY 1, 2
+    """,
+)
+def influxql_mean_1h(spark, sf):
+    """InfluxQL hourly rollup: ``GROUP BY time(1h), <tag>`` compiles
+    to ONE hash aggregation on an integer ns bucket (map-side partial
+    agg before the single shuffle) with the time range pushed to the
+    scan — the plan a hand-written DataFrame rollup produces."""
+    return _influxql_events(spark, sf).query(
+        f"SELECT mean(value) AS mean_micro, count(value) AS n FROM events "
+        f"WHERE time >= '{EV_WIN[0]}' AND time < '{EV_WIN[1]}' "
+        f"GROUP BY time(1h), event_type"
+    )
+
+
+@register(
+    "influxql_percentile_spread",
+    f"""
+    WITH v AS (SELECT event_type, {_sql_micros('value')} AS vm FROM events),
+    r AS (SELECT event_type, vm,
+                 ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY vm) AS rk,
+                 COUNT(*) OVER (PARTITION BY event_type) AS n
+          FROM v)
+    SELECT event_type,
+           MAX(CASE WHEN rk = GREATEST(1, CAST(CEIL(n * 0.9) AS BIGINT))
+                    THEN vm END) AS p90_micro,
+           MAX(CASE WHEN rk = GREATEST(1, CAST(CEIL(n * 0.5) AS BIGINT))
+                    THEN vm END) AS med_micro,
+           MAX(vm) - MIN(vm) AS spread_micro,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM r GROUP BY event_type
+    """,
+)
+def influxql_percentile_spread(spark, sf):
+    """InfluxQL percentile()/median()/spread(): nearest-rank semantics
+    (the value at position ceil(p×n) of the sort — an actual sample,
+    like InfluxDB, not an interpolation)."""
+    return _influxql_events(spark, sf).query(
+        "SELECT percentile(value, 90) AS p90_micro, median(value) AS med_micro, "
+        "spread(value) AS spread_micro, count(value) AS n "
+        "FROM events GROUP BY event_type"
+    )
+
+
+@register(
+    "influxql_first_last_daily",
+    f"""
+    WITH v AS (SELECT event_type, epoch_us(ts) AS u,
+                      {_sql_micros('value')} AS vm
+               FROM events),
+    b AS (SELECT event_type, (u - u % 86400000000) * 1000 AS time, u, vm FROM v),
+    r AS (SELECT *,
+                 ROW_NUMBER() OVER (PARTITION BY time, event_type
+                                    ORDER BY u, vm) AS rf,
+                 ROW_NUMBER() OVER (PARTITION BY time, event_type
+                                    ORDER BY u DESC, vm DESC) AS rl
+          FROM b)
+    SELECT time, event_type,
+           MAX(CASE WHEN rf = 1 THEN vm END) AS first_micro,
+           MAX(CASE WHEN rl = 1 THEN vm END) AS last_micro
+    FROM r GROUP BY time, event_type
+    """,
+)
+def influxql_first_last_daily(spark, sf):
+    """InfluxQL first()/last(): value at min/max time per day×series,
+    compiled to min/max over (time, value) structs — one hash agg, no
+    window sort (ties break by value ordering, deterministic)."""
+    return _influxql_events(spark, sf).query(
+        "SELECT first(value) AS first_micro, last(value) AS last_micro "
+        "FROM events GROUP BY time(1d), event_type"
+    )
+
+
+@register(
+    "influxql_fill_zero_6h",
+    f"""
+    WITH b AS (SELECT (u - u % 21600000000) * 1000 AS time,
+                      CAST(COUNT(*) AS BIGINT) AS n
+               FROM (SELECT epoch_us(ts) AS u FROM events
+                     WHERE ts >= TIMESTAMP '{EV_WIN[0]}'
+                       AND ts < TIMESTAMP '{EV_WIN[1]}')
+               GROUP BY 1)
+    SELECT s.time, CAST(COALESCE(b.n, 0) AS BIGINT) AS n
+    FROM (SELECT UNNEST(generate_series((SELECT MIN(time) FROM b),
+                                        (SELECT MAX(time) FROM b),
+                                        21600000000000)) AS time) s
+    LEFT JOIN b USING (time)
+    """,
+)
+def influxql_fill_zero_6h(spark, sf):
+    """InfluxQL ``fill(0)``: the compiled grid is densified via a
+    ``sequence``-exploded spine join (no driver round-trip), filled
+    literals cast to the column's own type so counts stay integral."""
+    return _influxql_events(spark, sf).query(
+        f"SELECT count(value) AS n FROM events "
+        f"WHERE time >= '{EV_WIN[0]}' AND time < '{EV_WIN[1]}' "
+        f"GROUP BY time(6h) fill(0)"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.spark for name, q in REGISTRY.items()}
 

@@ -9,9 +9,19 @@
   admin user/password (webserver.go:173-208; config
   pkg/config/mainconfig.go:39-44)
 
+Plus one endpoint the reference *consumes* rather than serves:
+``GET/POST /query?q=<influxql>`` answering in the InfluxDB 1.x JSON
+shape (``results[].series[]{name,columns,values}`` — the exact
+structure the reference's DBclient decodes, pkg/agent/client.go:
+383-478). With it, this engine can stand on either end of a syncflux
+pair: the reference's health probe (`show databases`,
+influxmonitor.go:48-94) and scan template (sync.go:162) both run
+against us.
+
 Stdlib ``http.server`` on a driver thread — zero dependencies, no
-data-plane involvement. Cookie-session auth is deliberately minimal
-(matches the reference's memory-session scheme, websession.go).
+data-plane involvement beyond the capped /query collect. Cookie-
+session auth is deliberately minimal (matches the reference's
+memory-session scheme, websession.go).
 """
 
 from __future__ import annotations
@@ -19,6 +29,7 @@ from __future__ import annotations
 import json
 import secrets
 import threading
+import urllib.parse
 from dataclasses import asdict
 from datetime import datetime
 from enum import Enum
@@ -46,6 +57,8 @@ class StatusServer:
         admin_passwd: str = "admin",
         host: str = "127.0.0.1",
         port: int = 4090,
+        query_engine=None,
+        max_query_rows: int = 10_000,
     ):
         self.monitor = monitor
         self.node_names = node_names or {"master": "master", "slave": "slave"}
@@ -53,9 +66,43 @@ class StatusServer:
         self.admin_passwd = admin_passwd
         self.host = host
         self.port = port
+        #: optional InfluxQLEngine serving /query; the collect is
+        #: capped at max_query_rows (the reference reads chunked at
+        #: 10k rows, client.go:343-344 — same order of magnitude)
+        self.query_engine = query_engine
+        self.max_query_rows = max_query_rows
         self._sessions: set[str] = set()
         self._httpd: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
+
+    def _run_query(self, q: str) -> tuple[int, dict]:
+        """Execute InfluxQL text → (http status, InfluxDB 1.x response
+        body): ``{"results":[{"statement_id":0,"series":[{name,
+        columns,values}]}]}`` — the shape the reference's ReadDB
+        decodes (client.go:383-478)."""
+        from syncflux_spark.influxql import InfluxQLError, SelectStmt, parse
+
+        if self.query_engine is None:
+            return 503, {"error": "no query engine attached"}
+        try:
+            st = parse(q)
+            df = self.query_engine.query(q)
+            rows = df.limit(self.max_query_rows).collect()
+            name = (
+                st.measurement
+                if isinstance(st, SelectStmt)
+                else getattr(st, "what", "results").replace(" ", "_")
+            )
+            series = {
+                "name": name,
+                "columns": list(df.columns),
+                "values": [list(r) for r in rows],
+            }
+            return 200, {"results": [{"statement_id": 0, "series": [series]}]}
+        except InfluxQLError as ex:
+            return 400, {"error": str(ex)}
+        except Exception as ex:  # compile/execute failure → influx error shape
+            return 400, {"error": f"{type(ex).__name__}: {ex}"}
 
     # -- handlers -----------------------------------------------------------
     def _handler_cls(self):
@@ -87,8 +134,21 @@ class StatusServer:
                     if c.strip().startswith("syncflux-sess=")
                 )
 
+            def _query_param(self) -> str | None:
+                parsed = urllib.parse.urlparse(self.path)
+                qs = urllib.parse.parse_qs(parsed.query)
+                vals = qs.get("q")
+                return vals[0] if vals else None
+
             def do_GET(self):
-                if self.path == "/api/health/" or self.path == "/api/health":
+                if self.path.startswith("/query"):
+                    q = self._query_param()
+                    if not q:
+                        self._send(400, {"error": "missing q parameter"})
+                        return
+                    code, body = server._run_query(q)
+                    self._send(code, body)
+                elif self.path == "/api/health/" or self.path == "/api/health":
                     st = server.monitor.get_status()
                     self._send(200, asdict(st))
                 elif self.path.startswith("/api/health/"):
@@ -105,7 +165,21 @@ class StatusServer:
                     self._send(404, {"error": "not found"})
 
             def do_POST(self):
-                if self.path == "/login":
+                if self.path.startswith("/query"):
+                    # influx clients POST with q in the query string or
+                    # a form-encoded body (client.go issues both)
+                    q = self._query_param()
+                    if not q:
+                        n = int(self.headers.get("Content-Length", 0))
+                        body = self.rfile.read(n).decode() if n else ""
+                        qs = urllib.parse.parse_qs(body)
+                        q = (qs.get("q") or [None])[0]
+                    if not q:
+                        self._send(400, {"error": "missing q parameter"})
+                        return
+                    code, body = server._run_query(q)
+                    self._send(code, body)
+                elif self.path == "/login":
                     n = int(self.headers.get("Content-Length", 0))
                     try:
                         creds = json.loads(self.rfile.read(n) or b"{}")

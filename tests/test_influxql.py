@@ -1,0 +1,299 @@
+"""InfluxQL front-end: parser, compiler semantics, catalog routing.
+
+The reference holds InfluxQL strings in its code (`show databases`
+pkg/agent/client.go:161, the scan template pkg/agent/sync.go:162, DDL
+client.go:84-156); syncflux users hold more of them in dashboards.
+These tests pin the parse → DataFrame compilation against hand-built
+DataFrame results on the driver fixture.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+import pytest
+from pyspark.sql import functions as F
+
+from syncflux_spark.influxql import (
+    InfluxQLEngine,
+    InfluxQLError,
+    SelectStmt,
+    parse,
+)
+
+NOW = datetime(2024, 2, 1, tzinfo=timezone.utc)
+
+
+@pytest.fixture(scope="module")
+def engine(spark, events):
+    return InfluxQLEngine(
+        spark,
+        tables={"events": events},
+        tags={"events": ["event_type", "user_id"]},
+        now=NOW,
+    )
+
+
+class TestParser:
+    def test_scan_template_shape(self):
+        # the exact statement shape the reference emits (sync.go:162)
+        st = parse(
+            'select * from "events" where time > 1704412800000000000 '
+            "and time < 1704499200000000000 group by *"
+        )
+        assert isinstance(st, SelectStmt)
+        assert st.group_star
+        # influx 'time >' is exclusive: lo becomes ns+1 inclusive
+        assert st.time.lo_ns == 1704412800000000001
+        assert st.time.hi_ns == 1704499200000000000
+
+    def test_time_bounds_inclusive_exclusive(self):
+        st = parse("select count(value) from m where time >= '2024-01-05' and time <= '2024-01-06'")
+        assert st.time.lo_ns == 1704412800 * 10**9
+        # <= is inclusive → hi is ns+1 half-open
+        assert st.time.hi_ns == 1704499200 * 10**9 + 1
+
+    def test_now_arithmetic(self):
+        st = parse("select count(v) from m where time >= now() - 1h", now=NOW)
+        assert st.time.lo_ns == int(NOW.timestamp() * 1e9) - 3600 * 10**9
+
+    def test_group_time_offset_and_fill(self):
+        st = parse("select mean(v) from m group by time(1h,30m), host fill(previous)")
+        assert st.group_time_ns == 3600 * 10**9
+        assert st.group_offset_ns == 1800 * 10**9
+        assert st.group_tags == ["host"]
+        assert st.fill == "previous"
+
+    def test_fill_number(self):
+        st = parse("select mean(v) from m group by time(1h) fill(0)")
+        assert st.fill == 0.0
+
+    def test_quoted_identifiers_and_db_rp(self):
+        st = parse('select "va l" from "my db".autogen."my meas"')
+        assert st.db == "my db" and st.rp == "autogen"
+        assert st.measurement == "my meas"
+        assert st.projs[0].field == "va l"
+
+    def test_regex_and_tag_predicates(self):
+        st = parse("select v from m where host =~ /web.*/ and dc != 'eu' and v > 1.5")
+        assert st.where is not None and st.where.op == "and"
+
+    def test_percentile_requires_arg(self):
+        with pytest.raises(InfluxQLError):
+            parse("select percentile(v) from m")
+
+    def test_time_under_or_rejected(self):
+        with pytest.raises(InfluxQLError):
+            parse("select v from m where time > now() or host = 'a'")
+
+    def test_trailing_garbage_rejected(self):
+        with pytest.raises(InfluxQLError):
+            parse("select v from m limit 5 bogus")
+
+    def test_show_statements(self):
+        assert parse("SHOW DATABASES").what == "databases"
+        st = parse('show retention policies on "db"')
+        assert st.what == "retention policies" and st.db == "db"
+        st = parse('show field keys on db from "m"')
+        assert st.measurement == "m"
+
+    def test_ddl_statements(self):
+        st = parse(
+            'CREATE DATABASE "d" WITH DURATION 720h REPLICATION 1 '
+            'SHARD DURATION 24h NAME "rp"'
+        )
+        assert st.db == "d" and st.duration == "720h" and st.rp_name == "rp"
+        st = parse('CREATE RETENTION POLICY "rp" ON "d" DURATION 72h REPLICATION 1 DEFAULT')
+        assert st.verb == "create" and st.default and st.duration == "72h"
+        st = parse('ALTER RETENTION POLICY "rp" ON "d" DEFAULT')
+        assert st.verb == "alter" and st.default
+
+
+class TestSelectSemantics:
+    def test_raw_scan_matches_scan_time_range(self, engine, events):
+        from syncflux_spark.sources.parquet import scan_time_range
+
+        lo, hi = "2024-01-05 00:00:00", "2024-01-12 00:00:00"
+        out = engine.query(
+            f"select * from events where time >= '{lo}' and time < '{hi}'"
+        )
+        assert out.count() == scan_time_range(events, lo, hi).count()
+
+    def test_time_range_reaches_scan(self, engine):
+        out = engine.query(
+            "select * from events where time >= '2024-01-05' and time < '2024-01-12'"
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        scan = plan[plan.index("FileScan"):]
+        assert (
+            "GreaterThanOrEqual(ts," in scan and "LessThan(ts," in scan
+        ) or "1704412800000000000" in scan
+
+    def test_mean_rollup_matches_dataframe(self, engine, events):
+        out = engine.query(
+            "select mean(value) as m, count(value) as n from events "
+            "group by time(6h), event_type"
+        ).collect()
+        ns = F.col("ts_ns")
+        iv = 6 * 3600 * 10**9
+        exp = (
+            events.groupBy(
+                (ns - ns % F.lit(iv)).alias("time"), "event_type"
+            )
+            .agg(
+                (F.sum("value") / F.count("value")).alias("m"),
+                F.count("value").alias("n"),
+            )
+            .collect()
+        )
+        assert {(r.time, r.event_type): (r.m, r.n) for r in out} == {
+            (r.time, r.event_type): (r.m, r.n) for r in exp
+        }
+
+    def test_percentile_nearest_rank(self, engine, events):
+        out = {
+            r.event_type: (r.p90, r.med)
+            for r in engine.query(
+                "select percentile(value, 90) as p90, median(value) as med "
+                "from events group by event_type"
+            ).collect()
+        }
+        import math
+
+        rows = events.select("event_type", "value").collect()
+        by_type: dict[str, list[float]] = {}
+        for r in rows:
+            by_type.setdefault(r.event_type, []).append(r.value)
+        for t, vals in by_type.items():
+            vals.sort()
+            p90 = vals[max(1, math.ceil(len(vals) * 0.9)) - 1]
+            med = vals[max(1, math.ceil(len(vals) * 0.5)) - 1]
+            assert out[t] == (p90, med), t
+
+    def test_first_last(self, engine, events):
+        out = engine.query(
+            "select first(value) as f, last(value) as l from events "
+            "where event_type = 'click'"
+        ).collect()[0]
+        clicks = events.where(F.col("event_type") == "click")
+        exp_f = clicks.orderBy("ts_ns", "value").select("value").first().value
+        exp_l = clicks.orderBy(
+            F.desc("ts_ns"), F.desc("value")
+        ).select("value").first().value
+        assert (out.f, out.l) == (exp_f, exp_l)
+
+    def test_mode_ties_to_lowest(self, spark):
+        df = spark.createDataFrame(
+            [(1.0,), (1.0,), (3.0,), (3.0,), (2.0,)], "value double"
+        )
+        eng = InfluxQLEngine(spark, tables={"m": df}, tags={"m": []})
+        out = eng.query("select mode(value) as mo from m").collect()[0]
+        assert out.mo == 1.0  # 1.0 and 3.0 tie at 2 → lowest wins
+
+    def test_spread_stddev_distinct(self, engine, events):
+        out = engine.query(
+            "select spread(value) as sp, count(distinct(user_id)) as u "
+            "from events"
+        ).collect()[0]
+        exp = events.agg(
+            (F.max("value") - F.min("value")).alias("sp"),
+            F.countDistinct("user_id").alias("u"),
+        ).collect()[0]
+        assert (out.sp, out.u) == (exp.sp, exp.u)
+
+    def test_fill_zero_densifies(self, engine):
+        out = engine.query(
+            "select count(value) as n from events "
+            "where time >= '2024-01-05' and time < '2024-01-12' "
+            "group by time(1h), event_type fill(0)"
+        )
+        rows = out.collect()
+        # full grid: every (hour, type) combo between min and max bucket
+        times = {r.time for r in rows}
+        types = {r.event_type for r in rows}
+        assert len(rows) == len(times) * len(types)
+        assert min(r.n for r in rows) == 0  # some slot really was empty
+
+    def test_fill_previous(self, spark):
+        df = spark.createDataFrame(
+            [(0, 1.0), (3 * 3600 * 10**9, 7.0)], "ts_ns long, value double"
+        ).withColumn("ts", F.timestamp_micros((F.col("ts_ns") / 1000).cast("long")))
+        eng = InfluxQLEngine(spark, tables={"m": df}, tags={"m": []})
+        rows = eng.query(
+            "select sum(value) as s from m group by time(1h) fill(previous)"
+        ).orderBy("time").collect()
+        assert [r.s for r in rows] == [1.0, 1.0, 1.0, 7.0]
+
+    def test_fill_linear(self, spark):
+        df = spark.createDataFrame(
+            [(0, 1.0), (4 * 3600 * 10**9, 9.0)], "ts_ns long, value double"
+        ).withColumn("ts", F.timestamp_micros((F.col("ts_ns") / 1000).cast("long")))
+        eng = InfluxQLEngine(spark, tables={"m": df}, tags={"m": []})
+        rows = eng.query(
+            "select max(value) as v from m group by time(1h) fill(linear)"
+        ).orderBy("time").collect()
+        assert [r.v for r in rows] == [1.0, 3.0, 5.0, 7.0, 9.0]
+
+    def test_order_limit_offset(self, engine):
+        top = engine.query(
+            "select value from events where event_type = 'purchase' "
+            "order by time desc limit 3"
+        ).collect()
+        nxt = engine.query(
+            "select value from events where event_type = 'purchase' "
+            "order by time desc limit 3 offset 3"
+        ).collect()
+        assert len(top) == 3 and len(nxt) == 3
+        assert {r.time for r in top}.isdisjoint({r.time for r in nxt})
+
+    def test_group_by_star_uses_registered_tags(self, engine):
+        out = engine.query("select count(value) as n from events group by *")
+        assert set(out.columns) == {"event_type", "user_id", "n"}
+
+
+class TestCatalogRouting:
+    @pytest.fixture()
+    def cat_engine(self, spark, tmp_path):
+        from syncflux_spark.catalog import (
+            FieldSch,
+            MeasurementSch,
+            RetPol,
+            SparkCatalog,
+        )
+
+        cat = SparkCatalog(spark)
+        db = "iqldb"
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+        cat.create_db(db)
+        rp = RetPol(name="autogen", duration="0s", default=True)
+        meas = MeasurementSch(
+            name="cpu",
+            fields={"usage": FieldSch("usage", "float")},
+            tags=["host"],
+        )
+        cat.create_measurement(db, rp, meas, location=str(tmp_path / "cpu"))
+        yield InfluxQLEngine(spark, catalog=cat)
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+    def test_show_databases(self, cat_engine):
+        names = {r.name for r in cat_engine.query("show databases").collect()}
+        assert "iqldb" in names
+
+    def test_show_measurements_and_keys(self, cat_engine):
+        ms = {r.name for r in cat_engine.query("show measurements on iqldb").collect()}
+        assert ms == {"cpu"}
+        fk = cat_engine.query('show field keys on iqldb from "cpu"').collect()
+        assert [(r.fieldKey, r.fieldType) for r in fk] == [("usage", "float")]
+        tk = cat_engine.query('show tag keys on iqldb from "cpu"').collect()
+        assert [r.tagKey for r in tk] == ["host"]
+
+    def test_show_retention_policies(self, cat_engine):
+        rows = cat_engine.query("show retention policies on iqldb").collect()
+        assert [(r.name, r["default"]) for r in rows] == [("autogen", True)]
+
+    def test_create_database_routes(self, cat_engine, spark):
+        cat_engine.query('create database "iql_new"')
+        assert "iql_new" in {
+            r.name for r in cat_engine.query("show databases").collect()
+        }
+        spark.sql("DROP DATABASE IF EXISTS iql_new CASCADE")

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import json
+import urllib.parse
 import urllib.request
 
 import pytest
@@ -94,3 +95,71 @@ class TestEndpoints:
         _, port, _, _ = server
         code, _, _ = _get(port, "/nope")
         assert code == 404
+
+
+class TestQueryEndpoint:
+    """InfluxDB 1.x /query parity: the JSON shape the reference's
+    DBclient decodes (pkg/agent/client.go:383-478) and its health
+    probe issues (`show databases`, influxmonitor.go:48-94)."""
+
+    @pytest.fixture()
+    def qserver(self, spark, events):
+        from syncflux_spark.influxql import InfluxQLEngine
+
+        monitor = HAMonitor(master_probe=lambda: True, slave_probe=lambda: True)
+        monitor.check_once()
+        eng = InfluxQLEngine(
+            spark,
+            tables={"events": events},
+            tags={"events": ["event_type", "user_id"]},
+        )
+        srv = StatusServer(monitor, port=0, query_engine=eng, max_query_rows=50)
+        port = srv.start()
+        yield port
+        srv.stop()
+
+    def test_select_shape(self, qserver):
+        q = urllib.parse.quote(
+            "select count(value) as n from events group by event_type"
+        )
+        code, body, _ = _get(qserver, f"/query?q={q}")
+        assert code == 200
+        res = json.loads(body)["results"][0]
+        assert res["statement_id"] == 0
+        s = res["series"][0]
+        assert s["name"] == "events"
+        assert s["columns"] == ["event_type", "n"]
+        assert len(s["values"]) == 5 and all(v[1] > 0 for v in s["values"])
+
+    def test_show_databases_probe(self, qserver):
+        # the reference's liveness probe statement (influxmonitor.go:48-94)
+        code, body, _ = _get(qserver, "/query?q=show%20databases")
+        assert code == 200
+        s = json.loads(body)["results"][0]["series"][0]
+        assert s["name"] == "databases"
+        assert ["events"] in s["values"]
+
+    def test_post_form_body(self, qserver):
+        data = urllib.parse.urlencode(
+            {"q": "select count(value) as n from events"}
+        ).encode()
+        req = urllib.request.Request(f"http://127.0.0.1:{qserver}/query", data=data)
+        with urllib.request.urlopen(req) as r:
+            assert r.status == 200
+            s = json.loads(r.read())["results"][0]["series"][0]
+        assert s["columns"] == ["n"]
+
+    def test_row_cap(self, qserver):
+        q = urllib.parse.quote("select value from events")
+        _, body, _ = _get(qserver, f"/query?q={q}")
+        s = json.loads(body)["results"][0]["series"][0]
+        assert len(s["values"]) == 50  # max_query_rows cap
+
+    def test_parse_error_shape(self, qserver):
+        q = urllib.parse.quote("select from where")
+        code, body, _ = _get(qserver, f"/query?q={q}")
+        assert code == 400 and "error" in json.loads(body)
+
+    def test_missing_q(self, qserver):
+        code, body, _ = _get(qserver, "/query")
+        assert code == 400
