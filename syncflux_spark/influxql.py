@@ -142,6 +142,7 @@ class SelectStmt:
     measurement: str
     db: str | None = None
     rp: str | None = None
+    into: str | None = None  # SELECT ... INTO target (CQ bodies)
     where: "Expr | None" = None
     time: TimeBound = dc_field(default_factory=lambda: TimeBound(None, None))
     group_time_ns: int | None = None
@@ -191,6 +192,16 @@ class RetentionPolicyStmt:
     replication: int | None = None
     shard_duration: str | None = None
     default: bool = False
+
+
+@dataclass
+class ContinuousQueryStmt:
+    """CREATE CONTINUOUS QUERY "name" ON "db" BEGIN
+    SELECT <aggs> INTO "target" FROM m GROUP BY time(iv)[, tags] END"""
+
+    name: str
+    db: str
+    select: SelectStmt
 
 
 # ---------------------------------------------------------------------------
@@ -270,17 +281,22 @@ class _Parser:
             return self.show()
         if w == "create" and self.peek(1) and self.peek(1).text.lower() == "database":
             return self.create_database()
+        if w == "create" and self.peek(1) and self.peek(1).text.lower() == "continuous":
+            return self.continuous_query()
         if w in ("create", "alter"):
             return self.retention_policy()
         raise InfluxQLError(f"unsupported statement {t.text!r}")
 
     # -- SELECT -------------------------------------------------------------
-    def select(self) -> SelectStmt:
+    def select(self, in_cq: bool = False) -> SelectStmt:
         self.expect_kw("select")
         projs = [self.proj()]
         while self.peek() and self.peek().text == ",":
             self.next()
             projs.append(self.proj())
+        into = None
+        if self.accept_kw("into"):
+            into = self.ident()
         self.expect_kw("from")
         db = rp = None
         name = self.ident() if self.peek().text != "*" else self.next().text
@@ -296,7 +312,7 @@ class _Parser:
             meas = parts[0]
         else:
             raise InfluxQLError("too many dots in measurement name")
-        st = SelectStmt(projs=projs, measurement=meas, db=db, rp=rp)
+        st = SelectStmt(projs=projs, measurement=meas, db=db, rp=rp, into=into)
         if self.accept_kw("where"):
             st.where = self.where_expr(st)
         if self.accept_kw("group", "by"):
@@ -326,6 +342,8 @@ class _Parser:
             st.offset = int(self.next().text)
         if self.peek() and self.peek().text == ";":
             self.next()
+        if in_cq:
+            return st  # caller consumes the closing END
         if self.peek() is not None:
             raise InfluxQLError(f"trailing input at {self.peek().text!r}")
         return st
@@ -532,6 +550,24 @@ class _Parser:
                 else:
                     break
         return st
+
+    def continuous_query(self) -> ContinuousQueryStmt:
+        self.expect_kw("create", "continuous", "query")
+        name = self.ident()
+        self.expect_kw("on")
+        db = self.ident()
+        self.expect_kw("begin")
+        sel = self.select(in_cq=True)
+        self.expect_kw("end")
+        if self.peek() and self.peek().text == ";":
+            self.next()
+        if self.peek() is not None:
+            raise InfluxQLError(f"trailing input at {self.peek().text!r}")
+        if sel.into is None:
+            raise InfluxQLError("continuous query requires SELECT ... INTO")
+        if not sel.group_time_ns:
+            raise InfluxQLError("continuous query requires GROUP BY time(...)")
+        return ContinuousQueryStmt(name=name, db=db, select=sel)
 
     def retention_policy(self) -> RetentionPolicyStmt:
         verb = self.next().text.lower()

@@ -434,3 +434,104 @@ def vocab_top_terms(
         .limit(k)
         .select(F.col("w").alias("word"), "doc_freq", "total_tf")
     )
+
+
+def passage_stats(
+    df: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split each document into NON-overlapping ``k``-word passages
+    with a content hash — the unit for cross-document repeated-passage
+    (boilerplate) detection, the passage-level sibling of document-
+    level dedup. (id, passage_id, n_tokens, passage_hash).
+
+    Map-only: a sequence of passage starts exploded per row, each
+    passage a slice of the staged words array; the 1→N expansion is
+    bounded by tokens/k. No shuffle until a consumer aggregates."""
+    from syncflux_spark.functions.text import words
+
+    staged = df.select(F.col(id_col), words(text_col).alias("ws"))
+    return staged.select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("ws"), F.lit(k)),
+                lambda s: F.slice("ws", s, k),
+            )
+        ).alias("passage_id", "pw"),
+    ).select(
+        id_col,
+        F.col("passage_id").cast("long").alias("passage_id"),
+        F.size("pw").cast("long").alias("n_tokens"),
+        F.md5(F.array_join("pw", " ")).alias("passage_hash"),
+    )
+
+
+def boilerplate_passages(
+    df: DataFrame,
+    k: int = 8,
+    min_df: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Passages repeated across ≥ ``min_df`` distinct documents —
+    CCNet-style boilerplate discovery (headers, disclaimers, templated
+    text that document-level dedup can't see). (passage_hash, df_docs,
+    n_occurrences, example_doc).
+
+    One hash aggregation on the passage digest with map-side partial
+    agg: the shuffle carries one row per distinct passage, not per
+    passage occurrence. A hot passage (site-wide boilerplate on
+    millions of pages) is exactly what partial aggregation collapses
+    before the exchange — no skew problem by construction."""
+    p = passage_stats(df, k=k, text_col=text_col, id_col=id_col)
+    return (
+        p.groupBy("passage_hash")
+        .agg(
+            F.count_distinct(F.col(id_col)).alias("df_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min(F.col(id_col)).alias("example_doc"),
+        )
+        .where(F.col("df_docs") >= min_df)
+    )
+
+
+def doc_boilerplate_ratio(
+    df: DataFrame,
+    k: int = 8,
+    min_df: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document boilerplate exposure: how much of each document is
+    passages shared with ≥ ``min_df`` documents, and the token count
+    left after removing them — the passage-level cleaning decision a
+    corpus pipeline applies after document dedup.
+    (id, n_passages, n_boiler_passages, boiler_ratio, clean_tokens).
+
+    Plan: passage explode (map-only) → document-frequency hash agg →
+    hash join back on the digest → per-doc hash agg. The df-aggregate
+    and the join share the passage_hash key, so the join reuses the
+    aggregation's partitioning (one effective extra shuffle for the
+    per-doc rollup). The boilerplate set is NOT broadcast by
+    assumption — at corpus scale it can be large; the hash join
+    handles either case and AQE converts it to broadcast when the
+    filtered side turns out small."""
+    p = passage_stats(df, k=k, text_col=text_col, id_col=id_col)
+    dfreq = p.groupBy("passage_hash").agg(
+        F.count_distinct(F.col(id_col)).alias("df_docs")
+    )
+    j = p.join(dfreq, "passage_hash")
+    boiler = F.col("df_docs") >= min_df
+    return j.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_passages"),
+        F.sum(boiler.cast("long")).alias("n_boiler_passages"),
+        (
+            F.sum(boiler.cast("long")).cast("double") / F.count(F.lit(1))
+        ).alias("boiler_ratio"),
+        F.sum(F.when(~boiler, F.col("n_tokens")).otherwise(F.lit(0))).alias(
+            "clean_tokens"
+        ),
+    )

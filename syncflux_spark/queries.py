@@ -8334,6 +8334,114 @@ def influxql_fill_zero_6h(spark, sf):
     )
 
 
+# ===========================================================================
+# Passage-level (boilerplate) dedup — CCNet-style repeated-passage removal
+# ===========================================================================
+
+
+@register(
+    "passage_boilerplate",
+    f"""
+    WITH w AS (SELECT doc_id, {_SQL_WORDS} AS ws FROM documents),
+    p AS (SELECT doc_id,
+                 md5(array_to_string(ws[start:start+2], ' ')) AS passage_hash
+          FROM (SELECT doc_id, ws,
+                       unnest(generate_series(1, len(ws), 3)) AS start
+                FROM w))
+    SELECT passage_hash,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(MIN(doc_id) AS BIGINT) AS example_doc
+    FROM p GROUP BY passage_hash
+    HAVING COUNT(DISTINCT doc_id) >= 2
+    """,
+)
+def passage_boilerplate(spark, sf):
+    """Cross-document repeated passages (k=3-word non-overlapping
+    units on the synthetic fixture; k=8+ on real prose): the
+    boilerplate document-level dedup can't see. One partial-agg
+    shuffle on the passage digest — a sitewide passage repeated on
+    millions of pages collapses map-side before the exchange, so hot
+    boilerplate is the cheap case, not the skew case."""
+    from syncflux_spark.operators.textops import boilerplate_passages
+
+    return boilerplate_passages(
+        load_table(spark, sf, "documents"), k=3, min_df=2
+    )
+
+
+@register(
+    "doc_boilerplate_ratio",
+    f"""
+    WITH w AS (SELECT doc_id, {_SQL_WORDS} AS ws FROM documents),
+    p AS (SELECT doc_id, CAST(len(ws[start:start+2]) AS BIGINT) AS n_tokens,
+                 md5(array_to_string(ws[start:start+2], ' ')) AS passage_hash
+          FROM (SELECT doc_id, ws,
+                       unnest(generate_series(1, len(ws), 3)) AS start
+                FROM w)),
+    d AS (SELECT passage_hash, COUNT(DISTINCT doc_id) AS df_docs
+          FROM p GROUP BY passage_hash)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_passages,
+           CAST(SUM(CASE WHEN df_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_boiler_passages,
+           CAST(SUM(CASE WHEN df_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS boiler_ratio,
+           CAST(SUM(CASE WHEN df_docs < 2 THEN n_tokens ELSE 0 END) AS BIGINT)
+             AS clean_tokens
+    FROM p JOIN d USING (passage_hash)
+    GROUP BY doc_id
+    """,
+)
+def doc_boilerplate_ratio(spark, sf):
+    """Per-document boilerplate exposure + post-cleaning token count —
+    the passage-level cleaning decision applied after document dedup.
+    Passage explode (map-only) → df hash-agg → hash join back on the
+    digest (AQE broadcasts it when the boilerplate set is small) →
+    per-doc rollup."""
+    from syncflux_spark.operators.textops import doc_boilerplate_ratio as op
+
+    return op(load_table(spark, sf, "documents"), k=3, min_df=2)
+
+
+@register(
+    "cq_daily_rollup",
+    f"""
+    SELECT (u - u % 86400000000) * 1000 AS time, event_type,
+           CAST(SUM(v) AS DOUBLE) / COUNT(*) AS mean_micro,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM (SELECT epoch_us(ts) AS u, event_type,
+                 {_sql_micros('value')} AS v
+          FROM events)
+    GROUP BY 1, 2
+    """,
+)
+def cq_daily_rollup(spark, sf):
+    """InfluxDB Continuous Query end-to-end: ``CREATE CONTINUOUS
+    QUERY .. BEGIN SELECT mean(value) INTO .. GROUP BY time(1d),
+    event_type END`` materialized INCREMENTALLY across three advancing
+    ``now`` points — each run range-prunes the source scan to buckets
+    newer than the target's own high-water mark and complete at
+    ``now``, writing an idempotent ``win=`` directory. The final
+    target must equal the one-shot batch rollup (the oracle), proving
+    no bucket was lost, duplicated, or emitted while partial."""
+    from syncflux_spark.sources.parquet import _to_ns_epoch
+    from syncflux_spark.streaming.continuous import ContinuousQuery
+
+    eng = _influxql_events(spark, sf)
+    root = tempfile.mkdtemp(prefix="sf_cq_")
+    cq = ContinuousQuery(
+        eng,
+        'CREATE CONTINUOUS QUERY "daily" ON "db" BEGIN '
+        "SELECT mean(value) AS mean_micro, count(value) AS n "
+        'INTO "events_daily" FROM events '
+        "GROUP BY time(1d), event_type END",
+        f"{root}/events_daily",
+    )
+    for now in ("2024-01-10", "2024-01-20", "2024-02-05"):
+        cq.run(_to_ns_epoch(f"{now} 00:00:00"))
+    return cq.read_target()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.spark for name, q in REGISTRY.items()}
 

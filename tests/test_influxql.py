@@ -297,3 +297,93 @@ class TestCatalogRouting:
             r.name for r in cat_engine.query("show databases").collect()
         }
         spark.sql("DROP DATABASE IF EXISTS iql_new CASCADE")
+
+
+class TestContinuousQuery:
+    """InfluxDB CQ parity: incremental materialization of complete
+    buckets only, restart-safe via the target's own high-water mark."""
+
+    CQ = (
+        'CREATE CONTINUOUS QUERY "daily" ON "db" BEGIN '
+        "SELECT count(value) AS n INTO \"events_daily\" FROM events "
+        "GROUP BY time(1d), event_type END"
+    )
+
+    @staticmethod
+    def _ns(s: str) -> int:
+        from syncflux_spark.sources.parquet import _to_ns_epoch
+
+        return _to_ns_epoch(s)
+
+    def test_parse(self):
+        from syncflux_spark.influxql import ContinuousQueryStmt
+
+        st = parse(self.CQ)
+        assert isinstance(st, ContinuousQueryStmt)
+        assert st.name == "daily" and st.db == "db"
+        assert st.select.into == "events_daily"
+        assert st.select.group_time_ns == 86400 * 10**9
+
+    def test_parse_requires_into_and_time(self):
+        with pytest.raises(InfluxQLError):
+            parse('CREATE CONTINUOUS QUERY "x" ON "d" BEGIN '
+                  "SELECT count(v) FROM m GROUP BY time(1h) END")
+        with pytest.raises(InfluxQLError):
+            parse('CREATE CONTINUOUS QUERY "x" ON "d" BEGIN '
+                  'SELECT count(v) INTO "t" FROM m END')
+
+    def test_incremental_runs(self, engine, events, tmp_path):
+        from syncflux_spark.streaming.continuous import ContinuousQuery
+
+        cq = ContinuousQuery(engine, self.CQ, str(tmp_path / "daily"))
+        n1 = cq.run(self._ns("2024-01-10 00:00:00"))
+        assert n1 > 0
+        # same now again → nothing new (idempotent scheduling)
+        assert cq.run(self._ns("2024-01-10 00:00:00")) == 0
+        # later now → only the newer buckets
+        n2 = cq.run(self._ns("2024-01-20 00:00:00"))
+        assert n2 > 0
+        got = cq.read_target()
+        hi = self._ns("2024-01-20 00:00:00")
+        exp = (
+            events.where(F.col("ts_ns") < hi)
+            .groupBy(
+                (F.col("ts_ns") - F.col("ts_ns") % F.lit(86400 * 10**9)).alias(
+                    "time"
+                ),
+                "event_type",
+            )
+            .count()
+        )
+        assert got.count() == exp.count() == n1 + n2
+
+    def test_partial_bucket_excluded(self, engine, tmp_path):
+        from syncflux_spark.streaming.continuous import ContinuousQuery
+
+        cq = ContinuousQuery(engine, self.CQ, str(tmp_path / "daily2"))
+        # now mid-bucket: the 01-09 bucket is incomplete → max
+        # materialized bucket must be 01-08
+        cq.run(self._ns("2024-01-09 12:00:00"))
+        mx = cq.read_target().agg(F.max("time").alias("m")).collect()[0].m
+        assert mx == self._ns("2024-01-08 00:00:00")
+
+    def test_matches_batch_rollup(self, engine, events, tmp_path):
+        from syncflux_spark.streaming.continuous import ContinuousQuery
+
+        cq = ContinuousQuery(engine, self.CQ, str(tmp_path / "daily3"))
+        cq.run(self._ns("2024-03-01 00:00:00"))  # all buckets complete
+        got = {
+            (r.time, r.event_type): r.n for r in cq.read_target().collect()
+        }
+        exp = {
+            (r.time, r.event_type): r.n
+            for r in events.groupBy(
+                (F.col("ts_ns") - F.col("ts_ns") % F.lit(86400 * 10**9)).alias(
+                    "time"
+                ),
+                "event_type",
+            )
+            .agg(F.count("value").alias("n"))
+            .collect()
+        }
+        assert got == exp

@@ -219,3 +219,40 @@ class TestSingleShuffleTsFamily:
         plan = plan_of(spark, sf_dir, "dedup_graph_triangles")
         assert "BroadcastNestedLoopJoin" not in plan
         assert "CartesianProduct" not in plan
+
+
+class TestInfluxQLCompilation:
+    def test_rollup_single_shuffle_partial_agg(self, spark, sf_dir):
+        """The compiled `GROUP BY time(1h), tag` rollup must be one
+        hash aggregation (partial before the exchange, final after) —
+        the same plan a hand-written DataFrame rollup produces; a
+        sort-based or two-exchange plan means the bucket expression
+        broke hash aggregation."""
+        plan = plan_of(spark, sf_dir, "influxql_mean_1h")
+        # exactly one hash exchange (the aggregation); the only other
+        # allowed exchange is the rangepartitioning for InfluxDB's
+        # default time-ordered output, which sorts the tiny rollup,
+        # not the fact table
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+        assert plan.count("Exchange") <= 2, plan
+        pre_exchange = plan.split("Exchange hashpartitioning")[-1]
+        assert "HashAggregate" in pre_exchange and "partial_" in pre_exchange
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    def test_time_bounds_reach_scan(self, spark, sf_dir):
+        """WHERE time bounds written in InfluxQL text must land in the
+        parquet scan's DataFilters like native scans do."""
+        plan = plan_of(spark, sf_dir, "influxql_mean_1h")
+        scan_lines = [ln for ln in plan.splitlines() if "FileScan" in ln]
+        assert scan_lines
+        assert any(
+            "DataFilters:" in ln and "isnotnull" in ln and "2024" in ln
+            for ln in scan_lines
+        )
+
+    def test_fill_spine_is_broadcast_side(self, spark, sf_dir):
+        """fill(0) densification joins the tiny bucket spine to the
+        rollup; neither side may nested-loop (the spine cross-join is
+        single-row-driven and must stay a broadcast)."""
+        plan = plan_of(spark, sf_dir, "influxql_fill_zero_6h")
+        assert "CartesianProduct" not in plan
