@@ -8442,6 +8442,265 @@ def cq_daily_rollup(spark, sf):
     return cq.read_target()
 
 
+# ===========================================================================
+# Forecast-quality + robust-stats + HLL additions
+# ===========================================================================
+
+
+@register(
+    "ts_seasonal_mase",
+    """
+    WITH b AS (
+      SELECT CAST(epoch_us(date_trunc('hour', MIN(ts))) AS BIGINT) AS h0,
+             CAST(epoch_us(date_trunc('hour', MAX(ts))) AS BIGINT) AS h1
+      FROM events),
+    hrs AS (SELECT h0 + 3600000000 *
+                   unnest(range(0, (h1 - h0) // 3600000000 + 1)) AS hr_us
+            FROM b),
+    types AS (SELECT DISTINCT event_type FROM events),
+    hc AS (SELECT event_type,
+                  CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS hr_us,
+                  COUNT(*) AS c
+           FROM events GROUP BY 1, 2),
+    dense AS (
+      SELECT t.event_type, h.hr_us, CAST(COALESCE(hc.c, 0) AS BIGINT) AS c
+      FROM types t CROSS JOIN hrs h
+      LEFT JOIN hc ON hc.event_type = t.event_type AND hc.hr_us = h.hr_us),
+    led AS (
+      SELECT event_type, c,
+             lag(c, 1) OVER w AS p1,
+             lag(c, 24) OVER w AS p24
+      FROM dense
+      WINDOW w AS (PARTITION BY event_type ORDER BY hr_us)),
+    agg AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_hours,
+             CAST(SUM(CASE WHEN p24 IS NOT NULL THEN ABS(c - p24) END) AS BIGINT) AS sae_seasonal,
+             CAST(SUM(CASE WHEN p24 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_seasonal,
+             CAST(SUM(CASE WHEN p1 IS NOT NULL THEN ABS(c - p1) END) AS BIGINT) AS sae_naive,
+             CAST(SUM(CASE WHEN p1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_naive
+      FROM led GROUP BY event_type)
+    SELECT event_type, n_hours, sae_seasonal, n_seasonal, sae_naive, n_naive,
+           CASE WHEN sae_naive * n_seasonal > 0
+                THEN CAST(sae_seasonal * n_naive AS DOUBLE)
+                     / CAST(sae_naive * n_seasonal AS DOUBLE) END AS mase
+    FROM agg
+    """,
+)
+def ts_seasonal_mase(spark, sf):
+    """Seasonal-naive forecast quality (MASE, season = 24 h) per event
+    type's hourly-count series: MAE of the lag-24 forecast over MAE of
+    the lag-1 naive — the standard scale-free test for 'is there a
+    daily cycle worth modeling'. MASE < 1 ⇒ the seasonal forecast
+    beats naive. Series semantics match ts_acf: the DENSE hourly grid
+    with absent hours as 0. Both lags ride ONE per-type sort window
+    (no self-joins); every error term is an exact int64 and the MASE
+    ratio is cross-multiplied to a single float division —
+    (Σ|e_s|·n_1) / (Σ|e_1|·n_s) — bit-identical across engines."""
+    ev = load_table(spark, sf, "events")
+    hr = F.unix_micros(F.date_trunc("hour", F.col("ts")))
+    STEP = 3_600_000_000
+    b = ev.agg(F.min(hr).alias("h0"), F.max(hr).alias("h1"))
+    types = ev.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(b)).select(
+        "event_type",
+        F.explode(F.sequence(F.col("h0"), F.col("h1"), F.lit(STEP))).alias("hr_us"),
+    )
+    hc = ev.groupBy("event_type", hr.alias("hr_us")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    dense = grid.join(hc, ["event_type", "hr_us"], "left").select(
+        "event_type", "hr_us", F.coalesce("c", F.lit(0)).alias("c")
+    )
+    w = Window.partitionBy("event_type").orderBy("hr_us")
+    led = dense.select(
+        "event_type",
+        "c",
+        F.lag("c", 1).over(w).alias("p1"),
+        F.lag("c", 24).over(w).alias("p24"),
+    )
+
+    def sae(pc):
+        return F.sum(
+            F.when(F.col(pc).isNotNull(), F.abs(F.col("c") - F.col(pc)))
+        ).cast("long")
+
+    def cnt(pc):
+        return F.sum(F.col(pc).isNotNull().cast("long")).cast("long")
+
+    agg = led.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        sae("p24").alias("sae_seasonal"),
+        cnt("p24").alias("n_seasonal"),
+        sae("p1").alias("sae_naive"),
+        cnt("p1").alias("n_naive"),
+    )
+    num = F.col("sae_seasonal") * F.col("n_naive")
+    den = F.col("sae_naive") * F.col("n_seasonal")
+    return agg.select(
+        "event_type",
+        "n_hours",
+        "sae_seasonal",
+        "n_seasonal",
+        "sae_naive",
+        "n_naive",
+        F.when(den > 0, num.cast("double") / den.cast("double")).alias("mase"),
+    )
+
+
+@register(
+    "ts_winsorized_stats",
+    f"""
+    WITH v AS (SELECT event_type, {_sql_micros('value')} AS vm FROM events),
+    r AS (SELECT event_type, vm,
+                 ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY vm) AS rk,
+                 COUNT(*) OVER (PARTITION BY event_type) AS n
+          FROM v),
+    p AS (SELECT event_type,
+                 MAX(CASE WHEN rk = GREATEST(1, CAST(CEIL(n * 0.05) AS BIGINT))
+                          THEN vm END) AS p05,
+                 MAX(CASE WHEN rk = GREATEST(1, CAST(CEIL(n * 0.95) AS BIGINT))
+                          THEN vm END) AS p95
+          FROM r GROUP BY event_type)
+    SELECT v.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           p.p05 AS p05_micro, p.p95 AS p95_micro,
+           CAST(SUM(CASE WHEN vm < p05 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_low,
+           CAST(SUM(CASE WHEN vm > p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_high,
+           CAST(SUM(CASE WHEN vm < p05 THEN p05
+                         WHEN vm > p95 THEN p95 ELSE vm END) AS BIGINT)
+             AS winsorized_sum_micro,
+           CAST(SUM(CASE WHEN vm < p05 THEN p05
+                         WHEN vm > p95 THEN p95 ELSE vm END) AS DOUBLE)
+             / COUNT(*) AS winsorized_mean_micro
+    FROM v JOIN p USING (event_type)
+    GROUP BY v.event_type, p.p05, p.p95
+    """,
+)
+def ts_winsorized_stats(spark, sf):
+    """Winsorized (5%/95%-clipped) robust mean per event type — the
+    outlier-resistant center a monitoring pipeline reports when raw
+    means are spike-dominated. Nearest-rank cut points and the clipped
+    sum both come from one sorted in-row array per group (single
+    shuffle, like the percentile family); every clipped value is an
+    exact integer micro, one float division at the end."""
+    ev = load_table(spark, sf, "events")
+    vm = micros_amt("value")
+    g = ev.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(vm)).alias("arr")
+    )
+    sz = F.size("arr")
+
+    def cut(p):
+        pos = F.greatest(
+            F.lit(1), F.ceil(sz.cast("double") * F.lit(p)).cast("int")
+        )
+        return F.element_at("arr", pos)
+
+    g = g.select(
+        "event_type",
+        sz.cast("long").alias("n"),
+        cut(0.05).alias("p05_micro"),
+        cut(0.95).alias("p95_micro"),
+        F.col("arr"),
+    )
+    clipped_sum = F.expr(
+        "aggregate(arr, 0L, (acc, x) -> acc + CASE "
+        "WHEN x < p05_micro THEN p05_micro "
+        "WHEN x > p95_micro THEN p95_micro ELSE x END)"
+    )
+    return g.select(
+        "event_type",
+        "n",
+        "p05_micro",
+        "p95_micro",
+        F.expr(
+            "aggregate(arr, 0L, (acc, x) -> acc + CASE WHEN x < p05_micro THEN 1L ELSE 0L END)"
+        ).alias("n_clipped_low"),
+        F.expr(
+            "aggregate(arr, 0L, (acc, x) -> acc + CASE WHEN x > p95_micro THEN 1L ELSE 0L END)"
+        ).alias("n_clipped_high"),
+        clipped_sum.alias("winsorized_sum_micro"),
+        (clipped_sum.cast("double") / F.col("n")).alias("winsorized_mean_micro"),
+    )
+
+
+#: alpha_64 · m² · 2^48 for the HLL estimator below, folded to one
+#: double literal shared verbatim by both engines (single division).
+_HLL_NUM = 0.709 * 4096 * float(2**48)
+
+
+@register(
+    "hll_distinct_users",
+    f"""
+    WITH h AS (SELECT DISTINCT event_type,
+                 ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT AS v
+               FROM events),
+    reg AS (SELECT event_type, v % 64 AS r, v // 64 AS w FROM h),
+    rk AS (SELECT event_type, r,
+                  MAX(CASE WHEN w = 0 THEN 43
+                           ELSE 43 - length(bin(w)) END) AS max_rank
+           FROM reg GROUP BY event_type, r),
+    s AS (SELECT event_type,
+                 CAST(COUNT(*) AS BIGINT) AS n_used,
+                 CAST(SUM(1::BIGINT << (48 - max_rank)) AS BIGINT) AS sum_used
+          FROM rk GROUP BY event_type)
+    SELECT event_type, n_used,
+           CAST(sum_used + (64 - n_used) * 281474976710656 AS BIGINT)
+             AS sum_scaled,
+           {_HLL_NUM!r} / CAST(sum_used + (64 - n_used) * 281474976710656
+                               AS DOUBLE) AS est_distinct
+    FROM s
+    """,
+)
+def hll_distinct_users(spark, sf):
+    """HyperLogLog distinct-count per event type (m=64 registers,
+    6-bit bucket + 42-bit rank word from the md5-derived 48-bit hash)
+    — completing the sketch family (KMV/CMS/Bloom) with the
+    industry-default cardinality sketch. Deterministic by
+    construction: register assignment and rank are exact integer/
+    string ops, the register STATE itself is oracle-checked via the
+    exact scaled harmonic sum Σ 2^(48−rank) (absent registers
+    contribute 2^48; total ≤ 2^54, exact in int64), and the estimate
+    α·m²·2^48 / sum is one shared-literal float division. No
+    small-range linear-counting correction is applied — n_used is
+    emitted so a consumer can; the raw estimator is the
+    cross-engine-checkable part. Plan: distinct → per-register max
+    (partial agg) → per-type sum; O(m) state per key, mergeable —
+    the same shuffle shape as the KMV sketch."""
+    ev = load_table(spark, sf, "events")
+    h = ev.select(
+        "event_type",
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 12), 16, 10)
+        .cast("long")
+        .alias("v"),
+    ).distinct()
+    reg = h.select(
+        "event_type",
+        (F.col("v") % 64).alias("r"),
+        F.expr("v div 64").alias("w"),
+    )
+    rank = F.when(F.col("w") == 0, F.lit(43)).otherwise(
+        F.lit(43) - F.length(F.expr("bin(w)"))
+    )
+    rk = reg.groupBy("event_type", "r").agg(F.max(rank).alias("max_rank"))
+    s = rk.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_used"),
+        F.sum(F.expr("shiftleft(1L, cast(48 - max_rank AS INT))")).alias(
+            "sum_used"
+        ),
+    )
+    total = F.col("sum_used") + (F.lit(64) - F.col("n_used")) * F.lit(
+        281474976710656
+    )
+    return s.select(
+        "event_type",
+        F.col("n_used").cast("long").alias("n_used"),
+        total.cast("long").alias("sum_scaled"),
+        (F.lit(_HLL_NUM) / total.cast("double")).alias("est_distinct"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.spark for name, q in REGISTRY.items()}
 
