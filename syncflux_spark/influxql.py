@@ -112,17 +112,23 @@ class InfluxQLError(ValueError):
 
 @dataclass
 class Proj:
-    """One projection item: a bare field or ``func(field[, arg])``."""
+    """One projection item: a bare field, ``func(field[, arg])``, or a
+    selector transformation ``transform(func(field)[, arg])``
+    (derivative / difference / moving_average over an aggregate)."""
 
     func: str | None  # None = raw field
     field: str  # field name or '*'
     arg: float | None = None  # percentile argument
     alias: str | None = None
+    transform: str | None = None  # outer derivative/moving_average/...
+    transform_arg: int | float | None = None  # unit ns / window n
 
     @property
     def out_name(self) -> str:
         if self.alias:
             return self.alias
+        if self.transform:
+            return self.transform
         if self.func is None:
             return self.field
         return self.func  # influx names the column after the function
@@ -169,9 +175,27 @@ class Expr:
 
 @dataclass
 class ShowStmt:
-    what: str  # databases | retention policies | measurements | field keys | tag keys
+    what: str  # databases | retention policies | measurements | field keys
+    #          # | tag keys | tag values | series
     db: str | None = None
     measurement: str | None = None
+    tag_key: str | None = None  # SHOW TAG VALUES ... WITH KEY = k
+
+
+@dataclass
+class DeleteStmt:
+    """DELETE FROM m [WHERE time < ...] — storage-backed expiry."""
+
+    measurement: str
+    db: str | None = None
+    time: "TimeBound" = dc_field(default_factory=lambda: TimeBound(None, None))
+
+
+@dataclass
+class DropStmt:
+    what: str  # measurement | database
+    name: str
+    db: str | None = None
 
 
 @dataclass
@@ -222,6 +246,15 @@ _AGG_FUNCS = {
     "mode",
     "distinct",
     "percentile",
+}
+
+#: outer selector transformations over an aggregate (influx docs:
+#: "transformations"): derivative(mean(v), 1h), moving_average(sum(v), 3)
+_TRANSFORM_FUNCS = {
+    "derivative",
+    "non_negative_derivative",
+    "difference",
+    "moving_average",
 }
 
 
@@ -285,6 +318,10 @@ class _Parser:
             return self.continuous_query()
         if w in ("create", "alter"):
             return self.retention_policy()
+        if w == "delete":
+            return self.delete()
+        if w == "drop":
+            return self.drop()
         raise InfluxQLError(f"unsupported statement {t.text!r}")
 
     # -- SELECT -------------------------------------------------------------
@@ -353,6 +390,35 @@ class _Parser:
         if t.text == "*":
             self.next()
             return Proj(func=None, field="*")
+        if (
+            t.kind == "ident"
+            and t.text.lower() in _TRANSFORM_FUNCS
+            and self.peek(1)
+            and self.peek(1).text == "("
+        ):
+            transform = self.next().text.lower()
+            self.expect_op("(")
+            inner = self.proj()
+            if inner.func is None:
+                raise InfluxQLError(
+                    f"{transform}() requires an aggregate argument in GROUP BY time queries"
+                )
+            targ: int | float | None = None
+            if self.peek() and self.peek().text == ",":
+                self.next()
+                a = self.next()
+                if a.kind == "duration":
+                    targ = int(parse_duration(a.text).total_seconds() * 1e9)
+                elif a.kind == "number":
+                    targ = float(a.text) if "." in a.text else int(a.text)
+                else:
+                    raise InfluxQLError(f"bad {transform} argument {a.text!r}")
+            self.expect_op(")")
+            alias = self.ident() if self.accept_kw("as") else None
+            inner.transform = transform
+            inner.transform_arg = targ
+            inner.alias = alias
+            return inner
         if (
             t.kind == "ident"
             and t.text.lower() in _AGG_FUNCS
@@ -531,7 +597,41 @@ class _Parser:
             db = self.ident() if self.accept_kw("on") else None
             meas = self.ident() if self.accept_kw("from") else None
             return ShowStmt("tag keys", db=db, measurement=meas)
+        if self.accept_kw("tag", "values"):
+            db = self.ident() if self.accept_kw("on") else None
+            meas = self.ident() if self.accept_kw("from") else None
+            self.expect_kw("with", "key")
+            self.expect_op("=")
+            key = self.ident()
+            return ShowStmt("tag values", db=db, measurement=meas, tag_key=key)
+        if self.accept_kw("series"):
+            db = self.ident() if self.accept_kw("on") else None
+            meas = self.ident() if self.accept_kw("from") else None
+            return ShowStmt("series", db=db, measurement=meas)
         raise InfluxQLError("unsupported SHOW statement")
+
+    # -- DELETE / DROP ------------------------------------------------------
+    def delete(self) -> DeleteStmt:
+        self.expect_kw("delete", "from")
+        meas = self.ident()
+        st = DeleteStmt(measurement=meas)
+        if self.accept_kw("where"):
+            # only time predicates are supported (the influx DELETE
+            # grammar allows tags too; time expiry is the 99% case)
+            tmp = SelectStmt(projs=[], measurement=meas)
+            rest = self.where_expr(tmp)
+            if rest is not None:
+                raise InfluxQLError("DELETE supports time predicates only")
+            st.time = tmp.time
+        return st
+
+    def drop(self) -> DropStmt:
+        self.expect_kw("drop")
+        if self.accept_kw("measurement"):
+            return DropStmt("measurement", self.ident())
+        if self.accept_kw("database"):
+            return DropStmt("database", self.ident())
+        raise InfluxQLError("unsupported DROP statement")
 
     # -- DDL ----------------------------------------------------------------
     def create_database(self) -> CreateDatabaseStmt:
@@ -620,12 +720,16 @@ class InfluxQLEngine:
         tags: dict[str, list[str]] | None = None,
         catalog=None,
         now: datetime | None = None,
+        db: str | None = None,
     ):
         self.spark = spark
         self.tables = dict(tables or {})
         self.tags = dict(tags or {})
         self.catalog = catalog
         self.now = now
+        #: session database context (the `db` query param of the
+        #: InfluxDB HTTP API) — used by DELETE/DROP resolution
+        self.db = db
 
     def register_table(
         self, name: str, df: DataFrame, tags: list[str] | None = None
@@ -648,6 +752,10 @@ class InfluxQLEngine:
             return self.spark.createDataFrame([(st.db,)], "created string")
         if isinstance(st, RetentionPolicyStmt):
             return self._retention(st)
+        if isinstance(st, DeleteStmt):
+            return self._delete(st)
+        if isinstance(st, DropStmt):
+            return self._drop(st)
         raise InfluxQLError(f"unhandled statement {type(st).__name__}")
 
     # -- SELECT compilation -------------------------------------------------
@@ -723,6 +831,9 @@ class InfluxQLEngine:
         ] + posts
         out = out.select(*sel)
 
+        if any(p.transform for p in st.projs):
+            out = self._apply_transforms(out, st, group_tags, bucket is not None)
+
         if st.group_time_ns and st.fill not in (None, "none"):
             out = self._fill(out, st, group_tags)
         order = [F.desc("time")] if st.order_desc else (
@@ -734,6 +845,55 @@ class InfluxQLEngine:
             out = out.offset(st.offset)
         if st.limit is not None:
             out = out.limit(st.limit)
+        return out
+
+    def _apply_transforms(
+        self, out: DataFrame, st: SelectStmt, group_tags: list[str], has_bucket: bool
+    ) -> DataFrame:
+        """Selector transformations over the rollup (influx
+        "transformations"): derivative / non_negative_derivative /
+        difference / moving_average applied per series over the time
+        axis. These window over the AGGREGATED output (one row per
+        bucket × series), so the sort is on the tiny rollup, never the
+        fact table; the partitioning key is the same tag set the
+        aggregation just shuffled on, so no extra exchange of the
+        fact data. Rows where the transform is undefined (first
+        bucket, short moving-average prefix) are omitted, matching
+        InfluxDB."""
+        if not has_bucket:
+            raise InfluxQLError("transformations require GROUP BY time(...)")
+        w = Window.partitionBy(*[F.col(t) for t in group_tags]).orderBy("time")
+        iv = st.group_time_ns
+        keep_defined: list[Column] = []
+        for p in st.projs:
+            if not p.transform:
+                continue
+            name = p.out_name
+            v = F.col(name)
+            if p.transform in ("derivative", "non_negative_derivative"):
+                unit = p.transform_arg or 10**9  # influx default: per second
+                res = (v - F.lag(name).over(w)) * F.lit(unit / iv)
+                if p.transform == "non_negative_derivative":
+                    res = F.when(res >= 0, res)
+            elif p.transform == "difference":
+                res = v - F.lag(name).over(w)
+            elif p.transform == "moving_average":
+                n = int(p.transform_arg or 2)
+                wr = w.rowsBetween(-(n - 1), 0)
+                cnt = F.count(v).over(wr)
+                res = F.when(
+                    cnt == n,
+                    F.sum(v).over(wr).cast("double") / F.lit(float(n)),
+                )
+            else:  # pragma: no cover
+                raise InfluxQLError(f"unhandled transform {p.transform!r}")
+            out = out.withColumn(name, res)
+            keep_defined.append(F.col(name).isNotNull())
+        if keep_defined:
+            cond = keep_defined[0]
+            for c in keep_defined[1:]:
+                cond = cond & c
+            out = out.where(cond)
         return out
 
     def _agg_exprs(self, p: Proj, idx: int, ns: Column | None = None) -> list[Column]:
@@ -932,6 +1092,8 @@ class InfluxQLEngine:
             else:
                 names = sorted(self.tables)
             return self.spark.createDataFrame([(n,) for n in names], "name string")
+        if st.what in ("tag values", "series"):
+            return self._show_data(st)
         cat = self._require_catalog()
         if st.what == "retention policies":
             rows = [
@@ -957,6 +1119,101 @@ class InfluxQLEngine:
             return self.spark.createDataFrame(rows, "tagKey string")
         raise InfluxQLError(f"unhandled SHOW {st.what!r}")
 
+    def _show_data(self, st: ShowStmt) -> DataFrame:
+        """SHOW statements that scan data (tag values / series) — one
+        column-pruned distinct per statement, pushed to the scan."""
+        if st.measurement is None:
+            raise InfluxQLError(f"SHOW {st.what.upper()} requires FROM <measurement>")
+        df = self._resolve(
+            SelectStmt(projs=[], measurement=st.measurement, db=st.db)
+        )
+        meas_tags = self._tags_for(st.measurement, st.db)
+        if st.what == "tag values":
+            key = st.tag_key
+            if key not in df.columns:
+                raise InfluxQLError(f"unknown tag key {key!r}")
+            return (
+                df.select(
+                    F.lit(key).alias("key"),
+                    F.col(key).cast("string").alias("value"),
+                )
+                .where(F.col("value").isNotNull())
+                .distinct()
+            )
+        if st.what == "series":
+            if not meas_tags:
+                raise InfluxQLError("SHOW SERIES requires registered tag columns")
+            parts = [F.lit(st.measurement)]
+            for t in sorted(meas_tags):
+                parts.append(F.lit(f",{t}="))
+                parts.append(F.col(t).cast("string"))
+            return (
+                df.select(F.concat(*parts).alias("key")).distinct()
+            )
+        raise InfluxQLError(f"unhandled SHOW {st.what!r}")
+
+    def _delete(self, st: DeleteStmt) -> DataFrame:
+        """DELETE FROM m WHERE time ... — storage-backed expiry via
+        the catalog's staging-rewrite (parquet has no in-place DELETE;
+        same mechanics as enforce_retention). Requires a catalog and a
+        session db; the deleted window is a pushed-down range filter,
+        so untouched row groups are read once and rewritten only when
+        the table actually held rows in range."""
+        cat = self._require_catalog()
+        db = st.db or self.db
+        if db is None:
+            raise InfluxQLError("DELETE requires a database context")
+        lo = st.time.lo_ns
+        hi = st.time.hi_ns
+        if lo is None and hi is None:
+            raise InfluxQLError("DELETE requires a time predicate")
+        conds = []
+        if lo is not None:
+            conds.append(f"time_ns >= {lo}")
+        if hi is not None:
+            conds.append(f"time_ns < {hi}")
+        in_range = " AND ".join(conds)
+        deleted: list[tuple[str, int]] = []
+        for tbl in self.spark.catalog.listTables(db):
+            if not tbl.name.endswith(f"__{st.measurement}"):
+                continue
+            full = f"`{db}`.`{tbl.name}`"
+            n = self.spark.table(full).where(in_range).count()
+            deleted.append((tbl.name, n))
+            if n == 0:
+                continue
+            staging = f"`{db}`.`{tbl.name}__delete_tmp`"
+            self.spark.sql(f"DROP TABLE IF EXISTS {staging}")
+            self.spark.sql(
+                f"CREATE TABLE {staging} USING PARQUET AS "
+                f"SELECT * FROM {full} WHERE NOT ({in_range})"
+            )
+            self.spark.sql(f"INSERT OVERWRITE TABLE {full} SELECT * FROM {staging}")
+            self.spark.sql(f"DROP TABLE {staging}")
+        return self.spark.createDataFrame(
+            deleted or [("", 0)], "table string, rows_deleted long"
+        )
+
+    def _drop(self, st: DropStmt) -> DataFrame:
+        self._require_catalog()
+        if st.what == "database":
+            self.spark.sql(f"DROP DATABASE IF EXISTS `{st.name}` CASCADE")
+            return self.spark.createDataFrame([(st.name,)], "dropped string")
+        db = st.db or self.db
+        if db is None:
+            raise InfluxQLError("DROP MEASUREMENT requires a database context")
+        for tbl in self.spark.catalog.listTables(db):
+            if tbl.name.endswith(f"__{st.name}"):
+                self.spark.sql(f"DROP TABLE `{db}`.`{tbl.name}`")
+        return self.spark.createDataFrame([(st.name,)], "dropped string")
+
+    def _tags_for(self, measurement: str, db: str | None) -> list[str]:
+        if measurement in self.tags:
+            return list(self.tags[measurement])
+        if self.catalog is not None and (db or self.db):
+            return self.catalog.get_tags(db or self.db, measurement)
+        return []
+
     def _retention(self, st: RetentionPolicyStmt) -> DataFrame:
         from syncflux_spark.catalog import RetPol
 
@@ -981,9 +1238,10 @@ class InfluxQLEngine:
     def _resolve(self, st: SelectStmt) -> DataFrame:
         if st.measurement in self.tables:
             return self.tables[st.measurement]
-        if self.catalog is not None and st.db:
+        db = st.db or self.db
+        if self.catalog is not None and db:
             return self.catalog.measurement_df(
-                st.db, st.measurement, st.rp or "autogen"
+                db, st.measurement, st.rp or "autogen"
             )
         raise InfluxQLError(f"unknown measurement {st.measurement!r}")
 

@@ -8442,6 +8442,64 @@ def cq_daily_rollup(spark, sf):
     return cq.read_target()
 
 
+@register(
+    "influxql_derivative_daily",
+    """
+    WITH b AS (SELECT (u - u % 86400000000) * 1000 AS time, event_type,
+                      CAST(COUNT(*) AS BIGINT) AS c
+               FROM (SELECT epoch_us(ts) AS u, event_type FROM events)
+               GROUP BY 1, 2),
+    d AS (SELECT time, event_type,
+                 CAST(c - lag(c) OVER (PARTITION BY event_type ORDER BY time)
+                      AS DOUBLE) AS d
+          FROM b)
+    SELECT time, event_type, d FROM d WHERE d IS NOT NULL
+    """,
+)
+def influxql_derivative_daily(spark, sf):
+    """InfluxQL transformation compile path: ``derivative(count(..),
+    1d)`` over ``GROUP BY time(1d), <tag>`` — the rate-of-change query
+    every monitoring dashboard runs. The window sorts the ROLLUP (one
+    row per day × type), not the fact table, partitioned by the same
+    tag key the aggregation shuffled on. Undefined first buckets are
+    omitted, matching InfluxDB."""
+    return _influxql_events(spark, sf).query(
+        "SELECT derivative(count(value), 1d) AS d FROM events "
+        "GROUP BY time(1d), event_type"
+    )
+
+
+@register(
+    "influxql_tag_values",
+    """
+    SELECT DISTINCT 'event_type' AS key, event_type AS value FROM events
+    """,
+)
+def influxql_tag_values(spark, sf):
+    """``SHOW TAG VALUES .. WITH KEY = ..`` — the statement Grafana
+    template variables issue on every dashboard load. One
+    column-pruned distinct; the scan reads a single column."""
+    return _influxql_events(spark, sf).query(
+        'SHOW TAG VALUES FROM events WITH KEY = "event_type"'
+    )
+
+
+@register(
+    "influxql_show_series",
+    """
+    SELECT DISTINCT 'events,event_type=' || event_type
+           || ',user_id=' || CAST(user_id AS VARCHAR) AS key
+    FROM events
+    """,
+)
+def influxql_show_series(spark, sf):
+    """``SHOW SERIES`` — the measurement,tag=value,... series-key
+    inventory (Influx's data-exploration statement). Distinct over
+    the tag columns only (column-pruned), formatted with
+    lexicographically-sorted tag keys exactly as InfluxDB does."""
+    return _influxql_events(spark, sf).query("SHOW SERIES FROM events")
+
+
 # ===========================================================================
 # Forecast-quality + robust-stats + HLL additions
 # ===========================================================================

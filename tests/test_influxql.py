@@ -387,3 +387,121 @@ class TestContinuousQuery:
             .collect()
         }
         assert got == exp
+
+
+class TestTransformations:
+    """Selector transformations (derivative / difference /
+    moving_average) applied per series over the aggregated rollup."""
+
+    def test_parse_transform(self):
+        st = parse("select derivative(mean(v), 1h) from m group by time(1h)")
+        p = st.projs[0]
+        assert p.transform == "derivative" and p.func == "mean"
+        assert p.transform_arg == 3600 * 10**9
+
+    def test_transform_requires_aggregate(self):
+        with pytest.raises(InfluxQLError):
+            parse("select derivative(v, 1h) from m group by time(1h)")
+
+    def test_derivative_counts(self, engine, events):
+        out = engine.query(
+            "select derivative(count(value), 1d) as d from events "
+            "where event_type = 'click' group by time(1d)"
+        ).orderBy("time").collect()
+        iv = 86400 * 10**9
+        base = (
+            events.where(F.col("event_type") == "click")
+            .groupBy(
+                (F.col("ts_ns") - F.col("ts_ns") % F.lit(iv)).alias("time")
+            )
+            .count()
+            .orderBy("time")
+            .collect()
+        )
+        # derivative at unit == interval is the plain first difference
+        exp = [
+            (b.time, float(b["count"] - a["count"]))
+            for a, b in zip(base, base[1:])
+        ]
+        assert [(r.time, r.d) for r in out] == exp
+
+    def test_non_negative_derivative_drops_negatives(self, engine):
+        out = engine.query(
+            "select non_negative_derivative(count(value), 1d) as d "
+            "from events where event_type = 'click' group by time(1d)"
+        ).collect()
+        assert len(out) > 0 and all(r.d >= 0 for r in out)
+
+    def test_moving_average_window(self, spark):
+        rows = [(i * 3600 * 10**9, 1.0 * (i + 1)) for i in range(4)]
+        df = spark.createDataFrame(rows, "ts_ns long, value double").withColumn(
+            "ts", F.timestamp_micros((F.col("ts_ns") / 1000).cast("long"))
+        )
+        eng = InfluxQLEngine(spark, tables={"m": df}, tags={"m": []})
+        out = eng.query(
+            "select moving_average(sum(value), 2) as ma from m group by time(1h)"
+        ).orderBy("time").collect()
+        # sums per hour: 1,2,3,4 → 2-wide MA emitted from the 2nd: 1.5,2.5,3.5
+        assert [r.ma for r in out] == [1.5, 2.5, 3.5]
+
+
+class TestShowDataAndDelete:
+    def test_show_tag_values(self, engine):
+        out = engine.query(
+            'show tag values from events with key = "event_type"'
+        ).collect()
+        assert {r.value for r in out} == {
+            "click", "view", "purchase", "signup", "error"
+        }
+        assert all(r.key == "event_type" for r in out)
+
+    def test_show_series(self, spark):
+        df = spark.createDataFrame(
+            [("a", "x", 1.0), ("a", "y", 2.0), ("b", "x", 3.0)],
+            "host string, dc string, v double",
+        )
+        eng = InfluxQLEngine(spark, tables={"cpu": df}, tags={"cpu": ["host", "dc"]})
+        keys = {r.key for r in eng.query("show series from cpu").collect()}
+        assert keys == {"cpu,dc=x,host=a", "cpu,dc=y,host=a", "cpu,dc=x,host=b"}
+
+    @pytest.fixture()
+    def deletable(self, spark, tmp_path):
+        from syncflux_spark.catalog import (
+            FieldSch,
+            MeasurementSch,
+            RetPol,
+            SparkCatalog,
+        )
+
+        cat = SparkCatalog(spark)
+        db = "iqldel"
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+        cat.create_db(db)
+        rp = RetPol(name="autogen", duration="0s", default=True)
+        meas = MeasurementSch(
+            name="cpu", fields={"usage": FieldSch("usage", "float")}, tags=["host"]
+        )
+        cat.create_measurement(db, rp, meas, location=str(tmp_path / "cpu"))
+        rows = [(i * 10**9, None, "h1", float(i)) for i in range(10)]
+        spark.createDataFrame(
+            rows, "time_ns long, ts timestamp, host string, usage double"
+        ).write.insertInto(f"{db}.autogen__cpu")
+        yield InfluxQLEngine(spark, catalog=cat, db=db)
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+    def test_delete_time_range(self, deletable, spark):
+        res = deletable.query("delete from cpu where time < 5000000000").collect()
+        assert res[0].rows_deleted == 5
+        remaining = spark.table("iqldel.autogen__cpu").count()
+        assert remaining == 5
+        # idempotent: nothing left in range
+        res2 = deletable.query("delete from cpu where time < 5000000000").collect()
+        assert res2[0].rows_deleted == 0
+
+    def test_delete_requires_time(self, deletable):
+        with pytest.raises(InfluxQLError):
+            deletable.query("delete from cpu")
+
+    def test_drop_measurement(self, deletable, spark):
+        deletable.query("drop measurement cpu")
+        assert spark.catalog.listTables("iqldel") == []
