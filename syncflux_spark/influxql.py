@@ -149,6 +149,7 @@ class SelectStmt:
     db: str | None = None
     rp: str | None = None
     into: str | None = None  # SELECT ... INTO target (CQ bodies)
+    sub: "SelectStmt | None" = None  # FROM (SELECT ...) subquery
     where: "Expr | None" = None
     time: TimeBound = dc_field(default_factory=lambda: TimeBound(None, None))
     group_time_ns: int | None = None
@@ -255,6 +256,7 @@ _TRANSFORM_FUNCS = {
     "non_negative_derivative",
     "difference",
     "moving_average",
+    "cumulative_sum",
 }
 
 
@@ -335,6 +337,15 @@ class _Parser:
         if self.accept_kw("into"):
             into = self.ident()
         self.expect_kw("from")
+        if self.peek() and self.peek().text == "(":
+            # FROM (SELECT ...) subquery (influx 1.2+)
+            self.next()
+            sub = self.select(in_cq=True)  # stop at the closing paren
+            self.expect_op(")")
+            st = SelectStmt(
+                projs=projs, measurement=sub.measurement, into=into, sub=sub
+            )
+            return self._select_tail(st, in_cq)
         db = rp = None
         name = self.ident() if self.peek().text != "*" else self.next().text
         parts = [name]
@@ -350,6 +361,11 @@ class _Parser:
         else:
             raise InfluxQLError("too many dots in measurement name")
         st = SelectStmt(projs=projs, measurement=meas, db=db, rp=rp, into=into)
+        return self._select_tail(st, in_cq)
+
+    def _select_tail(self, st: SelectStmt, in_cq: bool = False) -> SelectStmt:
+        """WHERE / GROUP BY / fill / ORDER / LIMIT / OFFSET clauses,
+        shared by table selects and FROM-(subquery) selects."""
         if self.accept_kw("where"):
             st.where = self.where_expr(st)
         if self.accept_kw("group", "by"):
@@ -761,16 +777,30 @@ class InfluxQLEngine:
     # -- SELECT compilation -------------------------------------------------
     def _select(self, st: SelectStmt) -> DataFrame:
         df = self._resolve(st)
-        tag_cols = [t for t in self.tags.get(st.measurement, []) if t in df.columns]
+        if st.sub is not None:
+            # subquery output: tags are whatever grouped columns the
+            # inner select exposes; its time column is the ns long
+            tag_cols = [
+                t for t in st.sub.group_tags if t in df.columns
+            ] or [t for t in self.tags.get(st.measurement, []) if t in df.columns]
+        else:
+            tag_cols = [
+                t for t in self.tags.get(st.measurement, []) if t in df.columns
+            ]
         time_col = "ts" if "ts" in df.columns else None
 
         # 1. WHERE — time range through the pushdown-safe scan helper
         if st.time.lo_ns is not None or st.time.hi_ns is not None:
-            from syncflux_spark.sources.parquet import scan_time_range
-
             lo = st.time.lo_ns if st.time.lo_ns is not None else 0
             hi = st.time.hi_ns if st.time.hi_ns is not None else (1 << 62)
-            df = scan_time_range(df, lo, hi)
+            if time_col is None and "time" in df.columns:
+                df = df.where(
+                    (F.col("time") >= F.lit(lo)) & (F.col("time") < F.lit(hi))
+                )
+            else:
+                from syncflux_spark.sources.parquet import scan_time_range
+
+                df = scan_time_range(df, lo, hi)
         if st.where is not None:
             df = df.where(self._expr(st.where))
 
@@ -783,19 +813,22 @@ class InfluxQLEngine:
         self, st: SelectStmt, df: DataFrame, tag_cols: list[str], time_col
     ) -> DataFrame:
         cols: list[Column] = []
+        has_time = time_col is not None or "time" in df.columns
         if time_col:
             cols.append(F.col("ts_ns").alias("time") if "ts_ns" in df.columns
                         else F.unix_micros(time_col).alias("time"))
+        elif "time" in df.columns:  # subquery output carries its bucket
+            cols.append(F.col("time"))
         for p in st.projs:
             if p.field == "*":
-                used = {time_col, "ts_ns"}
+                used = {time_col, "ts_ns", "time"}
                 cols += [F.col(c) for c in df.columns if c not in used]
             else:
                 cols.append(F.col(p.field).alias(p.out_name))
         out = df.select(*cols)
         if st.order_desc:
             out = out.orderBy(F.desc("time"))
-        elif time_col:
+        elif has_time:
             out = out.orderBy(F.asc("time"))
         if st.offset:
             out = out.offset(st.offset)
@@ -810,9 +843,14 @@ class InfluxQLEngine:
             t for t in st.group_tags if t in df.columns
         ]
         keys: list[Column] = [F.col(t) for t in group_tags]
-        ns = F.col("ts_ns") if "ts_ns" in df.columns else (
-            F.unix_micros("ts") * F.lit(1000) if "ts" in df.columns else None
-        )
+        if "ts_ns" in df.columns:
+            ns = F.col("ts_ns")
+        elif "ts" in df.columns:
+            ns = F.unix_micros("ts") * F.lit(1000)
+        elif "time" in df.columns:  # subquery output bucket
+            ns = F.col("time")
+        else:
+            ns = None
         bucket = None
         if st.group_time_ns:
             if ns is None:
@@ -877,6 +915,10 @@ class InfluxQLEngine:
                     res = F.when(res >= 0, res)
             elif p.transform == "difference":
                 res = v - F.lag(name).over(w)
+            elif p.transform == "cumulative_sum":
+                res = F.sum(v).over(
+                    w.rowsBetween(Window.unboundedPreceding, 0)
+                )
             elif p.transform == "moving_average":
                 n = int(p.transform_arg or 2)
                 wr = w.rowsBetween(-(n - 1), 0)
@@ -1236,6 +1278,8 @@ class InfluxQLEngine:
 
     # -- helpers ------------------------------------------------------------
     def _resolve(self, st: SelectStmt) -> DataFrame:
+        if st.sub is not None:
+            return self._select(st.sub)
         if st.measurement in self.tables:
             return self.tables[st.measurement]
         db = st.db or self.db

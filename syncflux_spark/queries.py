@@ -8500,6 +8500,56 @@ def influxql_show_series(spark, sf):
     return _influxql_events(spark, sf).query("SHOW SERIES FROM events")
 
 
+@register(
+    "influxql_subquery_peak",
+    f"""
+    WITH b AS (SELECT (u - u % 3600000000) * 1000 AS time, event_type,
+                      CAST(SUM(v) AS DOUBLE) / COUNT(*) AS m
+               FROM (SELECT epoch_us(ts) AS u, event_type,
+                            {_sql_micros('value')} AS v
+                     FROM events)
+               GROUP BY 1, 2)
+    SELECT event_type, MAX(m) AS peak_micro
+    FROM b GROUP BY event_type
+    """,
+)
+def influxql_subquery_peak(spark, sf):
+    """InfluxQL subquery compile path: ``SELECT max(m) FROM (SELECT
+    mean(..) .. GROUP BY time(1h), tag) GROUP BY tag`` — the
+    peak-of-rollup pattern (max hourly mean). The inner rollup and the
+    outer max are two hash aggregations sharing the tag key; the outer
+    aggregates one row per hour×type, never rescanning the fact
+    table."""
+    return _influxql_events(spark, sf).query(
+        "SELECT max(m) AS peak_micro FROM "
+        "(SELECT mean(value) AS m FROM events GROUP BY time(1h), event_type) "
+        "GROUP BY event_type"
+    )
+
+
+@register(
+    "influxql_cumulative_daily",
+    """
+    WITH b AS (SELECT (u - u % 86400000000) * 1000 AS time, event_type,
+                      CAST(COUNT(*) AS BIGINT) AS c
+               FROM (SELECT epoch_us(ts) AS u, event_type FROM events)
+               GROUP BY 1, 2)
+    SELECT time, event_type,
+           CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY time
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cs
+    FROM b
+    """,
+)
+def influxql_cumulative_daily(spark, sf):
+    """InfluxQL ``cumulative_sum(count(..))``: running total over the
+    daily rollup per series — window over one row per day×type, exact
+    integer sums."""
+    return _influxql_events(spark, sf).query(
+        "SELECT cumulative_sum(count(value)) AS cs FROM events "
+        "GROUP BY time(1d), event_type"
+    )
+
+
 # ===========================================================================
 # Forecast-quality + robust-stats + HLL additions
 # ===========================================================================

@@ -505,3 +505,69 @@ class TestShowDataAndDelete:
     def test_drop_measurement(self, deletable, spark):
         deletable.query("drop measurement cpu")
         assert spark.catalog.listTables("iqldel") == []
+
+
+class TestSubqueries:
+    def test_parse_subquery(self):
+        st = parse(
+            "select max(m) from (select mean(value) as m from events "
+            "group by time(1h), event_type) group by event_type"
+        )
+        assert st.sub is not None
+        assert st.sub.group_time_ns == 3600 * 10**9
+        assert st.group_tags == ["event_type"]
+
+    def test_peak_hourly_mean(self, engine, events):
+        out = {
+            r.event_type: r.peak
+            for r in engine.query(
+                "select max(m) as peak from (select mean(value) as m "
+                "from events group by time(1h), event_type) "
+                "group by event_type"
+            ).collect()
+        }
+        iv = 3600 * 10**9
+        exp = {
+            r.event_type: r.peak
+            for r in events.groupBy(
+                (F.col("ts_ns") - F.col("ts_ns") % F.lit(iv)).alias("t"),
+                "event_type",
+            )
+            .agg((F.sum("value") / F.count("value")).alias("m"))
+            .groupBy("event_type")
+            .agg(F.max("m").alias("peak"))
+            .collect()
+        }
+        assert out == exp
+
+    def test_outer_time_filter_on_subquery(self, engine):
+        inner = (
+            "select count(value) as c from events group by time(1d), event_type"
+        )
+        full = engine.query(f"select sum(c) as s from ({inner})").collect()[0].s
+        part = engine.query(
+            f"select sum(c) as s from ({inner}) "
+            "where time >= '2024-01-15'"
+        ).collect()[0].s
+        assert 0 < part < full
+
+    def test_cumulative_sum(self, engine, events):
+        out = engine.query(
+            "select cumulative_sum(count(value)) as cs from events "
+            "where event_type = 'click' group by time(1d)"
+        ).orderBy("time").collect()
+        base = (
+            events.where(F.col("event_type") == "click")
+            .groupBy(
+                (
+                    F.col("ts_ns") - F.col("ts_ns") % F.lit(86400 * 10**9)
+                ).alias("time")
+            )
+            .count()
+            .orderBy("time")
+            .collect()
+        )
+        import itertools
+
+        exp = list(itertools.accumulate(r["count"] for r in base))
+        assert [r.cs for r in out] == exp
