@@ -791,3 +791,141 @@ def pq_rescored_topk(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    n_sub: int = 8,
+    sub_dim: int = 8,
+    k_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """FAISS-style IVFPQ (Jégou et al. '11, §IV): the IVF coarse
+    quantizer prunes WHICH inverted lists a query scans
+    (~nprobe/n_centroids of the corpus), PQ codes over the RESIDUAL
+    (vector − assigned centroid) make the scanned lists ~64× smaller,
+    and asymmetric distance computation scores candidates without
+    ever decompressing them — the composition that serves
+    billion-vector ANN from RAM-scale storage. Residual encoding is
+    what distinguishes this from running IVF and PQ side by side: the
+    codebook models the (much tighter) within-cell distribution.
+
+    Exact integer µ² arithmetic end-to-end (micros vectors, integer
+    residuals, integer codeword distances), so assignment, encoding,
+    probe tables, and the final ranking are bit-identical across
+    engines — an oracle-checkable ANN *index build*, not just a
+    recall statistic. Deterministic seed policy: centroids = first
+    ``n_centroids`` corpus vectors, residual codewords = residual
+    subvectors of the first ``k_codes`` vectors (swap k-means in via
+    the same plumbing for production).
+
+    Plan shape at scale: centroid + codebook tables broadcast
+    (metadata-sized); corpus assignment and encoding are map-side
+    argmins; the ADC join keys on (cid, m, code) against the
+    broadcast query tables, and its integer sum partially aggregates
+    map-side, so the one shuffle carries a compact (query, vector)
+    row per candidate — candidates only from probed cells.
+    Output: (query_id, neighbor_id, approx_d_micro2, rank)."""
+    from pyspark.sql import Window
+
+    vm = corpus.select(F.col(id_col), micros_vec(vec_col).alias("vm"))
+    cents = vm.where(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cid"), F.col("vm").alias("centv")
+    )
+    # coarse assignment: exact integer L2 over the full dim
+    a0 = vm.crossJoin(F.broadcast(cents)).select(
+        id_col, "vm", "cid", _sq_l2(F.col("vm"), F.col("centv")).alias("d")
+    )
+    wv = Window.partitionBy(id_col).orderBy("d", "cid")
+    assigned = (
+        a0.withColumn("_rn", F.row_number().over(wv))
+        .where(F.col("_rn") == 1)
+        .select(id_col, "vm", "cid")
+    )
+    res = assigned.join(F.broadcast(cents), "cid").select(
+        id_col,
+        "cid",
+        F.zip_with("vm", "centv", lambda x, y: x - y).alias("rm"),
+    )
+    structs = [
+        F.struct(
+            F.lit(m).alias("m"),
+            F.slice("rm", m * sub_dim + 1, sub_dim).alias("subv"),
+        )
+        for m in range(n_sub)
+    ]
+    rsub = res.select(id_col, "cid", F.explode(F.array(*structs)).alias("s")).select(
+        id_col, "cid", F.col("s.m").alias("m"), F.col("s.subv").alias("subv")
+    )
+    cb = rsub.where(F.col(id_col) < k_codes).select(
+        "m", F.col(id_col).alias("code"), F.col("subv").alias("cw")
+    )
+    enc0 = rsub.join(F.broadcast(cb), "m").select(
+        id_col, "cid", "m", "code", _sq_l2(F.col("subv"), F.col("cw")).alias("d")
+    )
+    we = Window.partitionBy(id_col, "m").orderBy("d", "code")
+    codes = (
+        enc0.withColumn("_rn", F.row_number().over(we))
+        .where(F.col("_rn") == 1)
+        .select(id_col, "cid", "m", "code")
+    )
+    # query side: probe nprobe nearest cells, table the residual
+    # distances per probed cell
+    qm = queries.select(
+        F.col(id_col).alias("query_id"), micros_vec(vec_col).alias("qv")
+    )
+    q0 = qm.crossJoin(F.broadcast(cents)).select(
+        "query_id",
+        "qv",
+        "cid",
+        "centv",
+        _sq_l2(F.col("qv"), F.col("centv")).alias("d"),
+    )
+    wq = Window.partitionBy("query_id").orderBy("d", "cid")
+    probes = (
+        q0.withColumn("_rn", F.row_number().over(wq))
+        .where(F.col("_rn") <= nprobe)
+        .select(
+            "query_id",
+            "cid",
+            F.zip_with("qv", "centv", lambda x, y: x - y).alias("qres"),
+        )
+    )
+    qstructs = [
+        F.struct(
+            F.lit(m).alias("m"),
+            F.slice("qres", m * sub_dim + 1, sub_dim).alias("subv"),
+        )
+        for m in range(n_sub)
+    ]
+    qsub = probes.select(
+        "query_id", "cid", F.explode(F.array(*qstructs)).alias("s")
+    ).select(
+        "query_id", "cid", F.col("s.m").alias("m"), F.col("s.subv").alias("subv")
+    )
+    qtable = qsub.join(F.broadcast(cb), "m").select(
+        "query_id", "cid", "m", "code",
+        _sq_l2(F.col("subv"), F.col("cw")).alias("qd"),
+    )
+    contrib = codes.join(F.broadcast(qtable), ["cid", "m", "code"]).where(
+        F.col("query_id") != F.col(id_col)
+    )
+    scored = contrib.groupBy("query_id", id_col).agg(
+        F.sum("qd").alias("approx_d_micro2")
+    )
+    wr = Window.partitionBy("query_id").orderBy("approx_d_micro2", id_col)
+    return (
+        scored.withColumn("rank", F.row_number().over(wr))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            "approx_d_micro2",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

@@ -8550,6 +8550,96 @@ def influxql_cumulative_daily(spark, sf):
     )
 
 
+@register(
+    "ivf_pq_topk",
+    """
+    WITH v AS (SELECT vec_id,
+                      list_transform(embedding::DOUBLE[],
+                        x -> CAST(FLOOR(x * 1000000 + 0.5) AS BIGINT)) AS vm
+               FROM embeddings),
+    c AS (SELECT vec_id AS cid, vm AS centv FROM v WHERE vec_id < 8),
+    a0 AS (SELECT v.vec_id, v.vm, c.cid,
+                  list_reduce(list_transform(range(1, 65),
+                    i -> (v.vm[i] - c.centv[i]) * (v.vm[i] - c.centv[i])),
+                    (a, b) -> a + b) AS d
+           FROM v, c),
+    asg AS (SELECT vec_id, vm, cid FROM
+              (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                            ORDER BY d, cid) AS rn
+               FROM a0)
+            WHERE rn = 1),
+    res AS (SELECT a.vec_id, a.cid,
+                   list_transform(range(1, 65), i -> a.vm[i] - c.centv[i]) AS rm
+            FROM asg a JOIN c ON c.cid = a.cid),
+    ms AS (SELECT unnest(generate_series(0, 7)) AS m),
+    rsub AS (SELECT vec_id, cid, m, rm[m*8+1 : m*8+8] AS subv FROM res, ms),
+    cb AS (SELECT m, vec_id AS code, subv AS cw FROM rsub WHERE vec_id < 16),
+    enc0 AS (SELECT s.vec_id, s.cid, s.m, c.code,
+                    list_reduce(list_transform(range(1, 9),
+                      i -> (s.subv[i] - c.cw[i]) * (s.subv[i] - c.cw[i])),
+                      (a, b) -> a + b) AS d
+             FROM rsub s JOIN cb c ON c.m = s.m),
+    enc AS (SELECT vec_id, cid, m, code FROM
+             (SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                                           ORDER BY d, code) AS rn
+              FROM enc0)
+            WHERE rn = 1),
+    q0 AS (SELECT v.vec_id AS query_id, v.vm AS qv, c.cid, c.centv,
+                  list_reduce(list_transform(range(1, 65),
+                    i -> (v.vm[i] - c.centv[i]) * (v.vm[i] - c.centv[i])),
+                    (a, b) -> a + b) AS d
+           FROM v, c WHERE v.vec_id < 10),
+    probes AS (SELECT query_id, cid,
+                      list_transform(range(1, 65), i -> qv[i] - centv[i]) AS qres
+               FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                                  ORDER BY d, cid) AS rn
+                     FROM q0)
+               WHERE rn <= 2),
+    qsub AS (SELECT query_id, cid, m, qres[m*8+1 : m*8+8] AS subv
+             FROM probes, ms),
+    qt AS (SELECT s.query_id, s.cid, s.m, c.code,
+                  list_reduce(list_transform(range(1, 9),
+                    i -> (s.subv[i] - c.cw[i]) * (s.subv[i] - c.cw[i])),
+                    (a, b) -> a + b) AS qd
+           FROM qsub s JOIN cb c ON c.m = s.m),
+    adc AS (SELECT q.query_id, e.vec_id,
+                   CAST(SUM(q.qd) AS BIGINT) AS approx_d_micro2
+            FROM enc e JOIN qt q ON q.cid = e.cid AND q.m = e.m
+                                AND q.code = e.code
+            WHERE q.query_id != e.vec_id
+            GROUP BY 1, 2)
+    SELECT query_id, vec_id AS neighbor_id, approx_d_micro2,
+           CAST(rn AS INTEGER) AS rank
+    FROM (SELECT query_id, vec_id, approx_d_micro2,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY approx_d_micro2, vec_id) AS rn
+          FROM adc)
+    WHERE rn <= 5
+    """,
+)
+def ivf_pq_topk_query(spark, sf):
+    """FAISS-style IVFPQ composition (similarity.py::ivf_pq_topk):
+    IVF coarse cells prune which lists each query scans (nprobe=2 of
+    8), PQ codes over the RESIDUAL vector make scanned lists 64×
+    smaller, ADC scores without decompression. The oracle replays the
+    whole index build — assignment argmins, residual codebook,
+    encoding, probe tables, ranking — in exact integer µ² arithmetic,
+    bit-for-bit. The production 100 TB ANN shape: everything the
+    query touches is either broadcast metadata or a map-side argmin;
+    the one shuffle carries compact (query, candidate) rows from
+    probed cells only."""
+    from syncflux_spark.operators.similarity import ivf_pq_topk
+
+    emb = load_table(spark, sf, "embeddings")
+    return ivf_pq_topk(
+        emb,
+        emb.where(F.col("vec_id") < 10),
+        k=5,
+        n_centroids=8,
+        nprobe=2,
+    )
+
+
 # ===========================================================================
 # Forecast-quality + robust-stats + HLL additions
 # ===========================================================================

@@ -409,3 +409,31 @@ class TestProductQuantization:
             return len(got & truth) / len(truth)
 
         assert rec(32) >= rec(8) - 1e-9
+
+
+def test_ivfpq_recall_and_probe_monotonicity(spark, emb, truth):
+    """IVFPQ tripwire: residual-coded ADC over probed cells must keep
+    nonzero recall, and more probes must not reduce it (the same
+    tunability contract as plain IVF)."""
+    from syncflux_spark.operators.similarity import ivf_pq_topk
+
+    q = emb.where(F.col("vec_id") < N_QUERIES)
+    r2 = _recall(ivf_pq_topk(emb, q, k=K, n_centroids=8, nprobe=2), truth)
+    r8 = _recall(ivf_pq_topk(emb, q, k=K, n_centroids=8, nprobe=8), truth)
+    assert r2 > 0.05, f"IVFPQ recall collapsed: {r2:.2f}"
+    assert r8 >= r2, f"probe monotonicity broken: {r2:.2f} -> {r8:.2f}"
+
+
+def test_ivfpq_candidates_only_from_probed_cells(spark, emb):
+    """nprobe=1 of 8 cells must score a strict subset of the corpus —
+    the pruning that makes IVFPQ sublinear. With all cells probed the
+    candidate set is the whole corpus (minus self)."""
+    from syncflux_spark.operators.similarity import ivf_pq_topk
+
+    q = emb.where(F.col("vec_id") < 3)
+    narrow = ivf_pq_topk(emb, q, k=10**9, n_centroids=8, nprobe=1)
+    wide = ivf_pq_topk(emb, q, k=10**9, n_centroids=8, nprobe=8)
+    n_narrow, n_wide = narrow.count(), wide.count()
+    total = emb.count()
+    assert n_wide == 3 * (total - 1) or n_wide == 3 * total - 3
+    assert n_narrow < n_wide
