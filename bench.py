@@ -92,6 +92,9 @@ HEADLINE = [
     "cms_user_counts",
     "session_type_lift",
     "influxql_mean_1h",
+    "ivf_pq_topk",
+    "ts_m4_downsample",
+    "passage_boilerplate",
 ]
 
 

@@ -713,6 +713,28 @@ def parse(q: str, now: datetime | None = None):
     return _Parser(q, now=now).parse()
 
 
+def split_statements(q: str) -> list[str]:
+    """Split multi-statement InfluxQL text on top-level ``;`` using
+    the real lexer (so semicolons inside quoted strings/identifiers
+    don't split). The HTTP /query endpoint accepts
+    ``q=stmt1;stmt2`` exactly like InfluxDB."""
+    cuts: list[int] = []
+    pos = 0
+    while pos < len(q):
+        m = _TOKEN_RE.match(q, pos)
+        if not m:
+            break  # parse() will surface the lex error with context
+        if m.lastgroup == "op" and m.group() == ";":
+            cuts.append(pos)
+        pos = m.end()
+    out, start = [], 0
+    for c in cuts:
+        out.append(q[start:c])
+        start = c + 1
+    out.append(q[start:])
+    return [s for s in (p.strip() for p in out) if s]
+
+
 # ---------------------------------------------------------------------------
 # Compiler / engine
 # ---------------------------------------------------------------------------

@@ -8640,6 +8640,245 @@ def ivf_pq_topk_query(spark, sf):
     )
 
 
+@register(
+    "ts_m4_downsample",
+    f"""
+    WITH v AS (SELECT event_type, CAST(epoch_us(ts) AS BIGINT) AS u,
+                      event_id, {_sql_micros('value')} AS vm
+               FROM events),
+    b AS (SELECT event_type, (u - u % 86400000000) AS bucket_us, u, event_id, vm
+          FROM v),
+    r AS (SELECT *,
+                 ROW_NUMBER() OVER (PARTITION BY event_type, bucket_us
+                                    ORDER BY u, event_id) AS rf,
+                 ROW_NUMBER() OVER (PARTITION BY event_type, bucket_us
+                                    ORDER BY u DESC, event_id DESC) AS rl
+          FROM b)
+    SELECT event_type, bucket_us,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           MIN(vm) AS min_micro, MAX(vm) AS max_micro,
+           MAX(CASE WHEN rf = 1 THEN vm END) AS first_micro,
+           MAX(CASE WHEN rl = 1 THEN vm END) AS last_micro
+    FROM r GROUP BY event_type, bucket_us
+    """,
+)
+def ts_m4_downsample(spark, sf):
+    """M4 downsampling (Jugel et al., VLDB'14): per pixel-bucket keep
+    exactly min, max, first, last — the four points that make a
+    line-chart render pixel-identical to the full-resolution series.
+    THE correct way to ship a billion-point series to a dashboard.
+    One hash aggregation: first/last via min/max over (time, id,
+    value) structs — no window sort of the fact table; ties at equal
+    timestamps break on event_id, deterministic."""
+    ev = load_table(spark, sf, "events")
+    vm = micros_amt("value")
+    u = F.unix_micros("ts")
+    bucket = (u - u % F.lit(86_400_000_000)).alias("bucket_us")
+    fs = F.struct(u.alias("u"), F.col("event_id").alias("e"), vm.alias("v"))
+    return ev.groupBy("event_type", bucket).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.min(vm).alias("min_micro"),
+        F.max(vm).alias("max_micro"),
+        F.min(fs).getField("v").alias("first_micro"),
+        F.max(fs).getField("v").alias("last_micro"),
+    )
+
+
+@register(
+    "ts_seasonal_anomaly",
+    """
+    WITH hc AS (SELECT event_type,
+                       CAST(extract(hour FROM ts) AS BIGINT) AS hod,
+                       CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS hr_us,
+                       COUNT(*) AS c
+                FROM events GROUP BY 1, 2, 3),
+    prof AS (SELECT event_type, hod,
+                    CAST(COUNT(*) AS BIGINT) AS n_days,
+                    CAST(SUM(c) AS BIGINT) AS s,
+                    CAST(SUM(c * c) AS BIGINT) AS ss
+             FROM hc GROUP BY event_type, hod)
+    SELECT h.event_type, h.hr_us, CAST(h.c AS BIGINT) AS c,
+           p.n_days, p.s, p.ss,
+           CAST(p.n_days * h.c - p.s AS DOUBLE)
+             / sqrt(CAST(p.n_days * p.ss - p.s * p.s AS DOUBLE)) AS z
+    FROM hc h JOIN prof p USING (event_type, hod)
+    WHERE p.n_days * p.ss - p.s * p.s > 0
+      AND ABS(CAST(p.n_days * h.c - p.s AS DOUBLE)
+              / sqrt(CAST(p.n_days * p.ss - p.s * p.s AS DOUBLE))) > 2.0
+    """,
+)
+def ts_seasonal_anomaly(spark, sf):
+    """Seasonality-aware anomaly detection: each (type, hour) bucket
+    is scored against the hour-of-day PROFILE built from all observed
+    days — 9am traffic compared to other 9am's, not to 3am — flagging
+    |z| > 2. The z-score is computed from exact integer moments
+    multiplied through by n (n·c − S over √(n·SS − S²)), so the only
+    floats are one division and one IEEE-exact sqrt, identical in
+    both engines. Two hash aggregations (hourly counts, then 24-row
+    profiles per type) + a broadcast-sized profile join — no windows,
+    no fact-table sort."""
+    ev = load_table(spark, sf, "events")
+    hr_us = F.unix_micros(F.date_trunc("hour", F.col("ts")))
+    hod = F.hour("ts").cast("long")
+    hc = ev.groupBy(
+        "event_type", hod.alias("hod"), hr_us.alias("hr_us")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    prof = hc.groupBy("event_type", "hod").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("ss"),
+    )
+    j = hc.join(prof, ["event_type", "hod"])
+    num = (F.col("n_days") * F.col("c") - F.col("s")).cast("double")
+    var = (F.col("n_days") * F.col("ss") - F.col("s") * F.col("s"))
+    z = num / F.sqrt(var.cast("double"))
+    return (
+        j.where((var > 0) & (F.abs(z) > 2.0))
+        .select(
+            "event_type",
+            "hr_us",
+            F.col("c").cast("long").alias("c"),
+            "n_days",
+            "s",
+            "ss",
+            z.alias("z"),
+        )
+    )
+
+
+@register(
+    "ts_ccf_click_purchase",
+    """
+    WITH b AS (
+      SELECT CAST(epoch_us(date_trunc('hour', MIN(ts))) AS BIGINT) AS h0,
+             CAST(epoch_us(date_trunc('hour', MAX(ts))) AS BIGINT) AS h1
+      FROM events),
+    hrs AS (SELECT h0 + 3600000000 *
+                   unnest(range(0, (h1 - h0) // 3600000000 + 1)) AS hr_us
+            FROM b),
+    hc AS (SELECT event_type,
+                  CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS hr_us,
+                  COUNT(*) AS c
+           FROM events WHERE event_type IN ('click', 'purchase')
+           GROUP BY 1, 2),
+    dense AS (
+      SELECT h.hr_us,
+             CAST(COALESCE(cx.c, 0) AS BIGINT) AS x,
+             CAST(COALESCE(cy.c, 0) AS BIGINT) AS y
+      FROM hrs h
+      LEFT JOIN hc cx ON cx.event_type = 'click' AND cx.hr_us = h.hr_us
+      LEFT JOIN hc cy ON cy.event_type = 'purchase' AND cy.hr_us = h.hr_us),
+    st AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                  SUM(x*x) AS sxx, SUM(y*y) AS syy
+           FROM dense),
+    led AS (SELECT d.hr_us, st.n, st.sx, st.sy, st.sxx, st.syy, d.x,
+                   lead(d.y, 0) OVER w AS y0,
+                   lead(d.y, 1) OVER w AS y1,
+                   lead(d.y, 2) OVER w AS y2
+            FROM dense d CROSS JOIN st
+            WINDOW w AS (ORDER BY d.hr_us)),
+    agg AS (SELECT n, sx, sy, sxx, syy,
+                   SUM((n*x - sx) * (n*y0 - sy)) AS num0,
+                   SUM(CASE WHEN y1 IS NOT NULL
+                            THEN (n*x - sx) * (n*y1 - sy) END) AS num1,
+                   SUM(CASE WHEN y2 IS NOT NULL
+                            THEN (n*x - sx) * (n*y2 - sy) END) AS num2
+            FROM led GROUP BY n, sx, sy, sxx, syy)
+    SELECT CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n_hours,
+           CAST(num AS BIGINT) AS ccf_num,
+           CAST(num AS DOUBLE)
+             / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+                * sqrt(CAST(n*syy - sy*sy AS DOUBLE))) AS ccf
+    FROM (SELECT 0 AS lag, n, sxx, sx, syy, sy, num0 AS num FROM agg
+          UNION ALL SELECT 1, n, sxx, sx, syy, sy, num1 FROM agg
+          UNION ALL SELECT 2, n, sxx, sx, syy, sy, num2 FROM agg)
+    """,
+)
+def ts_ccf_click_purchase(spark, sf):
+    """Cross-correlation function between the click and purchase
+    hourly-count series at lags 0–2 hours — the lead/lag diagnostic
+    ACF can't give (does click activity PREDICT purchases an hour
+    later?). Same dense-grid + mean-centered-integer discipline as
+    ts_acf: both series zero-filled on the global hourly spine, all
+    sums exact int64 multiplied through by n, one division and two
+    IEEE sqrts at the end. All lags ride one ordered window pass."""
+    ev = load_table(spark, sf, "events")
+    hr = F.unix_micros(F.date_trunc("hour", F.col("ts")))
+    STEP = 3_600_000_000
+    b = ev.agg(F.min(hr).alias("h0"), F.max(hr).alias("h1"))
+    hrs = b.select(
+        F.explode(F.sequence(F.col("h0"), F.col("h1"), F.lit(STEP))).alias(
+            "hr_us"
+        )
+    )
+    hc = (
+        ev.where(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type", hr.alias("hr_us"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cx = hc.where(F.col("event_type") == "click").select(
+        "hr_us", F.col("c").alias("x")
+    )
+    cy = hc.where(F.col("event_type") == "purchase").select(
+        "hr_us", F.col("c").alias("y")
+    )
+    dense = (
+        hrs.join(cx, "hr_us", "left")
+        .join(cy, "hr_us", "left")
+        .select(
+            "hr_us",
+            F.coalesce("x", F.lit(0)).alias("x"),
+            F.coalesce("y", F.lit(0)).alias("y"),
+        )
+    )
+    wp = Window.partitionBy()
+    w = Window.orderBy("hr_us")
+    led = dense.select(
+        "hr_us",
+        F.count(F.lit(1)).over(wp).alias("n"),
+        F.sum("x").over(wp).alias("sx"),
+        F.sum("y").over(wp).alias("sy"),
+        F.sum(F.col("x") * F.col("x")).over(wp).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(wp).alias("syy"),
+        "x",
+        F.col("y").alias("y0"),
+        F.lead("y", 1).over(w).alias("y1"),
+        F.lead("y", 2).over(w).alias("y2"),
+    )
+    devx = F.col("n") * F.col("x") - F.col("sx")
+
+    def num(yc):
+        return F.sum(
+            F.when(
+                F.col(yc).isNotNull(),
+                devx * (F.col("n") * F.col(yc) - F.col("sy")),
+            )
+        )
+
+    agg = led.groupBy("n", "sx", "sy", "sxx", "syy").agg(
+        num("y0").alias("num0"),
+        num("y1").alias("num1"),
+        num("y2").alias("num2"),
+    )
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    ) * F.sqrt(
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+
+    def lag_row(k):
+        return F.struct(
+            F.lit(k).cast("long").alias("lag"),
+            F.col("n").cast("long").alias("n_hours"),
+            F.col(f"num{k}").cast("long").alias("ccf_num"),
+            (F.col(f"num{k}").cast("double") / den).alias("ccf"),
+        )
+
+    return agg.select(
+        F.explode(F.array(lag_row(0), lag_row(1), lag_row(2))).alias("p")
+    ).select("p.*")
+
+
 # ===========================================================================
 # Forecast-quality + robust-stats + HLL additions
 # ===========================================================================

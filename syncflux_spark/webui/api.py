@@ -77,32 +77,51 @@ class StatusServer:
 
     def _run_query(self, q: str) -> tuple[int, dict]:
         """Execute InfluxQL text → (http status, InfluxDB 1.x response
-        body): ``{"results":[{"statement_id":0,"series":[{name,
+        body): ``{"results":[{"statement_id":i,"series":[{name,
         columns,values}]}]}`` — the shape the reference's ReadDB
-        decodes (client.go:383-478)."""
-        from syncflux_spark.influxql import InfluxQLError, SelectStmt, parse
+        decodes (client.go:383-478). Multi-statement input
+        (``stmt1;stmt2``) yields one results entry per statement,
+        with per-statement errors in-place like InfluxDB."""
+        from syncflux_spark.influxql import (
+            InfluxQLError,
+            SelectStmt,
+            parse,
+            split_statements,
+        )
 
         if self.query_engine is None:
             return 503, {"error": "no query engine attached"}
-        try:
-            st = parse(q)
-            df = self.query_engine.query(q)
-            rows = df.limit(self.max_query_rows).collect()
-            name = (
-                st.measurement
-                if isinstance(st, SelectStmt)
-                else getattr(st, "what", "results").replace(" ", "_")
-            )
-            series = {
-                "name": name,
-                "columns": list(df.columns),
-                "values": [list(r) for r in rows],
-            }
-            return 200, {"results": [{"statement_id": 0, "series": [series]}]}
-        except InfluxQLError as ex:
-            return 400, {"error": str(ex)}
-        except Exception as ex:  # compile/execute failure → influx error shape
-            return 400, {"error": f"{type(ex).__name__}: {ex}"}
+        stmts = split_statements(q)
+        if not stmts:
+            return 400, {"error": "empty query"}
+        results = []
+        for i, stmt in enumerate(stmts):
+            try:
+                st = parse(stmt)
+                df = self.query_engine.query(stmt)
+                rows = df.limit(self.max_query_rows).collect()
+                name = (
+                    st.measurement
+                    if isinstance(st, SelectStmt)
+                    else getattr(st, "what", "results").replace(" ", "_")
+                )
+                series = {
+                    "name": name,
+                    "columns": list(df.columns),
+                    "values": [list(r) for r in rows],
+                }
+                results.append({"statement_id": i, "series": [series]})
+            except InfluxQLError as ex:
+                if len(stmts) == 1:
+                    return 400, {"error": str(ex)}
+                results.append({"statement_id": i, "error": str(ex)})
+            except Exception as ex:  # compile/execute failure
+                if len(stmts) == 1:
+                    return 400, {"error": f"{type(ex).__name__}: {ex}"}
+                results.append(
+                    {"statement_id": i, "error": f"{type(ex).__name__}: {ex}"}
+                )
+        return 200, {"results": results}
 
     # -- handlers -----------------------------------------------------------
     def _handler_cls(self):

@@ -163,3 +163,21 @@ class TestQueryEndpoint:
     def test_missing_q(self, qserver):
         code, body, _ = _get(qserver, "/query")
         assert code == 400
+
+    def test_multi_statement(self, qserver):
+        q = urllib.parse.quote(
+            "show databases; select count(value) as n from events"
+        )
+        code, body, _ = _get(qserver, f"/query?q={q}")
+        assert code == 200
+        res = json.loads(body)["results"]
+        assert [r["statement_id"] for r in res] == [0, 1]
+        assert res[0]["series"][0]["name"] == "databases"
+        assert res[1]["series"][0]["columns"] == ["n"]
+
+    def test_multi_statement_partial_error(self, qserver):
+        q = urllib.parse.quote("show databases; select bogus syntax from")
+        code, body, _ = _get(qserver, f"/query?q={q}")
+        assert code == 200
+        res = json.loads(body)["results"]
+        assert "series" in res[0] and "error" in res[1]
