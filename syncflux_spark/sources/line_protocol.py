@@ -138,7 +138,9 @@ def parse_line_protocol(
     (schema-on-read, exactly the reference's field-map decode)."""
     raw = F.col(line_col)
     head = F.regexp_extract(raw, r"^((?:\\.|[^ \\])+) ", 1)
-    ts = F.regexp_extract(raw, r" (\d+)$", 1).cast("long")
+    # '' (line without trailing timestamp) → null, not an ANSI cast
+    # error — consumers decide whether null ts is a rejection
+    ts = F.nullif(F.regexp_extract(raw, r" (\d+)$", 1), F.lit("")).cast("long")
     fseg = F.regexp_extract(raw, r"^(?:\\.|[^ \\])+ (.*) \d+$", 1)
 
     meas = _unesc(F.regexp_extract(head, r"^((?:\\.|[^,\\])+)", 1))
@@ -181,3 +183,70 @@ def parse_line_protocol(
         cols.append(field(n, dt))
     cols.append(ts.alias("ts_ns"))
     return lines.select(*cols)
+
+
+class LineProtocolSink:
+    """HTTP-ingestion sink: accept an InfluxDB ``/write`` body (many
+    line-protocol lines, possibly mixed measurements) and append the
+    typed rows to per-measurement parquet directories.
+
+    This is the receiving end of the reference's WriteDB
+    (pkg/agent/client.go:531-559 posts exactly these bodies) — with
+    it, a syncflux pair can use this engine as its slave. Per-request
+    bodies are HTTP-bounded (the reference splits at
+    max-points-on-single-write, 10k points), so the driver-side
+    measurement routing is O(request), not a data-plane loop; bulk
+    ingestion of LP *files* goes through :func:`parse_line_protocol`
+    on a distributed scan instead.
+
+    Append-only by design: InfluxDB upserts duplicate points at write
+    time; here duplicates collapse at read time via the last-write-
+    wins operator (queries.py::ts_upsert_collapse), and small files
+    accrete until operators/compact.py rewrites them — both documented
+    engine-wide conventions.
+
+    ``schemas``: measurement → (tag_cols, {field: influx_type}).
+    """
+
+    def __init__(self, spark, root: str, schemas: dict[str, tuple[list[str], dict[str, str]]]):
+        self.spark = spark
+        self.root = root
+        self.schemas = schemas
+
+    def write(self, body: str) -> int:
+        """Parse + append one request body; returns points written.
+        Raises ValueError for unknown measurements or unparseable
+        lines (the caller maps this to HTTP 400)."""
+        import os
+        import re
+
+        lines = [ln for ln in body.splitlines() if ln.strip()]
+        if not lines:
+            return 0
+        by_meas: dict[str, list[str]] = {}
+        for ln in lines:
+            m = re.match(r"^((?:\\.|[^,\\ ])+)", ln)
+            if not m:
+                raise ValueError(f"unparseable line: {ln[:80]!r}")
+            meas = m.group(1).replace("\\,", ",").replace("\\ ", " ")
+            if meas not in self.schemas:
+                raise ValueError(f"unknown measurement {meas!r}")
+            by_meas.setdefault(meas, []).append(ln)
+        total = 0
+        for meas, ls in by_meas.items():
+            tags, fields = self.schemas[meas]
+            df = self.spark.createDataFrame([(x,) for x in ls], "line string")
+            parsed = parse_line_protocol(df, tags, fields)
+            bad = parsed.where(F.col("ts_ns").isNull()).count()
+            if bad:
+                raise ValueError(f"{bad} line(s) missing a timestamp")
+            parsed.drop("measurement").write.mode("append").parquet(
+                os.path.join(self.root, meas)
+            )
+            total += len(ls)
+        return total
+
+    def read_measurement(self, measurement: str):
+        import os
+
+        return self.spark.read.parquet(os.path.join(self.root, measurement))

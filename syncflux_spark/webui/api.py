@@ -59,6 +59,7 @@ class StatusServer:
         port: int = 4090,
         query_engine=None,
         max_query_rows: int = 10_000,
+        write_sink=None,
     ):
         self.monitor = monitor
         self.node_names = node_names or {"master": "master", "slave": "slave"}
@@ -71,6 +72,9 @@ class StatusServer:
         #: 10k rows, client.go:343-344 — same order of magnitude)
         self.query_engine = query_engine
         self.max_query_rows = max_query_rows
+        #: optional LineProtocolSink serving POST /write — the
+        #: receiving end of the reference's WriteDB (client.go:531-559)
+        self.write_sink = write_sink
         self._sessions: set[str] = set()
         self._httpd: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
@@ -184,7 +188,22 @@ class StatusServer:
                     self._send(404, {"error": "not found"})
 
             def do_POST(self):
-                if self.path.startswith("/query"):
+                if self.path.startswith("/write"):
+                    if server.write_sink is None:
+                        self._send(503, {"error": "no write sink attached"})
+                        return
+                    n = int(self.headers.get("Content-Length", 0))
+                    body = self.rfile.read(n).decode() if n else ""
+                    try:
+                        written = server.write_sink.write(body)
+                    except ValueError as ex:
+                        self._send(400, {"error": str(ex)})
+                        return
+                    # influx answers 204 No Content on success
+                    self.send_response(204)
+                    self.send_header("X-Points-Written", str(written))
+                    self.end_headers()
+                elif self.path.startswith("/query"):
                     # influx clients POST with q in the query string or
                     # a form-encoded body (client.go issues both)
                     q = self._query_param()

@@ -181,3 +181,78 @@ class TestQueryEndpoint:
         assert code == 200
         res = json.loads(body)["results"]
         assert "series" in res[0] and "error" in res[1]
+
+
+class TestWriteEndpoint:
+    """InfluxDB 1.x /write parity: the receiving end of the
+    reference's WriteDB (client.go:531-559 posts these bodies)."""
+
+    @pytest.fixture()
+    def wserver(self, spark, tmp_path):
+        from syncflux_spark.sources.line_protocol import LineProtocolSink
+
+        monitor = HAMonitor(master_probe=lambda: True, slave_probe=lambda: True)
+        monitor.check_once()
+        sink = LineProtocolSink(
+            spark,
+            str(tmp_path),
+            {"cpu": (["host", "dc"], {"usage": "float", "n": "integer"})},
+        )
+        srv = StatusServer(monitor, port=0, write_sink=sink)
+        port = srv.start()
+        yield port, sink
+        srv.stop()
+
+    @staticmethod
+    def _write(port, body):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/write", data=body.encode()
+        )
+        try:
+            with urllib.request.urlopen(req) as r:
+                return r.status, dict(r.headers)
+        except urllib.error.HTTPError as e:
+            return e.code, dict(e.headers)
+
+    def test_write_roundtrip(self, wserver):
+        port, sink = wserver
+        body = (
+            "cpu,host=h1,dc=eu usage=0.5,n=3i 1000000000\n"
+            "cpu,host=h2,dc=us usage=0.75 2000000000\n"
+        )
+        code, headers = self._write(port, body)
+        assert code == 204
+        assert headers["X-Points-Written"] == "2"
+        back = sink.read_measurement("cpu").orderBy("ts_ns").collect()
+        assert [(r.host, r.dc, r.usage, r.n, r.ts_ns) for r in back] == [
+            ("h1", "eu", 0.5, 3, 1000000000),
+            ("h2", "us", 0.75, None, 2000000000),
+        ]
+
+    def test_write_appends(self, wserver):
+        port, sink = wserver
+        self._write(port, "cpu,host=h1,dc=eu usage=1.0 1000000000")
+        self._write(port, "cpu,host=h1,dc=eu usage=2.0 2000000000")
+        assert sink.read_measurement("cpu").count() == 2
+
+    def test_unknown_measurement_400(self, wserver):
+        port, _ = wserver
+        code, _ = self._write(port, "mem,host=h1 used=1.0 1000000000")
+        assert code == 400
+
+    def test_missing_timestamp_400(self, wserver):
+        port, _ = wserver
+        code, _ = self._write(port, "cpu,host=h1,dc=eu usage=1.0")
+        assert code == 400
+
+    def test_no_sink_503(self, server):
+        _, port, _, _ = server
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/write", data=b"cpu usage=1 1"
+        )
+        try:
+            with urllib.request.urlopen(req) as r:
+                code = r.status
+        except urllib.error.HTTPError as e:
+            code = e.code
+        assert code == 503
