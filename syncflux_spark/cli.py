@@ -40,7 +40,8 @@ def build_parser() -> argparse.ArgumentParser:
     )
     # single-dash long flags, matching the Go CLI surface (main.go:77-119)
     p.add_argument("-action", default=None,
-                   choices=["copy", "replicaschema", "fullcopy", "hamonitor"])
+                   choices=["copy", "replicaschema", "fullcopy", "hamonitor",
+                            "serve"])
     p.add_argument("-config", default=None, help="TOML config file")
     p.add_argument("-version", action="store_true",
                    help="display the version and exit")
@@ -160,6 +161,8 @@ def main(argv: list[str] | None = None) -> int:
             return _run_copy(spark, args)
         if args.action == "hamonitor":
             return _run_hamonitor(spark, args)
+        if args.action == "serve":
+            return _run_serve(spark, args)
         return 2
     finally:
         if owns_session:
@@ -251,6 +254,83 @@ def _run_hamonitor(spark, args) -> int:
             _t.sleep(3600)
     except KeyboardInterrupt:
         mon.stop()
+        server.stop()
+    return 0
+
+
+def build_server(spark, src_root: str, dst_root: str | None, port: int = 0):
+    """Stand up the engine as an InfluxDB 1.x endpoint: every
+    ``{name}.parquet`` under ``src_root`` becomes a queryable
+    measurement (string columns are its tags), ``/query`` serves
+    InfluxQL over them, and — when ``dst_root`` is given — ``/write``
+    ingests line protocol into per-measurement dirs whose schemas are
+    derived from the source tables. Returns the started StatusServer
+    (caller stops it)."""
+    import glob
+    import os
+
+    from syncflux_spark.catalog import SPARK_TO_INFLUX
+    from syncflux_spark.influxql import InfluxQLEngine
+    from syncflux_spark.sources.line_protocol import LineProtocolSink
+    from syncflux_spark.sources.parquet import load_table
+    from syncflux_spark.streaming.monitor import HAMonitor
+    from syncflux_spark.webui.api import StatusServer
+
+    tables, tags, schemas = {}, {}, {}
+    for path in sorted(glob.glob(os.path.join(src_root, "*.parquet"))):
+        name = os.path.splitext(os.path.basename(path))[0]
+        df = load_table(spark, src_root, name)
+        tables[name] = df
+        dts = dict(df.dtypes)
+        tgs = [c for c, t in df.dtypes if t == "string"]
+        tags[name] = tgs
+        fields = {
+            c: SPARK_TO_INFLUX[t]
+            for c, t in dts.items()
+            if c not in tgs and c not in ("ts", "ts_ns") and t in SPARK_TO_INFLUX
+        }
+        schemas[name] = (tgs, fields)
+    monitor = HAMonitor(
+        master_probe=lambda: True,
+        slave_probe=lambda: dst_root is None or os.path.isdir(dst_root),
+    )
+    monitor.check_once()
+    sink = (
+        LineProtocolSink(spark, dst_root, schemas) if dst_root else None
+    )
+    engine = InfluxQLEngine(spark, tables=tables, tags=tags)
+    server = StatusServer(
+        monitor, port=port, query_engine=engine, write_sink=sink
+    )
+    server.start()
+    return server
+
+
+def _run_serve(spark, args) -> int:
+    """-action serve: be the InfluxDB side of a syncflux pair — the
+    reference's DBclient can probe (`show databases`), read
+    (ReadDB's scan template via /query), and write (WriteDB's line
+    protocol via /write) against this process."""
+    if not args.src_root:
+        print("serve requires -src-root", file=sys.stderr)
+        return 2
+    server = build_server(
+        spark, args.src_root, args.dst_root, port=args.http_port
+    )
+    print(json.dumps({
+        "serving": server.port,
+        "measurements": sorted(server.query_engine.tables),
+        "writable": server.write_sink is not None,
+    }))
+    if args.once:
+        server.stop()
+        return 0
+    try:
+        import time as _t
+
+        while True:
+            _t.sleep(3600)
+    except KeyboardInterrupt:
         server.stop()
     return 0
 

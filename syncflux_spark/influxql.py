@@ -160,6 +160,8 @@ class SelectStmt:
     order_desc: bool = False
     limit: int | None = None
     offset: int | None = None
+    slimit: int | None = None  # per-SERIES limit (influx SLIMIT)
+    soffset: int | None = None
 
 
 @dataclass
@@ -393,6 +395,10 @@ class _Parser:
             st.limit = int(self.next().text)
         if self.accept_kw("offset"):
             st.offset = int(self.next().text)
+        if self.accept_kw("slimit"):
+            st.slimit = int(self.next().text)
+        if self.accept_kw("soffset"):
+            st.soffset = int(self.next().text)
         if self.peek() and self.peek().text == ";":
             self.next()
         if in_cq:
@@ -896,6 +902,8 @@ class InfluxQLEngine:
 
         if st.group_time_ns and st.fill not in (None, "none"):
             out = self._fill(out, st, group_tags)
+        if st.slimit is not None or st.soffset:
+            out = self._apply_slimit(out, st, group_tags)
         order = [F.desc("time")] if st.order_desc else (
             [F.asc("time")] if bucket is not None else []
         )
@@ -906,6 +914,26 @@ class InfluxQLEngine:
         if st.limit is not None:
             out = out.limit(st.limit)
         return out
+
+    @staticmethod
+    def _apply_slimit(
+        out: DataFrame, st: SelectStmt, group_tags: list[str]
+    ) -> DataFrame:
+        """SLIMIT/SOFFSET: keep a window of SERIES (tag combinations,
+        influx's lexicographic series order), orthogonal to the
+        row-level LIMIT. dense_rank over the tag ordering runs on the
+        aggregated rollup (one row per bucket × series) — a
+        single-partition sort of rollup-sized data, same cost class
+        as the final ORDER BY time."""
+        if not group_tags:
+            raise InfluxQLError("SLIMIT requires GROUP BY tag(s)")
+        w = Window.orderBy(*[F.col(t) for t in group_tags])
+        lo = st.soffset or 0
+        hi = lo + (st.slimit if st.slimit is not None else 1 << 31)
+        ranked = out.withColumn("_srank", F.dense_rank().over(w))
+        return ranked.where(
+            (F.col("_srank") > lo) & (F.col("_srank") <= hi)
+        ).drop("_srank")
 
     def _apply_transforms(
         self, out: DataFrame, st: SelectStmt, group_tags: list[str], has_bucket: bool

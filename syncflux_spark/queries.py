@@ -8641,6 +8641,28 @@ def ivf_pq_topk_query(spark, sf):
 
 
 @register(
+    "influxql_slimit_series",
+    """
+    SELECT (u - u % 86400000000) * 1000 AS time, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM (SELECT epoch_us(ts) AS u, event_type FROM events)
+    WHERE event_type IN (SELECT DISTINCT event_type FROM events
+                         ORDER BY event_type LIMIT 2 OFFSET 1)
+    GROUP BY 1, 2
+    """,
+)
+def influxql_slimit_series(spark, sf):
+    """InfluxQL SLIMIT/SOFFSET: a window of SERIES (tag combinations
+    in lexicographic order), orthogonal to row LIMIT — how a dashboard
+    pages through thousands of hosts. dense_rank over the rollup's tag
+    ordering; rollup-sized sort, never the fact table."""
+    return _influxql_events(spark, sf).query(
+        "SELECT count(value) AS n FROM events "
+        "GROUP BY time(1d), event_type SLIMIT 2 SOFFSET 1"
+    )
+
+
+@register(
     "ts_m4_downsample",
     f"""
     WITH v AS (SELECT event_type, CAST(epoch_us(ts) AS BIGINT) AS u,

@@ -164,3 +164,60 @@ def test_config_driven_copy_end_to_end(spark, sf_dir, tmp_path, capsys):
     rep = json.loads(capsys.readouterr().out)
     assert rep["points"] > 0 and not rep["bad_chunks"]
     assert (tmp_path / "pid" / "syncflux.pid").read_text().isdigit()
+
+
+class TestServeAction:
+    def test_build_server_query_and_write(self, spark, sf_dir, tmp_path):
+        import json
+        import urllib.parse
+        import urllib.request
+
+        from syncflux_spark.cli import build_server
+
+        srv = build_server(spark, sf_dir, str(tmp_path / "wr"), port=0)
+        try:
+            q = urllib.parse.quote("show databases")
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{srv.port}/query?q={q}"
+            ) as r:
+                names = {
+                    v[0]
+                    for v in json.loads(r.read())["results"][0]["series"][0][
+                        "values"
+                    ]
+                }
+            assert {"events", "orders", "documents"} <= names
+            # the reference's exact scan template runs against us
+            q = urllib.parse.quote(
+                'select * from "events" where time > 1704412800000000000 '
+                "and time < 1704499200000000000 group by *"
+            )
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{srv.port}/query?q={q}"
+            ) as r:
+                series = json.loads(r.read())["results"][0]["series"][0]
+            assert len(series["values"]) > 0
+            # and WriteDB-style line protocol lands typed
+            body = "events,event_type=click value=1.5 1704412800000000001"
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{srv.port}/write", data=body.encode()
+            )
+            with urllib.request.urlopen(req) as r:
+                assert r.status == 204
+            back = srv.write_sink.read_measurement("events")
+            assert back.count() == 1 and back.first().value == 1.5
+        finally:
+            srv.stop()
+
+    def test_serve_once_smoke(self, spark, sf_dir, capsys):
+        import json
+
+        from syncflux_spark.cli import main
+
+        rc = main([
+            "-action", "serve", "-src-root", sf_dir, "-once",
+            "-http-port", "0",
+        ])
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert "events" in out["measurements"] and not out["writable"]

@@ -571,3 +571,33 @@ class TestSubqueries:
 
         exp = list(itertools.accumulate(r["count"] for r in base))
         assert [r.cs for r in out] == exp
+
+
+class TestSlimit:
+    def test_parse(self):
+        st = parse(
+            "select count(v) from m group by time(1d), host "
+            "limit 10 offset 2 slimit 3 soffset 1"
+        )
+        assert (st.limit, st.offset, st.slimit, st.soffset) == (10, 2, 3, 1)
+
+    def test_slimit_keeps_first_series(self, engine):
+        out = engine.query(
+            "select count(value) as n from events "
+            "group by time(1d), event_type slimit 2"
+        )
+        types = {r.event_type for r in out.collect()}
+        assert types == {"click", "error"}  # lexicographically first 2
+
+    def test_soffset_skips_series(self, engine):
+        out = engine.query(
+            "select count(value) as n from events "
+            "group by time(1d), event_type slimit 2 soffset 1"
+        )
+        assert {r.event_type for r in out.collect()} == {"error", "purchase"}
+
+    def test_slimit_requires_tags(self, engine):
+        with pytest.raises(InfluxQLError):
+            engine.query(
+                "select count(value) from events group by time(1d) slimit 2"
+            )
