@@ -259,6 +259,7 @@ _TRANSFORM_FUNCS = {
     "difference",
     "moving_average",
     "cumulative_sum",
+    "elapsed",
 }
 
 
@@ -421,10 +422,9 @@ class _Parser:
             transform = self.next().text.lower()
             self.expect_op("(")
             inner = self.proj()
-            if inner.func is None:
-                raise InfluxQLError(
-                    f"{transform}() requires an aggregate argument in GROUP BY time queries"
-                )
+            # raw-field inner is legal too (per-point transformations
+            # over raw selects); validation of which combination is
+            # allowed happens at compile time
             targ: int | float | None = None
             if self.peek() and self.peek().text == ",":
                 self.next()
@@ -834,7 +834,13 @@ class InfluxQLEngine:
 
         has_agg = any(p.func for p in st.projs)
         if not has_agg:
+            if any(p.transform for p in st.projs):
+                return self._raw_transforms(st, df, tag_cols)
             return self._select_raw(st, df, tag_cols, time_col)
+        if any(p.transform and p.func is None for p in st.projs):
+            raise InfluxQLError(
+                "cannot mix raw-field transformations with aggregates"
+            )
         return self._select_agg(st, df, tag_cols)
 
     def _select_raw(
@@ -934,6 +940,87 @@ class InfluxQLEngine:
         return ranked.where(
             (F.col("_srank") > lo) & (F.col("_srank") <= hi)
         ).drop("_srank")
+
+    def _raw_transforms(
+        self, st: SelectStmt, df: DataFrame, tag_cols: list[str]
+    ) -> DataFrame:
+        """Per-POINT transformations over a raw select (no aggregate):
+        ``elapsed(field, unit)``, raw ``difference``/``derivative`` —
+        windows partitioned by the series tags (GROUP BY * / tags),
+        ordered by event time. One per-series exchange, the same
+        shuffle the equivalent hand-written window query pays. Rows
+        with no predecessor are omitted (InfluxDB semantics). With
+        duplicate timestamps inside one series, elapsed is stable
+        (equal times → delta 0); value transforms inherit the
+        arbitrary tie order — same caveat as InfluxDB itself."""
+        if not all(p.transform for p in st.projs):
+            raise InfluxQLError(
+                "cannot mix raw fields with transformations in one select"
+            )
+        if st.group_time_ns:
+            raise InfluxQLError(
+                "transformations over GROUP BY time require an aggregate "
+                "argument, e.g. derivative(mean(v), 1h)"
+            )
+        part = (
+            tag_cols
+            if st.group_star
+            else [t for t in st.group_tags if t in df.columns]
+        )
+        if "ts_ns" in df.columns:
+            ns = F.col("ts_ns")
+        elif "ts" in df.columns:
+            ns = F.unix_micros("ts") * F.lit(1000)
+        elif "time" in df.columns:
+            ns = F.col("time")
+        else:
+            raise InfluxQLError("raw transformations require a time column")
+        fields = sorted({p.field for p in st.projs} - set(part))
+        staged = df.select(
+            ns.alias("_ns"), *[F.col(t) for t in part], *fields
+        )
+        w = Window.partitionBy(*[F.col(t) for t in part]).orderBy("_ns")
+        prev_ns = F.lag("_ns").over(w)
+        cols: list[Column] = [F.col("_ns").alias("time")] + [
+            F.col(t) for t in part
+        ]
+        keep: list[Column] = []
+        for p in st.projs:
+            v = F.col(p.field)
+            name = p.out_name
+            if p.transform == "elapsed":
+                unit = int(p.transform_arg or 1)  # influx default: ns
+                res = ((F.col("_ns") - prev_ns) / F.lit(unit)).cast("long")
+            elif p.transform == "difference":
+                res = v - F.lag(p.field).over(w)
+            elif p.transform in ("derivative", "non_negative_derivative"):
+                unit = p.transform_arg or 10**9
+                dt = (F.col("_ns") - prev_ns).cast("double")
+                res = (v - F.lag(p.field).over(w)).cast("double") * F.lit(
+                    float(unit)
+                ) / dt
+                if p.transform == "non_negative_derivative":
+                    res = F.when(res >= 0, res)
+            elif p.transform == "cumulative_sum":
+                res = F.sum(v).over(
+                    w.rowsBetween(Window.unboundedPreceding, 0)
+                )
+            else:
+                raise InfluxQLError(
+                    f"transformation {p.transform!r} needs an aggregate inner"
+                )
+            cols.append(res.alias(name))
+            keep.append(F.col(name).isNotNull())
+        out = staged.select(*cols)
+        for c in keep:
+            out = out.where(c)
+        if st.order_desc:
+            out = out.orderBy(F.desc("time"))
+        if st.offset:
+            out = out.offset(st.offset)
+        if st.limit is not None:
+            out = out.limit(st.limit)
+        return out
 
     def _apply_transforms(
         self, out: DataFrame, st: SelectStmt, group_tags: list[str], has_bucket: bool

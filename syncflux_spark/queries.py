@@ -8641,6 +8641,32 @@ def ivf_pq_topk_query(spark, sf):
 
 
 @register(
+    "influxql_elapsed_clicks",
+    """
+    WITH c AS (SELECT user_id, epoch_us(ts) * 1000 AS t
+               FROM events WHERE event_type = 'click'),
+    d AS (SELECT user_id, t,
+                 t - lag(t) OVER (PARTITION BY user_id ORDER BY t) AS dt
+          FROM c)
+    SELECT CAST(t AS BIGINT) AS time, user_id,
+           CAST(dt // 1000000000 AS BIGINT) AS e
+    FROM d WHERE dt IS NOT NULL
+    """,
+)
+def influxql_elapsed_clicks(spark, sf):
+    """InfluxQL raw-select transformation: ``elapsed(field, 1s)`` —
+    per-series inter-arrival gaps in whole seconds, windows
+    partitioned by the series tag and ordered by event time (one
+    per-series exchange). Rows with no predecessor are omitted.
+    Hash-stable even under duplicate timestamps (equal times → delta
+    0 regardless of tie order)."""
+    return _influxql_events(spark, sf).query(
+        "SELECT elapsed(value, 1s) AS e FROM events "
+        "WHERE event_type = 'click' GROUP BY user_id"
+    )
+
+
+@register(
     "influxql_slimit_series",
     """
     SELECT (u - u % 86400000000) * 1000 AS time, event_type,

@@ -399,9 +399,13 @@ class TestTransformations:
         assert p.transform == "derivative" and p.func == "mean"
         assert p.transform_arg == 3600 * 10**9
 
-    def test_transform_requires_aggregate(self):
+    def test_transform_requires_aggregate(self, engine):
+        # raw-field inner PARSES (raw transforms are legal) but a
+        # GROUP BY time query must aggregate first — compile error
         with pytest.raises(InfluxQLError):
-            parse("select derivative(v, 1h) from m group by time(1h)")
+            engine.query(
+                "select derivative(value, 1h) from events group by time(1h)"
+            )
 
     def test_derivative_counts(self, engine, events):
         out = engine.query(
@@ -601,3 +605,50 @@ class TestSlimit:
             engine.query(
                 "select count(value) from events group by time(1d) slimit 2"
             )
+
+
+class TestRawTransforms:
+    def test_elapsed_per_series(self, engine, events):
+        out = engine.query(
+            "select elapsed(value, 1s) as e from events "
+            "where event_type = 'click' group by user_id"
+        ).collect()
+        rows = (
+            events.where(F.col("event_type") == "click")
+            .select("user_id", "ts_ns")
+            .collect()
+        )
+        by_user: dict[int, list[int]] = {}
+        for r in rows:
+            by_user.setdefault(r.user_id, []).append(r.ts_ns)
+        exp = []
+        for u, ts in by_user.items():
+            ts.sort()
+            exp += [(u, (b - a) // 10**9) for a, b in zip(ts, ts[1:])]
+        got = [(r.user_id, r.e) for r in out]
+        assert sorted(got) == sorted(exp)
+
+    def test_raw_difference(self, spark):
+        df = spark.createDataFrame(
+            [(i * 10**9, float(v)) for i, v in enumerate([1, 4, 2, 9])],
+            "ts_ns long, value double",
+        ).withColumn("ts", F.timestamp_micros((F.col("ts_ns") / 1000).cast("long")))
+        eng = InfluxQLEngine(spark, tables={"m": df}, tags={"m": []})
+        out = eng.query("select difference(value) as d from m").orderBy("time").collect()
+        assert [r.d for r in out] == [3.0, -2.0, 7.0]
+
+    def test_raw_derivative_unit_scaling(self, spark):
+        df = spark.createDataFrame(
+            [(0, 0.0), (2 * 10**9, 10.0)], "ts_ns long, value double"
+        ).withColumn("ts", F.timestamp_micros((F.col("ts_ns") / 1000).cast("long")))
+        eng = InfluxQLEngine(spark, tables={"m": df}, tags={"m": []})
+        out = eng.query("select derivative(value, 1s) as d from m").collect()
+        assert [r.d for r in out] == [5.0]  # 10 over 2s, per second
+
+    def test_mix_raw_and_transform_rejected(self, engine):
+        with pytest.raises(InfluxQLError):
+            engine.query("select value, difference(value) from events")
+
+    def test_moving_average_needs_aggregate(self, engine):
+        with pytest.raises(InfluxQLError):
+            engine.query("select moving_average(value, 3) from events")
