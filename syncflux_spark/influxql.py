@@ -630,6 +630,8 @@ class _Parser:
             db = self.ident() if self.accept_kw("on") else None
             meas = self.ident() if self.accept_kw("from") else None
             return ShowStmt("series", db=db, measurement=meas)
+        if self.accept_kw("continuous", "queries"):
+            return ShowStmt("continuous queries")
         raise InfluxQLError("unsupported SHOW statement")
 
     # -- DELETE / DROP ------------------------------------------------------
@@ -653,6 +655,10 @@ class _Parser:
             return DropStmt("measurement", self.ident())
         if self.accept_kw("database"):
             return DropStmt("database", self.ident())
+        if self.accept_kw("continuous", "query"):
+            name = self.ident()
+            db = self.ident() if self.accept_kw("on") else None
+            return DropStmt("continuous query", name, db=db)
         raise InfluxQLError("unsupported DROP statement")
 
     # -- DDL ----------------------------------------------------------------
@@ -765,6 +771,7 @@ class InfluxQLEngine:
         catalog=None,
         now: datetime | None = None,
         db: str | None = None,
+        cq_root: str | None = None,
     ):
         self.spark = spark
         self.tables = dict(tables or {})
@@ -774,6 +781,10 @@ class InfluxQLEngine:
         #: session database context (the `db` query param of the
         #: InfluxDB HTTP API) — used by DELETE/DROP resolution
         self.db = db
+        #: target root for CREATE CONTINUOUS QUERY materialization
+        #: (each CQ writes under {cq_root}/{target}/)
+        self.cq_root = cq_root
+        self.continuous_queries: dict[str, object] = {}
 
     def register_table(
         self, name: str, df: DataFrame, tags: list[str] | None = None
@@ -800,7 +811,39 @@ class InfluxQLEngine:
             return self._delete(st)
         if isinstance(st, DropStmt):
             return self._drop(st)
+        if isinstance(st, ContinuousQueryStmt):
+            return self._create_cq(st, q)
         raise InfluxQLError(f"unhandled statement {type(st).__name__}")
+
+    # -- continuous queries -------------------------------------------------
+    def _create_cq(self, st: ContinuousQueryStmt, text: str) -> DataFrame:
+        """CREATE CONTINUOUS QUERY: register an incremental
+        materialization (streaming/continuous.py) targeting
+        ``{cq_root}/{INTO-target}``. Influx runs CQs on its interval
+        ticker; here the host calls :meth:`run_continuous_queries`
+        on its own schedule (cron, foreachBatch, the hamonitor
+        loop)."""
+        import os
+
+        from syncflux_spark.streaming.continuous import ContinuousQuery
+
+        if self.cq_root is None:
+            raise InfluxQLError("engine has no cq_root configured")
+        if st.name in self.continuous_queries:
+            raise InfluxQLError(f"continuous query {st.name!r} already exists")
+        cq = ContinuousQuery(
+            self, text, os.path.join(self.cq_root, st.select.into)
+        )
+        self.continuous_queries[st.name] = cq
+        return self.spark.createDataFrame([(st.name,)], "created string")
+
+    def run_continuous_queries(self, now_ns: int) -> dict[str, int]:
+        """One scheduling tick: advance every registered CQ to the
+        buckets complete at ``now_ns``; returns rows written per CQ."""
+        return {
+            name: cq.run(now_ns)
+            for name, cq in self.continuous_queries.items()
+        }
 
     # -- SELECT compilation -------------------------------------------------
     def _select(self, st: SelectStmt) -> DataFrame:
@@ -1273,6 +1316,14 @@ class InfluxQLEngine:
             return self.spark.createDataFrame([(n,) for n in names], "name string")
         if st.what in ("tag values", "series"):
             return self._show_data(st)
+        if st.what == "continuous queries":
+            rows = [
+                (name, cq.stmt.select.into, cq.iv_ns)
+                for name, cq in sorted(self.continuous_queries.items())
+            ]
+            return self.spark.createDataFrame(
+                rows, "name string, target string, interval_ns long"
+            )
         cat = self._require_catalog()
         if st.what == "retention policies":
             rows = [
@@ -1374,6 +1425,11 @@ class InfluxQLEngine:
         )
 
     def _drop(self, st: DropStmt) -> DataFrame:
+        if st.what == "continuous query":
+            if st.name not in self.continuous_queries:
+                raise InfluxQLError(f"unknown continuous query {st.name!r}")
+            del self.continuous_queries[st.name]
+            return self.spark.createDataFrame([(st.name,)], "dropped string")
         self._require_catalog()
         if st.what == "database":
             self.spark.sql(f"DROP DATABASE IF EXISTS `{st.name}` CASCADE")

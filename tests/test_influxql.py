@@ -652,3 +652,59 @@ class TestRawTransforms:
     def test_moving_average_needs_aggregate(self, engine):
         with pytest.raises(InfluxQLError):
             engine.query("select moving_average(value, 3) from events")
+
+
+class TestEngineCqLifecycle:
+    """CREATE / SHOW / DROP CONTINUOUS QUERY managed through InfluxQL
+    text against the engine, with run_continuous_queries as the
+    scheduling tick."""
+
+    def test_lifecycle(self, spark, events, tmp_path):
+        from syncflux_spark.sources.parquet import _to_ns_epoch
+
+        eng = InfluxQLEngine(
+            spark,
+            tables={"events": events},
+            tags={"events": ["event_type"]},
+            cq_root=str(tmp_path),
+        )
+        eng.query(
+            'CREATE CONTINUOUS QUERY "daily" ON "db" BEGIN '
+            'SELECT count(value) AS n INTO "ev_daily" FROM events '
+            "GROUP BY time(1d), event_type END"
+        )
+        shown = eng.query("SHOW CONTINUOUS QUERIES").collect()
+        assert [(r.name, r.target) for r in shown] == [("daily", "ev_daily")]
+        written = eng.run_continuous_queries(
+            _to_ns_epoch("2024-01-10 00:00:00")
+        )
+        assert written["daily"] > 0
+        # second tick at the same now: nothing new
+        assert eng.run_continuous_queries(
+            _to_ns_epoch("2024-01-10 00:00:00")
+        ) == {"daily": 0}
+        cq = eng.continuous_queries["daily"]
+        assert cq.read_target().count() == written["daily"]
+        eng.query('DROP CONTINUOUS QUERY "daily" ON "db"')
+        assert eng.query("SHOW CONTINUOUS QUERIES").count() == 0
+
+    def test_duplicate_name_rejected(self, spark, events, tmp_path):
+        eng = InfluxQLEngine(
+            spark, tables={"events": events}, tags={"events": []},
+            cq_root=str(tmp_path),
+        )
+        stmt = ('CREATE CONTINUOUS QUERY "x" ON "d" BEGIN '
+                'SELECT count(value) AS n INTO "t" FROM events '
+                "GROUP BY time(1d) END")
+        eng.query(stmt)
+        with pytest.raises(InfluxQLError):
+            eng.query(stmt)
+
+    def test_requires_cq_root(self, spark, events):
+        eng = InfluxQLEngine(spark, tables={"events": events})
+        with pytest.raises(InfluxQLError):
+            eng.query(
+                'CREATE CONTINUOUS QUERY "x" ON "d" BEGIN '
+                'SELECT count(value) AS n INTO "t" FROM events '
+                "GROUP BY time(1d) END"
+            )
