@@ -257,6 +257,7 @@ _TRANSFORM_FUNCS = {
     "derivative",
     "non_negative_derivative",
     "difference",
+    "non_negative_difference",
     "moving_average",
     "cumulative_sum",
     "elapsed",
@@ -1034,8 +1035,10 @@ class InfluxQLEngine:
             if p.transform == "elapsed":
                 unit = int(p.transform_arg or 1)  # influx default: ns
                 res = ((F.col("_ns") - prev_ns) / F.lit(unit)).cast("long")
-            elif p.transform == "difference":
+            elif p.transform in ("difference", "non_negative_difference"):
                 res = v - F.lag(p.field).over(w)
+                if p.transform == "non_negative_difference":
+                    res = F.when(res >= 0, res)
             elif p.transform in ("derivative", "non_negative_derivative"):
                 unit = p.transform_arg or 10**9
                 dt = (F.col("_ns") - prev_ns).cast("double")
@@ -1093,8 +1096,10 @@ class InfluxQLEngine:
                 res = (v - F.lag(name).over(w)) * F.lit(unit / iv)
                 if p.transform == "non_negative_derivative":
                     res = F.when(res >= 0, res)
-            elif p.transform == "difference":
+            elif p.transform in ("difference", "non_negative_difference"):
                 res = v - F.lag(name).over(w)
+                if p.transform == "non_negative_difference":
+                    res = F.when(res >= 0, res)
             elif p.transform == "cumulative_sum":
                 res = F.sum(v).over(
                     w.rowsBetween(Window.unboundedPreceding, 0)

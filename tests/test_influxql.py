@@ -708,3 +708,15 @@ class TestEngineCqLifecycle:
                 'SELECT count(value) AS n INTO "t" FROM events '
                 "GROUP BY time(1d) END"
             )
+
+
+def test_non_negative_difference(spark):
+    df = spark.createDataFrame(
+        [(i * 10**9, float(v)) for i, v in enumerate([5, 3, 8, 8])],
+        "ts_ns long, value double",
+    ).withColumn("ts", F.timestamp_micros((F.col("ts_ns") / 1000).cast("long")))
+    eng = InfluxQLEngine(spark, tables={"m": df}, tags={"m": []})
+    out = eng.query(
+        "select non_negative_difference(value) as d from m"
+    ).orderBy("time").collect()
+    assert [r.d for r in out] == [5.0, 0.0]  # -2 dropped, 5 and 0 kept
