@@ -249,6 +249,8 @@ _AGG_FUNCS = {
     "mode",
     "distinct",
     "percentile",
+    "top",
+    "bottom",
 }
 
 #: outer selector transformations over an aggregate (influx docs:
@@ -885,7 +887,71 @@ class InfluxQLEngine:
             raise InfluxQLError(
                 "cannot mix raw-field transformations with aggregates"
             )
+        if any(p.func in ("top", "bottom") for p in st.projs):
+            return self._select_top_bottom(st, df, tag_cols)
         return self._select_agg(st, df, tag_cols)
+
+    def _select_top_bottom(
+        self, st: SelectStmt, df: DataFrame, tag_cols: list[str]
+    ) -> DataFrame:
+        """``top(field, N)`` / ``bottom(field, N)`` selectors: up to N
+        ROWS per (bucket × series), each carrying its own point time —
+        InfluxDB's multi-row selector family, distinct from the
+        one-row aggregates. Compiles to a rank window partitioned by
+        (bucket, tags) — the ``rank<=N`` filter plans as
+        WindowGroupLimit (per-partition top-N heaps), so the fact
+        table is never fully sorted. Ties at the N boundary pick the
+        earlier point (value, time ordering), and tied (value, time)
+        pairs yield identical output rows either way —
+    deterministic."""
+        sels = [p for p in st.projs if p.func in ("top", "bottom")]
+        if len(sels) != 1 or len(st.projs) != 1:
+            raise InfluxQLError("top()/bottom() must be the only projection")
+        p = sels[0]
+        n = int(p.arg or 1)
+        group_tags = list(tag_cols) if st.group_star else [
+            t for t in st.group_tags if t in df.columns
+        ]
+        if "ts_ns" in df.columns:
+            ns = F.col("ts_ns")
+        elif "ts" in df.columns:
+            ns = F.unix_micros("ts") * F.lit(1000)
+        elif "time" in df.columns:
+            ns = F.col("time")
+        else:
+            raise InfluxQLError("top()/bottom() require a time column")
+        parts: list[Column] = [F.col(t) for t in group_tags]
+        staged_cols = [ns.alias("_ns"), *group_tags, p.field]
+        bucket = None
+        if st.group_time_ns:
+            iv, off = st.group_time_ns, st.group_offset_ns
+            bucket = ((ns - off) - (ns - off) % F.lit(iv) + off).alias("_bucket")
+            staged_cols.append(bucket)
+            parts = [F.col("_bucket")] + parts
+        staged = df.select(*staged_cols)
+        v = F.col(p.field)
+        order = (
+            [F.desc(p.field), F.asc("_ns")]
+            if p.func == "top"
+            else [F.asc(p.field), F.asc("_ns")]
+        )
+        w = Window.partitionBy(*parts).orderBy(*order)
+        out = (
+            staged.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= n)
+            .select(
+                F.col("_ns").alias("time"),
+                *group_tags,
+                v.alias(p.out_name),
+            )
+        )
+        if st.order_desc:
+            out = out.orderBy(F.desc("time"))
+        if st.offset:
+            out = out.offset(st.offset)
+        if st.limit is not None:
+            out = out.limit(st.limit)
+        return out
 
     def _select_raw(
         self, st: SelectStmt, df: DataFrame, tag_cols: list[str], time_col

@@ -8641,6 +8641,34 @@ def ivf_pq_topk_query(spark, sf):
 
 
 @register(
+    "influxql_top3_daily",
+    f"""
+    WITH v AS (SELECT event_type, epoch_us(ts) * 1000 AS t,
+                      {_sql_micros('value')} AS vm
+               FROM events),
+    r AS (SELECT event_type, t, vm,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY event_type, t - t % 86400000000000
+                   ORDER BY vm DESC, t ASC) AS rn
+          FROM v)
+    SELECT CAST(t AS BIGINT) AS time, event_type, vm AS v
+    FROM r WHERE rn <= 3
+    """,
+)
+def influxql_top3_daily(spark, sf):
+    """InfluxQL ``top(field, N)`` selector: up to N ROWS per bucket ×
+    series, each with its own point time (the multi-row selector
+    family, not a one-row aggregate). Plans as WindowGroupLimit —
+    per-partition top-N heaps, never a full sort of the fact table
+    (plan-asserted in test_influxql.py). Ties at the boundary output
+    identical (time, value) rows either way — hash-deterministic."""
+    return _influxql_events(spark, sf).query(
+        "SELECT top(value, 3) AS v FROM events "
+        "GROUP BY time(1d), event_type"
+    )
+
+
+@register(
     "influxql_elapsed_clicks",
     """
     WITH c AS (SELECT user_id, epoch_us(ts) * 1000 AS t

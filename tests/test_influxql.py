@@ -720,3 +720,50 @@ def test_non_negative_difference(spark):
         "select non_negative_difference(value) as d from m"
     ).orderBy("time").collect()
     assert [r.d for r in out] == [5.0, 0.0]  # -2 dropped, 5 and 0 kept
+
+
+class TestTopBottom:
+    def test_top_per_bucket(self, engine, events):
+        out = engine.query(
+            "select top(value, 3) as v from events "
+            "group by time(1d), event_type"
+        ).collect()
+        iv = 86400 * 10**9
+        got: dict[tuple, list[float]] = {}
+        for r in out:
+            got.setdefault((r.time // iv, r.event_type), []).append(r.v)
+        rows = events.select("ts_ns", "event_type", "value").collect()
+        exp: dict[tuple, list[float]] = {}
+        for r in rows:
+            exp.setdefault((r.ts_ns // iv, r.event_type), []).append(r.value)
+        for k, vals in exp.items():
+            top3 = sorted(vals, reverse=True)[:3]
+            assert sorted(got[k], reverse=True) == top3, k
+
+    def test_bottom_single(self, engine, events):
+        out = engine.query(
+            "select bottom(value, 1) as v from events group by event_type"
+        ).collect()
+        exp = {
+            r.event_type: r.mn
+            for r in events.groupBy("event_type")
+            .agg(F.min("value").alias("mn"))
+            .collect()
+        }
+        assert {r.event_type: r.v for r in out} == exp
+
+    def test_top_must_be_sole_projection(self, engine):
+        with pytest.raises(InfluxQLError):
+            engine.query("select top(value, 3), count(value) from events")
+
+    def test_plans_as_window_group_limit(self, engine):
+        plan = (
+            engine.query(
+                "select top(value, 3) as v from events "
+                "group by time(1d), event_type"
+            )
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "WindowGroupLimit" in plan
