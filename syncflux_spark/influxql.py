@@ -150,6 +150,7 @@ class SelectStmt:
     rp: str | None = None
     into: str | None = None  # SELECT ... INTO target (CQ bodies)
     sub: "SelectStmt | None" = None  # FROM (SELECT ...) subquery
+    measurement_regex: str | None = None  # FROM /re/ multi-measurement
     where: "Expr | None" = None
     time: TimeBound = dc_field(default_factory=lambda: TimeBound(None, None))
     group_time_ns: int | None = None
@@ -350,6 +351,12 @@ class _Parser:
             self.expect_op(")")
             st = SelectStmt(
                 projs=projs, measurement=sub.measurement, into=into, sub=sub
+            )
+            return self._select_tail(st, in_cq)
+        if self.peek() and self.peek().kind == "regex":
+            rx = self.next().text
+            st = SelectStmt(
+                projs=projs, measurement=rx, into=into, measurement_regex=rx
             )
             return self._select_tail(st, in_cq)
         db = rp = None
@@ -857,6 +864,22 @@ class InfluxQLEngine:
             tag_cols = [
                 t for t in st.sub.group_tags if t in df.columns
             ] or [t for t in self.tags.get(st.measurement, []) if t in df.columns]
+        elif st.measurement_regex is not None:
+            # the synthesized measurement column is one more tag; the
+            # per-measurement tag sets contribute their intersection
+            matches = [
+                n for n in self.tables if re.search(st.measurement_regex, n)
+            ]
+            shared = (
+                set.intersection(
+                    *(set(self.tags.get(n, [])) for n in matches)
+                )
+                if matches
+                else set()
+            )
+            tag_cols = ["measurement"] + sorted(
+                t for t in shared if t in df.columns
+            )
         else:
             tag_cols = [
                 t for t in self.tags.get(st.measurement, []) if t in df.columns
@@ -1513,6 +1536,34 @@ class InfluxQLEngine:
                 self.spark.sql(f"DROP TABLE `{db}`.`{tbl.name}`")
         return self.spark.createDataFrame([(st.name,)], "dropped string")
 
+    def _resolve_regex(self, rx: str) -> DataFrame:
+        """FROM /regex/: union every registered measurement whose name
+        matches (unanchored, like InfluxDB), projected to the COMMON
+        column set plus a ``measurement`` tag column. Per-measurement
+        result separation falls out of grouping on that tag (the
+        compile treats it as one more tag column), matching influx's
+        one-series-per-measurement output. The union is a no-shuffle
+        concatenation; downstream aggregation shuffles once on
+        (bucket, tags, measurement)."""
+        matches = sorted(n for n in self.tables if re.search(rx, n))
+        if not matches:
+            raise InfluxQLError(f"no measurement matches /{rx}/")
+        common = set(self.tables[matches[0]].columns)
+        for n in matches[1:]:
+            common &= set(self.tables[n].columns)
+        if not common:
+            raise InfluxQLError(
+                f"measurements matching /{rx}/ share no columns"
+            )
+        cols = sorted(common)
+        out = None
+        for n in matches:
+            part = self.tables[n].select(
+                F.lit(n).alias("measurement"), *[F.col(c) for c in cols]
+            )
+            out = part if out is None else out.unionByName(part)
+        return out
+
     def _tags_for(self, measurement: str, db: str | None) -> list[str]:
         if measurement in self.tags:
             return list(self.tags[measurement])
@@ -1544,6 +1595,8 @@ class InfluxQLEngine:
     def _resolve(self, st: SelectStmt) -> DataFrame:
         if st.sub is not None:
             return self._select(st.sub)
+        if st.measurement_regex is not None:
+            return self._resolve_regex(st.measurement_regex)
         if st.measurement in self.tables:
             return self.tables[st.measurement]
         db = st.db or self.db

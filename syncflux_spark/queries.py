@@ -8641,6 +8641,72 @@ def ivf_pq_topk_query(spark, sf):
 
 
 @register(
+    "influxql_regex_measurements",
+    """
+    WITH u AS (
+      SELECT 'ev_click' AS measurement, epoch_us(ts) AS us FROM events
+      WHERE event_type = 'click'
+      UNION ALL
+      SELECT 'ev_purchase', epoch_us(ts) FROM events
+      WHERE event_type = 'purchase')
+    SELECT (us - us % 86400000000) * 1000 AS time, measurement,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM u GROUP BY 1, 2
+    """,
+)
+def influxql_regex_measurements(spark, sf):
+    """``FROM /regex/`` multi-measurement select: every registered
+    measurement matching the pattern unions (no shuffle) into one
+    scan with a synthesized ``measurement`` tag; grouping on that tag
+    reproduces influx's one-series-per-measurement output. The daily
+    rollup then shuffles once on (bucket, measurement)."""
+    from syncflux_spark.influxql import InfluxQLEngine
+
+    ev = load_table(spark, sf, "events").withColumn(
+        "value", micros_amt("value")
+    )
+    eng = InfluxQLEngine(
+        spark,
+        tables={
+            "ev_click": ev.where(F.col("event_type") == "click"),
+            "ev_purchase": ev.where(F.col("event_type") == "purchase"),
+        },
+        tags={"ev_click": [], "ev_purchase": []},
+    )
+    return eng.query(
+        "SELECT count(value) AS n FROM /^ev_/ GROUP BY time(1d), measurement"
+    )
+
+
+@register(
+    "influxql_having_idiom",
+    f"""
+    WITH b AS (SELECT (u - u % 3600000000) * 1000 AS time, event_type,
+                      CAST(SUM(v) AS DOUBLE) / COUNT(*) AS m
+               FROM (SELECT epoch_us(ts) AS u, event_type,
+                            {_sql_micros('value')} AS v
+                     FROM events)
+               GROUP BY 1, 2)
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_busy
+    FROM b WHERE m > 50000000
+    GROUP BY event_type
+    """,
+)
+def influxql_having_idiom(spark, sf):
+    """InfluxQL's HAVING idiom: filter on an aggregate by wrapping it
+    in a subquery (`FROM (SELECT mean(..) AS m ..) WHERE m > x`) —
+    the only way 1.x expresses post-aggregation predicates, and a
+    construct every migrated dashboard contains. The WHERE applies to
+    the inner rollup's output column, the outer count aggregates the
+    surviving buckets: two hash aggregations, no fact-table rescan."""
+    return _influxql_events(spark, sf).query(
+        "SELECT count(m) AS n_busy FROM "
+        "(SELECT mean(value) AS m FROM events GROUP BY time(1h), event_type) "
+        "WHERE m > 50000000 GROUP BY event_type"
+    )
+
+
+@register(
     "influxql_top3_daily",
     f"""
     WITH v AS (SELECT event_type, epoch_us(ts) * 1000 AS t,

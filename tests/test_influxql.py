@@ -767,3 +767,42 @@ class TestTopBottom:
             .toString()
         )
         assert "WindowGroupLimit" in plan
+
+
+class TestRegexMeasurement:
+    @pytest.fixture()
+    def multi_engine(self, spark, events):
+        clicks = events.where(F.col("event_type") == "click")
+        buys = events.where(F.col("event_type") == "purchase")
+        return InfluxQLEngine(
+            spark,
+            tables={"ev_click": clicks, "ev_purchase": buys, "other": events},
+            tags={"ev_click": ["user_id"], "ev_purchase": ["user_id"], "other": []},
+        )
+
+    def test_group_by_star_separates_measurements(self, multi_engine, events):
+        out = multi_engine.query(
+            "select count(value) as n from /^ev_/ group by *"
+        ).collect()
+        # group by * = measurement + shared tags (user_id)
+        assert {r.measurement for r in out} == {"ev_click", "ev_purchase"}
+        total = sum(r.n for r in out)
+        exp = events.where(
+            F.col("event_type").isin("click", "purchase")
+        ).count()
+        assert total == exp
+
+    def test_aggregate_per_measurement(self, multi_engine):
+        out = {
+            r.measurement: r.n
+            for r in multi_engine.query(
+                "select count(value) as n from /^ev_/ group by measurement"
+            ).collect()
+        }
+        assert set(out) == {"ev_click", "ev_purchase"} and all(
+            v > 0 for v in out.values()
+        )
+
+    def test_no_match_raises(self, multi_engine):
+        with pytest.raises(InfluxQLError):
+            multi_engine.query("select count(value) from /^zzz/")
