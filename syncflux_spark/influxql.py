@@ -1006,6 +1006,25 @@ class InfluxQLEngine:
     def _select_agg(
         self, st: SelectStmt, df: DataFrame, tag_cols: list[str]
     ) -> DataFrame:
+        import dataclasses
+
+        if any(p.func and p.field == "*" for p in st.projs):
+            # wildcard aggregate: influx expands count(*) to one
+            # aggregate per FIELD, named {func}_{field}
+            reserved = set(tag_cols) | {"ts", "ts_ns", "time", "measurement"}
+            fields = [c for c in df.columns if c not in reserved]
+            expanded: list[Proj] = []
+            for p in st.projs:
+                if p.func and p.field == "*":
+                    expanded += [
+                        dataclasses.replace(
+                            p, field=fc, alias=p.alias or f"{p.func}_{fc}"
+                        )
+                        for fc in fields
+                    ]
+                else:
+                    expanded.append(p)
+            st = dataclasses.replace(st, projs=expanded)
         group_tags = list(tag_cols) if st.group_star else [
             t for t in st.group_tags if t in df.columns
         ]

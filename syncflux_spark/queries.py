@@ -8641,6 +8641,34 @@ def ivf_pq_topk_query(spark, sf):
 
 
 @register(
+    "influxql_count_star",
+    """
+    SELECT event_type,
+           CAST(COUNT(event_id) AS BIGINT) AS count_event_id,
+           CAST(COUNT(value) AS BIGINT) AS count_value,
+           CAST(COUNT(props) AS BIGINT) AS count_props
+    FROM events GROUP BY event_type
+    """,
+)
+def influxql_count_star(spark, sf):
+    """InfluxQL wildcard aggregate: ``count(*)`` expands to one
+    aggregate per FIELD named ``count_<field>`` (tags and time
+    excluded) — still one hash aggregation regardless of field
+    count."""
+    from syncflux_spark.influxql import InfluxQLEngine
+
+    ev = load_table(spark, sf, "events")
+    eng = InfluxQLEngine(
+        spark,
+        tables={"events": ev},
+        tags={"events": ["event_type", "user_id"]},
+    )
+    out = eng.query("SELECT count(*) FROM events GROUP BY event_type")
+    # ts_ns is engine plumbing, not a field the oracle sees
+    return out.drop("count_ts_ns") if "count_ts_ns" in out.columns else out
+
+
+@register(
     "influxql_regex_measurements",
     """
     WITH u AS (

@@ -806,3 +806,68 @@ class TestRegexMeasurement:
     def test_no_match_raises(self, multi_engine):
         with pytest.raises(InfluxQLError):
             multi_engine.query("select count(value) from /^zzz/")
+
+
+class TestCatalogSelect:
+    """SELECT compiled against catalog-backed measurement tables
+    (db.rp__m resolution via the session db context)."""
+
+    @pytest.fixture()
+    def cat_sel_engine(self, spark, tmp_path):
+        from syncflux_spark.catalog import (
+            FieldSch,
+            MeasurementSch,
+            RetPol,
+            SparkCatalog,
+        )
+
+        cat = SparkCatalog(spark)
+        db = "iqlsel"
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+        cat.create_db(db)
+        rp = RetPol(name="autogen", duration="0s", default=True)
+        meas = MeasurementSch(
+            name="cpu", fields={"usage": FieldSch("usage", "float")}, tags=["host"]
+        )
+        cat.create_measurement(db, rp, meas, location=str(tmp_path / "cpu"))
+        rows = [
+            (i * 3600 * 10**9, None, f"h{i % 2}", float(i)) for i in range(8)
+        ]
+        spark.createDataFrame(
+            rows, "time_ns long, ts timestamp, host string, usage double"
+        ).write.insertInto(f"{db}.autogen__cpu")
+        yield InfluxQLEngine(spark, catalog=cat, db=db)
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+    def test_aggregate_over_catalog_table(self, cat_sel_engine):
+        out = {
+            r.host: (r.n, r.s)
+            for r in cat_sel_engine.query(
+                "select count(usage) as n, sum(usage) as s from cpu group by host"
+            ).collect()
+        }
+        assert out == {"h0": (4, 0.0 + 2 + 4 + 6), "h1": (4, 1.0 + 3 + 5 + 7)}
+
+    def test_three_part_name(self, cat_sel_engine):
+        out = cat_sel_engine.query(
+            'select count(usage) as n from iqlsel.autogen."cpu"'
+        ).collect()
+        assert out[0].n == 8
+
+
+def test_wildcard_aggregate_expands_per_field(engine, events):
+    out = engine.query(
+        "select count(*) from events group by event_type"
+    )
+    # fields only: tags and the time columns are never counted
+    assert set(out.columns) == {
+        "event_type", "count_event_id", "count_value", "count_props",
+    }
+    row = {r.event_type: r.count_value for r in out.collect()}
+    exp = {
+        r.event_type: r.n
+        for r in events.groupBy("event_type")
+        .agg(F.count("value").alias("n"))
+        .collect()
+    }
+    assert row == exp
