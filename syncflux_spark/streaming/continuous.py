@@ -123,3 +123,108 @@ class ContinuousQuery:
         return self.engine.spark.read.option(
             "recursiveFileLookup", "true"
         ).parquet(self.dst_path)
+
+
+def _marker_path(dst_path: str) -> str:
+    return os.path.join(dst_path, "_materialized_below")
+
+
+def _read_marker(dst_path: str) -> int | None:
+    try:
+        with open(_marker_path(dst_path)) as fh:
+            return int(fh.read().strip())
+    except (OSError, ValueError):
+        return None
+
+
+def _write_marker(dst_path: str, below_ns: int) -> None:
+    os.makedirs(dst_path, exist_ok=True)
+    with open(_marker_path(dst_path), "w") as fh:
+        fh.write(str(below_ns))
+
+
+class ExpiringContinuousQuery(ContinuousQuery):
+    """ContinuousQuery whose target also EXPIRES: materialization
+    windows (the ``win=`` directories) older than a cutoff are dropped
+    whole — metadata-only deletion, the exact analog of InfluxDB
+    dropping whole shard groups when a retention policy expires them
+    (expiry granularity = materialization window, just as Influx's is
+    the shard-group duration).
+
+    A ``_materialized_below`` marker records the high bucket boundary
+    after every run, as a FLOOR under the data-derived high-water
+    mark: if expiry empties the target entirely, the next run still
+    resumes above what was already materialized instead of
+    re-creating (and then re-expiring) history. The data-derived max
+    stays primary, so a crash between data write and marker write
+    replays idempotently into the same window directory."""
+
+    def run(self, now_ns: int) -> int:
+        written = super().run(now_ns)
+        off = self.select.group_offset_ns
+        hi = ((now_ns - off) // self.iv_ns) * self.iv_ns + off
+        prev = _read_marker(self.dst_path)
+        if prev is None or hi > prev:
+            _write_marker(self.dst_path, hi)
+        return written
+
+    def _high_water_ns(self) -> int | None:
+        data_hwm = super()._high_water_ns()
+        marker = _read_marker(self.dst_path)
+        if marker is None:
+            return data_hwm
+        marker_hwm = marker - self.iv_ns  # last bucket start below the bound
+        if data_hwm is None:
+            return marker_hwm
+        return max(data_hwm, marker_hwm)
+
+    def expire(self, before_ns: int) -> int:
+        """Drop whole materialization windows whose buckets all end at
+        or before ``before_ns``; returns windows dropped. Windows
+        straddling the cutoff stay (same as Influx keeping a shard
+        group until its whole interval expires)."""
+        import re
+        import shutil
+
+        if not os.path.isdir(self.dst_path):
+            return 0
+        dropped = 0
+        for name in os.listdir(self.dst_path):
+            m = re.match(r"win=(start|\d+)_(\d+)$", name)
+            if not m:
+                continue
+            hi = int(m.group(2))
+            if hi <= before_ns:
+                shutil.rmtree(os.path.join(self.dst_path, name))
+                dropped += 1
+        return dropped
+
+
+class TieredRetention:
+    """Downsample tiering — the operational pattern every InfluxDB
+    deployment runs with CQs + retention policies: raw data expires
+    quickly while rollups at widening intervals persist longer
+    (e.g. raw 7 d → 1 h rollup 90 d → 1 d rollup forever).
+
+    ``tiers`` maps an :class:`ExpiringContinuousQuery` to its
+    retention in ns (None = keep forever). :meth:`tick` is the
+    scheduler beat: materialize newly-complete buckets for every
+    tier, then expire each tier's windows past its retention. Raw
+    tables expire separately via
+    :meth:`syncflux_spark.catalog.SparkCatalog.enforce_retention` —
+    tiering governs the rollup chain."""
+
+    def __init__(self, tiers: list[tuple[ExpiringContinuousQuery, int | None]]):
+        self.tiers = list(tiers)
+
+    def tick(self, now_ns: int) -> dict[str, dict[str, int]]:
+        out: dict[str, dict[str, int]] = {}
+        for cq, retention_ns in self.tiers:
+            written = cq.run(now_ns)
+            expired = (
+                cq.expire(now_ns - retention_ns)
+                if retention_ns is not None
+                else 0
+            )
+            out[cq.name] = {"rows_written": written, "windows_expired": expired}
+        return out

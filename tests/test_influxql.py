@@ -871,3 +871,70 @@ def test_wildcard_aggregate_expands_per_field(engine, events):
         .collect()
     }
     assert row == exp
+
+
+class TestTieredRetention:
+    """Downsample tiering: frequent materialization ticks create
+    window dirs (the shard-group analog); expiry drops whole windows
+    past each tier's retention without re-materializing them later."""
+
+    CQ = (
+        'CREATE CONTINUOUS QUERY "hourly" ON "db" BEGIN '
+        "SELECT count(value) AS n INTO \"ev_hourly\" FROM events "
+        "GROUP BY time(1h), event_type END"
+    )
+
+    @staticmethod
+    def _ns(s: str) -> int:
+        from syncflux_spark.sources.parquet import _to_ns_epoch
+
+        return _to_ns_epoch(s)
+
+    def test_tick_then_expire(self, engine, tmp_path):
+        from syncflux_spark.streaming.continuous import (
+            ExpiringContinuousQuery,
+            TieredRetention,
+        )
+
+        cq = ExpiringContinuousQuery(engine, self.CQ, str(tmp_path / "t"))
+        day = 86400 * 10**9
+        tiers = TieredRetention([(cq, 10 * day)])
+        # three ticks → three window dirs
+        r1 = tiers.tick(self._ns("2024-01-08 00:00:00"))
+        r2 = tiers.tick(self._ns("2024-01-16 00:00:00"))
+        r3 = tiers.tick(self._ns("2024-01-24 00:00:00"))
+        assert r1["hourly"]["rows_written"] > 0
+        assert r2["hourly"]["rows_written"] > 0
+        # first window [.., 01-08) fully before 01-24 - 10d = 01-14 → expired
+        assert r3["hourly"]["windows_expired"] == 1
+        remaining = cq.read_target()
+        mn = remaining.agg(F.min("time").alias("m")).collect()[0].m
+        assert mn >= self._ns("2024-01-08 00:00:00")
+
+    def test_expiry_does_not_rematerialize(self, engine, tmp_path):
+        from syncflux_spark.streaming.continuous import (
+            ExpiringContinuousQuery,
+        )
+
+        cq = ExpiringContinuousQuery(engine, self.CQ, str(tmp_path / "t2"))
+        cq.run(self._ns("2024-01-08 00:00:00"))
+        n_before = cq.read_target().count()
+        assert n_before > 0
+        # expire EVERYTHING materialized so far
+        assert cq.expire(self._ns("2024-01-08 00:00:00")) == 1
+        # next run must resume above the marker, not re-create history
+        cq.run(self._ns("2024-01-16 00:00:00"))
+        remaining = cq.read_target()
+        mn = remaining.agg(F.min("time").alias("m")).collect()[0].m
+        assert mn >= self._ns("2024-01-08 00:00:00")
+
+    def test_straddling_window_survives(self, engine, tmp_path):
+        from syncflux_spark.streaming.continuous import (
+            ExpiringContinuousQuery,
+        )
+
+        cq = ExpiringContinuousQuery(engine, self.CQ, str(tmp_path / "t3"))
+        cq.run(self._ns("2024-01-08 00:00:00"))
+        # cutoff inside the window: the whole window stays
+        assert cq.expire(self._ns("2024-01-05 00:00:00")) == 0
+        assert cq.read_target().count() > 0
