@@ -1429,6 +1429,33 @@ class InfluxQLEngine:
             return self.spark.createDataFrame([(n,) for n in names], "name string")
         if st.what in ("tag values", "series"):
             return self._show_data(st)
+        if st.what == "measurements" and self.catalog is None:
+            return self.spark.createDataFrame(
+                [(n,) for n in sorted(self.tables)], "name string"
+            )
+        if st.what == "tag keys" and self.catalog is None:
+            if st.measurement is None or st.measurement not in self.tags:
+                raise InfluxQLError("SHOW TAG KEYS requires FROM <measurement>")
+            return self.spark.createDataFrame(
+                [(t,) for t in sorted(self.tags[st.measurement])],
+                "tagKey string",
+            )
+        if st.what == "field keys" and self.catalog is None:
+            if st.measurement is None or st.measurement not in self.tables:
+                raise InfluxQLError(
+                    "SHOW FIELD KEYS requires FROM <measurement>"
+                )
+            from syncflux_spark.catalog import SPARK_TO_INFLUX
+
+            tgs = set(self.tags.get(st.measurement, []))
+            rows = [
+                (c, SPARK_TO_INFLUX.get(t, "string"))
+                for c, t in self.tables[st.measurement].dtypes
+                if c not in tgs and c not in ("ts", "ts_ns", "time")
+            ]
+            return self.spark.createDataFrame(
+                sorted(rows), "fieldKey string, fieldType string"
+            )
         if st.what == "continuous queries":
             rows = [
                 (name, cq.stmt.select.into, cq.iv_ns)

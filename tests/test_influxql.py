@@ -938,3 +938,27 @@ class TestTieredRetention:
         # cutoff inside the window: the whole window stays
         assert cq.expire(self._ns("2024-01-05 00:00:00")) == 0
         assert cq.read_target().count() > 0
+
+
+class TestTableBackedShow:
+    """SHOW MEASUREMENTS / TAG KEYS / FIELD KEYS against a
+    tables-registered engine (serve mode has no catalog)."""
+
+    def test_show_measurements(self, engine):
+        out = engine.query("show measurements").collect()
+        assert [r.name for r in out] == ["events"]
+
+    def test_show_tag_keys(self, engine):
+        out = engine.query("show tag keys from events").collect()
+        assert [r.tagKey for r in out] == ["event_type", "user_id"]
+
+    def test_show_field_keys(self, engine):
+        out = {
+            r.fieldKey: r.fieldType
+            for r in engine.query("show field keys from events").collect()
+        }
+        assert out == {
+            "event_id": "integer",
+            "value": "float",
+            "props": "string",
+        }
