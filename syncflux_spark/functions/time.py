@@ -83,11 +83,13 @@ def time_bucket(col: Column | str, width_seconds: int) -> Column:
 # Driver-side window math (no Spark involvement — mirrors reference logic)
 # ---------------------------------------------------------------------------
 
-_DURATION_RE = re.compile(r"^(\d+(?:\.\d+)?)(ns|us|µs|ms|s|m|h|d|w)$")
+_DURATION_RE = re.compile(r"^(\d+(?:\.\d+)?)(ns|us|µs|u|µ|ms|s|m|h|d|w)$")
 _DURATION_UNITS = {
     "ns": 1e-9,
     "us": 1e-6,
     "µs": 1e-6,
+    "u": 1e-6,  # InfluxQL spells microseconds 'u' (and 'µ') as well
+    "µ": 1e-6,
     "ms": 1e-3,
     "s": 1.0,
     "m": 60.0,
@@ -109,7 +111,7 @@ def parse_duration(s: str | float | int | timedelta) -> timedelta:
     rest = s.strip()
     if not rest:
         raise ValueError("empty duration")
-    pattern = re.compile(r"(\d+(?:\.\d+)?)(ns|us|µs|ms|s|m|h|d|w)")
+    pattern = re.compile(r"(\d+(?:\.\d+)?)(ns|us|µs|u|µ|ms|s|m|h|d|w)")
     pos = 0
     for m in pattern.finditer(rest):
         if m.start() != pos:

@@ -61,7 +61,7 @@ from syncflux_spark.functions.time import parse_duration
 _TOKEN_RE = re.compile(
     r"""
     (?P<ws>\s+)
-  | (?P<duration>\d+(?:\.\d+)?(?:ns|u|µ|ms|s|m|h|d|w)(?:\d+(?:\.\d+)?(?:ns|u|µ|ms|s|m|h|d|w))*)
+  | (?P<duration>\d+(?:\.\d+)?(?:ns|us|µs|u|µ|ms|s|m|h|d|w)(?:\d+(?:\.\d+)?(?:ns|us|µs|u|µ|ms|s|m|h|d|w))*)
   | (?P<number>\d+\.\d+|\.\d+|\d+)
   | (?P<qident>"(?:[^"\\]|\\.)*")
   | (?P<string>'(?:[^'\\]|\\.)*')
@@ -103,6 +103,52 @@ def _lex(q: str) -> list[Tok]:
 
 class InfluxQLError(ValueError):
     pass
+
+
+#: ns multiplier for epoch-with-precision time literals ('1755043200s')
+_EPOCH_UNIT_NS = {
+    "ns": 1,
+    "u": 1_000,
+    "µ": 1_000,
+    "us": 1_000,
+    "µs": 1_000,
+    "ms": 1_000_000,
+    "s": 10**9,
+    "m": 60 * 10**9,
+    "h": 3_600 * 10**9,
+    "d": 86_400 * 10**9,
+    "w": 7 * 86_400 * 10**9,
+}
+
+_RFC3339_RE = re.compile(
+    r"(\d{4}-\d{2}-\d{2})"
+    r"(?:[T ](\d{2}:\d{2}:\d{2})(?:\.(\d+))?)?"
+    r"(Z|z|[+-]\d{2}:?\d{2})?"
+)
+
+
+def _rfc3339_ns(s: str) -> int:
+    """RFC3339 time literal → ns epoch, honouring explicit UTC offsets
+    (naive values default to UTC) and sub-microsecond fractions (legal
+    in InfluxQL; kept to full ns precision via integer arithmetic)."""
+    m = _RFC3339_RE.fullmatch(s.strip())
+    if not m:
+        raise InfluxQLError(f"bad time literal {s!r}")
+    date_s, time_s, frac_s, off_s = m.groups()
+    try:
+        dt = datetime.fromisoformat(f"{date_s}T{time_s or '00:00:00'}")
+    except ValueError as ex:
+        raise InfluxQLError(f"bad time literal {s!r}: {ex}") from None
+    if off_s in (None, "Z", "z"):
+        dt = dt.replace(tzinfo=timezone.utc)
+    else:
+        sign = 1 if off_s[0] == "+" else -1
+        hh, mm = int(off_s[1:3]), int(off_s[-2:])
+        dt = dt.replace(tzinfo=timezone(sign * timedelta(hours=hh, minutes=mm)))
+    delta = dt - datetime(1970, 1, 1, tzinfo=timezone.utc)
+    secs = delta.days * 86_400 + delta.seconds  # exact int seconds
+    frac_ns = int((frac_s or "0").ljust(9, "0")[:9])
+    return secs * 10**9 + frac_ns
 
 
 # ---------------------------------------------------------------------------
@@ -545,16 +591,22 @@ class _Parser:
 
     def time_value(self) -> int:
         """A time operand → ns epoch. RFC3339 string, bare epoch-ns
-        integer, or now() [± duration] (pkg/util.go:9-28 shapes)."""
+        integer, epoch-with-precision (``1755043200s`` — the exact
+        shape the reference's sync scan emits, pkg/agent/sync.go:162),
+        or now() [± duration] (pkg/util.go:9-28 shapes)."""
         t = self.next()
         if t.kind == "string":
-            s = t.text.replace("T", " ").replace("Z", "")
-            dt = datetime.fromisoformat(s).replace(tzinfo=timezone.utc)
-            delta = dt - datetime(1970, 1, 1, tzinfo=timezone.utc)
-            micros = (delta.days * 86_400 + delta.seconds) * 1_000_000 + delta.microseconds
-            return micros * 1_000
+            return _rfc3339_ns(t.text)
         if t.kind == "number":
             return int(t.text)  # influx: bare integers in WHERE time are ns
+        if t.kind == "duration":
+            # epoch-with-unit literal: '1755043200s' is an epoch in the
+            # trailing unit's precision, not a duration. All-integer
+            # arithmetic — float would lose ns at 1.7e18.
+            m = re.fullmatch(r"(\d+)(ns|us|µs|u|µ|ms|s|m|h|d|w)", t.text)
+            if not m:
+                raise InfluxQLError(f"bad epoch time literal {t.text!r}")
+            return int(m.group(1)) * _EPOCH_UNIT_NS[m.group(2)]
         if t.kind == "ident" and t.text.lower() == "now":
             self.expect_op("(")
             self.expect_op(")")
@@ -733,6 +785,15 @@ class _Parser:
 def parse(q: str, now: datetime | None = None):
     """Parse one InfluxQL statement → AST dataclass."""
     return _Parser(q, now=now).parse()
+
+
+def _bq(ident: str) -> str:
+    """Backtick-quote an identifier for interpolation into Spark SQL
+    text, escaping embedded backticks — quoted InfluxQL identifiers may
+    contain any character, and DROP/DELETE are reachable through the
+    unauthenticated /query endpoint, so unescaped interpolation would
+    be an injection hole."""
+    return "`" + ident.replace("`", "``") + "`"
 
 
 def split_statements(q: str) -> list[str]:
@@ -1547,12 +1608,12 @@ class InfluxQLEngine:
         for tbl in self.spark.catalog.listTables(db):
             if not tbl.name.endswith(f"__{st.measurement}"):
                 continue
-            full = f"`{db}`.`{tbl.name}`"
+            full = f"{_bq(db)}.{_bq(tbl.name)}"
             n = self.spark.table(full).where(in_range).count()
             deleted.append((tbl.name, n))
             if n == 0:
                 continue
-            staging = f"`{db}`.`{tbl.name}__delete_tmp`"
+            staging = f"{_bq(db)}.{_bq(tbl.name + '__delete_tmp')}"
             self.spark.sql(f"DROP TABLE IF EXISTS {staging}")
             self.spark.sql(
                 f"CREATE TABLE {staging} USING PARQUET AS "
@@ -1572,14 +1633,14 @@ class InfluxQLEngine:
             return self.spark.createDataFrame([(st.name,)], "dropped string")
         self._require_catalog()
         if st.what == "database":
-            self.spark.sql(f"DROP DATABASE IF EXISTS `{st.name}` CASCADE")
+            self.spark.sql(f"DROP DATABASE IF EXISTS {_bq(st.name)} CASCADE")
             return self.spark.createDataFrame([(st.name,)], "dropped string")
         db = st.db or self.db
         if db is None:
             raise InfluxQLError("DROP MEASUREMENT requires a database context")
         for tbl in self.spark.catalog.listTables(db):
             if tbl.name.endswith(f"__{st.name}"):
-                self.spark.sql(f"DROP TABLE `{db}`.`{tbl.name}`")
+                self.spark.sql(f"DROP TABLE {_bq(db)}.{_bq(tbl.name)}")
         return self.spark.createDataFrame([(st.name,)], "dropped string")
 
     def _resolve_regex(self, rx: str) -> DataFrame:
@@ -1609,6 +1670,37 @@ class InfluxQLEngine:
             )
             out = part if out is None else out.unionByName(part)
         return out
+
+    def response_tag_columns(self, st, out_cols: list[str]) -> list[str]:
+        """Which result columns are SERIES TAGS for the InfluxDB 1.x
+        HTTP response shape. InfluxDB answers ``GROUP BY *`` / ``GROUP
+        BY <tags>`` with one series per tag combination carrying a
+        ``"tags": {k: v}`` object, and those columns are EXCLUDED from
+        ``columns``/``values`` — a reader like the reference's ReadDB
+        (pkg/agent/client.go:392-393,471) rebuilds points as
+        (measurement, tags, fields, ts), so a tag left among the value
+        columns would be silently rewritten as a FIELD. The /query
+        endpoint uses this to partition its response."""
+        if not isinstance(st, SelectStmt):
+            return []
+        if not (st.group_star or st.group_tags):
+            return []
+        if st.group_star:
+            if st.measurement_regex is not None:
+                matches = [
+                    n for n in self.tables
+                    if re.search(st.measurement_regex, n)
+                ]
+                tags = {"measurement"}
+                for n in matches:
+                    tags |= set(self.tags.get(n, []))
+            elif st.sub is not None:
+                tags = set(st.sub.group_tags)
+            else:
+                tags = set(self._tags_for(st.measurement, st.db))
+        else:
+            tags = set(st.group_tags)
+        return [c for c in out_cols if c in tags]
 
     def _tags_for(self, measurement: str, db: str | None) -> list[str]:
         if measurement in self.tags:

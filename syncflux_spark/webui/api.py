@@ -109,12 +109,56 @@ class StatusServer:
                     if isinstance(st, SelectStmt)
                     else getattr(st, "what", "results").replace(" ", "_")
                 )
-                series = {
-                    "name": name,
-                    "columns": list(df.columns),
-                    "values": [list(r) for r in rows],
-                }
-                results.append({"statement_id": i, "series": [series]})
+                tag_cols = self.query_engine.response_tag_columns(
+                    st, list(df.columns)
+                )
+                if tag_cols:
+                    # GROUP BY * / tags: one series per tag combination
+                    # with a 'tags' object; tag columns leave
+                    # columns/values (InfluxDB 1.x shape — a ReadDB-
+                    # style consumer writes tags as tags, not fields)
+                    ti = [df.columns.index(c) for c in tag_cols]
+                    vi = [
+                        i2 for i2, c in enumerate(df.columns)
+                        if c not in tag_cols
+                    ]
+                    val_cols = [df.columns[i2] for i2 in vi]
+                    by_combo: dict[tuple, list] = {}
+                    for r in rows:
+                        by_combo.setdefault(
+                            tuple(r[i2] for i2 in ti), []
+                        ).append([r[i2] for i2 in vi])
+                    series_list = [
+                        {
+                            "name": (
+                                str(combo[tag_cols.index("measurement")])
+                                if "measurement" in tag_cols
+                                else name
+                            ),
+                            "tags": {
+                                c: ("" if v is None else str(v))
+                                for c, v in zip(tag_cols, combo)
+                                if c != "measurement"
+                            },
+                            "columns": val_cols,
+                            "values": vals,
+                        }
+                        for combo, vals in sorted(
+                            by_combo.items(),
+                            key=lambda kv: tuple(
+                                "" if x is None else str(x) for x in kv[0]
+                            ),
+                        )
+                    ]
+                else:
+                    series_list = [
+                        {
+                            "name": name,
+                            "columns": list(df.columns),
+                            "values": [list(r) for r in rows],
+                        }
+                    ]
+                results.append({"statement_id": i, "series": series_list})
             except InfluxQLError as ex:
                 if len(stmts) == 1:
                     return 400, {"error": str(ex)}

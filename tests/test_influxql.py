@@ -57,6 +57,37 @@ class TestParser:
         st = parse("select count(v) from m where time >= now() - 1h", now=NOW)
         assert st.time.lo_ns == int(NOW.timestamp() * 1e9) - 3600 * 10**9
 
+    def test_epoch_with_unit_time_literals(self):
+        # the reference's sync scan emits 'time > %vs' — epoch SECONDS
+        # with a trailing unit (sync.go:162); must not lex-fail as a
+        # duration, and must stay ns-exact (no float round-trip)
+        st = parse(
+            'select * from "m" where time > 1755043200s and '
+            "time < 1755046800s group by *"
+        )
+        assert st.time.lo_ns == 1755043200 * 10**9 + 1
+        assert st.time.hi_ns == 1755046800 * 10**9
+        st = parse("select v from m where time >= 1755043200123ms")
+        assert st.time.lo_ns == 1755043200123 * 10**6
+        st = parse("select v from m where time >= 1755043200123456u")
+        assert st.time.lo_ns == 1755043200123456 * 10**3
+
+    def test_rfc3339_offset_and_sub_micro_fraction(self):
+        # explicit UTC offset honoured (not discarded), 9-digit
+        # fractions legal and ns-exact
+        st = parse("select v from m where time >= '2024-01-05T02:00:00+02:00'")
+        assert st.time.lo_ns == 1704412800 * 10**9
+        st = parse("select v from m where time >= '2024-01-05T00:00:00.123456789Z'")
+        assert st.time.lo_ns == 1704412800 * 10**9 + 123456789
+        with pytest.raises(InfluxQLError):
+            parse("select v from m where time >= '2024-13-99T99:00:00Z'")
+
+    def test_microsecond_group_by_durations(self):
+        st = parse("select mean(v) from m group by time(500u)")
+        assert st.group_time_ns == 500_000
+        st = parse("select mean(v) from m group by time(500us)")
+        assert st.group_time_ns == 500_000
+
     def test_group_time_offset_and_fill(self):
         st = parse("select mean(v) from m group by time(1h,30m), host fill(previous)")
         assert st.group_time_ns == 3600 * 10**9

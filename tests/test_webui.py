@@ -119,6 +119,10 @@ class TestQueryEndpoint:
         srv.stop()
 
     def test_select_shape(self, qserver):
+        # GROUP BY <tag> answers one series PER TAG COMBINATION with a
+        # 'tags' object, tag columns excluded from columns/values — the
+        # shape ReadDB rebuilds points from (client.go:392-393,471); a
+        # tag left in 'columns' would be written back as a field.
         q = urllib.parse.quote(
             "select count(value) as n from events group by event_type"
         )
@@ -126,10 +130,33 @@ class TestQueryEndpoint:
         assert code == 200
         res = json.loads(body)["results"][0]
         assert res["statement_id"] == 0
-        s = res["series"][0]
-        assert s["name"] == "events"
-        assert s["columns"] == ["event_type", "n"]
-        assert len(s["values"]) == 5 and all(v[1] > 0 for v in s["values"])
+        series = res["series"]
+        assert len(series) == 5
+        for s in series:
+            assert s["name"] == "events"
+            assert list(s["tags"]) == ["event_type"]
+            assert s["columns"] == ["n"]
+            assert len(s["values"]) == 1 and s["values"][0][0] > 0
+        tag_vals = [s["tags"]["event_type"] for s in series]
+        assert tag_vals == sorted(tag_vals)
+
+    def test_sync_scan_template_series_shape(self, qserver):
+        # the reference's exact read-side statement (sync.go:162):
+        # raw select with GROUP BY * → tags hoisted per-series, never
+        # left among the value columns
+        q = urllib.parse.quote(
+            'select * from "events" where time > 0s and '
+            "time < 4102444800s group by *"
+        )
+        code, body, _ = _get(qserver, f"/query?q={q}")
+        assert code == 200
+        series = json.loads(body)["results"][0]["series"]
+        assert len(series) > 1
+        for s in series:
+            assert set(s["tags"]) == {"event_type", "user_id"}
+            assert "event_type" not in s["columns"]
+            assert "user_id" not in s["columns"]
+            assert "time" in s["columns"]
 
     def test_show_databases_probe(self, qserver):
         # the reference's liveness probe statement (influxmonitor.go:48-94)
