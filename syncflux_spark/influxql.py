@@ -32,9 +32,12 @@ value-order tiebreak (deterministic under concurrent points, which
 InfluxDB leaves unspecified).
 
 Grammar subset (everything syncflux emits + the common interactive
-dialect): SELECT projections of fields / aggregate calls, FROM one
-measurement (optionally ``db.rp.m``), WHERE with time bounds
-(RFC3339 strings, epoch-ns integers, ``now() - <duration>``), tag
+dialect): SELECT projections of fields / aggregate calls / binary
+``+ - * /`` arithmetic over fields, literals, and aggregate results
+(``mean("a") + mean("b")``, ``"value" * 2`` — null-propagating like
+InfluxQL), FROM one measurement (optionally ``db.rp.m``), WHERE with
+time bounds (RFC3339 strings, epoch-ns integers, epoch-with-unit
+literals like ``1755043200s``, ``now() - <duration>``), tag
 equality / regex matches and field comparisons combined with
 AND/OR, GROUP BY ``time(interval[,offset])``, tag names or ``*``,
 ``fill(null|none|0|<value>|previous|linear)``, ORDER BY time
@@ -58,19 +61,29 @@ from syncflux_spark.functions.time import parse_duration
 # Lexer
 # ---------------------------------------------------------------------------
 
-_TOKEN_RE = re.compile(
-    r"""
+_BASE_PATTERN = r"""
     (?P<ws>\s+)
   | (?P<duration>\d+(?:\.\d+)?(?:ns|us|µs|u|µ|ms|s|m|h|d|w)(?:\d+(?:\.\d+)?(?:ns|us|µs|u|µ|ms|s|m|h|d|w))*)
   | (?P<number>\d+\.\d+|\.\d+|\d+)
   | (?P<qident>"(?:[^"\\]|\\.)*")
   | (?P<string>'(?:[^'\\]|\\.)*')
-  | (?P<regex>/(?:[^/\\]|\\.)+/)
-  | (?P<op><=|>=|!=|<>|=~|!~|[=<>(),.*;+-])
+  {regex_alt}
+  | (?P<op><=|>=|!=|<>|=~|!~|[=<>(),.*;+/-])
   | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
-    """,
+"""
+
+_TOKEN_RE = re.compile(
+    _BASE_PATTERN.format(regex_alt=r"| (?P<regex>/(?:[^/\\]|\\.)+/)"),
     re.VERBOSE,
 )
+#: same alternation minus the regex literal — used wherever the
+#: grammar can't take a /regex/, so '/' lexes as the division operator
+_TOKEN_RE_NO_RX = re.compile(_BASE_PATTERN.format(regex_alt=""), re.VERBOSE)
+
+#: a /regex/ literal is legal only right after these tokens (the =~/!~
+#: operators and FROM); everywhere else '/' is arithmetic division.
+#: InfluxQL's own lexer disambiguates by context the same way.
+_REGEX_AFTER = {"=~", "!~", "from"}
 
 
 @dataclass
@@ -83,7 +96,8 @@ def _lex(q: str) -> list[Tok]:
     out: list[Tok] = []
     pos = 0
     while pos < len(q):
-        m = _TOKEN_RE.match(q, pos)
+        rx_ok = bool(out) and out[-1].text.lower() in _REGEX_AFTER
+        m = (_TOKEN_RE if rx_ok else _TOKEN_RE_NO_RX).match(q, pos)
         if not m:
             raise InfluxQLError(f"unexpected character {q[pos]!r} at {pos}")
         pos = m.end()
@@ -157,10 +171,58 @@ def _rfc3339_ns(s: str) -> int:
 
 
 @dataclass
+class PNum:
+    """Numeric literal inside a projection expression."""
+
+    value: int | float
+
+
+@dataclass
+class PVar:
+    """Field reference inside a projection expression."""
+
+    name: str
+
+
+@dataclass
+class PCall:
+    """Aggregate call inside a projection expression (``mean(a)+…``)."""
+
+    proj: "Proj"
+
+
+@dataclass
+class PBin:
+    """Binary arithmetic: ``+ - * /`` with InfluxQL null-propagation
+    (either side null → null, which is Spark's native semantics)."""
+
+    op: str
+    left: object
+    right: object
+
+
+def _pexpr_name(e) -> str:
+    """InfluxQL's default column name for a projection expression:
+    the leaf names (field names / function names) joined with '_' —
+    ``mean("a") + mean("b")`` → ``mean_mean``, ``"a" * 2`` → ``a``."""
+    if isinstance(e, PVar):
+        return e.name
+    if isinstance(e, PCall):
+        return e.proj.func or e.proj.field
+    if isinstance(e, PBin):
+        parts = [p for p in (_pexpr_name(e.left), _pexpr_name(e.right)) if p]
+        return "_".join(parts)
+    return ""  # PNum contributes nothing
+
+
+@dataclass
 class Proj:
-    """One projection item: a bare field, ``func(field[, arg])``, or a
+    """One projection item: a bare field, ``func(field[, arg])``, a
     selector transformation ``transform(func(field)[, arg])``
-    (derivative / difference / moving_average over an aggregate)."""
+    (derivative / difference / moving_average over an aggregate), or —
+    when ``expr`` is set — a binary arithmetic expression over fields,
+    literals, and aggregate calls (``mean("a") + mean("b")``,
+    ``"value" * 2``)."""
 
     func: str | None  # None = raw field
     field: str  # field name or '*'
@@ -168,11 +230,14 @@ class Proj:
     alias: str | None = None
     transform: str | None = None  # outer derivative/moving_average/...
     transform_arg: int | float | None = None  # unit ns / window n
+    expr: object | None = None  # PBin tree for arithmetic projections
 
     @property
     def out_name(self) -> str:
         if self.alias:
             return self.alias
+        if self.expr is not None:
+            return _pexpr_name(self.expr) or "expr"
         if self.transform:
             return self.transform
         if self.func is None:
@@ -497,39 +562,86 @@ class _Parser:
             inner.transform_arg = targ
             inner.alias = alias
             return inner
-        if (
-            t.kind == "ident"
-            and t.text.lower() in _AGG_FUNCS
-            and self.peek(1)
-            and self.peek(1).text == "("
-        ):
-            func = self.next().text.lower()
-            self.expect_op("(")
-            inner = self.peek()
-            if func == "count" and inner.text.lower() == "distinct":
-                # count(distinct f) — influx spells this count(distinct(f))
-                self.next()
-                self.expect_op("(")
-                fld = self.ident()
-                self.expect_op(")")
-                func = "count_distinct"
-            elif func == "distinct":
-                fld = self.ident()
-                func = "distinct"
-            else:
-                fld = self.ident() if inner.text != "*" else self.next().text
-            arg = None
-            if self.peek() and self.peek().text == ",":
-                self.next()
-                arg = float(self.next().text)
-            self.expect_op(")")
-            alias = self.ident() if self.accept_kw("as") else None
-            if func == "percentile" and arg is None:
-                raise InfluxQLError("percentile requires an argument")
-            return Proj(func=func, field=fld, arg=arg, alias=alias)
-        fld = self.ident()
+        e = self._proj_sum()
         alias = self.ident() if self.accept_kw("as") else None
-        return Proj(func=None, field=fld, alias=alias)
+        # single-node expressions collapse to the plain Proj forms
+        if isinstance(e, PCall):
+            e.proj.alias = alias
+            return e.proj
+        if isinstance(e, PVar):
+            return Proj(func=None, field=e.name, alias=alias)
+        if isinstance(e, PNum):
+            raise InfluxQLError("projection cannot be a bare literal")
+        return Proj(func=None, field="", alias=alias, expr=e)
+
+    # projection arithmetic: sum := term (('+'|'-') term)*,
+    # term := factor (('*'|'/') factor)*
+    def _proj_sum(self):
+        left = self._proj_term()
+        while self.peek() and self.peek().text in ("+", "-"):
+            op = self.next().text
+            left = PBin(op, left, self._proj_term())
+        return left
+
+    def _proj_term(self):
+        left = self._proj_factor()
+        while self.peek() and self.peek().text in ("*", "/"):
+            op = self.next().text
+            left = PBin(op, left, self._proj_factor())
+        return left
+
+    def _proj_factor(self):
+        t = self.peek()
+        if t is None:
+            raise InfluxQLError("unexpected end of projection")
+        if t.text == "(":
+            self.next()
+            e = self._proj_sum()
+            self.expect_op(")")
+            return e
+        if t.text == "-":  # unary minus
+            self.next()
+            return PBin("-", PNum(0), self._proj_factor())
+        if t.kind == "number":
+            self.next()
+            return PNum(float(t.text) if "." in t.text else int(t.text))
+        if t.kind in ("ident", "qident"):
+            if (
+                t.kind == "ident"
+                and t.text.lower() in _AGG_FUNCS
+                and self.peek(1)
+                and self.peek(1).text == "("
+            ):
+                return PCall(self._call_proj())
+            return PVar(self.ident())
+        raise InfluxQLError(f"bad projection token {t.text!r}")
+
+    def _call_proj(self) -> Proj:
+        """``func(field[, arg])`` without the trailing alias (shared by
+        plain aggregate projections and arithmetic factors)."""
+        func = self.next().text.lower()
+        self.expect_op("(")
+        inner = self.peek()
+        if func == "count" and inner.text.lower() == "distinct":
+            # count(distinct f) — influx spells this count(distinct(f))
+            self.next()
+            self.expect_op("(")
+            fld = self.ident()
+            self.expect_op(")")
+            func = "count_distinct"
+        elif func == "distinct":
+            fld = self.ident()
+            func = "distinct"
+        else:
+            fld = self.ident() if inner.text != "*" else self.next().text
+        arg = None
+        if self.peek() and self.peek().text == ",":
+            self.next()
+            arg = float(self.next().text)
+        self.expect_op(")")
+        if func == "percentile" and arg is None:
+            raise InfluxQLError("percentile requires an argument")
+        return Proj(func=func, field=fld, arg=arg)
 
     # WHERE: collect time bounds into st.time; everything else into a tree
     def where_expr(self, st: SelectStmt) -> Expr | None:
@@ -803,12 +915,16 @@ def split_statements(q: str) -> list[str]:
     ``q=stmt1;stmt2`` exactly like InfluxDB."""
     cuts: list[int] = []
     pos = 0
+    prev = ""
     while pos < len(q):
-        m = _TOKEN_RE.match(q, pos)
+        rx_ok = prev.lower() in _REGEX_AFTER
+        m = (_TOKEN_RE if rx_ok else _TOKEN_RE_NO_RX).match(q, pos)
         if not m:
             break  # parse() will surface the lex error with context
         if m.lastgroup == "op" and m.group() == ";":
             cuts.append(pos)
+        if m.lastgroup != "ws":
+            prev = m.group()
         pos = m.end()
     out, start = [], 0
     for c in cuts:
@@ -962,12 +1078,14 @@ class InfluxQLEngine:
         if st.where is not None:
             df = df.where(self._expr(st.where))
 
-        has_agg = any(p.func for p in st.projs)
+        has_agg = any(self._proj_is_agg(p) for p in st.projs)
         if not has_agg:
             if any(p.transform for p in st.projs):
                 return self._raw_transforms(st, df, tag_cols)
             return self._select_raw(st, df, tag_cols, time_col)
-        if any(p.transform and p.func is None for p in st.projs):
+        if any(
+            p.transform and not self._proj_is_agg(p) for p in st.projs
+        ):
             raise InfluxQLError(
                 "cannot mix raw-field transformations with aggregates"
             )
@@ -1048,7 +1166,9 @@ class InfluxQLEngine:
         elif "time" in df.columns:  # subquery output carries its bucket
             cols.append(F.col("time"))
         for p in st.projs:
-            if p.field == "*":
+            if p.expr is not None:
+                cols.append(self._pexpr_col(p.expr).alias(p.out_name))
+            elif p.field == "*":
                 used = {time_col, "ts_ns", "time"}
                 cols += [F.col(c) for c in df.columns if c not in used]
             else:
@@ -1107,9 +1227,17 @@ class InfluxQLEngine:
             keys = [bucket] + keys
 
         aggs, posts = [], []
-        for idx, p in enumerate(st.projs):
-            aggs.extend(self._agg_exprs(p, idx, ns))
-            posts.append(self._agg_post(p, idx))
+        next_idx = 0
+        for p in st.projs:
+            if p.expr is not None:
+                col, next_idx = self._compile_expr_agg(
+                    p.expr, next_idx, ns, aggs
+                )
+                posts.append(col.alias(p.out_name))
+            else:
+                aggs.extend(self._agg_exprs(p, next_idx, ns))
+                posts.append(self._agg_post(p, next_idx))
+                next_idx += 1
         out = df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
         sel = ([F.col("time")] if bucket is not None else []) + [
             F.col(t) for t in group_tags
@@ -1331,22 +1459,91 @@ class InfluxQLEngine:
             return [F.array_sort(F.collect_set(v)).alias(n)]
         raise InfluxQLError(f"unsupported aggregate {fn!r}")
 
+    # -- projection arithmetic compilation ---------------------------------
+    @staticmethod
+    def _expr_calls(e) -> list[PCall]:
+        if isinstance(e, PCall):
+            return [e]
+        if isinstance(e, PBin):
+            return InfluxQLEngine._expr_calls(e.left) + InfluxQLEngine._expr_calls(e.right)
+        return []
+
+    @staticmethod
+    def _proj_is_agg(p: Proj) -> bool:
+        if p.expr is not None:
+            return bool(InfluxQLEngine._expr_calls(p.expr))
+        return bool(p.func)
+
+    def _pexpr_col(self, e) -> Column:
+        """Raw-select arithmetic: compile the expression tree to a
+        plain column expression (codegen-side, no UDF). InfluxQL
+        null-propagation (null operand → null result) is Spark's
+        native arithmetic semantics."""
+        if isinstance(e, PNum):
+            return F.lit(e.value)
+        if isinstance(e, PVar):
+            return F.col(e.name)
+        if isinstance(e, PBin):
+            lhs, rhs = self._pexpr_col(e.left), self._pexpr_col(e.right)
+            if e.op == "+":
+                return lhs + rhs
+            if e.op == "-":
+                return lhs - rhs
+            if e.op == "*":
+                return lhs * rhs
+            return lhs / rhs
+        raise InfluxQLError(
+            "aggregate calls cannot appear in a raw projection"
+        )
+
+    def _compile_expr_agg(
+        self, e, next_idx: int, ns: Column | None, aggs: list[Column]
+    ) -> tuple[Column, int]:
+        """Aggregate-select arithmetic (``mean(a) + mean(b)``,
+        ``sum(v) * 2``): every aggregate call in the tree gets its own
+        partial-agg slot (appended to ``aggs`` — still ONE hash
+        aggregation, one shuffle), and the arithmetic combines the
+        finished aggregates post-shuffle."""
+        if isinstance(e, PNum):
+            return F.lit(e.value), next_idx
+        if isinstance(e, PVar):
+            raise InfluxQLError(
+                f"field {e.name!r} cannot be mixed with aggregates "
+                "(wrap it in an aggregate function)"
+            )
+        if isinstance(e, PCall):
+            aggs.extend(self._agg_exprs(e.proj, next_idx, ns))
+            return self._agg_post_col(e.proj, next_idx), next_idx + 1
+        if isinstance(e, PBin):
+            lhs, next_idx = self._compile_expr_agg(e.left, next_idx, ns, aggs)
+            rhs, next_idx = self._compile_expr_agg(e.right, next_idx, ns, aggs)
+            if e.op == "+":
+                return lhs + rhs, next_idx
+            if e.op == "-":
+                return lhs - rhs, next_idx
+            if e.op == "*":
+                return lhs * rhs, next_idx
+            return lhs / rhs, next_idx
+        raise InfluxQLError(f"bad projection expression node {e!r}")
+
     def _agg_post(self, p: Proj, idx: int) -> Column:
+        return self._agg_post_col(p, idx).alias(p.out_name)
+
+    def _agg_post_col(self, p: Proj, idx: int) -> Column:
         n = f"_a{idx}"
         fn = p.func
-        name = p.out_name
         if fn in ("count", "count_distinct", "sum", "min", "max", "stddev"):
-            return F.col(n).alias(name)
+            return F.col(n)
         if fn == "mean":
-            return (F.col(f"{n}s") / F.col(f"{n}c")).alias(name)
+            return F.col(f"{n}s") / F.col(f"{n}c")
         if fn == "spread":
-            return (F.col(f"{n}mx") - F.col(f"{n}mn")).alias(name)
+            return F.col(f"{n}mx") - F.col(f"{n}mn")
         if fn in ("first", "last"):
-            return F.col(n).getField(p.field).alias(name)
+            return F.col(n).getField(p.field)
         if fn == "median":
-            return self._nearest_rank(n, 50.0).alias(name)
+            return self._nearest_rank(n, 50.0)
         if fn == "percentile":
-            return self._nearest_rank(n, float(p.arg)).alias(name)
+            return self._nearest_rank(n, float(p.arg))
         if fn == "mode":
             # most frequent value, ties to the lowest: fold over the
             # sorted array counting runs — no second shuffle
@@ -1364,9 +1561,9 @@ class InfluxQLEngine:
                         CAST(x AS DOUBLE) AS cur, 1L AS curn) END,
                     acc -> CASE WHEN acc.curn > acc.bestn THEN acc.cur
                                 ELSE acc.best END)"""
-            ).alias(name)
+            )
         if fn == "distinct":
-            return F.col(n).alias(name)
+            return F.col(n)
         raise InfluxQLError(f"unsupported aggregate {fn!r}")
 
     @staticmethod

@@ -9308,6 +9308,61 @@ def hll_distinct_users(spark, sf):
     )
 
 
+@register(
+    "influxql_field_math",
+    f"""
+    SELECT epoch_us(ts) * 1000 AS time,
+           {_sql_micros('value')} * 2 - {_sql_micros('value')} / 2 AS v15,
+           {_sql_micros('value')} / 4 AS q
+    FROM events
+    WHERE ts >= TIMESTAMP '{EV_WIN[0]}' AND ts < TIMESTAMP '{EV_WIN[1]}'
+    """,
+)
+def influxql_field_math(spark, sf):
+    """InfluxQL SELECT arithmetic over raw fields (``"value" * 2 -
+    "value" / 2``) — the most common InfluxQL idiom the dialect
+    previously rejected. Compiles to plain codegen column expressions
+    over the pushed-down scan: no UDF, no shuffle, null-propagating
+    like InfluxDB."""
+    return _influxql_events(spark, sf).query(
+        f"SELECT value * 2 - value / 2 AS v15, value / 4 AS q "
+        f"FROM events "
+        f"WHERE time >= '{EV_WIN[0]}' AND time < '{EV_WIN[1]}'"
+    )
+
+
+@register(
+    "influxql_agg_math",
+    f"""
+    SELECT (u - u % 21600000000) * 1000 AS time, event_type,
+           (CAST(SUM(v) AS DOUBLE) / COUNT(*)) * 2 AS mean2x,
+           CAST(CAST(SUM(v) AS BIGINT) + (MAX(v) - MIN(v)) AS DOUBLE)
+               / COUNT(*) AS mix,
+           CAST(SUM(v) AS BIGINT) - COUNT(*) * 100 AS excess
+    FROM (SELECT epoch_us(ts) AS u, event_type,
+                 {_sql_micros('value')} AS v
+          FROM events
+          WHERE ts >= TIMESTAMP '{EV_WIN[0]}' AND ts < TIMESTAMP '{EV_WIN[1]}')
+    GROUP BY 1, 2
+    """,
+)
+def influxql_agg_math(spark, sf):
+    """InfluxQL arithmetic over aggregate results (``mean(v) * 2``,
+    ``(sum(v) + spread(v)) / count(v)``): every aggregate call in the
+    expression tree gets its own partial-agg slot in ONE hash
+    aggregation (single shuffle on the bucket × tag key), and the
+    arithmetic combines the finished aggregates post-shuffle — the
+    same plan shape as a multi-aggregate rollup."""
+    return _influxql_events(spark, sf).query(
+        f"SELECT mean(value) * 2 AS mean2x, "
+        f"(sum(value) + spread(value)) / count(value) AS mix, "
+        f"sum(value) - count(value) * 100 AS excess "
+        f"FROM events "
+        f"WHERE time >= '{EV_WIN[0]}' AND time < '{EV_WIN[1]}' "
+        f"GROUP BY time(6h), event_type"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.spark for name, q in REGISTRY.items()}
 

@@ -82,6 +82,38 @@ class TestParser:
         with pytest.raises(InfluxQLError):
             parse("select v from m where time >= '2024-13-99T99:00:00Z'")
 
+    def test_select_arithmetic_parses(self):
+        from syncflux_spark.influxql import PBin, PCall, PNum, PVar
+
+        st = parse('select mean("a") + mean("b") from m')
+        e = st.projs[0].expr
+        assert isinstance(e, PBin) and e.op == "+"
+        assert isinstance(e.left, PCall) and e.left.proj.func == "mean"
+        assert st.projs[0].out_name == "mean_mean"  # influx default name
+        st = parse('select "value" * 2 as dbl from m')
+        e = st.projs[0].expr
+        assert isinstance(e, PBin) and e.op == "*"
+        assert isinstance(e.left, PVar) and isinstance(e.right, PNum)
+        assert st.projs[0].out_name == "dbl"
+        # precedence: a + b*c parses b*c first; parens override
+        st = parse("select a + b * c from m")
+        assert st.projs[0].expr.op == "+" and st.projs[0].expr.right.op == "*"
+        st = parse("select (a + b) * c from m")
+        assert st.projs[0].expr.op == "*" and st.projs[0].expr.left.op == "+"
+
+    def test_division_vs_regex_disambiguation(self):
+        # '/' is division in projections even unspaced; /regex/ still
+        # lexes after FROM and =~/!~
+        st = parse("select a/2 + b/4 from m")
+        assert st.projs[0].expr.op == "+"
+        st = parse(r"select * from /ev.*/ where host =~ /web \d+/")
+        assert st.measurement_regex == "ev.*"
+        assert st.where.op == "regex"
+
+    def test_bare_literal_projection_rejected(self):
+        with pytest.raises(InfluxQLError):
+            parse("select 42 from m")
+
     def test_microsecond_group_by_durations(self):
         st = parse("select mean(v) from m group by time(500u)")
         assert st.group_time_ns == 500_000
@@ -180,6 +212,43 @@ class TestSelectSemantics:
         assert {(r.time, r.event_type): (r.m, r.n) for r in out} == {
             (r.time, r.event_type): (r.m, r.n) for r in exp
         }
+
+    def test_agg_arithmetic_matches_dataframe(self, engine, events):
+        out = engine.query(
+            "select mean(value) * 2 as m2, "
+            "(sum(value) + spread(value)) / count(value) as mix "
+            "from events group by event_type"
+        ).collect()
+        exp = (
+            events.groupBy("event_type")
+            .agg(
+                ((F.sum("value") / F.count("value")) * 2).alias("m2"),
+                (
+                    (F.sum("value") + (F.max("value") - F.min("value")))
+                    / F.count("value")
+                ).alias("mix"),
+            )
+            .collect()
+        )
+        assert {r.event_type: (r.m2, r.mix) for r in out} == {
+            r.event_type: (r.m2, r.mix) for r in exp
+        }
+
+    def test_raw_arithmetic_null_propagates(self, spark):
+        df = spark.createDataFrame(
+            [(1, 10.0, 2.0), (2, None, 3.0)], "time long, a double, b double"
+        )
+        eng = InfluxQLEngine(spark, tables={"m": df}, tags={"m": []})
+        rows = {
+            r.time: r.s
+            for r in eng.query("select a + b as s from m").collect()
+        }
+        assert rows[1] == 12.0
+        assert rows[2] is None  # null operand → null, like InfluxQL
+
+    def test_mixing_field_with_aggregate_rejected(self, engine):
+        with pytest.raises(InfluxQLError, match="mixed with aggregates"):
+            engine.query("select mean(value) + value from events").collect()
 
     def test_percentile_nearest_rank(self, engine, events):
         out = {
