@@ -311,11 +311,12 @@ def containment_pairs(
     either direction clears ``threshold``.
 
     Candidates come from the same MinHash LSH banding as the Jaccard
-    path — honest caveat, stated rather than hidden: MinHash collision
-    probability tracks JACCARD, so a tiny-doc-in-huge-doc pair can
-    evade banding (the principled scale fix is a size-stratified
-    index or suffix filtering; at moderate size skew the shared bands
-    still fire, and the verify here is exact). Verify cost is
+    path — honest caveat: MinHash collision probability tracks
+    JACCARD, so a tiny-doc-in-huge-doc pair can evade banding at
+    extreme size skew. :func:`containment_pairs_exact` is the
+    100%-recall variant (prefix filtering on the containment bound) —
+    use it when the quote-in-book case matters; this banding form
+    stays for the cheap moderate-skew regime. Verify cost is
     O(candidates × shingles), identical shape to jaccard_verify."""
     pairs = lsh_candidate_pairs(df, text_col, id_col, k_shingle, n_hashes, band_size)
     sh = eager_persist(
@@ -344,6 +345,107 @@ def containment_pairs(
         "n_b",
         c_ab.alias("c_ab"),
         c_ba.alias("c_ba"),
+    ).where((c_ab >= threshold) | (c_ba >= threshold))
+
+
+def containment_pairs_exact(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_shingle: int = 5,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Asymmetric shingle containment with **100% recall** — the
+    size-skew-proof candidate generator :func:`containment_pairs`'s
+    docstring calls for. MinHash banding tracks JACCARD, so the
+    operator's headline target (a tiny doc quoted inside a huge one:
+    containment ≈ 1, Jaccard ≈ |A|/|B| ≈ 0) can evade banding
+    entirely. This variant generates candidates by **prefix
+    filtering on the containment bound** instead:
+
+    * each document's distinct shingles are totally ordered by
+      (global document frequency, shingle) — rarest first;
+    * the PROBE side explodes only each doc's prefix of length
+      ``n - ceil(t·n) + 1``: if C(A→B) ≥ t then |A∩B| ≥ ceil(t·|A|),
+      and a miss on A's whole prefix would cap the intersection at
+      ceil(t·|A|) - 1 — pigeonhole, so every qualifying pair shares
+      a probe-prefix shingle, deterministically;
+    * the INDEX side explodes full shingle lists, semi-join-pruned to
+      shingles that occur in at least one prefix — a corpus-wide
+      boilerplate shingle never becomes a join key unless some doc is
+      almost entirely boilerplate, so no O(corpus) posting list forms
+      (same PPJoin logic as :func:`word_jaccard_all_pairs`, adapted
+      to the asymmetric bound: the index side must be FULL because
+      the intersection can sit anywhere in the long doc's order).
+
+    Both directions are covered (every doc is both probe and index),
+    pairs are canonicalized (id_a < id_b), and the exact verify
+    computes both containments — output contract identical to
+    :func:`containment_pairs`, but the result is the TRUE set of
+    pairs with either containment ≥ threshold, not a banding-limited
+    subset. Shuffles: dfreq agg, sort-collect agg, candidate join,
+    verify joins — all on keys bounded by prefix selectivity, no
+    all-pairs stage anywhere."""
+    sh = spread_for_cpu(df).select(
+        F.col(id_col),
+        F.explode(F.array_distinct(char_shingles(text_col, k_shingle))).alias("s"),
+    )
+    dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    docs = eager_persist(
+        sh.join(dfreq, "s")
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list(F.struct("df", "s"))).alias("ss"))
+        .select(
+            F.col(id_col),
+            F.transform("ss", lambda x: x["s"]).alias("sh"),
+            F.size("ss").alias("n"),
+        )
+        .withColumn(
+            # n - ceil(t·n) + 1; 1e-9 guards float overshoot (see
+            # word_jaccard_all_pairs)
+            "plen",
+            F.col("n")
+            - F.ceil(F.lit(threshold) * F.col("n") - F.lit(1e-9)).cast("int")
+            + 1,
+        )
+    )  # scanned four times: probe, index, two verify sides
+    pref = docs.select(
+        F.col(id_col), F.explode(F.slice("sh", F.lit(1), F.col("plen"))).alias("s")
+    )
+    index = docs.select(F.col(id_col), F.explode("sh").alias("s")).join(
+        pref.select("s").distinct(), "s", "left_semi"
+    )
+    p, x = pref.alias("p"), index.alias("x")
+    cand = (
+        p.join(
+            x,
+            (F.col("p.s") == F.col("x.s"))
+            & (F.col(f"p.{id_col}") != F.col(f"x.{id_col}")),
+        )
+        .select(
+            F.least(F.col(f"p.{id_col}"), F.col(f"x.{id_col}")).alias("id_a"),
+            F.greatest(F.col(f"p.{id_col}"), F.col(f"x.{id_col}")).alias("id_b"),
+        )
+        .distinct()
+    )
+    da = docs.select(F.col(id_col), F.col("sh").alias("sh_a"), F.col("n").alias("n_a"))
+    db = docs.select(F.col(id_col), F.col("sh").alias("sh_b"), F.col("n").alias("n_b"))
+    joined = (
+        cand.join(da, cand.id_a == da[id_col])
+        .join(db, cand.id_b == db[id_col])
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("long").alias("n_inter"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+        )
+    )
+    c_ab = F.col("n_inter").cast("double") / F.col("n_a").cast("double")
+    c_ba = F.col("n_inter").cast("double") / F.col("n_b").cast("double")
+    return joined.select(
+        "id_a", "id_b", "n_inter", "n_a", "n_b",
+        c_ab.alias("c_ab"), c_ba.alias("c_ba"),
     ).where((c_ab >= threshold) | (c_ba >= threshold))
 
 

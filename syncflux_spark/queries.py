@@ -9309,6 +9309,40 @@ def hll_distinct_users(spark, sf):
 
 
 @register(
+    "containment_pairs_exact",
+    f"""
+    WITH sh AS ({_sql_shingles()}),
+         dsh AS (SELECT DISTINCT doc_id, s FROM sh),
+         sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+                   FROM dsh GROUP BY doc_id),
+         inter AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+                          CAST(COUNT(*) AS BIGINT) AS n_inter
+                   FROM dsh x JOIN dsh y
+                     ON y.s = x.s AND x.doc_id < y.doc_id
+                   GROUP BY 1, 2)
+    SELECT i.id_a, i.id_b, i.n_inter,
+           sa.n AS n_a, sb.n AS n_b,
+           CAST(i.n_inter AS DOUBLE) / CAST(sa.n AS DOUBLE) AS c_ab,
+           CAST(i.n_inter AS DOUBLE) / CAST(sb.n AS DOUBLE) AS c_ba
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE CAST(i.n_inter AS DOUBLE) / CAST(sa.n AS DOUBLE) >= 0.8
+       OR CAST(i.n_inter AS DOUBLE) / CAST(sb.n AS DOUBLE) >= 0.8
+    """,
+)
+def containment_pairs_exact(spark, sf):
+    """100%-recall asymmetric containment via prefix filtering on the
+    containment bound (rarest-shingle probe prefixes vs a pruned full
+    inverted index) — unlike the banding-candidate `containment_pairs`,
+    the oracle here is the TRUE all-pairs answer, not a candidate
+    replay: the operator must find every pair with either containment
+    ≥ 0.8, including the tiny-doc-quoted-in-huge-doc shape MinHash
+    banding can miss."""
+    return dd.containment_pairs_exact(load_table(spark, sf, "documents"))
+
+
+@register(
     "influxql_field_math",
     f"""
     SELECT epoch_us(ts) * 1000 AS time,

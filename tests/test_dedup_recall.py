@@ -1,0 +1,115 @@
+"""Containment candidate recall: the tiny-doc-quoted-in-huge-doc
+shape is the headline target of asymmetric containment dedup, and the
+exact regime MinHash banding provably degrades in (collision
+probability tracks Jaccard, which the size skew crushes toward 0).
+`containment_pairs_exact` must find these pairs deterministically;
+this file pins both the miss (banding) and the catch (prefix
+filtering), plus equivalence to brute force on a small corpus.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import pytest
+from pyspark.sql import functions as F
+
+from syncflux_spark.operators import dedup as dd
+
+
+def _filler(n_chars: int, alphabet: str = "bcdfghjklmnpqrstvwxz") -> str:
+    """Deterministic high-entropy filler with no repeated 5-grams:
+    stream of distinct 3-letter words from a quote-free alphabet."""
+    words = (
+        "".join(t) for t in itertools.product(alphabet, repeat=3)
+    )
+    out = []
+    total = 0
+    for w in words:
+        out.append(w)
+        total += len(w) + 1
+        if total >= n_chars:
+            break
+    return " ".join(out)
+
+
+@pytest.fixture(scope="module")
+def skewed_corpus(spark):
+    quote = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, quote),  # the tiny doc
+        (2, _filler(1500) + " " + quote + " " + _filler(1500)),  # the book
+        (3, _filler(900)),  # unrelated long doc (prefix overlap w/ 2)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestContainmentRecall:
+    def test_banding_misses_the_quote_pair(self, skewed_corpus):
+        # Jaccard(1,2) ≈ |quote|/|book| ≈ 0.02 → P(band hit) ≈ 1-(1-J⁴)²
+        # ≈ 3e-7; with md5 fixed this specific fixture deterministically
+        # produces no banding candidate — the documented blind spot.
+        got = {
+            (r.id_a, r.id_b)
+            for r in dd.containment_pairs(skewed_corpus).collect()
+        }
+        assert (1, 2) not in got
+
+    def test_exact_catches_the_quote_pair(self, skewed_corpus):
+        out = {
+            (r.id_a, r.id_b): r
+            for r in dd.containment_pairs_exact(skewed_corpus).collect()
+        }
+        assert (1, 2) in out
+        r = out[(1, 2)]
+        assert r.c_ab == 1.0  # every quote shingle appears in the book
+        assert r.c_ba < 0.1  # and the asymmetry is real
+
+    def test_exact_matches_brute_force(self, spark):
+        # 12 docs with overlapping repeated phrases: prefix filtering
+        # must emit EXACTLY the pairs brute-force containment does
+        base = [
+            "alpha beta gamma delta epsilon zeta",
+            "one two three four five six seven eight",
+            "lorem ipsum dolor sit amet consectetur",
+        ]
+        rows = []
+        for i in range(12):
+            b = base[i % 3]
+            rows.append((i, b if i < 6 else b + " " + _filler(40 + 13 * i)))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+
+        sh = df.select(
+            "doc_id",
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, greatest(length(text)-4, 0)), "
+                    "i -> substring(text, i, 5))"
+                )
+            ).alias("sh"),
+        ).where(F.size("sh") > 0)
+        a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+        b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+        brute = (
+            a.crossJoin(b)
+            .where(F.col("id_a") < F.col("id_b"))
+            .select(
+                "id_a",
+                "id_b",
+                (
+                    F.size(F.array_intersect("sh_a", "sh_b"))
+                    / F.size("sh_a")
+                ).alias("c_ab"),
+                (
+                    F.size(F.array_intersect("sh_a", "sh_b"))
+                    / F.size("sh_b")
+                ).alias("c_ba"),
+            )
+            .where((F.col("c_ab") >= 0.8) | (F.col("c_ba") >= 0.8))
+        )
+        expected = {(r.id_a, r.id_b) for r in brute.collect()}
+        got = {
+            (r.id_a, r.id_b)
+            for r in dd.containment_pairs_exact(df).collect()
+        }
+        assert got == expected and expected  # non-trivial fixture
