@@ -80,6 +80,46 @@ def pagerank(
     return ranks
 
 
+def degree_oriented_edges(pairs: DataFrame) -> DataFrame:
+    """Re-point every undirected edge from its lower-degree endpoint
+    to its higher-degree one (ties by id): (src, dst, deg_dst). Under
+    this total order a vertex's out-degree is O(√|E|) — more precisely
+    O(arboricity) — regardless of its raw degree: a hub touching 30%
+    of all edges has huge IN-degree but out-degree bounded by the
+    number of neighbors at least as high in the order. This is the
+    orientation step of the compact-forward triangle algorithm
+    (Latapy '08 / Suri–Vassilvitskii '11): the quadratic wedge stage
+    enumerates out-neighbor pairs, so bounding out-degree bounds the
+    per-vertex (and per-shuffle-key) work that an id-orientation
+    leaves O(d_hub²) on hub-headed graphs."""
+    e = pairs.select("id_a", "id_b").distinct()
+    sym = e.union(
+        e.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    )
+    deg = sym.groupBy(F.col("id_a").alias("_n")).agg(
+        F.count(F.lit(1)).alias("_deg")
+    )
+    da, db = deg.alias("da"), deg.alias("db")
+    ranked = (
+        e.join(da, e.id_a == F.col("da._n"))
+        .join(db, e.id_b == F.col("db._n"))
+        .select(
+            "id_a",
+            "id_b",
+            F.col("da._deg").alias("deg_a"),
+            F.col("db._deg").alias("deg_b"),
+        )
+    )
+    a_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("id_a") < F.col("id_b"))
+    )
+    return ranked.select(
+        F.when(a_first, F.col("id_a")).otherwise(F.col("id_b")).alias("src"),
+        F.when(a_first, F.col("id_b")).otherwise(F.col("id_a")).alias("dst"),
+        F.when(a_first, F.col("deg_b")).otherwise(F.col("deg_a")).alias("deg_dst"),
+    )
+
+
 def triangle_counts(
     pairs: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:
@@ -89,33 +129,38 @@ def triangle_counts(
     matches (a doc in many triangles sits in a dense near-dup cluster;
     a bridge doc linking two clusters sits in few).
 
-    One triangle (a<b<c) is found exactly once by joining the
-    id-oriented edge list three ways: (a,b)⋈(b,c)⋈(a,c) — the
-    standard SQL triangle enumeration; each join shuffles on a single
-    node key. The id orientation bounds a hub's join fanout by its
-    out-degree under "<"; on graphs with extreme hubs the refinement
-    is DEGREE orientation (re-point every edge low-degree →
-    high-degree, ties by id) which provably caps per-vertex work at
-    O(arboricity) — same output, one extra degree-computation pass;
-    the LSH dedup graph's band-entropy already bounds skew, so the
-    simple orientation is kept and the dial documented. Returns
-    (id_col, n_triangles) for nodes in ≥1 triangle.
+    Compact-forward enumeration over the DEGREE-ORIENTED edge list
+    (:func:`degree_oriented_edges`): each triangle's lowest-order
+    vertex u emits the wedge (u→v, u→w) with v below w in the
+    (degree, id) order, closed by probing the oriented edge v→w — so
+    every triangle is found exactly once and the quadratic wedge
+    fanout rides OUT-degree, which the orientation caps at
+    O(arboricity). An id-oriented join (the round-2 form) left
+    O(d²) wedge work on any hub that sorted low — the classic skewed
+    self-join; with degree orientation a hub is the HIGHEST-order
+    endpoint of nearly all its edges and emits ~no wedges at all.
+    Output is orientation-invariant: (id_col, n_triangles) for nodes
+    in ≥1 triangle, identical to the naive enumeration.
     """
     from syncflux_spark.utils import eager_persist
 
-    e = eager_persist(pairs.select("id_a", "id_b").distinct())
+    o = eager_persist(degree_oriented_edges(pairs))
+    below = (F.col("e1.deg_dst") < F.col("e2.deg_dst")) | (
+        (F.col("e1.deg_dst") == F.col("e2.deg_dst"))
+        & (F.col("e1.dst") < F.col("e2.dst"))
+    )
     tri = (
-        e.alias("e1")
-        .join(e.alias("e2"), F.col("e1.id_b") == F.col("e2.id_a"))
+        o.alias("e1")
+        .join(o.alias("e2"), (F.col("e1.src") == F.col("e2.src")) & below)
         .join(
-            e.alias("e3"),
-            (F.col("e3.id_a") == F.col("e1.id_a"))
-            & (F.col("e3.id_b") == F.col("e2.id_b")),
+            o.alias("e3"),
+            (F.col("e3.src") == F.col("e1.dst"))
+            & (F.col("e3.dst") == F.col("e2.dst")),
         )
         .select(
-            F.col("e1.id_a").alias("a"),
-            F.col("e1.id_b").alias("b"),
-            F.col("e2.id_b").alias("c"),
+            F.col("e1.src").alias("a"),
+            F.col("e1.dst").alias("b"),
+            F.col("e2.dst").alias("c"),
         )
     )
     return (
