@@ -73,6 +73,7 @@ HEADLINE = [
     "outage_event_counts",
     "ts_ema",
     "dedup_incremental",
+    "dedup_incremental_indexed",
     "containment_pairs",
     "lm_predictability",
     "token_diversity",

@@ -1044,6 +1044,75 @@ def dedup_incremental(spark, sf):
 
 
 @register(
+    "dedup_incremental_indexed",
+    f"""
+    WITH sh AS ({_sql_shingles()}),
+         hs AS ({_HS_SQL}),
+         sig AS (SELECT doc_id, {_MH_SELECT} FROM hs GROUP BY doc_id),
+         bands AS ({_BANDS_SQL}),
+         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                  FROM bands a JOIN bands b
+                    ON a.band_id = b.band_id AND a.band_key = b.band_key
+                   AND a.doc_id % 10 = 0 AND b.doc_id % 10 != 0),
+         dsh AS (SELECT DISTINCT doc_id, s FROM sh),
+         sizes AS (SELECT doc_id, COUNT(*) AS n FROM dsh GROUP BY doc_id),
+         inter AS (SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+                   FROM cand c
+                   JOIN dsh x ON x.doc_id = c.id_a
+                   JOIN dsh y ON y.doc_id = c.id_b AND y.s = x.s
+                   GROUP BY c.id_a, c.id_b),
+         nears AS (SELECT DISTINCT i.id_a
+                   FROM inter i JOIN sizes sa ON sa.doc_id = i.id_a
+                   JOIN sizes sb ON sb.doc_id = i.id_b
+                   WHERE CAST(i.n_inter AS BIGINT)
+                         / CAST(sa.n + sb.n - i.n_inter AS BIGINT) >= 0.5),
+         exacts AS (SELECT DISTINCT b.doc_id
+                    FROM documents b JOIN documents c
+                      ON md5(b.text) = md5(c.text)
+                     AND b.doc_id % 10 = 0 AND c.doc_id % 10 != 0)
+    SELECT d.doc_id,
+           CAST(CASE WHEN e.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+             AS exact_dup,
+           CAST(CASE WHEN n.id_a IS NULL THEN 0 ELSE 1 END AS BIGINT)
+             AS near_dup,
+           CAST(CASE WHEN e.doc_id IS NULL AND n.id_a IS NULL
+                THEN 1 ELSE 0 END AS BIGINT) AS accepted
+    FROM documents d
+    LEFT JOIN exacts e ON e.doc_id = d.doc_id
+    LEFT JOIN nears n ON n.id_a = d.doc_id
+    WHERE d.doc_id % 10 = 0
+    """,
+)
+def dedup_incremental_indexed(spark, sf):
+    """Steady-state ingest dedup against PERSISTED corpus indexes
+    (operators/dedup.py::build_dedup_index): digest + band tables are
+    built once per corpus (cached on disk, keyed by the fixture's
+    path+mtime — a rebuilt testdata set invalidates it) and every
+    batch reads them instead of re-shingling the corpus; corpus text
+    is touched only for semi-join-pruned candidate verification.
+    Flags must equal the recompute path (`dedup_incremental`) —
+    same oracle, plus a direct parity test."""
+    import hashlib
+    import os
+    import tempfile
+
+    docs = load_table(spark, sf, "documents")
+    batch = docs.where(F.col("doc_id") % 10 == 0)
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    src = os.path.join(sf, "documents.parquet")
+    key = hashlib.md5(
+        f"{os.path.abspath(src)}:{os.path.getmtime(src)}".encode()
+    ).hexdigest()[:16]
+    idx = os.path.join(tempfile.gettempdir(), f"sf_dedup_idx_{key}")
+    if not (
+        os.path.exists(f"{idx}/digests/_SUCCESS")
+        and os.path.exists(f"{idx}/bands/_SUCCESS")
+    ):
+        dd.build_dedup_index(corpus, idx)
+    return dd.incremental_dedup_indexed(batch, corpus, idx)
+
+
+@register(
     "containment_pairs",
     f"""
     WITH sh AS ({_sql_shingles()}),

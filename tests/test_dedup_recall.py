@@ -44,6 +44,39 @@ def skewed_corpus(spark):
     return spark.createDataFrame(rows, "doc_id long, text string")
 
 
+class TestIndexedIncrementalDedup:
+    def test_index_backed_flags_equal_recompute(self, spark, tmp_path):
+        """incremental_dedup_indexed reading build_dedup_index output
+        must flag exactly what the recompute path flags — exact dups,
+        near dups, and accepted docs."""
+        corpus_rows = [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "an entirely different corpus document about spark"),
+            (3, "yet another unrelated body of text for the corpus here"),
+        ]
+        batch_rows = [
+            (10, "the quick brown fox jumps over the lazy dog"),  # exact
+            (11, "the quick brown fox jumps over the lazy cat"),  # near
+            (12, "completely novel content never seen before at all"),
+        ]
+        corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+        batch = spark.createDataFrame(batch_rows, "doc_id long, text string")
+        idx = str(tmp_path / "idx")
+        dd.build_dedup_index(corpus, idx)
+        recompute = {
+            r.doc_id: (r.exact_dup, r.near_dup, r.accepted)
+            for r in dd.incremental_dedup(batch, corpus).collect()
+        }
+        indexed = {
+            r.doc_id: (r.exact_dup, r.near_dup, r.accepted)
+            for r in dd.incremental_dedup_indexed(batch, corpus, idx).collect()
+        }
+        assert indexed == recompute
+        assert indexed[10][0] == 1  # exact dup caught
+        assert indexed[11][1] == 1  # near dup caught
+        assert indexed[12] == (0, 0, 1)  # novel doc accepted
+
+
 class TestContainmentRecall:
     def test_banding_misses_the_quote_pair(self, skewed_corpus):
         # Jaccard(1,2) ≈ |quote|/|book| ≈ 0.02 → P(band hit) ≈ 1-(1-J⁴)²
