@@ -100,24 +100,69 @@ def synth_media(spark, n: int = 100, kind: str = "image") -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
-def _require_fake(codec: str) -> None:
-    if codec != "fake":
+def codec_available(codec: str) -> bool:
+    """Capability probe for media codecs. ``fake`` (the deterministic
+    header-parsing stub) is always available; ``pil`` is available
+    when Pillow imports. Tests use this as their skip condition, and
+    every kernel routes through :func:`_require_codec` so an
+    unavailable codec fails fast on the driver with an actionable
+    message instead of import-erroring inside executors."""
+    if codec == "fake":
+        return True
+    if codec == "pil":
+        try:
+            import PIL.Image  # noqa: F401
+
+            return True
+        except Exception:
+            return False
+    return False
+
+
+def _require_codec(
+    codec: str, supported: tuple[str, ...] = ("fake", "pil")
+) -> None:
+    if codec not in supported:
         raise NotImplementedError(
-            f"codec {codec!r}: real decoders (PIL/ffmpeg) are not available "
-            "in this environment — plug one into the mapInPandas kernel"
+            f"codec {codec!r}: this stage supports {supported}"
+            + (
+                " — video frame extraction needs ffmpeg plugged into the "
+                "mapInPandas kernel"
+                if supported == ("fake",)
+                else ""
+            )
+        )
+    if not codec_available(codec):
+        raise NotImplementedError(
+            f"codec {codec!r}: decoder library not importable in this "
+            "environment (pip install pillow) — the 'fake' codec exercises "
+            "the same Spark plumbing (schemas, batching, 1→N expansion) "
+            "deterministically"
         )
 
 
 def decode_images(df: DataFrame, codec: str = "fake") -> DataFrame:
     """Decode stage: bytes → image metadata. Arrow-batched
-    ``mapInPandas``; the stub parses the synthetic 16-byte header
-    (a real codec would call ``PIL.Image.open`` here)."""
-    _require_fake(codec)
+    ``mapInPandas``; same kernel shape for both codecs — ``fake``
+    parses the synthetic 16-byte header, ``pil`` calls
+    ``PIL.Image.open`` on the real bytes (capability-probed)."""
+    _require_codec(codec)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if codec == "pil":
+            from io import BytesIO
+
+            from PIL import Image
+
         for pdf in batches:
             content = pdf["content"]
-            meta = [struct.unpack("<III", b[:12]) for b in content]
+            if codec == "pil":
+                meta = []
+                for b in content:
+                    im = Image.open(BytesIO(bytes(b)))
+                    meta.append((im.size[0], im.size[1], len(im.getbands())))
+            else:
+                meta = [struct.unpack("<III", b[:12]) for b in content]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -133,15 +178,26 @@ def decode_images(df: DataFrame, codec: str = "fake") -> DataFrame:
 
 def extract_features(df: DataFrame, dim: int = 16, codec: str = "fake") -> DataFrame:
     """Feature-extraction stage: bytes → ``array<float>`` embedding.
-    Stub: sha256-seeded deterministic vector (a real kernel would run
-    a vision/audio model over the Arrow batch). Output feeds the
+    ``fake``: sha256-seeded deterministic vector; ``pil``: grayscale
+    downsample to ``dim`` pixels normalized to [0,1] — a real model
+    slots into the same Arrow batch loop. Output feeds the
     similarity/dedup operators directly."""
-    _require_fake(codec)
+    _require_codec(codec)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if codec == "pil":
+            from io import BytesIO
+
+            from PIL import Image
+
         for pdf in batches:
             feats = []
             for b in pdf["content"]:
+                if codec == "pil":
+                    im = Image.open(BytesIO(bytes(b))).convert("L")
+                    px = list(im.resize((dim, 1)).getdata())
+                    feats.append([p / 255.0 for p in px])
+                    continue
                 h = hashlib.sha256(bytes(b)).digest()
                 # dim floats in [0,1) from repeated hash material
                 raw = (h * ((dim * 4) // len(h) + 1))[: dim * 4]
@@ -156,8 +212,9 @@ def sample_frames(df: DataFrame, every_n: int = 4, codec: str = "fake") -> DataF
     """Frame-sampling stage (video): one input row → N frame rows —
     the 1→N expansion shape of real frame extraction, streamed per
     Arrow batch so memory stays bounded regardless of video length.
-    Stub frames are 32-byte slices of the content."""
-    _require_fake(codec)
+    Stub frames are 32-byte slices of the content; real extraction is
+    an ffmpeg call, not a PIL one, so only ``fake`` is supported."""
+    _require_codec(codec, supported=("fake",))
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -187,14 +244,30 @@ def resize_images(
     preserves the property a real resize has: output size tracks
     target area, not source area. Output rows keep the MEDIA binary
     shape so further stages (feature extraction, frame sampling)
-    compose downstream of the resize."""
-    _require_fake(codec)
+    compose downstream of the resize. ``pil`` resizes the real image
+    and re-encodes PNG."""
+    _require_codec(codec)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if codec == "pil":
+            from io import BytesIO
+
+            from PIL import Image
+
         for pdf in batches:
             ids, ws, hs, cs, outs = [], [], [], [], []
             for mid, b in zip(pdf["media_id"], pdf["content"]):
                 b = bytes(b)
+                if codec == "pil":
+                    im = Image.open(BytesIO(b)).resize((target_w, target_h))
+                    buf = BytesIO()
+                    im.save(buf, format="PNG")
+                    ids.append(mid)
+                    ws.append(target_w)
+                    hs.append(target_h)
+                    cs.append(len(im.getbands()))
+                    outs.append(buf.getvalue())
+                    continue
                 _, _, c = struct.unpack("<III", b[:12])
                 body = b[16:]
                 n_out = max(32, (target_w * target_h * c) // 4096)
@@ -274,17 +347,34 @@ def perceptual_hash(df: DataFrame, codec: str = "fake") -> DataFrame:
     flip few bits, which is the property perceptual dedup needs
     (pair search within Hamming ≤ k reuses the same pigeonhole
     banding as operators/dedup.py::simhash_near_pairs — the hash is
-    the only thing that changes). A real kernel computes the 32×32
-    DCT of the grayscale image here; the stub block-means the fake
-    payload — same batch shape, same output type, deterministic.
-    Like every media stage: Arrow-batched mapInPandas, bytes never
-    survive past this projection."""
-    _require_fake(codec)
+    the only thing that changes). ``pil`` computes the classic 8×8
+    average-hash over the grayscale image; the ``fake`` stub
+    block-means the synthetic payload — same batch shape, same output
+    type, deterministic. Like every media stage: Arrow-batched
+    mapInPandas, bytes never survive past this projection."""
+    _require_codec(codec)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if codec == "pil":
+            from io import BytesIO
+
+            from PIL import Image
+
         for pdf in batches:
             hashes = []
             for b in pdf["content"]:
+                if codec == "pil":
+                    im = Image.open(BytesIO(bytes(b))).convert("L")
+                    px = list(im.resize((8, 8)).getdata())
+                    mean = sum(px) / 64.0
+                    bits = 0
+                    for i, p in enumerate(px):
+                        if p > mean:
+                            bits |= 1 << i
+                    hashes.append(
+                        bits - (1 << 64) if bits >= (1 << 63) else bits
+                    )
+                    continue
                 body = bytes(b)[16:] or b"\x00"
                 n = len(body)
                 # 64 contiguous blocks (last one absorbs the remainder)

@@ -32,9 +32,67 @@ class TestDecode:
         b = sorted(map(tuple, mm.decode_images(media).collect()))
         assert a == b
 
-    def test_real_codec_refused(self, media):
+    @pytest.mark.skipif(
+        mm.codec_available("pil"), reason="PIL present: pil codec works"
+    )
+    def test_real_codec_refused_when_absent(self, media):
         with pytest.raises(NotImplementedError, match="pil"):
             mm.decode_images(media, codec="pil")
+
+    def test_unknown_codec_refused(self, media):
+        with pytest.raises(NotImplementedError, match="cv2"):
+            mm.decode_images(media, codec="cv2")
+
+
+_needs_pil = pytest.mark.skipif(
+    not mm.codec_available("pil"), reason="Pillow not importable"
+)
+
+
+@_needs_pil
+class TestPilCodec:
+    """Real-codec path: same kernels over real PNG bytes. Skipped
+    where Pillow is absent (this container); runs wherever it's
+    installed — the capability probe keeps both environments green."""
+
+    @pytest.fixture()
+    def png_media(self, spark):
+        from io import BytesIO
+
+        from PIL import Image
+
+        rows = []
+        for i in range(6):
+            im = Image.new("RGB", (32 + 8 * i, 16 + 4 * i), (i * 40, 10, 200))
+            buf = BytesIO()
+            im.save(buf, format="PNG")
+            rows.append((i, "image", buf.getvalue(), f"synthetic://png/{i}"))
+        return spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+
+    def test_decode_real_dims(self, png_media):
+        rows = {r.media_id: r for r in mm.decode_images(png_media, codec="pil").collect()}
+        assert (rows[0].width, rows[0].height, rows[0].channels) == (32, 16, 3)
+        assert (rows[5].width, rows[5].height) == (72, 36)
+
+    def test_resize_reencodes(self, png_media):
+        from io import BytesIO
+
+        from PIL import Image
+
+        out = mm.resize_images(png_media, 24, 24, codec="pil").collect()
+        for r in out:
+            im = Image.open(BytesIO(bytes(r.content)))
+            assert im.size == (24, 24)
+
+    def test_features_and_phash(self, png_media):
+        feats = mm.extract_features(png_media, dim=8, codec="pil").collect()
+        assert all(len(r.feature) == 8 for r in feats)
+        assert all(0.0 <= v <= 1.0 for r in feats for v in r.feature)
+        hashes = {
+            r.media_id: r.phash
+            for r in mm.perceptual_hash(png_media, codec="pil").collect()
+        }
+        assert len(hashes) == 6
 
 
 class TestFeatures:
@@ -88,9 +146,17 @@ class TestResize:
         dec = mm.decode_images(out.select("media_id", "content"))
         assert all(d.width == 128 for d in dec.collect())
 
-    def test_real_codec_refused(self, media):
+    @pytest.mark.skipif(
+        mm.codec_available("pil"), reason="PIL present: pil codec works"
+    )
+    def test_real_codec_refused_when_absent(self, media):
         with pytest.raises(NotImplementedError):
             mm.resize_images(media, codec="pil")
+
+    def test_frames_pil_always_refused(self, media):
+        # frame extraction is an ffmpeg capability, not a PIL one
+        with pytest.raises(NotImplementedError, match="ffmpeg"):
+            mm.sample_frames(media, codec="pil")
 
 
 class TestPerceptualHash:
