@@ -1663,7 +1663,10 @@ class InfluxQLEngine:
         if e.op == "or":
             return self._expr(e.left) | self._expr(e.right)
         if e.op == "regex":
-            c = F.col(e.key).rlike(e.value)
+            # InfluxDB matches regexes against the STRING form of tag
+            # (and string-field) values; a numeric-typed tag column
+            # here is still matched on its string rendering
+            c = F.col(e.key).cast("string").rlike(e.value)
             return c if e.cmp == "=~" else ~c
         c = F.col(e.key)
         v = F.lit(e.value)

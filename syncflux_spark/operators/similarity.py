@@ -232,6 +232,7 @@ def kmeans_centroids(
     vec_col: str = "embedding",
     seed: int = 7,
     max_iter: int = 20,
+    train_fraction: float = 1.0,
 ) -> DataFrame:
     """k-means|| centroids (pyspark.ml KMeans, Bahmani et al. '12) —
     the production IVF path at 100 TB: the parallel init + Lloyd
@@ -243,11 +244,31 @@ def kmeans_centroids(
     built on these centroids get the weaker rows-only gate, with
     recall gated by tests/test_ann_quality.py instead. Same
     (cid, centv, centn) schema as :func:`seed_centroids`, so every
-    downstream assignment/probe plan is unchanged."""
+    downstream assignment/probe plan is unchanged.
+
+    ``train_fraction`` is the 100 TB training dial: a quantizer needs
+    a representative sample, not the corpus — FAISS-style practice is
+    ~100–1000 training points per centroid, so at a billion vectors
+    fitting on the full corpus wastes every Lloyd round on data that
+    can't move the centroids. The sample is the engine's standard
+    deterministic hash threshold (operators/sampling.py idiom:
+    md5(id) prefix < threshold — reproducible under corpus growth, no
+    RNG), so the trained quantizer is stable for a fixed corpus;
+    assignment/search still covers ALL vectors. Recall under sampled
+    training is gated in tests/test_ann_quality.py."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    feats = corpus.select(array_to_vector(as_double(vec_col)).alias("features"))
+    if not 0.0 < train_fraction <= 1.0:
+        raise ValueError(f"train_fraction must be in (0, 1], got {train_fraction}")
+    train = corpus
+    if train_fraction < 1.0:
+        from syncflux_spark.operators.sampling import deterministic_sample
+
+        train = deterministic_sample(
+            corpus, train_fraction, id_col=id_col, salt="pq-train"
+        )
+    feats = train.select(array_to_vector(as_double(vec_col)).alias("features"))
     model = KMeans(
         k=n_centroids, seed=seed, maxIter=max_iter, initMode="k-means||"
     ).fit(feats)

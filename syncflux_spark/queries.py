@@ -9412,6 +9412,56 @@ def containment_pairs_exact(spark, sf):
 
 
 @register(
+    "cq_downsample_roundtrip",
+    f"""
+    SELECT (u - u % 86400000000) * 1000 AS time, event_type,
+           CAST(SUM(v) AS DOUBLE) / COUNT(*) AS mean_micro,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM (SELECT epoch_us(ts) AS u, event_type,
+                 {_sql_micros('value')} AS v
+          FROM events)
+    WHERE u >= 1704844800000000
+    GROUP BY 1, 2
+    """,
+)
+def cq_downsample_roundtrip(spark, sf):
+    """Continuous-query retention tiering END-TO-END under the driver
+    gate (streaming/continuous.py::ExpiringContinuousQuery): five
+    scheduler ticks materialize the daily rollup incrementally into
+    ``win=`` directories, expiry drops the two windows wholly below
+    the 2024-01-12 cutoff (metadata-only directory drops — the shard-
+    group-expiry analog), and a final tick advances past the marker
+    floor. The oracle is the daily rollup restricted to the SURVIVING
+    windows (bucket ≥ 2024-01-10): if expiry failed to delete, or a
+    later run re-materialized expired history, extra days appear and
+    the hash breaks."""
+    from syncflux_spark.sources.parquet import _to_ns_epoch
+    from syncflux_spark.streaming.continuous import ExpiringContinuousQuery
+
+    eng = _influxql_events(spark, sf)
+    root = tempfile.mkdtemp(prefix="sf_cqrt_")
+    cq = ExpiringContinuousQuery(
+        eng,
+        'CREATE CONTINUOUS QUERY "daily_rt" ON "db" BEGIN '
+        "SELECT mean(value) AS mean_micro, count(value) AS n "
+        'INTO "events_daily_rt" FROM events '
+        "GROUP BY time(1d), event_type END",
+        f"{root}/events_daily_rt",
+    )
+    for now in (
+        "2024-01-05",
+        "2024-01-10",
+        "2024-01-15",
+        "2024-01-20",
+        "2024-02-05",
+    ):
+        cq.run(_to_ns_epoch(f"{now} 00:00:00"))
+    cq.expire(_to_ns_epoch("2024-01-12 00:00:00"))
+    cq.run(_to_ns_epoch("2024-02-06 00:00:00"))  # must not rebuild history
+    return cq.read_target()
+
+
+@register(
     "influxql_field_math",
     f"""
     SELECT epoch_us(ts) * 1000 AS time,

@@ -204,6 +204,38 @@ def test_ivf_kmeans_centroids_recall(spark, emb, truth):
     assert r8 >= r4, "nprobe dial lost monotonicity under k-means centroids"
 
 
+def test_kmeans_train_fraction_recall(spark, emb, truth):
+    """The 100 TB training dial: a quantizer fit on a deterministic
+    hash sample of the corpus must stay usable — recall within a
+    small delta of full-corpus training (k-means needs a
+    representative sample, not the population), and the sampler must
+    be reproducible (same fraction → same centroids → same recall)."""
+    from syncflux_spark.operators.similarity import kmeans_centroids
+
+    q = emb.where(F.col("vec_id") < N_QUERIES)
+    full = kmeans_centroids(emb, n_centroids=16)
+    sampled = kmeans_centroids(emb, n_centroids=16, train_fraction=0.5)
+    r_full = _recall(
+        ivf_topk(emb, q, k=K, n_centroids=16, nprobe=4, centroids=full), truth
+    )
+    r_half = _recall(
+        ivf_topk(emb, q, k=K, n_centroids=16, nprobe=4, centroids=sampled),
+        truth,
+    )
+    assert r_half >= 0.5, f"sampled-training recall collapsed: {r_half:.2f}"
+    assert r_half >= r_full - 0.15, (
+        f"half-corpus training lost too much recall: {r_half:.2f} vs "
+        f"{r_full:.2f}"
+    )
+    again = kmeans_centroids(emb, n_centroids=16, train_fraction=0.5)
+    a = sorted(map(tuple, sampled.select("cid", "centv").collect()))
+    b = sorted(map(tuple, again.select("cid", "centv").collect()))
+    assert a == b, "hash-sampled training set must be deterministic"
+
+    with pytest.raises(ValueError, match="train_fraction"):
+        kmeans_centroids(emb, n_centroids=16, train_fraction=0.0)
+
+
 def test_int8_quantization_quality(spark, emb):
     """SQ8 must be nearly lossless for similarity purposes: cosine
     between original and dequantized vector > 0.999 for every row,

@@ -351,6 +351,95 @@ class TestSelectSemantics:
         assert set(out.columns) == {"event_type", "user_id", "n"}
 
 
+class TestWherePredicates:
+    """InfluxDB 1.x WHERE parity sweep: tag regex (=~ / !~, partial
+    match), typed field comparisons, AND/OR/parens composition, and
+    the rejections (regex needs /…/, time regex unsupported, time
+    under OR). The support matrix in README §InfluxQL documents
+    exactly what these tests pin."""
+
+    def test_tag_regex_partial_match(self, engine, events):
+        out = engine.query(
+            "select count(value) as n from events where event_type =~ /^p/"
+        ).collect()
+        exp = events.where(F.col("event_type").rlike("^p")).count()
+        assert out[0].n == exp and exp > 0
+
+    def test_tag_regex_negated(self, engine, events):
+        out = engine.query(
+            "select count(value) as n from events where event_type !~ /click|view/"
+        ).collect()
+        exp = events.where(~F.col("event_type").rlike("click|view")).count()
+        assert out[0].n == exp and exp > 0
+
+    def test_regex_on_numeric_tag_matches_string_form(self, engine, events):
+        # InfluxDB tags are strings; a numeric tag column here matches
+        # on its string rendering
+        out = engine.query(
+            "select count(value) as n from events where user_id =~ /^1$/"
+        ).collect()
+        exp = events.where(F.col("user_id").cast("string") == "1").count()
+        assert out[0].n == exp
+
+    def test_numeric_field_comparisons(self, engine, events):
+        for op, col in (
+            (">", F.col("value") > 100),
+            ("<=", F.col("value") <= 100),
+            ("!=", F.col("value") != 100),
+        ):
+            out = engine.query(
+                f"select count(value) as n from events where value {op} 100"
+            ).collect()
+            assert out[0].n == events.where(col).count()
+
+    def test_and_or_parens(self, engine, events):
+        out = engine.query(
+            "select count(value) as n from events where "
+            "(event_type = 'click' or event_type = 'view') and value > 50"
+        ).collect()
+        exp = events.where(
+            F.col("event_type").isin("click", "view") & (F.col("value") > 50)
+        ).count()
+        assert out[0].n == exp and exp > 0
+
+    def test_tag_and_time_compose(self, engine, events):
+        out = engine.query(
+            "select count(value) as n from events where "
+            "event_type = 'click' and time >= '2024-01-08' and time < '2024-01-15'"
+        ).collect()
+        exp = events.where(
+            (F.col("event_type") == "click")
+            & (F.col("ts_ns") >= 1704672000 * 10**9)
+            & (F.col("ts_ns") < 1705276800 * 10**9)
+        ).count()
+        assert out[0].n == exp and exp > 0
+
+    def test_regex_requires_regex_literal(self):
+        with pytest.raises(InfluxQLError, match="requires /regex/"):
+            parse("select v from m where host =~ 'web1'")
+
+    def test_time_regex_rejected(self):
+        with pytest.raises(InfluxQLError):
+            parse("select v from m where time =~ /2024/")
+
+    def test_boolean_field_equality(self, spark):
+        df = spark.createDataFrame(
+            [(1, True, 1.0), (2, False, 2.0), (3, True, 3.0)],
+            "time long, flag boolean, v double",
+        )
+        eng = InfluxQLEngine(spark, tables={"m": df}, tags={"m": []})
+        out = eng.query("select count(v) as n from m where flag = true").collect()
+        assert out[0].n == 2
+
+    def test_string_field_inequality(self, spark):
+        df = spark.createDataFrame(
+            [(1, "ok", 1.0), (2, "err", 2.0)], "time long, status string, v double"
+        )
+        eng = InfluxQLEngine(spark, tables={"m": df}, tags={"m": []})
+        out = eng.query("select count(v) as n from m where status != 'err'").collect()
+        assert out[0].n == 1
+
+
 class TestCatalogRouting:
     @pytest.fixture()
     def cat_engine(self, spark, tmp_path):
