@@ -75,6 +75,7 @@ HEADLINE = [
     "dedup_incremental",
     "dedup_incremental_indexed",
     "containment_pairs",
+    "containment_pairs_exact",
     "lm_predictability",
     "token_diversity",
     "doc_chunk_windows",

@@ -737,11 +737,11 @@ def dedup_normalized(spark, sf):
     return dd.normalized_dedup_groups(load_table(spark, sf, "documents"))
 
 
-def _sql_shingles() -> str:
-    """Shared CTE body: (doc_id, s) = all 5-char shingles per doc."""
+def _sql_shingles(k: int = 5) -> str:
+    """Shared CTE body: (doc_id, s) = all k-char shingles per doc."""
     return (
-        "SELECT doc_id, substr(text, CAST(i AS INTEGER), 5) AS s "
-        "FROM documents, unnest(range(1, greatest(length(text)-4, 0)+1)) AS t(i)"
+        f"SELECT doc_id, substr(text, CAST(i AS INTEGER), {k}) AS s "
+        f"FROM documents, unnest(range(1, greatest(length(text)-{k - 1}, 0)+1)) AS t(i)"
     )
 
 
@@ -9380,7 +9380,7 @@ def hll_distinct_users(spark, sf):
 @register(
     "containment_pairs_exact",
     f"""
-    WITH sh AS ({_sql_shingles()}),
+    WITH sh AS ({_sql_shingles(12)}),
          dsh AS (SELECT DISTINCT doc_id, s FROM sh),
          sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
                    FROM dsh GROUP BY doc_id),
@@ -9407,8 +9407,16 @@ def containment_pairs_exact(spark, sf):
     the oracle here is the TRUE all-pairs answer, not a candidate
     replay: the operator must find every pair with either containment
     ≥ 0.8, including the tiny-doc-quoted-in-huge-doc shape MinHash
-    banding can miss."""
-    return dd.containment_pairs_exact(load_table(spark, sf, "documents"))
+    banding can miss. k=12 shingles: prefix filtering's join volume is
+    Σ df(prefix shingles), and the synthetic corpus has only ~2k
+    distinct 5-char shingles (median df 291/5000 docs — no rare
+    shingles to probe with); at k=12 the vocabulary is 131k and the
+    measured volume drops 55M → 1.7M rows (67 s → seconds at sf0.1).
+    Shingle width is the discriminativeness dial for repetitive
+    corpora — real text at k=5 behaves like this fixture at k=12."""
+    return dd.containment_pairs_exact(
+        load_table(spark, sf, "documents"), k_shingle=12
+    )
 
 
 @register(
