@@ -201,6 +201,21 @@ class PBin:
     right: object
 
 
+@dataclass
+class PStr:
+    """String/boolean literal in expression position (WHERE RHS)."""
+
+    value: object
+
+
+def _pexpr_has_call(e) -> bool:
+    if isinstance(e, PCall):
+        return True
+    if isinstance(e, PBin):
+        return _pexpr_has_call(e.left) or _pexpr_has_call(e.right)
+    return False
+
+
 def _pexpr_name(e) -> str:
     """InfluxQL's default column name for a projection expression:
     the leaf names (field names / function names) joined with '_' —
@@ -278,7 +293,9 @@ class SelectStmt:
 
 @dataclass
 class Expr:
-    """Non-time WHERE predicate tree."""
+    """Non-time WHERE predicate tree. Plain comparisons carry
+    (key, cmp, value); arithmetic comparisons (``value * 2 > 100``)
+    carry P-expression trees in (lhs, rhs) instead."""
 
     op: str  # 'and' 'or' 'cmp' 'regex'
     left: "Expr | None" = None
@@ -286,6 +303,8 @@ class Expr:
     key: str | None = None
     cmp: str | None = None
     value: object = None
+    lhs: object | None = None  # PVar/PNum/PBin tree
+    rhs: object | None = None
 
 
 @dataclass
@@ -667,18 +686,33 @@ class _Parser:
                 left = Expr("and", left=left, right=right)
         return left
 
+    _CMP_OPS = ("=", "!=", "<>", "<", "<=", ">", ">=", "=~", "!~")
+
     def cmp_expr(self, st: SelectStmt) -> Expr | None:
-        if self.peek() and self.peek().text == "(":
+        t0 = self.peek()
+        if t0 and t0.text == "(":
+            # a '(' opens either a boolean group or an arithmetic
+            # operand — try the boolean parse, backtrack to arithmetic
+            # on failure (InfluxQL's own grammar is this ambiguous)
+            save = self.i
+            try:
+                self.next()
+                e = self.or_expr(st)
+                self.expect_op(")")
+                return e
+            except InfluxQLError:
+                self.i = save
+        # bare-`time` comparisons route to the pushdown range, and only
+        # the bare form — time never participates in arithmetic
+        if (
+            t0
+            and t0.kind in ("ident", "qident")
+            and t0.text.lower() == "time"
+            and self.peek(1)
+            and self.peek(1).text in self._CMP_OPS
+        ):
             self.next()
-            e = self.or_expr(st)
-            self.expect_op(")")
-            return e
-        key = self.ident()
-        t = self.next()
-        op = t.text
-        if op not in ("=", "!=", "<>", "<", "<=", ">", ">=", "=~", "!~"):
-            raise InfluxQLError(f"bad comparison operator {op!r}")
-        if key.lower() == "time":
+            op = self.next().text
             ns = self.time_value()
             if op in (">", ">="):
                 st.time.lo_ns, st.time.lo_inclusive = ns, op == ">="
@@ -693,13 +727,40 @@ class _Parser:
             else:
                 raise InfluxQLError(f"unsupported time operator {op!r}")
             return None
+        lhs = self._proj_sum()
+        t = self.next()
+        op = t.text
+        if op not in self._CMP_OPS:
+            raise InfluxQLError(f"bad comparison operator {op!r}")
         if op in ("=~", "!~"):
+            if not isinstance(lhs, PVar):
+                raise InfluxQLError("=~ applies to a tag or field name")
             t2 = self.next()
             if t2.kind != "regex":
                 raise InfluxQLError("=~ requires /regex/")
-            return Expr("regex", key=key, cmp=op, value=t2.text)
-        val = self.value()
-        return Expr("cmp", key=key, cmp=op, value=val)
+            return Expr("regex", key=lhs.name, cmp=op, value=t2.text)
+        nxt = self.peek()
+        if nxt is not None and (
+            nxt.kind in ("string", "duration")
+            or (nxt.kind == "ident" and nxt.text.lower() in ("true", "false"))
+        ):
+            rhs: object = None
+            val = self.value()
+        else:
+            rhs = self._proj_sum()
+            val = None
+        for side in (lhs, rhs):
+            if side is not None and _pexpr_has_call(side):
+                raise InfluxQLError("aggregate calls are not allowed in WHERE")
+        # collapse plain field-vs-literal forms so simple predicates
+        # keep their typed comparison semantics (and plan shape)
+        if isinstance(lhs, PVar) and rhs is None:
+            return Expr("cmp", key=lhs.name, cmp=op, value=val)
+        if isinstance(lhs, PVar) and isinstance(rhs, PNum):
+            return Expr("cmp", key=lhs.name, cmp=op, value=rhs.value)
+        if rhs is None:
+            rhs = PNum(val) if isinstance(val, (int, float)) else PStr(val)
+        return Expr("cmp", cmp=op, lhs=lhs, rhs=rhs)
 
     def time_value(self) -> int:
         """A time operand → ns epoch. RFC3339 string, bare epoch-ns
@@ -1479,7 +1540,7 @@ class InfluxQLEngine:
         plain column expression (codegen-side, no UDF). InfluxQL
         null-propagation (null operand → null result) is Spark's
         native arithmetic semantics."""
-        if isinstance(e, PNum):
+        if isinstance(e, (PNum, PStr)):
             return F.lit(e.value)
         if isinstance(e, PVar):
             return F.col(e.name)
@@ -1668,8 +1729,12 @@ class InfluxQLEngine:
             # here is still matched on its string rendering
             c = F.col(e.key).cast("string").rlike(e.value)
             return c if e.cmp == "=~" else ~c
-        c = F.col(e.key)
-        v = F.lit(e.value)
+        if e.lhs is not None:
+            c = self._pexpr_col(e.lhs)
+            v = self._pexpr_col(e.rhs)
+        else:
+            c = F.col(e.key)
+            v = F.lit(e.value)
         return {
             "=": c == v,
             "!=": c != v,

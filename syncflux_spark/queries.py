@@ -9524,6 +9524,32 @@ def influxql_agg_math(spark, sf):
     )
 
 
+@register(
+    "influxql_where_math",
+    f"""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(v) AS BIGINT) AS s
+    FROM (SELECT event_type, {_sql_micros('value')} AS v
+          FROM events
+          WHERE ts >= TIMESTAMP '{EV_WIN[0]}' AND ts < TIMESTAMP '{EV_WIN[1]}')
+    WHERE v * 2 > 300000000
+    GROUP BY event_type
+    """,
+)
+def influxql_where_math(spark, sf):
+    """InfluxQL arithmetic in WHERE (``value * 2 > 300000000``) — the
+    alert-threshold idiom. The comparison compiles to a plain column
+    predicate evaluated alongside the pushed time range; aggregates
+    in WHERE are rejected at parse time."""
+    return _influxql_events(spark, sf).query(
+        f"SELECT count(value) AS n, sum(value) AS s FROM events "
+        f"WHERE time >= '{EV_WIN[0]}' AND time < '{EV_WIN[1]}' "
+        f"AND value * 2 > 300000000 "
+        f"GROUP BY event_type"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.spark for name, q in REGISTRY.items()}
 

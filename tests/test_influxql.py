@@ -414,6 +414,36 @@ class TestWherePredicates:
         ).count()
         assert out[0].n == exp and exp > 0
 
+    def test_where_field_arithmetic(self, engine, events):
+        out = engine.query(
+            "select count(value) as n from events where value * 2 > 300"
+        ).collect()
+        exp = events.where(F.col("value") * 2 > 300).count()
+        assert out[0].n == exp and exp > 0
+
+    def test_where_arithmetic_both_sides_and_parens(self, engine, events):
+        out = engine.query(
+            "select count(value) as n from events where "
+            "(value + value) / 2 >= value * 1"
+        ).collect()
+        assert out[0].n == events.where(F.col("value").isNotNull()).count()
+
+    def test_where_arithmetic_composes_with_time(self, engine, events):
+        out = engine.query(
+            "select count(value) as n from events where "
+            "time >= '2024-01-08' and time < '2024-01-15' and value / 2 > 75"
+        ).collect()
+        exp = events.where(
+            (F.col("ts_ns") >= 1704672000 * 10**9)
+            & (F.col("ts_ns") < 1705276800 * 10**9)
+            & (F.col("value") / 2 > 75)
+        ).count()
+        assert out[0].n == exp and exp > 0
+
+    def test_where_aggregate_rejected(self):
+        with pytest.raises(InfluxQLError, match="not allowed in WHERE"):
+            parse("select v from m where mean(v) > 3")
+
     def test_regex_requires_regex_literal(self):
         with pytest.raises(InfluxQLError, match="requires /regex/"):
             parse("select v from m where host =~ 'web1'")
