@@ -41,7 +41,10 @@ literals like ``1755043200s``, ``now() - <duration>``), tag
 equality / regex matches and field comparisons combined with
 AND/OR, GROUP BY ``time(interval[,offset])``, tag names or ``*``,
 ``fill(null|none|0|<value>|previous|linear)``, ORDER BY time
-[ASC|DESC], LIMIT/OFFSET, plus SHOW DATABASES / RETENTION POLICIES /
+[ASC|DESC], LIMIT/OFFSET, SLIMIT/SOFFSET, ``tz('<zone>')`` (local
+bucket alignment, DST-aware via from_utc_timestamp), standalone
+``SELECT ... INTO "dst"`` (one-shot downsample into a new queryable
+measurement), plus SHOW DATABASES / RETENTION POLICIES /
 MEASUREMENTS / FIELD KEYS / TAG KEYS and CREATE DATABASE /
 CREATE|ALTER RETENTION POLICY.
 """
@@ -289,6 +292,7 @@ class SelectStmt:
     offset: int | None = None
     slimit: int | None = None  # per-SERIES limit (influx SLIMIT)
     soffset: int | None = None
+    tzname: str | None = None  # tz('<zone>') — local bucket alignment
 
 
 @dataclass
@@ -540,6 +544,14 @@ class _Parser:
             st.slimit = int(self.next().text)
         if self.accept_kw("soffset"):
             st.soffset = int(self.next().text)
+        if self.peek() and self.peek().kind == "ident" and self.peek().text.lower() == "tz":
+            self.next()
+            self.expect_op("(")
+            zt = self.next()
+            if zt.kind != "string":
+                raise InfluxQLError("tz() takes a quoted zone name")
+            st.tzname = zt.text
+            self.expect_op(")")
         if self.peek() and self.peek().text == ";":
             self.next()
         if in_cq:
@@ -1095,6 +1107,8 @@ class InfluxQLEngine:
 
     # -- SELECT compilation -------------------------------------------------
     def _select(self, st: SelectStmt) -> DataFrame:
+        if st.into is not None:
+            return self._select_into(st)
         df = self._resolve(st)
         if st.sub is not None:
             # subquery output: tags are whatever grouped columns the
@@ -1153,6 +1167,47 @@ class InfluxQLEngine:
         if any(p.func in ("top", "bottom") for p in st.projs):
             return self._select_top_bottom(st, df, tag_cols)
         return self._select_agg(st, df, tag_cols)
+
+    def _select_into(self, st: SelectStmt) -> DataFrame:
+        """Standalone ``SELECT ... INTO "dst"`` (outside a CQ): run the
+        query once, persist the result as measurement ``dst`` under
+        ``{cq_root}/{dst}``, register it for subsequent queries, and
+        return InfluxDB's write acknowledgement shape — one series
+        ``result`` with columns (time, written). The one-shot
+        back-reference downsample idiom (``SELECT mean(v) INTO
+        "m_1h" FROM m GROUP BY time(1h)``) this enables is what the
+        reference's copy action achieves externally (pkg/agent/
+        sync.go:140-204, chunked SELECT → WriteDB); here the write is
+        a single overwrite of a parquet table, and re-running is
+        idempotent. The written `time` column is the UTC ns epoch, so
+        the target re-registers as an ordinary measurement whose time
+        column is `time` (the subquery-output convention)."""
+        import copy as _copy
+        import os
+
+        from pyspark.sql import Observation
+
+        if self.cq_root is None:
+            raise InfluxQLError("SELECT INTO requires a cq_root target dir")
+        target = st.into
+        st = _copy.deepcopy(st)
+        st.into = None
+        out = self._select(st)
+        obs = Observation()
+        out = out.observe(obs, F.count(F.lit(1)).alias("n"))
+        dst = os.path.join(self.cq_root, target)
+        out.write.mode("overwrite").parquet(dst)
+        written = int(obs.get["n"])
+        # group tags of the source select become the target's tags
+        tags = (
+            list(self.tags.get(st.measurement, []))
+            if st.group_star
+            else [t for t in st.group_tags]
+        )
+        self.register_table(target, self.spark.read.parquet(dst), tags)
+        return self.spark.createDataFrame(
+            [(0, written)], "time bigint, written bigint"
+        )
 
     def _select_top_bottom(
         self, st: SelectStmt, df: DataFrame, tag_cols: list[str]
@@ -1284,7 +1339,31 @@ class InfluxQLEngine:
             if ns is None:
                 raise InfluxQLError("GROUP BY time() requires a time column")
             iv, off = st.group_time_ns, st.group_offset_ns
-            bucket = ((ns - off) - (ns - off) % F.lit(iv) + off).alias("time")
+            if st.tzname:
+                # tz('<zone>'): buckets align to LOCAL wall-clock
+                # boundaries (influx 1.x `tz` clause) while the output
+                # `time` stays a UTC ns epoch. The per-row zone offset
+                # comes from from_utc_timestamp, so DST is honoured
+                # per point; rows in the ambiguous hour around a
+                # transition inherit Influx's own caveat (they land in
+                # the bucket their post-transition offset implies).
+                us = F.floor(ns / F.lit(1000)).cast("long")
+                zoff = (
+                    F.unix_micros(
+                        F.from_utc_timestamp(
+                            F.timestamp_micros(us), st.tzname
+                        )
+                    )
+                    - us
+                ) * F.lit(1000)
+                loc = ns + zoff
+                bucket = (
+                    (loc - off) - (loc - off) % F.lit(iv) + off - zoff
+                ).alias("time")
+            else:
+                bucket = ((ns - off) - (ns - off) % F.lit(iv) + off).alias(
+                    "time"
+                )
             keys = [bucket] + keys
 
         aggs, posts = [], []

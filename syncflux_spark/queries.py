@@ -9550,6 +9550,80 @@ def influxql_where_math(spark, sf):
     )
 
 
+@register(
+    "influxql_tz_daily",
+    f"""
+    SELECT (lb + 18000000000) * 1000 AS time, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(v) AS BIGINT) AS s
+    FROM (SELECT (u - 18000000000) - (u - 18000000000) % 86400000000 AS lb,
+                 event_type, v
+          FROM (SELECT epoch_us(ts) AS u, event_type,
+                       {_sql_micros('value')} AS v
+                FROM events
+                WHERE ts >= TIMESTAMP '{EV_WIN[0]}'
+                  AND ts < TIMESTAMP '{EV_WIN[1]}'))
+    GROUP BY 1, 2
+    """,
+)
+def influxql_tz_daily(spark, sf):
+    """InfluxQL ``tz('<zone>')``: daily buckets aligned to LOCAL
+    midnight (Etc/GMT+5 = UTC-5, fixed offset) while `time` stays a
+    UTC ns epoch — the Grafana dashboard idiom for calendar-day
+    rollups. The per-row zone offset comes from from_utc_timestamp
+    (DST-correct in general; constant -5 h here), and the bucket
+    expression stays a codegen integer shift — same single-exchange
+    rollup plan as the UTC path. Oracle mirrors the fixed offset as
+    explicit -18000 s arithmetic."""
+    return _influxql_events(spark, sf).query(
+        f"SELECT count(value) AS n, sum(value) AS s FROM events "
+        f"WHERE time >= '{EV_WIN[0]}' AND time < '{EV_WIN[1]}' "
+        f"GROUP BY time(1d), event_type tz('Etc/GMT+5')"
+    )
+
+
+@register(
+    "influxql_select_into_roundtrip",
+    f"""
+    WITH d AS (
+      SELECT (u - u % 86400000000) AS b, event_type,
+             CAST(SUM(v) AS DOUBLE) / COUNT(*) AS mean_micro,
+             COUNT(*) AS n
+      FROM (SELECT epoch_us(ts) AS u, event_type,
+                   {_sql_micros('value')} AS v
+            FROM events)
+      GROUP BY 1, 2)
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS days,
+           MAX(mean_micro) AS max_daily_mean,
+           CAST(SUM(n) AS BIGINT) AS total
+    FROM d GROUP BY event_type
+    """,
+)
+def influxql_select_into_roundtrip(spark, sf):
+    """Standalone ``SELECT ... INTO`` END-TO-END: the one-shot
+    back-reference downsample (daily mean/count per event_type)
+    writes measurement ``events_daily_into`` as a parquet table, the
+    engine registers it, and a SECOND InfluxQL query aggregates the
+    written table. The oracle recomputes the same two-level rollup
+    directly — if the INTO write dropped/duplicated buckets or the
+    re-registration mangled tags, the hash breaks. This is the
+    reference's copy action (pkg/agent/sync.go:140-204) as one
+    statement: SELECT → write → queryable measurement."""
+    import tempfile as _tf
+
+    eng = _influxql_events(spark, sf)
+    eng.cq_root = _tf.mkdtemp(prefix="sf_into_")
+    eng.query(
+        "SELECT mean(value) AS mean_micro, count(value) AS n "
+        'INTO "events_daily_into" FROM events '
+        "GROUP BY time(1d), event_type"
+    )
+    return eng.query(
+        "SELECT count(mean_micro) AS days, max(mean_micro) AS max_daily_mean, "
+        "sum(n) AS total FROM events_daily_into GROUP BY event_type"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.spark for name, q in REGISTRY.items()}
 

@@ -1181,3 +1181,89 @@ class TestTableBackedShow:
             "value": "float",
             "props": "string",
         }
+
+
+class TestTimezone:
+    """tz('<zone>') — local bucket alignment, UTC epoch output."""
+
+    def test_parse(self):
+        st = parse(
+            "SELECT count(value) FROM events GROUP BY time(1d) "
+            "tz('America/Chicago')"
+        )
+        assert st.tzname == "America/Chicago"
+
+    def test_parse_rejects_unquoted(self):
+        with pytest.raises(InfluxQLError):
+            parse("SELECT count(value) FROM events GROUP BY time(1d) tz(UTC)")
+
+    def test_fixed_offset_daily_buckets(self, engine, events):
+        # Etc/GMT+5 == UTC-5 (POSIX sign): local midnight = 05:00 UTC
+        out = engine.query(
+            "SELECT count(value) AS n FROM events "
+            "WHERE time >= '2024-01-08' AND time < '2024-01-12' "
+            "GROUP BY time(1d) tz('Etc/GMT+5')"
+        ).collect()
+        day = 86400 * 10**9
+        for r in out:
+            assert (r.time - 5 * 3600 * 10**9) % day == 0
+        # same rows as the hand-shifted DataFrame rollup
+        lo = engine.query(
+            "SELECT count(value) AS n FROM events "
+            "WHERE time >= '2024-01-08' AND time < '2024-01-12' "
+            "GROUP BY time(1d)"
+        ).count()
+        assert len(out) >= 1 and abs(len(out) - lo) <= 1
+
+    def test_utc_zone_matches_plain(self, engine):
+        q = (
+            "SELECT count(value) AS n FROM events "
+            "WHERE time >= '2024-01-08' AND time < '2024-01-10' "
+            "GROUP BY time(6h)"
+        )
+        plain = {(r.time, r.n) for r in engine.query(q).collect()}
+        tz = {
+            (r.time, r.n)
+            for r in engine.query(q + " tz('UTC')").collect()
+        }
+        assert plain == tz
+
+
+class TestSelectInto:
+    """Standalone SELECT ... INTO: write + register + re-query."""
+
+    def test_requires_cq_root(self, engine):
+        with pytest.raises(InfluxQLError, match="cq_root"):
+            engine.query(
+                'SELECT count(value) AS n INTO "t" FROM events '
+                "GROUP BY time(1d)"
+            )
+
+    def test_roundtrip(self, spark, events, tmp_path):
+        eng = InfluxQLEngine(
+            spark,
+            tables={"events": events},
+            tags={"events": ["event_type", "user_id"]},
+            now=NOW,
+            cq_root=str(tmp_path),
+        )
+        ack = eng.query(
+            'SELECT count(value) AS n INTO "ev_daily" FROM events '
+            "GROUP BY time(1d), event_type"
+        ).collect()
+        assert ack[0].written > 0
+        total = eng.query("SELECT sum(n) AS total FROM ev_daily").collect()
+        assert total[0].total == events.where("value is not null").count()
+        # tags survive: GROUP BY * on the target groups by event_type
+        by_tag = eng.query(
+            "SELECT sum(n) AS s FROM ev_daily GROUP BY event_type"
+        ).collect()
+        assert len(by_tag) == events.select("event_type").distinct().count()
+        # idempotent re-run: same bucket count, not doubled
+        n1 = eng.query("SELECT count(n) AS c FROM ev_daily").collect()[0].c
+        eng.query(
+            'SELECT count(value) AS n INTO "ev_daily" FROM events '
+            "GROUP BY time(1d), event_type"
+        ).collect()
+        n2 = eng.query("SELECT count(n) AS c FROM ev_daily").collect()[0].c
+        assert n1 == n2
