@@ -940,3 +940,133 @@ def contamination_check(
     return hits.groupBy(id_col).agg(
         F.count_distinct("sh").alias("n_shared_shingles")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact substring dedup (repeated-span detection)
+# ---------------------------------------------------------------------------
+
+
+def duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_len: int = 40,
+    cross_doc: bool = True,
+) -> DataFrame:
+    """Exact repeated-substring spans, the substring-dedup shape of
+    Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    Models Better"): find every maximal character range that
+    participates in some length-``span_len`` substring occurring in
+    ≥2 documents (``cross_doc=True``) or ≥2 times anywhere.
+
+    The suffix-array construction of the paper is replaced by the
+    Spark-native equivalent: explode one row per character position
+    (O(total_chars) rows — linear, never pairwise), key each
+    position by md5 of its length-L window, keep keys whose document
+    frequency ≥ 2, then merge surviving positions into maximal spans
+    per document with a gaps-and-islands window. Each stage is a
+    single hash shuffle (window-key group, id×island group) plus one
+    per-document sort for the island scan — no driver state, no
+    per-pair work, and the md5 window key is what lets the DuckDB
+    oracle replay the pipeline bit-for-bit.
+
+    At 100 TB the explode is the dominant cost and is embarrassingly
+    parallel; the duplicate-key join shuffles only (id, pos, h)
+    triples. Returns (id, span_start [1-based], span_end [exclusive],
+    span_chars) — one row per maximal duplicated span.
+    """
+    pos = (
+        spread_for_cpu(df)
+        # guard: Spark's sequence(1, stop) DESCENDS when stop < 1, so a
+        # doc shorter than span_len would emit bogus negative positions
+        .where(F.length(text_col) >= span_len)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(
+                    F.lit(1), F.length(text_col) - F.lit(span_len - 1)
+                )
+            ).alias("pos"),
+            F.col(text_col),
+        )
+        .select(
+            F.col(id_col),
+            F.col("pos"),
+            F.md5(
+                F.col(text_col).substr(F.col("pos"), F.lit(span_len))
+            ).alias("h"),
+        )
+    )
+    freq = F.count_distinct(id_col) if cross_doc else F.count(F.lit(1))
+    dup = pos.groupBy("h").agg(freq.alias("_df")).where(F.col("_df") >= 2)
+    hits = pos.join(dup.select("h"), "h").select(id_col, "pos")
+
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = hits.withColumn(
+        "_new",
+        F.when(
+            F.col("pos")
+            > F.coalesce(F.max(F.col("pos") + span_len).over(w), F.lit(-1)),
+            1,
+        ).otherwise(0),
+    )
+    islands = flagged.withColumn(
+        "_island",
+        F.sum("_new").over(
+            Window.partitionBy(id_col)
+            .orderBy("pos")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        islands.groupBy(id_col, "_island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + span_len).alias("span_end"),
+        )
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start")).alias("span_chars"),
+        )
+    )
+
+
+def duplicate_char_fraction(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_len: int = 40,
+) -> DataFrame:
+    """Per-document duplicated-character fraction: Σ span_chars /
+    n_chars over the maximal spans of :func:`duplicate_spans`, zero
+    for documents with no duplicated span (left join keeps them).
+    The per-corpus quality dial substring dedup feeds — drop or trim
+    documents above a duplication threshold."""
+    spans = duplicate_spans(df, text_col, id_col, span_len)
+    per_doc = spans.groupBy(id_col).agg(
+        F.sum("span_chars").alias("dup_chars"),
+        F.count(F.lit(1)).alias("n_spans"),
+    )
+    return (
+        df.select(F.col(id_col), F.length(text_col).alias("n_chars"))
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            "n_chars",
+            F.coalesce("dup_chars", F.lit(0)).alias("dup_chars"),
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            (
+                F.coalesce("dup_chars", F.lit(0))
+                / F.col("n_chars").cast("double")
+            ).alias("dup_fraction"),
+        )
+    )

@@ -9624,6 +9624,85 @@ def influxql_select_into_roundtrip(spark, sf):
     )
 
 
+_SQL_DUP_SPANS = """
+    WITH pos AS (
+      SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+             md5(substr(text, CAST(pos AS INTEGER), 40)) AS h
+      FROM (SELECT doc_id, text,
+                   unnest(generate_series(1, length(text) - 39)) AS pos
+            FROM documents WHERE length(text) >= 40)),
+    dup AS (SELECT h FROM pos GROUP BY h
+            HAVING COUNT(DISTINCT doc_id) >= 2),
+    hits AS (SELECT p.doc_id, p.pos FROM pos p JOIN dup USING (h)),
+    flagged AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos > COALESCE(MAX(pos + 40) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  -1)
+                  THEN 1 ELSE 0 END AS new_island
+      FROM hits),
+    islands AS (
+      SELECT doc_id, pos,
+             SUM(new_island) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM flagged),
+    spans AS (
+      SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 40 AS span_end
+      FROM islands GROUP BY doc_id, island)
+"""
+
+
+@register(
+    "duplicate_substring_spans",
+    _SQL_DUP_SPANS
+    + """
+    SELECT doc_id, span_start, span_end,
+           span_end - span_start AS span_chars
+    FROM spans
+    """,
+)
+def duplicate_substring_spans(spark, sf):
+    """Exact repeated-substring spans (the substring-dedup shape of
+    Lee et al. 2022, arXiv:2107.06499): every maximal character range
+    covered by a 40-char window occurring in ≥2 documents. The
+    paper's suffix array becomes the Spark-native linear pipeline —
+    explode one row per char position, md5 window key, doc-frequency
+    filter, gaps-and-islands span merge. O(total_chars) rows, two
+    hash shuffles + one per-doc sort, zero pairwise work — at 100 TB
+    the explode dominates and parallelizes embarrassingly."""
+    return dd.duplicate_spans(
+        load_table(spark, sf, "documents"), span_len=40
+    )
+
+
+@register(
+    "substring_dup_fraction",
+    _SQL_DUP_SPANS
+    + """
+    , per_doc AS (
+      SELECT doc_id, CAST(SUM(span_end - span_start) AS BIGINT) AS dup_chars,
+             CAST(COUNT(*) AS BIGINT) AS n_spans
+      FROM spans GROUP BY doc_id)
+    SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars,
+           COALESCE(p.dup_chars, 0) AS dup_chars,
+           COALESCE(p.n_spans, 0) AS n_spans,
+           CAST(COALESCE(p.dup_chars, 0) AS DOUBLE)
+             / CAST(length(d.text) AS DOUBLE) AS dup_fraction
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """,
+)
+def substring_dup_fraction(spark, sf):
+    """Per-document duplicated-character fraction from the maximal
+    duplicated spans — the trim/drop dial substring dedup feeds.
+    Documents with no duplicated span stay in the output at fraction
+    0 (left join), so the result is a full corpus quality column, not
+    a hit list."""
+    return dd.duplicate_char_fraction(
+        load_table(spark, sf, "documents"), span_len=40
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.spark for name, q in REGISTRY.items()}
 

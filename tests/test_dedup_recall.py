@@ -146,3 +146,48 @@ class TestContainmentRecall:
             for r in dd.containment_pairs_exact(df).collect()
         }
         assert got == expected and expected  # non-trivial fixture
+
+
+class TestDuplicateSpans:
+    """Planted-passage recall + span-merge exactness for the
+    substring-dedup operator (Lee et al. 2022 shape)."""
+
+    def _df(self, spark):
+        import random
+
+        rng = random.Random(7)
+        alpha = "abcdefghijklmnopqrstuvwxyz "
+        rand = lambda n: "".join(rng.choice(alpha) for _ in range(n))
+        quote = "the quick brown fox jumps over the lazy dog near the riverbank"
+        rows = [
+            ("a", rand(200) + quote + rand(200)),
+            ("b", rand(150) + quote + rand(250)),
+            ("c", rand(400)),  # no duplication
+            ("d", "tiny"),  # shorter than span_len: must not explode
+        ]
+        return spark.createDataFrame(rows, "doc_id string, text string")
+
+    def test_planted_quote_found_and_merged(self, spark):
+        from syncflux_spark.operators import dedup as dd
+
+        spans = dd.duplicate_spans(self._df(spark), span_len=40).collect()
+        by_doc = {}
+        for r in spans:
+            by_doc.setdefault(r.doc_id, []).append(r)
+        # the quote is one contiguous island in each carrier, covering
+        # at least the full quote length
+        assert set(by_doc) == {"a", "b"}
+        for doc, start in (("a", 201), ("b", 151)):
+            (s,) = by_doc[doc]
+            assert s.span_start == start
+            assert s.span_chars >= 62  # full quote covered
+            assert s.span_end - s.span_start == s.span_chars
+
+    def test_fraction_covers_all_docs(self, spark):
+        from syncflux_spark.operators import dedup as dd
+
+        out = dd.duplicate_char_fraction(self._df(spark), span_len=40)
+        rows = {r.doc_id: r for r in out.collect()}
+        assert set(rows) == {"a", "b", "c", "d"}
+        assert rows["c"].dup_fraction == 0.0 and rows["d"].dup_fraction == 0.0
+        assert 0 < rows["a"].dup_fraction < 1
