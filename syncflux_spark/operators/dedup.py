@@ -1070,3 +1070,76 @@ def duplicate_char_fraction(
             ).alias("dup_fraction"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Sorted-neighborhood dedup (Hernández-Stolfo '95 family)
+# ---------------------------------------------------------------------------
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 4,
+    key_chars: int = 32,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Sorted-neighborhood candidate generation + exact word-Jaccard
+    verify: sort the corpus by a normalized prefix key (first
+    ``key_chars`` chars of case-folded, whitespace-collapsed text),
+    pair each document with its ``window`` successors in sort order,
+    and keep pairs with word-set Jaccard ≥ ``threshold``.
+
+    The complementary family to MinHash banding: candidates are
+    O(n·w) by construction (no bucket-skew failure mode — a hot
+    band key can flood LSH, but a sort neighborhood is always w
+    wide), at the cost of recall limited to near-dups that agree on
+    the sort-key prefix. Production systems run several passes with
+    different keys; one pass is registered here.
+
+    Scale shape: the sort is a range exchange via
+    :func:`syncflux_spark.utils.global_rank` (NEVER a one-partition
+    ROW_NUMBER), successor pairing is an equi-join of rank against
+    rank+j for j=1..w (explode, then one hash join on the rank),
+    and the verify runs on |candidates| rows only.
+    """
+    from syncflux_spark.utils import global_rank
+
+    keyed = spread_for_cpu(df).select(
+        F.col(id_col),
+        F.substring(normalized_text(text_col), 1, key_chars).alias("_key"),
+        F.array_distinct(words(text_col)).alias("_w"),
+    )
+    ranked = global_rank(keyed, ["_key", id_col], rank_col="_r")
+    probes = ranked.select(
+        F.col(id_col).alias("id_a"),
+        F.col("_key").alias("key_a"),
+        F.col("_w").alias("w_a"),
+        F.explode(
+            F.sequence(F.col("_r") + 1, F.col("_r") + window)
+        ).alias("_r"),
+    )
+    cand = probes.join(
+        ranked.select(
+            F.col("_r"),
+            F.col(id_col).alias("id_b"),
+            F.col("_w").alias("w_b"),
+        ),
+        "_r",
+    )
+    inter = F.size(F.array_intersect("w_a", "w_b"))
+    union = F.size("w_a") + F.size("w_b") - inter
+    return (
+        cand.select(
+            "id_a",
+            "id_b",
+            (inter / union).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            "jaccard",
+        )
+    )

@@ -535,3 +535,70 @@ def doc_boilerplate_ratio(
             "clean_tokens"
         ),
     )
+
+
+def pmi_bigrams(
+    df: DataFrame,
+    k: int = 50,
+    min_count: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` collocations by pointwise mutual information —
+    phrases whose words co-occur far more than unigram frequencies
+    predict (named entities, idioms, templated boilerplate), the
+    association signal behind phrase vocabularies and tokenizer merge
+    candidates.
+
+    Emits the PMI **ratio** p(w1,w2) / (p(w1)·p(w2)) rather than its
+    log: the ratio is pure integer-derived arithmetic
+    ((c12·N·N) / (M·c1·c2)), bit-identical across engines, whereas a
+    transcendental log invites last-ulp drift between libm
+    implementations. Monotone in PMI, so the ranking is the same.
+
+    Plan shape: two token-level aggregations (unigram, bigram) — each
+    one partial-agg shuffle — a two-key join of bigrams to unigram
+    counts, broadcast scalar totals, and a top-k heap
+    (TakeOrderedAndProject). All counts stay JVM-side column
+    expressions."""
+    from syncflux_spark.functions.text import shingles_of_words, words
+
+    staged = df.select(F.col(id_col), words(text_col).alias("ws"))
+    uni = (
+        staged.select(F.explode("ws").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bi = (
+        staged.select(F.explode(shingles_of_words(F.col("ws"), 2)).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .where(F.col("c12") >= min_count)
+        .select(
+            "bg",
+            "c12",
+            F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("w1"),
+            F.split_part(F.col("bg"), F.lit(" "), F.lit(2)).alias("w2"),
+        )
+    )
+    totals = staged.select(
+        F.sum(F.size("ws")).alias("n_tokens"),
+        F.sum(F.greatest(F.size("ws") - 1, F.lit(0))).alias("n_bigrams"),
+    )
+    from pyspark.sql.functions import broadcast
+
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    joined = bi.join(u1, "w1").join(u2, "w2").crossJoin(broadcast(totals))
+    # double-side multiplication, left-associated identically in the
+    # DuckDB oracle: integer products of corpus-level counts would
+    # overflow int64 at ~1e13 tokens, doubles never do
+    scored = joined.select(
+        F.col("bg").alias("bigram"),
+        F.col("c12"),
+        (
+            (F.col("c12").cast("double") * F.col("n_tokens") * F.col("n_tokens"))
+            / (F.col("n_bigrams").cast("double") * F.col("c1") * F.col("c2"))
+        ).alias("pmi_ratio"),
+    )
+    return scored.orderBy(F.desc("pmi_ratio"), F.asc("bigram")).limit(k)

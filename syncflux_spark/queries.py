@@ -9703,6 +9703,86 @@ def substring_dup_fraction(spark, sf):
     )
 
 
+@register(
+    "sorted_neighborhood_pairs",
+    r"""
+    WITH keyed AS (
+      SELECT doc_id,
+             substr(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                    1, 32) AS key,
+             list_distinct(string_split_regex(trim(text), '\s+')) AS w
+      FROM documents),
+    ranked AS (
+      SELECT doc_id, key, w,
+             ROW_NUMBER() OVER (ORDER BY key, doc_id) AS r
+      FROM keyed),
+    cand AS (
+      SELECT a.doc_id AS raw_a, b.doc_id AS raw_b, a.w AS wa, b.w AS wb
+      FROM ranked a JOIN ranked b
+        ON b.r BETWEEN a.r + 1 AND a.r + 4),
+    scored AS (
+      SELECT LEAST(raw_a, raw_b) AS id_a, GREATEST(raw_a, raw_b) AS id_b,
+             CAST(len(list_intersect(wa, wb)) AS DOUBLE)
+               / (len(wa) + len(wb) - len(list_intersect(wa, wb))) AS jaccard
+      FROM cand)
+    SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.5
+    """,
+)
+def sorted_neighborhood_pairs(spark, sf):
+    """Sorted-neighborhood dedup (Hernández-Stolfo '95): sort by a
+    normalized 32-char prefix key, pair each doc with its 4 sort
+    successors, verify by exact word Jaccard ≥ 0.5. The complementary
+    candidate family to MinHash banding — O(n·w) candidates by
+    construction with no bucket-skew failure mode. The global sort
+    rank is computed scale-safely (range exchange + per-partition
+    rank + driver-side offsets of B partition counts), never as a
+    one-partition ROW_NUMBER."""
+    return dd.sorted_neighborhood_pairs(
+        load_table(spark, sf, "documents"),
+        window=4,
+        key_chars=32,
+        threshold=0.5,
+    )
+
+
+@register(
+    "pmi_top_bigrams",
+    f"""
+    WITH w AS (SELECT doc_id, {_SQL_WORDS} AS ws FROM documents),
+    uni AS (SELECT u AS word, CAST(COUNT(*) AS BIGINT) AS c
+            FROM (SELECT unnest(ws) AS u FROM w) GROUP BY 1),
+    bgx AS (SELECT array_to_string(ws[i:i+1], ' ') AS bg
+            FROM (SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS i
+                  FROM w)),
+    bc AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS c12
+           FROM bgx GROUP BY bg HAVING COUNT(*) >= 10),
+    tot AS (SELECT CAST(SUM(len(ws)) AS BIGINT) AS n_tokens,
+                   CAST(SUM(greatest(len(ws) - 1, 0)) AS BIGINT) AS n_bigrams
+            FROM w)
+    SELECT bc.bg AS bigram, bc.c12,
+           CAST(bc.c12 AS DOUBLE) * t.n_tokens * t.n_tokens
+             / (CAST(t.n_bigrams AS DOUBLE) * u1.c * u2.c) AS pmi_ratio
+    FROM bc
+    CROSS JOIN tot t
+    JOIN uni u1 ON u1.word = split_part(bc.bg, ' ', 1)
+    JOIN uni u2 ON u2.word = split_part(bc.bg, ' ', 2)
+    ORDER BY pmi_ratio DESC, bigram
+    LIMIT 50
+    """,
+)
+def pmi_top_bigrams(spark, sf):
+    """Top-50 collocations by pointwise mutual information — the
+    association signal behind phrase vocabularies and tokenizer merge
+    candidates. Emitted as the PMI ratio p(w1,w2)/(p(w1)p(w2)) rather
+    than its log: monotone-identical ranking, but pure arithmetic on
+    exact counts (no libm transcendental to drift between engines).
+    Two partial-agg shuffles + a two-key unigram join + broadcast
+    scalar totals + a top-k heap (operators/textops.py::pmi_bigrams)."""
+    from syncflux_spark.operators.textops import pmi_bigrams as _pmi
+
+    return _pmi(load_table(spark, sf, "documents"), k=50, min_count=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.spark for name, q in REGISTRY.items()}
 

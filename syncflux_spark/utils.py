@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def spread_for_cpu(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
@@ -75,3 +76,49 @@ def salted_join(
     )
     out = lhs.join(rhs, keys + ["_salt"], how)
     return out.drop("_salt")
+
+
+def global_rank(
+    df: DataFrame,
+    order_cols: list[str],
+    rank_col: str = "_rank",
+    n_ranges: int | None = None,
+) -> DataFrame:
+    """Contiguous 1-based global sort rank WITHOUT the single-partition
+    collapse of ``row_number() OVER (ORDER BY ...)``: range-partition
+    on the sort key, rank within each range partition, then offset by
+    the cumulative counts of the preceding partitions. The offsets are
+    one tiny count per partition (collected to the driver — B scalars,
+    not data), and the result equals the global ROW_NUMBER regardless
+    of where the sampled range boundaries land, because range
+    partitions are contiguous in sort order. ``order_cols`` must be a
+    deterministic total order (append a unique id as tiebreak).
+
+    At 100 TB this is the standard distributed ranking shape: one
+    range-exchange + per-partition sorts, no all-to-one stage.
+    """
+    from pyspark.sql import Window
+
+    n_ranges = n_ranges or df.sparkSession.sparkContext.defaultParallelism
+    cols = [F.col(c) for c in order_cols]
+    parted = df.repartitionByRange(n_ranges, *cols).withColumn(
+        "_gr_part", F.spark_partition_id()
+    )
+    parted = eager_persist(parted)
+    counts = {
+        r._gr_part: r.n
+        for r in parted.groupBy("_gr_part").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets = {}
+    acc = 0
+    for p in sorted(counts):
+        offsets[p] = acc
+        acc += counts[p]
+    off = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    )
+    w = Window.partitionBy("_gr_part").orderBy(*cols)
+    return parted.withColumn(
+        rank_col,
+        (off[F.col("_gr_part")] + F.row_number().over(w)).cast("long"),
+    ).drop("_gr_part")

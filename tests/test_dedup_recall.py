@@ -191,3 +191,44 @@ class TestDuplicateSpans:
         assert set(rows) == {"a", "b", "c", "d"}
         assert rows["c"].dup_fraction == 0.0 and rows["d"].dup_fraction == 0.0
         assert 0 < rows["a"].dup_fraction < 1
+
+
+class TestSortedNeighborhood:
+    def test_global_rank_matches_single_partition(self, spark):
+        from syncflux_spark.utils import global_rank
+        from pyspark.sql import Window
+        import pyspark.sql.functions as F
+
+        df = spark.range(500).select(
+            (F.col("id") * 37 % 101).alias("k"), F.col("id")
+        )
+        got = {
+            (r.k, r.id): r._rank
+            for r in global_rank(df, ["k", "id"], n_ranges=7).collect()
+        }
+        want = {
+            (r.k, r.id): r.rn
+            for r in df.withColumn(
+                "rn", F.row_number().over(Window.orderBy("k", "id"))
+            ).collect()
+        }
+        assert got == want
+
+    def test_prefix_near_dups_found(self, spark):
+        from syncflux_spark.operators import dedup as dd
+
+        rows = [
+            ("a", "The quick brown fox jumps over the lazy dog today"),
+            ("b", "The quick brown fox jumps over the lazy dog tonight"),
+            ("c", "completely different text about spark execution plans"),
+            ("d", "zebra crossing patterns in urban traffic design"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id string, text string")
+        pairs = {
+            (r.id_a, r.id_b)
+            for r in dd.sorted_neighborhood_pairs(
+                df, window=2, threshold=0.5
+            ).collect()
+        }
+        assert ("a", "b") in pairs
+        assert all(p[0] != p[1] for p in pairs)
