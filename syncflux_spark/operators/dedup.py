@@ -1143,3 +1143,90 @@ def sorted_neighborhood_pairs(
             "jaccard",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bag-of-words cosine similarity (inverted-index all-pairs)
+# ---------------------------------------------------------------------------
+
+
+def doc_cosine_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    max_df_frac: float = 0.10,
+) -> DataFrame:
+    """Document pairs with bag-of-words cosine similarity ≥
+    ``threshold``, computed over the **df-pruned** term space: terms
+    appearing in more than ``max_df_frac`` of documents are dropped
+    before pairing (the idf intuition as a hard gate — stop words
+    carry no similarity signal AND are exactly the terms whose
+    inverted lists explode the pair space).
+
+    The all-pairs shape of Bayardo et al. '07 ("Scaling Up All Pairs
+    Similarity Search") in its Spark-native form: an inverted index
+    (term → postings of (doc, tf)) self-joined per term, partial
+    products Σ tf_a·tf_b summed by pair, then normalized by the
+    pruned-space vector norms. The df gate bounds every posting list
+    at ``max_df_frac·N``, so per-term join work is ≤ (max_df·N)² and
+    the hot-key failure mode of raw term joins is structurally
+    excluded — the same lever as the prefix filter in
+    :func:`word_jaccard_all_pairs`.
+
+    Determinism for the oracle gate: dot products and squared norms
+    are INTEGER sums (tf counts), so aggregation order cannot perturb
+    them; the only floating ops are two correctly-rounded sqrts and
+    one multiply/divide chain, identical in every IEEE engine.
+    """
+    n_docs = df.count()
+    max_df = int(n_docs * max_df_frac)
+    toks = (
+        spread_for_cpu(df)
+        .select(F.col(id_col), F.explode(words(text_col)).alias("t"))
+        .groupBy(id_col, "t")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    kept = toks.join(
+        toks.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where(F.col("_df") <= max_df)
+        .select("t"),
+        "t",
+    )
+    kept = eager_persist(kept)
+    norms = kept.groupBy(id_col).agg(
+        F.sum(F.col("tf") * F.col("tf")).alias("_n2")
+    )
+    a = kept.select(
+        F.col("t"),
+        F.col(id_col).alias("id_a"),
+        F.col("tf").alias("tf_a"),
+    )
+    b = kept.select(
+        F.col("t"),
+        F.col(id_col).alias("id_b"),
+        F.col("tf").alias("tf_b"),
+    )
+    dots = (
+        a.join(b, "t")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("tf_a") * F.col("tf_b")).alias("_dot"))
+    )
+    na = norms.select(F.col(id_col).alias("id_a"), F.col("_n2").alias("_na"))
+    nb = norms.select(F.col(id_col).alias("id_b"), F.col("_n2").alias("_nb"))
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("_dot").cast("double")
+                / (F.sqrt(F.col("_na")) * F.sqrt(F.col("_nb")))
+            ).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -9783,6 +9783,48 @@ def pmi_top_bigrams(spark, sf):
     return _pmi(load_table(spark, sf, "documents"), k=50, min_count=10)
 
 
+@register(
+    "doc_cosine_pairs",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id,
+                   unnest(string_split_regex(trim(text), '\s+')) AS t
+            FROM documents)
+      GROUP BY doc_id, t),
+    kept AS (
+      SELECT toks.* FROM toks
+      JOIN (SELECT t FROM toks GROUP BY t
+            HAVING COUNT(*) <= (SELECT CAST(COUNT(*) * 0.10 AS BIGINT)
+                                FROM documents)) g USING (t)),
+    norms AS (SELECT doc_id, SUM(tf * tf) AS n2 FROM kept GROUP BY doc_id),
+    dots AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, SUM(a.tf * b.tf) AS dot
+      FROM kept a JOIN kept b ON a.t = b.t AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           CAST(dot AS DOUBLE) / (sqrt(na.n2) * sqrt(nb.n2)) AS cosine
+    FROM dots
+    JOIN norms na ON na.doc_id = id_a
+    JOIN norms nb ON nb.doc_id = id_b
+    WHERE CAST(dot AS DOUBLE) / (sqrt(na.n2) * sqrt(nb.n2)) >= 0.5
+    """,
+)
+def doc_cosine_pairs(spark, sf):
+    """Bag-of-words cosine pairs ≥ 0.5 over the df-pruned term space
+    (terms in >10% of docs dropped before pairing) — the all-pairs
+    similarity shape of Bayardo et al. '07 via an inverted-index
+    self-join. The df gate bounds every posting list, structurally
+    excluding the hot-term join blowup; dot products and norms are
+    exact integer sums, so only correctly-rounded sqrt touches
+    floating point (operators/dedup.py::doc_cosine_pairs)."""
+    return dd.doc_cosine_pairs(
+        load_table(spark, sf, "documents"),
+        threshold=0.5,
+        max_df_frac=0.10,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.spark for name, q in REGISTRY.items()}
 
