@@ -602,3 +602,47 @@ def pmi_bigrams(
         ).alias("pmi_ratio"),
     )
     return scored.orderBy(F.desc("pmi_ratio"), F.asc("bigram")).limit(k)
+
+
+def bpe_merge_candidates(
+    df: DataFrame,
+    k: int = 50,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` adjacent-symbol merge candidates over the corpus —
+    the counting step of one BPE iteration (Sennrich et al. '16,
+    arXiv:1508.07909) at the character level: for every word, count
+    adjacent character pairs, weight by corpus word frequency, rank
+    pairs by total count. The pair a real tokenizer trainer would
+    merge first is the top row.
+
+    Corpus-scale shape: words are aggregated to (word, freq) FIRST —
+    one partial-agg shuffle collapses the Zipf head, so the char-pair
+    explode runs once per DISTINCT word, not once per token ('the'
+    explodes 2 pairs once, weighted 60M, instead of 60M times). The
+    pair aggregation is a second bounded-key shuffle; top-k is a heap
+    (TakeOrderedAndProject), never a global sort."""
+    from syncflux_spark.functions.text import words
+
+    wf = (
+        spread_for_cpu(df)
+        .select(F.explode(words(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .where(F.length("w") >= 2)
+    )
+    pairs = wf.select(
+        F.col("freq"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(k)
+    )

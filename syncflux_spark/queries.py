@@ -9825,6 +9825,92 @@ def doc_cosine_pairs(spark, sf):
     )
 
 
+@register(
+    "bpe_merge_candidates",
+    r"""
+    WITH wf AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+            FROM documents)
+      GROUP BY w HAVING length(w) >= 2),
+    pairs AS (
+      SELECT substr(w, CAST(i AS INTEGER), 2) AS pair, freq
+      FROM (SELECT w, freq,
+                   unnest(generate_series(1, length(w) - 1)) AS i
+            FROM wf))
+    SELECT pair, CAST(SUM(freq) AS BIGINT) AS n
+    FROM pairs GROUP BY pair
+    ORDER BY n DESC, pair
+    LIMIT 50
+    """,
+)
+def bpe_merge_candidates(spark, sf):
+    """The counting step of one character-level BPE iteration
+    (Sennrich et al. '16): adjacent-symbol pair counts weighted by
+    corpus word frequency, top-50 — the first merge a tokenizer
+    trainer would pick. Words collapse to (word, freq) BEFORE the
+    pair explode, so the Zipf head explodes once per distinct word,
+    not once per token (operators/textops.py::bpe_merge_candidates)."""
+    from syncflux_spark.operators.textops import bpe_merge_candidates as _bpe
+
+    return _bpe(load_table(spark, sf, "documents"), k=50)
+
+
+@register(
+    "corpus_snapshot_diff",
+    """
+    WITH d AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, text,
+                      substr(md5(CAST(doc_id AS VARCHAR) || 'snap'), 1, 2) AS b
+               FROM documents),
+    old AS (SELECT doc_id, md5(text) AS old_digest FROM d),
+    new_snap AS (
+      SELECT doc_id,
+             CASE WHEN b >= '1a' AND b < '27'
+                  THEN md5(text || ' [rev2]') ELSE md5(text) END AS new_digest
+      FROM d WHERE b >= '1a'
+      UNION ALL
+      SELECT doc_id || '_new' AS doc_id,
+             md5('added doc ' || doc_id) AS new_digest
+      FROM d WHERE b >= 'f8')
+    SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.old_digest IS NULL THEN 'added'
+                WHEN n.new_digest IS NULL THEN 'removed'
+                WHEN o.old_digest = n.new_digest THEN 'unchanged'
+                ELSE 'changed' END AS status,
+           o.old_digest, n.new_digest
+    FROM old o FULL OUTER JOIN new_snap n ON o.doc_id = n.doc_id
+    """,
+)
+def corpus_snapshot_diff(spark, sf):
+    """Snapshot diff between two corpus versions — the data-versioning
+    primitive that lets downstream stages (dedup indexes, tokenized
+    shards) reprocess only the delta. The 'new' snapshot is derived
+    deterministically from the fixture (hash-dropped 10% = removed,
+    hash-picked 5% re-texted = changed, 3% cloned under new ids =
+    added) so the oracle replays it exactly; the operator itself is
+    one full outer join on the doc key with map-side md5 digests —
+    the minimum shuffle an unordered diff admits
+    (operators/diff.py::snapshot_diff)."""
+    from syncflux_spark.operators.diff import snapshot_diff
+
+    docs = load_table(spark, sf, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    b = F.substring(F.md5(F.concat(F.col("doc_id"), F.lit("snap"))), 1, 2)
+    new_snap = docs.where(b >= "1a").select(
+        "doc_id",
+        F.when(
+            b < "27", F.concat(F.col("text"), F.lit(" [rev2]"))
+        ).otherwise(F.col("text")).alias("text"),
+    ).unionByName(
+        docs.where(b >= "f8").select(
+            F.concat(F.col("doc_id"), F.lit("_new")).alias("doc_id"),
+            F.concat(F.lit("added doc "), F.col("doc_id")).alias("text"),
+        )
+    )
+    return snapshot_diff(docs, new_snap)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.spark for name, q in REGISTRY.items()}
 

@@ -81,3 +81,29 @@ def test_stratified_nested_within_class(docs):
     }
     assert lo <= hi
     assert 0 < len(lo) < len(hi)
+
+
+class TestSnapshotDiff:
+    def test_statuses(self, spark):
+        from syncflux_spark.operators.diff import diff_summary, snapshot_diff
+
+        old = spark.createDataFrame(
+            [("a", "alpha"), ("b", "beta"), ("c", "gamma")],
+            "doc_id string, text string",
+        )
+        new = spark.createDataFrame(
+            [("a", "alpha"), ("b", "beta v2"), ("d", "delta")],
+            "doc_id string, text string",
+        )
+        rows = {r.doc_id: r.status for r in snapshot_diff(old, new).collect()}
+        assert rows == {
+            "a": "unchanged",
+            "b": "changed",
+            "c": "removed",
+            "d": "added",
+        }
+        summary = {
+            r.status: r.n
+            for r in diff_summary(snapshot_diff(old, new)).collect()
+        }
+        assert summary == {"unchanged": 1, "changed": 1, "removed": 1, "added": 1}
