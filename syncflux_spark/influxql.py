@@ -852,6 +852,18 @@ class _Parser:
         self.expect_kw("show")
         if self.accept_kw("databases"):
             return ShowStmt("databases")
+        # CARDINALITY family (influx 1.4+): SHOW <what> CARDINALITY
+        if self.accept_kw("series", "cardinality"):
+            return self._show_cardinality("series cardinality")
+        if self.accept_kw("measurement", "cardinality"):
+            return ShowStmt("measurement cardinality")
+        if self.accept_kw("tag", "key", "cardinality"):
+            return self._show_cardinality("tag key cardinality")
+        if self.accept_kw("field", "key", "cardinality"):
+            return self._show_cardinality("field key cardinality")
+        if self.accept_kw("tag", "values", "cardinality"):
+            st = self._show_cardinality("tag values cardinality", key=True)
+            return st
         if self.accept_kw("retention", "policies"):
             db = self.ident() if self.accept_kw("on") else None
             return ShowStmt("retention policies", db=db)
@@ -880,6 +892,22 @@ class _Parser:
         if self.accept_kw("continuous", "queries"):
             return ShowStmt("continuous queries")
         raise InfluxQLError("unsupported SHOW statement")
+
+    def _show_cardinality(self, what: str, key: bool = False) -> ShowStmt:
+        """Shared tail of the SHOW ... CARDINALITY family:
+        [ON db] [FROM m] and, for tag values, WITH KEY = k."""
+        db = self.ident() if self.accept_kw("on") else None
+        meas = self.ident() if self.accept_kw("from") else None
+        tag_key = None
+        if key:
+            if meas is None and self.accept_kw("from"):
+                meas = self.ident()
+            self.expect_kw("with", "key")
+            self.expect_op("=")
+            tag_key = self.ident()
+            if meas is None and self.accept_kw("from"):
+                meas = self.ident()
+        return ShowStmt(what, db=db, measurement=meas, tag_key=tag_key)
 
     # -- DELETE / DROP ------------------------------------------------------
     def delete(self) -> DeleteStmt:
@@ -1826,6 +1854,8 @@ class InfluxQLEngine:
 
     # -- SHOW / DDL ---------------------------------------------------------
     def _show(self, st: ShowStmt) -> DataFrame:
+        if st.what.endswith("cardinality"):
+            return self._show_cardinality_exec(st)
         if st.what == "databases":
             if self.catalog is not None:
                 names = self.catalog.get_databases()
@@ -1893,6 +1923,75 @@ class InfluxQLEngine:
             rows = [(t,) for t in cat.get_tags(st.db, st.measurement)]
             return self.spark.createDataFrame(rows, "tagKey string")
         raise InfluxQLError(f"unhandled SHOW {st.what!r}")
+
+    def _show_cardinality_exec(self, st: ShowStmt) -> DataFrame:
+        """SHOW ... CARDINALITY (influx 1.4+): EXACT counts, computed
+        as distributed distinct-aggregations over the registered
+        tables — Influx's own non-exact variants estimate with HLL,
+        but an engine that can afford one shuffle per count has no
+        reason to return estimates. Single (count) row, summed over
+        the matched measurements."""
+        names = (
+            [st.measurement]
+            if st.measurement is not None
+            else sorted(self.tables)
+        )
+        for n in names:
+            if n not in self.tables:
+                raise InfluxQLError(f"unknown measurement {n!r}")
+        if st.what == "measurement cardinality":
+            return self.spark.createDataFrame(
+                [(len(self.tables),)], "count bigint"
+            )
+        if st.what == "series cardinality":
+            parts = []
+            for n in names:
+                tgs = [
+                    t
+                    for t in self.tags.get(n, [])
+                    if t in self.tables[n].columns
+                ]
+                d = (
+                    self.tables[n].select(*tgs).distinct()
+                    if tgs
+                    else self.tables[n].limit(1)
+                )
+                parts.append(d.agg(F.count(F.lit(1)).alias("count")))
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionAll(p)
+            return out.agg(F.sum("count").cast("long").alias("count"))
+        if st.what == "tag key cardinality":
+            n = len({t for m in names for t in self.tags.get(m, [])})
+            return self.spark.createDataFrame([(n,)], "count bigint")
+        if st.what == "field key cardinality":
+            fields = set()
+            for m in names:
+                tgs = set(self.tags.get(m, []))
+                fields |= {
+                    c
+                    for c in self.tables[m].columns
+                    if c not in tgs and c not in ("ts", "ts_ns", "time")
+                }
+            return self.spark.createDataFrame(
+                [(len(fields),)], "count bigint"
+            )
+        # tag values cardinality
+        if st.tag_key is None:
+            raise InfluxQLError(
+                "SHOW TAG VALUES CARDINALITY requires WITH KEY = <k>"
+            )
+        parts = [
+            self.tables[m].select(F.col(st.tag_key).alias("v"))
+            for m in names
+            if st.tag_key in self.tables[m].columns
+        ]
+        if not parts:
+            raise InfluxQLError(f"tag {st.tag_key!r} not found")
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionAll(p)
+        return out.distinct().agg(F.count(F.lit(1)).alias("count"))
 
     def _show_data(self, st: ShowStmt) -> DataFrame:
         """SHOW statements that scan data (tag values / series) — one

@@ -9911,6 +9911,24 @@ def corpus_snapshot_diff(spark, sf):
     return snapshot_diff(docs, new_snap)
 
 
+@register(
+    "influxql_series_cardinality",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS count
+    FROM (SELECT DISTINCT event_type, user_id FROM events)
+    """,
+)
+def influxql_series_cardinality(spark, sf):
+    """``SHOW SERIES CARDINALITY`` — the index-health statement every
+    InfluxDB operator runs before a dashboard melts down. Computed
+    EXACTLY as one distributed distinct-aggregation over the tag
+    columns (influx's non-exact variant estimates with HLL; an engine
+    that can afford one shuffle returns the truth)."""
+    return _influxql_events(spark, sf).query(
+        "SHOW SERIES CARDINALITY FROM events"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.spark for name, q in REGISTRY.items()}
 

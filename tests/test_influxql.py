@@ -1267,3 +1267,50 @@ class TestSelectInto:
         ).collect()
         n2 = eng.query("SELECT count(n) AS c FROM ev_daily").collect()[0].c
         assert n1 == n2
+
+
+class TestCardinality:
+    """SHOW ... CARDINALITY family — exact distributed counts."""
+
+    def test_series_cardinality(self, engine, events):
+        got = engine.query("SHOW SERIES CARDINALITY FROM events").collect()
+        want = events.select("event_type", "user_id").distinct().count()
+        assert got[0]["count"] == want
+
+    def test_series_cardinality_all_measurements(self, engine, events):
+        got = engine.query("SHOW SERIES CARDINALITY").collect()
+        want = events.select("event_type", "user_id").distinct().count()
+        assert got[0]["count"] == want  # only one registered table
+
+    def test_measurement_cardinality(self, engine):
+        assert (
+            engine.query("SHOW MEASUREMENT CARDINALITY").collect()[0]["count"]
+            == 1
+        )
+
+    def test_tag_key_cardinality(self, engine):
+        assert (
+            engine.query("SHOW TAG KEY CARDINALITY FROM events").collect()[0][
+                "count"
+            ]
+            == 2
+        )
+
+    def test_field_key_cardinality(self, engine):
+        # event_id, value, props (ts/ts_ns excluded)
+        assert (
+            engine.query("SHOW FIELD KEY CARDINALITY FROM events").collect()[
+                0
+            ]["count"]
+            == 3
+        )
+
+    def test_tag_values_cardinality(self, engine, events):
+        got = engine.query(
+            "SHOW TAG VALUES CARDINALITY FROM events WITH KEY = event_type"
+        ).collect()
+        assert got[0]["count"] == events.select("event_type").distinct().count()
+
+    def test_unknown_measurement_rejected(self, engine):
+        with pytest.raises(InfluxQLError):
+            engine.query("SHOW SERIES CARDINALITY FROM nope")
