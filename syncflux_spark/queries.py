@@ -5703,11 +5703,21 @@ def mm_feature_knn(spark, sf):
     )
 
 
-def _write_events_sentinel(src: str, name: str, ts_ns: int) -> None:
-    """Append a far-future ``__flush__`` row to a staged events stream
-    directory, matching the physical ts type of the staged file (ns
-    parquet stores an int64; µs parquet a timestamp[us]) so the
-    stream's enforced schema accepts the sentinel file."""
+def _write_events_row(
+    src: str,
+    name: str,
+    ts_ns: int,
+    event_type: str = "__flush__",
+    value: float = 0.0,
+    event_id: int = -1,
+    user_id: int = -1,
+) -> None:
+    """Append one events-shaped row to a staged stream directory,
+    matching the physical ts type of the staged file (ns parquet
+    stores an int64; µs parquet a timestamp[us]) so the stream's
+    enforced schema accepts the new file. Default shape is the
+    far-future ``__flush__`` watermark sentinel; late-data tests
+    inject real-typed rows instead."""
     import os
 
     import pyarrow as pa
@@ -5721,16 +5731,20 @@ def _write_events_sentinel(src: str, name: str, ts_ns: int) -> None:
     pq.write_table(
         pa.table(
             {
-                "event_id": pa.array([-1], pa.int64()),
+                "event_id": pa.array([event_id], pa.int64()),
                 "ts": ts_arr,
-                "user_id": pa.array([-1], pa.int64()),
-                "event_type": pa.array(["__flush__"]),
-                "value": pa.array([0.0], pa.float64()),
+                "user_id": pa.array([user_id], pa.int64()),
+                "event_type": pa.array([event_type]),
+                "value": pa.array([value], pa.float64()),
                 "props": pa.array(["{}"]),
             }
         ),
         os.path.join(src, name),
     )
+
+
+def _write_events_sentinel(src: str, name: str, ts_ns: int) -> None:
+    _write_events_row(src, name, ts_ns)
 
 
 @register(
@@ -9927,6 +9941,59 @@ def influxql_series_cardinality(spark, sf):
     return _influxql_events(spark, sf).query(
         "SHOW SERIES CARDINALITY FROM events"
     )
+
+
+@register(
+    "stream_late_events",
+    f"""
+    SELECT CAST(e_s - e_s % 3600 AS BIGINT) AS bucket_s, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(v_micro) AS BIGINT) AS sum_value_micro
+    FROM (SELECT event_type, epoch_us(ts) // 1000000 AS e_s,
+                 {_sql_micros('value')} AS v_micro
+          FROM events)
+    GROUP BY bucket_s, event_type
+    """,
+)
+def stream_late_events(spark, sf):
+    """Watermark LATE-DATA DROP proven end-to-end: after the watermark
+    has passed every real window, a real-typed 'click' row stamped at
+    the corpus MINIMUM hour is injected into the stream. Append-mode
+    emits each window once, so if the engine failed to drop the late
+    row, its long-closed hour would re-emit as a duplicate
+    (bucket, click) row — and the oracle (the batch hourly rollup of
+    the ORIGINAL events only) would hash-mismatch. Matching the
+    oracle therefore proves the drop, not just the rollup."""
+    import os
+    import shutil
+
+    from syncflux_spark.streaming.windowed import WindowedRollupStream
+
+    root = tempfile.mkdtemp(prefix="sf_latestream_")
+    src = os.path.join(root, "src")
+    os.makedirs(src)
+    shutil.copy(
+        os.path.join(sf, "events.parquet"), os.path.join(src, "events.parquet")
+    )
+    ws = WindowedRollupStream(spark, src, f"{root}/dst", f"{root}/ckpt")
+    ws.run_available()
+    bounds = (
+        load_table(spark, sf, "events")
+        .agg(F.min("ts_ns").alias("lo"), F.max("ts_ns").alias("hi"))
+        .collect()[0]
+    )
+    hour_ns = 3600 * 10**9
+    # advance the watermark beyond every real window
+    _write_events_row(src, "zz_flush1.parquet", bounds.hi + 2 * hour_ns)
+    ws.run_available()
+    # inject a LATE real-typed row into the earliest (long-closed) hour
+    _write_events_row(
+        src, "zz_late.parquet", bounds.lo, event_type="click", value=123.0
+    )
+    ws.run_available()
+    _write_events_row(src, "zz_flush2.parquet", bounds.hi + 4 * hour_ns)
+    ws.run_available()
+    return ws.read_rollup().where(F.col("event_type") != "__flush__")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
