@@ -79,7 +79,9 @@ class StatusServer:
         self._httpd: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
 
-    def _run_query(self, q: str) -> tuple[int, dict]:
+    _EPOCH_DIV = {"ns": 1, "u": 1_000, "us": 1_000, "ms": 1_000_000, "s": 1_000_000_000, "m": 60 * 10**9, "h": 3600 * 10**9}
+
+    def _run_query(self, q: str, epoch: str | None = None) -> tuple[int, dict]:
         """Execute InfluxQL text → (http status, InfluxDB 1.x response
         body): ``{"results":[{"statement_id":i,"series":[{name,
         columns,values}]}]}`` — the shape the reference's ReadDB
@@ -158,6 +160,16 @@ class StatusServer:
                             "values": [list(r) for r in rows],
                         }
                     ]
+                if epoch is not None:
+                    div = self._EPOCH_DIV.get(epoch)
+                    if div is None:
+                        return 400, {"error": f"bad epoch {epoch!r}"}
+                    for ser in series_list:
+                        if "time" in ser["columns"]:
+                            tix = ser["columns"].index("time")
+                            for v in ser["values"]:
+                                if v[tix] is not None:
+                                    v[tix] = int(v[tix]) // div
                 results.append({"statement_id": i, "series": series_list})
             except InfluxQLError as ex:
                 if len(stmts) == 1:
@@ -201,10 +213,10 @@ class StatusServer:
                     if c.strip().startswith("syncflux-sess=")
                 )
 
-            def _query_param(self) -> str | None:
+            def _query_param(self, name: str = "q") -> str | None:
                 parsed = urllib.parse.urlparse(self.path)
                 qs = urllib.parse.parse_qs(parsed.query)
-                vals = qs.get("q")
+                vals = qs.get(name)
                 return vals[0] if vals else None
 
             def do_GET(self):
@@ -213,7 +225,9 @@ class StatusServer:
                     if not q:
                         self._send(400, {"error": "missing q parameter"})
                         return
-                    code, body = server._run_query(q)
+                    code, body = server._run_query(
+                        q, epoch=self._query_param("epoch")
+                    )
                     self._send(code, body)
                 elif self.path == "/api/health/" or self.path == "/api/health":
                     st = server.monitor.get_status()
@@ -259,7 +273,9 @@ class StatusServer:
                     if not q:
                         self._send(400, {"error": "missing q parameter"})
                         return
-                    code, body = server._run_query(q)
+                    code, body = server._run_query(
+                        q, epoch=self._query_param("epoch")
+                    )
                     self._send(code, body)
                 elif self.path == "/login":
                     n = int(self.headers.get("Content-Length", 0))

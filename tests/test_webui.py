@@ -283,3 +283,53 @@ class TestWriteEndpoint:
         except urllib.error.HTTPError as e:
             code = e.code
         assert code == 503
+
+
+class TestEpochParam:
+    """InfluxDB `epoch=` query param: time values scaled to the
+    requested precision (default stays ns-epoch longs, the shape the
+    reference's ns-precision client consumes, client.go:342,351)."""
+
+    @pytest.fixture()
+    def qserver(self, spark, events):
+        from syncflux_spark.influxql import InfluxQLEngine
+
+        monitor = HAMonitor(
+            master_probe=lambda: True, slave_probe=lambda: True
+        )
+        monitor.check_once()
+        eng = InfluxQLEngine(
+            spark,
+            tables={"events": events},
+            tags={"events": ["event_type", "user_id"]},
+        )
+        srv = StatusServer(monitor, port=0, query_engine=eng, max_query_rows=50)
+        port = srv.start()
+        yield port
+        srv.stop()
+
+    def _series(self, port, epoch=None):
+        q = urllib.parse.quote(
+            "select count(value) as n from events "
+            "where time >= '2024-01-08' and time < '2024-01-10' "
+            "group by time(1d)"
+        )
+        url = f"/query?q={q}" + (f"&epoch={epoch}" if epoch else "")
+        code, body, _ = _get(port, url)
+        assert code == 200
+        return json.loads(body)["results"][0]["series"][0]
+
+    def test_epoch_scaling(self, qserver):
+        ns = self._series(qserver)
+        s = self._series(qserver, "s")
+        ms = self._series(qserver, "ms")
+        tix = ns["columns"].index("time")
+        for vns, vs, vms in zip(ns["values"], s["values"], ms["values"]):
+            assert vs[tix] == vns[tix] // 10**9
+            assert vms[tix] == vns[tix] // 10**6
+            assert vs[tix] % 86400 == 0  # daily buckets land on midnight
+
+    def test_bad_epoch_rejected(self, qserver):
+        q = urllib.parse.quote("select count(value) from events")
+        code, body, _ = _get(qserver, f"/query?q={q}&epoch=fortnight")
+        assert code == 400
