@@ -386,9 +386,16 @@ def containment_pairs_exact(
     subset. Shuffles: dfreq agg, sort-collect agg, candidate join,
     verify joins — all on keys bounded by prefix selectivity, no
     all-pairs stage anywhere."""
-    sh = spread_for_cpu(df).select(
-        F.col(id_col),
-        F.explode(F.array_distinct(char_shingles(text_col, k_shingle))).alias("s"),
+    # persisted: scanned twice (df aggregation + the df join-back);
+    # recomputing would re-shingle the corpus — measured 7.3s → 6.0s
+    # at sf0.1 for the k=12 registry entry
+    sh = eager_persist(
+        spread_for_cpu(df).select(
+            F.col(id_col),
+            F.explode(
+                F.array_distinct(char_shingles(text_col, k_shingle))
+            ).alias("s"),
+        )
     )
     dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     docs = eager_persist(
