@@ -97,6 +97,14 @@ HEADLINE = [
     "ivf_pq_topk",
     "ts_m4_downsample",
     "passage_boilerplate",
+    "duplicate_substring_spans",
+    "substring_dup_fraction",
+    "doc_cosine_pairs",
+    "sorted_neighborhood_pairs",
+    "bpe_merge_candidates",
+    "pmi_top_bigrams",
+    "corpus_snapshot_diff",
+    "influxql_tz_daily",
 ]
 
 
