@@ -290,7 +290,7 @@ def ivf_assign(
 ) -> DataFrame:
     """IVF coarse quantization: assign every corpus vector to its
     nearest centroid by cosine (ties → lowest centroid id). Returns
-    (id, vector, cluster_id).
+    (id, vector, norm, cluster_id, cosine-to-centroid).
 
     ``centroids`` accepts any (cid, centv, centn) table —
     :func:`seed_centroids` (default: oracle-reproducible) or
@@ -321,7 +321,7 @@ def ivf_assign(
     return (
         scored.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
-        .select(id_col, "_v", "_n", "cid")
+        .select(id_col, "_v", "_n", "cid", "_cs")
     )
 
 
@@ -948,5 +948,47 @@ def ivf_pq_topk(
             F.col(id_col).alias("neighbor_id"),
             "approx_d_micro2",
             F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def cell_representatives(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    k_per_cell: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """Diversity sampling by cluster representatives: assign every
+    vector to its nearest centroid, keep the ``k_per_cell`` vectors
+    closest to each centroid (ties → lowest id). The cheap
+    distributed stand-in for MMR-style diverse selection — coverage
+    comes from the cell partition (every region of the embedding
+    space sends a delegate), not from an O(n²) pairwise-diversity
+    scan, so it runs as one broadcast assignment pass plus one
+    bounded per-cell top-k window. The iterative MMR greedy loop is
+    inherently sequential (each pick re-scores the rest) and has no
+    scalable exact form; cluster delegates are what production
+    corpus-subsampling pipelines use instead.
+
+    Output: (cid, id, cos_to_centroid, rank). Deterministic for any
+    deterministic centroid table (seed_centroids for the oracle gate,
+    kmeans_centroids in production)."""
+    from pyspark.sql import Window
+
+    assigned = ivf_assign(
+        corpus, n_centroids, id_col, vec_col, dim, centroids
+    )
+    w = Window.partitionBy("cid").orderBy(F.desc("_cs"), F.asc(id_col))
+    return (
+        assigned.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k_per_cell)
+        .select(
+            "cid",
+            F.col(id_col),
+            F.col("_cs").alias("cos_to_centroid"),
+            F.col("rank").cast("integer").alias("rank"),
         )
     )

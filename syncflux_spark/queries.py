@@ -9996,6 +9996,43 @@ def stream_late_events(spark, sf):
     return ws.read_rollup().where(F.col("event_type") != "__flush__")
 
 
+@register(
+    "emb_diverse_sample",
+    f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cent AS (SELECT vec_id AS cid, v AS cv FROM v WHERE vec_id < 16),
+    assign AS (
+      SELECT vec_id, cid, cs FROM (
+        SELECT a.vec_id, c.cid, {_sql_cos('a.v', 'c.cv')} AS cs,
+               row_number() OVER (PARTITION BY a.vec_id
+                                  ORDER BY {_sql_cos('a.v', 'c.cv')} DESC,
+                                           c.cid) AS rn
+        FROM v a CROSS JOIN cent c)
+      WHERE rn = 1)
+    SELECT cid, vec_id, cs AS cos_to_centroid, CAST(rk AS INTEGER) AS rank
+    FROM (SELECT cid, vec_id, cs,
+                 row_number() OVER (PARTITION BY cid
+                                    ORDER BY cs DESC, vec_id) AS rk
+          FROM assign)
+    WHERE rk <= 3
+    """,
+)
+def emb_diverse_sample(spark, sf):
+    """Diversity sampling by cluster representatives: every embedding
+    assigned to its nearest of 16 centroids (broadcast map-only
+    pass), top-3 per cell kept — the scalable stand-in for MMR-style
+    diverse selection (coverage from the cell partition, not an O(n²)
+    pairwise scan; the greedy MMR loop is inherently sequential and
+    has no exact distributed form). Seed centroids here for oracle
+    replay; kmeans_centroids slots in for production
+    (operators/similarity.py::cell_representatives)."""
+    from syncflux_spark.operators.similarity import cell_representatives
+
+    return cell_representatives(
+        load_table(spark, sf, "embeddings"), n_centroids=16, k_per_cell=3
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.spark for name, q in REGISTRY.items()}
 
