@@ -322,11 +322,13 @@ class ShowStmt:
 
 @dataclass
 class DeleteStmt:
-    """DELETE FROM m [WHERE time < ...] — storage-backed expiry."""
+    """DELETE FROM m [WHERE time ... [AND tag = '...']] —
+    storage-backed expiry / series removal."""
 
     measurement: str
     db: str | None = None
     time: "TimeBound" = dc_field(default_factory=lambda: TimeBound(None, None))
+    where: "Expr | None" = None  # tag predicates (influx DELETE grammar)
 
 
 @dataclass
@@ -915,12 +917,11 @@ class _Parser:
         meas = self.ident()
         st = DeleteStmt(measurement=meas)
         if self.accept_kw("where"):
-            # only time predicates are supported (the influx DELETE
-            # grammar allows tags too; time expiry is the 99% case)
+            # influx DELETE grammar: time bounds + TAG predicates
+            # (equality / regex); field comparisons are rejected at
+            # execute time, where the schema is known
             tmp = SelectStmt(projs=[], measurement=meas)
-            rest = self.where_expr(tmp)
-            if rest is not None:
-                raise InfluxQLError("DELETE supports time predicates only")
+            st.where = self.where_expr(tmp)
             st.time = tmp.time
         return st
 
@@ -2039,34 +2040,71 @@ class InfluxQLEngine:
             raise InfluxQLError("DELETE requires a database context")
         lo = st.time.lo_ns
         hi = st.time.hi_ns
-        if lo is None and hi is None:
-            raise InfluxQLError("DELETE requires a time predicate")
-        conds = []
-        if lo is not None:
-            conds.append(f"time_ns >= {lo}")
-        if hi is not None:
-            conds.append(f"time_ns < {hi}")
-        in_range = " AND ".join(conds)
+        if lo is None and hi is None and st.where is None:
+            raise InfluxQLError("DELETE requires a time or tag predicate")
         deleted: list[tuple[str, int]] = []
         for tbl in self.spark.catalog.listTables(db):
             if not tbl.name.endswith(f"__{st.measurement}"):
                 continue
             full = f"{_bq(db)}.{_bq(tbl.name)}"
-            n = self.spark.table(full).where(in_range).count()
+            tdf = self.spark.table(full)
+            cond = F.lit(True)
+            if lo is not None:
+                cond = cond & (F.col("time_ns") >= F.lit(lo))
+            if hi is not None:
+                cond = cond & (F.col("time_ns") < F.lit(hi))
+            if st.where is not None:
+                # tags only: a field predicate in DELETE is rejected
+                # like InfluxDB ("fields not supported")
+                tags = set(cat.get_tags(db, st.measurement))
+                for key in self._expr_keys(st.where):
+                    if key not in tags:
+                        raise InfluxQLError(
+                            f"DELETE predicates may reference tags only, "
+                            f"got {key!r}"
+                        )
+                cond = cond & self._expr(st.where)
+            n = tdf.where(cond).count()
             deleted.append((tbl.name, n))
             if n == 0:
                 continue
+            keep = tdf.where(~cond)
+            keep.createOrReplaceTempView("__delete_keep")
             staging = f"{_bq(db)}.{_bq(tbl.name + '__delete_tmp')}"
             self.spark.sql(f"DROP TABLE IF EXISTS {staging}")
             self.spark.sql(
                 f"CREATE TABLE {staging} USING PARQUET AS "
-                f"SELECT * FROM {full} WHERE NOT ({in_range})"
+                f"SELECT * FROM __delete_keep"
             )
             self.spark.sql(f"INSERT OVERWRITE TABLE {full} SELECT * FROM {staging}")
             self.spark.sql(f"DROP TABLE {staging}")
+            self.spark.catalog.dropTempView("__delete_keep")
         return self.spark.createDataFrame(
             deleted or [("", 0)], "table string, rows_deleted long"
         )
+
+    @staticmethod
+    def _expr_keys(e: Expr) -> list[str]:
+        """All column keys referenced by a WHERE tree (cmp/regex keys
+        plus any PVar names inside arithmetic comparisons)."""
+        if e.op in ("and", "or"):
+            return InfluxQLEngine._expr_keys(e.left) + InfluxQLEngine._expr_keys(
+                e.right
+            )
+        keys = [e.key] if e.key is not None else []
+
+        def pvars(t) -> list[str]:
+            if isinstance(t, PVar):
+                return [t.name]
+            if isinstance(t, PBin):
+                return pvars(t.left) + pvars(t.right)
+            return []
+
+        if e.lhs is not None:
+            keys += pvars(e.lhs)
+        if e.rhs is not None:
+            keys += pvars(e.rhs)
+        return keys
 
     def _drop(self, st: DropStmt) -> DataFrame:
         if st.what == "continuous query":

@@ -1314,3 +1314,70 @@ class TestCardinality:
     def test_unknown_measurement_rejected(self, engine):
         with pytest.raises(InfluxQLError):
             engine.query("SHOW SERIES CARDINALITY FROM nope")
+
+
+class TestDeleteTagPredicates:
+    """influx DELETE grammar: tag predicates (equality/regex) compose
+    with time bounds; field predicates are rejected."""
+
+    @pytest.fixture()
+    def deletable(self, spark, tmp_path):
+        from syncflux_spark.catalog import (
+            FieldSch,
+            MeasurementSch,
+            RetPol,
+            SparkCatalog,
+        )
+
+        cat = SparkCatalog(spark)
+        db = "iqldel2"
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+        cat.create_db(db)
+        rp = RetPol(name="autogen", duration="0s", default=True)
+        meas = MeasurementSch(
+            name="cpu",
+            fields={"usage": FieldSch("usage", "float")},
+            tags=["host"],
+        )
+        cat.create_measurement(db, rp, meas, location=str(tmp_path / "cpu"))
+        rows = [
+            (i * 10**9, None, "h1" if i % 2 == 0 else "h2", float(i))
+            for i in range(10)
+        ]
+        spark.createDataFrame(
+            rows, "time_ns long, ts timestamp, host string, usage double"
+        ).write.insertInto(f"{db}.autogen__cpu")
+        yield InfluxQLEngine(spark, catalog=cat, db=db)
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+    def test_delete_by_tag(self, deletable, spark):
+        res = deletable.query("delete from cpu where \"host\" = 'h2'").collect()
+        assert res[0].rows_deleted == 5
+        left = spark.table("iqldel2.autogen__cpu")
+        assert left.count() == 5
+        assert left.where("host = 'h2'").count() == 0
+
+    def test_delete_tag_and_time(self, deletable, spark):
+        res = deletable.query(
+            "delete from cpu where \"host\" = 'h1' and time < 5000000000"
+        ).collect()
+        # h1 rows at t=0,2,4 s fall in range
+        assert res[0].rows_deleted == 3
+        left = spark.table("iqldel2.autogen__cpu")
+        assert left.count() == 7
+        assert left.where("host = 'h1'").count() == 2
+
+    def test_delete_tag_regex(self, deletable, spark):
+        res = deletable.query("delete from cpu where host =~ /h1/").collect()
+        assert res[0].rows_deleted == 5
+        assert spark.table("iqldel2.autogen__cpu").where(
+            "host = 'h1'"
+        ).count() == 0
+
+    def test_field_predicate_rejected(self, deletable):
+        with pytest.raises(InfluxQLError, match="tags only"):
+            deletable.query("delete from cpu where usage > 3")
+
+    def test_bare_delete_still_rejected(self, deletable):
+        with pytest.raises(InfluxQLError):
+            deletable.query("delete from cpu")
