@@ -256,3 +256,69 @@ class TestInfluxQLCompilation:
         single-row-driven and must stay a broadcast)."""
         plan = plan_of(spark, sf_dir, "influxql_fill_zero_6h")
         assert "CartesianProduct" not in plan
+
+
+class TestRound3Operators:
+    """Plan discipline for the round-3 additions."""
+
+    @pytest.mark.parametrize(
+        "name",
+        [
+            "duplicate_substring_spans",
+            "doc_cosine_pairs",
+            "sorted_neighborhood_pairs",
+            "bpe_merge_candidates",
+            "corpus_snapshot_diff",
+        ],
+    )
+    def test_no_cartesian_no_python(self, spark, sf_dir, name):
+        plan = plan_of(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    def test_pmi_scalar_totals_broadcast_only(self, spark, sf_dir):
+        """pmi's only nested-loop join is the 1-row scalar-totals
+        attach (IdentityBroadcastMode); the unigram joins are hash
+        joins and no Python runs anywhere."""
+        plan = plan_of(spark, sf_dir, "pmi_top_bigrams")
+        assert plan.count("BroadcastNestedLoopJoin") == 1
+        assert "IdentityBroadcastMode" in plan
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    def test_global_rank_is_range_partitioned_not_single(self, spark):
+        """sorted_neighborhood's global rank must never collapse to a
+        one-partition window sort — the exchange is range partitioning
+        and every window spec carries a partition key."""
+        from pyspark.sql import functions as F
+
+        from syncflux_spark.utils import global_rank
+
+        df = spark.range(1000).select(
+            (F.col("id") % 13).alias("k"), F.col("id")
+        )
+        plan = (
+            global_rank(df, ["k", "id"], n_ranges=8)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "rangepartitioning" in plan.lower()
+        # a partition-less window would plan an Exchange SinglePartition
+        # feeding the Window node
+        assert "Exchange SinglePartition" not in plan
+
+    def test_top_k_ops_use_heap_not_global_sort(self, spark, sf_dir):
+        """bpe/pmi top-k must plan as TakeOrderedAndProject, never a
+        full sort of the aggregate."""
+        for name in ("bpe_merge_candidates", "pmi_top_bigrams"):
+            plan = plan_of(spark, sf_dir, name)
+            assert "TakeOrderedAndProject" in plan, name
+
+    def test_snapshot_diff_digests_computed_map_side(self, spark, sf_dir):
+        """The diff join must shuffle (id, digest) pairs, not text:
+        md5 projections sit below the join in the plan."""
+        plan = plan_of(spark, sf_dir, "corpus_snapshot_diff")
+        assert plan.count("md5") >= 2
+        assert "FullOuter" in plan
