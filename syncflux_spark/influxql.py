@@ -23,7 +23,8 @@ text run against Spark tables directly:
   hand-written DataFrame query would produce.
 
 Aggregate semantics follow InfluxQL 1.8 docs: ``mean sum count min
-max first last spread stddev median mode percentile(N) distinct``.
+max first last spread stddev median mode percentile(N) distinct
+integral(unit) sample(N)``.
 ``percentile``/``median`` are nearest-rank (the value at position
 ``ceil(N/100 * n)`` of the sorted list — Influx returns an actual
 field value, not an interpolation); ``mode`` ties break to the lowest
@@ -388,6 +389,8 @@ _AGG_FUNCS = {
     "percentile",
     "top",
     "bottom",
+    "integral",
+    "sample",
 }
 
 #: outer selector transformations over an aggregate (influx docs:
@@ -670,10 +673,17 @@ class _Parser:
         arg = None
         if self.peek() and self.peek().text == ",":
             self.next()
-            arg = float(self.next().text)
+            a = self.next()
+            if a.kind == "duration":
+                # integral(v, 1h): the unit the area is expressed in
+                arg = int(parse_duration(a.text).total_seconds() * 1e9)
+            else:
+                arg = float(a.text)
         self.expect_op(")")
         if func == "percentile" and arg is None:
             raise InfluxQLError("percentile requires an argument")
+        if func == "sample" and arg is None:
+            raise InfluxQLError("sample requires a point count")
         return Proj(func=func, field=fld, arg=arg)
 
     # WHERE: collect time bounds into st.time; everything else into a tree
@@ -1195,7 +1205,162 @@ class InfluxQLEngine:
             )
         if any(p.func in ("top", "bottom") for p in st.projs):
             return self._select_top_bottom(st, df, tag_cols)
+        if any(p.func == "integral" for p in st.projs):
+            return self._select_integral(st, df, tag_cols)
+        if any(p.func == "sample" for p in st.projs):
+            return self._select_sample(st, df, tag_cols)
         return self._select_agg(st, df, tag_cols)
+
+    def _agg_keys_ns(
+        self, st: SelectStmt, df: DataFrame, tag_cols: list[str]
+    ) -> tuple[list[str], Column, Column | None]:
+        """Shared (group tags, ns column, bucket column) derivation for
+        the order-dependent aggregate paths (integral, sample)."""
+        group_tags = list(tag_cols) if st.group_star else [
+            t for t in st.group_tags if t in df.columns
+        ]
+        if "ts_ns" in df.columns:
+            ns = F.col("ts_ns")
+        elif "ts" in df.columns:
+            ns = F.unix_micros("ts") * F.lit(1000)
+        elif "time" in df.columns:
+            ns = F.col("time")
+        else:
+            raise InfluxQLError("this aggregate requires a time column")
+        bucket = None
+        if st.group_time_ns:
+            iv, off = st.group_time_ns, st.group_offset_ns
+            bucket = (ns - off) - (ns - off) % F.lit(iv) + off
+        return group_tags, ns, bucket
+
+    def _select_integral(
+        self, st: SelectStmt, df: DataFrame, tag_cols: list[str]
+    ) -> DataFrame:
+        """``integral(field[, unit])``: trapezoidal area under the
+        value curve per series (and per GROUP BY time bucket), the
+        unit defaulting to 1s like InfluxDB. Compiled as one
+        per-series window (lag over event time) producing exact
+        per-segment products, then one partial-agg shuffle — the same
+        plan family as the native ts_integral. With integer fields the
+        segment sum is exact int64 (bound: 2·max|v|·span, see
+        queries.py::ts_integral); float fields inherit float-sum
+        semantics like InfluxDB itself. Trapezoids are computed WITHIN
+        a bucket only (the cross-boundary sliver is dropped, matching
+        the per-interval reading of the influx docs); mixing integral
+        with other aggregates is rejected."""
+        if any(p.func != "integral" for p in st.projs if p.func or p.expr):
+            raise InfluxQLError(
+                "integral cannot be mixed with other aggregates"
+            )
+        from pyspark.sql import Window
+
+        group_tags, ns, bucket = self._agg_keys_ns(st, df, tag_cols)
+        part = [F.col(t) for t in group_tags]
+        if bucket is not None:
+            part = [bucket.alias("_bk")] + part
+        staged_cols = (
+            ([bucket.alias("_bk")] if bucket is not None else [])
+            + [F.col(t) for t in group_tags]
+            + [ns.alias("_ns")]
+            + [F.col(p.field).alias(f"_v{i}") for i, p in enumerate(st.projs)]
+        )
+        staged = df.select(*staged_cols)
+        wkeys = (["_bk"] if bucket is not None else []) + group_tags
+        w = Window.partitionBy(*[F.col(k) for k in wkeys]).orderBy("_ns")
+        dt_ns = F.col("_ns") - F.lag("_ns").over(w)
+        int_types = {"tinyint", "smallint", "int", "bigint"}
+        dtypes = dict(staged.dtypes)
+        segs = staged.select(
+            *[F.col(k) for k in wkeys],
+            *[
+                (
+                    # integer fields: exact decimal(38,0) segment
+                    # products — order-free sums, no int64 overflow at
+                    # coarse groupings (value·Δns can pass 2^63);
+                    # float fields keep InfluxDB's own float-sum
+                    # semantics
+                    (
+                        (F.col(f"_v{i}") + F.lag(f"_v{i}").over(w)).cast(
+                            "decimal(38,0)"
+                        )
+                        * dt_ns.cast("decimal(38,0)")
+                    ).alias(f"_seg{i}")
+                    if dtypes[f"_v{i}"] in int_types
+                    else (
+                        (F.col(f"_v{i}") + F.lag(f"_v{i}").over(w))
+                        * dt_ns.cast("double")
+                    ).alias(f"_seg{i}")
+                )
+                for i in range(len(st.projs))
+            ],
+        )
+        aggs = []
+        for i, p in enumerate(st.projs):
+            unit_ns = int(p.arg) if p.arg else 10**9
+            aggs.append(
+                (
+                    F.sum(f"_seg{i}").cast("double")
+                    / F.lit(2.0 * unit_ns)
+                ).alias(p.out_name)
+            )
+        grouped = (
+            segs.groupBy(*[F.col(k) for k in wkeys]).agg(*aggs)
+            if wkeys
+            else segs.agg(*aggs)
+        )
+        sel = (
+            [F.col("_bk").alias("time")] if bucket is not None else []
+        ) + [F.col(t) for t in group_tags] + [
+            F.col(p.out_name) for p in st.projs
+        ]
+        out = grouped.select(*sel)
+        if bucket is not None:
+            out = out.orderBy(
+                F.desc("time") if st.order_desc else F.asc("time")
+            )
+        if st.limit is not None:
+            out = out.limit(st.limit)
+        return out
+
+    def _select_sample(
+        self, st: SelectStmt, df: DataFrame, tag_cols: list[str]
+    ) -> DataFrame:
+        """``sample(field, N)``: N points per series/bucket with their
+        original timestamps. InfluxDB samples with a reservoir
+        (nondeterministic); this engine substitutes a deterministic
+        uniform draw — rank by md5 of the point's time — so re-runs,
+        retries, and the oracle gate all see the same sample. Same
+        per-group heap shape as top()/bottom()."""
+        if any(p.func != "sample" for p in st.projs if p.func or p.expr):
+            raise InfluxQLError("sample cannot be mixed with other aggregates")
+        if len(st.projs) != 1:
+            raise InfluxQLError("sample takes exactly one projection")
+        from pyspark.sql import Window
+
+        p = st.projs[0]
+        n = int(p.arg)
+        group_tags, ns, bucket = self._agg_keys_ns(st, df, tag_cols)
+        wkeys = (["_bk"] if bucket is not None else []) + group_tags
+        staged = df.select(
+            *([bucket.alias("_bk")] if bucket is not None else []),
+            *[F.col(t) for t in group_tags],
+            ns.alias("time"),
+            F.col(p.field).alias(p.out_name),
+        )
+        w = (
+            Window.partitionBy(*[F.col(k) for k in wkeys])
+            if wkeys
+            else Window.partitionBy(F.lit(1))
+        ).orderBy(F.md5(F.col("time").cast("string")), F.col("time"))
+        out = (
+            staged.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= n)
+            .drop("_rn", *(["_bk"] if bucket is not None else []))
+            .orderBy(F.desc("time") if st.order_desc else F.asc("time"))
+        )
+        if st.limit is not None:
+            out = out.limit(st.limit)
+        return out
 
     def _select_into(self, st: SelectStmt) -> DataFrame:
         """Standalone ``SELECT ... INTO "dst"`` (outside a CQ): run the

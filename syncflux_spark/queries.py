@@ -10033,6 +10033,71 @@ def emb_diverse_sample(spark, sf):
     )
 
 
+@register(
+    "influxql_integral_daily",
+    f"""
+    WITH s AS (SELECT event_type, CAST(epoch_us(ts) AS BIGINT) * 1000 AS ns,
+                      {_sql_micros('value')} AS v
+               FROM events
+               WHERE ts >= TIMESTAMP '{EV_WIN[0]}'
+                 AND ts < TIMESTAMP '{EV_WIN[1]}'),
+    b AS (SELECT ns - ns % 86400000000000 AS bk, event_type, ns, v FROM s),
+    seg AS (SELECT bk, event_type,
+                   CAST(v + LAG(v) OVER w AS HUGEINT)
+                     * CAST(ns - LAG(ns) OVER w AS HUGEINT) AS sg
+            FROM b
+            WINDOW w AS (PARTITION BY bk, event_type ORDER BY ns))
+    SELECT bk AS time, event_type,
+           CAST(SUM(sg) AS DOUBLE) / 2000000000.0 AS area
+    FROM seg WHERE sg IS NOT NULL
+    GROUP BY bk, event_type
+    """,
+)
+def influxql_integral_daily(spark, sf):
+    """InfluxQL ``integral(value, 1s)`` over daily buckets — the
+    energy/consumption rollup (kWh from kW). Compiles to one
+    per-(bucket, series) window lag + one partial-agg shuffle;
+    integer fields ride exact decimal(38,0) segment products, so the
+    sum is order-free and immune to the int64 overflow that
+    value·Δns can hit at coarse groupings (float fields keep
+    InfluxDB's float-sum semantics)."""
+    return _influxql_events(spark, sf).query(
+        f"SELECT integral(value, 1s) AS area FROM events "
+        f"WHERE time >= '{EV_WIN[0]}' AND time < '{EV_WIN[1]}' "
+        f"GROUP BY time(1d), event_type"
+    )
+
+
+@register(
+    "influxql_sample_series",
+    f"""
+    WITH s AS (SELECT event_type, CAST(epoch_us(ts) AS BIGINT) * 1000 AS t,
+                      {_sql_micros('value')} AS v
+               FROM events
+               WHERE ts >= TIMESTAMP '{EV_WIN[0]}'
+                 AND ts < TIMESTAMP '{EV_WIN[1]}')
+    SELECT event_type, t AS time, v AS sample
+    FROM (SELECT event_type, t, v,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY md5(CAST(t AS VARCHAR)), t) AS rn
+          FROM s)
+    WHERE rn <= 5
+    """,
+)
+def influxql_sample_series(spark, sf):
+    """InfluxQL ``sample(value, N)``: N points per series with their
+    original timestamps. InfluxDB reservoir-samples
+    (nondeterministically); this engine draws uniformly by ranking on
+    md5 of the point time, so re-runs, retries, and the oracle replay
+    all see the same sample — the determinism-first reading of the
+    same contract."""
+    return _influxql_events(spark, sf).query(
+        f"SELECT sample(value, 5) FROM events "
+        f"WHERE time >= '{EV_WIN[0]}' AND time < '{EV_WIN[1]}' "
+        f"GROUP BY event_type"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.spark for name, q in REGISTRY.items()}
 

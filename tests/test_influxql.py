@@ -1381,3 +1381,64 @@ class TestDeleteTagPredicates:
     def test_bare_delete_still_rejected(self, deletable):
         with pytest.raises(InfluxQLError):
             deletable.query("delete from cpu")
+
+
+class TestIntegralSample:
+    """integral() / sample() aggregates."""
+
+    def test_integral_matches_hand_rollup(self, engine, events):
+        from pyspark.sql import Window
+
+        out = {
+            r.event_type: r.area
+            for r in engine.query(
+                "SELECT integral(value, 1s) AS area FROM events "
+                "GROUP BY event_type"
+            ).collect()
+        }
+        w = Window.partitionBy("event_type").orderBy("ts_ns")
+        seg = (F.col("value") + F.lag("value").over(w)).cast("double") * (
+            F.col("ts_ns") - F.lag("ts_ns").over(w)
+        ).cast("double")
+        hand = {
+            r.event_type: r.area
+            for r in events.select("event_type", seg.alias("seg"))
+            .where("seg is not null")
+            .groupBy("event_type")
+            .agg((F.sum("seg") / F.lit(2.0e9)).alias("area"))
+            .collect()
+        }
+        for k, v in out.items():
+            assert abs(v - hand[k]) < 1e-6 * max(1.0, abs(hand[k]))
+
+    def test_integral_default_unit_is_seconds(self, engine):
+        a = engine.query(
+            "SELECT integral(value) AS x FROM events GROUP BY event_type"
+        ).collect()
+        b = engine.query(
+            "SELECT integral(value, 1s) AS x FROM events GROUP BY event_type"
+        ).collect()
+        assert {(r.event_type, r.x) for r in a} == {
+            (r.event_type, r.x) for r in b
+        }
+
+    def test_integral_rejects_mixing(self, engine):
+        with pytest.raises(InfluxQLError):
+            engine.query(
+                "SELECT integral(value), mean(value) FROM events "
+                "GROUP BY event_type"
+            )
+
+    def test_sample_deterministic_and_sized(self, engine, events):
+        q = (
+            "SELECT sample(value, 3) FROM events GROUP BY event_type"
+        )
+        a = [tuple(r) for r in engine.query(q).collect()]
+        b = [tuple(r) for r in engine.query(q).collect()]
+        assert a == b
+        n_types = events.select("event_type").distinct().count()
+        assert len(a) == 3 * n_types
+
+    def test_sample_requires_count(self, engine):
+        with pytest.raises(InfluxQLError):
+            engine.query("SELECT sample(value) FROM events")
