@@ -10098,6 +10098,37 @@ def influxql_sample_series(spark, sf):
     )
 
 
+@register(
+    "emb_eval_leakage",
+    f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    ev AS (SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id < 20),
+    tr AS (SELECT vec_id AS neighbor_id, v AS cv FROM v WHERE vec_id >= 20)
+    SELECT query_id, neighbor_id, {_sql_cos('qv', 'cv')} AS cos_sim
+    FROM ev CROSS JOIN tr
+    WHERE {_sql_cos('qv', 'cv')} >= 0.40
+    """,
+)
+def emb_eval_leakage(spark, sf):
+    """Embedding-level decontamination: training vectors within cosine
+    0.40 of ANY held-out eval vector (the synthetic fixture's top-
+    percentile similarity band — real corpora tune this to their
+    paraphrase operating point) — the semantic sibling of the
+    lexical `benchmark_contamination` (paraphrased eval questions
+    share no 8-gram but sit next to the eval set in embedding space).
+    The eval side broadcasts (it is small by construction), so the
+    scan is one map-side pass over the training corpus — at 100 TB
+    the same shape as every broadcast-dim TPC-H join; swap in the
+    sign-LSH bucketed variant when the eval set itself grows past
+    broadcast size."""
+    from syncflux_spark.operators.similarity import threshold_pairs
+
+    emb = load_table(spark, sf, "embeddings")
+    ev = emb.where(F.col("vec_id") < 20)
+    tr = emb.where(F.col("vec_id") >= 20)
+    return threshold_pairs(tr, ev, threshold=0.40)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.spark for name, q in REGISTRY.items()}
 
