@@ -322,6 +322,16 @@ class ShowStmt:
 
 
 @dataclass
+class ExplainStmt:
+    """EXPLAIN [ANALYZE] SELECT ... — influx's plan-inspection
+    statement, answered with the COMPILED Spark physical plan (the
+    honest answer: this engine's execution plan is Catalyst's)."""
+
+    select: "SelectStmt"
+    analyze: bool = False
+
+
+@dataclass
 class DeleteStmt:
     """DELETE FROM m [WHERE time ... [AND tag = '...']] —
     storage-backed expiry / series removal."""
@@ -470,6 +480,11 @@ class _Parser:
             return self.delete()
         if w == "drop":
             return self.drop()
+        if w == "explain":
+            self.next()
+            analyze = bool(self.accept_kw("analyze"))
+            sel = self.select()
+            return ExplainStmt(select=sel, analyze=analyze)
         raise InfluxQLError(f"unsupported statement {t.text!r}")
 
     # -- SELECT -------------------------------------------------------------
@@ -945,6 +960,10 @@ class _Parser:
             name = self.ident()
             db = self.ident() if self.accept_kw("on") else None
             return DropStmt("continuous query", name, db=db)
+        if self.accept_kw("retention", "policy"):
+            name = self.ident()
+            db = self.ident() if self.accept_kw("on") else None
+            return DropStmt("retention policy", name, db=db)
         raise InfluxQLError("unsupported DROP statement")
 
     # -- DDL ----------------------------------------------------------------
@@ -1112,7 +1131,23 @@ class InfluxQLEngine:
             return self._drop(st)
         if isinstance(st, ContinuousQueryStmt):
             return self._create_cq(st, q)
+        if isinstance(st, ExplainStmt):
+            return self._explain(st)
         raise InfluxQLError(f"unhandled statement {type(st).__name__}")
+
+    def _explain(self, st: ExplainStmt) -> DataFrame:
+        """EXPLAIN: one row per line of the compiled physical plan
+        (EXPLAIN ANALYZE executes first, so AQE's final plan with
+        runtime statistics is what prints — influx's ANALYZE also
+        runs the query)."""
+        df = self._select(st.select)
+        if st.analyze:
+            df.write.format("noop").mode("overwrite").save()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return self.spark.createDataFrame(
+            [(i, line) for i, line in enumerate(plan.splitlines())],
+            "line bigint, plan string",
+        )
 
     # -- continuous queries -------------------------------------------------
     def _create_cq(self, st: ContinuousQueryStmt, text: str) -> DataFrame:
@@ -2283,7 +2318,24 @@ class InfluxQLEngine:
             return self.spark.createDataFrame([(st.name,)], "dropped string")
         db = st.db or self.db
         if db is None:
-            raise InfluxQLError("DROP MEASUREMENT requires a database context")
+            raise InfluxQLError(f"DROP {st.what.upper()} requires a database context")
+        if st.what == "retention policy":
+            # the RP's data lives in its {rp}__{measurement} tables
+            # (RP metadata rides their TBLPROPERTIES) — dropping them
+            # IS dropping the policy, influx's own semantics ("deletes
+            # all measurements and data in the retention policy")
+            victims = [
+                t.name
+                for t in self.spark.catalog.listTables(db)
+                if t.name.startswith(f"{st.name}__")
+            ]
+            if not victims:
+                raise InfluxQLError(
+                    f"retention policy {st.name!r} not found on {db!r}"
+                )
+            for name in victims:
+                self.spark.sql(f"DROP TABLE {_bq(db)}.{_bq(name)}")
+            return self.spark.createDataFrame([(st.name,)], "dropped string")
         for tbl in self.spark.catalog.listTables(db):
             if tbl.name.endswith(f"__{st.name}"):
                 self.spark.sql(f"DROP TABLE {_bq(db)}.{_bq(tbl.name)}")

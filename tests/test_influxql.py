@@ -1442,3 +1442,52 @@ class TestIntegralSample:
     def test_sample_requires_count(self, engine):
         with pytest.raises(InfluxQLError):
             engine.query("SELECT sample(value) FROM events")
+
+
+class TestDropRetentionPolicy:
+    def test_drop_rp(self, spark, tmp_path):
+        from syncflux_spark.catalog import (
+            FieldSch,
+            MeasurementSch,
+            RetPol,
+            SparkCatalog,
+        )
+
+        cat = SparkCatalog(spark)
+        db = "iqldrp"
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+        cat.create_db(db)
+        meas = MeasurementSch(
+            name="cpu", fields={"usage": FieldSch("usage", "float")}, tags=[]
+        )
+        for rp in ("autogen", "weekly"):
+            cat.create_measurement(
+                db,
+                RetPol(name=rp, duration="0s", default=rp == "autogen"),
+                meas,
+                location=str(tmp_path / rp),
+            )
+        eng = InfluxQLEngine(spark, catalog=cat, db=db)
+        eng.query('DROP RETENTION POLICY "weekly" ON iqldrp')
+        left = [t.name for t in spark.catalog.listTables(db)]
+        assert left == ["autogen__cpu"]
+        with pytest.raises(InfluxQLError, match="not found"):
+            eng.query('DROP RETENTION POLICY "weekly" ON iqldrp')
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
+class TestExplain:
+    def test_explain_returns_plan(self, engine):
+        rows = engine.query(
+            "EXPLAIN SELECT mean(value) FROM events "
+            "WHERE time >= '2024-01-08' GROUP BY time(1h), event_type"
+        ).collect()
+        text = "\n".join(r.plan for r in rows)
+        assert "HashAggregate" in text or "Aggregate" in text
+        assert "Scan" in text
+
+    def test_explain_analyze_runs(self, engine):
+        rows = engine.query(
+            "EXPLAIN ANALYZE SELECT count(value) FROM events"
+        ).collect()
+        assert len(rows) > 0
