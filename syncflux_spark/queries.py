@@ -10129,6 +10129,57 @@ def emb_eval_leakage(spark, sf):
     return threshold_pairs(tr, ev, threshold=0.40)
 
 
+@register(
+    "global_value_quantiles",
+    f"""
+    WITH v AS (SELECT {_sql_micros('value')} AS vm, event_id FROM events
+               WHERE value IS NOT NULL),
+    r AS (SELECT vm, ROW_NUMBER() OVER (ORDER BY vm, event_id) AS rk,
+                 COUNT(*) OVER () AS n
+          FROM v)
+    SELECT CAST(q AS DOUBLE) AS q, CAST(vm AS BIGINT) AS value_micro FROM (
+      SELECT 0.5 AS q, vm, rk, n FROM r
+      UNION ALL SELECT 0.9, vm, rk, n FROM r
+      UNION ALL SELECT 0.99, vm, rk, n FROM r)
+    WHERE rk = GREATEST(1, CAST(CEIL(n * q) AS BIGINT))
+    """,
+)
+def global_value_quantiles(spark, sf):
+    """EXACT corpus-wide nearest-rank quantiles (p50/p90/p99) WITHOUT
+    a one-partition sort: ranks come from utils.global_rank (range
+    exchange + per-partition row_number + B driver-side count
+    offsets), then the quantile rows are picked by rank arithmetic —
+    the distributed form of ORDER BY ... OFFSET. At 100 TB this is
+    the difference between an exact percentile and an all-to-one
+    stage that cannot finish; approximate sketches (ts_percentiles'
+    per-series array form, CMS, KMV) trade exactness for one pass,
+    this trades one range exchange for exactness."""
+    from syncflux_spark.utils import global_rank
+
+    v = (
+        load_table(spark, sf, "events")
+        .where(F.col("value").isNotNull())
+        .select(micros_amt("value").alias("vm"), "event_id")
+    )
+    ranked = global_rank(v, ["vm", "event_id"], rank_col="rk")
+    n = ranked.count()
+    import math
+
+    targets = [(q, max(1, math.ceil(n * q))) for q in (0.5, 0.9, 0.99)]
+    cond = None
+    for _, rk in targets:
+        c = F.col("rk") == rk
+        cond = c if cond is None else (cond | c)
+    hits = ranked.where(cond).select("rk", "vm")
+    qmap = F.create_map(
+        *[F.lit(x) for q, rk in targets for x in (rk, q)]
+    )
+    return hits.select(
+        qmap[F.col("rk")].alias("q"),
+        F.col("vm").cast("long").alias("value_micro"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.spark for name, q in REGISTRY.items()}
 
