@@ -10180,6 +10180,36 @@ def global_value_quantiles(spark, sf):
     )
 
 
+@register(
+    "key_skew_report",
+    """
+    WITH counts AS (
+      SELECT CAST(user_id AS VARCHAR) || '|' || event_type AS key,
+             CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM events GROUP BY 1),
+    tot AS (SELECT SUM(n_rows) AS total, COUNT(*) AS nk FROM counts)
+    SELECT key, n_rows,
+           n_rows / total AS share,
+           n_rows / (total / nk) AS x_mean
+    FROM counts CROSS JOIN tot
+    ORDER BY n_rows DESC, key
+    LIMIT 10
+    """,
+)
+def key_skew_report(spark, sf):
+    """Shuffle-key skew diagnostics over the (user, event_type) join
+    key — the first thing an operator checks when a 1000-executor
+    stage straggles: top-10 heaviest keys with share-of-total and
+    multiple-of-mean-load. One partial-agg shuffle (same cost class
+    as the aggregation being diagnosed), scalar totals broadcast,
+    top-k heap (utils.key_skew_report)."""
+    from syncflux_spark.utils import key_skew_report as _skew
+
+    return _skew(
+        load_table(spark, sf, "events"), ["user_id", "event_type"], top_k=10
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.spark for name, q in REGISTRY.items()}
 

@@ -122,3 +122,45 @@ def global_rank(
         rank_col,
         (off[F.col("_gr_part")] + F.row_number().over(w)).cast("long"),
     ).drop("_gr_part")
+
+
+def key_skew_report(
+    df: DataFrame,
+    keys: list[str],
+    top_k: int = 10,
+) -> DataFrame:
+    """Shuffle-key skew diagnostics — the first thing to look at when
+    a 1000-executor stage straggles: per-key row counts for the
+    ``top_k`` heaviest keys, each with its share of total rows and
+    its multiple of the mean key load. A top key at 30% share means
+    the downstream join/agg puts 30% of the shuffle on one task —
+    reach for salting (:func:`salted_join`), broadcast, or a
+    different key.
+
+    One partial-agg shuffle on the key (the same cost class as the
+    aggregation being diagnosed) + a scalar totals broadcast + a
+    top-k heap. Output: (key [concat_ws of the key columns], n_rows,
+    share, x_mean).
+    """
+    key_col = F.concat_ws("|", *[F.col(k).cast("string") for k in keys])
+    counts = df.groupBy(key_col.alias("key")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    totals = counts.agg(
+        F.sum("n_rows").alias("_total"),
+        F.count(F.lit(1)).alias("_nkeys"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "key",
+            "n_rows",
+            (F.col("n_rows") / F.col("_total")).alias("share"),
+            (
+                F.col("n_rows")
+                / (F.col("_total") / F.col("_nkeys"))
+            ).alias("x_mean"),
+        )
+        .orderBy(F.desc("n_rows"), F.asc("key"))
+        .limit(top_k)
+    )

@@ -83,3 +83,39 @@ def test_copy_window_clamp(dur, maxret):
 def test_parse_duration_units(n, unit):
     mult = {"s": 1, "m": 60, "h": 3600}[unit]
     assert parse_duration(f"{n}{unit}") == timedelta(seconds=n * mult)
+
+
+class TestGlobalRankProperties:
+    def test_random_orders_match_single_partition(self, spark):
+        """global_rank == ROW_NUMBER over a total order, for arbitrary
+        key distributions (duplicates, skew, negatives) and any
+        range-partition count."""
+        import random
+
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from syncflux_spark.utils import global_rank
+
+        rng = random.Random(42)
+        for trial in range(3):
+            n = rng.randint(1, 400)
+            n_ranges = rng.choice([1, 2, 7, 64])
+            rows = [
+                (rng.choice([-5, 0, 3, rng.randint(-100, 100)]), i)
+                for i in range(n)
+            ]
+            df = spark.createDataFrame(rows, "k long, id long")
+            got = {
+                (r.k, r.id): r._rank
+                for r in global_rank(
+                    df, ["k", "id"], n_ranges=n_ranges
+                ).collect()
+            }
+            want = {
+                (r.k, r.id): r.rn
+                for r in df.withColumn(
+                    "rn", F.row_number().over(Window.orderBy("k", "id"))
+                ).collect()
+            }
+            assert got == want, (trial, n, n_ranges)
