@@ -527,6 +527,20 @@ class _Parser:
             meas = parts[0]
         else:
             raise InfluxQLError("too many dots in measurement name")
+        if self.peek() and self.peek().text == "," and len(parts) == 1:
+            # FROM m1, m2, ... — multi-measurement select, compiled
+            # through the same union machinery as FROM /regex/ (an
+            # anchored, escaped alternation), one series per
+            # measurement via the synthesized `measurement` tag
+            names = [meas]
+            while self.peek() and self.peek().text == ",":
+                self.next()
+                names.append(self.ident())
+            rx = "^(?:" + "|".join(re.escape(n) for n in names) + ")$"
+            st = SelectStmt(
+                projs=projs, measurement=rx, into=into, measurement_regex=rx
+            )
+            return self._select_tail(st, in_cq)
         st = SelectStmt(projs=projs, measurement=meas, db=db, rp=rp, into=into)
         return self._select_tail(st, in_cq)
 

@@ -1491,3 +1491,45 @@ class TestExplain:
             "EXPLAIN ANALYZE SELECT count(value) FROM events"
         ).collect()
         assert len(rows) > 0
+
+
+class TestFromCommaList:
+    @pytest.fixture()
+    def multi(self, spark, events):
+        half = events.where("event_id % 2 = 0")
+        other = events.where("event_id % 2 = 1")
+        return InfluxQLEngine(
+            spark,
+            tables={"clicks": half, "views": other},
+            tags={"clicks": ["event_type"], "views": ["event_type"]},
+            now=NOW,
+        )
+
+    def test_union_counts(self, multi, events):
+        out = {
+            r.measurement: r.n
+            for r in multi.query(
+                "SELECT count(value) AS n FROM clicks, views "
+                "GROUP BY measurement"
+            ).collect()
+        }
+        assert set(out) == {"clicks", "views"}
+        assert sum(out.values()) == events.where(
+            "value is not null"
+        ).count()
+
+    def test_missing_names_contribute_nothing(self, multi, events):
+        # influx semantics: a nonexistent measurement in the FROM list
+        # silently contributes no series
+        out = multi.query(
+            "SELECT count(value) AS n FROM clicks, nope "
+            "GROUP BY measurement"
+        ).collect()
+        assert [r.measurement for r in out] == ["clicks"]
+        # and a regex metachar in a name must not widen the match:
+        # 'cl.cks' is not a registered name, so only 'views' answers
+        out2 = multi.query(
+            'SELECT count(value) AS n FROM "cl.cks", views '
+            "GROUP BY measurement"
+        ).collect()
+        assert [r.measurement for r in out2] == ["views"]
