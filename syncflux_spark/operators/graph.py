@@ -168,3 +168,68 @@ def triangle_counts(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
     )
+
+
+def k_core(
+    pairs: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    max_rounds: int = 100,
+) -> DataFrame:
+    """Vertices of the ``k``-core — the maximal subgraph where every
+    vertex keeps degree ≥ k — plus each survivor's core-internal
+    degree. The dense-cluster extractor for dedup QA: a near-dup
+    CLIQUE (template spam, mirrored boilerplate) survives high-k
+    peeling, while chains of borderline pairwise matches peel away —
+    the same signal triangle counting gives, but subgraph-global
+    instead of per-wedge.
+
+    Distributed peeling (Batagelj–Zaveršnik made parallel): each
+    round recounts degrees on the surviving edge list (one partial-agg
+    shuffle) and drops every vertex below ``k`` simultaneously (one
+    semi-join per endpoint). Simultaneous removal converges to the
+    same unique k-core as sequential peeling (the k-core is the
+    unique maximal fixpoint; removal order never changes it) in at
+    most graph-diameter-ish rounds. Per-round plans go through
+    ``localCheckpoint`` so the lineage stays O(1) — the same
+    discipline as connected_components.
+
+    Output: (id_col, core_degree) for k-core members; empty when the
+    graph has no k-core. Raises if ``max_rounds`` passes without a
+    fixpoint (cannot happen for a finite graph unless max_rounds is
+    set below the peel depth — the raise turns silent truncation
+    into a visible failure, dedup.py::connected_components policy).
+    """
+    edges = (
+        pairs.select("id_a", "id_b")
+        .where(F.col("id_a") != F.col("id_b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(max_rounds):
+        sym = edges.union(
+            edges.select(
+                F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")
+            )
+        )
+        deg = sym.groupBy(F.col("id_a").alias("_v")).agg(
+            F.count(F.lit(1)).alias("_deg")
+        )
+        bad = deg.where(F.col("_deg") < k).select("_v")
+        n_bad = bad.count()
+        if n_bad == 0:
+            survivors = deg.select(
+                F.col("_v").alias(id_col),
+                F.col("_deg").cast("long").alias("core_degree"),
+            )
+            return survivors
+        edges = (
+            edges.join(bad, edges.id_a == bad._v, "left_anti")
+            .join(bad, F.col("id_b") == bad._v, "left_anti")
+            .localCheckpoint()
+        )
+        # an emptied edge list terminates next round: empty degrees →
+        # zero bad vertices → empty survivors with the right schema
+    raise RuntimeError(
+        f"k_core did not converge in {max_rounds} rounds — raise max_rounds"
+    )

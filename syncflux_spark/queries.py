@@ -10210,6 +10210,27 @@ def key_skew_report(spark, sf):
     )
 
 
+@register(
+    "dedup_graph_kcore",
+    None,  # iterative fixpoint (peel rounds) — no closed SQL form;
+    # rows-only driver check, semantics pinned by unit tests
+    # (tests/test_graph_orientation.py::TestKCore)
+)
+def dedup_graph_kcore(spark, sf):
+    """3-core of the LSH candidate graph
+    (operators/graph.py::k_core): the maximal subgraph where every
+    doc keeps ≥3 near-dup edges after all weakly-connected docs peel
+    away. Template-spam cliques and mirrored boilerplate survive;
+    chains of borderline pairwise matches do not — the
+    subgraph-global complement to the per-wedge triangle signal.
+    Distributed simultaneous peeling, one degree agg + two anti-joins
+    per round, O(1) lineage via localCheckpoint."""
+    from syncflux_spark.operators.graph import k_core
+
+    pairs = dd.lsh_candidate_pairs(load_table(spark, sf, "documents"))
+    return k_core(pairs, k=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.spark for name, q in REGISTRY.items()}
 

@@ -94,3 +94,40 @@ class TestDegreeOrientation:
             [(0, i) for i in range(1, 30)], "id_a long, id_b long"
         )
         assert triangle_counts(star).count() == 0
+
+
+class TestKCore:
+    def test_clique_survives_chain_peels(self, spark):
+        from syncflux_spark.operators.graph import k_core
+
+        # 4-clique (a,b,c,d) + pendant chain e-f-g hanging off d
+        clique = [
+            ("a", "b"), ("a", "c"), ("a", "d"),
+            ("b", "c"), ("b", "d"), ("c", "d"),
+        ]
+        chain = [("d", "e"), ("e", "f"), ("f", "g")]
+        pairs = spark.createDataFrame(
+            clique + chain, "id_a string, id_b string"
+        )
+        out = {r.doc_id: r.core_degree for r in k_core(pairs, k=3).collect()}
+        assert set(out) == {"a", "b", "c", "d"}
+        assert all(v == 3 for v in out.values())
+
+    def test_no_kcore_returns_empty(self, spark):
+        from syncflux_spark.operators.graph import k_core
+
+        pairs = spark.createDataFrame(
+            [("a", "b"), ("b", "c")], "id_a string, id_b string"
+        )
+        out = k_core(pairs, k=2)
+        assert out.count() == 0
+        assert out.columns == ["doc_id", "core_degree"]
+
+    def test_k1_keeps_everything_with_degrees(self, spark):
+        from syncflux_spark.operators.graph import k_core
+
+        pairs = spark.createDataFrame(
+            [("a", "b"), ("b", "c")], "id_a string, id_b string"
+        )
+        out = {r.doc_id: r.core_degree for r in k_core(pairs, k=1).collect()}
+        assert out == {"a": 1, "b": 2, "c": 1}
