@@ -10231,6 +10231,74 @@ def dedup_graph_kcore(spark, sf):
     return k_core(pairs, k=3)
 
 
+@register(
+    "training_shard_manifest",
+    f"""
+    WITH q AS (
+      SELECT doc_id,
+             CASE WHEN len({_SQL_WORDS}) >= 10 THEN 1 ELSE 0 END
+             + CASE WHEN LENGTH(text) >= 50 THEN 1 ELSE 0 END
+             + CASE WHEN CAST(len(list_distinct({_SQL_WORDS})) AS BIGINT)
+                         / CAST(len({_SQL_WORDS}) AS BIGINT) >= 0.3
+                    THEN 1 ELSE 0 END
+             + CASE WHEN CAST(list_sum(list_transform({_SQL_WORDS},
+                                                      w -> LENGTH(w))) AS BIGINT)
+                         / CAST(len({_SQL_WORDS}) AS BIGINT) >= 3
+                    THEN 1 ELSE 0 END AS score
+      FROM documents),
+    keepers AS (
+      SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+    kept AS (
+      SELECT d.doc_id, d.source,
+             CAST(len(string_split_regex(trim(d.text), '\\s+')) AS BIGINT)
+               AS n_tokens
+      FROM documents d
+      JOIN q ON q.doc_id = d.doc_id AND q.score >= 3
+      JOIN keepers k ON k.doc_id = d.doc_id),
+    packed AS (
+      SELECT doc_id, source, n_tokens,
+             CAST((SUM(n_tokens) OVER w - n_tokens) // 500 AS BIGINT) AS bin
+      FROM kept
+      WINDOW w AS (PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    SELECT source, bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+    FROM packed GROUP BY source, bin
+    """,
+)
+def training_shard_manifest(spark, sf):
+    """The end-to-end curation pipeline as ONE declarative plan:
+    quality gate (integer rubric ≥3) → exact-dedup keep-list (min id
+    per content digest) → per-source concat-then-chunk packing into
+    500-token shards → shard manifest (docs, tokens, id range per
+    shard). This is the composition a training-data build actually
+    ships — and because every stage is a column expression or bounded
+    shuffle, Catalyst fuses the gate + keep-list joins into the
+    packing window's single per-source exchange. The manifest is what
+    downstream tokenizer jobs consume; determinism end-to-end means
+    a re-run after corpus growth reproduces unchanged shards."""
+    from syncflux_spark.operators.textops import quality_score
+
+    docs = load_table(spark, sf, "documents")
+    q = quality_score(docs).where(F.col("passes")).select("doc_id")
+    keepers = docs.groupBy(F.md5("text").alias("_d")).agg(
+        F.min("doc_id").alias("doc_id")
+    ).select("doc_id")
+    kept = (
+        docs.join(q, "doc_id", "left_semi")
+        .join(keepers, "doc_id", "left_semi")
+        .withColumn("n_tokens", token_count("text").cast("long"))
+    )
+    packed = smp.pack_bins(kept, 500, "n_tokens", "source")
+    return packed.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.spark for name, q in REGISTRY.items()}
 
