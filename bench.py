@@ -105,6 +105,10 @@ HEADLINE = [
     "pmi_top_bigrams",
     "corpus_snapshot_diff",
     "influxql_tz_daily",
+    "emb_diverse_sample",
+    "global_value_quantiles",
+    "influxql_integral_daily",
+    "training_shard_manifest",
 ]
 
 
