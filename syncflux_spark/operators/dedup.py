@@ -1005,11 +1005,26 @@ def duplicate_spans(
             ).alias("h"),
         )
     )
-    freq = F.count_distinct(id_col) if cross_doc else F.count(F.lit(1))
-    dup = pos.groupBy("h").agg(freq.alias("_df")).where(F.col("_df") >= 2)
-    hits = pos.join(dup.select("h"), "h").select(id_col, "pos")
-
+    # duplicate-key detection as a WINDOW over the hash, not a
+    # groupBy + join-back: the join formulation evaluates the
+    # explode+md5 subplan twice (once to build the dup set, once to
+    # probe it) and pays a second shuffle. One window partitioned on
+    # the key shuffles the positions once and computes the
+    # cross-doc indicator in the same pass — "≥2 distinct docs" is
+    # exactly min(doc) != max(doc), no COUNT DISTINCT needed
+    # (measured ~2× on the sf0.1 spans entry).
     from pyspark.sql import Window
+
+    hw = Window.partitionBy("h")
+    if cross_doc:
+        dup_flag = F.min(id_col).over(hw) != F.max(id_col).over(hw)
+    else:
+        dup_flag = F.count(F.lit(1)).over(hw) >= 2
+    hits = (
+        pos.withColumn("_dup", dup_flag)
+        .where(F.col("_dup"))
+        .select(id_col, "pos")
+    )
 
     w = (
         Window.partitionBy(id_col)
