@@ -830,11 +830,20 @@ def doc_novelty(spark, sf):
     ex = dd.shingle_sets(docs).select(
         "doc_id", F.explode("_sh").alias("s")
     )
-    dfreq = ex.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    # document frequency as a WINDOW over the shingle key, not a
+    # groupBy + join-back (same rewrite as duplicate_spans): one
+    # shuffle on s attaches df in the same pass. Gain here is modest
+    # (~10% — Spark's ReusedExchange already shared the old form's
+    # two s-shuffles; the md5+explode volume dominates), but the plan
+    # drops an aggregate and a join outright. A corpus-saturating hot
+    # shingle buffers one window partition; that spills, and
+    # rows-per-shingle is bounded by n_docs since shingles are
+    # per-doc distinct.
+    hw = Window.partitionBy("s")
+    with_df = ex.withColumn("df", F.count(F.lit(1)).over(hw).cast("long"))
     uniq = F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).cast("long")
     return (
-        ex.join(dfreq, "s")
-        .groupBy("doc_id")
+        with_df.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_shingles"),
             uniq.alias("n_unique"),
