@@ -646,3 +646,78 @@ def bpe_merge_candidates(
         .orderBy(F.desc("n"), F.asc("pair"))
         .limit(k)
     )
+
+
+def lang_consistency(
+    df: DataFrame,
+    chunk_tokens: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Code-switching / mixed-language detection: split each document
+    into ``chunk_tokens``-token chunks, language-ID each chunk with
+    the marker heuristic, and report per document the majority
+    language, its chunk share, and the distinct-language count. A doc
+    whose chunks disagree (mix_ratio high, n_langs > 1) is
+    concatenation garbage or code-switched text — the per-document
+    lang_id alone calls it whatever wins globally and hides the mix.
+
+    Shape: one explode of chunk starts (bounded by tokens/chunk), the
+    per-chunk language fold as pure column expressions, then two
+    bounded aggregations per doc (per-lang counts, then majority via
+    a per-doc window over ≤|languages| rows). No corpus-wide state.
+
+    Output: (id, n_chunks, majority_lang, n_majority, mix_ratio,
+    n_langs)."""
+    from pyspark.sql import Window
+
+    from syncflux_spark.functions.text import lang_id, words
+
+    staged = spread_for_cpu(df).select(
+        F.col(id_col), words(text_col).alias("_ws")
+    )
+    chunks = staged.select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(
+                F.lit(1), F.size("_ws"), F.lit(chunk_tokens)
+            )
+        ).alias("_st"),
+        F.col("_ws"),
+    ).select(
+        F.col(id_col),
+        F.array_join(
+            F.slice("_ws", F.col("_st"), chunk_tokens), " "
+        ).alias("_ct"),
+    )
+    labeled = chunks.select(F.col(id_col), lang_id("_ct").alias("lang"))
+    per = labeled.groupBy(id_col, "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("n"), F.asc("lang"))
+    top = (
+        per.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            F.col(id_col),
+            F.col("lang").alias("majority_lang"),
+            F.col("n").alias("n_majority"),
+        )
+    )
+    totals = per.groupBy(id_col).agg(
+        F.sum("n").cast("long").alias("n_chunks"),
+        F.count(F.lit(1)).cast("long").alias("n_langs"),
+    )
+    return (
+        totals.join(top, id_col)
+        .select(
+            id_col,
+            "n_chunks",
+            "majority_lang",
+            "n_majority",
+            (
+                F.lit(1) - F.col("n_majority") / F.col("n_chunks")
+            ).alias("mix_ratio"),
+            "n_langs",
+        )
+    )

@@ -10308,6 +10308,69 @@ def training_shard_manifest(spark, sf):
     )
 
 
+def _sql_lang_mix() -> str:
+    """DuckDB mirror of operators/textops.py::lang_consistency: chunk
+    → per-chunk marker-fold argmax → per-doc majority stats."""
+    from syncflux_spark.functions.text import LANG_MARKERS
+
+    def cnt(needle: str) -> str:
+        pad = "' ' || ct || ' '"
+        esc = needle.replace("'", "''")
+        return (
+            f"CAST((LENGTH({pad}) - LENGTH(replace({pad}, '{esc}', '')))"
+            f" / {len(needle)} AS BIGINT)"
+        )
+
+    score_cols = ", ".join(
+        " + ".join(cnt(m) for m in markers) + f" AS score_{lang}"
+        for lang, markers in LANG_MARKERS.items()
+    )
+    best = "'und'"
+    best_score = "CAST(0 AS BIGINT)"
+    for lang in sorted(LANG_MARKERS, reverse=True):
+        best = f"CASE WHEN score_{lang} > {best_score} THEN '{lang}' ELSE {best} END"
+        best_score = (
+            f"CASE WHEN score_{lang} > {best_score} THEN score_{lang} "
+            f"ELSE {best_score} END"
+        )
+    return f"""
+    WITH w AS (SELECT doc_id, {_SQL_WORDS} AS ws FROM documents),
+    c AS (SELECT doc_id, array_to_string(ws[st:st+31], ' ') AS ct
+          FROM (SELECT doc_id, ws,
+                       unnest(generate_series(1, len(ws), 32)) AS st
+                FROM w)),
+    lab AS (SELECT doc_id, {best} AS lang
+            FROM (SELECT doc_id, {score_cols} FROM c)),
+    per AS (SELECT doc_id, lang, CAST(COUNT(*) AS BIGINT) AS n
+            FROM lab GROUP BY doc_id, lang),
+    top AS (SELECT doc_id, lang AS majority_lang, n AS n_majority
+            FROM (SELECT doc_id, lang, n,
+                         row_number() OVER (PARTITION BY doc_id
+                                            ORDER BY n DESC, lang) AS rn
+                  FROM per)
+            WHERE rn = 1),
+    tot AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_chunks,
+                   CAST(COUNT(*) AS BIGINT) AS n_langs
+            FROM per GROUP BY doc_id)
+    SELECT t.doc_id, t.n_chunks, p.majority_lang, p.n_majority,
+           1 - p.n_majority / t.n_chunks AS mix_ratio,
+           t.n_langs
+    FROM tot t JOIN top p USING (doc_id)
+    """
+
+
+@register("doc_lang_mix", _sql_lang_mix())
+def doc_lang_mix(spark, sf):
+    """Chunk-level language-consistency: each doc split into 32-token
+    chunks, each chunk language-ID'd, per-doc majority language +
+    mix ratio + distinct-language count. Catches code-switched and
+    concatenation-garbage documents that whole-doc lang ID hides
+    (operators/textops.py::lang_consistency)."""
+    from syncflux_spark.operators.textops import lang_consistency
+
+    return lang_consistency(load_table(spark, sf, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.spark for name, q in REGISTRY.items()}
 

@@ -93,3 +93,21 @@ def test_salted_join_matches_plain_join(spark):
     plain = left.join(right, "k")
     assert got.count() == plain.count() == 101
     assert sorted(r.s for r in got.select("s").distinct().collect()) == ["a", "b"]
+
+
+class TestLangConsistency:
+    def test_mixed_doc_flagged(self, spark):
+        from syncflux_spark.operators.textops import lang_consistency
+
+        en = "the cat and the dog of the house " * 8  # ~64 tokens
+        es = "el gato la casa los perros el sol " * 8
+        rows = [
+            ("pure", en * 2),
+            ("mixed", en + es),
+        ]
+        df = spark.createDataFrame(rows, "doc_id string, text string")
+        out = {r.doc_id: r for r in lang_consistency(df).collect()}
+        assert out["pure"].majority_lang == "en"
+        assert out["pure"].mix_ratio == 0.0 and out["pure"].n_langs == 1
+        assert out["mixed"].n_langs == 2
+        assert 0.3 < out["mixed"].mix_ratio < 0.7
