@@ -10371,6 +10371,54 @@ def doc_lang_mix(spark, sf):
     return lang_consistency(load_table(spark, sf, "documents"))
 
 
+@register(
+    "dedup_cross_source_matrix",
+    f"""
+    WITH sh AS ({_sql_shingles()}),
+         hs AS ({_HS_SQL}),
+         sig AS (SELECT doc_id, {_MH_SELECT} FROM hs GROUP BY doc_id),
+         bands AS ({_BANDS_SQL}),
+         pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                   FROM bands a JOIN bands b
+                     ON a.band_id = b.band_id AND a.band_key = b.band_key
+                        AND a.doc_id < b.doc_id)
+    SELECT LEAST(da.source, db.source) AS source_a,
+           GREATEST(da.source, db.source) AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM pairs p
+    JOIN documents da ON da.doc_id = p.id_a
+    JOIN documents db ON db.doc_id = p.id_b
+    GROUP BY 1, 2
+    """,
+)
+def dedup_cross_source_matrix(spark, sf):
+    """Which sources copy from each other: the LSH candidate pairs
+    joined back to their sources and counted per canonicalized
+    (source, source) cell. A hot off-diagonal cell is a mirror site
+    or syndication feed — the signal that redirects dedup effort
+    from pairs to whole sources. Two broadcast-friendly dimension
+    joins over the candidate set; the candidate generator's cost
+    dominates, the matrix is |sources|² metadata."""
+    docs = load_table(spark, sf, "documents")
+    pairs = dd.lsh_candidate_pairs(docs)
+    src = docs.select("doc_id", "source")
+    a = src.select(
+        F.col("doc_id").alias("id_a"), F.col("source").alias("_sa")
+    )
+    b = src.select(
+        F.col("doc_id").alias("id_b"), F.col("source").alias("_sb")
+    )
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .groupBy(
+            F.least("_sa", "_sb").alias("source_a"),
+            F.greatest("_sa", "_sb").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.spark for name, q in REGISTRY.items()}
 
