@@ -36,7 +36,8 @@ Grammar subset (everything syncflux emits + the common interactive
 dialect): SELECT projections of fields / aggregate calls / binary
 ``+ - * /`` arithmetic over fields, literals, and aggregate results
 (``mean("a") + mean("b")``, ``"value" * 2`` — null-propagating like
-InfluxQL), FROM one measurement (optionally ``db.rp.m``), WHERE with
+InfluxQL), FROM one measurement (optionally ``db.rp.m``), a comma
+list ``FROM m1, m2``, a ``/regex/``, or a subquery, WHERE with
 time bounds (RFC3339 strings, epoch-ns integers, epoch-with-unit
 literals like ``1755043200s``, ``now() - <duration>``), tag
 equality / regex matches and field comparisons combined with
@@ -46,8 +47,10 @@ AND/OR, GROUP BY ``time(interval[,offset])``, tag names or ``*``,
 bucket alignment, DST-aware via from_utc_timestamp), standalone
 ``SELECT ... INTO "dst"`` (one-shot downsample into a new queryable
 measurement), plus SHOW DATABASES / RETENTION POLICIES /
-MEASUREMENTS / FIELD KEYS / TAG KEYS and CREATE DATABASE /
-CREATE|ALTER RETENTION POLICY.
+MEASUREMENTS / FIELD KEYS / TAG KEYS (and the SHOW ... CARDINALITY
+family as exact distributed counts), CREATE DATABASE, CREATE | ALTER
+| DROP RETENTION POLICY, DELETE with time bounds + tag predicates,
+and EXPLAIN [ANALYZE] answering with the compiled Spark plan.
 """
 
 from __future__ import annotations

@@ -16,6 +16,14 @@ Four families, all shaped for 100 TB:
 * **SimHash** — near-dup via Hamming-adjacent fingerprint buckets.
 * **Embedding near-dup** — cosine-threshold pairs, LSH-bucketed by
   sign pattern (see operators/similarity.py for the general k-NN).
+* **Exact substring spans** — the Lee et al. '22 substring-dedup
+  shape: linear position explode → md5 window key → cross-doc
+  window filter → gaps-and-islands merge (duplicate_spans).
+* **Sorted neighborhood** — Hernández-Stolfo candidates over a
+  range-exchanged global rank: O(n·w) pairs by construction, the
+  no-bucket-skew complement to banding.
+* **Inverted-index cosine** — Bayardo '07 all-pairs with df-gated
+  postings and exact integer dot products (doc_cosine_pairs).
 
 References: MinHash banding per Broder '97 / MMDS ch.3; the engine
 treats these as first-class queries (BASELINE.json north star), not
