@@ -36,7 +36,11 @@ Grammar subset (everything syncflux emits + the common interactive
 dialect): SELECT projections of fields / aggregate calls / binary
 ``+ - * /`` arithmetic over fields, literals, and aggregate results
 (``mean("a") + mean("b")``, ``"value" * 2`` — null-propagating like
-InfluxQL), FROM one measurement (optionally ``db.rp.m``), a comma
+InfluxQL), the InfluxQL 1.8 scalar math functions (``abs acos asin
+atan atan2 ceil cos exp floor ln log log2 log10 pow round sin sqrt
+tan``) over raw fields, aggregate results, and WHERE operands — each
+compiled to the matching JVM codegen expression, no UDF —
+FROM one measurement (optionally ``db.rp.m``), a comma
 list ``FROM m1, m2``, a ``/regex/``, or a subquery, WHERE with
 time bounds (RFC3339 strings, epoch-ns integers, epoch-with-unit
 literals like ``1755043200s``, ``now() - <duration>``), tag
@@ -215,11 +219,99 @@ class PStr:
     value: object
 
 
+@dataclass
+class PFunc:
+    """Scalar math call (InfluxQL 1.8 mathematical functions): applies
+    to raw fields in raw selects and to finished aggregate results in
+    GROUP BY selects — ``abs("v")``, ``sqrt(mean("v"))``,
+    ``pow("v", 2)``, ``log("v", 8)``."""
+
+    name: str
+    args: list
+
+
+#: InfluxQL scalar math functions → arity. Compilation lands in
+#: :func:`_math_col`; every one maps to a JVM codegen expression (no
+#: UDF). ``log`` is 1-or-2 arity: ``log(x)`` = natural log (lenient —
+#: Influx itself requires the base), ``log(x, b)`` = log base b.
+_MATH_FUNCS: dict[str, tuple[int, int]] = {
+    "abs": (1, 1),
+    "acos": (1, 1),
+    "asin": (1, 1),
+    "atan": (1, 1),
+    "atan2": (2, 2),
+    "ceil": (1, 1),
+    "cos": (1, 1),
+    "exp": (1, 1),
+    "floor": (1, 1),
+    "ln": (1, 1),
+    "log": (1, 2),
+    "log2": (1, 1),
+    "log10": (1, 1),
+    "pow": (2, 2),
+    "round": (1, 1),
+    "sin": (1, 1),
+    "sqrt": (1, 1),
+    "tan": (1, 1),
+}
+
+
+def _math_col(name: str, cols: list[Column]) -> Column:
+    """One InfluxQL math call → the matching Spark codegen expression.
+    InfluxQL returns floats throughout (Go ``float64`` math), so the
+    integer-returning Spark forms (ceil/floor → LONG) are cast back to
+    double; ``round`` ties go away from zero, matching Go's
+    ``math.Round`` and both engines' ROUND."""
+    if name == "abs":
+        return F.abs(cols[0])
+    if name == "acos":
+        return F.acos(cols[0])
+    if name == "asin":
+        return F.asin(cols[0])
+    if name == "atan":
+        return F.atan(cols[0])
+    if name == "atan2":
+        return F.atan2(cols[0], cols[1])
+    if name == "ceil":
+        return F.ceil(cols[0]).cast("double")
+    if name == "cos":
+        return F.cos(cols[0])
+    if name == "exp":
+        return F.exp(cols[0])
+    if name == "floor":
+        return F.floor(cols[0]).cast("double")
+    if name == "ln":
+        return F.log(cols[0])
+    if name == "log":
+        if len(cols) == 1:
+            return F.log(cols[0])
+        # log base b via ln(x)/ln(b): keeps the base an arbitrary
+        # expression (Spark's F.log(base, col) wants a Python float)
+        return F.log(cols[0]) / F.log(cols[1])
+    if name == "log2":
+        return F.log2(cols[0])
+    if name == "log10":
+        return F.log10(cols[0])
+    if name == "pow":
+        return F.pow(cols[0], cols[1])
+    if name == "round":
+        return F.round(cols[0], 0).cast("double")
+    if name == "sin":
+        return F.sin(cols[0])
+    if name == "sqrt":
+        return F.sqrt(cols[0])
+    if name == "tan":
+        return F.tan(cols[0])
+    raise InfluxQLError(f"unknown math function {name!r}")
+
+
 def _pexpr_has_call(e) -> bool:
     if isinstance(e, PCall):
         return True
     if isinstance(e, PBin):
         return _pexpr_has_call(e.left) or _pexpr_has_call(e.right)
+    if isinstance(e, PFunc):
+        return any(_pexpr_has_call(a) for a in e.args)
     return False
 
 
@@ -231,6 +323,8 @@ def _pexpr_name(e) -> str:
         return e.name
     if isinstance(e, PCall):
         return e.proj.func or e.proj.field
+    if isinstance(e, PFunc):
+        return e.name  # influx names the column after the outer function
     if isinstance(e, PBin):
         parts = [p for p in (_pexpr_name(e.left), _pexpr_name(e.right)) if p]
         return "_".join(parts)
@@ -681,6 +775,27 @@ class _Parser:
                 and self.peek(1).text == "("
             ):
                 return PCall(self._call_proj())
+            if (
+                t.kind == "ident"
+                and t.text.lower() in _MATH_FUNCS
+                and self.peek(1)
+                and self.peek(1).text == "("
+            ):
+                name = self.next().text.lower()
+                self.expect_op("(")
+                args = [self._proj_sum()]
+                while self.peek() and self.peek().text == ",":
+                    self.next()
+                    args.append(self._proj_sum())
+                self.expect_op(")")
+                lo, hi = _MATH_FUNCS[name]
+                if not lo <= len(args) <= hi:
+                    raise InfluxQLError(
+                        f"{name}() takes {lo}"
+                        + (f"-{hi}" if hi != lo else "")
+                        + f" arguments, got {len(args)}"
+                    )
+                return PFunc(name, args)
             return PVar(self.ident())
         raise InfluxQLError(f"bad projection token {t.text!r}")
 
@@ -1852,6 +1967,8 @@ class InfluxQLEngine:
             return [e]
         if isinstance(e, PBin):
             return InfluxQLEngine._expr_calls(e.left) + InfluxQLEngine._expr_calls(e.right)
+        if isinstance(e, PFunc):
+            return [c for a in e.args for c in InfluxQLEngine._expr_calls(a)]
         return []
 
     @staticmethod
@@ -1878,6 +1995,8 @@ class InfluxQLEngine:
             if e.op == "*":
                 return lhs * rhs
             return lhs / rhs
+        if isinstance(e, PFunc):
+            return _math_col(e.name, [self._pexpr_col(a) for a in e.args])
         raise InfluxQLError(
             "aggregate calls cannot appear in a raw projection"
         )
@@ -1910,6 +2029,12 @@ class InfluxQLEngine:
             if e.op == "*":
                 return lhs * rhs, next_idx
             return lhs / rhs, next_idx
+        if isinstance(e, PFunc):
+            cols: list[Column] = []
+            for a in e.args:
+                c, next_idx = self._compile_expr_agg(a, next_idx, ns, aggs)
+                cols.append(c)
+            return _math_col(e.name, cols), next_idx
         raise InfluxQLError(f"bad projection expression node {e!r}")
 
     def _agg_post(self, p: Proj, idx: int) -> Column:
@@ -2315,6 +2440,8 @@ class InfluxQLEngine:
                 return [t.name]
             if isinstance(t, PBin):
                 return pvars(t.left) + pvars(t.right)
+            if isinstance(t, PFunc):
+                return [n for a in t.args for n in pvars(a)]
             return []
 
         if e.lhs is not None:

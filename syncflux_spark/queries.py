@@ -9574,6 +9574,66 @@ def influxql_where_math(spark, sf):
 
 
 @register(
+    "influxql_math_fns",
+    f"""
+    SELECT epoch_us(ts) * 1000 AS time,
+           ROUND(SQRT({_sql_micros('value')})) AS r,
+           ABS({_sql_micros('value')} - 150000000) AS d,
+           FLOOR({_sql_micros('value')} / 3) AS f3,
+           CEIL({_sql_micros('value')} / 7) AS c7
+    FROM events
+    WHERE ts >= TIMESTAMP '{EV_WIN[0]}' AND ts < TIMESTAMP '{EV_WIN[1]}'
+      AND ABS({_sql_micros('value')} - 150000000) < 120000000
+    """,
+)
+def influxql_math_fns(spark, sf):
+    """InfluxQL scalar math functions over raw fields (``round(sqrt(
+    "v"))``, ``abs(..)``, ``floor/ceil(..)``) including math inside
+    WHERE — the InfluxQL 1.8 mathematical-function surface the dialect
+    previously rejected. Each call compiles to the matching JVM
+    codegen expression (``_math_col``, influxql.py) — no UDF — and
+    only IEEE-exact functions appear here so the DuckDB oracle is
+    bit-identical. Dialect beyond the reference (it only *emits*
+    InfluxQL: pkg/agent/sync.go:162)."""
+    return _influxql_events(spark, sf).query(
+        f"SELECT round(sqrt(value)) AS r, abs(value - 150000000) AS d, "
+        f"floor(value / 3) AS f3, ceil(value / 7) AS c7 "
+        f"FROM events "
+        f"WHERE time >= '{EV_WIN[0]}' AND time < '{EV_WIN[1]}' "
+        f"AND abs(value - 150000000) < 120000000"
+    )
+
+
+@register(
+    "influxql_math_of_agg",
+    f"""
+    SELECT (u - u % 21600000000) * 1000 AS time, event_type,
+           SQRT(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS sm,
+           FLOOR(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS fm,
+           ROUND((MAX(v) - MIN(v)) / 2) AS hs
+    FROM (SELECT epoch_us(ts) AS u, event_type,
+                 {_sql_micros('value')} AS v
+          FROM events
+          WHERE ts >= TIMESTAMP '{EV_WIN[0]}' AND ts < TIMESTAMP '{EV_WIN[1]}')
+    GROUP BY 1, 2
+    """,
+)
+def influxql_math_of_agg(spark, sf):
+    """InfluxQL math over aggregate results (``sqrt(mean(v))``,
+    ``round(spread(v) / 2)``): the aggregate calls inside the math
+    expression each get a partial-agg slot in ONE hash aggregation
+    (single shuffle on bucket × tag), and the scalar math applies
+    post-shuffle — same plan shape as ``influxql_agg_math``."""
+    return _influxql_events(spark, sf).query(
+        f"SELECT sqrt(mean(value)) AS sm, floor(mean(value)) AS fm, "
+        f"round(spread(value) / 2) AS hs "
+        f"FROM events "
+        f"WHERE time >= '{EV_WIN[0]}' AND time < '{EV_WIN[1]}' "
+        f"GROUP BY time(6h), event_type"
+    )
+
+
+@register(
     "influxql_tz_daily",
     f"""
     SELECT (lb + 18000000000) * 1000 AS time, event_type,

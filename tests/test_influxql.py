@@ -1533,3 +1533,90 @@ class TestFromCommaList:
             "GROUP BY measurement"
         ).collect()
         assert [r.measurement for r in out2] == ["views"]
+
+
+class TestMathFunctions:
+    """InfluxQL 1.8 scalar math functions: raw-field, aggregate-result,
+    and WHERE positions; arity validation; float-typed ceil/floor."""
+
+    def test_parse_shapes(self):
+        st = parse('SELECT round(sqrt("value") * 10) AS r FROM m')
+        assert st.projs[0].out_name == "r"
+        assert st.projs[0].expr is not None
+        # default name is the outermost function
+        st2 = parse('SELECT pow("value", 2) + abs("value") FROM m')
+        assert st2.projs[0].out_name == "pow_abs"
+        st3 = parse('SELECT atan2("y", "x") FROM m')
+        assert st3.projs[0].out_name == "atan2"
+
+    def test_arity_rejected(self):
+        with pytest.raises(InfluxQLError):
+            parse('SELECT abs("a", "b") FROM m')
+        with pytest.raises(InfluxQLError):
+            parse('SELECT pow("a") FROM m')
+        with pytest.raises(InfluxQLError):
+            parse('SELECT log("a", 2, 3) FROM m')
+
+    def test_raw_math_values(self, engine, events):
+        out = engine.query(
+            "SELECT abs(value - 100) AS d, floor(value / 3) AS f "
+            "FROM events WHERE time >= '2024-01-05' AND time < '2024-01-06' "
+            "ORDER BY time LIMIT 20"
+        ).collect()
+        exp = (
+            events.where(
+                (F.col("ts") >= "2024-01-05") & (F.col("ts") < "2024-01-06")
+            )
+            .orderBy("ts")
+            .select(
+                F.abs(F.col("value") - 100).alias("d"),
+                F.floor(F.col("value") / 3).cast("double").alias("f"),
+            )
+            .limit(20)
+            .collect()
+        )
+        assert [(r.d, r.f) for r in out] == [(r.d, r.f) for r in exp]
+
+    def test_math_of_aggregate_single_shuffle(self, engine, events):
+        df = engine.query(
+            "SELECT sqrt(mean(value)) AS sm FROM events "
+            "WHERE time >= '2024-01-05' AND time < '2024-01-07' "
+            "GROUP BY time(1d)"
+        )
+        rows = {r.time: r.sm for r in df.collect()}
+        import math
+
+        exp = (
+            events.where(
+                (F.col("ts") >= "2024-01-05") & (F.col("ts") < "2024-01-07")
+            )
+            .groupBy(F.date_trunc("day", "ts").alias("d"))
+            .agg(F.avg("value").alias("m"))
+            .collect()
+        )
+        for r in exp:
+            key = int(r.d.replace(tzinfo=timezone.utc).timestamp() * 1e9)
+            assert rows[key] == pytest.approx(math.sqrt(r.m))
+        # one exchange: math-over-agg must not add a second shuffle
+        # (count only the final plan — AQE's string repeats the plan
+        # under '== Initial Plan ==')
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]
+        assert final.count("Exchange") <= 2  # agg shuffle (+ final sort)
+
+    def test_where_math_function(self, engine, events):
+        n = engine.query(
+            "SELECT count(value) AS n FROM events "
+            "WHERE time >= '2024-01-05' AND time < '2024-01-07' "
+            "AND abs(value - 100) < 50"
+        ).collect()[0].n
+        exp = events.where(
+            (F.col("ts") >= "2024-01-05")
+            & (F.col("ts") < "2024-01-07")
+            & (F.abs(F.col("value") - 100) < 50)
+        ).count()
+        assert n == exp
+
+    def test_unknown_function_still_rejected(self):
+        with pytest.raises(InfluxQLError):
+            parse('SELECT frobnicate("value") FROM m')
