@@ -721,3 +721,144 @@ def lang_consistency(
             "n_langs",
         )
     )
+
+
+#: Gopher rule 6's stopword probe (Rae et al. 2021, app. A1.1): a doc
+#: of natural English prose contains at least 2 of these.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_ratio: float = 0.8,
+    min_stopwords: int = 2,
+    stopwords: list[str] | None = None,
+) -> DataFrame:
+    """The Gopher quality-filter rules (Rae et al. 2021, appendix A1.1
+    — the de-facto standard web-scale pretraining text gate) as one
+    per-document flag row: word-count bounds, mean-word-length bounds,
+    symbol-to-word ratio (``#``/``…``), alphabetic-word ratio, and
+    stopword presence, plus the AND of all of them.
+
+    Every signal is a per-row array fold over the whitespace token
+    list — zero shuffles, linear scale-out, identical plan shape to
+    ``quality_score``. Ratios are single divisions of exact integer
+    counts so the DuckDB oracle reproduces them bit-for-bit. The
+    bullet/ellipsis *line* rules of the paper are in
+    :func:`c4_filter_flags`' line stats (this corpus is single-line).
+    """
+    sw = stopwords or GOPHER_STOPWORDS
+    t = F.col(text_col)
+    staged = spread_for_cpu(df).select(
+        F.col(id_col), t.alias("__t"), words(t).alias("__ws")
+    )
+    tc, ws = F.col("__t"), F.col("__ws")
+    n_words = F.size(ws).cast("long")
+    mean_wl = (
+        F.aggregate(ws, F.lit(0).cast("long"), lambda a, w: a + F.length(w))
+        / n_words
+    )
+    n_symbols = (
+        F.length(tc) - F.length(F.replace(tc, F.lit("#"), F.lit("")))
+    ) + (F.length(tc) - F.length(F.replace(tc, F.lit("…"), F.lit(""))))
+    n_alpha = F.size(F.filter(ws, lambda w: w.rlike("[A-Za-z]"))).cast("long")
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(ws), F.array(*[F.lit(s) for s in sw])
+        )
+    ).cast("long")
+    f_count = (n_words >= min_words) & (n_words <= max_words)
+    f_wlen = (mean_wl >= min_mean_word_len) & (mean_wl <= max_mean_word_len)
+    f_symbol = (n_symbols / n_words) <= max_symbol_ratio
+    f_alpha = (n_alpha / n_words) >= min_alpha_ratio
+    f_stop = n_stop >= min_stopwords
+    return staged.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        (n_alpha / n_words).alias("alpha_ratio"),
+        n_stop.alias("n_stopwords"),
+        f_count.alias("flag_word_count"),
+        f_wlen.alias("flag_word_len"),
+        f_symbol.alias("flag_symbol_ratio"),
+        f_alpha.alias("flag_alpha_words"),
+        f_stop.alias("flag_stopwords"),
+        (f_count & f_wlen & f_symbol & f_alpha & f_stop).alias("passes"),
+    )
+
+
+def c4_filter_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    blocklist: list[str] | None = None,
+    min_sentences: int = 3,
+    min_words_per_line: int = 5,
+) -> DataFrame:
+    """The C4 cleaning rules (Raffel et al. 2020 §2.2) as per-document
+    flags: sentence-count floor (terminal-punctuation splits), policy
+    placeholders (``lorem ipsum``), code markers (``{``), a word
+    blocklist (C4 ships a "bad words" list; callers pass their own),
+    and the line-level keep ratio (lines ending in terminal
+    punctuation with ≥ ``min_words_per_line`` words).
+
+    Blocklist matching is word-exact (intersection against the token
+    set), not substring — C4's own filter drops a page on any listed
+    WORD, and substring matching would flag e.g. 'class' for 'ass'.
+    Per-row expressions only; no shuffle, no UDF.
+    """
+    bl = blocklist or []
+    t = F.col(text_col)
+    staged = spread_for_cpu(df).select(
+        F.col(id_col), t.alias("__t"), words(t).alias("__ws")
+    )
+    tc, ws = F.col("__t"), F.col("__ws")
+    # sentences = terminal-punctuation splits that leave a non-empty
+    # remainder: 'a. b! c' -> 3; text with no .!? -> 1 fragment, so a
+    # doc needs real sentence breaks to reach min_sentences
+    n_sentences = F.size(
+        F.filter(
+            F.split(tc, r"[.!?]"), lambda s: F.length(F.trim(s)) > 0
+        )
+    ).cast("long")
+    lines = F.split(tc, r"\n")
+    n_lines = F.size(lines).cast("long")
+    kept = F.size(
+        F.filter(
+            lines,
+            lambda l: l.rlike(r"[.!?]\s*$")
+            & (F.size(F.split(F.trim(l), r"\s+")) >= min_words_per_line),
+        )
+    ).cast("long")
+    n_blocked = (
+        F.size(
+            F.array_intersect(
+                F.array_distinct(ws), F.array(*[F.lit(w) for w in bl])
+            )
+        ).cast("long")
+        if bl
+        else F.lit(0).cast("long")
+    )
+    has_lorem = F.lower(tc).contains("lorem ipsum")
+    has_brace = tc.contains("{")
+    f_sent = n_sentences >= min_sentences
+    f_block = n_blocked == 0
+    return staged.select(
+        F.col(id_col),
+        n_sentences.alias("n_sentences"),
+        n_lines.alias("n_lines"),
+        (kept / n_lines).alias("kept_line_ratio"),
+        n_blocked.alias("n_blocked_words"),
+        f_sent.alias("flag_sentences"),
+        f_block.alias("flag_blocklist"),
+        (~has_brace).alias("flag_no_code"),
+        (~has_lorem).alias("flag_no_lorem"),
+        (f_sent & f_block & ~has_brace & ~has_lorem).alias("passes"),
+    )

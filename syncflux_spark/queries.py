@@ -1475,6 +1475,94 @@ def corpus_filter_report(spark, sf):
     )
 
 
+@register(
+    "gopher_quality_flags",
+    f"""
+    SELECT doc_id,
+           n_words,
+           mean_word_len,
+           alpha_ratio,
+           n_stopwords,
+           n_words BETWEEN 50 AND 100000 AS flag_word_count,
+           mean_word_len BETWEEN 3.0 AND 10.0 AS flag_word_len,
+           CAST(n_symbols AS BIGINT) / n_words <= 0.1 AS flag_symbol_ratio,
+           alpha_ratio >= 0.8 AS flag_alpha_words,
+           n_stopwords >= 2 AS flag_stopwords,
+           (n_words BETWEEN 50 AND 100000)
+             AND (mean_word_len BETWEEN 3.0 AND 10.0)
+             AND (CAST(n_symbols AS BIGINT) / n_words <= 0.1)
+             AND alpha_ratio >= 0.8
+             AND n_stopwords >= 2 AS passes
+    FROM (
+      SELECT doc_id,
+             CAST(len(ws) AS BIGINT) AS n_words,
+             CAST(list_sum(list_transform(ws, w -> LENGTH(w))) AS BIGINT)
+               / CAST(len(ws) AS BIGINT) AS mean_word_len,
+             (LENGTH(text) - LENGTH(REPLACE(text, '#', '')))
+               + (LENGTH(text) - LENGTH(REPLACE(text, '…', ''))) AS n_symbols,
+             CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))
+                  AS BIGINT) / CAST(len(ws) AS BIGINT) AS alpha_ratio,
+             CAST(len(list_intersect(list_distinct(ws),
+                  ['the','be','to','of','and','that','have','with']))
+                  AS BIGINT) AS n_stopwords
+      FROM (SELECT doc_id, text, {_SQL_WORDS} AS ws FROM documents))
+    """,
+)
+def gopher_quality_flags(spark, sf):
+    """The Gopher pretraining-text quality rules (Rae et al. 2021 app.
+    A1.1) as one per-document flag row — word-count and word-length
+    bounds, symbol ratio, alphabetic-word ratio, stopword presence,
+    and their AND. Zero shuffles: every rule is an in-row fold over
+    the token array, so the gate costs one corpus scan at any scale."""
+    from syncflux_spark.operators.textops import gopher_quality_flags as op
+
+    return op(load_table(spark, sf, "documents"))
+
+
+@register(
+    "c4_filter_flags",
+    f"""
+    SELECT doc_id,
+           n_sentences,
+           n_lines,
+           CAST(kept AS BIGINT) / n_lines AS kept_line_ratio,
+           n_blocked_words,
+           n_sentences >= 3 AS flag_sentences,
+           n_blocked_words = 0 AS flag_blocklist,
+           NOT has_brace AS flag_no_code,
+           NOT has_lorem AS flag_no_lorem,
+           n_sentences >= 3 AND n_blocked_words = 0
+             AND NOT has_brace AND NOT has_lorem AS passes
+    FROM (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split_regex(text, '[.!?]'),
+                  s -> LENGTH(trim(s)) > 0)) AS BIGINT) AS n_sentences,
+             CAST(len(string_split_regex(text, '\n')) AS BIGINT) AS n_lines,
+             len(list_filter(string_split_regex(text, '\n'),
+                 l -> regexp_matches(l, '[.!?]\\s*$')
+                      AND len(string_split_regex(trim(l), '\\s+')) >= 5))
+               AS kept,
+             CAST(len(list_intersect(list_distinct({_SQL_WORDS}),
+                  ['slow','small'])) AS BIGINT) AS n_blocked_words,
+             contains(lower(text), 'lorem ipsum') AS has_lorem,
+             contains(text, '{{') AS has_brace
+      FROM documents)
+    """,
+)
+def c4_filter_flags(spark, sf):
+    """The C4 cleaning rules (Raffel et al. 2020 §2.2) per document:
+    sentence-count floor, word-exact blocklist hit count, code and
+    placeholder markers, and the terminal-punctuation line keep
+    ratio. Like the Gopher gate this is pure per-row column math —
+    the blocklist rides the expression as an array literal (at real
+    blocklist sizes it would broadcast-join a token explode
+    instead)."""
+    from syncflux_spark.operators.textops import c4_filter_flags as op
+
+    return op(
+        load_table(spark, sf, "documents"), blocklist=["slow", "small"]
+    )
+
 
 @register(
     "vocab_growth_curve",
