@@ -255,8 +255,17 @@ def jaccard_verify(
       a near-dup-heavy fixture is not; at 100 TB with a low dup rate,
       add ``pairs = eager_persist(pairs)`` and semi-join ``df`` on
       the candidate ids before shingling."""
+    # shingle strings → 64-bit fingerprints before the pair joins:
+    # the persisted arrays shrink ~k× and intersect/union compare
+    # longs, not strings (Lee et al. '22 practice). Counts stay exact
+    # unless two DISTINCT shingles of one candidate pair collide in
+    # 64 bits — p ≈ m²/2⁶⁵ per pair (m = shingles/doc), immaterial at
+    # any m the pair stage can hold in memory.
     sh = eager_persist(
-        shingle_sets(df, text_col, id_col, k_shingle).withColumnRenamed("_sh", "sh")
+        shingle_sets(df, text_col, id_col, k_shingle).select(
+            F.col(id_col),
+            F.transform("_sh", lambda s: F.xxhash64(s)).alias("sh"),
+        )
     )  # scanned twice (both join sides) — eager so neither recomputes
     a = sh.alias("sa")
     b = sh.alias("sb")
@@ -327,8 +336,13 @@ def containment_pairs(
     stays for the cheap moderate-skew regime. Verify cost is
     O(candidates × shingles), identical shape to jaccard_verify."""
     pairs = lsh_candidate_pairs(df, text_col, id_col, k_shingle, n_hashes, band_size)
+    # 64-bit shingle fingerprints for the verify arrays — same exact-
+    # count argument as jaccard_verify (collision bound m²/2⁶⁵/pair)
     sh = eager_persist(
-        shingle_sets(df, text_col, id_col, k_shingle).withColumnRenamed("_sh", "sh")
+        shingle_sets(df, text_col, id_col, k_shingle).select(
+            F.col(id_col),
+            F.transform("_sh", lambda s: F.xxhash64(s)).alias("sh"),
+        )
     )
     a = sh.alias("ca")
     b = sh.alias("cb")
@@ -396,14 +410,22 @@ def containment_pairs_exact(
     all-pairs stage anywhere."""
     # persisted: scanned twice (df aggregation + the df join-back);
     # recomputing would re-shingle the corpus — measured 7.3s → 6.0s
-    # at sf0.1 for the k=12 registry entry
+    # at sf0.1 for the k=12 registry entry. Shingles drop to 64-bit
+    # fingerprints at the explode: every downstream stage (df agg,
+    # prefix/index joins, verify intersections) shuffles and compares
+    # longs instead of k-char strings. The prefix-filter guarantee
+    # only needs SOME consistent global total order — (df, hash) is
+    # one — and the exact-count collision bound is the
+    # jaccard_verify one (m²/2⁶⁵ per pair).
     sh = eager_persist(
-        spread_for_cpu(df).select(
+        spread_for_cpu(df)
+        .select(
             F.col(id_col),
             F.explode(
                 F.array_distinct(char_shingles(text_col, k_shingle))
-            ).alias("s"),
+            ).alias("_raw"),
         )
+        .select(F.col(id_col), F.xxhash64("_raw").alias("s"))
     )
     dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     docs = eager_persist(
