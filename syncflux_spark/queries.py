@@ -827,9 +827,12 @@ def doc_novelty(spark, sf):
     100 TB is the same incremental index incremental_dedup reads.
     Integer counts ride to one final division."""
     docs = load_table(spark, sf, "documents")
+    # 64-bit shingle fingerprints before the shuffle (the
+    # jaccard_verify trick): the window key is a long, not a 5-char
+    # string; df counts are collision-exact to ~m²/2⁶⁵ per doc
     ex = dd.shingle_sets(docs).select(
-        "doc_id", F.explode("_sh").alias("s")
-    )
+        "doc_id", F.explode("_sh").alias("_raw")
+    ).select("doc_id", F.xxhash64("_raw").alias("s"))
     # document frequency as a WINDOW over the shingle key, not a
     # groupBy + join-back (same rewrite as duplicate_spans): one
     # shuffle on s attaches df in the same pass. Gain here is modest
