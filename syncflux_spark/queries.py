@@ -10570,6 +10570,141 @@ def dedup_cross_source_matrix(spark, sf):
     )
 
 
+@register(
+    "entity_match_pairs",
+    """
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
+    FROM customer a JOIN customer b
+      ON substring(a.c_name, 1, length(a.c_name) - 2)
+         = substring(b.c_name, 1, length(b.c_name) - 2)
+     AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    """,
+)
+def entity_match_pairs(spark, sf):
+    """Record linkage (entity resolution): customer-name pairs within
+    Levenshtein distance 1, candidates generated by BLOCKING on the
+    name minus its last two characters — the Fellegi-Sunter-style
+    decomposition where a cheap deterministic block key bounds the
+    candidate set and the exact edit distance (codegen
+    ``levenshtein``, no UDF) runs on candidates only. One self-join
+    shuffle on the block key; block sizes, not corpus², bound the
+    fan-out — the linkage analogue of LSH banding."""
+    cust = load_table(spark, sf, "customer")
+    return dd.blocked_edit_distance_pairs(
+        cust,
+        key_col="c_name",
+        id_col="c_custkey",
+        block_col=F.expr("substring(c_name, 1, length(c_name) - 2)"),
+        max_dist=1,
+    ).select("id_a", "id_b", F.col("dist").cast("int").alias("dist"))
+
+
+_CDC_CHANGES_SQL = """
+      SELECT o_orderkey AS k, 'U' AS op, o_orderstatus AS s,
+             o_totalprice * 1.1 AS p
+      FROM orders WHERE o_orderkey % 10 = 3
+      UNION ALL
+      SELECT o_orderkey, 'D', o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 10 = 7
+      UNION ALL
+      SELECT o_orderkey + 10000000, 'I', 'N', o_totalprice + 5
+      FROM orders WHERE o_orderkey % 10 = 1
+"""
+
+
+def _cdc_fixture(spark, sf):
+    """Deterministic I/U/D batch derived from orders: keys ≡3 (mod
+    10) are updates (+10% price), ≡7 deletes, ≡1 re-keyed inserts."""
+    base = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    upd = base.where(k % 10 == 3).select(
+        k.alias("o_orderkey"),
+        F.lit("U").alias("op"),
+        F.col("o_orderstatus"),
+        (F.col("o_totalprice") * 1.1).alias("o_totalprice"),
+    )
+    dele = base.where(k % 10 == 7).select(
+        k.alias("o_orderkey"),
+        F.lit("D").alias("op"),
+        "o_orderstatus",
+        "o_totalprice",
+    )
+    ins = base.where(k % 10 == 1).select(
+        (k + 10_000_000).alias("o_orderkey"),
+        F.lit("I").alias("op"),
+        F.lit("N").alias("o_orderstatus"),
+        (F.col("o_totalprice") + 5).alias("o_totalprice"),
+    )
+    return base, upd.unionByName(dele).unionByName(ins)
+
+
+@register(
+    "cdc_merge_apply",
+    f"""
+    WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+    ch AS ({_CDC_CHANGES_SQL})
+    SELECT b.o_orderkey,
+           CASE WHEN c.op IN ('U','I') THEN c.s
+                ELSE b.o_orderstatus END AS o_orderstatus,
+           CASE WHEN c.op IN ('U','I') THEN c.p
+                ELSE b.o_totalprice END AS o_totalprice
+    FROM base b LEFT JOIN ch c ON b.o_orderkey = c.k
+    WHERE c.op IS NULL OR c.op <> 'D'
+    UNION ALL
+    SELECT c.k, c.s, c.p
+    FROM ch c LEFT JOIN base b ON b.o_orderkey = c.k
+    WHERE c.op = 'I' AND b.o_orderkey IS NULL
+    """,
+)
+def cdc_merge_apply(spark, sf):
+    """CDC MERGE INTO over plain parquet: apply a deterministic
+    insert/update/delete batch to the orders base table and return
+    the merged table. One equality join of base against the (small,
+    broadcastable) change batch plus an anti-joined insert union —
+    the lakehouse merge shape with no transaction log
+    (operators/cdc.py::apply_changes)."""
+    from syncflux_spark.operators.cdc import apply_changes
+
+    base, changes = _cdc_fixture(spark, sf)
+    return apply_changes(base, changes, key_col="o_orderkey")
+
+
+@register(
+    "cdc_merge_audit",
+    f"""
+    WITH base AS (SELECT o_orderkey FROM orders),
+    ch AS ({_CDC_CHANGES_SQL}),
+    j AS (SELECT ch.op, b.o_orderkey IS NOT NULL AS present
+          FROM ch LEFT JOIN base b ON b.o_orderkey = ch.k)
+    SELECT CAST(SUM(CASE WHEN op = 'I' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_insert,
+           CAST(SUM(CASE WHEN op = 'U' AND present THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_update,
+           CAST(SUM(CASE WHEN op = 'D' AND present THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_delete,
+           CAST(SUM(CASE WHEN op <> 'I' AND NOT present THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_noop,
+           CAST(SUM(CASE WHEN op = 'I' AND NOT present THEN 1 ELSE 0 END)
+             - SUM(CASE WHEN op = 'D' AND present THEN 1 ELSE 0 END)
+             AS BIGINT) AS row_delta
+    FROM j
+    """,
+)
+def cdc_merge_audit(spark, sf):
+    """The merge-job audit row: applied insert/update/delete counts,
+    no-op changes (U/D on absent keys), and the net row delta — what
+    a nightly merge logs before committing. One aggregate over the
+    change batch left-joined to base keys."""
+    from syncflux_spark.operators.cdc import change_counts
+
+    base, changes = _cdc_fixture(spark, sf)
+    return change_counts(base, changes, key_col="o_orderkey")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.spark for name, q in REGISTRY.items()}
 
