@@ -109,6 +109,11 @@ HEADLINE = [
     "global_value_quantiles",
     "influxql_integral_daily",
     "training_shard_manifest",
+    "influxql_math_fns",
+    "gopher_quality_flags",
+    "c4_filter_flags",
+    "entity_match_pairs",
+    "cdc_merge_apply",
 ]
 
 
