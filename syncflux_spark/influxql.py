@@ -345,7 +345,8 @@ class Proj:
     arg: float | None = None  # percentile argument
     alias: str | None = None
     transform: str | None = None  # outer derivative/moving_average/...
-    transform_arg: int | float | None = None  # unit ns / window n
+    transform_arg: int | float | None = None  # unit ns / window n / N
+    transform_arg2: int | float | None = None  # holt_winters season S
     expr: object | None = None  # PBin tree for arithmetic projections
 
     @property
@@ -510,6 +511,8 @@ _TRANSFORM_FUNCS = {
     "moving_average",
     "cumulative_sum",
     "elapsed",
+    "holt_winters",
+    "holt_winters_with_fit",
 }
 
 
@@ -708,20 +711,33 @@ class _Parser:
             # raw-field inner is legal too (per-point transformations
             # over raw selects); validation of which combination is
             # allowed happens at compile time
-            targ: int | float | None = None
-            if self.peek() and self.peek().text == ",":
+            targs: list[int | float] = []
+            while self.peek() and self.peek().text == ",":
                 self.next()
                 a = self.next()
                 if a.kind == "duration":
-                    targ = int(parse_duration(a.text).total_seconds() * 1e9)
+                    targs.append(
+                        int(parse_duration(a.text).total_seconds() * 1e9)
+                    )
                 elif a.kind == "number":
-                    targ = float(a.text) if "." in a.text else int(a.text)
+                    targs.append(float(a.text) if "." in a.text else int(a.text))
                 else:
                     raise InfluxQLError(f"bad {transform} argument {a.text!r}")
             self.expect_op(")")
+            if transform in ("holt_winters", "holt_winters_with_fit"):
+                if len(targs) != 2:
+                    raise InfluxQLError(
+                        f"{transform}(func(..), N, S) takes exactly two "
+                        f"arguments, got {len(targs)}"
+                    )
+            elif len(targs) > 1:
+                raise InfluxQLError(
+                    f"{transform}() takes at most one argument"
+                )
             alias = self.ident() if self.accept_kw("as") else None
             inner.transform = transform
-            inner.transform_arg = targ
+            inner.transform_arg = targs[0] if targs else None
+            inner.transform_arg2 = targs[1] if len(targs) > 1 else None
             inner.alias = alias
             return inner
         e = self._proj_sum()
@@ -1745,6 +1761,11 @@ class InfluxQLEngine:
         ] + posts
         out = out.select(*sel)
 
+        if any(
+            p.transform in ("holt_winters", "holt_winters_with_fit")
+            for p in st.projs
+        ):
+            return self._apply_holt_winters(out, st, group_tags, bucket is not None)
         if any(p.transform for p in st.projs):
             out = self._apply_transforms(out, st, group_tags, bucket is not None)
 
@@ -1920,6 +1941,144 @@ class InfluxQLEngine:
                 cond = cond & c
             out = out.where(cond)
         return out
+
+    def _apply_holt_winters(
+        self, out: DataFrame, st: SelectStmt, group_tags: list[str], has_bucket: bool
+    ) -> DataFrame:
+        """``holt_winters(func(v), N, S)`` over a ``GROUP BY time``
+        rollup: N forecast buckets past each series' end, spaced by
+        the group interval. Follows the engine's deterministic HW
+        variant (see queries.py::ts_holt_winters): additive level +
+        trend with dyadic α=1/2, β=1/4 run in fixed-point int64
+        micros — InfluxDB fits α/β per query by Nelder-Mead, which is
+        non-reproducible across builds, so this dialect documents
+        fixed constants instead. S (seasonal period) must be 0; the
+        seasonal form is not implemented. ``holt_winters_with_fit``
+        additionally emits the one-step-ahead fitted value for every
+        input bucket before the forecasts.
+
+        Scale shape: the recurrence folds over the ROLLUP (one row
+        per bucket × series), grouped per series — the collect is
+        bounded by buckets-per-series, never fact rows; forecasts
+        explode from an in-row sequence. One extra exchange on the
+        tag key beyond the rollup's own."""
+        if not has_bucket:
+            raise InfluxQLError("holt_winters requires GROUP BY time(...)")
+        hw = [p for p in st.projs if p.transform in
+              ("holt_winters", "holt_winters_with_fit")]
+        if len(hw) != 1 or len(st.projs) != 1:
+            raise InfluxQLError(
+                "holt_winters must be the only projection in the select"
+            )
+        p = hw[0]
+        n_fc = int(p.transform_arg or 0)
+        season = int(p.transform_arg2 or 0)
+        if n_fc <= 0:
+            raise InfluxQLError("holt_winters forecast count must be >= 1")
+        if season != 0:
+            raise InfluxQLError(
+                "seasonal holt_winters (S > 0) is not implemented; use S=0"
+            )
+        name, iv = p.out_name, st.group_time_ns
+        tags = [F.col(t) for t in group_tags]
+        pts = F.array_sort(
+            F.collect_list(F.struct(F.col("time").alias("t"), F.col(name)))
+        )
+        g = out.groupBy(*tags).agg(pts.alias("_pts"))
+        # fixed-point micros of the rollup values, then the dyadic
+        # level/trend fold (identical recurrence to ts_holt_winters)
+        xs = F.transform(
+            "_pts",
+            lambda s: F.floor(s[name] * 1_000_000 + F.lit(0.5)).cast("long"),
+        )
+        g = g.select(*tags, F.col("_pts"), xs.alias("_xs"))
+        sts = F.transform(
+            "_xs",
+            lambda x: F.struct(
+                x.alias("x"), x.alias("l"), F.lit(0).cast("long").alias("b")
+            ),
+        )
+
+        def step(acc, e):
+            s_new = F.floor(
+                (e["x"] + acc["l"] + acc["b"]).cast("double") / F.lit(2.0)
+            ).cast("long")
+            b_new = (
+                F.floor((s_new - acc["l"]).cast("double") / F.lit(4.0)).cast("long")
+                + (
+                    acc["b"]
+                    - F.floor(acc["b"].cast("double") / F.lit(4.0)).cast("long")
+                )
+            )
+            return F.struct(e["x"].alias("x"), s_new.alias("l"), b_new.alias("b"))
+
+        fin = F.aggregate(
+            F.slice(sts, F.lit(2), F.size("_xs") - F.lit(1)),
+            F.element_at(sts, F.lit(1)),
+            step,
+        )
+        last_t = F.element_at("_pts", -1)["t"]
+        g = g.select(
+            *tags,
+            F.col("_pts"),
+            F.col("_xs"),
+            last_t.alias("_last_t"),
+            fin["l"].alias("_l"),
+            fin["b"].alias("_b"),
+        )
+        fc = F.transform(
+            F.sequence(F.lit(1), F.lit(n_fc)),
+            lambda h: F.struct(
+                (F.col("_last_t") + h.cast("long") * F.lit(iv)).alias("t"),
+                ((F.col("_l") + h.cast("long") * F.col("_b")) / F.lit(1e6)).alias("v"),
+            ),
+        )
+        if p.transform == "holt_winters_with_fit":
+            # fitted value for bucket i (1-based) = one-step-ahead
+            # prediction from the state after bucket i-1; bucket 1's
+            # fit is its own value (the seed state)
+            idx = F.sequence(F.lit(1), F.size("_pts"))
+            fit = F.transform(
+                idx,
+                lambda i: F.struct(
+                    F.element_at("_pts", i)["t"].alias("t"),
+                    F.when(
+                        i == 1,
+                        F.element_at("_xs", i).cast("double") / F.lit(1e6),
+                    )
+                    .otherwise(
+                        (
+                            F.aggregate(
+                                F.slice(sts, F.lit(2), i - F.lit(2)),
+                                F.element_at(sts, F.lit(1)),
+                                step,
+                            )["l"]
+                            + F.aggregate(
+                                F.slice(sts, F.lit(2), i - F.lit(2)),
+                                F.element_at(sts, F.lit(1)),
+                                step,
+                            )["b"]
+                        )
+                        / F.lit(1e6)
+                    )
+                    .alias("v"),
+                ),
+            )
+            rows = F.concat(fit, fc)
+        else:
+            rows = fc
+        res = g.select(*tags, F.explode(rows).alias("_r")).select(
+            F.col("_r.t").alias("time"),
+            *[F.col(t) for t in group_tags],
+            F.col("_r.v").alias(name),
+        )
+        order = [F.desc("time")] if st.order_desc else [F.asc("time")]
+        res = res.orderBy(*order)
+        if st.offset:
+            res = res.offset(st.offset)
+        if st.limit is not None:
+            res = res.limit(st.limit)
+        return res
 
     def _agg_exprs(self, p: Proj, idx: int, ns: Column | None = None) -> list[Column]:
         """Partial-aggregable pieces for projection ``idx``; the final

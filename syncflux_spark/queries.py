@@ -9725,6 +9725,62 @@ def influxql_math_of_agg(spark, sf):
 
 
 @register(
+    "influxql_holt_winters",
+    f"""
+    WITH RECURSIVE roll AS (
+      SELECT (u - u % 86400000000) AS lb, event_type,
+             CAST(SUM(v) AS DOUBLE) / COUNT(*) AS m
+      FROM (SELECT epoch_us(ts) AS u, event_type,
+                   {_sql_micros('value')} AS v
+            FROM events
+            WHERE ts >= TIMESTAMP '{EV_WIN[0]}'
+              AND ts < TIMESTAMP '{EV_WIN[1]}')
+      GROUP BY 1, 2
+    ),
+    x AS (
+      SELECT event_type,
+             CAST(FLOOR(m * 1000000 + 0.5) AS BIGINT) AS xm,
+             row_number() OVER (PARTITION BY event_type ORDER BY lb) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n,
+             max(lb) OVER (PARTITION BY event_type) AS last_lb
+      FROM roll
+    ),
+    st AS (
+      SELECT event_type, rn, n, last_lb, xm AS l, CAST(0 AS BIGINT) AS b
+      FROM x WHERE rn = 1
+      UNION ALL
+      SELECT x.event_type, x.rn, x.n, x.last_lb,
+             CAST(FLOOR((x.xm + st.l + st.b)::DOUBLE / 2.0) AS BIGINT) AS l,
+             CAST(FLOOR((CAST(FLOOR((x.xm + st.l + st.b)::DOUBLE / 2.0)
+                              AS BIGINT) - st.l)::DOUBLE / 4.0) AS BIGINT)
+               + (st.b - CAST(FLOOR(st.b::DOUBLE / 4.0) AS BIGINT)) AS b
+      FROM st JOIN x ON x.event_type = st.event_type AND x.rn = st.rn + 1
+    )
+    SELECT (st.last_lb + h.h * 86400000000) * 1000 AS time,
+           st.event_type,
+           (st.l + h.h * st.b) / 1000000.0 AS holt_winters
+    FROM st CROSS JOIN (SELECT 1 AS h UNION ALL SELECT 2 UNION ALL
+                        SELECT 3) h
+    WHERE st.rn = st.n
+    """,
+)
+def influxql_holt_winters(spark, sf):
+    """InfluxQL ``holt_winters(mean(v), N, 0)`` through the dialect:
+    N forecast buckets per series past the rollup's end, using the
+    engine's deterministic double-exponential-smoothing variant
+    (dyadic α=1/2 β=1/4 in fixed-point micros — InfluxDB's
+    Nelder-Mead fit is non-reproducible, so the dialect documents
+    fixed constants; see influxql.py::_apply_holt_winters). The
+    recurrence folds over the ROLLUP per series — collect size is
+    buckets-per-series, never fact rows."""
+    return _influxql_events(spark, sf).query(
+        f"SELECT holt_winters(mean(value), 3, 0) FROM events "
+        f"WHERE time >= '{EV_WIN[0]}' AND time < '{EV_WIN[1]}' "
+        f"GROUP BY time(1d), event_type"
+    )
+
+
+@register(
     "influxql_tz_daily",
     f"""
     SELECT (lb + 18000000000) * 1000 AS time, event_type,

@@ -1620,3 +1620,73 @@ class TestMathFunctions:
     def test_unknown_function_still_rejected(self):
         with pytest.raises(InfluxQLError):
             parse('SELECT frobnicate("value") FROM m')
+
+
+class TestHoltWinters:
+    """holt_winters(func(v), N, S) transform: forecast shape, fitted
+    variant, argument validation. Values are oracle-gated
+    (influxql_holt_winters); these pin the dialect semantics."""
+
+    def test_forecast_rows_and_spacing(self, engine, events):
+        df = engine.query(
+            "SELECT holt_winters(mean(value), 3, 0) FROM events "
+            "WHERE time >= '2024-01-05' AND time < '2024-01-12' "
+            "GROUP BY time(1d), event_type"
+        )
+        rows = df.collect()
+        per_type: dict[str, list[int]] = {}
+        for r in rows:
+            per_type.setdefault(r.event_type, []).append(r.time)
+        n_types = events.where(
+            (F.col("ts") >= "2024-01-05") & (F.col("ts") < "2024-01-12")
+        ).select("event_type").distinct().count()
+        assert len(per_type) == n_types
+        day = 86_400 * 10**9
+        for times in per_type.values():
+            assert len(times) == 3
+            ts = sorted(times)
+            assert ts[1] - ts[0] == day and ts[2] - ts[1] == day
+        assert df.columns == ["time", "event_type", "holt_winters"]
+
+    def test_with_fit_includes_input_buckets(self, engine):
+        df = engine.query(
+            "SELECT holt_winters_with_fit(mean(value), 2, 0) FROM events "
+            "WHERE time >= '2024-01-05' AND time < '2024-01-12' "
+            "GROUP BY time(1d)"
+        )
+        rows = df.collect()
+        # 7 daily buckets fitted + 2 forecasts
+        assert len(rows) == 9
+        # first fitted value equals the first bucket's own mean
+        # (seed state), to fixed-point micros
+        first = rows[0]
+        assert first.holt_winters_with_fit == pytest.approx(
+            engine.query(
+                "SELECT mean(value) AS m FROM events "
+                "WHERE time >= '2024-01-05' AND time < '2024-01-06' "
+                "GROUP BY time(1d)"
+            ).collect()[0].m,
+            abs=1e-6,
+        )
+
+    def test_argument_validation(self, engine):
+        with pytest.raises(InfluxQLError, match="two"):
+            engine.query(
+                "SELECT holt_winters(mean(value), 3) FROM events "
+                "WHERE time > 0 GROUP BY time(1d)"
+            )
+        with pytest.raises(InfluxQLError, match="seasonal"):
+            engine.query(
+                "SELECT holt_winters(mean(value), 3, 4) FROM events "
+                "WHERE time > 0 GROUP BY time(1d)"
+            )
+        with pytest.raises(InfluxQLError, match="only projection"):
+            engine.query(
+                "SELECT holt_winters(mean(value), 3, 0), count(value) "
+                "FROM events WHERE time > 0 GROUP BY time(1d)"
+            )
+        with pytest.raises(InfluxQLError, match="GROUP BY time"):
+            engine.query(
+                "SELECT holt_winters(mean(value), 3, 0) FROM events "
+                "WHERE time > 0 GROUP BY event_type"
+            )
