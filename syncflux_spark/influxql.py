@@ -513,6 +513,7 @@ _TRANSFORM_FUNCS = {
     "elapsed",
     "holt_winters",
     "holt_winters_with_fit",
+    "exponential_moving_average",
 }
 
 
@@ -1766,6 +1767,10 @@ class InfluxQLEngine:
             for p in st.projs
         ):
             return self._apply_holt_winters(out, st, group_tags, bucket is not None)
+        if any(
+            p.transform == "exponential_moving_average" for p in st.projs
+        ):
+            return self._apply_ema(out, st, group_tags, bucket is not None)
         if any(p.transform for p in st.projs):
             out = self._apply_transforms(out, st, group_tags, bucket is not None)
 
@@ -1941,6 +1946,76 @@ class InfluxQLEngine:
                 cond = cond & c
             out = out.where(cond)
         return out
+
+    def _apply_ema(
+        self, out: DataFrame, st: SelectStmt, group_tags: list[str], has_bucket: bool
+    ) -> DataFrame:
+        """``exponential_moving_average(func(v), N)`` over a ``GROUP
+        BY time`` rollup: one EMA value per bucket per series, with
+        InfluxQL's α = 2/(N+1) smoothing and EMA₁ = x₁ seeding.
+
+        Determinism: α and β = 1-α are computed ONCE in Python and
+        inlined as literals into both the Spark fold and the DuckDB
+        oracle, and each step is the fixed two-multiply-one-add
+        sequence ``x·α + acc·β`` — individually-rounded IEEE ops in a
+        fixed order, so the recurrence is bit-identical across
+        engines (reassociation, the usual float hazard, never
+        happens; neither engine contracts the step into an FMA).
+
+        Shape: the rollup collapses to one ordered array per series
+        (bounded by buckets-per-series, never fact rows); bucket i's
+        EMA is a left fold over the first i values — O(buckets²)
+        in-row work per series, all inside one codegen projection; at
+        1 k buckets/series that is ~10⁶ fused multiply-adds per row,
+        far below the cost of the rollup's own shuffle."""
+        if not has_bucket:
+            raise InfluxQLError(
+                "exponential_moving_average requires GROUP BY time(...)"
+            )
+        if len(st.projs) != 1:
+            raise InfluxQLError(
+                "exponential_moving_average must be the only projection "
+                "in the select"
+            )
+        p = st.projs[0]
+        n = int(p.transform_arg or 0)
+        if n < 1:
+            raise InfluxQLError(
+                "exponential_moving_average period must be >= 1"
+            )
+        alpha = 2.0 / (n + 1.0)
+        beta = 1.0 - alpha
+        name, tags = p.out_name, [F.col(t) for t in group_tags]
+        pts = F.array_sort(
+            F.collect_list(F.struct(F.col("time").alias("t"), F.col(name)))
+        )
+        g = out.groupBy(*tags).agg(pts.alias("_pts"))
+        xs = F.transform("_pts", lambda s: s[name].cast("double"))
+        g = g.select(*tags, F.col("_pts"), xs.alias("_xs"))
+        idx = F.sequence(F.lit(1), F.size("_xs"))
+        emas = F.transform(
+            idx,
+            lambda i: F.struct(
+                F.element_at("_pts", i)["t"].alias("t"),
+                F.aggregate(
+                    F.slice("_xs", F.lit(2), i - F.lit(1)),
+                    F.element_at("_xs", F.lit(1)),
+                    lambda acc, x: x * F.lit(alpha) + acc * F.lit(beta),
+                ).alias("v"),
+            ),
+        )
+        res = g.select(*tags, F.explode(emas).alias("_r")).select(
+            F.col("_r.t").alias("time"),
+            *[F.col(t) for t in group_tags],
+            F.col("_r.v").alias(name),
+        )
+        order = [F.desc("time")] if st.order_desc else [F.asc("time")]
+        res = res.orderBy(*order)
+        if st.offset:
+            res = res.offset(st.offset)
+        if st.limit is not None:
+            res = res.limit(st.limit)
+        return res
 
     def _apply_holt_winters(
         self, out: DataFrame, st: SelectStmt, group_tags: list[str], has_bucket: bool

@@ -9780,6 +9780,56 @@ def influxql_holt_winters(spark, sf):
     )
 
 
+#: InfluxQL EMA(N=5): α = 2/(N+1), β = 1-α — computed once here and
+#: inlined as literals into BOTH engines (repr round-trips doubles)
+_EMA_ALPHA = 2.0 / 6.0
+_EMA_BETA = 1.0 - _EMA_ALPHA
+
+
+@register(
+    "influxql_ema_daily",
+    f"""
+    WITH RECURSIVE roll AS (
+      SELECT (u - u % 86400000000) AS lb, event_type,
+             CAST(SUM(v) AS DOUBLE) / COUNT(*) AS m
+      FROM (SELECT epoch_us(ts) AS u, event_type,
+                   {_sql_micros('value')} AS v
+            FROM events
+            WHERE ts >= TIMESTAMP '{EV_WIN[0]}'
+              AND ts < TIMESTAMP '{EV_WIN[1]}')
+      GROUP BY 1, 2
+    ),
+    x AS (
+      SELECT event_type, lb, m,
+             row_number() OVER (PARTITION BY event_type ORDER BY lb) AS rn
+      FROM roll
+    ),
+    st AS (
+      SELECT event_type, lb, rn, m AS ema FROM x WHERE rn = 1
+      UNION ALL
+      SELECT x.event_type, x.lb, x.rn,
+             x.m * {_EMA_ALPHA!r} + st.ema * {_EMA_BETA!r} AS ema
+      FROM st JOIN x ON x.event_type = st.event_type AND x.rn = st.rn + 1
+    )
+    SELECT lb * 1000 AS time, event_type,
+           ema AS exponential_moving_average
+    FROM st
+    """,
+)
+def influxql_ema_daily(spark, sf):
+    """InfluxQL ``exponential_moving_average(mean(v), N)`` through the
+    dialect: one EMA per daily bucket per series, α = 2/(N+1) with
+    EMA₁ = x₁ seeding. α/β are inlined as identical literals in both
+    engines and each step is a fixed two-multiply-one-add IEEE
+    sequence, so the recursive-CTE oracle is bit-identical to the
+    Spark fold (influxql.py::_apply_ema)."""
+    return _influxql_events(spark, sf).query(
+        f"SELECT exponential_moving_average(mean(value), 5) FROM events "
+        f"WHERE time >= '{EV_WIN[0]}' AND time < '{EV_WIN[1]}' "
+        f"GROUP BY time(1d), event_type"
+    )
+
+
 @register(
     "influxql_tz_daily",
     f"""

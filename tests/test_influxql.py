@@ -1690,3 +1690,53 @@ class TestHoltWinters:
                 "SELECT holt_winters(mean(value), 3, 0) FROM events "
                 "WHERE time > 0 GROUP BY event_type"
             )
+
+
+class TestExponentialMovingAverage:
+    def test_one_value_per_bucket(self, engine, events):
+        df = engine.query(
+            "SELECT exponential_moving_average(mean(value), 5) FROM events "
+            "WHERE time >= '2024-01-05' AND time < '2024-01-12' "
+            "GROUP BY time(1d)"
+        )
+        rows = df.collect()
+        assert len(rows) == 7  # one per daily bucket, no warm-up gap
+        assert df.columns == ["time", "exponential_moving_average"]
+
+    def test_seed_and_recurrence(self, engine):
+        means = {
+            r.time: r.m
+            for r in engine.query(
+                "SELECT mean(value) AS m FROM events "
+                "WHERE time >= '2024-01-05' AND time < '2024-01-08' "
+                "GROUP BY time(1d)"
+            ).collect()
+        }
+        out = {
+            r.time: r.exponential_moving_average
+            for r in engine.query(
+                "SELECT exponential_moving_average(mean(value), 5) "
+                "FROM events "
+                "WHERE time >= '2024-01-05' AND time < '2024-01-08' "
+                "GROUP BY time(1d)"
+            ).collect()
+        }
+        ts = sorted(means)
+        a, b = 2.0 / 6.0, 1.0 - 2.0 / 6.0
+        ema = means[ts[0]]
+        assert out[ts[0]] == ema  # EMA_1 = x_1
+        for t in ts[1:]:
+            ema = means[t] * a + ema * b
+            assert out[t] == ema  # bit-exact fixed-order recurrence
+
+    def test_validation(self, engine):
+        with pytest.raises(InfluxQLError, match="GROUP BY time"):
+            engine.query(
+                "SELECT exponential_moving_average(mean(value), 5) "
+                "FROM events WHERE time > 0 GROUP BY event_type"
+            )
+        with pytest.raises(InfluxQLError, match=">= 1"):
+            engine.query(
+                "SELECT exponential_moving_average(mean(value), 0) "
+                "FROM events WHERE time > 0 GROUP BY time(1d)"
+            )
