@@ -514,6 +514,7 @@ _TRANSFORM_FUNCS = {
     "holt_winters",
     "holt_winters_with_fit",
     "exponential_moving_average",
+    "relative_strength_index",
 }
 
 
@@ -1771,6 +1772,10 @@ class InfluxQLEngine:
             p.transform == "exponential_moving_average" for p in st.projs
         ):
             return self._apply_ema(out, st, group_tags, bucket is not None)
+        if any(
+            p.transform == "relative_strength_index" for p in st.projs
+        ):
+            return self._apply_rsi(out, st, group_tags, bucket is not None)
         if any(p.transform for p in st.projs):
             out = self._apply_transforms(out, st, group_tags, bucket is not None)
 
@@ -2005,6 +2010,96 @@ class InfluxQLEngine:
             ),
         )
         res = g.select(*tags, F.explode(emas).alias("_r")).select(
+            F.col("_r.t").alias("time"),
+            *[F.col(t) for t in group_tags],
+            F.col("_r.v").alias(name),
+        )
+        order = [F.desc("time")] if st.order_desc else [F.asc("time")]
+        res = res.orderBy(*order)
+        if st.offset:
+            res = res.offset(st.offset)
+        if st.limit is not None:
+            res = res.limit(st.limit)
+        return res
+
+    def _apply_rsi(
+        self, out: DataFrame, st: SelectStmt, group_tags: list[str], has_bucket: bool
+    ) -> DataFrame:
+        """``relative_strength_index(func(v), N)`` over a ``GROUP BY
+        time`` rollup: Wilder's RSI per bucket per series. Gains and
+        losses of consecutive bucket values seed an N-bucket simple
+        average and then smooth by Wilder's recurrence
+        ``ag' = (ag·(N-1) + g) / N``; RSI = 100·ag/(ag+al), emitted
+        from bucket N+1 onward (matching InfluxDB's warm-up), null
+        when the window saw no movement. Every step is a fixed
+        sequence of individually-rounded IEEE ops with literal
+        constants shared with the oracle — bit-deterministic, same
+        argument as ``_apply_ema``. Per-bucket prefix folds are
+        O(buckets²) in-row over the collapsed rollup."""
+        if not has_bucket:
+            raise InfluxQLError(
+                "relative_strength_index requires GROUP BY time(...)"
+            )
+        if len(st.projs) != 1:
+            raise InfluxQLError(
+                "relative_strength_index must be the only projection "
+                "in the select"
+            )
+        p = st.projs[0]
+        n = int(p.transform_arg or 0)
+        if n < 1:
+            raise InfluxQLError("relative_strength_index period must be >= 1")
+        fn, fn1 = float(n), float(n - 1)
+        name, tags = p.out_name, [F.col(t) for t in group_tags]
+        pts = F.array_sort(
+            F.collect_list(F.struct(F.col("time").alias("t"), F.col(name)))
+        )
+        g = out.groupBy(*tags).agg(pts.alias("_pts"))
+        xs = F.transform("_pts", lambda s: s[name].cast("double"))
+        g = g.select(*tags, F.col("_pts"), xs.alias("_xs"))
+
+        def step(acc, x):
+            k = acc["k"] + F.lit(1)
+            gain = F.greatest(x - acc["prev"], F.lit(0.0))
+            loss = F.greatest(acc["prev"] - x, F.lit(0.0))
+            ag = F.when(k <= n, acc["ag"] + gain / F.lit(fn)).otherwise(
+                (acc["ag"] * F.lit(fn1) + gain) / F.lit(fn)
+            )
+            al = F.when(k <= n, acc["al"] + loss / F.lit(fn)).otherwise(
+                (acc["al"] * F.lit(fn1) + loss) / F.lit(fn)
+            )
+            return F.struct(
+                x.alias("prev"), ag.alias("ag"), al.alias("al"), k.alias("k")
+            )
+
+        seed = F.struct(
+            F.element_at("_xs", F.lit(1)).alias("prev"),
+            F.lit(0.0).alias("ag"),
+            F.lit(0.0).alias("al"),
+            F.lit(0).alias("k"),
+        )
+        # bucket j's state folds buckets 2..j; RSI defined for j >= N+1
+        idx = F.when(
+            F.size("_xs") >= n + 1,
+            F.sequence(F.lit(n + 1), F.size("_xs")),
+        ).otherwise(F.array().cast("array<int>"))
+        rsis = F.transform(
+            idx,
+            lambda j: F.struct(
+                F.element_at("_pts", j)["t"].alias("t"),
+                (
+                    lambda s: F.when(
+                        s["ag"] + s["al"] != F.lit(0.0),
+                        (F.lit(100.0) * s["ag"]) / (s["ag"] + s["al"]),
+                    )
+                )(
+                    F.aggregate(
+                        F.slice("_xs", F.lit(2), j - F.lit(1)), seed, step
+                    )
+                ).alias("v"),
+            ),
+        )
+        res = g.select(*tags, F.explode(rsis).alias("_r")).select(
             F.col("_r.t").alias("time"),
             *[F.col(t) for t in group_tags],
             F.col("_r.v").alias(name),

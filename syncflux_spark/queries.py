@@ -9831,6 +9831,61 @@ def influxql_ema_daily(spark, sf):
 
 
 @register(
+    "influxql_rsi_daily",
+    f"""
+    WITH RECURSIVE roll AS (
+      SELECT (u - u % 86400000000) AS lb, event_type,
+             CAST(SUM(v) AS DOUBLE) / COUNT(*) AS m
+      FROM (SELECT epoch_us(ts) AS u, event_type,
+                   {_sql_micros('value')} AS v
+            FROM events
+            WHERE ts >= TIMESTAMP '{EV_WIN[0]}'
+              AND ts < TIMESTAMP '{EV_WIN[1]}')
+      GROUP BY 1, 2
+    ),
+    x AS (
+      SELECT event_type, lb, m,
+             row_number() OVER (PARTITION BY event_type ORDER BY lb) AS rn
+      FROM roll
+    ),
+    st AS (
+      SELECT event_type, lb, rn, m AS prev,
+             CAST(0.0 AS DOUBLE) AS ag, CAST(0.0 AS DOUBLE) AS al
+      FROM x WHERE rn = 1
+      UNION ALL
+      SELECT x.event_type, x.lb, x.rn, x.m,
+             CASE WHEN x.rn - 1 <= 3
+                  THEN st.ag + GREATEST(x.m - st.prev, 0.0) / 3.0
+                  ELSE (st.ag * 2.0 + GREATEST(x.m - st.prev, 0.0)) / 3.0
+             END AS ag,
+             CASE WHEN x.rn - 1 <= 3
+                  THEN st.al + GREATEST(st.prev - x.m, 0.0) / 3.0
+                  ELSE (st.al * 2.0 + GREATEST(st.prev - x.m, 0.0)) / 3.0
+             END AS al
+      FROM st JOIN x ON x.event_type = st.event_type AND x.rn = st.rn + 1
+    )
+    SELECT lb * 1000 AS time, event_type,
+           CASE WHEN ag + al <> 0.0
+                THEN (100.0 * ag) / (ag + al) END AS relative_strength_index
+    FROM st WHERE rn >= 4
+    """,
+)
+def influxql_rsi_daily(spark, sf):
+    """InfluxQL ``relative_strength_index(mean(v), N)`` through the
+    dialect: Wilder RSI per daily bucket per series — N-bucket simple
+    average warm-up, then ``ag' = (ag·(N-1)+g)/N`` smoothing, emitted
+    from bucket N+1 (InfluxDB's warm-up) with RSI = 100·ag/(ag+al).
+    The recursive-CTE oracle replays the identical fixed-order IEEE
+    sequence, so the match is bit-exact
+    (influxql.py::_apply_rsi)."""
+    return _influxql_events(spark, sf).query(
+        f"SELECT relative_strength_index(mean(value), 3) FROM events "
+        f"WHERE time >= '{EV_WIN[0]}' AND time < '{EV_WIN[1]}' "
+        f"GROUP BY time(1d), event_type"
+    )
+
+
+@register(
     "influxql_tz_daily",
     f"""
     SELECT (lb + 18000000000) * 1000 AS time, event_type,

@@ -1740,3 +1740,47 @@ class TestExponentialMovingAverage:
                 "SELECT exponential_moving_average(mean(value), 0) "
                 "FROM events WHERE time > 0 GROUP BY time(1d)"
             )
+
+
+class TestRelativeStrengthIndex:
+    def test_warmup_and_range(self, engine):
+        df = engine.query(
+            "SELECT relative_strength_index(mean(value), 3) FROM events "
+            "WHERE time >= '2024-01-05' AND time < '2024-01-12' "
+            "GROUP BY time(1d)"
+        )
+        rows = df.collect()
+        # 7 buckets, N=3 -> emitted from bucket 4
+        assert len(rows) == 4
+        for r in rows:
+            assert r.relative_strength_index is None or (
+                0.0 <= r.relative_strength_index <= 100.0
+            )
+
+    def test_monotone_series_saturates(self, spark):
+        from syncflux_spark.influxql import InfluxQLEngine
+        import pyspark.sql.functions as SF
+
+        # strictly increasing series: all gains, no losses -> RSI 100
+        df = spark.range(10).select(
+            SF.timestamp_seconds(
+                SF.lit(1704412800) + SF.col("id") * 3600
+            ).alias("ts"),
+            (SF.col("id") * 10 + 1).cast("double").alias("value"),
+        )
+        df = df.withColumn("ts_ns", SF.unix_micros("ts") * 1000)
+        eng = InfluxQLEngine(spark, tables={"m": df}, tags={"m": []})
+        out = eng.query(
+            "SELECT relative_strength_index(mean(value), 3) FROM m "
+            "WHERE time >= '2024-01-01' AND time < '2024-01-08' "
+            "GROUP BY time(1h)"
+        ).collect()
+        assert len(out) == 10 - 3
+        assert all(r.relative_strength_index == 100.0 for r in out)
+
+    def test_validation(self, engine):
+        with pytest.raises(InfluxQLError, match="GROUP BY time"):
+            engine.query(
+                "SELECT relative_strength_index(mean(value), 3) "
+                "FROM events WHERE time > 0 GROUP BY event_type"
+            )
