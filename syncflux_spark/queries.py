@@ -10866,6 +10866,50 @@ def cdc_merge_audit(spark, sf):
     return change_counts(base, changes, key_col="o_orderkey")
 
 
+@register(
+    "stream_cdc_apply",
+    f"""
+    WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+    ch AS ({_CDC_CHANGES_SQL})
+    SELECT b.o_orderkey,
+           CASE WHEN c.op IN ('U','I') THEN c.s
+                ELSE b.o_orderstatus END AS o_orderstatus,
+           CASE WHEN c.op IN ('U','I') THEN c.p
+                ELSE b.o_totalprice END AS o_totalprice
+    FROM base b LEFT JOIN ch c ON b.o_orderkey = c.k
+    WHERE c.op IS NULL OR c.op <> 'D'
+    UNION ALL
+    SELECT c.k, c.s, c.p
+    FROM ch c LEFT JOIN base b ON b.o_orderkey = c.k
+    WHERE c.op = 'I' AND b.o_orderkey IS NULL
+    """,
+)
+def stream_cdc_apply(spark, sf):
+    """Streaming CDC under the oracle gate: the I/U/D fixture batch
+    flows through a checkpointed readStream → foreachBatch merge
+    (streaming/cdc.py::CdcMergeStream — staging-swap base rewrite,
+    replay-idempotent by MERGE semantics), and the resulting base
+    table must hash-equal the one-shot SQL MERGE the oracle computes.
+    Restart/replay survival is separately proven in
+    tests/test_streaming.py::TestCdcMergeStream."""
+    from syncflux_spark.streaming.cdc import CdcMergeStream
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    root = tempfile.mkdtemp(prefix="sf_cdc_")
+    base, changes = _cdc_fixture(spark, sf)
+    base.write.mode("overwrite").parquet(f"{root}/base")
+    changes.write.mode("overwrite").parquet(f"{root}/changes")
+    s = CdcMergeStream(
+        spark,
+        f"{root}/changes",
+        f"{root}/base",
+        f"{root}/ckpt",
+        key_col="o_orderkey",
+    )
+    s.run_available()
+    return s.read_base()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.spark for name, q in REGISTRY.items()}
 

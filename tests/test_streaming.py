@@ -294,3 +294,84 @@ class TestStreamingKmvSketch:
         )[63]
         assert t2["click"].kth_hash == expect_kth2
         assert t2["click"].n_sample == 64
+
+
+class TestCdcMergeStream:
+    """Streaming MERGE: sequential batches across restarts equal the
+    one-shot merge; replayed change files are no-ops."""
+
+    @staticmethod
+    def _base(spark, path):
+        spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, "d", 40.0)],
+            "k long, status string, price double",
+        ).coalesce(1).write.mode("overwrite").parquet(path)
+
+    @staticmethod
+    def _changes(spark, path, rows):
+        spark.createDataFrame(
+            rows, "k long, op string, status string, price double"
+        ).coalesce(1).write.mode("append").parquet(path)
+
+    def test_cross_restart_merge(self, spark, tmp_path):
+        from syncflux_spark.streaming.cdc import CdcMergeStream
+
+        base = str(tmp_path / "base")
+        ch = str(tmp_path / "ch")
+        ckpt = str(tmp_path / "ckpt")
+        self._base(spark, base)
+        self._changes(spark, ch, [(2, "U", "b2", 22.0), (3, "D", None, None)])
+
+        s1 = CdcMergeStream(spark, ch, base, ckpt, key_col="k")
+        assert s1.run_available() == 1
+        got = {r.k: (r.status, r.price) for r in s1.read_base().collect()}
+        assert got == {1: ("a", 10.0), 2: ("b2", 22.0), 4: ("d", 40.0)}
+
+        # job down; more changes arrive; restart with same checkpoint
+        self._changes(
+            spark, ch, [(5, "I", "e", 50.0), (4, "U", "d2", 44.0)]
+        )
+        s2 = CdcMergeStream(spark, ch, base, ckpt, key_col="k")
+        assert s2.run_available() == 1  # only the NEW file is a batch
+        got = {r.k: (r.status, r.price) for r in s2.read_base().collect()}
+        assert got == {
+            1: ("a", 10.0),
+            2: ("b2", 22.0),
+            4: ("d2", 44.0),
+            5: ("e", 50.0),
+        }
+
+    def test_restart_without_new_changes_is_noop(self, spark, tmp_path):
+        from syncflux_spark.streaming.cdc import CdcMergeStream
+
+        base = str(tmp_path / "base")
+        ch = str(tmp_path / "ch")
+        ckpt = str(tmp_path / "ckpt")
+        self._base(spark, base)
+        self._changes(spark, ch, [(1, "D", None, None)])
+        s1 = CdcMergeStream(spark, ch, base, ckpt, key_col="k")
+        s1.run_available()
+        before = sorted(map(tuple, s1.read_base().collect()))
+        s2 = CdcMergeStream(spark, ch, base, ckpt, key_col="k")
+        assert s2.run_available() == 0
+        assert sorted(map(tuple, s2.read_base().collect())) == before
+
+    def test_replayed_batch_is_idempotent(self, spark, tmp_path):
+        """Re-applying a batch by hand (simulating a crash between
+        base swap and checkpoint commit) leaves the base unchanged."""
+        from syncflux_spark.streaming.cdc import CdcMergeStream
+
+        base = str(tmp_path / "base")
+        ch = str(tmp_path / "ch")
+        ckpt = str(tmp_path / "ckpt")
+        self._base(spark, base)
+        rows = [(2, "U", "b2", 22.0), (3, "D", None, None), (9, "I", "i", 90.0)]
+        self._changes(spark, ch, rows)
+        s = CdcMergeStream(spark, ch, base, ckpt, key_col="k")
+        s.run_available()
+        once = sorted(map(tuple, s.read_base().collect()))
+        batch = spark.createDataFrame(
+            rows, "k long, op string, status string, price double"
+        )
+        s._apply_batch(batch, batch_id=99)  # replay
+        assert sorted(map(tuple, s.read_base().collect())) == once
