@@ -117,3 +117,78 @@ class TestBlockedEditDistance:
         # equality join on the block key
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestCdcPlanDiscipline:
+    def test_base_never_shuffles(self, spark, base, changes, tmp_path):
+        """Both merge joins must broadcast the (small) batch side —
+        the base table is scanned once and never exchanged. Parquet
+        inputs so the planner has file-size stats (a local-relation
+        fixture defaults to a huge size estimate and plans SMJ first,
+        which never happens over real tables)."""
+        base.write.parquet(str(tmp_path / "b"))
+        changes.write.parquet(str(tmp_path / "c"))
+        bp = spark.read.parquet(str(tmp_path / "b"))
+        cp = spark.read.parquet(str(tmp_path / "c"))
+        plan = (
+            apply_changes(bp, cp, key_col="k")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+            .split("== Initial Plan ==")[0]
+        )
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+        for line in plan.splitlines():
+            if "Exchange" in line and "BroadcastExchange" not in line:
+                raise AssertionError(f"unexpected exchange: {line}")
+
+
+class TestCdcProperties:
+    """apply_changes vs a plain-Python MERGE reference over generated
+    batches (hypothesis)."""
+
+    def test_random_batches_match_reference(self, spark):
+        from hypothesis import given, settings, strategies as st_
+
+        keys = st_.integers(min_value=0, max_value=14)
+        base_rows = st_.dictionaries(
+            keys, st_.integers(min_value=0, max_value=99), max_size=10
+        )
+        changes = st_.lists(
+            st_.tuples(
+                keys,
+                st_.sampled_from(["I", "U", "D"]),
+                st_.integers(min_value=100, max_value=199),
+            ),
+            max_size=8,
+            unique_by=lambda c: c[0],  # at most one change per key
+        )
+
+        @settings(max_examples=12, deadline=None)
+        @given(base=base_rows, ch=changes)
+        def check(base, ch):
+            bdf = spark.createDataFrame(
+                [(k, float(v)) for k, v in base.items()] or [],
+                "k long, price double",
+            )
+            cdf = spark.createDataFrame(
+                [(k, op, float(v)) for k, op, v in ch] or [],
+                "k long, op string, price double",
+            )
+            got = {
+                r.k: r.price
+                for r in apply_changes(bdf, cdf, key_col="k").collect()
+            }
+            ref = {k: float(v) for k, v in base.items()}
+            for k, op, v in ch:
+                if op == "D":
+                    ref.pop(k, None)
+                elif op == "U":
+                    if k in ref:
+                        ref[k] = float(v)
+                else:  # I: insert or idempotent replace
+                    ref[k] = float(v)
+            assert got == ref
+
+        check()
