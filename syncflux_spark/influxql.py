@@ -515,6 +515,7 @@ _TRANSFORM_FUNCS = {
     "holt_winters_with_fit",
     "exponential_moving_average",
     "relative_strength_index",
+    "chande_momentum_oscillator",
 }
 
 
@@ -1776,6 +1777,10 @@ class InfluxQLEngine:
             p.transform == "relative_strength_index" for p in st.projs
         ):
             return self._apply_rsi(out, st, group_tags, bucket is not None)
+        if any(
+            p.transform == "chande_momentum_oscillator" for p in st.projs
+        ):
+            return self._apply_cmo(out, st, group_tags, bucket is not None)
         if any(p.transform for p in st.projs):
             out = self._apply_transforms(out, st, group_tags, bucket is not None)
 
@@ -2100,6 +2105,92 @@ class InfluxQLEngine:
             ),
         )
         res = g.select(*tags, F.explode(rsis).alias("_r")).select(
+            F.col("_r.t").alias("time"),
+            *[F.col(t) for t in group_tags],
+            F.col("_r.v").alias(name),
+        )
+        order = [F.desc("time")] if st.order_desc else [F.asc("time")]
+        res = res.orderBy(*order)
+        if st.offset:
+            res = res.offset(st.offset)
+        if st.limit is not None:
+            res = res.limit(st.limit)
+        return res
+
+    def _apply_cmo(
+        self, out: DataFrame, st: SelectStmt, group_tags: list[str], has_bucket: bool
+    ) -> DataFrame:
+        """``chande_momentum_oscillator(func(v), N)`` over a ``GROUP
+        BY time`` rollup: CMO = 100·(ΣU − ΣD)/(ΣU + ΣD) over the last
+        N bucket-to-bucket moves, emitted from bucket N+1. Unlike
+        EMA/RSI this is a sliding WINDOW sum, not a recurrence — both
+        engines materialize the per-series gains/losses arrays (plain
+        ``transform``, no fold) and then left-fold each N-slice with a
+        scalar double accumulator, so the addition order is fixed and
+        the oracle match is bit-exact (a window-function SUM would
+        reassociate). Null when the window saw no movement."""
+        if not has_bucket:
+            raise InfluxQLError(
+                "chande_momentum_oscillator requires GROUP BY time(...)"
+            )
+        if len(st.projs) != 1:
+            raise InfluxQLError(
+                "chande_momentum_oscillator must be the only projection "
+                "in the select"
+            )
+        p = st.projs[0]
+        n = int(p.transform_arg or 0)
+        if n < 1:
+            raise InfluxQLError(
+                "chande_momentum_oscillator period must be >= 1"
+            )
+        name, tags = p.out_name, [F.col(t) for t in group_tags]
+        pts = F.array_sort(
+            F.collect_list(F.struct(F.col("time").alias("t"), F.col(name)))
+        )
+        g = out.groupBy(*tags).agg(pts.alias("_pts"))
+        xs = F.transform("_pts", lambda s: s[name].cast("double"))
+        g = g.select(*tags, F.col("_pts"), xs.alias("_xs"))
+        # diff i = x_{i+1} - x_i (array of n-1 moves), then gains and
+        # losses arrays — no folds yet, just per-element projections
+        diffs = F.transform(
+            F.sequence(F.lit(1), F.size("_xs") - F.lit(1)),
+            lambda i: F.element_at("_xs", i + F.lit(1))
+            - F.element_at("_xs", i),
+        )
+        g = g.select(*tags, F.col("_pts"), diffs.alias("_d"))
+        gains = F.transform("_d", lambda d: F.greatest(d, F.lit(0.0)))
+        losses = F.transform("_d", lambda d: F.greatest(-d, F.lit(0.0)))
+        g = g.select(
+            *tags, F.col("_pts"), gains.alias("_g"), losses.alias("_l")
+        )
+
+        def winsum(arr, j):
+            # left-to-right fold of the N moves ending at bucket j
+            # (diff indexes j-N .. j-1) — fixed order, scalar state
+            return F.aggregate(
+                F.slice(arr, j - F.lit(n), F.lit(n)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+
+        idx = F.when(
+            F.size("_pts") >= n + 1,
+            F.sequence(F.lit(n + 1), F.size("_pts")),
+        ).otherwise(F.array().cast("array<int>"))
+        cmos = F.transform(
+            idx,
+            lambda j: F.struct(
+                F.element_at("_pts", j)["t"].alias("t"),
+                (
+                    lambda su, sd: F.when(
+                        su + sd != F.lit(0.0),
+                        (F.lit(100.0) * (su - sd)) / (su + sd),
+                    )
+                )(winsum(F.col("_g"), j), winsum(F.col("_l"), j)).alias("v"),
+            ),
+        )
+        res = g.select(*tags, F.explode(cmos).alias("_r")).select(
             F.col("_r.t").alias("time"),
             *[F.col(t) for t in group_tags],
             F.col("_r.v").alias(name),

@@ -9886,6 +9886,66 @@ def influxql_rsi_daily(spark, sf):
 
 
 @register(
+    "influxql_cmo_daily",
+    f"""
+    WITH roll AS (
+      SELECT (u - u % 86400000000) AS lb, event_type,
+             CAST(SUM(v) AS DOUBLE) / COUNT(*) AS m
+      FROM (SELECT epoch_us(ts) AS u, event_type,
+                   {_sql_micros('value')} AS v
+            FROM events
+            WHERE ts >= TIMESTAMP '{EV_WIN[0]}'
+              AND ts < TIMESTAMP '{EV_WIN[1]}')
+      GROUP BY 1, 2
+    ),
+    arr AS (
+      SELECT event_type,
+             list(m ORDER BY lb) AS xs,
+             list(lb ORDER BY lb) AS lbs
+      FROM roll GROUP BY event_type
+    ),
+    gl AS (
+      SELECT event_type, lbs,
+             list_transform(list_transform(range(1, len(xs)),
+                 i -> xs[i+1] - xs[i]), x -> greatest(x, 0.0)) AS g,
+             list_transform(list_transform(range(1, len(xs)),
+                 i -> xs[i+1] - xs[i]), x -> greatest(-x, 0.0)) AS l
+      FROM arr
+    ),
+    o AS (
+      SELECT event_type,
+             unnest(list_transform(range(4, len(lbs) + 1), j -> {{
+               't': lbs[j],
+               'su': list_reduce(list_slice(g, j - 3, j - 1),
+                                 (a, b) -> a + b),
+               'sd': list_reduce(list_slice(l, j - 3, j - 1),
+                                 (a, b) -> a + b)
+             }})) AS r
+      FROM gl
+    )
+    SELECT r.t * 1000 AS time, event_type,
+           CASE WHEN r.su + r.sd <> 0.0
+                THEN (100.0 * (r.su - r.sd)) / (r.su + r.sd)
+           END AS chande_momentum_oscillator
+    FROM o
+    """,
+)
+def influxql_cmo_daily(spark, sf):
+    """InfluxQL ``chande_momentum_oscillator(mean(v), N)`` through
+    the dialect: 100·(ΣU−ΣD)/(ΣU+ΣD) over the last N bucket moves,
+    from bucket N+1. A sliding-window sum, not a recurrence — both
+    engines left-fold each N-slice of the materialized gains/losses
+    arrays with a scalar accumulator, fixing the addition order a
+    window-function SUM would reassociate; bit-exact match
+    (influxql.py::_apply_cmo)."""
+    return _influxql_events(spark, sf).query(
+        f"SELECT chande_momentum_oscillator(mean(value), 3) FROM events "
+        f"WHERE time >= '{EV_WIN[0]}' AND time < '{EV_WIN[1]}' "
+        f"GROUP BY time(1d), event_type"
+    )
+
+
+@register(
     "influxql_tz_daily",
     f"""
     SELECT (lb + 18000000000) * 1000 AS time, event_type,

@@ -1784,3 +1784,32 @@ class TestRelativeStrengthIndex:
                 "SELECT relative_strength_index(mean(value), 3) "
                 "FROM events WHERE time > 0 GROUP BY event_type"
             )
+
+
+class TestChandeMomentum:
+    def test_warmup_and_identity_with_rsi_at_first_emission(self, engine):
+        """At the FIRST emitted bucket both CMO and RSI see the same
+        un-smoothed N diffs, so CMO = 2·RSI − 100 exactly there (they
+        diverge afterwards: Wilder smoothing vs sliding window)."""
+        q = (
+            "SELECT {fn}(mean(value), 3) FROM events "
+            "WHERE time >= '2024-01-05' AND time < '2024-01-12' "
+            "GROUP BY time(1d)"
+        )
+        cmo = engine.query(q.format(fn="chande_momentum_oscillator")).collect()
+        rsi = engine.query(q.format(fn="relative_strength_index")).collect()
+        assert len(cmo) == len(rsi) == 4
+        first_cmo = sorted(cmo, key=lambda r: r.time)[0]
+        first_rsi = sorted(rsi, key=lambda r: r.time)[0]
+        assert first_cmo.chande_momentum_oscillator == pytest.approx(
+            2 * first_rsi.relative_strength_index - 100, abs=1e-9
+        )
+        for r in cmo:
+            assert -100.0 <= r.chande_momentum_oscillator <= 100.0
+
+    def test_validation(self, engine):
+        with pytest.raises(InfluxQLError, match="GROUP BY time"):
+            engine.query(
+                "SELECT chande_momentum_oscillator(mean(value), 3) "
+                "FROM events WHERE time > 0 GROUP BY event_type"
+            )
