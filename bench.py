@@ -114,6 +114,8 @@ HEADLINE = [
     "c4_filter_flags",
     "entity_match_pairs",
     "cdc_merge_apply",
+    "influxql_holt_winters",
+    "influxql_ema_daily",
 ]
 
 
