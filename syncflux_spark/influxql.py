@@ -516,6 +516,11 @@ _TRANSFORM_FUNCS = {
     "exponential_moving_average",
     "relative_strength_index",
     "chande_momentum_oscillator",
+    "double_exponential_moving_average",
+    "triple_exponential_moving_average",
+    "triple_exponential_derivative",
+    "kaufmans_efficiency_ratio",
+    "kaufmans_adaptive_moving_average",
 }
 
 
@@ -1781,6 +1786,22 @@ class InfluxQLEngine:
             p.transform == "chande_momentum_oscillator" for p in st.projs
         ):
             return self._apply_cmo(out, st, group_tags, bucket is not None)
+        if any(
+            p.transform
+            in (
+                "double_exponential_moving_average",
+                "triple_exponential_moving_average",
+                "triple_exponential_derivative",
+            )
+            for p in st.projs
+        ):
+            return self._apply_ema_cascade(out, st, group_tags, bucket is not None)
+        if any(
+            p.transform
+            in ("kaufmans_efficiency_ratio", "kaufmans_adaptive_moving_average")
+            for p in st.projs
+        ):
+            return self._apply_kaufman(out, st, group_tags, bucket is not None)
         if any(p.transform for p in st.projs):
             out = self._apply_transforms(out, st, group_tags, bucket is not None)
 
@@ -2202,6 +2223,216 @@ class InfluxQLEngine:
         if st.limit is not None:
             res = res.limit(st.limit)
         return res
+
+    def _series_arrays(
+        self, out: DataFrame, st: SelectStmt, group_tags: list[str],
+        has_bucket: bool, fname: str,
+    ):
+        """Shared scaffold for the fold-family transforms: validate
+        the statement shape, collapse the rollup to one time-ordered
+        (``_pts`` struct array, ``_xs`` double array) row per series.
+        Returns (proj, N, out_name, tag Columns, grouped DF)."""
+        if not has_bucket:
+            raise InfluxQLError(f"{fname} requires GROUP BY time(...)")
+        if len(st.projs) != 1:
+            raise InfluxQLError(
+                f"{fname} must be the only projection in the select"
+            )
+        p = st.projs[0]
+        n = int(p.transform_arg or 0)
+        if n < 1:
+            raise InfluxQLError(f"{fname} period must be >= 1")
+        name, tags = p.out_name, [F.col(t) for t in group_tags]
+        pts = F.array_sort(
+            F.collect_list(F.struct(F.col("time").alias("t"), F.col(name)))
+        )
+        g = out.groupBy(*tags).agg(pts.alias("_pts"))
+        xs = F.transform("_pts", lambda s: s[name].cast("double"))
+        g = g.select(*tags, F.col("_pts"), xs.alias("_xs"))
+        return p, n, name, tags, g
+
+    def _explode_series(
+        self, g: DataFrame, rows, st: SelectStmt, group_tags: list[str],
+        name: str,
+    ) -> DataFrame:
+        """Explode per-series (t, v) structs back to rows and apply
+        ORDER/LIMIT/OFFSET — the shared tail of the fold family."""
+        tags = [F.col(t) for t in group_tags]
+        res = g.select(*tags, F.explode(rows).alias("_r")).select(
+            F.col("_r.t").alias("time"),
+            *[F.col(t) for t in group_tags],
+            F.col("_r.v").alias(name),
+        )
+        order = [F.desc("time")] if st.order_desc else [F.asc("time")]
+        res = res.orderBy(*order)
+        if st.offset:
+            res = res.offset(st.offset)
+        if st.limit is not None:
+            res = res.limit(st.limit)
+        return res
+
+    def _apply_ema_cascade(
+        self, out: DataFrame, st: SelectStmt, group_tags: list[str], has_bucket: bool
+    ) -> DataFrame:
+        """DEMA / TEMA / TRIX over a ``GROUP BY time`` rollup: the
+        three-level EMA cascade e1→e2→e3 advances all levels in ONE
+        fold step (e1' = αx+βe1, e2' = αe1'+βe2, e3' = αe2'+βe3, all
+        seeded at x₁), then
+
+        * ``double_exponential_moving_average`` = 2·e1 − e2 (from
+          bucket 1),
+        * ``triple_exponential_moving_average`` = (3·e1 − 3·e2) + e3,
+        * ``triple_exponential_derivative`` (TRIX) =
+          100·(e3ⱼ − e3ⱼ₋₁)/e3ⱼ₋₁ (from bucket 2; null at zero).
+
+        Bit-determinism as in ``_apply_ema``: literal α/β shared with
+        the oracle, fixed op order, per-bucket prefix folds in-row."""
+        p, n, name, tags, g = self._series_arrays(
+            out, st, group_tags, has_bucket, st.projs[0].transform
+        )
+        alpha = 2.0 / (n + 1.0)
+        beta = 1.0 - alpha
+
+        def step(acc, x):
+            e1 = x * F.lit(alpha) + acc["e1"] * F.lit(beta)
+            e2 = e1 * F.lit(alpha) + acc["e2"] * F.lit(beta)
+            e3 = e2 * F.lit(alpha) + acc["e3"] * F.lit(beta)
+            return F.struct(e1.alias("e1"), e2.alias("e2"), e3.alias("e3"))
+
+        def state_at(j):
+            x1 = F.element_at("_xs", F.lit(1))
+            seed = F.struct(
+                x1.alias("e1"), x1.alias("e2"), x1.alias("e3")
+            )
+            return F.aggregate(
+                F.slice("_xs", F.lit(2), j - F.lit(1)), seed, step
+            )
+
+        kind = p.transform
+        start = 2 if kind == "triple_exponential_derivative" else 1
+        idx = F.when(
+            F.size("_xs") >= start,
+            F.sequence(F.lit(start), F.size("_xs")),
+        ).otherwise(F.array().cast("array<int>"))
+
+        def value_at(j):
+            s = state_at(j)
+            if kind == "double_exponential_moving_average":
+                return F.lit(2.0) * s["e1"] - s["e2"]
+            if kind == "triple_exponential_moving_average":
+                return (F.lit(3.0) * s["e1"] - F.lit(3.0) * s["e2"]) + s["e3"]
+            prev = state_at(j - F.lit(1))
+            return F.when(
+                prev["e3"] != F.lit(0.0),
+                (F.lit(100.0) * (s["e3"] - prev["e3"])) / prev["e3"],
+            )
+
+        rows = F.transform(
+            idx,
+            lambda j: F.struct(
+                F.element_at("_pts", j)["t"].alias("t"),
+                value_at(j).alias("v"),
+            ),
+        )
+        return self._explode_series(g, rows, st, group_tags, name)
+
+    #: Kaufman adaptive-MA smoothing-constant bounds (InfluxDB fixed):
+    #: fast EMA period 2, slow period 30 → α_fast = 2/3, α_slow = 2/31
+    _KAMA_FAST = 2.0 / 3.0
+    _KAMA_SLOW = 2.0 / 31.0
+    _KAMA_SPREAD = _KAMA_FAST - _KAMA_SLOW
+
+    def _apply_kaufman(
+        self, out: DataFrame, st: SelectStmt, group_tags: list[str], has_bucket: bool
+    ) -> DataFrame:
+        """``kaufmans_efficiency_ratio(func(v), N)`` and
+        ``kaufmans_adaptive_moving_average(func(v), N)`` over a
+        ``GROUP BY time`` rollup.
+
+        ER_j = |x_j − x_{j−N}| / Σ|moves| over the window (the Σ is a
+        fixed-order slice fold), emitted from bucket N+1; null when
+        the window saw no movement. KAMA seeds at x_{N+1} and then
+        follows kama' = kama + sc²·(x − kama) with
+        sc = er₀·(α_fast − α_slow) + α_slow (er₀ treats a flat window
+        as 0, keeping the recurrence defined). All constants are
+        Python-computed literals shared with the recursive-CTE
+        oracle; op order is fixed — bit-exact."""
+        p, n, name, tags, g = self._series_arrays(
+            out, st, group_tags, has_bucket, st.projs[0].transform
+        )
+        ad = F.transform(
+            F.sequence(F.lit(1), F.size("_xs") - F.lit(1)),
+            lambda i: F.abs(
+                F.element_at("_xs", i + F.lit(1)) - F.element_at("_xs", i)
+            ),
+        )
+        g = g.select(*tags, F.col("_pts"), F.col("_xs"), ad.alias("_ad"))
+
+        def er_parts(j):
+            num = F.abs(
+                F.element_at("_xs", j) - F.element_at("_xs", j - F.lit(n))
+            )
+            den = F.aggregate(
+                F.slice("_ad", j - F.lit(n), F.lit(n)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            return num, den
+
+        idx = F.when(
+            F.size("_xs") >= n + 1,
+            F.sequence(F.lit(n + 1), F.size("_xs")),
+        ).otherwise(F.array().cast("array<int>"))
+
+        if p.transform == "kaufmans_efficiency_ratio":
+            rows = F.transform(
+                idx,
+                lambda j: F.struct(
+                    F.element_at("_pts", j)["t"].alias("t"),
+                    (lambda num, den: F.when(den != F.lit(0.0), num / den))(
+                        *er_parts(j)
+                    ).alias("v"),
+                ),
+            )
+            return self._explode_series(g, rows, st, group_tags, name)
+
+        # KAMA: fold buckets N+2..j with the kama recurrence; the acc
+        # carries (kama, k) where k is the CURRENT bucket index so the
+        # step can read x_k and the window behind it from the arrays
+        def kama_at(j):
+            seed = F.struct(
+                F.element_at("_xs", F.lit(n + 1)).alias("kama"),
+                F.lit(n + 1).alias("k"),
+            )
+
+            def step(acc, x):
+                k = acc["k"] + F.lit(1)
+                num = F.abs(
+                    F.element_at("_xs", k) - F.element_at("_xs", k - F.lit(n))
+                )
+                den = F.aggregate(
+                    F.slice("_ad", k - F.lit(n), F.lit(n)),
+                    F.lit(0.0),
+                    lambda a, y: a + y,
+                )
+                er0 = F.when(den != F.lit(0.0), num / den).otherwise(F.lit(0.0))
+                sc = er0 * F.lit(self._KAMA_SPREAD) + F.lit(self._KAMA_SLOW)
+                sc2 = sc * sc
+                kama = acc["kama"] + sc2 * (x - acc["kama"])
+                return F.struct(kama.alias("kama"), k.alias("k"))
+
+            return F.aggregate(
+                F.slice("_xs", F.lit(n + 2), j - F.lit(n + 1)), seed, step
+            )["kama"]
+
+        rows = F.transform(
+            idx,
+            lambda j: F.struct(
+                F.element_at("_pts", j)["t"].alias("t"),
+                kama_at(j).alias("v"),
+            ),
+        )
+        return self._explode_series(g, rows, st, group_tags, name)
 
     def _apply_holt_winters(
         self, out: DataFrame, st: SelectStmt, group_tags: list[str], has_bucket: bool

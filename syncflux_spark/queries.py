@@ -9945,6 +9945,194 @@ def influxql_cmo_daily(spark, sf):
     )
 
 
+#: EMA-cascade CTE shared by the DEMA and TRIX oracles: e1→e2→e3
+#: advanced in one recursive step with the same literal α/β and the
+#: same op order as influxql.py::_apply_ema_cascade (aliases cannot
+#: be referenced within one recursive SELECT, so e1's expression is
+#: repeated inside e2's, and e2's inside e3's)
+_E1 = f"(x.m * {_EMA_ALPHA!r} + st.e1 * {_EMA_BETA!r})"
+_E2 = f"({_E1} * {_EMA_ALPHA!r} + st.e2 * {_EMA_BETA!r})"
+_E3 = f"({_E2} * {_EMA_ALPHA!r} + st.e3 * {_EMA_BETA!r})"
+_EMA_CASCADE_SQL = f"""
+    WITH RECURSIVE roll AS (
+      SELECT (u - u % 86400000000) AS lb, event_type,
+             CAST(SUM(v) AS DOUBLE) / COUNT(*) AS m
+      FROM (SELECT epoch_us(ts) AS u, event_type,
+                   {_sql_micros('value')} AS v
+            FROM events
+            WHERE ts >= TIMESTAMP '{EV_WIN[0]}'
+              AND ts < TIMESTAMP '{EV_WIN[1]}')
+      GROUP BY 1, 2
+    ),
+    x AS (
+      SELECT event_type, lb, m,
+             row_number() OVER (PARTITION BY event_type ORDER BY lb) AS rn
+      FROM roll
+    ),
+    st AS (
+      SELECT event_type, lb, rn, m AS e1, m AS e2, m AS e3
+      FROM x WHERE rn = 1
+      UNION ALL
+      SELECT x.event_type, x.lb, x.rn, {_E1}, {_E2}, {_E3}
+      FROM st JOIN x ON x.event_type = st.event_type AND x.rn = st.rn + 1
+    )
+"""
+
+
+@register(
+    "influxql_dema_daily",
+    _EMA_CASCADE_SQL
+    + """
+    SELECT lb * 1000 AS time, event_type,
+           2.0 * e1 - e2 AS double_exponential_moving_average
+    FROM st
+    """,
+)
+def influxql_dema_daily(spark, sf):
+    """InfluxQL ``double_exponential_moving_average(mean(v), N)``:
+    DEMA = 2·e1 − e2 over the per-series EMA cascade, one value per
+    bucket. Cascade levels advance together in one fold step; same
+    bit-determinism discipline as the EMA transform
+    (influxql.py::_apply_ema_cascade)."""
+    return _influxql_events(spark, sf).query(
+        f"SELECT double_exponential_moving_average(mean(value), 5) "
+        f"FROM events "
+        f"WHERE time >= '{EV_WIN[0]}' AND time < '{EV_WIN[1]}' "
+        f"GROUP BY time(1d), event_type"
+    )
+
+
+@register(
+    "influxql_trix_daily",
+    _EMA_CASCADE_SQL
+    + """
+    SELECT a.lb * 1000 AS time, a.event_type,
+           CASE WHEN b.e3 <> 0.0
+                THEN (100.0 * (a.e3 - b.e3)) / b.e3
+           END AS triple_exponential_derivative
+    FROM st a JOIN st b
+      ON b.event_type = a.event_type AND b.rn = a.rn - 1
+    """,
+)
+def influxql_trix_daily(spark, sf):
+    """InfluxQL ``triple_exponential_derivative(mean(v), N)`` (TRIX):
+    the percent change of the cascade's third EMA level,
+    100·(e3ⱼ−e3ⱼ₋₁)/e3ⱼ₋₁, emitted from bucket 2. The oracle walks
+    the same cascade CTE and self-joins at rn−1."""
+    return _influxql_events(spark, sf).query(
+        f"SELECT triple_exponential_derivative(mean(value), 5) "
+        f"FROM events "
+        f"WHERE time >= '{EV_WIN[0]}' AND time < '{EV_WIN[1]}' "
+        f"GROUP BY time(1d), event_type"
+    )
+
+
+#: Kaufman constants (InfluxDB fixed fast=2, slow=30 EMA periods)
+_KAMA_FAST = 2.0 / 3.0
+_KAMA_SLOW = 2.0 / 31.0
+_KAMA_SPREAD = _KAMA_FAST - _KAMA_SLOW
+
+_KAUFMAN_ER_SQL = f"""
+    roll AS (
+      SELECT (u - u % 86400000000) AS lb, event_type,
+             CAST(SUM(v) AS DOUBLE) / COUNT(*) AS m
+      FROM (SELECT epoch_us(ts) AS u, event_type,
+                   {_sql_micros('value')} AS v
+            FROM events
+            WHERE ts >= TIMESTAMP '{EV_WIN[0]}'
+              AND ts < TIMESTAMP '{EV_WIN[1]}')
+      GROUP BY 1, 2
+    ),
+    arr AS (
+      SELECT event_type,
+             list(m ORDER BY lb) AS xs,
+             list(lb ORDER BY lb) AS lbs
+      FROM roll GROUP BY event_type
+    ),
+    ad AS (
+      SELECT event_type, xs, lbs,
+             list_transform(range(1, len(xs)),
+                            i -> abs(xs[i+1] - xs[i])) AS moves
+      FROM arr
+    ),
+    er AS (
+      SELECT event_type,
+             unnest(list_transform(range(4, len(xs) + 1), j -> {{
+               'rn': j,
+               'lb': lbs[j],
+               'x': xs[j],
+               'num': abs(xs[j] - xs[j-3]),
+               'den': list_reduce(list_slice(moves, j - 3, j - 1),
+                                  (a, b) -> a + b)
+             }})) AS r
+      FROM ad
+    )
+"""
+
+
+@register(
+    "influxql_ker_daily",
+    "WITH "
+    + _KAUFMAN_ER_SQL
+    + """
+    SELECT r.lb * 1000 AS time, event_type,
+           CASE WHEN r.den <> 0.0 THEN r.num / r.den
+           END AS kaufmans_efficiency_ratio
+    FROM er
+    """,
+)
+def influxql_ker_daily(spark, sf):
+    """InfluxQL ``kaufmans_efficiency_ratio(mean(v), N)``: net move
+    over the window divided by the fixed-order sum of absolute
+    bucket moves, from bucket N+1; null on a flat window
+    (influxql.py::_apply_kaufman)."""
+    return _influxql_events(spark, sf).query(
+        f"SELECT kaufmans_efficiency_ratio(mean(value), 3) FROM events "
+        f"WHERE time >= '{EV_WIN[0]}' AND time < '{EV_WIN[1]}' "
+        f"GROUP BY time(1d), event_type"
+    )
+
+
+@register(
+    "influxql_kama_daily",
+    "WITH RECURSIVE "
+    + _KAUFMAN_ER_SQL
+    + f"""
+    , st AS (
+      SELECT event_type, r.rn AS rn, r.lb AS lb, r.x AS kama
+      FROM er WHERE r.rn = 4
+      UNION ALL
+      SELECT e.event_type, e.r.rn, e.r.lb,
+             st.kama
+             + ((CASE WHEN e.r.den <> 0.0 THEN e.r.num / e.r.den
+                      ELSE 0.0 END * {_KAMA_SPREAD!r} + {_KAMA_SLOW!r})
+                * (CASE WHEN e.r.den <> 0.0 THEN e.r.num / e.r.den
+                        ELSE 0.0 END * {_KAMA_SPREAD!r} + {_KAMA_SLOW!r}))
+               * (e.r.x - st.kama) AS kama
+      FROM st JOIN er e
+        ON e.event_type = st.event_type AND e.r.rn = st.rn + 1
+    )
+    SELECT lb * 1000 AS time, event_type,
+           kama AS kaufmans_adaptive_moving_average
+    FROM st
+    """,
+)
+def influxql_kama_daily(spark, sf):
+    """InfluxQL ``kaufmans_adaptive_moving_average(mean(v), N)``:
+    seeded at bucket N+1's value, then
+    kama' = kama + sc²·(x − kama) with sc = er₀·(α_fast−α_slow) +
+    α_slow (flat windows treated as er₀=0, keeping the recurrence
+    defined). Constants are shared literals; the recursive-CTE
+    oracle replays the identical op sequence — bit-exact
+    (influxql.py::_apply_kaufman)."""
+    return _influxql_events(spark, sf).query(
+        f"SELECT kaufmans_adaptive_moving_average(mean(value), 3) "
+        f"FROM events "
+        f"WHERE time >= '{EV_WIN[0]}' AND time < '{EV_WIN[1]}' "
+        f"GROUP BY time(1d), event_type"
+    )
+
+
 @register(
     "influxql_tz_daily",
     f"""

@@ -1813,3 +1813,74 @@ class TestChandeMomentum:
                 "SELECT chande_momentum_oscillator(mean(value), 3) "
                 "FROM events WHERE time > 0 GROUP BY event_type"
             )
+
+
+class TestEmaCascadeFamily:
+    def test_dema_reduces_to_ema_identity_when_alpha_1(self, spark):
+        """N=1 → α=1: every cascade level equals the raw value, so
+        DEMA = 2x − x = x and TEMA = x."""
+        from syncflux_spark.influxql import InfluxQLEngine
+        import pyspark.sql.functions as SF
+
+        df = spark.range(6).select(
+            SF.timestamp_seconds(
+                SF.lit(1704412800) + SF.col("id") * 3600
+            ).alias("ts"),
+            (SF.col("id") * 7 + 3).cast("double").alias("value"),
+        ).withColumn("ts_ns", SF.unix_micros("ts") * 1000)
+        eng = InfluxQLEngine(spark, tables={"m": df}, tags={"m": []})
+        for fn in (
+            "double_exponential_moving_average",
+            "triple_exponential_moving_average",
+        ):
+            out = eng.query(
+                f"SELECT {fn}(mean(value), 1) FROM m "
+                "WHERE time >= '2024-01-01' AND time < '2024-01-08' "
+                "GROUP BY time(1h)"
+            ).collect()
+            assert [r[1] for r in out] == [3.0, 10.0, 17.0, 24.0, 31.0, 38.0]
+
+    def test_trix_emits_from_second_bucket(self, engine):
+        out = engine.query(
+            "SELECT triple_exponential_derivative(mean(value), 5) "
+            "FROM events "
+            "WHERE time >= '2024-01-05' AND time < '2024-01-12' "
+            "GROUP BY time(1d)"
+        ).collect()
+        assert len(out) == 6  # 7 buckets, from bucket 2
+
+    def test_ker_bounds_and_kama_flat_series(self, spark):
+        from syncflux_spark.influxql import InfluxQLEngine
+        import pyspark.sql.functions as SF
+
+        flat = spark.range(8).select(
+            SF.timestamp_seconds(
+                SF.lit(1704412800) + SF.col("id") * 3600
+            ).alias("ts"),
+            SF.lit(42.0).alias("value"),
+        ).withColumn("ts_ns", SF.unix_micros("ts") * 1000)
+        eng = InfluxQLEngine(spark, tables={"m": flat}, tags={"m": []})
+        ker = eng.query(
+            "SELECT kaufmans_efficiency_ratio(mean(value), 3) FROM m "
+            "WHERE time >= '2024-01-01' AND time < '2024-01-08' "
+            "GROUP BY time(1h)"
+        ).collect()
+        # flat window: denominator 0 -> null
+        assert all(r[1] is None for r in ker)
+        kama = eng.query(
+            "SELECT kaufmans_adaptive_moving_average(mean(value), 3) FROM m "
+            "WHERE time >= '2024-01-01' AND time < '2024-01-08' "
+            "GROUP BY time(1h)"
+        ).collect()
+        # er0 = 0 on a flat series: kama must stay at the seed value
+        assert all(r[1] == 42.0 for r in kama)
+
+    def test_ker_in_unit_interval(self, engine):
+        out = engine.query(
+            "SELECT kaufmans_efficiency_ratio(mean(value), 3) FROM events "
+            "WHERE time >= '2024-01-05' AND time < '2024-01-12' "
+            "GROUP BY time(1d)"
+        ).collect()
+        assert len(out) == 4
+        for r in out:
+            assert r[1] is None or 0.0 <= r[1] <= 1.0
