@@ -2434,6 +2434,101 @@ class InfluxQLEngine:
         )
         return self._explode_series(g, rows, st, group_tags, name)
 
+    def _apply_holt_winters_seasonal(
+        self,
+        out: DataFrame,
+        st: SelectStmt,
+        group_tags: list[str],
+        p: Proj,
+        n_fc: int,
+        season: int,
+    ) -> DataFrame:
+        """Additive seasonal Holt-Winters (dyadic α=1/2 β=1/4 γ=1/2,
+        fixed-point int64 micros): the fold state is (level, trend,
+        bucket counter, S-slot season array). Bucket t (slot =
+        (t−1) mod S, season seeded at zero):
+
+            l_t = ⌊(x_t − c[slot] + l + b) / 2⌋
+            b_t = ⌊(l_t − l)/4⌋ + (b − ⌊b/4⌋)
+            c[slot] ← ⌊(x_t − l_t)/2⌋ + (c[slot] − ⌊c[slot]/2⌋)
+
+        forecast_h = l_T + h·b_T + c[(T−1+h) mod S]. All integer
+        ops — the recursive-CTE oracle carrying the season LIST
+        column replays the sequence exactly. Same scale shape as the
+        non-seasonal path; state adds S longs per series."""
+        name, iv = p.out_name, st.group_time_ns
+        tags = [F.col(t) for t in group_tags]
+        pts = F.array_sort(
+            F.collect_list(F.struct(F.col("time").alias("t"), F.col(name)))
+        )
+        g = out.groupBy(*tags).agg(pts.alias("_pts"))
+        xs = F.transform(
+            "_pts",
+            lambda s: F.floor(s[name] * 1_000_000 + F.lit(0.5)).cast("long"),
+        )
+        g = g.select(*tags, F.col("_pts"), xs.alias("_xs"))
+        S = season
+
+        def fdiv(col, d):
+            return F.floor(col.cast("double") / F.lit(float(d))).cast("long")
+
+        def sstep(acc, x):
+            k = acc["k"] + F.lit(1)
+            slot = (k - F.lit(1)) % F.lit(S)
+            cs = F.element_at(acc["c"], slot + F.lit(1))
+            l_new = fdiv(x - cs + acc["l"] + acc["b"], 2)
+            b_new = fdiv(l_new - acc["l"], 4) + (acc["b"] - fdiv(acc["b"], 4))
+            c_upd = fdiv(x - l_new, 2) + (cs - fdiv(cs, 2))
+            c_new = F.transform(
+                acc["c"],
+                lambda v, i: F.when(i == slot, c_upd).otherwise(v),
+            )
+            return F.struct(
+                l_new.alias("l"),
+                b_new.alias("b"),
+                k.alias("k"),
+                c_new.alias("c"),
+            )
+
+        seed = F.struct(
+            F.element_at("_xs", F.lit(1)).alias("l"),
+            F.lit(0).cast("long").alias("b"),
+            F.lit(1).alias("k"),
+            F.array_repeat(F.lit(0).cast("long"), S).alias("c"),
+        )
+        fin = F.aggregate(
+            F.slice("_xs", F.lit(2), F.size("_xs") - F.lit(1)), seed, sstep
+        )
+        last_t = F.element_at("_pts", -1)["t"]
+        nb = F.size("_xs")
+        g = g.select(
+            *tags,
+            last_t.alias("_last_t"),
+            nb.alias("_n"),
+            fin["l"].alias("_l"),
+            fin["b"].alias("_b"),
+            fin["c"].alias("_c"),
+        )
+        fc = F.transform(
+            F.sequence(F.lit(1), F.lit(n_fc)),
+            lambda h: F.struct(
+                (F.col("_last_t") + h.cast("long") * F.lit(iv)).alias("t"),
+                (
+                    (
+                        F.col("_l")
+                        + h.cast("long") * F.col("_b")
+                        + F.element_at(
+                            "_c",
+                            ((F.col("_n") + h - F.lit(1)) % F.lit(S))
+                            + F.lit(1),
+                        )
+                    )
+                    / F.lit(1e6)
+                ).alias("v"),
+            ),
+        )
+        return self._explode_series(g, fc, st, group_tags, name)
+
     def _apply_holt_winters(
         self, out: DataFrame, st: SelectStmt, group_tags: list[str], has_bucket: bool
     ) -> DataFrame:
@@ -2444,10 +2539,15 @@ class InfluxQLEngine:
         trend with dyadic α=1/2, β=1/4 run in fixed-point int64
         micros — InfluxDB fits α/β per query by Nelder-Mead, which is
         non-reproducible across builds, so this dialect documents
-        fixed constants instead. S (seasonal period) must be 0; the
-        seasonal form is not implemented. ``holt_winters_with_fit``
-        additionally emits the one-step-ahead fitted value for every
-        input bucket before the forecasts.
+        fixed constants instead. S > 0 adds the additive seasonal
+        component (γ=1/2): the state carries an S-slot season array
+        seeded at zero, bucket t deseasonalizes against slot
+        (t−1) mod S before the level update and re-estimates that
+        slot after it; forecasts add the slot value back
+        (:meth:`_apply_holt_winters_seasonal`).
+        ``holt_winters_with_fit`` additionally emits the one-step-
+        ahead fitted value for every input bucket before the
+        forecasts (non-seasonal form only).
 
         Scale shape: the recurrence folds over the ROLLUP (one row
         per bucket × series), grouped per series — the collect is
@@ -2467,9 +2567,16 @@ class InfluxQLEngine:
         season = int(p.transform_arg2 or 0)
         if n_fc <= 0:
             raise InfluxQLError("holt_winters forecast count must be >= 1")
-        if season != 0:
-            raise InfluxQLError(
-                "seasonal holt_winters (S > 0) is not implemented; use S=0"
+        if season < 0:
+            raise InfluxQLError("holt_winters seasonal period must be >= 0")
+        if season > 0:
+            if p.transform == "holt_winters_with_fit":
+                raise InfluxQLError(
+                    "holt_winters_with_fit supports S=0 only; use "
+                    "holt_winters for the seasonal form"
+                )
+            return self._apply_holt_winters_seasonal(
+                out, st, group_tags, p, n_fc, season
             )
         name, iv = p.out_name, st.group_time_ns
         tags = [F.col(t) for t in group_tags]

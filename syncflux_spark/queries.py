@@ -10134,6 +10134,75 @@ def influxql_kama_daily(spark, sf):
 
 
 @register(
+    "influxql_holt_winters_seasonal",
+    f"""
+    WITH RECURSIVE roll AS (
+      SELECT (u - u % 21600000000) AS lb, event_type,
+             CAST(SUM(v) AS DOUBLE) / COUNT(*) AS m
+      FROM (SELECT epoch_us(ts) AS u, event_type,
+                   {_sql_micros('value')} AS v
+            FROM events
+            WHERE ts >= TIMESTAMP '{EV_WIN[0]}'
+              AND ts < TIMESTAMP '{EV_WIN[1]}')
+      GROUP BY 1, 2
+    ),
+    x AS (
+      SELECT event_type, lb,
+             CAST(FLOOR(m * 1000000 + 0.5) AS BIGINT) AS xm,
+             row_number() OVER (PARTITION BY event_type ORDER BY lb) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n,
+             max(lb) OVER (PARTITION BY event_type) AS last_lb
+      FROM roll
+    ),
+    st AS (
+      SELECT event_type, rn, n, last_lb, xm AS l, CAST(0 AS BIGINT) AS b,
+             list_transform(range(1, 5), i -> CAST(0 AS BIGINT)) AS c
+      FROM x WHERE rn = 1
+      UNION ALL
+      SELECT q.event_type, q.rn, q.n, q.last_lb, q.l2,
+             CAST(FLOOR((q.l2 - q.l1)::DOUBLE / 4.0) AS BIGINT)
+               + (q.b1 - CAST(FLOOR(q.b1::DOUBLE / 4.0) AS BIGINT)) AS b,
+             list_transform(range(1, 5), i -> CASE WHEN i - 1 = q.slot
+                 THEN CAST(FLOOR((q.xm - q.l2)::DOUBLE / 2.0) AS BIGINT)
+                      + (q.cs - CAST(FLOOR(q.cs::DOUBLE / 2.0) AS BIGINT))
+                 ELSE q.c[i] END) AS c
+      FROM (
+        SELECT x.event_type, x.rn, x.n, x.last_lb, x.xm,
+               st.l AS l1, st.b AS b1, st.c AS c,
+               (x.rn - 1) % 4 AS slot,
+               st.c[(x.rn - 1) % 4 + 1] AS cs,
+               CAST(FLOOR((x.xm - st.c[(x.rn - 1) % 4 + 1]
+                           + st.l + st.b)::DOUBLE / 2.0) AS BIGINT) AS l2
+        FROM st JOIN x
+          ON x.event_type = st.event_type AND x.rn = st.rn + 1
+      ) q
+    )
+    SELECT (st.last_lb + h.h * 21600000000) * 1000 AS time, st.event_type,
+           (st.l + h.h * st.b + st.c[(st.n + h.h - 1) % 4 + 1])
+             / 1000000.0 AS holt_winters
+    FROM st CROSS JOIN (SELECT 1 AS h UNION ALL SELECT 2 UNION ALL
+                        SELECT 3 UNION ALL SELECT 4) h
+    WHERE st.rn = st.n
+    """,
+)
+def influxql_holt_winters_seasonal(spark, sf):
+    """Seasonal InfluxQL ``holt_winters(mean(v), N, S)``: additive
+    triple exponential smoothing with dyadic α=1/2 β=1/4 γ=1/2 in
+    fixed-point micros — the fold state carries an S-slot season
+    array (seeded at zero), each bucket deseasonalizes against slot
+    (t−1) mod S and re-estimates it, forecasts add the slot value
+    back. The recursive-CTE oracle carries the season array as a
+    LIST column and replays the identical integer sequence
+    (influxql.py::_apply_holt_winters_seasonal). 6-hour buckets with
+    S=4 model a daily cycle."""
+    return _influxql_events(spark, sf).query(
+        f"SELECT holt_winters(mean(value), 4, 4) FROM events "
+        f"WHERE time >= '{EV_WIN[0]}' AND time < '{EV_WIN[1]}' "
+        f"GROUP BY time(6h), event_type"
+    )
+
+
+@register(
     "influxql_tz_daily",
     f"""
     SELECT (lb + 18000000000) * 1000 AS time, event_type,

@@ -1884,3 +1884,50 @@ class TestEmaCascadeFamily:
         assert len(out) == 4
         for r in out:
             assert r[1] is None or 0.0 <= r[1] <= 1.0
+
+
+class TestSeasonalHoltWinters:
+    def test_periodic_series_forecasts_the_pattern(self, spark):
+        """A strongly periodic series (period 4) should forecast
+        values that track the seasonal offsets, which the
+        non-seasonal form flattens out."""
+        from syncflux_spark.influxql import InfluxQLEngine
+        import pyspark.sql.functions as SF
+
+        # 24 points of [0, 100, 0, 100 ...] offset pattern
+        df = spark.range(24).select(
+            SF.timestamp_seconds(
+                SF.lit(1704412800) + SF.col("id") * 3600
+            ).alias("ts"),
+            ((SF.col("id") % 2) * 100).cast("double").alias("value"),
+        ).withColumn("ts_ns", SF.unix_micros("ts") * 1000)
+        eng = InfluxQLEngine(spark, tables={"m": df}, tags={"m": []})
+        out = eng.query(
+            "SELECT holt_winters(mean(value), 4, 2) FROM m "
+            "WHERE time >= '2024-01-01' AND time < '2024-01-08' "
+            "GROUP BY time(1h)"
+        ).collect()
+        assert len(out) == 4
+        vals = [r.holt_winters for r in out]
+        # forecasts must alternate like the input: odd slots high
+        assert vals[0] < vals[1] and vals[2] < vals[3]
+        assert abs(vals[1] - vals[3]) < 30  # same-slot forecasts agree
+
+    def test_forecast_count_and_spacing(self, engine):
+        df = engine.query(
+            "SELECT holt_winters(mean(value), 5, 4) FROM events "
+            "WHERE time >= '2024-01-05' AND time < '2024-01-12' "
+            "GROUP BY time(6h)"
+        )
+        rows = sorted(df.collect(), key=lambda r: r.time)
+        assert len(rows) == 5
+        step = 6 * 3600 * 10**9
+        for a, b in zip(rows, rows[1:]):
+            assert b.time - a.time == step
+
+    def test_with_fit_seasonal_rejected(self, engine):
+        with pytest.raises(InfluxQLError, match="S=0 only"):
+            engine.query(
+                "SELECT holt_winters_with_fit(mean(value), 2, 4) "
+                "FROM events WHERE time > 0 GROUP BY time(1d)"
+            )
