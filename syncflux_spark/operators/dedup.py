@@ -410,22 +410,22 @@ def containment_pairs_exact(
     all-pairs stage anywhere."""
     # persisted: scanned twice (df aggregation + the df join-back);
     # recomputing would re-shingle the corpus — measured 7.3s → 6.0s
-    # at sf0.1 for the k=12 registry entry. Shingles drop to 64-bit
-    # fingerprints at the explode: every downstream stage (df agg,
-    # prefix/index joins, verify intersections) shuffles and compares
-    # longs instead of k-char strings. The prefix-filter guarantee
-    # only needs SOME consistent global total order — (df, hash) is
-    # one — and the exact-count collision bound is the
-    # jaccard_verify one (m²/2⁶⁵ per pair).
+    # at sf0.1 for the k=12 registry entry. Two rewrites were A/B
+    # measured and NOT taken (alternating same-session runs, sf0.1):
+    # 64-bit xxhash64 shingle fingerprints (strings 9.4-11.1s vs
+    # hashed 12.0-12.3s — the 1.4M-hash CPU outweighs the shuffle
+    # savings at local scale; on a network-shuffle cluster the ~8×
+    # byte reduction likely flips this, revisit there) and a
+    # window-over-s df attach (15s vs 10s — the window's
+    # per-partition sort of the full explode costs more than the
+    # agg + join-back it saves).
     sh = eager_persist(
-        spread_for_cpu(df)
-        .select(
+        spread_for_cpu(df).select(
             F.col(id_col),
             F.explode(
                 F.array_distinct(char_shingles(text_col, k_shingle))
-            ).alias("_raw"),
+            ).alias("s"),
         )
-        .select(F.col(id_col), F.xxhash64("_raw").alias("s"))
     )
     dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     docs = eager_persist(
