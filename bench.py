@@ -116,6 +116,9 @@ HEADLINE = [
     "cdc_merge_apply",
     "influxql_holt_winters",
     "influxql_ema_daily",
+    "bpe_tokenize_stats",
+    "influxql_rsi_daily",
+    "influxql_holt_winters_seasonal",
 ]
 
 

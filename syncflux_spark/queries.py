@@ -11227,6 +11227,60 @@ def stream_cdc_apply(spark, sf):
     return s.read_base()
 
 
+#: fixed BPE merge table for the tokenizer-accounting entry — rank
+#: order derives 'table', 'scan', 'query' from characters (a real
+#: deployment passes operators/tokenize.py::learn_bpe output; a FIXED
+#: table keeps the DuckDB oracle static)
+_BPE_MERGES = [
+    ("t", "a"), ("ta", "b"), ("l", "e"), ("tab", "le"),
+    ("s", "c"), ("sc", "a"), ("sca", "n"),
+    ("q", "u"), ("qu", "e"), ("que", "r"), ("quer", "y"),
+    ("e", "r"), ("o", "r"), ("s", "t"),
+]
+
+
+def _bpe_sql_spelled() -> str:
+    """DuckDB mirror of tokenize.py::bpe_spelled over lambda var w:
+    char wrap then the merge replaces in rank order."""
+    s = "regexp_replace(w, '(.)', '⟨\\1⟩', 'g')"
+    for a, b in _BPE_MERGES:
+        s = f"replace({s}, '⟨{a}⟩⟨{b}⟩', '⟨{a}{b}⟩')"
+    return s
+
+
+@register(
+    "bpe_tokenize_stats",
+    f"""
+    SELECT doc_id,
+           CAST(len(ws) AS BIGINT) AS n_words,
+           CAST(list_sum(list_transform(ws,
+               w -> LENGTH({_bpe_sql_spelled()})
+                    - LENGTH(replace({_bpe_sql_spelled()}, '⟨', ''))))
+             AS BIGINT) AS n_tokens,
+           CAST(list_sum(list_transform(ws, w -> LENGTH(w)))
+             AS BIGINT) AS n_chars,
+           CAST(list_sum(list_transform(ws, w -> LENGTH(w))) AS BIGINT)
+             / CAST(list_sum(list_transform(ws,
+                 w -> LENGTH({_bpe_sql_spelled()})
+                      - LENGTH(replace({_bpe_sql_spelled()}, '⟨', ''))))
+               AS BIGINT) AS chars_per_token
+    FROM (SELECT doc_id, {_SQL_WORDS} AS ws FROM documents)
+    """,
+)
+def bpe_tokenize_stats(spark, sf):
+    """BPE tokenizer accounting under a fixed merge table: per-doc
+    word/token/char counts and the chars-per-token compression ratio
+    (the tokenizer-efficiency metric tracked per source). Merges
+    apply in rank order as plain substring replaces over a
+    boundary-marked spelling (``⟨c⟩`` per char) — no regex
+    lookarounds, no Python, one corpus scan, zero shuffles
+    (operators/tokenize.py; learn_bpe produces real tables from the
+    corpus word-frequency aggregation)."""
+    from syncflux_spark.operators.tokenize import bpe_tokenize_stats as op
+
+    return op(load_table(spark, sf, "documents"), _BPE_MERGES)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.spark for name, q in REGISTRY.items()}
 
