@@ -213,13 +213,33 @@ class LineProtocolSink:
         self.root = root
         self.schemas = schemas
 
-    def write(self, body: str) -> int:
+    #: ns multipliers for the /write ``precision=`` parameter
+    #: (InfluxDB 1.x accepts ns, u, ms, s, m, h; default ns)
+    PRECISION_NS = {
+        "ns": 1,
+        "n": 1,
+        "u": 1_000,
+        "µ": 1_000,
+        "us": 1_000,
+        "ms": 1_000_000,
+        "s": 10**9,
+        "m": 60 * 10**9,
+        "h": 3_600 * 10**9,
+    }
+
+    def write(self, body: str, precision: str = "ns") -> int:
         """Parse + append one request body; returns points written.
-        Raises ValueError for unknown measurements or unparseable
-        lines (the caller maps this to HTTP 400)."""
+        Raises ValueError for unknown measurements, unparseable
+        lines, or a bad ``precision`` (the caller maps this to HTTP
+        400). ``precision`` scales bare line timestamps to ns — the
+        reference's WriteDB posts with a configurable precision
+        (pkg/agent/client.go) and Telegraf commonly posts seconds."""
         import os
         import re
 
+        if precision not in self.PRECISION_NS:
+            raise ValueError(f"invalid precision {precision!r}")
+        factor = self.PRECISION_NS[precision]
         lines = [ln for ln in body.splitlines() if ln.strip()]
         if not lines:
             return 0
@@ -237,6 +257,10 @@ class LineProtocolSink:
             tags, fields = self.schemas[meas]
             df = self.spark.createDataFrame([(x,) for x in ls], "line string")
             parsed = parse_line_protocol(df, tags, fields)
+            if factor != 1:
+                parsed = parsed.withColumn(
+                    "ts_ns", F.col("ts_ns") * F.lit(factor)
+                )
             bad = parsed.where(F.col("ts_ns").isNull()).count()
             if bad:
                 raise ValueError(f"{bad} line(s) missing a timestamp")

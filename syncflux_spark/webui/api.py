@@ -251,9 +251,23 @@ class StatusServer:
                         self._send(503, {"error": "no write sink attached"})
                         return
                     n = int(self.headers.get("Content-Length", 0))
-                    body = self.rfile.read(n).decode() if n else ""
+                    raw = self.rfile.read(n) if n else b""
+                    # influx clients (and Telegraf by default) gzip
+                    # their batches
+                    if self.headers.get("Content-Encoding") == "gzip":
+                        import gzip as _gzip
+
+                        try:
+                            raw = _gzip.decompress(raw)
+                        except OSError:
+                            self._send(400, {"error": "bad gzip body"})
+                            return
+                    body = raw.decode()
+                    precision = self._query_param("precision") or "ns"
                     try:
-                        written = server.write_sink.write(body)
+                        written = server.write_sink.write(
+                            body, precision=precision
+                        )
                     except ValueError as ex:
                         self._send(400, {"error": str(ex)})
                         return

@@ -272,6 +272,68 @@ class TestWriteEndpoint:
         code, _ = self._write(port, "cpu,host=h1,dc=eu usage=1.0")
         assert code == 400
 
+    def test_precision_param_scales_timestamps(self, wserver):
+        port, sink = wserver
+        # same instant written three ways; all must land at the
+        # identical ns epoch
+        self._write_url(
+            port, "precision=s", "cpu,host=h1,dc=eu usage=1.0 1700000000"
+        )
+        self._write_url(
+            port, "precision=ms", "cpu,host=h2,dc=eu usage=2.0 1700000000000"
+        )
+        self._write_url(
+            port, "precision=u", "cpu,host=h3,dc=eu usage=3.0 1700000000000000"
+        )
+        back = sink.read_measurement("cpu").collect()
+        assert {r.ts_ns for r in back} == {1700000000 * 10**9}
+
+    def test_bad_precision_400(self, wserver):
+        port, _ = wserver
+        code, _ = self._write_url(
+            port, "precision=fortnights", "cpu,host=h1,dc=eu usage=1.0 1"
+        )
+        assert code == 400
+
+    def test_gzip_body(self, wserver):
+        import gzip
+
+        port, sink = wserver
+        body = gzip.compress(b"cpu,host=h1,dc=eu usage=9.5 1000000000")
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/write",
+            data=body,
+            headers={"Content-Encoding": "gzip"},
+        )
+        with urllib.request.urlopen(req) as r:
+            assert r.status == 204
+        assert sink.read_measurement("cpu").collect()[0].usage == 9.5
+
+    def test_corrupt_gzip_400(self, wserver):
+        port, _ = wserver
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/write",
+            data=b"not gzip at all",
+            headers={"Content-Encoding": "gzip"},
+        )
+        try:
+            with urllib.request.urlopen(req) as r:
+                code = r.status
+        except urllib.error.HTTPError as e:
+            code = e.code
+        assert code == 400
+
+    @staticmethod
+    def _write_url(port, qs, body):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/write?{qs}", data=body.encode()
+        )
+        try:
+            with urllib.request.urlopen(req) as r:
+                return r.status, dict(r.headers)
+        except urllib.error.HTTPError as e:
+            return e.code, dict(e.headers)
+
     def test_no_sink_503(self, server):
         _, port, _, _ = server
         req = urllib.request.Request(
