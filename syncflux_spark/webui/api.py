@@ -114,62 +114,12 @@ class StatusServer:
                 tag_cols = self.query_engine.response_tag_columns(
                     st, list(df.columns)
                 )
-                if tag_cols:
-                    # GROUP BY * / tags: one series per tag combination
-                    # with a 'tags' object; tag columns leave
-                    # columns/values (InfluxDB 1.x shape — a ReadDB-
-                    # style consumer writes tags as tags, not fields)
-                    ti = [df.columns.index(c) for c in tag_cols]
-                    vi = [
-                        i2 for i2, c in enumerate(df.columns)
-                        if c not in tag_cols
-                    ]
-                    val_cols = [df.columns[i2] for i2 in vi]
-                    by_combo: dict[tuple, list] = {}
-                    for r in rows:
-                        by_combo.setdefault(
-                            tuple(r[i2] for i2 in ti), []
-                        ).append([r[i2] for i2 in vi])
-                    series_list = [
-                        {
-                            "name": (
-                                str(combo[tag_cols.index("measurement")])
-                                if "measurement" in tag_cols
-                                else name
-                            ),
-                            "tags": {
-                                c: ("" if v is None else str(v))
-                                for c, v in zip(tag_cols, combo)
-                                if c != "measurement"
-                            },
-                            "columns": val_cols,
-                            "values": vals,
-                        }
-                        for combo, vals in sorted(
-                            by_combo.items(),
-                            key=lambda kv: tuple(
-                                "" if x is None else str(x) for x in kv[0]
-                            ),
-                        )
-                    ]
-                else:
-                    series_list = [
-                        {
-                            "name": name,
-                            "columns": list(df.columns),
-                            "values": [list(r) for r in rows],
-                        }
-                    ]
-                if epoch is not None:
-                    div = self._EPOCH_DIV.get(epoch)
-                    if div is None:
-                        return 400, {"error": f"bad epoch {epoch!r}"}
-                    for ser in series_list:
-                        if "time" in ser["columns"]:
-                            tix = ser["columns"].index("time")
-                            for v in ser["values"]:
-                                if v[tix] is not None:
-                                    v[tix] = int(v[tix]) // div
+                series_list = self._build_series(
+                    list(df.columns), rows, name, tag_cols
+                )
+                err = self._apply_epoch(series_list, epoch)
+                if err:
+                    return 400, err
                 results.append({"statement_id": i, "series": series_list})
             except InfluxQLError as ex:
                 if len(stmts) == 1:
@@ -182,6 +132,129 @@ class StatusServer:
                     {"statement_id": i, "error": f"{type(ex).__name__}: {ex}"}
                 )
         return 200, {"results": results}
+
+    @staticmethod
+    def _build_series(
+        columns: list, rows: list, name: str, tag_cols: list
+    ) -> list[dict]:
+        """Rows → InfluxDB 1.x series list. With ``tag_cols``
+        (GROUP BY * / tags): one series per tag combination with a
+        'tags' object, tag columns excluded from columns/values — the
+        shape a ReadDB-style consumer needs so tags stay tags."""
+        if tag_cols:
+            ti = [columns.index(c) for c in tag_cols]
+            vi = [i2 for i2, c in enumerate(columns) if c not in tag_cols]
+            val_cols = [columns[i2] for i2 in vi]
+            by_combo: dict[tuple, list] = {}
+            for r in rows:
+                by_combo.setdefault(
+                    tuple(r[i2] for i2 in ti), []
+                ).append([r[i2] for i2 in vi])
+            return [
+                {
+                    "name": (
+                        str(combo[tag_cols.index("measurement")])
+                        if "measurement" in tag_cols
+                        else name
+                    ),
+                    "tags": {
+                        c: ("" if v is None else str(v))
+                        for c, v in zip(tag_cols, combo)
+                        if c != "measurement"
+                    },
+                    "columns": val_cols,
+                    "values": vals,
+                }
+                for combo, vals in sorted(
+                    by_combo.items(),
+                    key=lambda kv: tuple(
+                        "" if x is None else str(x) for x in kv[0]
+                    ),
+                )
+            ]
+        return [
+            {
+                "name": name,
+                "columns": list(columns),
+                "values": [list(r) for r in rows],
+            }
+        ]
+
+    def _apply_epoch(self, series_list: list, epoch: str | None):
+        if epoch is None:
+            return None
+        div = self._EPOCH_DIV.get(epoch)
+        if div is None:
+            return {"error": f"bad epoch {epoch!r}"}
+        for ser in series_list:
+            if "time" in ser["columns"]:
+                tix = ser["columns"].index("time")
+                for v in ser["values"]:
+                    if v[tix] is not None:
+                        v[tix] = int(v[tix]) // div
+        return None
+
+    def _run_query_chunked(self, q: str, epoch: str | None, chunk_size: int):
+        """Execute ONE InfluxQL statement and yield InfluxDB 1.x
+        chunked-response documents: each chunk is a complete
+        ``{"results": [...]}`` body holding at most ``chunk_size``
+        rows, with ``"partial": true`` on every chunk but the last —
+        the shape ``/query?chunked=true`` clients stream-decode.
+
+        Rows pull through ``toLocalIterator`` so driver memory holds
+        ONE partition at a time, not the result set — chunked is the
+        export path for results that exceed ``max_query_rows``, which
+        deliberately does NOT apply here."""
+        from syncflux_spark.influxql import (
+            SelectStmt,
+            parse,
+            split_statements,
+        )
+
+        stmts = split_statements(q)
+        if len(stmts) != 1:
+            raise ValueError(
+                "chunked=true supports exactly one statement per request"
+            )
+        st = parse(stmts[0])
+        df = self.query_engine.query(stmts[0])
+        name = (
+            st.measurement
+            if isinstance(st, SelectStmt)
+            else getattr(st, "what", "results").replace(" ", "_")
+        )
+        tag_cols = self.query_engine.response_tag_columns(
+            st, list(df.columns)
+        )
+        columns = list(df.columns)
+
+        def chunks():
+            buf: list = []
+            for row in df.toLocalIterator():
+                buf.append(row)
+                if len(buf) >= chunk_size:
+                    yield buf
+                    buf = []
+            yield buf  # final (possibly empty) chunk closes the stream
+
+        it = chunks()
+        prev = next(it)
+        for batch in it:
+            # prev is non-final → partial
+            series = self._build_series(columns, prev, name, tag_cols)
+            err = self._apply_epoch(series, epoch)
+            if err:
+                raise ValueError(err["error"])
+            for s in series:
+                s["partial"] = True
+            yield {"results": [{"statement_id": 0, "series": series,
+                                "partial": True}]}
+            prev = batch
+        series = self._build_series(columns, prev, name, tag_cols)
+        err = self._apply_epoch(series, epoch)
+        if err:
+            raise ValueError(err["error"])
+        yield {"results": [{"statement_id": 0, "series": series}]}
 
     # -- handlers -----------------------------------------------------------
     def _handler_cls(self):
@@ -219,11 +292,49 @@ class StatusServer:
                 vals = qs.get(name)
                 return vals[0] if vals else None
 
+            def _send_chunked_query(self, q: str) -> None:
+                """/query?chunked=true: stream newline-delimited JSON
+                response documents with HTTP chunked framing (the
+                InfluxDB 1.x export protocol; urllib/requests decode
+                the framing transparently)."""
+                if server.query_engine is None:
+                    self._send(503, {"error": "no query engine attached"})
+                    return
+                try:
+                    size = int(self._query_param("chunk_size") or 10_000)
+                    if size < 1:
+                        raise ValueError("chunk_size must be >= 1")
+                    gen = server._run_query_chunked(
+                        q, self._query_param("epoch"), size
+                    )
+                    first = next(gen)  # surface errors before headers
+                except Exception as ex:
+                    self._send(400, {"error": str(ex)})
+                    return
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Transfer-Encoding", "chunked")
+                self.end_headers()
+
+                def emit(doc):
+                    data = (json.dumps(doc) + "\n").encode()
+                    self.wfile.write(f"{len(data):X}\r\n".encode())
+                    self.wfile.write(data)
+                    self.wfile.write(b"\r\n")
+
+                emit(first)
+                for doc in gen:
+                    emit(doc)
+                self.wfile.write(b"0\r\n\r\n")
+
             def do_GET(self):
                 if self.path.startswith("/query"):
                     q = self._query_param()
                     if not q:
                         self._send(400, {"error": "missing q parameter"})
+                        return
+                    if (self._query_param("chunked") or "").lower() == "true":
+                        self._send_chunked_query(q)
                         return
                     code, body = server._run_query(
                         q, epoch=self._query_param("epoch")
@@ -286,6 +397,9 @@ class StatusServer:
                         q = (qs.get("q") or [None])[0]
                     if not q:
                         self._send(400, {"error": "missing q parameter"})
+                        return
+                    if (self._query_param("chunked") or "").lower() == "true":
+                        self._send_chunked_query(q)
                         return
                     code, body = server._run_query(
                         q, epoch=self._query_param("epoch")

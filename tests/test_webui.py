@@ -395,3 +395,71 @@ class TestEpochParam:
         q = urllib.parse.quote("select count(value) from events")
         code, body, _ = _get(qserver, f"/query?q={q}&epoch=fortnight")
         assert code == 400
+
+
+class TestChunkedQuery:
+    """/query?chunked=true: newline-delimited response documents with
+    'partial' flags — InfluxDB 1.x's export protocol, which also
+    bypasses max_query_rows (rows stream through toLocalIterator
+    instead of a capped collect)."""
+
+    @pytest.fixture()
+    def qserver(self, spark, events):
+        from syncflux_spark.influxql import InfluxQLEngine
+
+        monitor = HAMonitor(master_probe=lambda: True, slave_probe=lambda: True)
+        monitor.check_once()
+        eng = InfluxQLEngine(
+            spark,
+            tables={"events": events},
+            tags={"events": ["event_type", "user_id"]},
+        )
+        # tiny row cap: chunked must NOT be bound by it
+        srv = StatusServer(monitor, port=0, query_engine=eng, max_query_rows=5)
+        port = srv.start()
+        yield port
+        srv.stop()
+
+    def test_streams_all_rows_past_the_cap(self, qserver, events):
+        total = events.where("value is not null").count()
+        q = urllib.parse.quote("select value from events")
+        code, body, headers = _get(
+            qserver, f"/query?q={q}&chunked=true&chunk_size=40"
+        )
+        assert code == 200
+        docs = [json.loads(ln) for ln in body.splitlines() if ln]
+        assert len(docs) > 1
+        n = sum(
+            len(s["values"])
+            for d in docs
+            for r in d["results"]
+            for s in r["series"]
+        )
+        assert n == total  # NOT capped at max_query_rows=5
+        # every document but the last is marked partial
+        assert all(d["results"][0].get("partial") for d in docs[:-1])
+        assert "partial" not in docs[-1]["results"][0]
+
+    def test_tags_shape_preserved_per_chunk(self, qserver):
+        q = urllib.parse.quote(
+            "select count(value) as n from events group by event_type"
+        )
+        code, body, _ = _get(qserver, f"/query?q={q}&chunked=true")
+        assert code == 200
+        docs = [json.loads(ln) for ln in body.splitlines() if ln]
+        assert len(docs) == 1  # 5 rows fit one chunk
+        series = docs[0]["results"][0]["series"]
+        assert len(series) == 5
+        for s in series:
+            assert "event_type" in s["tags"]
+            assert s["columns"] == ["n"]
+
+    def test_multi_statement_rejected(self, qserver):
+        q = urllib.parse.quote("show databases; show measurements")
+        code, body, _ = _get(qserver, f"/query?q={q}&chunked=true")
+        assert code == 400
+
+    def test_bad_query_errors_before_stream(self, qserver):
+        q = urllib.parse.quote("select wat from")
+        code, body, _ = _get(qserver, f"/query?q={q}&chunked=true")
+        assert code == 400
