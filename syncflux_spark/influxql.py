@@ -1074,6 +1074,10 @@ class _Parser:
             return ShowStmt("series", db=db, measurement=meas)
         if self.accept_kw("continuous", "queries"):
             return ShowStmt("continuous queries")
+        if self.accept_kw("stats"):
+            return ShowStmt("stats")
+        if self.accept_kw("diagnostics"):
+            return ShowStmt("diagnostics")
         raise InfluxQLError("unsupported SHOW statement")
 
     def _show_cardinality(self, what: str, key: bool = False) -> ShowStmt:
@@ -1106,8 +1110,25 @@ class _Parser:
             st.time = tmp.time
         return st
 
-    def drop(self) -> DropStmt:
+    def drop(self):
         self.expect_kw("drop")
+        if self.accept_kw("series", "from"):
+            # DROP SERIES FROM m [WHERE <tag predicates>] — InfluxDB's
+            # whole-series removal. Same machinery as DELETE with no
+            # time bounds (every point of the matching series goes);
+            # time predicates are NOT legal in DROP SERIES, matching
+            # InfluxDB's grammar.
+            meas = self.ident()
+            st = DeleteStmt(measurement=meas)
+            if self.accept_kw("where"):
+                tmp = SelectStmt(projs=[], measurement=meas)
+                st.where = self.where_expr(tmp)
+                if tmp.time.lo_ns is not None or tmp.time.hi_ns is not None:
+                    raise InfluxQLError(
+                        "DROP SERIES does not accept time predicates; "
+                        "use DELETE for time-bounded removal"
+                    )
+            return st
         if self.accept_kw("measurement"):
             return DropStmt("measurement", self.ident())
         if self.accept_kw("database"):
@@ -2957,6 +2978,50 @@ class InfluxQLEngine:
     def _show(self, st: ShowStmt) -> DataFrame:
         if st.what.endswith("cardinality"):
             return self._show_cardinality_exec(st)
+        if st.what == "stats":
+            # per-measurement row counts + series cardinality — the
+            # monitoring surface admin dashboards poll; distributed
+            # exact counts, one scan per registered measurement
+            rows = []
+            for name in sorted(self.tables):
+                df = self.tables[name]
+                tgs = [
+                    t for t in self.tags.get(name, []) if t in df.columns
+                ]
+                n = df.count()
+                n_series = (
+                    df.select(*tgs).distinct().count() if tgs else 1
+                )
+                rows.append((name, n, n_series))
+            return self.spark.createDataFrame(
+                rows, "measurement string, n_rows long, n_series long"
+            )
+        if st.what == "diagnostics":
+            import pyspark
+
+            rows = [
+                ("build", "engine", "syncflux-spark"),
+                ("build", "spark_version", pyspark.__version__),
+                ("runtime", "master", self.spark.sparkContext.master),
+                (
+                    "runtime",
+                    "shuffle_partitions",
+                    self.spark.conf.get("spark.sql.shuffle.partitions"),
+                ),
+                (
+                    "runtime",
+                    "measurements",
+                    str(len(self.tables)),
+                ),
+                (
+                    "runtime",
+                    "continuous_queries",
+                    str(len(self.continuous_queries)),
+                ),
+            ]
+            return self.spark.createDataFrame(
+                rows, "section string, name string, value string"
+            )
         if st.what == "databases":
             if self.catalog is not None:
                 names = self.catalog.get_databases()

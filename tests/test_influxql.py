@@ -1931,3 +1931,64 @@ class TestSeasonalHoltWinters:
                 "SELECT holt_winters_with_fit(mean(value), 2, 4) "
                 "FROM events WHERE time > 0 GROUP BY time(1d)"
             )
+
+
+class TestDropSeriesAndAdminShows:
+    """DROP SERIES (whole-series removal via the DELETE machinery,
+    time predicates rejected) and the SHOW STATS / SHOW DIAGNOSTICS
+    admin surface."""
+
+    @pytest.fixture()
+    def dropable(self, spark, tmp_path):
+        from syncflux_spark.catalog import (
+            FieldSch,
+            MeasurementSch,
+            RetPol,
+            SparkCatalog,
+        )
+
+        cat = SparkCatalog(spark)
+        db = "iqldrop1"
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+        cat.create_db(db)
+        rp = RetPol(name="autogen", duration="0s", default=True)
+        meas = MeasurementSch(
+            name="cpu",
+            fields={"usage": FieldSch("usage", "float")},
+            tags=["host"],
+        )
+        cat.create_measurement(db, rp, meas, location=str(tmp_path / "cpu"))
+        rows = [
+            (i * 10**9, None, "h1" if i % 2 == 0 else "h2", float(i))
+            for i in range(10)
+        ]
+        spark.createDataFrame(
+            rows, "time_ns long, ts timestamp, host string, usage double"
+        ).write.insertInto(f"{db}.autogen__cpu")
+        yield InfluxQLEngine(spark, catalog=cat, db=db)
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+    def test_drop_series_removes_all_points_of_series(self, dropable, spark):
+        res = dropable.query("DROP SERIES FROM cpu WHERE \"host\" = 'h2'").collect()
+        assert res[0].rows_deleted == 5
+        left = spark.table("iqldrop1.autogen__cpu")
+        assert left.count() == 5
+        assert left.where("host = 'h2'").count() == 0
+
+    def test_drop_series_rejects_time(self):
+        with pytest.raises(InfluxQLError, match="time"):
+            parse("DROP SERIES FROM cpu WHERE time > 0")
+
+    def test_show_stats(self, engine, events):
+        rows = {r.measurement: r for r in engine.query("SHOW STATS").collect()}
+        assert rows["events"].n_rows == events.where(
+            "value is not null"
+        ).count() + events.where("value is null").count()
+        exp_series = events.select("event_type", "user_id").distinct().count()
+        assert rows["events"].n_series == exp_series
+
+    def test_show_diagnostics(self, engine):
+        rows = engine.query("SHOW DIAGNOSTICS").collect()
+        kv = {(r.section, r.name): r.value for r in rows}
+        assert kv[("build", "engine")] == "syncflux-spark"
+        assert ("runtime", "shuffle_partitions") in kv
