@@ -1675,11 +1675,16 @@ class TestHoltWinters:
                 "SELECT holt_winters(mean(value), 3) FROM events "
                 "WHERE time > 0 GROUP BY time(1d)"
             )
-        with pytest.raises(InfluxQLError, match="seasonal"):
+        # S > 0 is the seasonal form (TestSeasonalHoltWinters) — it
+        # must compile, not raise
+        assert (
             engine.query(
                 "SELECT holt_winters(mean(value), 3, 4) FROM events "
-                "WHERE time > 0 GROUP BY time(1d)"
-            )
+                "WHERE time >= '2024-01-05' AND time < '2024-01-12' "
+                "GROUP BY time(1d)"
+            ).count()
+            == 3
+        )
         with pytest.raises(InfluxQLError, match="only projection"):
             engine.query(
                 "SELECT holt_winters(mean(value), 3, 0), count(value) "
