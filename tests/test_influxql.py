@@ -1997,3 +1997,38 @@ class TestDropSeriesAndAdminShows:
         kv = {(r.section, r.name): r.value for r in rows}
         assert kv[("build", "engine")] == "syncflux-spark"
         assert ("runtime", "shuffle_partitions") in kv
+
+
+class TestFoldFamilyPlanDiscipline:
+    """The TA fold transforms must stay JVM-side (no Python stages)
+    and add at most the tag-collapse exchange + final sort beyond the
+    rollup's own aggregation shuffle."""
+
+    @pytest.mark.parametrize(
+        "proj",
+        [
+            "exponential_moving_average(mean(value), 5)",
+            "relative_strength_index(mean(value), 3)",
+            "chande_momentum_oscillator(mean(value), 3)",
+            "double_exponential_moving_average(mean(value), 5)",
+            "kaufmans_adaptive_moving_average(mean(value), 3)",
+            "holt_winters(mean(value), 3, 0)",
+            "holt_winters(mean(value), 4, 4)",
+        ],
+    )
+    def test_no_python_and_bounded_exchanges(self, engine, proj):
+        df = engine.query(
+            f"SELECT {proj} FROM events "
+            "WHERE time >= '2024-01-05' AND time < '2024-01-12' "
+            "GROUP BY time(1d), event_type"
+        )
+        plan = (
+            df._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+            .split("== Initial Plan ==")[0]
+        )
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+        # rollup agg + per-series collapse + final time sort
+        assert plan.count("Exchange") <= 3, plan
