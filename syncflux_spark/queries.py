@@ -10027,6 +10027,29 @@ def influxql_trix_daily(spark, sf):
     )
 
 
+@register(
+    "influxql_tema_daily",
+    _EMA_CASCADE_SQL
+    + """
+    SELECT lb * 1000 AS time, event_type,
+           (3.0 * e1 - 3.0 * e2) + e3
+             AS triple_exponential_moving_average
+    FROM st
+    """,
+)
+def influxql_tema_daily(spark, sf):
+    """InfluxQL ``triple_exponential_moving_average(mean(v), N)``:
+    TEMA = 3·e1 − 3·e2 + e3 over the same one-fold EMA cascade as
+    DEMA — lag-compensated smoothing, one value per bucket, bit-exact
+    against the cascade CTE."""
+    return _influxql_events(spark, sf).query(
+        f"SELECT triple_exponential_moving_average(mean(value), 5) "
+        f"FROM events "
+        f"WHERE time >= '{EV_WIN[0]}' AND time < '{EV_WIN[1]}' "
+        f"GROUP BY time(1d), event_type"
+    )
+
+
 #: Kaufman constants (InfluxDB fixed fast=2, slow=30 EMA periods)
 _KAMA_FAST = 2.0 / 3.0
 _KAMA_SLOW = 2.0 / 31.0
