@@ -192,3 +192,60 @@ class TestCdcProperties:
             assert got == ref
 
         check()
+
+
+class TestLinkageProperties:
+    """Blocked-linkage recall property: every same-block pair within
+    max_dist appears in the output, and nothing below the block or
+    above the distance leaks in (hypothesis-generated serial keys)."""
+
+    def test_recall_within_blocks(self, spark):
+        from hypothesis import given, settings, strategies as st_
+
+        try:
+            from Levenshtein import distance as lev  # noqa: F401
+            have_ref = True
+        except ImportError:
+            have_ref = False
+
+        def pydist(a, b):
+            # classic DP fallback so the property needs no extra deps
+            m, n = len(a), len(b)
+            prev = list(range(n + 1))
+            for i in range(1, m + 1):
+                cur = [i] + [0] * n
+                for j in range(1, n + 1):
+                    cur[j] = min(
+                        prev[j] + 1,
+                        cur[j - 1] + 1,
+                        prev[j - 1] + (a[i - 1] != b[j - 1]),
+                    )
+                prev = cur
+            return prev[n]
+
+        keys = st_.text(alphabet="AB12", min_size=3, max_size=5)
+
+        @settings(max_examples=10, deadline=None)
+        @given(names=st_.lists(keys, min_size=2, max_size=8, unique=True))
+        def check(names):
+            df = spark.createDataFrame(
+                list(enumerate(names)), "id long, name string"
+            )
+            got = {
+                (r.id_a, r.id_b): r.dist
+                for r in blocked_edit_distance_pairs(
+                    df, key_col="name", id_col="id", max_dist=1
+                ).collect()
+            }
+            blocks = {i: n[:-1] for i, n in enumerate(names)}
+            for i in range(len(names)):
+                for j in range(i + 1, len(names)):
+                    d = pydist(names[i], names[j])
+                    expected = blocks[i] == blocks[j] and d <= 1
+                    assert ((i, j) in got) == expected, (
+                        names[i], names[j], d, got
+                    )
+                    if expected:
+                        assert got[(i, j)] == d
+
+        check()
