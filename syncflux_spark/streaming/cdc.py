@@ -36,8 +36,9 @@ import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
-from syncflux_spark.operators.cdc import apply_changes
+from syncflux_spark.operators.cdc import apply_changes, compact_changes
 
 
 class CdcMergeStream:
@@ -53,6 +54,7 @@ class CdcMergeStream:
         key_col: str,
         op_col: str = "op",
         max_files_per_trigger: int | None = None,
+        seq_col: str | None = None,
     ):
         self.spark = spark
         self.changes_path = changes_path
@@ -61,6 +63,9 @@ class CdcMergeStream:
         self.key_col = key_col
         self.op_col = op_col
         self.max_files_per_trigger = max_files_per_trigger
+        #: explicit change-sequence column (LSN/commit ts) if the feed
+        #: carries one; otherwise file order (mtime, path) sequences
+        self.seq_col = seq_col
         self.batches_applied = 0
 
     # -- plumbing -----------------------------------------------------------
@@ -76,18 +81,48 @@ class CdcMergeStream:
             reader = reader.option(
                 "maxFilesPerTrigger", self.max_files_per_trigger
             )
-        return reader.parquet(self.changes_path)
+        # carry the source file's (mtime, path) so a micro-batch that
+        # folds several accumulated change files (availableNow with no
+        # maxFilesPerTrigger) can be compacted to the LAST change per
+        # key in file order before the merge
+        return reader.parquet(self.changes_path).select(
+            "*",
+            F.col("_metadata.file_modification_time").alias("_cdc_mtime"),
+            F.col("_metadata.file_path").alias("_cdc_file"),
+        )
 
     def _apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.head(1):
             return
-        # a replayed file could appear twice within one batch after a
-        # crash; exact-duplicate rows collapse so the per-key
-        # at-most-one-change contract of apply_changes holds
+        # exact replays of one file collapse; then compact the batch
+        # to the last change per key — an I-then-U or U-then-D pair
+        # for one key across files must apply as its final state, not
+        # join the base row to two change rows. Sequence = explicit
+        # seq_col when the feed has one, else (file mtime, file path);
+        # two changes for one key inside ONE file tie and raise
+        # (DuplicateChangeKeyError) rather than merge arbitrarily.
         batch_df = batch_df.dropDuplicates()
+        if self.seq_col:
+            seq_fields = [F.col(self.seq_col)]
+        elif "_cdc_mtime" in batch_df.columns:
+            seq_fields = [F.col("_cdc_mtime"), F.col("_cdc_file")]
+        else:
+            # direct replay of a hand-built batch (no file lineage):
+            # constant seq — per-key duplicates then tie and raise
+            seq_fields = [F.lit(0)]
+        compacted = compact_changes(
+            batch_df.withColumn("_cdc_seq", F.struct(*seq_fields)),
+            key_col=self.key_col,
+            seq_col="_cdc_seq",
+            op_col=self.op_col,
+        ).drop("_cdc_seq", "_cdc_mtime", "_cdc_file")
         base = self.spark.read.parquet(self.base_path)
         merged = apply_changes(
-            base, batch_df, key_col=self.key_col, op_col=self.op_col
+            base,
+            compacted,
+            key_col=self.key_col,
+            op_col=self.op_col,
+            check_unique=False,  # uniqueness guaranteed by compaction
         )
         staging = f"{self.base_path}.cdc-{uuid.uuid4().hex[:8]}"
         merged.write.mode("overwrite").parquet(staging)

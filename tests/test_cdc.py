@@ -65,6 +65,86 @@ class TestApplyChanges:
         )
         assert out == [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)]
 
+    def test_duplicate_keys_raise(self, base, spark):
+        from syncflux_spark.operators.cdc import DuplicateChangeKeyError
+
+        dup = spark.createDataFrame(
+            [(2, "I", "x", 1.0), (2, "U", "y", 2.0), (3, "D", None, None)],
+            "k long, op string, status string, price double",
+        )
+        with pytest.raises(DuplicateChangeKeyError, match="multiple changes"):
+            apply_changes(base, dup, key_col="k")
+        # the guard is skippable after upstream pre-compaction
+        compacted = dup.where(~((F.col("k") == 2) & (F.col("op") == "I")))
+        out = apply_changes(base, compacted, key_col="k", check_unique=False)
+        assert {r.k for r in out.collect()} == {1, 2}
+
+
+class TestCompactChanges:
+    def test_keeps_last_per_key(self, spark):
+        from syncflux_spark.operators.cdc import compact_changes
+
+        ch = spark.createDataFrame(
+            [
+                (1, 10, "I", "a"),
+                (1, 20, "U", "a2"),   # last for k=1
+                (2, 5, "U", "b"),     # only for k=2
+                (3, 1, "I", "c"),
+                (3, 2, "U", "c2"),
+                (3, 3, "D", None),    # last for k=3
+            ],
+            "k long, seq long, op string, status string",
+        )
+        out = {
+            r.k: (r.seq, r.op)
+            for r in compact_changes(ch, "k", "seq").collect()
+        }
+        assert out == {1: (20, "U"), 2: (5, "U"), 3: (3, "D")}
+
+    def test_net_op_fold(self, spark):
+        """With op_col, the I/U/D history folds to its net MERGE
+        effect: I-then-U nets to I (upsert — the key must exist
+        afterward even if base never had it), anything ending in D
+        nets to D, I-after-D re-creates."""
+        from syncflux_spark.operators.cdc import compact_changes
+
+        ch = spark.createDataFrame(
+            [
+                (1, 1, "I", "a"), (1, 2, "U", "a2"),          # → I a2
+                (2, 1, "U", "b"), (2, 2, "D", None),          # → D
+                (3, 1, "I", "c"), (3, 2, "D", None),
+                (3, 3, "I", "c2"), (3, 4, "U", "c3"),         # → I c3
+                (4, 1, "U", "d"), (4, 2, "U", "d2"),          # → U d2
+                (5, 1, "I", "e"), (5, 2, "D", None),
+                (5, 3, "U", "zzz"),                           # → U zzz
+            ],
+            "k long, seq long, op string, status string",
+        )
+        out = {
+            r.k: (r.op, r.status)
+            for r in compact_changes(ch, "k", "seq", op_col="op").collect()
+        }
+        assert out == {
+            1: ("I", "a2"),
+            2: ("D", None),
+            3: ("I", "c3"),
+            4: ("U", "d2"),
+            5: ("U", "zzz"),
+        }
+
+    def test_ambiguous_tie_raises(self, spark):
+        from syncflux_spark.operators.cdc import (
+            DuplicateChangeKeyError,
+            compact_changes,
+        )
+
+        ch = spark.createDataFrame(
+            [(1, 7, "U", "a"), (1, 7, "D", None)],
+            "k long, seq long, op string, status string",
+        )
+        with pytest.raises(DuplicateChangeKeyError, match="ambiguous"):
+            compact_changes(ch, "k", "seq").collect()
+
 
 class TestBlockedEditDistance:
     def test_pairs_and_blocking(self, spark):

@@ -7,6 +7,8 @@ from __future__ import annotations
 import os
 from datetime import timedelta
 
+import pytest
+
 from syncflux_spark.streaming import (
     ClusterState,
     HAMonitor,
@@ -355,6 +357,78 @@ class TestCdcMergeStream:
         s2 = CdcMergeStream(spark, ch, base, ckpt, key_col="k")
         assert s2.run_available() == 0
         assert sorted(map(tuple, s2.read_base().collect())) == before
+
+    def test_multi_file_same_key_applies_last(self, spark, tmp_path):
+        """availableNow with no maxFilesPerTrigger folds all pending
+        change files into ONE micro-batch; an I-then-U and a U-then-D
+        sequence for one key across files must land as the final
+        state, not as duplicate/conflicting merged rows."""
+        import time
+
+        from syncflux_spark.streaming.cdc import CdcMergeStream
+
+        base = str(tmp_path / "base")
+        ch = str(tmp_path / "ch")
+        ckpt = str(tmp_path / "ckpt")
+        self._base(spark, base)
+        # file 1: insert k=7, update k=2
+        self._changes(spark, ch, [(7, "I", "g", 70.0), (2, "U", "b2", 22.0)])
+        time.sleep(1.1)  # distinct mtime → well-ordered file sequence
+        # file 2: update the just-inserted k=7, delete the updated k=2
+        self._changes(spark, ch, [(7, "U", "g2", 77.0), (2, "D", None, None)])
+
+        s = CdcMergeStream(spark, ch, base, ckpt, key_col="k")
+        assert s.run_available() == 1  # both files in one batch
+        got = {r.k: (r.status, r.price) for r in s.read_base().collect()}
+        assert got == {
+            1: ("a", 10.0),
+            3: ("c", 30.0),
+            4: ("d", 40.0),
+            7: ("g2", 77.0),
+        }
+        # exactly one row per key — no duplicate merge artifacts
+        n = s.read_base().count()
+        assert n == len(got)
+
+    def test_same_key_twice_in_one_file_raises(self, spark, tmp_path):
+        from syncflux_spark.operators.cdc import DuplicateChangeKeyError
+        from syncflux_spark.streaming.cdc import CdcMergeStream
+
+        base = str(tmp_path / "base")
+        ch = str(tmp_path / "ch")
+        ckpt = str(tmp_path / "ckpt")
+        self._base(spark, base)
+        self._changes(
+            spark, ch, [(2, "U", "x", 1.0), (2, "D", None, None)]
+        )
+        s = CdcMergeStream(spark, ch, base, ckpt, key_col="k")
+        with pytest.raises(
+            Exception, match="ambiguous|DuplicateChangeKey"
+        ):
+            s.run_available()
+
+    def test_explicit_seq_col_orders_within_file(self, spark, tmp_path):
+        """A feed carrying its own LSN can sequence multiple changes
+        for one key even inside a single file."""
+        from syncflux_spark.streaming.cdc import CdcMergeStream
+
+        base = str(tmp_path / "base")
+        ch = str(tmp_path / "ch")
+        ckpt = str(tmp_path / "ckpt")
+        self._base(spark, base)
+        spark.createDataFrame(
+            [
+                (2, 1, "U", "first", 1.0),
+                (2, 2, "U", "last", 2.0),
+                (5, 1, "I", "e", 50.0),
+            ],
+            "k long, lsn long, op string, status string, price double",
+        ).coalesce(1).write.mode("append").parquet(ch)
+        s = CdcMergeStream(spark, ch, base, ckpt, key_col="k", seq_col="lsn")
+        s.run_available()
+        got = {r.k: (r.status, r.price) for r in s.read_base().collect()}
+        assert got[2] == ("last", 2.0)
+        assert got[5] == ("e", 50.0)
 
     def test_replayed_batch_is_idempotent(self, spark, tmp_path):
         """Re-applying a batch by hand (simulating a crash between
