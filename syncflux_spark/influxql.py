@@ -438,6 +438,10 @@ class DeleteStmt:
     db: str | None = None
     time: "TimeBound" = dc_field(default_factory=lambda: TimeBound(None, None))
     where: "Expr | None" = None  # tag predicates (influx DELETE grammar)
+    #: DROP SERIES origin: a bare statement (no WHERE) legally means
+    #: "remove every series of the measurement", unlike DELETE where
+    #: a missing predicate is rejected as a guard against accidents
+    drop_series: bool = False
 
 
 @dataclass
@@ -1119,7 +1123,7 @@ class _Parser:
             # time predicates are NOT legal in DROP SERIES, matching
             # InfluxDB's grammar.
             meas = self.ident()
-            st = DeleteStmt(measurement=meas)
+            st = DeleteStmt(measurement=meas, drop_series=True)
             if self.accept_kw("where"):
                 tmp = SelectStmt(projs=[], measurement=meas)
                 st.where = self.where_expr(tmp)
@@ -3205,7 +3209,9 @@ class InfluxQLEngine:
             raise InfluxQLError("DELETE requires a database context")
         lo = st.time.lo_ns
         hi = st.time.hi_ns
-        if lo is None and hi is None and st.where is None:
+        if lo is None and hi is None and st.where is None and not st.drop_series:
+            # bare DELETE is guarded; bare DROP SERIES FROM m is valid
+            # InfluxQL meaning "drop every series of the measurement"
             raise InfluxQLError("DELETE requires a time or tag predicate")
         deleted: list[tuple[str, int]] = []
         for tbl in self.spark.catalog.listTables(db):

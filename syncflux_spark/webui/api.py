@@ -261,6 +261,12 @@ class StatusServer:
         server = self
 
         class Handler(BaseHTTPRequestHandler):
+            # chunked Transfer-Encoding is an HTTP/1.1 feature; the
+            # default HTTP/1.0 status line makes Go net/http and curl
+            # treat the hex chunk-size lines as body bytes. Safe to
+            # pin: every non-chunked response carries Content-Length.
+            protocol_version = "HTTP/1.1"
+
             def log_message(self, *a):  # silence request logging
                 pass
 

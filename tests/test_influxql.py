@@ -1980,6 +1980,16 @@ class TestDropSeriesAndAdminShows:
         assert left.count() == 5
         assert left.where("host = 'h2'").count() == 0
 
+    def test_bare_drop_series_removes_measurement_rows(self, dropable, spark):
+        """DROP SERIES FROM m with no WHERE is valid InfluxQL: every
+        series of the measurement goes (README's whole-series
+        removal); bare DELETE stays guarded."""
+        res = dropable.query("DROP SERIES FROM cpu").collect()
+        assert res[0].rows_deleted == 10
+        assert spark.table("iqldrop1.autogen__cpu").count() == 0
+        with pytest.raises(InfluxQLError, match="predicate"):
+            dropable.query("DELETE FROM cpu")
+
     def test_drop_series_rejects_time(self):
         with pytest.raises(InfluxQLError, match="time"):
             parse("DROP SERIES FROM cpu WHERE time > 0")

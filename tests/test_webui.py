@@ -454,6 +454,42 @@ class TestChunkedQuery:
             assert "event_type" in s["tags"]
             assert s["columns"] == ["n"]
 
+    def test_chunked_status_line_is_http11(self, qserver):
+        """Chunked Transfer-Encoding only exists in HTTP/1.1; an
+        HTTP/1.0 status line makes strict clients (Go net/http, curl)
+        read the hex chunk-size framing as body bytes. Assert the raw
+        status line — urllib masks the version by always decoding."""
+        import socket
+
+        q = urllib.parse.quote("select count(value) as n from events")
+        with socket.create_connection(("127.0.0.1", qserver), timeout=30) as s:
+            s.sendall(
+                f"GET /query?q={q}&chunked=true HTTP/1.1\r\n"
+                f"Host: 127.0.0.1\r\nConnection: close\r\n\r\n".encode()
+            )
+            raw = b""
+            while True:
+                part = s.recv(65536)
+                if not part:
+                    break
+                raw += part
+        head, _, rest = raw.partition(b"\r\n\r\n")
+        status = head.split(b"\r\n", 1)[0]
+        assert status.startswith(b"HTTP/1.1 200"), status
+        assert b"transfer-encoding: chunked" in head.lower()
+        # strict chunked decode of the framing we emitted
+        body = b""
+        while rest:
+            size_line, _, rest = rest.partition(b"\r\n")
+            size = int(size_line, 16)
+            if size == 0:
+                break
+            body += rest[:size]
+            assert rest[size : size + 2] == b"\r\n"
+            rest = rest[size + 2 :]
+        doc = json.loads(body)
+        assert doc["results"][0]["series"][0]["columns"] == ["n"]
+
     def test_multi_statement_rejected(self, qserver):
         q = urllib.parse.quote("show databases; show measurements")
         code, body, _ = _get(qserver, f"/query?q={q}&chunked=true")
