@@ -48,18 +48,33 @@ def learn_bpe(
     text_col: str = "text",
     n_merges: int = 50,
     min_freq: int = 2,
+    max_vocab: int = 1_000_000,
 ) -> list[tuple[str, str]]:
     """Learn ``n_merges`` BPE merges from the corpus: one distributed
     word-count (explode + map-side-combined groupBy — the only
     cluster work), then the classic greedy pair-merge loop over the
     collected (word, count) table. Deterministic: ties break by
-    (count desc, pair asc)."""
+    (count desc, pair asc).
+
+    The collect is BOUNDED cluster-side: ``min_freq`` pushes into the
+    aggregate (a merge below min_freq can never fire, and dropping
+    sub-threshold words only removes pair counts that sum < min_freq
+    per word), and ``max_vocab`` caps the table at the top-V words by
+    (count desc, word asc) via ``orderBy().limit()`` — which Catalyst
+    compiles to TakeOrderedAndProject (per-partition top-K merged on
+    the driver), NOT a single-partition sort — because on web-scale
+    text the distinct-"word" long tail (hashes, base64, URLs) is
+    O(10⁸) rows that would otherwise OOM the driver while
+    contributing nothing to any merge above threshold."""
     wc = (
         spread_for_cpu(df)
         .select(F.explode(words(F.col(text_col))).alias("w"))
         .where(F.col("w") != "")
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= min_freq)
+        .orderBy(F.col("n").desc(), F.col("w").asc())
+        .limit(max_vocab)
         .collect()
     )
     vocab: dict[tuple[str, ...], int] = {

@@ -34,6 +34,39 @@ class TestLearnBpe:
         df = spark.createDataFrame([("xy",)], "text string")
         assert learn_bpe(df, n_merges=5, min_freq=2) == []
 
+    def test_vocab_collect_is_bounded(self, spark):
+        """A long garbage tail (unique hash-like words) must not reach
+        the driver: min_freq pushes into the cluster agg and max_vocab
+        top-V caps the collect, without changing the learned merges
+        when the cap keeps every above-threshold word."""
+        rows = [("the cat sat on the mat " * 3,)] * 4 + [
+            (f"x{i:06d}y{i:06d}z",) for i in range(500)  # 500 singletons
+        ]
+        df = spark.createDataFrame(rows, "text string")
+        unbounded = learn_bpe(df, n_merges=5, min_freq=2, max_vocab=10**6)
+        capped = learn_bpe(df, n_merges=5, min_freq=2, max_vocab=10)
+        assert capped == unbounded  # only 6 words survive min_freq=2
+
+        # the collected table itself stays within max_vocab even with
+        # min_freq=1 admitting the whole tail
+        from syncflux_spark.functions.text import words as _words
+        from syncflux_spark.utils import spread_for_cpu
+
+        wc = (
+            spread_for_cpu(df)
+            .select(F.explode(_words(F.col("text"))).alias("w"))
+            .where(F.col("w") != "")
+            .groupBy("w")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") >= 1)
+            .orderBy(F.col("n").desc(), F.col("w").asc())
+            .limit(10)
+        )
+        assert len(wc.collect()) == 10
+        # the top-V cap compiles to distributed TakeOrderedAndProject,
+        # not a single-partition global sort
+        assert "TakeOrderedAndProject" in wc._jdf.queryExecution().executedPlan().toString()
+
 
 class TestApplyBpe:
     def test_rank_order_segmentation(self, spark):
