@@ -1284,6 +1284,28 @@ class InfluxQLEngine:
         #: (each CQ writes under {cq_root}/{target}/)
         self.cq_root = cq_root
         self.continuous_queries: dict[str, object] = {}
+        #: above this estimated bucket count (time range / group
+        #: interval, decided at plan build) the TA fold family
+        #: (EMA/RSI/DEMA/TEMA/TRIX/KAMA/holt_winters_with_fit)
+        #: switches from O(B²) in-row prefix folds to the linear
+        #: Arrow kernels in functions/tafold.py (bit-identical per
+        #: TestLinearFolds). Unbounded time ranges take the linear
+        #: path: their bucket count is unknowable at plan time and
+        #: only the linear form is safe at scale.
+        self.fold_linear_threshold = 5000
+
+    def _est_buckets(self, st: "SelectStmt") -> int | None:
+        """Bucket-count estimate from the statement alone: exact when
+        both time bounds are literal, None when unbounded."""
+        iv = st.group_time_ns
+        lo, hi = st.time.lo_ns, st.time.hi_ns
+        if not iv or lo is None or hi is None:
+            return None
+        return int((hi - lo) // iv) + 1
+
+    def _use_linear_fold(self, st: "SelectStmt") -> bool:
+        est = self._est_buckets(st)
+        return est is None or est > self.fold_linear_threshold
 
     def register_table(
         self, name: str, df: DataFrame, tags: list[str] | None = None
@@ -2049,17 +2071,31 @@ class InfluxQLEngine:
         xs = F.transform("_pts", lambda s: s[name].cast("double"))
         g = g.select(*tags, F.col("_pts"), xs.alias("_xs"))
         idx = F.sequence(F.lit(1), F.size("_xs"))
-        emas = F.transform(
-            idx,
-            lambda i: F.struct(
-                F.element_at("_pts", i)["t"].alias("t"),
-                F.aggregate(
-                    F.slice("_xs", F.lit(2), i - F.lit(1)),
-                    F.element_at("_xs", F.lit(1)),
-                    lambda acc, x: x * F.lit(alpha) + acc * F.lit(beta),
-                ).alias("v"),
-            ),
-        )
+        if self._use_linear_fold(st):
+            # large/unbounded ranges: one linear Arrow pass per series
+            # (bit-identical to the fold — see functions/tafold.py)
+            from syncflux_spark.functions.tafold import ema_udf
+
+            g = g.withColumn("_vals", ema_udf(alpha, beta)(F.col("_xs")))
+            emas = F.transform(
+                idx,
+                lambda i: F.struct(
+                    F.element_at("_pts", i)["t"].alias("t"),
+                    F.element_at("_vals", i).alias("v"),
+                ),
+            )
+        else:
+            emas = F.transform(
+                idx,
+                lambda i: F.struct(
+                    F.element_at("_pts", i)["t"].alias("t"),
+                    F.aggregate(
+                        F.slice("_xs", F.lit(2), i - F.lit(1)),
+                        F.element_at("_xs", F.lit(1)),
+                        lambda acc, x: x * F.lit(alpha) + acc * F.lit(beta),
+                    ).alias("v"),
+                ),
+            )
         res = g.select(*tags, F.explode(emas).alias("_r")).select(
             F.col("_r.t").alias("time"),
             *[F.col(t) for t in group_tags],
@@ -2134,22 +2170,34 @@ class InfluxQLEngine:
             F.size("_xs") >= n + 1,
             F.sequence(F.lit(n + 1), F.size("_xs")),
         ).otherwise(F.array().cast("array<int>"))
-        rsis = F.transform(
-            idx,
-            lambda j: F.struct(
-                F.element_at("_pts", j)["t"].alias("t"),
-                (
-                    lambda s: F.when(
-                        s["ag"] + s["al"] != F.lit(0.0),
-                        (F.lit(100.0) * s["ag"]) / (s["ag"] + s["al"]),
-                    )
-                )(
-                    F.aggregate(
-                        F.slice("_xs", F.lit(2), j - F.lit(1)), seed, step
-                    )
-                ).alias("v"),
-            ),
-        )
+        if self._use_linear_fold(st):
+            from syncflux_spark.functions.tafold import rsi_udf
+
+            g = g.withColumn("_vals", rsi_udf(n)(F.col("_xs")))
+            rsis = F.transform(
+                idx,
+                lambda j: F.struct(
+                    F.element_at("_pts", j)["t"].alias("t"),
+                    F.element_at("_vals", j).alias("v"),
+                ),
+            )
+        else:
+            rsis = F.transform(
+                idx,
+                lambda j: F.struct(
+                    F.element_at("_pts", j)["t"].alias("t"),
+                    (
+                        lambda s: F.when(
+                            s["ag"] + s["al"] != F.lit(0.0),
+                            (F.lit(100.0) * s["ag"]) / (s["ag"] + s["al"]),
+                        )
+                    )(
+                        F.aggregate(
+                            F.slice("_xs", F.lit(2), j - F.lit(1)), seed, step
+                        )
+                    ).alias("v"),
+                ),
+            )
         res = g.select(*tags, F.explode(rsis).alias("_r")).select(
             F.col("_r.t").alias("time"),
             *[F.col(t) for t in group_tags],
@@ -2340,6 +2388,21 @@ class InfluxQLEngine:
             F.sequence(F.lit(start), F.size("_xs")),
         ).otherwise(F.array().cast("array<int>"))
 
+        if self._use_linear_fold(st):
+            from syncflux_spark.functions.tafold import cascade_udf
+
+            g = g.withColumn(
+                "_vals", cascade_udf(alpha, beta, kind)(F.col("_xs"))
+            )
+            rows = F.transform(
+                idx,
+                lambda j: F.struct(
+                    F.element_at("_pts", j)["t"].alias("t"),
+                    F.element_at("_vals", j).alias("v"),
+                ),
+            )
+            return self._explode_series(g, rows, st, group_tags, name)
+
         def value_at(j):
             s = state_at(j)
             if kind == "double_exponential_moving_average":
@@ -2424,6 +2487,22 @@ class InfluxQLEngine:
         # KAMA: fold buckets N+2..j with the kama recurrence; the acc
         # carries (kama, k) where k is the CURRENT bucket index so the
         # step can read x_k and the window behind it from the arrays
+        if self._use_linear_fold(st):
+            from syncflux_spark.functions.tafold import kama_udf
+
+            g = g.withColumn(
+                "_vals",
+                kama_udf(n, self._KAMA_SPREAD, self._KAMA_SLOW)(F.col("_xs")),
+            )
+            rows = F.transform(
+                idx,
+                lambda j: F.struct(
+                    F.element_at("_pts", j)["t"].alias("t"),
+                    F.element_at("_vals", j).alias("v"),
+                ),
+            )
+            return self._explode_series(g, rows, st, group_tags, name)
+
         def kama_at(j):
             seed = F.struct(
                 F.element_at("_xs", F.lit(n + 1)).alias("kama"),
@@ -2662,32 +2741,44 @@ class InfluxQLEngine:
             # prediction from the state after bucket i-1; bucket 1's
             # fit is its own value (the seed state)
             idx = F.sequence(F.lit(1), F.size("_pts"))
-            fit = F.transform(
-                idx,
-                lambda i: F.struct(
-                    F.element_at("_pts", i)["t"].alias("t"),
-                    F.when(
-                        i == 1,
-                        F.element_at("_xs", i).cast("double") / F.lit(1e6),
-                    )
-                    .otherwise(
-                        (
-                            F.aggregate(
-                                F.slice(sts, F.lit(2), i - F.lit(2)),
-                                F.element_at(sts, F.lit(1)),
-                                step,
-                            )["l"]
-                            + F.aggregate(
-                                F.slice(sts, F.lit(2), i - F.lit(2)),
-                                F.element_at(sts, F.lit(1)),
-                                step,
-                            )["b"]
+            if self._use_linear_fold(st):
+                from syncflux_spark.functions.tafold import hw_fit_udf
+
+                g = g.withColumn("_fit", hw_fit_udf()(F.col("_xs")))
+                fit = F.transform(
+                    idx,
+                    lambda i: F.struct(
+                        F.element_at("_pts", i)["t"].alias("t"),
+                        F.element_at("_fit", i).alias("v"),
+                    ),
+                )
+            else:
+                fit = F.transform(
+                    idx,
+                    lambda i: F.struct(
+                        F.element_at("_pts", i)["t"].alias("t"),
+                        F.when(
+                            i == 1,
+                            F.element_at("_xs", i).cast("double") / F.lit(1e6),
                         )
-                        / F.lit(1e6)
-                    )
-                    .alias("v"),
-                ),
-            )
+                        .otherwise(
+                            (
+                                F.aggregate(
+                                    F.slice(sts, F.lit(2), i - F.lit(2)),
+                                    F.element_at(sts, F.lit(1)),
+                                    step,
+                                )["l"]
+                                + F.aggregate(
+                                    F.slice(sts, F.lit(2), i - F.lit(2)),
+                                    F.element_at(sts, F.lit(1)),
+                                    step,
+                                )["b"]
+                            )
+                            / F.lit(1e6)
+                        )
+                        .alias("v"),
+                    ),
+                )
             rows = F.concat(fit, fc)
         else:
             rows = fc

@@ -2042,3 +2042,102 @@ class TestFoldFamilyPlanDiscipline:
         assert "ArrowEvalPython" not in plan
         # rollup agg + per-series collapse + final time sort
         assert plan.count("Exchange") <= 3, plan
+
+
+class TestLinearFolds:
+    """Above fold_linear_threshold (or with unbounded time ranges) the
+    fold family switches to the linear Arrow kernels in
+    functions/tafold.py. The kernels replay the exact IEEE op sequence
+    of the in-row folds, so both paths must be BIT-identical — on the
+    real fixture and on a crafted series with null buckets."""
+
+    PROJS = [
+        "exponential_moving_average(mean(value), 5)",
+        "relative_strength_index(mean(value), 3)",
+        "double_exponential_moving_average(mean(value), 5)",
+        "triple_exponential_moving_average(mean(value), 5)",
+        "triple_exponential_derivative(mean(value), 5)",
+        "kaufmans_adaptive_moving_average(mean(value), 3)",
+        "holt_winters_with_fit(mean(value), 3, 0)",
+    ]
+
+    @staticmethod
+    def _rows(engine, proj, threshold):
+        engine.fold_linear_threshold = threshold
+        df = engine.query(
+            f"SELECT {proj} FROM events "
+            "WHERE time >= '2024-01-05' AND time < '2024-01-19' "
+            "GROUP BY time(1d), event_type"
+        )
+        return [tuple(r) for r in df.collect()]
+
+    @pytest.mark.parametrize("proj", PROJS)
+    def test_linear_matches_codegen_bitexact(self, engine, proj):
+        codegen = self._rows(engine, proj, 5000)
+        linear = self._rows(engine, proj, 0)
+        engine.fold_linear_threshold = 5000
+        assert codegen == linear  # exact float equality, not approx
+
+    @pytest.mark.parametrize("proj", PROJS)
+    def test_null_buckets_match(self, spark, proj):
+        """Buckets whose aggregate is null (all-null values) exercise
+        each kernel's null semantics: EMA/cascade prefix-poisoning,
+        RSI/KAMA greatest()/otherwise(0.0) recovery."""
+        base = datetime(2024, 1, 1, tzinfo=timezone.utc).timestamp()
+        rows = []
+        for d in range(14):
+            ts_ns = int((base + d * 86400 + 3600) * 1e9)
+            # days 4 and 9: rows exist but value is null
+            v = None if d in (4, 9) else float(10 + (d * 7) % 5)
+            rows.append((ts_ns, v, "click"))
+        df = spark.createDataFrame(
+            rows, "ts_ns long, value double, event_type string"
+        ).withColumn("ts", F.timestamp_micros((F.col("ts_ns") / 1000).cast("long")))
+        eng = InfluxQLEngine(
+            spark, tables={"events": df}, tags={"events": ["event_type"]}, now=NOW
+        )
+        codegen = self._rows(eng, proj, 5000)
+        linear = self._rows(eng, proj, 0)
+        assert codegen == linear
+        assert len(codegen) > 0
+
+    def test_unbounded_range_takes_linear_path(self, engine):
+        """No upper time bound → bucket count unknowable at plan time
+        → the scale-safe linear kernel, visible as an Arrow stage."""
+        engine.fold_linear_threshold = 5000
+        df = engine.query(
+            "SELECT exponential_moving_average(mean(value), 5) "
+            "FROM events WHERE time > '2024-01-05' "
+            "GROUP BY time(1d), event_type"
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "ArrowEvalPython" in plan or "BatchEvalPython" in plan
+
+    def test_100k_buckets_completes_linear(self, spark):
+        """525k-bucket-scale regression: the O(B²) form can't finish
+        this in any budget (~10¹⁰ fold steps); the linear kernel must
+        do it in seconds."""
+        import time as _time
+
+        n = 100_000
+        base = int(datetime(2024, 1, 1, tzinfo=timezone.utc).timestamp() * 1e9)
+        iv = 60 * 10**9
+        df = spark.range(n).select(
+            (F.lit(base) + F.col("id") * F.lit(iv) + F.lit(10**9)).alias("ts_ns"),
+            (F.col("id") % 17).cast("double").alias("value"),
+            F.lit("click").alias("event_type"),
+        ).withColumn("ts", F.timestamp_micros((F.col("ts_ns") / 1000).cast("long")))
+        eng = InfluxQLEngine(
+            spark, tables={"events": df}, tags={"events": ["event_type"]},
+            now=datetime(2024, 4, 1, tzinfo=timezone.utc),
+        )
+        t0 = _time.monotonic()
+        out = eng.query(
+            "SELECT exponential_moving_average(mean(value), 9) FROM events "
+            "WHERE time >= '2024-01-01' AND time < '2024-04-01' "
+            "GROUP BY time(1m), event_type"
+        )
+        rows = out.count()
+        elapsed = _time.monotonic() - t0
+        assert rows == n
+        assert elapsed < 120, f"linear fold took {elapsed:.1f}s"
