@@ -27,6 +27,8 @@ memory-session scheme, websession.go).
 from __future__ import annotations
 
 import json
+import mimetypes
+import os
 import secrets
 import threading
 import urllib.parse
@@ -60,6 +62,7 @@ class StatusServer:
         query_engine=None,
         max_query_rows: int = 10_000,
         write_sink=None,
+        public_path: str | None = None,
     ):
         self.monitor = monitor
         self.node_names = node_names or {"master": "master", "slave": "slave"}
@@ -75,6 +78,10 @@ class StatusServer:
         #: optional LineProtocolSink serving POST /write — the
         #: receiving end of the reference's WriteDB (client.go:531-559)
         self.write_sink = write_sink
+        #: static UI root (reference: macaron.Static(publicPath,
+        #: IndexFile: "index.html"), pkg/webui/webserver.go:81-95);
+        #: None disables static serving
+        self.public_path = public_path
         self._sessions: set[str] = set()
         self._httpd: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
@@ -359,8 +366,39 @@ class StatusServer:
                     if st.slave_state:
                         alive.append(server.node_names["slave"])
                     self._send(200, alive)
+                elif server.public_path is not None:
+                    self._serve_static()
                 else:
                     self._send(404, {"error": "not found"})
+
+            def _serve_static(self) -> None:
+                """Static UI assets rooted at public_path with an
+                index.html index (reference: macaron.Static,
+                pkg/webui/webserver.go:81-95). Traversal-safe: the
+                resolved path must stay under the root."""
+                rel = urllib.parse.urlparse(self.path).path.lstrip("/")
+                rel = urllib.parse.unquote(rel)
+                root = os.path.realpath(server.public_path)
+                target = os.path.realpath(os.path.join(root, rel))
+                if target != root and not target.startswith(root + os.sep):
+                    self._send(404, {"error": "not found"})
+                    return
+                if os.path.isdir(target):
+                    target = os.path.join(target, "index.html")
+                if not os.path.isfile(target):
+                    self._send(404, {"error": "not found"})
+                    return
+                ctype = (
+                    mimetypes.guess_type(target)[0]
+                    or "application/octet-stream"
+                )
+                with open(target, "rb") as f:
+                    body = f.read()
+                self.send_response(200)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
 
             def do_POST(self):
                 if self.path.startswith("/write"):

@@ -499,3 +499,67 @@ class TestChunkedQuery:
         q = urllib.parse.quote("select wat from")
         code, body, _ = _get(qserver, f"/query?q={q}&chunked=true")
         assert code == 400
+
+
+class TestStaticAssets:
+    """public_path-rooted static serving with index.html index
+    (reference: macaron.Static, pkg/webui/webserver.go:81-95)."""
+
+    @pytest.fixture()
+    def static_server(self, tmp_path):
+        pub = tmp_path / "public"
+        (pub / "js").mkdir(parents=True)
+        (pub / "index.html").write_text("<html>syncflux ui</html>")
+        (pub / "js" / "app.js").write_text("console.log('ui')")
+        (tmp_path / "secret.txt").write_text("outside the root")
+        monitor = HAMonitor(
+            master_probe=lambda: True, slave_probe=lambda: True
+        )
+        monitor.check_once()
+        srv = StatusServer(monitor, port=0, public_path=str(pub))
+        port = srv.start()
+        yield port
+        srv.stop()
+
+    def test_root_serves_index(self, static_server):
+        code, body, headers = _get(static_server, "/")
+        assert code == 200
+        assert "syncflux ui" in body
+        assert headers["Content-Type"].startswith("text/html")
+
+    def test_nested_asset(self, static_server):
+        code, body, headers = _get(static_server, "/js/app.js")
+        assert code == 200
+        assert "console.log" in body
+        assert "javascript" in headers["Content-Type"]
+
+    def test_missing_asset_404(self, static_server):
+        code, _, _ = _get(static_server, "/nope.css")
+        assert code == 404
+
+    def test_traversal_rejected(self, static_server):
+        """Literal ../ must not escape the root — send the raw bytes
+        (urllib normalizes dot segments before the wire)."""
+        import socket
+
+        for path in ("/../secret.txt", "/%2e%2e/secret.txt", "/js/../../secret.txt"):
+            with socket.create_connection(
+                ("127.0.0.1", static_server), timeout=10
+            ) as s:
+                s.sendall(
+                    f"GET {path} HTTP/1.1\r\nHost: x\r\n"
+                    f"Connection: close\r\n\r\n".encode()
+                )
+                raw = b""
+                while True:
+                    part = s.recv(65536)
+                    if not part:
+                        break
+                    raw += part
+            assert b"404" in raw.split(b"\r\n", 1)[0], (path, raw[:80])
+            assert b"outside the root" not in raw
+
+    def test_api_routes_win_over_static(self, static_server):
+        code, body, _ = _get(static_server, "/api/health")
+        assert code == 200
+        assert "master" in body or "state" in body
