@@ -103,10 +103,12 @@ def synth_media(spark, n: int = 100, kind: str = "image") -> DataFrame:
 def codec_available(codec: str) -> bool:
     """Capability probe for media codecs. ``fake`` (the deterministic
     header-parsing stub) is always available; ``pil`` is available
-    when Pillow imports. Tests use this as their skip condition, and
-    every kernel routes through :func:`_require_codec` so an
-    unavailable codec fails fast on the driver with an actionable
-    message instead of import-erroring inside executors."""
+    when Pillow imports; ``pyav`` when the PyAV bindings import;
+    ``ffmpeg`` when an ffmpeg binary is on PATH. Tests use this as
+    their skip condition, and every kernel routes through
+    :func:`_require_codec` so an unavailable codec fails fast on the
+    driver with an actionable message instead of import-erroring
+    inside executors."""
     if codec == "fake":
         return True
     if codec == "pil":
@@ -116,7 +118,25 @@ def codec_available(codec: str) -> bool:
             return True
         except Exception:
             return False
+    if codec == "pyav":
+        try:
+            import av  # noqa: F401
+
+            return True
+        except Exception:
+            return False
+    if codec == "ffmpeg":
+        import shutil
+
+        return shutil.which("ffmpeg") is not None
     return False
+
+
+_CODEC_HINT = {
+    "pil": "pip install pillow",
+    "pyav": "pip install av",
+    "ffmpeg": "install the ffmpeg binary",
+}
 
 
 def _require_codec(
@@ -125,19 +145,13 @@ def _require_codec(
     if codec not in supported:
         raise NotImplementedError(
             f"codec {codec!r}: this stage supports {supported}"
-            + (
-                " — video frame extraction needs ffmpeg plugged into the "
-                "mapInPandas kernel"
-                if supported == ("fake",)
-                else ""
-            )
         )
     if not codec_available(codec):
         raise NotImplementedError(
-            f"codec {codec!r}: decoder library not importable in this "
-            "environment (pip install pillow) — the 'fake' codec exercises "
-            "the same Spark plumbing (schemas, batching, 1→N expansion) "
-            "deterministically"
+            f"codec {codec!r}: decoder not available in this environment "
+            f"({_CODEC_HINT.get(codec, 'no install hint')}) — the 'fake' "
+            "codec exercises the same Spark plumbing (schemas, batching, "
+            "1→N expansion) deterministically"
         )
 
 
@@ -208,24 +222,82 @@ def extract_features(df: DataFrame, dim: int = 16, codec: str = "fake") -> DataF
     return spread_for_cpu(df).mapInPandas(kernel, FEATURE_SCHEMA)
 
 
+def _pyav_frames(b: bytes, every_n: int) -> list[tuple[int, bytes]]:
+    """Decode every Nth video frame with PyAV; frame bytes are raw
+    rgb24 (h×w×3, row-major) — compact, codec-free, and exactly what
+    a feature extractor consumes next."""
+    from io import BytesIO
+
+    import av
+
+    out: list[tuple[int, bytes]] = []
+    with av.open(BytesIO(b)) as container:
+        stream = container.streams.video[0]
+        for fi, frame in enumerate(container.decode(stream)):
+            if fi % every_n == 0:
+                out.append((fi, frame.to_ndarray(format="rgb24").tobytes()))
+    return out
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _ffmpeg_frames(b: bytes, every_n: int) -> list[tuple[int, bytes]]:
+    """Decode every Nth frame by piping the container bytes through
+    the ffmpeg binary: select filter keeps frames where n % N == 0,
+    image2pipe emits a PNG stream we split on the PNG signature."""
+    import subprocess
+
+    proc = subprocess.run(
+        [
+            "ffmpeg", "-v", "error", "-i", "pipe:0",
+            "-vf", f"select='not(mod(n\\,{every_n}))'",
+            "-vsync", "vfr", "-f", "image2pipe", "-c:v", "png", "pipe:1",
+        ],
+        input=b,
+        capture_output=True,
+        check=True,
+    )
+    raw = proc.stdout
+    pngs = [
+        _PNG_SIG + chunk
+        for chunk in raw.split(_PNG_SIG)
+        if chunk
+    ]
+    return [(i * every_n, png) for i, png in enumerate(pngs)]
+
+
 def sample_frames(df: DataFrame, every_n: int = 4, codec: str = "fake") -> DataFrame:
     """Frame-sampling stage (video): one input row → N frame rows —
     the 1→N expansion shape of real frame extraction, streamed per
     Arrow batch so memory stays bounded regardless of video length.
-    Stub frames are 32-byte slices of the content; real extraction is
-    an ffmpeg call, not a PIL one, so only ``fake`` is supported."""
-    _require_codec(codec, supported=("fake",))
+    ``fake`` emits 32-byte slices of the content (deterministic stub);
+    ``pyav`` decodes real containers in-process (raw rgb24 frames);
+    ``ffmpeg`` shells out to the binary (PNG frames). Both real
+    codecs are capability-probed and share the fake path's kernel
+    contract: same schema, same per-batch iteration, same 1→N row
+    expansion."""
+    _require_codec(codec, supported=("fake", "pyav", "ffmpeg"))
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, idxs, frames = [], [], []
             for mid, b in zip(pdf["media_id"], pdf["content"]):
                 b = bytes(b)
-                n_frames = max(1, (len(b) - 16) // 32)
-                for fi in range(0, n_frames, every_n):
+                if codec == "pyav":
+                    decoded = _pyav_frames(b, every_n)
+                elif codec == "ffmpeg":
+                    decoded = _ffmpeg_frames(b, every_n)
+                else:
+                    n_frames = max(1, (len(b) - 16) // 32)
+                    decoded = [
+                        (fi, b[16 + fi * 32 : 16 + fi * 32 + 32])
+                        for fi in range(0, n_frames, every_n)
+                    ]
+                for fi, fb in decoded:
                     ids.append(mid)
                     idxs.append(fi)
-                    frames.append(b[16 + fi * 32 : 16 + fi * 32 + 32])
+                    frames.append(fb)
             yield pd.DataFrame(
                 {"media_id": ids, "frame_idx": idxs, "frame_bytes": frames}
             )

@@ -190,3 +190,87 @@ class TestPerceptualHash:
         n_phash = ph.select("phash").distinct().count()
         n_exact = digests.select("digest").distinct().count()
         assert 1 < n_phash <= n_exact
+
+
+_needs_pyav = pytest.mark.skipif(
+    not mm.codec_available("pyav"), reason="PyAV not importable"
+)
+_needs_ffmpeg = pytest.mark.skipif(
+    not mm.codec_available("ffmpeg"), reason="ffmpeg binary not on PATH"
+)
+
+
+class TestVideoCodecProbe:
+    """Video frame extraction mirrors the image path's capability
+    probing: fake always works, pyav/ffmpeg are probed, anything else
+    refuses with the supported list."""
+
+    @pytest.mark.parametrize("codec", ["pyav", "ffmpeg"])
+    def test_real_codec_refused_when_absent(self, media, codec):
+        if mm.codec_available(codec):
+            pytest.skip(f"{codec} present: real path works")
+        with pytest.raises(NotImplementedError, match=codec):
+            mm.sample_frames(media, codec=codec)
+
+    def test_fake_unchanged(self, media):
+        frames = mm.sample_frames(media, every_n=2)
+        assert frames.count() == 80
+
+
+def _mp4_bytes() -> bytes:
+    """Synthesize a tiny real video with whichever codec exists."""
+    if mm.codec_available("pyav"):
+        from io import BytesIO
+
+        import av
+        import numpy as np
+
+        buf = BytesIO()
+        with av.open(buf, "w", format="mp4") as out:
+            stream = out.add_stream("mpeg4", rate=4)
+            stream.width, stream.height, stream.pix_fmt = 32, 32, "yuv420p"
+            for i in range(8):
+                arr = np.full((32, 32, 3), i * 30, dtype=np.uint8)
+                frame = av.VideoFrame.from_ndarray(arr, format="rgb24")
+                for pkt in stream.encode(frame):
+                    out.mux(pkt)
+            for pkt in stream.encode():
+                out.mux(pkt)
+        return buf.getvalue()
+    import subprocess
+
+    return subprocess.run(
+        [
+            "ffmpeg", "-v", "error", "-f", "lavfi",
+            "-i", "testsrc=duration=2:size=32x32:rate=4",
+            "-c:v", "mpeg4", "-f", "mp4", "-movflags", "frag_keyframe",
+            "pipe:1",
+        ],
+        capture_output=True,
+        check=True,
+    ).stdout
+
+
+class TestRealVideoFrames:
+    """Real-codec frame sampling over a synthesized MP4 — mirrors
+    TestRealImageCodecs; skipped where no video codec exists."""
+
+    @pytest.fixture()
+    def mp4_media(self, spark):
+        b = _mp4_bytes()
+        return spark.createDataFrame(
+            [(1, "video", b, "synthetic://video/1")], mm.MEDIA_SCHEMA
+        )
+
+    @_needs_pyav
+    def test_pyav_every_n(self, mp4_media):
+        frames = mm.sample_frames(mp4_media, every_n=2, codec="pyav").collect()
+        assert [r.frame_idx for r in frames] == [0, 2, 4, 6]
+        # raw rgb24: h*w*3 bytes per frame
+        assert all(len(r.frame_bytes) == 32 * 32 * 3 for r in frames)
+
+    @_needs_ffmpeg
+    def test_ffmpeg_every_n(self, mp4_media):
+        frames = mm.sample_frames(mp4_media, every_n=2, codec="ffmpeg").collect()
+        assert len(frames) == 4
+        assert all(bytes(r.frame_bytes).startswith(b"\x89PNG") for r in frames)
