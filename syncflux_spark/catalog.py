@@ -342,15 +342,34 @@ class SparkCatalog:
             results[full.replace("`", "")] = expired
             if expired == 0:
                 continue
+            from syncflux_spark.locking import table_lock
+
             staging = f"`{db}`.`{tbl.name}__rp_expire_tmp`"
-            self.spark.sql(f"DROP TABLE IF EXISTS {staging}")
-            self.spark.sql(
-                f"CREATE TABLE {staging} USING PARQUET AS "
-                f"SELECT * FROM {full} WHERE time_ns >= {cutoff}"
-            )
-            self.spark.sql(f"INSERT OVERWRITE TABLE {full} SELECT * FROM {staging}")
-            self.spark.sql(f"DROP TABLE {staging}")
+            # serialize against other overwrite-based writers on the
+            # same table location (single-writer contract, locking.py)
+            with table_lock(self._table_location(db, tbl.name)):
+                self.spark.sql(f"DROP TABLE IF EXISTS {staging}")
+                self.spark.sql(
+                    f"CREATE TABLE {staging} USING PARQUET AS "
+                    f"SELECT * FROM {full} WHERE time_ns >= {cutoff}"
+                )
+                self.spark.sql(
+                    f"INSERT OVERWRITE TABLE {full} SELECT * FROM {staging}"
+                )
+                self.spark.sql(f"DROP TABLE {staging}")
         return results
+
+    def _table_location(self, db: str, table: str) -> str:
+        """Filesystem location of a catalog table (the lock scope for
+        overwrite-based rewrites)."""
+        rows = self.spark.sql(
+            f"DESCRIBE FORMATTED `{db}`.`{table}`"
+        ).collect()
+        for r in rows:
+            if (r.col_name or "").strip() == "Location":
+                loc = r.data_type.strip()
+                return loc.removeprefix("file:")
+        return f"{db}.{table}"  # fallback: name-scoped lock in CWD
 
     # -- subject erasure ---------------------------------------------------
     def erase_keys(

@@ -58,11 +58,14 @@ def compact_parquet(
     ``ceil(bytes / target_file_bytes)`` files. Returns the new file
     count. Staging + atomic directory swap; the old layout is removed
     only after the rewrite commits."""
-    n = max(1, -(-dataset_bytes(path) // target_file_bytes))
-    staging = f"{path}.compact-{uuid.uuid4().hex[:8]}"
-    spark.read.parquet(path).repartition(n).write.mode("overwrite").parquet(staging)
-    old = f"{path}.old-{uuid.uuid4().hex[:8]}"
-    os.rename(path, old)
-    os.rename(staging, path)
-    shutil.rmtree(old)
+    from syncflux_spark.locking import table_lock
+
+    with table_lock(path):
+        n = max(1, -(-dataset_bytes(path) // target_file_bytes))
+        staging = f"{path}.compact-{uuid.uuid4().hex[:8]}"
+        spark.read.parquet(path).repartition(n).write.mode("overwrite").parquet(staging)
+        old = f"{path}.old-{uuid.uuid4().hex[:8]}"
+        os.rename(path, old)
+        os.rename(staging, path)
+        shutil.rmtree(old)
     return data_file_count(path)

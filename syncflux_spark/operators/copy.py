@@ -148,17 +148,23 @@ def copy_range(
     from pyspark.sql import Observation
     from pyspark.sql import functions as F
 
+    from syncflux_spark.locking import table_lock
+
     window = scan_time_range(df, start, end, time_col=time_col)
     part = f"win={_win_key(start, end)}"
     # row count observed on the write pass itself (C5 accounting,
     # sync.go:151-196) — no second scan of the chunk
     obs = Observation()
     window = window.observe(obs, F.count(F.lit(1)).alias("n"))
-    (
-        window.write.mode("overwrite")
-        .option("maxRecordsPerFile", max_records_per_file)
-        .parquet(f"{dst_path}/{part}")
-    )
+    # idempotency here is directory overwrite — correct for ONE writer
+    # per window; the advisory lock makes a second concurrent writer
+    # wait or fail loudly instead of interleaving (locking.py)
+    with table_lock(f"{dst_path}/{part}"):
+        (
+            window.write.mode("overwrite")
+            .option("maxRecordsPerFile", max_records_per_file)
+            .parquet(f"{dst_path}/{part}")
+        )
     return int(obs.get["n"])
 
 

@@ -124,12 +124,15 @@ class CdcMergeStream:
             op_col=self.op_col,
             check_unique=False,  # uniqueness guaranteed by compaction
         )
-        staging = f"{self.base_path}.cdc-{uuid.uuid4().hex[:8]}"
-        merged.write.mode("overwrite").parquet(staging)
-        old = f"{self.base_path}.old-{uuid.uuid4().hex[:8]}"
-        os.rename(self.base_path, old)
-        os.rename(staging, self.base_path)
-        shutil.rmtree(old)
+        from syncflux_spark.locking import table_lock
+
+        with table_lock(self.base_path):
+            staging = f"{self.base_path}.cdc-{uuid.uuid4().hex[:8]}"
+            merged.write.mode("overwrite").parquet(staging)
+            old = f"{self.base_path}.old-{uuid.uuid4().hex[:8]}"
+            os.rename(self.base_path, old)
+            os.rename(staging, self.base_path)
+            shutil.rmtree(old)
         self.batches_applied += 1
 
     # -- drive --------------------------------------------------------------
