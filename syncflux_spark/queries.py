@@ -10822,8 +10822,9 @@ def global_value_quantiles(spark, sf):
         .where(F.col("value").isNotNull())
         .select(micros_amt("value").alias("vm"), "event_id")
     )
-    ranked = global_rank(v, ["vm", "event_id"], rank_col="rk")
-    n = ranked.count()
+    ranked, n = global_rank(
+        v, ["vm", "event_id"], rank_col="rk", return_total=True
+    )
     import math
 
     targets = [(q, max(1, math.ceil(n * q))) for q in (0.5, 0.9, 0.99)]

@@ -83,7 +83,8 @@ def global_rank(
     order_cols: list[str],
     rank_col: str = "_rank",
     n_ranges: int | None = None,
-) -> DataFrame:
+    return_total: bool = False,
+):
     """Contiguous 1-based global sort rank WITHOUT the single-partition
     collapse of ``row_number() OVER (ORDER BY ...)``: range-partition
     on the sort key, rank within each range partition, then offset by
@@ -118,10 +119,16 @@ def global_rank(
         *[F.lit(x) for kv in offsets.items() for x in kv]
     )
     w = Window.partitionBy("_gr_part").orderBy(*cols)
-    return parted.withColumn(
+    ranked = parted.withColumn(
         rank_col,
         (off[F.col("_gr_part")] + F.row_number().over(w)).cast("long"),
     ).drop("_gr_part")
+    if return_total:
+        # acc already holds the total row count — hand it back so
+        # callers (e.g. quantile-by-rank) don't pay a second count()
+        # pass over the ranked data
+        return ranked, acc
+    return ranked
 
 
 def key_skew_report(

@@ -194,6 +194,21 @@ class TestDuplicateSpans:
 
 
 class TestSortedNeighborhood:
+    def test_global_rank_returns_total_without_second_pass(self, spark):
+        """return_total hands back the row count the offset pass
+        already computed, so rank-arithmetic consumers (exact
+        quantiles) don't run a second count() job over the data."""
+        from pyspark.sql import functions as F
+
+        from syncflux_spark.utils import global_rank
+
+        df = spark.range(321).select((F.col("id") % 9).alias("k"), "id")
+        ranked, total = global_rank(
+            df, ["k", "id"], n_ranges=5, return_total=True
+        )
+        assert total == 321
+        assert ranked.agg(F.max("_rank")).collect()[0][0] == 321
+
     def test_global_rank_matches_single_partition(self, spark):
         from syncflux_spark.utils import global_rank
         from pyspark.sql import Window
