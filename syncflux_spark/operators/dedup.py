@@ -32,11 +32,45 @@ ports of anything in /root/reference (which has no dedup surface).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from syncflux_spark.functions.text import char_shingles, words
 from syncflux_spark.utils import eager_persist, spread_for_cpu
+
+
+def verify_fingerprint_mode(mode: str | None = None, default: str = "hash64") -> str:
+    """Verify-side shingle representation dial for the LSH/containment
+    verify stages: ``hash64`` (xxhash64 fingerprints — ~8× fewer
+    shuffle bytes, counts exact modulo a m²/2⁶⁵-per-pair collision
+    bound) vs ``string`` (raw shingles — no hash CPU). The A/B note in
+    :func:`containment_pairs_exact` shows the optimum flips with the
+    shuffle medium: locally the hash CPU dominates, on a
+    network-shuffle cluster the byte reduction does. Per-call ``mode``
+    wins; else the ``SYNCFLUX_VERIFY_FP`` env var; else the
+    operator's measured-local default."""
+    m = mode or os.environ.get("SYNCFLUX_VERIFY_FP") or default
+    if m not in ("hash64", "string"):
+        raise ValueError(
+            f"verify fingerprint mode must be 'hash64' or 'string', got {m!r}"
+        )
+    return m
+
+
+def _verify_arrays(
+    df: DataFrame, text_col: str, id_col: str, k_shingle: int, mode: str
+) -> DataFrame:
+    """(id, shingle array) for a verify stage, fingerprinted per the
+    dial — intersect/union semantics identical in either mode."""
+    base = shingle_sets(df, text_col, id_col, k_shingle)
+    if mode == "hash64":
+        return base.select(
+            F.col(id_col),
+            F.transform("_sh", lambda s: F.xxhash64(s)).alias("sh"),
+        )
+    return base.select(F.col(id_col), F.col("_sh").alias("sh"))
 
 #: MinHash layout: 8 hash lanes → 2 bands of 4. Candidate probability
 #: 1-(1-J⁴)² targets the true near-duplicate regime (J≳0.7). Wider
@@ -236,6 +270,7 @@ def jaccard_verify(
     id_col: str = "doc_id",
     k_shingle: int = 5,
     threshold: float = 0.0,
+    fingerprint: str | None = None,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs:
     J = |A∩B| / |A∪B| via array_intersect/array_union on distinct
@@ -255,17 +290,16 @@ def jaccard_verify(
       a near-dup-heavy fixture is not; at 100 TB with a low dup rate,
       add ``pairs = eager_persist(pairs)`` and semi-join ``df`` on
       the candidate ids before shingling."""
-    # shingle strings → 64-bit fingerprints before the pair joins:
-    # the persisted arrays shrink ~k× and intersect/union compare
-    # longs, not strings (Lee et al. '22 practice). Counts stay exact
-    # unless two DISTINCT shingles of one candidate pair collide in
-    # 64 bits — p ≈ m²/2⁶⁵ per pair (m = shingles/doc), immaterial at
-    # any m the pair stage can hold in memory.
+    # default hash64: shingle strings → 64-bit fingerprints before the
+    # pair joins — the persisted arrays shrink ~k× and intersect/union
+    # compare longs, not strings (Lee et al. '22 practice). Counts
+    # stay exact unless two DISTINCT shingles of one candidate pair
+    # collide in 64 bits — p ≈ m²/2⁶⁵ per pair, immaterial at any m
+    # the pair stage can hold. The dial (verify_fingerprint_mode)
+    # switches to raw strings where hash CPU outweighs shuffle bytes.
+    mode = verify_fingerprint_mode(fingerprint)
     sh = eager_persist(
-        shingle_sets(df, text_col, id_col, k_shingle).select(
-            F.col(id_col),
-            F.transform("_sh", lambda s: F.xxhash64(s)).alias("sh"),
-        )
+        _verify_arrays(df, text_col, id_col, k_shingle, mode)
     )  # scanned twice (both join sides) — eager so neither recomputes
     a = sh.alias("sa")
     b = sh.alias("sb")
@@ -295,6 +329,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     n_hashes: int = N_MINHASH,
     band_size: int = BAND_SIZE,
+    fingerprint: str | None = None,
 ) -> DataFrame:
     """The full near-dup pipeline: LSH candidates → exact Jaccard ≥
     threshold. This is the scalable composition: at 100 TB the
@@ -307,7 +342,10 @@ def ngram_jaccard_pairs(
     3.9s at sf0.1) — cache is only kept where a single stage scans
     the same small data twice (the verify self-join)."""
     pairs = lsh_candidate_pairs(df, text_col, id_col, k_shingle, n_hashes, band_size)
-    return jaccard_verify(df, pairs, text_col, id_col, k_shingle, threshold)
+    return jaccard_verify(
+        df, pairs, text_col, id_col, k_shingle, threshold,
+        fingerprint=fingerprint,
+    )
 
 
 def containment_pairs(
@@ -318,6 +356,7 @@ def containment_pairs(
     threshold: float = 0.8,
     n_hashes: int = N_MINHASH,
     band_size: int = BAND_SIZE,
+    fingerprint: str | None = None,
 ) -> DataFrame:
     """ASYMMETRIC near-dup detection: shingle containment
     C(A→B) = |A∩B|/|A| — a short document quoted inside a long one
@@ -336,13 +375,11 @@ def containment_pairs(
     stays for the cheap moderate-skew regime. Verify cost is
     O(candidates × shingles), identical shape to jaccard_verify."""
     pairs = lsh_candidate_pairs(df, text_col, id_col, k_shingle, n_hashes, band_size)
-    # 64-bit shingle fingerprints for the verify arrays — same exact-
-    # count argument as jaccard_verify (collision bound m²/2⁶⁵/pair)
+    # verify arrays fingerprinted per the dial — same exact-count
+    # argument as jaccard_verify (collision bound m²/2⁶⁵/pair)
+    mode = verify_fingerprint_mode(fingerprint)
     sh = eager_persist(
-        shingle_sets(df, text_col, id_col, k_shingle).select(
-            F.col(id_col),
-            F.transform("_sh", lambda s: F.xxhash64(s)).alias("sh"),
-        )
+        _verify_arrays(df, text_col, id_col, k_shingle, mode)
     )
     a = sh.alias("ca")
     b = sh.alias("cb")
@@ -376,6 +413,7 @@ def containment_pairs_exact(
     id_col: str = "doc_id",
     k_shingle: int = 5,
     threshold: float = 0.8,
+    fingerprint: str | None = None,
 ) -> DataFrame:
     """Asymmetric shingle containment with **100% recall** — the
     size-skew-proof candidate generator :func:`containment_pairs`'s
@@ -410,15 +448,17 @@ def containment_pairs_exact(
     all-pairs stage anywhere."""
     # persisted: scanned twice (df aggregation + the df join-back);
     # recomputing would re-shingle the corpus — measured 7.3s → 6.0s
-    # at sf0.1 for the k=12 registry entry. Two rewrites were A/B
-    # measured and NOT taken (alternating same-session runs, sf0.1):
-    # 64-bit xxhash64 shingle fingerprints (strings 9.4-11.1s vs
-    # hashed 12.0-12.3s — the 1.4M-hash CPU outweighs the shuffle
-    # savings at local scale; on a network-shuffle cluster the ~8×
-    # byte reduction likely flips this, revisit there) and a
-    # window-over-s df attach (15s vs 10s — the window's
-    # per-partition sort of the full explode costs more than the
-    # agg + join-back it saves).
+    # at sf0.1 for the k=12 registry entry. A/B measured (alternating
+    # same-session runs, sf0.1): 64-bit xxhash64 VERIFY fingerprints
+    # (strings 9.4-11.1s vs hashed 12.0-12.3s — the 1.4M-hash CPU
+    # outweighs the shuffle savings at local scale; on a
+    # network-shuffle cluster the ~8× byte reduction flips this) —
+    # now a dial: default 'string' here per the local measurement,
+    # switch via fingerprint='hash64' / SYNCFLUX_VERIFY_FP on
+    # network-shuffle clusters. A window-over-s df attach was also
+    # measured and NOT taken (15s vs 10s — the window's per-partition
+    # sort of the full explode costs more than the agg + join-back
+    # it saves).
     sh = eager_persist(
         spread_for_cpu(df).select(
             F.col(id_col),
@@ -465,8 +505,14 @@ def containment_pairs_exact(
         )
         .distinct()
     )
-    da = docs.select(F.col(id_col), F.col("sh").alias("sh_a"), F.col("n").alias("n_a"))
-    db = docs.select(F.col(id_col), F.col("sh").alias("sh_b"), F.col("n").alias("n_b"))
+    mode = verify_fingerprint_mode(fingerprint, default="string")
+    varr = (
+        F.transform("sh", lambda s: F.xxhash64(s))
+        if mode == "hash64"
+        else F.col("sh")
+    )
+    da = docs.select(F.col(id_col), varr.alias("sh_a"), F.col("n").alias("n_a"))
+    db = docs.select(F.col(id_col), varr.alias("sh_b"), F.col("n").alias("n_b"))
     joined = (
         cand.join(da, cand.id_a == da[id_col])
         .join(db, cand.id_b == db[id_col])

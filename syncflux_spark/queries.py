@@ -1203,6 +1203,23 @@ def ngram_jaccard_pairs(spark, sf):
              "jaccard")
 
 
+@register("ngram_jaccard_pairs_strfp", REGISTRY["ngram_jaccard_pairs"].sql)
+def ngram_jaccard_pairs_strfp(spark, sf):
+    """Same pipeline with the verify-side fingerprint dial on raw
+    shingle STRINGS instead of 64-bit hashes (dedup.py::
+    verify_fingerprint_mode): counts are identical by construction,
+    so both dial positions share one oracle; the bench records both
+    so the local-vs-network-shuffle tradeoff stays measured."""
+    return dd.ngram_jaccard_pairs(
+        load_table(spark, sf, "documents"),
+        threshold=0.5,
+        fingerprint="string",
+    ).select("id_a", "id_b",
+             F.col("n_inter").cast("long").alias("n_inter"),
+             F.col("n_union").cast("long").alias("n_union"),
+             "jaccard")
+
+
 @register(
     "word_jaccard_pairs",
     r"""

@@ -247,3 +247,55 @@ class TestSortedNeighborhood:
         }
         assert ("a", "b") in pairs
         assert all(p[0] != p[1] for p in pairs)
+
+
+class TestVerifyFingerprintDial:
+    def test_modes_agree(self, spark, sf_dir):
+        """Both dial positions must produce identical pair sets and
+        counts — the representation changes, the set math doesn't."""
+        from syncflux_spark.operators import dedup as dd
+        from syncflux_spark.sources.parquet import load_table
+
+        docs = load_table(spark, sf_dir, "documents").limit(150)
+        h = {
+            (r.id_a, r.id_b): (r.n_inter, r.n_union)
+            for r in dd.ngram_jaccard_pairs(
+                docs, threshold=0.5, fingerprint="hash64"
+            ).collect()
+        }
+        s = {
+            (r.id_a, r.id_b): (r.n_inter, r.n_union)
+            for r in dd.ngram_jaccard_pairs(
+                docs, threshold=0.5, fingerprint="string"
+            ).collect()
+        }
+        assert h == s and len(h) > 0
+
+    def test_exact_containment_modes_agree(self, spark, sf_dir):
+        from syncflux_spark.operators import dedup as dd
+        from syncflux_spark.sources.parquet import load_table
+
+        docs = load_table(spark, sf_dir, "documents").limit(120)
+        kw = dict(k_shingle=8, threshold=0.7)
+        h = {
+            (r.id_a, r.id_b): r.n_inter
+            for r in dd.containment_pairs_exact(
+                docs, fingerprint="hash64", **kw
+            ).collect()
+        }
+        s = {
+            (r.id_a, r.id_b): r.n_inter
+            for r in dd.containment_pairs_exact(
+                docs, fingerprint="string", **kw
+            ).collect()
+        }
+        assert h == s
+
+    def test_bad_mode_rejected(self):
+        import pytest as _pytest
+
+        from syncflux_spark.operators.dedup import verify_fingerprint_mode
+
+        with _pytest.raises(ValueError, match="hash64"):
+            verify_fingerprint_mode("md5")
+        assert verify_fingerprint_mode(None, default="string") == "string"
