@@ -54,6 +54,7 @@ HEADLINE = [
     "dedup_exact",
     "lsh_candidate_pairs",
     "ngram_jaccard_pairs",
+    "ngram_jaccard_pairs_strfp",  # verify-fingerprint dial: both positions measured
     "simhash_near_pairs",
     "token_stats",
     "lang_detect",

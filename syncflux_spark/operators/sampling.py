@@ -219,3 +219,43 @@ def pack_bins(
                f"current row) - {token_col}) div {token_budget}")
         .alias("bin"),
     )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    seed: str = "epoch0",
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic global training-epoch shuffle: every doc gets a
+    global position under the order md5(seed·id) — a different seed
+    permutes the corpus into a fresh epoch order, the same seed
+    replays the identical order on any cluster layout — plus a
+    round-robin shard assignment (position mod n_shards), which keeps
+    shard sizes balanced to ±1 doc with zero knowledge of the total
+    count.
+
+    Scale shape: the global position rides
+    :func:`syncflux_spark.utils.global_rank` — ONE range exchange on
+    the hash key + per-partition ranks + B driver-side count scalars,
+    never a one-partition ROW_NUMBER. This is the manifest a loader
+    consumes; the data itself doesn't move until shards are read.
+
+    Output: (id, shuffle_key, position, shard)."""
+    from pyspark.sql import functions as F
+
+    from syncflux_spark.utils import global_rank
+
+    keyed = df.select(
+        F.col(id_col),
+        F.md5(
+            F.concat(F.lit(seed), F.lit(":"), F.col(id_col).cast("string"))
+        ).alias("shuffle_key"),
+    )
+    ranked = global_rank(keyed, ["shuffle_key", id_col], rank_col="position")
+    return ranked.select(
+        id_col,
+        "shuffle_key",
+        F.col("position").cast("long").alias("position"),
+        ((F.col("position") - 1) % n_shards).cast("integer").alias("shard"),
+    )

@@ -992,3 +992,66 @@ def cell_representatives(
             F.col("rank").cast("integer").alias("rank"),
         )
     )
+
+
+def semantic_dedup_flags(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    tau: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """Semantic deduplication in the SemDeDup shape (Abbas et al.
+    2023, arXiv:2303.09540): cluster the embedding space, then look
+    for near-duplicate PAIRS only within a cluster — the cluster
+    partition is what turns O(n²) pairwise cosine into
+    O(Σ cell_size²), the same bounding trick as LSH banding but in
+    embedding space.
+
+    A vector is ``dropped`` when some same-cluster vector exceeds
+    ``tau`` cosine with it AND ranks before it under the keep rule
+    (lower cosine-to-centroid first, id tiebreak) — per the paper,
+    the kept representative of a duplicate group is the LOW
+    centroid-similarity example (keeping cluster-edge examples
+    preserves diversity; the ones nearest the centroid are the most
+    redundant). The dominance rule needs no transitive closure, so
+    the whole operator is: one broadcast centroid assignment
+    (map-only), one within-cluster self-join, one distinct, one
+    flag join.
+
+    Output: (id, cid, cos_to_centroid, dropped) for EVERY corpus
+    vector — callers filter ``dropped = 0`` for the surviving set or
+    aggregate for a dedup-rate report. Deterministic for any
+    deterministic centroid table (seed_centroids → oracle gate,
+    kmeans_centroids → production)."""
+    from syncflux_spark.utils import eager_persist
+
+    assigned = eager_persist(
+        ivf_assign(corpus, n_centroids, id_col, vec_col, dim, centroids)
+    )  # scanned three times: both join sides + the flag base
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    aid, bid = F.col(f"a.{id_col}"), F.col(f"b.{id_col}")
+    pair_cos = dot("a._v", "b._v", dim) / (F.col("a._n") * F.col("b._n"))
+    dominated = (
+        a.join(b, (F.col("a.cid") == F.col("b.cid")) & (aid != bid))
+        .where(pair_cos >= F.lit(tau))
+        .where(
+            (F.col("b._cs") < F.col("a._cs"))
+            | ((F.col("b._cs") == F.col("a._cs")) & (bid < aid))
+        )
+        .select(aid.alias(id_col))
+        .distinct()
+        .withColumn("_dropped", F.lit(1))
+    )
+    return (
+        assigned.join(dominated, id_col, "left")
+        .select(
+            F.col(id_col),
+            "cid",
+            F.col("_cs").alias("cos_to_centroid"),
+            F.coalesce("_dropped", F.lit(0)).cast("integer").alias("dropped"),
+        )
+    )

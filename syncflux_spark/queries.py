@@ -11322,6 +11322,150 @@ def bpe_tokenize_stats(spark, sf):
     return op(load_table(spark, sf, "documents"), _BPE_MERGES)
 
 
+@register(
+    "semantic_dedup_flags",
+    f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cent AS (SELECT vec_id AS cid, v AS cv FROM v WHERE vec_id < 16),
+    assign AS (
+      SELECT vec_id, v, cid, cs FROM (
+        SELECT a.vec_id, a.v, c.cid, {_sql_cos('a.v', 'c.cv')} AS cs,
+               row_number() OVER (PARTITION BY a.vec_id
+                                  ORDER BY {_sql_cos('a.v', 'c.cv')} DESC,
+                                           c.cid) AS rn
+        FROM v a CROSS JOIN cent c)
+      WHERE rn = 1),
+    dom AS (SELECT DISTINCT a.vec_id
+            FROM assign a JOIN assign b
+              ON a.cid = b.cid AND a.vec_id <> b.vec_id
+            WHERE {_sql_cos('a.v', 'b.v')} >= 0.30
+              AND (b.cs < a.cs OR (b.cs = a.cs AND b.vec_id < a.vec_id)))
+    SELECT a.vec_id, a.cid, a.cs AS cos_to_centroid,
+           CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END AS dropped
+    FROM assign a LEFT JOIN dom d ON a.vec_id = d.vec_id
+    """,
+)
+def semantic_dedup_flags(spark, sf):
+    """SemDeDup-shape semantic dedup (Abbas et al. 2023): cluster the
+    embedding space (16 seed centroids for oracle replay —
+    kmeans_centroids in production), flag within-cluster near-dup
+    vectors, keeping the LOW centroid-similarity representative of
+    each duplicate pair (cluster-edge examples preserve diversity).
+    The cluster partition bounds pair work at O(Σ cell²) — never the
+    corpus square. τ=0.30 is fixture-calibrated: this synthetic
+    corpus has no true semantic dups (max pairwise cos ≈ 0.51), so
+    the gate exercises the machinery at the 99th-percentile cosine;
+    production text embeddings use τ≈0.95 per the paper."""
+    from syncflux_spark.operators.similarity import semantic_dedup_flags as op
+
+    return op(
+        load_table(spark, sf, "embeddings"), n_centroids=16, tau=0.30
+    ).select(
+        "vec_id", "cid", "cos_to_centroid",
+        F.col("dropped").cast("integer").alias("dropped"),
+    )
+
+
+@register(
+    "epoch_shuffle_manifest",
+    """
+    SELECT doc_id,
+           md5('epoch0:' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+           CAST(row_number() OVER (
+                ORDER BY md5('epoch0:' || CAST(doc_id AS VARCHAR)), doc_id)
+             AS BIGINT) AS position,
+           CAST((row_number() OVER (
+                ORDER BY md5('epoch0:' || CAST(doc_id AS VARCHAR)), doc_id)
+                 - 1) % 8 AS INTEGER) AS shard
+    FROM documents
+    """,
+)
+def epoch_shuffle_manifest(spark, sf):
+    """Deterministic training-epoch shuffle manifest: global position
+    under md5(seed·id) order (new seed → fresh permutation, same seed
+    → identical replay on any cluster layout) + round-robin shard
+    assignment balanced to ±1 doc. The position rides
+    utils.global_rank — one range exchange + B driver count scalars,
+    never a one-partition ROW_NUMBER (the oracle's window IS that
+    single-partition form, which is exactly what this operator
+    refuses to run at scale)."""
+    from syncflux_spark.operators.sampling import epoch_shuffle
+
+    return epoch_shuffle(
+        load_table(spark, sf, "documents"), seed="epoch0", n_shards=8
+    )
+
+
+@register(
+    "hybrid_search_rrf",
+    f"""
+    WITH bm AS (
+      SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r_bm
+      FROM ({REGISTRY['bm25_search'].sql})),
+    cosq AS (
+      SELECT vec_id, row_number() OVER (ORDER BY cs DESC, vec_id) AS r_cos
+      FROM (SELECT e.vec_id, {_sql_cos('e.v', 'q.v')} AS cs
+            FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) e
+            CROSS JOIN (SELECT embedding::DOUBLE[] AS v FROM embeddings
+                        WHERE vec_id = 0) q
+            ORDER BY cs DESC, vec_id LIMIT 50))
+    SELECT COALESCE(b.doc_id, c.vec_id) AS doc_id,
+           CAST(b.r_bm AS INTEGER) AS bm25_rank,
+           CAST(c.r_cos AS INTEGER) AS cos_rank,
+           COALESCE(1.0 / (60.0 + b.r_bm), 0.0)
+             + COALESCE(1.0 / (60.0 + c.r_cos), 0.0) AS rrf
+    FROM bm b FULL OUTER JOIN cosq c ON b.doc_id = c.vec_id
+    """,
+)
+def hybrid_search_rrf(spark, sf):
+    """Hybrid retrieval by reciprocal-rank fusion (Cormack et al.
+    2009, k=60): BM25 top-50 for the lexical query bag fused with
+    cosine top-50 against a query embedding (doc 0's vector — the
+    aligned doc_id/vec_id spaces make the join exact). RRF =
+    Σ 1/(60+rank) over the lists a doc appears in — rank-only fusion
+    needs no score calibration between lexical and dense retrievers,
+    which is why it's the production default. Scale: both lists are
+    top-k BEFORE the fusion join (per-partition heaps / one scored
+    pass), so the full-outer join touches ≤ 2k rows; the 60.0+rank
+    divides are single IEEE ops → bit-identical to the oracle."""
+    from syncflux_spark.functions.vectors import as_double, dot, norm
+    from syncflux_spark.operators.textops import bm25_rank
+
+    docs = load_table(spark, sf, "documents")
+    emb = load_table(spark, sf, "embeddings")
+    w_bm = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    bm = (
+        bm25_rank(docs, terms=["batch", "scan", "window"])
+        .withColumn("r_bm", F.row_number().over(w_bm))
+        .select("doc_id", "r_bm")
+    )
+    q = emb.where(F.col("vec_id") == 0).select(
+        as_double("embedding").alias("qv"), norm("embedding").alias("qn")
+    )
+    scored = emb.crossJoin(F.broadcast(q)).select(
+        "vec_id",
+        (dot(as_double("embedding"), F.col("qv")) / (norm("embedding") * F.col("qn"))).alias("cs"),
+    )
+    top_cos = (
+        scored.orderBy(F.desc("cs"), F.asc("vec_id"))
+        .limit(50)
+        .withColumn(
+            "r_cos", F.row_number().over(Window.orderBy(F.desc("cs"), F.asc("vec_id")))
+        )
+        .select("vec_id", "r_cos")
+    )
+    fused = bm.join(top_cos, bm.doc_id == top_cos.vec_id, "full_outer")
+    return fused.select(
+        F.coalesce("doc_id", "vec_id").alias("doc_id"),
+        F.col("r_bm").cast("integer").alias("bm25_rank"),
+        F.col("r_cos").cast("integer").alias("cos_rank"),
+        (
+            F.coalesce(F.lit(1.0) / (F.lit(60.0) + F.col("r_bm")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(60.0) + F.col("r_cos")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+
+
 #: Names with a green row in some CORRECTNESS_r*.json (r1 ∪ r2 ∪ r3).
 #: The driver samples a fixed-size prefix of ``queries()`` in dict
 #: order, so the public order puts never-driver-confirmed entries

@@ -469,3 +469,40 @@ def test_ivfpq_candidates_only_from_probed_cells(spark, emb):
     total = emb.count()
     assert n_wide == 3 * (total - 1) or n_wide == 3 * total - 3
     assert n_narrow < n_wide
+
+
+class TestSemanticDedup:
+    def test_keep_rule_and_cluster_bound(self, spark):
+        """Crafted clusters: near-identical vectors in one cluster →
+        the LOW centroid-similarity one survives; cross-cluster
+        near-dups are (by design) not compared."""
+        from syncflux_spark.operators.similarity import (
+            seed_centroids,
+            semantic_dedup_flags,
+        )
+
+        rows = [
+            (0, [1.0, 0.0, 0.0]),     # centroid seed A — also a dup of 10/11
+            (1, [0.0, 1.0, 0.0]),     # centroid seed B
+            (10, [0.9, 0.1, 0.0]),    # cluster A, dup group {0,10,11}
+            (11, [0.89, 0.11, 0.0]),  # cluster A, dup group {0,10,11}
+            (20, [0.0, 0.6, 0.8]),    # cluster B, isolated (cos to 1 = 0.6)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        cents = seed_centroids(df.where("vec_id < 2"), 2)
+        out = {
+            r.vec_id: r
+            for r in semantic_dedup_flags(
+                df, n_centroids=2, tau=0.95, centroids=cents
+            ).collect()
+        }
+        assert len(out) == 5
+        # {0,10,11} are mutual within-cluster dups: exactly ONE kept,
+        # and it's the LOWEST cos-to-centroid member (cluster edge)
+        group = [out[0], out[10], out[11]]
+        kept = [r for r in group if r.dropped == 0]
+        assert len(kept) == 1
+        assert kept[0].vec_id == 11  # 0.9925 < 0.9939 (10) < 1.0 (0)
+        assert kept[0].cos_to_centroid == min(r.cos_to_centroid for r in group)
+        # isolated vector and its centroid both survive (cos 0.6 < τ)
+        assert out[20].dropped == 0 and out[1].dropped == 0

@@ -107,3 +107,29 @@ class TestSnapshotDiff:
             for r in diff_summary(snapshot_diff(old, new)).collect()
         }
         assert summary == {"unchanged": 1, "changed": 1, "removed": 1, "added": 1}
+
+
+class TestEpochShuffle:
+    def test_permutation_and_balance(self, spark):
+        from syncflux_spark.operators.sampling import epoch_shuffle
+
+        df = spark.range(101).select(F.col("id").alias("doc_id"))
+        out = epoch_shuffle(df, seed="e1", n_shards=8).collect()
+        # a permutation: every position exactly once
+        assert sorted(r.position for r in out) == list(range(1, 102))
+        # round-robin shards balanced to ±1
+        from collections import Counter
+
+        c = Counter(r.shard for r in out)
+        assert set(c) == set(range(8))
+        assert max(c.values()) - min(c.values()) <= 1
+
+    def test_seed_changes_order_and_replays(self, spark):
+        from syncflux_spark.operators.sampling import epoch_shuffle
+
+        df = spark.range(64).select(F.col("id").alias("doc_id"))
+        e1a = {r.doc_id: r.position for r in epoch_shuffle(df, "e1").collect()}
+        e1b = {r.doc_id: r.position for r in epoch_shuffle(df, "e1").collect()}
+        e2 = {r.doc_id: r.position for r in epoch_shuffle(df, "e2").collect()}
+        assert e1a == e1b  # same seed replays exactly
+        assert e1a != e2  # different seed permutes
