@@ -11509,10 +11509,43 @@ _PRIORITY_PREFIXES = (
 )
 
 
+def _confirmed_names() -> frozenset:
+    """The union of the static set above and every green row found in
+    CORRECTNESS_r*.json files next to the repo root — so the ordering
+    self-maintains: once the gate confirms a query, the next run
+    pushes it to the back of the sample automatically."""
+    import glob
+    import json
+    import os
+
+    names = set(_DRIVER_CONFIRMED)
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        try:
+            with open(path) as f:
+                doc = json.load(f)
+        except (OSError, ValueError):
+            continue
+        rows = doc.get("queries", doc) if isinstance(doc, dict) else {}
+        if not isinstance(rows, dict):
+            continue
+        for name, row in rows.items():
+            if (
+                isinstance(row, dict)
+                and row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match") is not False
+                and not row.get("err")
+            ):
+                names.add(name)
+    return frozenset(names)
+
+
 def _public_order() -> list[str]:
     names = list(REGISTRY)
-    unconfirmed = [n for n in names if n not in _DRIVER_CONFIRMED]
-    confirmed = [n for n in names if n in _DRIVER_CONFIRMED]
+    confirmed_set = _confirmed_names()
+    unconfirmed = [n for n in names if n not in confirmed_set]
+    confirmed = [n for n in names if n in confirmed_set]
     prio = [n for n in unconfirmed if n.startswith(_PRIORITY_PREFIXES)]
     rest = [n for n in unconfirmed if not n.startswith(_PRIORITY_PREFIXES)]
     return prio + rest + confirmed
