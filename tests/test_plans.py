@@ -322,3 +322,28 @@ class TestRound3Operators:
         plan = plan_of(spark, sf_dir, "corpus_snapshot_diff")
         assert plan.count("md5") >= 2
         assert "FullOuter" in plan
+
+
+class TestNewOperatorPlans:
+    def test_epoch_shuffle_is_range_partitioned(self, spark, sf_dir):
+        """The shuffle manifest's global position must ride a RANGE
+        exchange (global_rank), never a single-partition window."""
+        plan = plan_of(spark, sf_dir, "epoch_shuffle_manifest")
+        assert "rangepartitioning" in plan.lower()
+        assert "SinglePartition" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    def test_hybrid_rrf_topk_before_join(self, spark, sf_dir):
+        """Both retrieval lists are top-k'd before fusion: the cosine
+        side plans as TakeOrderedAndProject (distributed heap), and
+        no Python appears anywhere."""
+        plan = plan_of(spark, sf_dir, "hybrid_search_rrf")
+        assert "TakeOrderedAndProject" in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    def test_semantic_dedup_broadcasts_centroids(self, spark, sf_dir):
+        """Centroid assignment must be a broadcast (map-only over the
+        corpus); the only hash exchange is the within-cluster join."""
+        plan = plan_of(spark, sf_dir, "semantic_dedup_flags")
+        assert "BroadcastExchange" in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
