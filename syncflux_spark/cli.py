@@ -72,6 +72,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-num-workers", dest="num_workers", type=int, default=4)
     p.add_argument("-check-interval", dest="check_interval", default="10s")
     p.add_argument("-http-port", dest="http_port", type=int, default=4090)
+    p.add_argument("-public-path", dest="public_path", default=None,
+                   help="static UI root served at / (index.html index; "
+                        "disabled when unset, like the reference)")
     p.add_argument("-once", action="store_true",
                    help="hamonitor: one supervision cycle, then exit")
     p.add_argument("-master", default="local[*]", help="Spark master URL")
@@ -258,7 +261,13 @@ def _run_hamonitor(spark, args) -> int:
     return 0
 
 
-def build_server(spark, src_root: str, dst_root: str | None, port: int = 0):
+def build_server(
+    spark,
+    src_root: str,
+    dst_root: str | None,
+    port: int = 0,
+    public_path: str | None = None,
+):
     """Stand up the engine as an InfluxDB 1.x endpoint: every
     ``{name}.parquet`` under ``src_root`` becomes a queryable
     measurement (string columns are its tags), ``/query`` serves
@@ -300,7 +309,8 @@ def build_server(spark, src_root: str, dst_root: str | None, port: int = 0):
     )
     engine = InfluxQLEngine(spark, tables=tables, tags=tags)
     server = StatusServer(
-        monitor, port=port, query_engine=engine, write_sink=sink
+        monitor, port=port, query_engine=engine, write_sink=sink,
+        public_path=public_path,
     )
     server.start()
     return server
@@ -315,7 +325,8 @@ def _run_serve(spark, args) -> int:
         print("serve requires -src-root", file=sys.stderr)
         return 2
     server = build_server(
-        spark, args.src_root, args.dst_root, port=args.http_port
+        spark, args.src_root, args.dst_root, port=args.http_port,
+        public_path=args.public_path,
     )
     print(json.dumps({
         "serving": server.port,

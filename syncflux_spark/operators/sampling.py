@@ -259,3 +259,61 @@ def epoch_shuffle(
         F.col("position").cast("long").alias("position"),
         ((F.col("position") - 1) % n_shards).cast("integer").alias("shard"),
     )
+
+
+def mixture_rates(
+    counts: dict[str, int], targets: dict[str, float]
+) -> dict[str, float]:
+    """Per-group acceptance rates that hit a target mixture by
+    DOWNSAMPLING only (no duplication): the largest achievable output
+    is capped by the scarcest group relative to its target share —
+    n_out = min_g(n_g / w_g) — and every group then keeps
+    (n_out · w_g) / n_g of its rows. Shared by the Spark operator and
+    the SQL-oracle generator so both engines compute bit-identical
+    rates (same op order: divide, min, multiply, divide)."""
+    total_w = sum(targets.values())
+    if not 0.999 <= total_w <= 1.001:
+        raise ValueError(f"target weights must sum to 1, got {total_w}")
+    missing = sorted(g for g in targets if g not in counts)
+    if missing:
+        raise ValueError(f"target groups absent from data: {missing}")
+    n_out = min(counts[g] / w for g, w in targets.items())
+    return {g: (n_out * w) / counts[g] for g, w in targets.items()}
+
+
+def _rate_threshold(rate: float) -> str:
+    """Acceptance rate → the 4-hex bucket bound (floor to 65536ths);
+    rate 1.0 → '~' (keeps every bucket), mirroring _hex_threshold."""
+    n = int(rate * _BUCKETS)
+    return "~" if n >= _BUCKETS else format(n, "04x")
+
+
+def mixture_resample(
+    df: DataFrame,
+    targets: dict[str, float],
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "mix-v1",
+) -> DataFrame:
+    """Deterministic mixture resampling — the data-mixing step of a
+    training pipeline (DoReMi-style STATIC target weights; the
+    optimization loop that produces the weights is upstream): keep a
+    hash-thresholded subset of each listed group so the output's
+    group shares match ``targets``, retaining as much data as the
+    scarcest group allows. Groups not in ``targets`` drop entirely.
+
+    Two passes: one partial-agg count per group (collected — groups
+    are a handful of sources, never data-sized) to derive the rates,
+    then one filter scan with the per-group threshold as a CASE over
+    the same md5 bucket machinery as split_assign — seed-free,
+    cluster-layout-independent, re-runnable."""
+    counts = {
+        r[0]: r[1] for r in df.groupBy(group_col).count().collect()
+    }
+    rates = mixture_rates(counts, targets)
+    bucket = _bucket(id_col, salt)
+    cond = None
+    for g, r in rates.items():
+        c = (F.col(group_col) == g) & (bucket < F.lit(_rate_threshold(r)))
+        cond = c if cond is None else (cond | c)
+    return df.where(cond)

@@ -11466,6 +11466,52 @@ def hybrid_search_rrf(spark, sf):
     )
 
 
+#: static target mixture for the resampling entry (DoReMi-style
+#: weights land here from an upstream optimization; static for replay)
+_MIX_TARGETS = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+
+
+def _mix_sql() -> str:
+    vals = ", ".join(
+        f"('{g}', CAST({w!r} AS DOUBLE))" for g, w in _MIX_TARGETS.items()
+    )
+    return f"""
+    WITH counts AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+                    FROM documents GROUP BY source),
+    tgt(source, w) AS (VALUES {vals}),
+    j AS (SELECT c.source, c.n, t.w FROM counts c JOIN tgt t USING (source)),
+    nout AS (SELECT MIN(CAST(n AS DOUBLE) / w) AS n_out FROM j),
+    rates AS (SELECT source, (n_out * w) / CAST(n AS DOUBLE) AS r
+              FROM j CROSS JOIN nout),
+    thr AS (SELECT source,
+                   CASE WHEN CAST(FLOOR(r * 65536) AS BIGINT) >= 65536
+                        THEN '~'
+                        ELSE printf('%04x', CAST(FLOOR(r * 65536) AS BIGINT))
+                   END AS t
+            FROM rates)
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN thr ON d.source = thr.source
+    WHERE substr(md5(CAST(d.doc_id AS VARCHAR) || 'mix-v1'), 1, 4) < thr.t
+    """
+
+
+@register("mixture_resample", _mix_sql())
+def mixture_resample(spark, sf):
+    """Data-mixing resample: downsample each listed source so output
+    shares hit the static target mixture (50/30/20 here), retaining
+    the maximum the scarcest source allows; unlisted sources drop.
+    Rates derive from one tiny per-source count collect
+    (sampling.py::mixture_rates — identical float op order to the
+    oracle's SQL, so the md5-bucket thresholds agree bit-for-bit);
+    the resample itself is one filter scan, seed-free and
+    re-runnable."""
+    from syncflux_spark.operators.sampling import mixture_resample as op
+
+    return op(
+        load_table(spark, sf, "documents"), _MIX_TARGETS, salt="mix-v1"
+    ).select("doc_id", "source")
+
+
 #: Names with a green row in some CORRECTNESS_r*.json (r1 ∪ r2 ∪ r3).
 #: The driver samples a fixed-size prefix of ``queries()`` in dict
 #: order, so the public order puts never-driver-confirmed entries

@@ -209,6 +209,25 @@ class TestServeAction:
         finally:
             srv.stop()
 
+    def test_build_server_serves_static_ui(self, spark, sf_dir, tmp_path):
+        import urllib.request
+
+        from syncflux_spark.cli import build_server
+
+        pub = tmp_path / "public"
+        pub.mkdir()
+        (pub / "index.html").write_text("<html>cli ui</html>")
+        srv = build_server(
+            spark, sf_dir, None, port=0, public_path=str(pub)
+        )
+        try:
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{srv.port}/"
+            ) as r:
+                assert r.status == 200 and b"cli ui" in r.read()
+        finally:
+            srv.stop()
+
     def test_serve_once_smoke(self, spark, sf_dir, capsys):
         import json
 

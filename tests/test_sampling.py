@@ -133,3 +133,52 @@ class TestEpochShuffle:
         e2 = {r.doc_id: r.position for r in epoch_shuffle(df, "e2").collect()}
         assert e1a == e1b  # same seed replays exactly
         assert e1a != e2  # different seed permutes
+
+
+class TestMixtureResample:
+    def _docs(self, spark, sizes):
+        rows = []
+        i = 0
+        for src, n in sizes.items():
+            for _ in range(n):
+                rows.append((i, src))
+                i += 1
+        return spark.createDataFrame(rows, "doc_id long, source string")
+
+    def test_shares_hit_targets(self, spark):
+        from syncflux_spark.operators.sampling import mixture_resample
+
+        df = self._docs(spark, {"a": 4000, "b": 4000, "c": 4000, "x": 500})
+        out = mixture_resample(
+            df, {"a": 0.5, "b": 0.3, "c": 0.2}
+        ).groupBy("source").count().collect()
+        got = {r.source: r["count"] for r in out}
+        assert "x" not in got  # unlisted source dropped entirely
+        total = sum(got.values())
+        # scarcest-group cap: n_out = 4000/0.5 = 8000
+        assert abs(got["a"] / total - 0.5) < 0.03
+        assert abs(got["b"] / total - 0.3) < 0.03
+        assert abs(got["c"] / total - 0.2) < 0.03
+        assert got["a"] == 4000  # rate-1.0 group keeps every row
+
+    def test_deterministic_and_subset(self, spark):
+        from syncflux_spark.operators.sampling import mixture_resample
+
+        df = self._docs(spark, {"a": 1000, "b": 1000})
+        t = {"a": 0.7, "b": 0.3}
+        one = {r.doc_id for r in mixture_resample(df, t).collect()}
+        two = {r.doc_id for r in mixture_resample(df, t).collect()}
+        assert one == two
+        assert one <= {r.doc_id for r in df.collect()}
+
+    def test_bad_targets_raise(self, spark):
+        from syncflux_spark.operators.sampling import (
+            mixture_rates,
+            mixture_resample,
+        )
+
+        with pytest.raises(ValueError, match="sum to 1"):
+            mixture_rates({"a": 10}, {"a": 0.5})
+        df = self._docs(spark, {"a": 10})
+        with pytest.raises(ValueError, match="absent"):
+            mixture_resample(df, {"a": 0.5, "ghost": 0.5})
