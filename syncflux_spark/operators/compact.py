@@ -69,3 +69,42 @@ def compact_parquet(
         os.rename(staging, path)
         shutil.rmtree(old)
     return data_file_count(path)
+
+
+#: staging/backup directory name fragments the swap writers create
+#: (compact_parquet, streaming/cdc.py base swap) — a crash between
+#: write and rename leaves them behind
+_STAGING_MARKERS = (".compact-", ".cdc-", ".old-")
+
+
+def clean_stale_staging(
+    root: str, older_than_s: float = 3600.0
+) -> list[str]:
+    """Remove orphaned staging/backup directories left by a writer
+    that crashed between its staging write and the atomic swap
+    (``<table>.compact-xxxx``, ``<table>.cdc-xxxx``,
+    ``<table>.old-xxxx``). Only directories idle for
+    ``older_than_s`` seconds go — a LIVE writer's staging dir is
+    younger than that by construction (its lock also still exists,
+    but age alone is the safe test: the lock file could be the very
+    thing the crash orphaned). Returns the removed paths.
+
+    Run it from the same maintenance schedule as compaction; it
+    walks directory entries only (no data read)."""
+    import time
+
+    removed: list[str] = []
+    for dirpath, dirnames, _files in os.walk(root):
+        for d in list(dirnames):
+            if not any(m in d for m in _STAGING_MARKERS):
+                continue
+            full = os.path.join(dirpath, d)
+            try:
+                age = time.time() - os.stat(full).st_mtime
+            except FileNotFoundError:
+                continue
+            if age > older_than_s:
+                shutil.rmtree(full, ignore_errors=True)
+                removed.append(full)
+                dirnames.remove(d)
+    return sorted(removed)
