@@ -572,6 +572,12 @@ class _Parser:
             raise InfluxQLError(f"expected identifier, got {t.text!r}")
         return t.text
 
+    def int_lit(self) -> int:
+        t = self.next()
+        if t.kind != "number" or "." in t.text:
+            raise InfluxQLError(f"expected integer, got {t.text!r}")
+        return int(t.text)
+
     # -- entry --------------------------------------------------------------
     def parse(self):
         t = self.peek()
@@ -626,6 +632,8 @@ class _Parser:
             )
             return self._select_tail(st, in_cq)
         db = rp = None
+        if self.peek() is None:
+            raise InfluxQLError("unexpected end of statement")
         name = self.ident() if self.peek().text != "*" else self.next().text
         parts = [name]
         while self.peek() and self.peek().text == ".":
@@ -683,13 +691,13 @@ class _Parser:
             else:
                 self.accept_kw("asc")
         if self.accept_kw("limit"):
-            st.limit = int(self.next().text)
+            st.limit = self.int_lit()
         if self.accept_kw("offset"):
-            st.offset = int(self.next().text)
+            st.offset = self.int_lit()
         if self.accept_kw("slimit"):
-            st.slimit = int(self.next().text)
+            st.slimit = self.int_lit()
         if self.accept_kw("soffset"):
-            st.soffset = int(self.next().text)
+            st.soffset = self.int_lit()
         if self.peek() and self.peek().kind == "ident" and self.peek().text.lower() == "tz":
             self.next()
             self.expect_op("(")
@@ -708,6 +716,8 @@ class _Parser:
 
     def proj(self) -> Proj:
         t = self.peek()
+        if t is None:
+            raise InfluxQLError("unexpected end of statement")
         if t.text == "*":
             self.next()
             return Proj(func=None, field="*")
@@ -833,6 +843,8 @@ class _Parser:
         func = self.next().text.lower()
         self.expect_op("(")
         inner = self.peek()
+        if inner is None:
+            raise InfluxQLError("unexpected end of statement")
         if func == "count" and inner.text.lower() == "distinct":
             # count(distinct f) — influx spells this count(distinct(f))
             self.next()
@@ -852,8 +864,10 @@ class _Parser:
             if a.kind == "duration":
                 # integral(v, 1h): the unit the area is expressed in
                 arg = int(parse_duration(a.text).total_seconds() * 1e9)
-            else:
+            elif a.kind == "number":
                 arg = float(a.text)
+            else:
+                raise InfluxQLError(f"bad {func} argument {a.text!r}")
         self.expect_op(")")
         if func == "percentile" and arg is None:
             raise InfluxQLError("percentile requires an argument")
@@ -1156,7 +1170,7 @@ class _Parser:
                 if self.accept_kw("duration"):
                     st.duration = self.next().text
                 elif self.accept_kw("replication"):
-                    st.replication = int(self.next().text)
+                    st.replication = self.int_lit()
                 elif self.accept_kw("shard", "duration"):
                     st.shard_duration = self.next().text
                 elif self.accept_kw("name"):
@@ -1194,7 +1208,7 @@ class _Parser:
             if self.accept_kw("duration"):
                 st.duration = self.next().text
             elif self.accept_kw("replication"):
-                st.replication = int(self.next().text)
+                st.replication = self.int_lit()
             elif self.accept_kw("shard", "duration"):
                 st.shard_duration = self.next().text
             elif self.accept_kw("default"):

@@ -119,3 +119,62 @@ class TestGlobalRankProperties:
                 ).collect()
             }
             assert got == want, (trial, n, n_ranges)
+
+
+class TestParserRobustness:
+    """The InfluxQL parser fronts the /query endpoint — arbitrary
+    client bytes. It may REJECT input only via InfluxQLError; any
+    other exception type is a crash a client can trigger remotely."""
+
+    @settings(max_examples=300, deadline=None)
+    @given(q=st.text(max_size=120))
+    def test_garbage_never_crashes(self, q):
+        from syncflux_spark.influxql import InfluxQLError, parse
+
+        try:
+            parse(q)
+        except InfluxQLError:
+            pass
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        frag=st.lists(
+            st.sampled_from(
+                [
+                    "select", "from", "where", "group", "by", "time",
+                    "(", ")", ",", "*", "'", '"', "1d", "mean", "value",
+                    "events", "and", "or", ">", "<", "=", "now()", "-",
+                    "fill", "limit", "order", "desc", ";", "0", "1.5",
+                ]
+            ),
+            max_size=14,
+        )
+    )
+    def test_token_soup_never_crashes(self, frag):
+        from syncflux_spark.influxql import InfluxQLError, parse
+
+        try:
+            parse(" ".join(frag))
+        except InfluxQLError:
+            pass
+
+    _STMT = (
+        "SELECT mean(value) FROM events WHERE time >= '2024-01-01' "
+        "GROUP BY time(1d), event_type fill(0) ORDER BY time DESC "
+        "LIMIT 5 OFFSET 2 SLIMIT 3 SOFFSET 1 tz('UTC')"
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        i=st.integers(0, len(_STMT)),
+        tail=st.sampled_from(["", "(", ",", "'", '"', "9", ".", "*"]),
+    )
+    def test_truncated_statement_never_crashes(self, i, tail):
+        """Prefix truncation + a junk tail is the classic EOF-crash
+        class (found int()/float()/peek().text crashes on first run)."""
+        from syncflux_spark.influxql import InfluxQLError, parse
+
+        try:
+            parse(self._STMT[:i] + tail)
+        except InfluxQLError:
+            pass
