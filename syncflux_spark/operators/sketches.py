@@ -1,0 +1,101 @@
+"""Persistable, mergeable distinct-count sketches (KMV bottom-k).
+
+The inline KMV query (queries.py::kmv_distinct_users) answers one
+scan; THIS module makes the sketch a first-class TABLE so the 100 TB
+incremental pattern works: sketch each day/partition once when it
+lands, persist the (group, bottom-k hash array) rows — a few KB per
+group — then answer distinct-count questions over ANY union of
+partitions by merging sketch tables, never rescanning data.
+
+Correct because bottom-k is a union-mergeable order statistic:
+bottomK(A ∪ B) = bottomK(bottomK(A) ∪ bottomK(B)) — the k smallest
+of a union can only come from each side's k smallest. Hashes are
+md5-derived 48-bit values (deterministic function of the data, no
+seeds), so two engines compute bit-identical sketches and the DuckDB
+oracle can check the merged ESTIMATE itself, not just row counts.
+
+Estimator: (k−1)/frac(kth smallest hash) — with 48-bit hashes that is
+(k−1)·2⁴⁸ / kth, one IEEE division on exactly-representable operands.
+
+Scale shape: build = one distinct + per-group bottom-k
+(WindowGroupLimit per-partition heaps — the full hash set is never
+globally sorted); merge = explode + the same bottom-k over k·groups
+rows (sketch-sized, data never touched); estimate = per-row
+arithmetic on the sketch table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: default sketch size; estimate error ~ 1/√k ≈ 12.5%
+K_DEFAULT = 64
+
+#: 48-bit hash space (12 hex chars of md5)
+_HASH_SPACE = float(2**48)
+
+
+def _kmv_hash(key_col: str) -> F.Column:
+    return (
+        F.conv(
+            F.substring(F.md5(F.col(key_col).cast("string")), 1, 12), 16, 10
+        )
+        .cast("long")
+        .alias("_h")
+    )
+
+
+def _bottom_k(hashed: DataFrame, group_cols: list[str], k: int) -> DataFrame:
+    w = Window.partitionBy(*group_cols).orderBy("_h")
+    return (
+        hashed.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .groupBy(*group_cols)
+        .agg(F.sort_array(F.collect_list("_h")).alias("hs"))
+    )
+
+
+def kmv_build(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str],
+    k: int = K_DEFAULT,
+) -> DataFrame:
+    """Sketch table: one row per group, ``hs`` = sorted array of the
+    group's bottom-k distinct key hashes. Persist this (parquet) as
+    the partition lands; it is the only thing later merges read."""
+    hashed = df.select(*group_cols, _kmv_hash(key_col)).distinct()
+    return _bottom_k(hashed, group_cols, k)
+
+
+def kmv_merge(
+    a: DataFrame, b: DataFrame, group_cols: list[str], k: int = K_DEFAULT
+) -> DataFrame:
+    """Merge two sketch tables into one covering the union of their
+    inputs — bottomK(bottomK(A) ∪ bottomK(B)). Groups present in only
+    one side pass through. Touches k·groups rows, never base data."""
+    exploded = (
+        a.unionByName(b)
+        .select(*group_cols, F.explode("hs").alias("_h"))
+        .distinct()
+    )
+    return _bottom_k(exploded, group_cols, k)
+
+
+def kmv_estimate(sketch: DataFrame, group_cols: list[str], k: int = K_DEFAULT) -> DataFrame:
+    """Distinct-count estimates from a sketch table:
+    (group, n_sample, kth_hash, est_distinct). A group whose sketch
+    never filled (n_sample < k) is exact — the sample IS the distinct
+    set."""
+    n = F.size("hs")
+    kth = F.element_at("hs", -1)
+    est = F.when(
+        (n < k) | (kth == 0), n.cast("double")
+    ).otherwise(F.lit(float(k - 1) * _HASH_SPACE) / kth.cast("double"))
+    return sketch.select(
+        *group_cols,
+        n.cast("long").alias("n_sample"),
+        kth.cast("long").alias("kth_hash"),
+        est.alias("est_distinct"),
+    )

@@ -11512,6 +11512,67 @@ def mixture_resample(spark, sf):
     ).select("doc_id", "source")
 
 
+_KMV_SPLIT = "2024-01-16 00:00:00"
+
+
+def _kmv_half_sql(cmp: str) -> str:
+    return f"""
+    SELECT event_type, v FROM (
+      SELECT event_type, v,
+             row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn
+      FROM (SELECT DISTINCT event_type,
+              ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT AS v
+            FROM events WHERE ts {cmp} TIMESTAMP '{_KMV_SPLIT}'))
+    WHERE rn <= 64"""
+
+
+@register(
+    "kmv_sketch_merge",
+    f"""
+    WITH s1 AS ({_kmv_half_sql('<')}),
+    s2 AS ({_kmv_half_sql('>=')}),
+    u AS (SELECT DISTINCT event_type, v
+          FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2)),
+    rm AS (SELECT event_type, v,
+                  row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn
+           FROM u),
+    m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_sample,
+                 CAST(MAX(v) AS BIGINT) AS kth_hash
+          FROM rm WHERE rn <= 64 GROUP BY event_type)
+    SELECT event_type, n_sample, kth_hash,
+           CASE WHEN n_sample < 64 OR kth_hash = 0
+                THEN CAST(n_sample AS DOUBLE)
+                ELSE 17732923532771328.0::DOUBLE
+                     / CAST(kth_hash AS BIGINT)::DOUBLE
+           END AS est_distinct
+    FROM m
+    """,
+)
+def kmv_sketch_merge(spark, sf):
+    """Persistable mergeable distinct-count sketches
+    (operators/sketches.py): sketch each half-month of events
+    independently (the shape of per-partition sketching as data
+    lands), MERGE the two sketch tables — bottomK(bottomK(A) ∪
+    bottomK(B)), touching k·groups rows, never base data — and
+    estimate per-type distinct users from the merged sketch. The
+    oracle replays the identical deterministic pipeline, checking the
+    merged estimate itself bit-for-bit — proving the mergeability
+    identity, which is what makes sketch-once-query-many work at
+    100 TB."""
+    from syncflux_spark.operators.sketches import (
+        kmv_build,
+        kmv_estimate,
+        kmv_merge,
+    )
+
+    ev = load_table(spark, sf, "events")
+    split = F.lit(_KMV_SPLIT).cast("timestamp")
+    s1 = kmv_build(ev.where(F.col("ts") < split), "user_id", ["event_type"])
+    s2 = kmv_build(ev.where(F.col("ts") >= split), "user_id", ["event_type"])
+    merged = kmv_merge(s1, s2, ["event_type"])
+    return kmv_estimate(merged, ["event_type"])
+
+
 #: Names with a green row in some CORRECTNESS_r*.json (r1 ∪ r2 ∪ r3).
 #: The driver samples a fixed-size prefix of ``queries()`` in dict
 #: order, so the public order puts never-driver-confirmed entries

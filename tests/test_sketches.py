@@ -39,3 +39,60 @@ class TestKmvOverlap:
             assert r.est_union >= float(r.n_sample) - 1e-9
             # intersection estimate can't exceed the union estimate
             assert r.est_intersection <= r.est_union + 1e-9
+
+
+class TestKmvSketchTables:
+    """operators/sketches.py: the persistable/mergeable KMV form."""
+
+    def _df(self, spark, lo, hi, group="a"):
+        return spark.createDataFrame(
+            [(group, i) for i in range(lo, hi)], "g string, k long"
+        )
+
+    def test_merge_equals_sketch_of_union(self, spark):
+        from syncflux_spark.operators.sketches import kmv_build, kmv_merge
+
+        a = self._df(spark, 0, 500)
+        b = self._df(spark, 300, 900)  # overlapping
+        sa = kmv_build(a, "k", ["g"], k=32)
+        sb = kmv_build(b, "k", ["g"], k=32)
+        merged = kmv_merge(sa, sb, ["g"], k=32).collect()[0].hs
+        direct = kmv_build(a.unionByName(b), "k", ["g"], k=32).collect()[0].hs
+        assert merged == direct  # the mergeability identity, exactly
+
+    def test_small_group_is_exact(self, spark):
+        from syncflux_spark.operators.sketches import kmv_build, kmv_estimate
+
+        df = self._df(spark, 0, 10)
+        est = kmv_estimate(
+            kmv_build(df, "k", ["g"], k=64), ["g"], k=64
+        ).collect()[0]
+        assert est.n_sample == 10 and est.est_distinct == 10.0
+
+    def test_estimate_within_error_budget(self, spark):
+        from syncflux_spark.operators.sketches import kmv_build, kmv_estimate
+
+        df = self._df(spark, 0, 20_000)
+        est = kmv_estimate(
+            kmv_build(df, "k", ["g"], k=64), ["g"], k=64
+        ).collect()[0]
+        # 1/sqrt(64) = 12.5% nominal; allow 3 sigma
+        assert abs(est.est_distinct - 20_000) / 20_000 < 0.375
+
+    def test_roundtrip_through_parquet(self, spark, tmp_path):
+        """The sketch is a plain table: persist, reload, merge —
+        the incremental pattern."""
+        from syncflux_spark.operators.sketches import (
+            kmv_build,
+            kmv_estimate,
+            kmv_merge,
+        )
+
+        p1, p2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+        kmv_build(self._df(spark, 0, 400), "k", ["g"]).write.parquet(p1)
+        kmv_build(self._df(spark, 400, 800), "k", ["g"]).write.parquet(p2)
+        merged = kmv_merge(
+            spark.read.parquet(p1), spark.read.parquet(p2), ["g"]
+        )
+        est = kmv_estimate(merged, ["g"]).collect()[0]
+        assert abs(est.est_distinct - 800) / 800 < 0.375
