@@ -99,3 +99,65 @@ def kmv_estimate(sketch: DataFrame, group_cols: list[str], k: int = K_DEFAULT) -
         kth.cast("long").alias("kth_hash"),
         est.alias("est_distinct"),
     )
+
+
+# -- Count-Min sketch tables ------------------------------------------------
+
+#: CMS geometry: d hash rows × w buckets (disjoint md5 byte slices)
+CMS_DEPTH, CMS_WIDTH = 4, 256
+
+
+def _cms_cells(key_col: str):
+    h = F.md5(F.col(key_col).cast("string"))
+    return [
+        F.struct(
+            F.lit(i).alias("i"),
+            F.conv(F.substring(h, 1 + 2 * i, 2), 16, 10)
+            .cast("long")
+            .alias("bucket"),
+        )
+        for i in range(CMS_DEPTH)
+    ]
+
+
+def cms_build(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Count-Min sketch as a TABLE: (i, bucket, cnt) — one row per
+    non-empty cell of the d×w matrix (≤ 1024 rows regardless of input
+    size). One explode(d)+partial-agg pass; persist it per
+    day/partition as data lands. ``weight_col`` sums a weight instead
+    of counting rows."""
+    w = F.col(weight_col) if weight_col else F.lit(1)
+    return (
+        df.select(F.explode(F.array(*_cms_cells(key_col))).alias("c"), w.alias("_w"))
+        .groupBy(F.col("c.i").alias("i"), F.col("c.bucket").alias("bucket"))
+        .agg(F.sum("_w").cast("long").alias("cnt"))
+    )
+
+
+def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two CMS tables: cell-wise addition — commutative and
+    associative, so any merge tree over any partitioning yields the
+    identical matrix. Touches ≤ 2·d·w rows, never base data."""
+    return (
+        a.unionByName(b)
+        .groupBy("i", "bucket")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+
+
+def cms_query(sketch: DataFrame, keys: DataFrame, key_col: str) -> DataFrame:
+    """Point-frequency estimates for ``keys``: est = min over the d
+    rows of the key's cell — one-sided (est ≥ true). The sketch
+    broadcasts (≤ d·w rows); the probe is a map-side join."""
+    probes = keys.select(
+        key_col, F.explode(F.array(*_cms_cells(key_col))).alias("c")
+    ).select(key_col, F.col("c.i").alias("i"), F.col("c.bucket").alias("bucket"))
+    return (
+        probes.join(F.broadcast(sketch), ["i", "bucket"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).cast("long").alias("est_n"))
+    )

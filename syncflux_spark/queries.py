@@ -11573,6 +11573,68 @@ def kmv_sketch_merge(spark, sf):
     return kmv_estimate(merged, ["event_type"])
 
 
+@register(
+    "cms_sketch_merge",
+    f"""
+    WITH cells AS (
+      SELECT half, i,
+             ('0x' || substring(h, 1 + 2 * i, 2))::BIGINT AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT CASE WHEN ts < TIMESTAMP '{_KMV_SPLIT}' THEN 0 ELSE 1 END
+                     AS half,
+                   md5(CAST(user_id AS VARCHAR)) AS h
+            FROM events),
+           (SELECT unnest([0, 1, 2, 3]) AS i)
+      GROUP BY half, i, bucket),
+    merged AS (SELECT i, bucket, CAST(SUM(cnt) AS BIGINT) AS cnt
+               FROM cells GROUP BY i, bucket),
+    exact AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_n,
+                     md5(CAST(user_id AS VARCHAR)) AS h
+              FROM events GROUP BY user_id),
+    top AS (SELECT user_id, exact_n, h,
+                   row_number() OVER (ORDER BY exact_n DESC, user_id) AS rn
+            FROM exact),
+    probes AS (SELECT user_id, exact_n, i,
+                      ('0x' || substring(h, 1 + 2 * i, 2))::BIGINT AS bucket
+               FROM top, (SELECT unnest([0, 1, 2, 3]) AS i)
+               WHERE rn <= 20)
+    SELECT p.user_id, p.exact_n, CAST(MIN(m.cnt) AS BIGINT) AS est_n
+    FROM probes p JOIN merged m ON m.i = p.i AND m.bucket = p.bucket
+    GROUP BY p.user_id, p.exact_n
+    """,
+)
+def cms_sketch_merge(spark, sf):
+    """Mergeable Count-Min sketch tables (operators/sketches.py):
+    sketch each half-month of events independently, merge by
+    cell-wise addition (commutative — any merge tree over any
+    partitioning yields the identical matrix), probe the top-20
+    heavy hitters against the MERGED sketch. The oracle replays the
+    same deterministic cells, so the merged estimates themselves
+    hash-match — sketch-per-partition + merge-at-query is the
+    frequency-analytics pattern at 100 TB."""
+    from syncflux_spark.operators.sketches import (
+        cms_build,
+        cms_merge,
+        cms_query,
+    )
+
+    ev = load_table(spark, sf, "events")
+    split = F.lit(_KMV_SPLIT).cast("timestamp")
+    m = cms_merge(
+        cms_build(ev.where(F.col("ts") < split), "user_id"),
+        cms_build(ev.where(F.col("ts") >= split), "user_id"),
+    )
+    top = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_n"))
+        .orderBy(F.desc("exact_n"), F.asc("user_id"))
+        .limit(20)
+    )
+    return cms_query(m, top, "user_id").join(top, "user_id").select(
+        "user_id", "exact_n", "est_n"
+    )
+
+
 #: Names with a green row in some CORRECTNESS_r*.json (r1 ∪ r2 ∪ r3).
 #: The driver samples a fixed-size prefix of ``queries()`` in dict
 #: order, so the public order puts never-driver-confirmed entries

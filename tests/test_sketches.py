@@ -96,3 +96,49 @@ class TestKmvSketchTables:
         )
         est = kmv_estimate(merged, ["g"]).collect()[0]
         assert abs(est.est_distinct - 800) / 800 < 0.375
+
+
+class TestCmsSketchTables:
+    def _df(self, spark, pairs):
+        rows = [(k,) for k, n in pairs for _ in range(n)]
+        return spark.createDataFrame(rows, "k long")
+
+    def test_merge_equals_build_of_union(self, spark):
+        from syncflux_spark.operators.sketches import cms_build, cms_merge
+
+        a = self._df(spark, [(1, 5), (2, 3)])
+        b = self._df(spark, [(2, 4), (3, 7)])
+        merged = {
+            (r.i, r.bucket): r.cnt
+            for r in cms_merge(
+                cms_build(a, "k"), cms_build(b, "k")
+            ).collect()
+        }
+        direct = {
+            (r.i, r.bucket): r.cnt
+            for r in cms_build(a.unionByName(b), "k").collect()
+        }
+        assert merged == direct
+
+    def test_estimates_one_sided_and_tight_when_sparse(self, spark):
+        from syncflux_spark.operators.sketches import cms_build, cms_query
+
+        df = self._df(spark, [(i, i) for i in range(1, 11)])
+        keys = spark.createDataFrame([(i,) for i in range(1, 11)], "k long")
+        est = {
+            r.k: r.est_n
+            for r in cms_query(cms_build(df, "k"), keys, "k").collect()
+        }
+        for i in range(1, 11):
+            assert est[i] >= i  # one-sided error
+        # 10 keys in 4x256 cells: collisions are rare -> mostly exact
+        exact = sum(1 for i in range(1, 11) if est[i] == i)
+        assert exact >= 8
+
+    def test_absent_key_estimates_zero(self, spark):
+        from syncflux_spark.operators.sketches import cms_build, cms_query
+
+        df = self._df(spark, [(1, 3)])
+        keys = spark.createDataFrame([(999999,)], "k long")
+        est = cms_query(cms_build(df, "k"), keys, "k").collect()[0]
+        assert est.est_n in (0, 3)  # 0 unless all 4 cells collide
