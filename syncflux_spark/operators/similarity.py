@@ -1055,3 +1055,49 @@ def semantic_dedup_flags(
             F.coalesce("_dropped", F.lit(0)).cast("integer").alias("dropped"),
         )
     )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    positives: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query,
+    the top-k most-similar corpus vectors that are NOT known
+    positives — the negatives that actually teach the model, vs
+    random negatives the embedding already separates.
+
+    ``positives`` carries (query_id, neighbor_id) known-positive
+    pairs; they (and self-pairs) are excluded BEFORE ranking, so the
+    k slots all land on genuine negatives. Shape: broadcast query
+    side + anti-join on the (tiny) positive set + the same per-query
+    top-k heap as brute_force_topk; at corpus scale the scored pass
+    swaps for the IVF/LSH candidate generators with the identical
+    exclusion join. Output: (query_id, neighbor_id, cos_sim, rank)."""
+    q = _sides(queries, id_col, vec_col, "q", dim).withColumnsRenamed(
+        {"q_id": "query_id"}
+    )
+    c = _sides(corpus, id_col, vec_col, "c", dim).withColumnsRenamed(
+        {"c_id": "neighbor_id"}
+    )
+    pairs = c.crossJoin(F.broadcast(q)).where(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    pos = positives.select("query_id", "neighbor_id")
+    pairs = pairs.join(
+        F.broadcast(pos), ["query_id", "neighbor_id"], "left_anti"
+    )
+    scored = pairs.select("query_id", "neighbor_id", _pair_cos(dim))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

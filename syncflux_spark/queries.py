@@ -11635,6 +11635,50 @@ def cms_sketch_merge(spark, sf):
     )
 
 
+@register(
+    "emb_hard_negatives",
+    f"""
+    WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT * FROM v WHERE vec_id < 8),
+    pairs AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     {_sql_cos('q.v', 'c.v')} AS cos_sim
+              FROM q JOIN v c
+                ON c.vec_id <> q.vec_id AND c.label <> q.label)
+    SELECT query_id, neighbor_id, cos_sim, CAST(rn AS INTEGER) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos_sim DESC, neighbor_id)
+                      AS rn
+          FROM pairs)
+    WHERE rn <= 5
+    """,
+)
+def emb_hard_negatives(spark, sf):
+    """Hard-negative mining for contrastive training
+    (operators/similarity.py::hard_negatives): for each query vector,
+    the top-5 most-similar OTHER-class vectors — label-mates are the
+    known positives and are anti-joined out before ranking, so every
+    slot is a genuine hard negative (the ones a random-negative
+    sampler would miss). Broadcast query side + tiny positive-set
+    anti-join + per-query top-k heap; at corpus scale the scored pass
+    swaps for the IVF/LSH candidate generators unchanged."""
+    from syncflux_spark.operators.similarity import hard_negatives
+
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.where(F.col("vec_id") < 8)
+    positives = (
+        queries.alias("q")
+        .join(emb.alias("c"), F.col("q.label") == F.col("c.label"))
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("c.vec_id").alias("neighbor_id"),
+        )
+    )
+    return hard_negatives(emb, queries, positives, k=5).select(
+        "query_id", "neighbor_id", "cos_sim",
+        F.col("rank").cast("integer").alias("rank"),
+    )
+
+
 #: Names with a green row in some CORRECTNESS_r*.json (r1 ∪ r2 ∪ r3).
 #: The driver samples a fixed-size prefix of ``queries()`` in dict
 #: order, so the public order puts never-driver-confirmed entries

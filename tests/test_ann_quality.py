@@ -506,3 +506,25 @@ class TestSemanticDedup:
         assert kept[0].cos_to_centroid == min(r.cos_to_centroid for r in group)
         # isolated vector and its centroid both survive (cos 0.6 < τ)
         assert out[20].dropped == 0 and out[1].dropped == 0
+
+
+class TestHardNegatives:
+    def test_excludes_positives_and_self(self, spark):
+        from syncflux_spark.operators.similarity import hard_negatives
+
+        # two tight clusters; 0/1 are mutual positives, 10/11 the
+        # other class — the hard negatives for query 0
+        rows = [
+            (0, [1.0, 0.0]), (1, [0.99, 0.14]),
+            (10, [0.7, 0.71]), (11, [0.6, 0.8]), (12, [-1.0, 0.0]),
+        ]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        queries = emb.where("vec_id = 0")
+        positives = spark.createDataFrame(
+            [(0, 1)], "query_id long, neighbor_id long"
+        )
+        out = hard_negatives(emb, queries, positives, k=2).collect()
+        got = [(r.neighbor_id, r.rank) for r in sorted(out, key=lambda r: r.rank)]
+        # neither self (0) nor positive (1) appear; nearest non-positive
+        # is 10, then 11
+        assert got == [(10, 1), (11, 2)]
