@@ -317,3 +317,33 @@ def mixture_resample(
         c = (F.col(group_col) == g) & (bucket < F.lit(_rate_threshold(r)))
         cond = c if cond is None else (cond | c)
     return df.where(cond)
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    fractions: dict[str, float] | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    salt: str = "split-v1",
+) -> DataFrame:
+    """Train/val/test assignment with ZERO near-dup leakage by
+    construction: documents are first clustered into near-dup
+    components (LSH candidates → exact Jaccard ≥ threshold →
+    connected components), then the split is keyed on the COMPONENT
+    label, so every member of a dup cluster lands in the same split.
+    Splitting per-doc and repairing afterwards can't give this
+    guarantee (a repaired doc's partner may itself have another
+    cross-split partner); splitting per-component makes cross-split
+    near-dup pairs impossible at any corpus size.
+
+    Output: (id, component, split). Deterministic: the component
+    label is the cluster's min id and the split is a salted hash of
+    the label — stable across runs, partitionings and corpus growth
+    for unchanged clusters."""
+    from syncflux_spark.operators.dedup import duplicate_components
+
+    comp = duplicate_components(
+        df, text_col=text_col, id_col=id_col, threshold=threshold
+    )
+    return split_assign(comp, fractions, id_col="component", salt=salt)

@@ -11679,6 +11679,32 @@ def emb_hard_negatives(spark, sf):
     )
 
 
+def _leakage_split_sql() -> str:
+    comp = _COMPONENTS_SQL_TEMPLATE.format(
+        edges=REGISTRY["ngram_jaccard_pairs"].sql
+    )
+    case = smp.sql_split_case(_SPLIT_FRACTIONS, id_col="component")
+    return f"""
+    SELECT doc_id, component, {case} AS split
+    FROM ({comp})
+    """
+
+
+@register("leakage_safe_split", _leakage_split_sql())
+def leakage_safe_split(spark, sf):
+    """Leakage-free train/val/test split
+    (operators/sampling.py::leakage_safe_split): near-dup components
+    first (LSH → exact Jaccard ≥ 0.5 → connected components), then
+    the salted-hash split keyed on the COMPONENT label — every member
+    of a dup cluster lands in one split, making cross-split near-dup
+    leakage impossible by construction rather than repaired after the
+    fact. The oracle replays the recursive-CTE closure + the same
+    hash CASE."""
+    from syncflux_spark.operators.sampling import leakage_safe_split as op
+
+    return op(load_table(spark, sf, "documents"), _SPLIT_FRACTIONS)
+
+
 #: Names with a green row in some CORRECTNESS_r*.json (r1 ∪ r2 ∪ r3).
 #: The driver samples a fixed-size prefix of ``queries()`` in dict
 #: order, so the public order puts never-driver-confirmed entries

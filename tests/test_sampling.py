@@ -182,3 +182,35 @@ class TestMixtureResample:
         df = self._docs(spark, {"a": 10})
         with pytest.raises(ValueError, match="absent"):
             mixture_resample(df, {"a": 0.5, "ghost": 0.5})
+
+
+class TestLeakageSafeSplit:
+    def test_dup_clusters_share_a_split(self, spark):
+        from syncflux_spark.operators.sampling import leakage_safe_split
+
+        # three dup clusters + singletons; many docs so every split
+        # gets members
+        rows = []
+        for i in range(60):
+            base = f"document number {i} with entirely distinct content "
+            rows.append((i, base * 4))
+        # dup pairs: (100,101), (102,103,104) share text
+        rows += [
+            (100, "the quick brown fox jumps over the lazy dog " * 5),
+            (101, "the quick brown fox jumps over the lazy dog " * 5),
+            (102, "pack my box with five dozen liquor jugs today " * 5),
+            (103, "pack my box with five dozen liquor jugs today " * 5),
+            (104, "pack my box with five dozen liquor jugs today " * 5),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r.doc_id: (r.component, r.split)
+               for r in leakage_safe_split(df).collect()}
+        assert len(out) == 65
+        # every dup cluster is in exactly one split
+        assert out[100] == out[101]
+        assert out[102] == out[103] == out[104]
+        assert out[100][0] == 100 and out[102][0] == 102  # min-id labels
+        # and the assignment is keyed on the component, so a cluster's
+        # split equals a singleton's split with the same label hash
+        splits = {s for _, s in out.values()}
+        assert "train" in splits  # 90% weight: certainly populated
