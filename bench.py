@@ -120,6 +120,13 @@ HEADLINE = [
     "bpe_tokenize_stats",
     "influxql_rsi_daily",
     "influxql_holt_winters_seasonal",
+    "kmv_sketch_merge",
+    "cms_sketch_merge",
+    "mixture_resample",
+    "hybrid_search_rrf",
+    "semantic_dedup_flags",
+    "epoch_shuffle_manifest",
+    "emb_hard_negatives",
 ]
 
 
