@@ -55,6 +55,7 @@ class CdcMergeStream:
         op_col: str = "op",
         max_files_per_trigger: int | None = None,
         seq_col: str | None = None,
+        base_format: str = "dir",
     ):
         self.spark = spark
         self.changes_path = changes_path
@@ -66,6 +67,14 @@ class CdcMergeStream:
         #: explicit change-sequence column (LSN/commit ts) if the feed
         #: carries one; otherwise file order (mtime, path) sequences
         self.seq_col = seq_col
+        #: "dir" = plain-parquet directory with locked staging swap
+        #: (single concurrent writer, enforced); "tx" = a
+        #: txtable.TxTable commit log at base_path — OCC merges that
+        #: serialize against OTHER writers (a compactor, a second
+        #: merger) without the advisory lock
+        if base_format not in ("dir", "tx"):
+            raise ValueError(f"base_format must be 'dir' or 'tx', got {base_format!r}")
+        self.base_format = base_format
         self.batches_applied = 0
 
     # -- plumbing -----------------------------------------------------------
@@ -116,6 +125,14 @@ class CdcMergeStream:
             seq_col="_cdc_seq",
             op_col=self.op_col,
         ).drop("_cdc_seq", "_cdc_mtime", "_cdc_file")
+        if self.base_format == "tx":
+            from syncflux_spark.txtable import TxTable
+
+            TxTable(self.spark, self.base_path).merge_changes(
+                compacted, key_col=self.key_col, op_col=self.op_col
+            )
+            self.batches_applied += 1
+            return
         base = self.spark.read.parquet(self.base_path)
         merged = apply_changes(
             base,
@@ -159,4 +176,8 @@ class CdcMergeStream:
         )
 
     def read_base(self) -> DataFrame:
+        if self.base_format == "tx":
+            from syncflux_spark.txtable import TxTable
+
+            return TxTable(self.spark, self.base_path).snapshot()
         return self.spark.read.parquet(self.base_path)

@@ -1,0 +1,199 @@
+"""TxTable: a minimal transactional parquet table (commit-log +
+optimistic concurrency) — the multi-writer upgrade path for the
+overwrite-based writers.
+
+The advisory locks (locking.py) ENFORCE the single-writer contract;
+this module REMOVES it for the tables that need true concurrency
+(a streaming CDC merger and a nightly compactor on one table). The
+design is the standard lakehouse shape, cut to the bone:
+
+* ``{root}/data/<uuid>.parquet/`` — immutable data-file groups; a
+  writer only ever ADDS new groups, never mutates existing ones.
+* ``{root}/_txlog/{version:08d}.json`` — the commit log. Each commit
+  records the COMPLETE file-group list of its snapshot (full listing,
+  not add/remove deltas — right up to thousands of commits; a delta
+  encoding + checkpointing drops in behind the same API when a table
+  outlives that).
+* **Snapshot isolation**: a reader resolves the highest committed
+  version once and reads exactly that file list — concurrent commits
+  never produce a torn read.
+* **Optimistic concurrency**: a writer prepares data files, then
+  atomically creates commit ``V+1`` via ``O_CREAT | O_EXCL`` (the
+  same portable primitive locking.py uses; on object stores, a
+  conditional PUT). Losing the race raises
+  :class:`CommitConflict`; ``append`` auto-rebases (its file adds
+  commute with any winner), while ``overwrite``/``merge_changes``
+  re-run their computation against the new snapshot and retry —
+  real OCC, bounded by ``max_retries``.
+* Crash safety: a writer dying before its commit leaves unreferenced
+  data groups — invisible to every reader; :meth:`vacuum` removes
+  groups unreferenced by the CURRENT commit once they are old enough
+  to not belong to an in-flight writer (the same age discipline as
+  operators/compact.py::clean_stale_staging).
+
+Reference note: the reference has no table format at all (it
+delegates storage to InfluxDB); this is the Spark-native answer to
+the same durability need its replication loop gets from InfluxDB's
+storage engine.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+_LOG_DIR = "_txlog"
+_DATA_DIR = "data"
+
+
+class CommitConflict(RuntimeError):
+    """Another writer committed first and the operation exhausted its
+    rebase retries."""
+
+
+class TxTable:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+
+    # -- log plumbing -------------------------------------------------------
+    def _log_path(self, version: int) -> str:
+        return os.path.join(self.root, _LOG_DIR, f"{version:08d}.json")
+
+    def version(self) -> int:
+        """Highest committed version, or -1 for an empty/absent log."""
+        log = os.path.join(self.root, _LOG_DIR)
+        try:
+            names = [n for n in os.listdir(log) if n.endswith(".json")]
+        except FileNotFoundError:
+            return -1
+        return max((int(n[:-5]) for n in names), default=-1)
+
+    def _files_at(self, version: int) -> list[str]:
+        with open(self._log_path(version)) as f:
+            return json.load(f)["files"]
+
+    def _write_group(self, df: DataFrame) -> str:
+        rel = os.path.join(_DATA_DIR, f"{uuid.uuid4().hex}.parquet")
+        df.write.mode("overwrite").parquet(os.path.join(self.root, rel))
+        return rel
+
+    def _try_commit(self, version: int, files: list[str]) -> bool:
+        """Atomically claim ``version`` with ``files``; False if a
+        concurrent writer claimed it first."""
+        os.makedirs(os.path.join(self.root, _LOG_DIR), exist_ok=True)
+        try:
+            fd = os.open(
+                self._log_path(version), os.O_CREAT | os.O_EXCL | os.O_WRONLY
+            )
+        except FileExistsError:
+            return False
+        try:
+            os.write(
+                fd,
+                json.dumps(
+                    {"files": files, "committed_at": time.time()}
+                ).encode(),
+            )
+        finally:
+            os.close(fd)
+        return True
+
+    # -- public API ---------------------------------------------------------
+    @classmethod
+    def create(cls, spark: SparkSession, root: str, df: DataFrame) -> "TxTable":
+        t = cls(spark, root)
+        if t.version() >= 0:
+            raise ValueError(f"table already exists at {root}")
+        rel = t._write_group(df)
+        if not t._try_commit(0, [rel]):
+            raise CommitConflict(f"concurrent create at {root}")
+        return t
+
+    def snapshot(self, version: int | None = None) -> DataFrame:
+        """The table at a committed version (default: latest) — an
+        immutable, torn-read-free view."""
+        v = self.version() if version is None else version
+        if v < 0:
+            raise ValueError(f"no commits at {self.root}")
+        paths = [os.path.join(self.root, rel) for rel in self._files_at(v)]
+        return self.spark.read.parquet(*paths)
+
+    def append(self, df: DataFrame) -> int:
+        """Add rows; file adds commute, so a lost race auto-rebases
+        onto the winner's commit. Returns the committed version."""
+        rel = self._write_group(df)
+        while True:
+            v = self.version()
+            if self._try_commit(v + 1, self._files_at(v) + [rel]):
+                return v + 1
+
+    def overwrite(
+        self, compute, max_retries: int = 3
+    ) -> int:
+        """Replace the table with ``compute(snapshot_df) -> DataFrame``
+        under OCC: the result is staged, then commit V+1 is claimed;
+        losing the race re-runs ``compute`` against the winner's
+        snapshot. Returns the committed version."""
+        for _ in range(max_retries):
+            v = self.version()
+            out = compute(self.snapshot(v))
+            rel = self._write_group(out)
+            if self._try_commit(v + 1, [rel]):
+                return v + 1
+        raise CommitConflict(
+            f"lost {max_retries} commit races at {self.root}; raise "
+            f"max_retries or serialize the writers"
+        )
+
+    def merge_changes(
+        self,
+        changes: DataFrame,
+        key_col: str,
+        op_col: str = "op",
+        max_retries: int = 3,
+    ) -> int:
+        """MERGE an I/U/D change batch (operators/cdc.py semantics)
+        transactionally: recomputed against the latest snapshot on
+        every retry, so two concurrent mergers serialize correctly
+        instead of basing on the same parent and losing one batch."""
+        from syncflux_spark.operators.cdc import apply_changes
+
+        return self.overwrite(
+            lambda base: apply_changes(
+                base, changes, key_col=key_col, op_col=op_col
+            ),
+            max_retries=max_retries,
+        )
+
+    def vacuum(self, older_than_s: float = 3600.0) -> list[str]:
+        """Remove data groups unreferenced by the CURRENT commit and
+        older than ``older_than_s`` (an in-flight writer's uncommitted
+        group is younger by construction). Time travel to vacuumed
+        versions stops working — the usual retention trade."""
+        v = self.version()
+        live = set(self._files_at(v)) if v >= 0 else set()
+        data = os.path.join(self.root, _DATA_DIR)
+        removed: list[str] = []
+        try:
+            entries = os.listdir(data)
+        except FileNotFoundError:
+            return removed
+        for name in entries:
+            rel = os.path.join(_DATA_DIR, name)
+            full = os.path.join(self.root, rel)
+            if rel in live:
+                continue
+            try:
+                age = time.time() - os.stat(full).st_mtime
+            except FileNotFoundError:
+                continue
+            if age > older_than_s:
+                shutil.rmtree(full, ignore_errors=True)
+                removed.append(rel)
+        return sorted(removed)

@@ -1,0 +1,157 @@
+"""TxTable: commit-log snapshots, OCC writers, transactional MERGE."""
+
+from __future__ import annotations
+
+import os
+import threading
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from syncflux_spark.txtable import CommitConflict, TxTable
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k long, v string")
+
+
+class TestSnapshots:
+    def test_create_read_version(self, spark, tmp_path):
+        t = TxTable.create(spark, str(tmp_path / "t"), _df(spark, [(1, "a")]))
+        assert t.version() == 0
+        assert [(r.k, r.v) for r in t.snapshot().collect()] == [(1, "a")]
+        with pytest.raises(ValueError, match="already exists"):
+            TxTable.create(spark, str(tmp_path / "t"), _df(spark, [(9, "z")]))
+
+    def test_time_travel(self, spark, tmp_path):
+        t = TxTable.create(spark, str(tmp_path / "t"), _df(spark, [(1, "a")]))
+        t.append(_df(spark, [(2, "b")]))
+        t.overwrite(lambda s: s.where("k = 2"))
+        assert t.version() == 2
+        assert t.snapshot(0).count() == 1
+        assert t.snapshot(1).count() == 2
+        assert [r.k for r in t.snapshot().collect()] == [2]
+
+    def test_reader_sees_committed_only(self, spark, tmp_path):
+        """Data files written but not committed are invisible."""
+        t = TxTable.create(spark, str(tmp_path / "t"), _df(spark, [(1, "a")]))
+        t._write_group(_df(spark, [(99, "ghost")]))  # crashed writer
+        assert [r.k for r in t.snapshot().collect()] == [1]
+
+
+class TestConcurrency:
+    def test_concurrent_appends_both_land(self, spark, tmp_path):
+        t = TxTable.create(spark, str(tmp_path / "t"), _df(spark, [(0, "z")]))
+        errs = []
+
+        def add(k):
+            try:
+                TxTable(spark, t.root).append(_df(spark, [(k, f"w{k}")]))
+            except Exception as e:  # pragma: no cover
+                errs.append(e)
+
+        ts = [threading.Thread(target=add, args=(k,)) for k in (1, 2, 3, 4)]
+        for th in ts:
+            th.start()
+        for th in ts:
+            th.join()
+        assert not errs
+        assert t.version() == 4
+        assert {r.k for r in t.snapshot().collect()} == {0, 1, 2, 3, 4}
+
+    def test_concurrent_merges_serialize(self, spark, tmp_path):
+        """Two mergers racing on one table: OCC forces the loser to
+        rebase on the winner's commit, so BOTH batches' effects land
+        (the directory-swap writers would lose one)."""
+        t = TxTable.create(
+            spark, str(tmp_path / "t"),
+            _df(spark, [(1, "a"), (2, "b"), (3, "c")]),
+        )
+        ch1 = spark.createDataFrame(
+            [(2, "U", "b2")], "k long, op string, v string"
+        )
+        ch2 = spark.createDataFrame(
+            [(3, "D", None), (4, "I", "d")], "k long, op string, v string"
+        )
+        errs = []
+
+        def merge(ch):
+            try:
+                TxTable(spark, t.root).merge_changes(ch, key_col="k")
+            except Exception as e:  # pragma: no cover
+                errs.append(e)
+
+        t1 = threading.Thread(target=merge, args=(ch1,))
+        t2 = threading.Thread(target=merge, args=(ch2,))
+        t1.start()
+        t2.start()
+        t1.join()
+        t2.join()
+        assert not errs
+        got = {r.k: r.v for r in t.snapshot().collect()}
+        assert got == {1: "a", 2: "b2", 4: "d"}  # both merges applied
+
+    def test_conflict_raises_after_retries(self, spark, tmp_path):
+        t = TxTable.create(spark, str(tmp_path / "t"), _df(spark, [(1, "a")]))
+
+        def compute(s):
+            # sabotage: someone else always commits between read & claim
+            t.append(_df(spark, [(99, "interloper")]))
+            return s
+
+        with pytest.raises(CommitConflict, match="races"):
+            TxTable(spark, t.root).overwrite(compute, max_retries=2)
+
+
+class TestVacuum:
+    def test_removes_only_old_unreferenced(self, spark, tmp_path):
+        t = TxTable.create(spark, str(tmp_path / "t"), _df(spark, [(1, "a")]))
+        t.overwrite(lambda s: s)  # v1 supersedes v0's group
+        orphan_rel = t._write_group(_df(spark, [(9, "x")]))  # never committed
+        # everything is fresh: nothing removed
+        assert t.vacuum(older_than_s=3600) == []
+        # age all groups; only unreferenced ones go
+        data = os.path.join(t.root, "data")
+        old = time.time() - 7200
+        for name in os.listdir(data):
+            os.utime(os.path.join(data, name), (old, old))
+        removed = t.vacuum(older_than_s=3600)
+        assert orphan_rel in removed and len(removed) == 2  # v0 group + orphan
+        assert [r.k for r in t.snapshot().collect()] == [1]  # live intact
+
+
+class TestCdcStreamOnTxTable:
+    def test_stream_merge_through_commit_log(self, spark, tmp_path):
+        """CdcMergeStream(base_format='tx'): the same streaming MERGE,
+        committed through the transaction log — replay-idempotent AND
+        safe against concurrent writers on the base."""
+        from syncflux_spark.streaming.cdc import CdcMergeStream
+
+        base = str(tmp_path / "base")
+        ch = str(tmp_path / "ch")
+        ckpt = str(tmp_path / "ckpt")
+        TxTable.create(
+            spark, base,
+            spark.createDataFrame(
+                [(1, "a", 10.0), (2, "b", 20.0)],
+                "k long, status string, price double",
+            ),
+        )
+        spark.createDataFrame(
+            [(2, "U", "b2", 22.0), (3, "I", "c", 30.0)],
+            "k long, op string, status string, price double",
+        ).coalesce(1).write.mode("append").parquet(ch)
+        s = CdcMergeStream(
+            spark, ch, base, ckpt, key_col="k", base_format="tx"
+        )
+        assert s.run_available() == 1
+        got = {r.k: (r.status, r.price) for r in s.read_base().collect()}
+        assert got == {1: ("a", 10.0), 2: ("b2", 22.0), 3: ("c", 30.0)}
+        assert TxTable(spark, base).version() == 1
+        # second catch-up with no new files: no new commit
+        s2 = CdcMergeStream(
+            spark, ch, base, ckpt, key_col="k", base_format="tx"
+        )
+        assert s2.run_available() == 0
+        assert TxTable(spark, base).version() == 1
