@@ -108,3 +108,23 @@ def clean_stale_staging(
                 removed.append(full)
                 dirnames.remove(d)
     return sorted(removed)
+
+
+def compact_txtable(
+    spark: SparkSession,
+    root: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Compaction for a txtable.TxTable: rewrite the current snapshot
+    into right-sized files as a TRANSACTIONAL overwrite — a concurrent
+    merger's commit wins the race and the compactor rebases onto it,
+    so compaction never loses a merge (the failure mode the
+    directory-swap form has to exclude with locks). Returns the new
+    committed version."""
+    import os
+
+    from syncflux_spark.txtable import TxTable
+
+    t = TxTable(spark, root)
+    n = max(1, -(-dataset_bytes(os.path.join(root, "data")) // target_file_bytes))
+    return t.overwrite(lambda snap: snap.repartition(n))

@@ -155,3 +155,42 @@ class TestCdcStreamOnTxTable:
         )
         assert s2.run_available() == 0
         assert TxTable(spark, base).version() == 1
+
+
+class TestTxCompaction:
+    def test_compactor_never_loses_a_merge(self, spark, tmp_path):
+        """Compaction racing a merge: whoever loses the commit race
+        rebases, so the final state has BOTH the merge's effect and
+        one compacted layout."""
+        from syncflux_spark.operators.compact import compact_txtable
+
+        t = TxTable.create(
+            spark, str(tmp_path / "t"),
+            _df(spark, [(i, f"v{i}") for i in range(50)]),
+        )
+        for i in range(3):  # fragment the table
+            t.append(_df(spark, [(100 + i, f"n{i}")]))
+        ch = spark.createDataFrame(
+            [(0, "D", None), (200, "I", "new")], "k long, op string, v string"
+        )
+        errs = []
+
+        def merge():
+            try:
+                TxTable(spark, t.root).merge_changes(ch, key_col="k")
+            except Exception as e:  # pragma: no cover
+                errs.append(e)
+
+        def compact():
+            try:
+                compact_txtable(spark, t.root, target_file_bytes=10**9)
+            except Exception as e:  # pragma: no cover
+                errs.append(e)
+
+        t1 = threading.Thread(target=merge)
+        t2 = threading.Thread(target=compact)
+        t1.start(); t2.start(); t1.join(); t2.join()
+        assert not errs
+        got = {r.k: r.v for r in t.snapshot().collect()}
+        assert 0 not in got and got[200] == "new"  # merge survived
+        assert len(got) == 53  # 50 - 1 + 3 + 1
