@@ -130,12 +130,18 @@ def parse_line_protocol(
     tag_cols: list[str],
     field_types: dict[str, str],
     line_col: str = "line",
+    with_conflicts: bool = False,
 ) -> DataFrame:
     """Parse line-protocol strings into typed columns:
     ``measurement`` + one string column per declared tag + one typed
     column per declared field + ``ts_ns`` (long). Undeclared
     tags/fields are ignored; declared-but-absent ones come back null
-    (schema-on-read, exactly the reference's field-map decode)."""
+    (schema-on-read, exactly the reference's field-map decode).
+    ``with_conflicts`` appends a ``_type_conflict`` boolean flagging
+    lines whose raw token for a declared field does not spell that
+    field's type (InfluxDB's partial-write field-type-conflict
+    condition) — conflicting values themselves decode as null, never
+    as an executor-side cast error."""
     raw = F.col(line_col)
     head = F.regexp_extract(raw, r"^((?:\\.|[^ \\])+) ", 1)
     # '' (line without trailing timestamp) → null, not an ANSI cast
@@ -161,12 +167,35 @@ def parse_line_protocol(
     )
     fmap = F.map_from_entries(entries)
 
+    def _valid(v: Column, dtype: str) -> Column:
+        """Does the raw token spell a value of the DECLARED type?
+        (Influx line protocol types are syntactic: 1i integer, 1u
+        unsigned, quoted string, t/f boolean, bare number float.)"""
+        if dtype == "integer":
+            return v.rlike(r"^-?\d+i$")
+        if dtype == "unsigned":
+            return v.rlike(r"^\d+u$")
+        if dtype == "boolean":
+            return v.isin(
+                "true", "t", "True", "TRUE", "false", "f", "False", "FALSE"
+            )
+        if dtype == "string":
+            return v.rlike(r'^".*"$')
+        return v.rlike(r"^[-+]?(\d+(\.\d*)?|\.\d+)([eE][-+]?\d+)?$")
+
     def field(name: str, dtype: str) -> Column:
+        # try_cast, not cast: a malformed token must surface as the
+        # type-conflict diagnostic below, never an executor-side ANSI
+        # cast exception halfway through a write job
         v = fmap.getItem(name)
         if dtype == "integer":
-            out = F.regexp_replace(v, r"i$", "").cast("long")
+            out = F.try_to_number(
+                F.regexp_replace(v, r"i$", ""), F.lit("S" + "9" * 18)
+            ).cast("long")
         elif dtype == "unsigned":
-            out = F.regexp_replace(v, r"u$", "").cast("decimal(20,0)")
+            out = F.try_to_number(
+                F.regexp_replace(v, r"u$", ""), F.lit("9" * 20)
+            ).cast("decimal(20,0)")
         elif dtype == "boolean":
             out = F.when(v.isin("true", "t", "True", "TRUE"), F.lit(True)).when(
                 v.isin("false", "f", "False", "FALSE"), F.lit(False)
@@ -174,14 +203,21 @@ def parse_line_protocol(
         elif dtype == "string":
             out = _unesc(v.substr(F.lit(2), F.length(v) - 2))
         else:  # float
-            out = v.cast("double")
-        return out.alias(name)
+            out = F.when(_valid(v, "float"), v).cast("double")
+        return F.when(_valid(v, dtype), out).alias(name)
 
     cols: list[Column] = [meas.alias("measurement")]
     cols += [tag(t) for t in tag_cols]
     for n, dt in field_types.items():
         cols.append(field(n, dt))
     cols.append(ts.alias("ts_ns"))
+    if with_conflicts:
+        conflict = F.lit(False)
+        for n, dt in field_types.items():
+            conflict = conflict | (
+                fmap.getItem(n).isNotNull() & ~_valid(fmap.getItem(n), dt)
+            )
+        cols.append(conflict.alias("_type_conflict"))
     return lines.select(*cols)
 
 
@@ -256,17 +292,28 @@ class LineProtocolSink:
         for meas, ls in by_meas.items():
             tags, fields = self.schemas[meas]
             df = self.spark.createDataFrame([(x,) for x in ls], "line string")
-            parsed = parse_line_protocol(df, tags, fields)
+            parsed = parse_line_protocol(df, tags, fields, with_conflicts=True)
             if factor != 1:
                 parsed = parsed.withColumn(
                     "ts_ns", F.col("ts_ns") * F.lit(factor)
                 )
-            bad = parsed.where(F.col("ts_ns").isNull()).count()
-            if bad:
-                raise ValueError(f"{bad} line(s) missing a timestamp")
-            parsed.drop("measurement").write.mode("append").parquet(
-                os.path.join(self.root, meas)
-            )
+            diag = parsed.agg(
+                F.sum(F.col("ts_ns").isNull().cast("long")).alias("no_ts"),
+                F.sum(F.col("_type_conflict").cast("long")).alias("conflicts"),
+            ).collect()[0]
+            if diag.no_ts:
+                raise ValueError(f"{diag.no_ts} line(s) missing a timestamp")
+            if diag.conflicts:
+                # InfluxDB 1.x: partial write rejected with a field
+                # type conflict — mapped to HTTP 400 by the caller
+                raise ValueError(
+                    f"field type conflict: {diag.conflicts} line(s) for "
+                    f"measurement {meas!r} carry a value whose syntax "
+                    f"does not match the declared field type"
+                )
+            parsed.drop("measurement", "_type_conflict").write.mode(
+                "append"
+            ).parquet(os.path.join(self.root, meas))
             total += len(ls)
         return total
 

@@ -4,6 +4,7 @@ path, client.go:430-466 typed decode)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from syncflux_spark.sources.line_protocol import (
@@ -115,3 +116,68 @@ class TestRoundtrip:
             to_line_protocol(df, "m", TAGS, FIELDS), TAGS, FIELDS
         )._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestFieldTypeConflicts:
+    """InfluxDB 1.x rejects a write whose value syntax conflicts with
+    the field's declared type (HTTP 400 'field type conflict') — it
+    must never surface as an executor-side cast exception."""
+
+    @pytest.fixture()
+    def sink(self, spark, tmp_path):
+        from syncflux_spark.sources.line_protocol import LineProtocolSink
+
+        return LineProtocolSink(
+            spark, str(tmp_path),
+            {"m": (["h"], {"n": "integer", "s": "string",
+                           "f": "float", "b": "boolean"})},
+        )
+
+    @pytest.mark.parametrize(
+        "line",
+        [
+            "m,h=a n=1.5 1700000000000000000",      # float into integer
+            "m,h=a n=5 1700000000000000000",        # missing i suffix
+            'm,h=a s=12 1700000000000000000',       # number into string
+            "m,h=a f=12i 1700000000000000000",      # integer into float
+            "m,h=a b=maybe 1700000000000000000",    # junk into boolean
+        ],
+    )
+    def test_conflicts_rejected_as_value_error(self, sink, line):
+        with pytest.raises(ValueError, match="field type conflict"):
+            sink.write(line)
+
+    def test_valid_types_still_land(self, sink, spark):
+        n = sink.write(
+            'm,h=a n=5i,s="ok",f=1.5,b=true 1700000000000000000'
+        )
+        assert n == 1
+        row = sink.read_measurement("m").collect()[0]
+        assert (row.n, row.s, row.f, row.b) == (5, "ok", 1.5, True)
+
+    def test_http_write_maps_conflict_to_400(self, spark, tmp_path):
+        import urllib.error
+        import urllib.request
+
+        from syncflux_spark.sources.line_protocol import LineProtocolSink
+        from syncflux_spark.streaming.monitor import HAMonitor
+        from syncflux_spark.webui.api import StatusServer
+
+        sink = LineProtocolSink(
+            spark, str(tmp_path), {"m": (["h"], {"n": "integer"})}
+        )
+        mon = HAMonitor(master_probe=lambda: True, slave_probe=lambda: True)
+        mon.check_once()
+        srv = StatusServer(mon, port=0, write_sink=sink)
+        port = srv.start()
+        try:
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/write",
+                data=b"m,h=a n=1.5 1700000000000000000",
+            )
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                urllib.request.urlopen(req)
+            assert ei.value.code == 400
+            assert "conflict" in ei.value.read().decode()
+        finally:
+            srv.stop()
