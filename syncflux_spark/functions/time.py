@@ -120,7 +120,13 @@ def parse_duration(s: str | float | int | timedelta) -> timedelta:
         pos = m.end()
     if pos != len(rest):
         raise ValueError(f"bad duration: {s!r}")
-    return timedelta(seconds=total)
+    try:
+        return timedelta(seconds=total)
+    except OverflowError:
+        # timedelta caps at ~2.7e6 days; beyond that the duration is
+        # garbage input, not a representable window — reject, don't
+        # crash (this reaches the /query front-end via GROUP BY time)
+        raise ValueError(f"duration out of range: {s!r}") from None
 
 
 def parse_input_time(s: str, now: datetime | None = None) -> datetime:

@@ -130,6 +130,18 @@ class InfluxQLError(ValueError):
     pass
 
 
+def _dur_ns(text: str) -> int:
+    """Duration literal → ns, with parse/range failures surfaced as
+    InfluxQLError (the only rejection type the query surface may
+    raise) instead of a bare ValueError."""
+    try:
+        return int(parse_duration(text).total_seconds() * 1e9)
+    except InfluxQLError:
+        raise
+    except ValueError as e:
+        raise InfluxQLError(str(e)) from None
+
+
 #: ns multiplier for epoch-with-precision time literals ('1755043200s')
 _EPOCH_UNIT_NS = {
     "ns": 1,
@@ -576,7 +588,10 @@ class _Parser:
         t = self.next()
         if t.kind != "number" or "." in t.text:
             raise InfluxQLError(f"expected integer, got {t.text!r}")
-        return int(t.text)
+        v = int(t.text)
+        if v >= 2**63:
+            raise InfluxQLError(f"integer literal out of range: {t.text}")
+        return v
 
     # -- entry --------------------------------------------------------------
     def parse(self):
@@ -690,14 +705,15 @@ class _Parser:
                 st.order_desc = True
             else:
                 self.accept_kw("asc")
+        _I32 = 2**31 - 1
         if self.accept_kw("limit"):
-            st.limit = self.int_lit()
+            st.limit = min(self.int_lit(), _I32)
         if self.accept_kw("offset"):
-            st.offset = self.int_lit()
+            st.offset = min(self.int_lit(), _I32)
         if self.accept_kw("slimit"):
-            st.slimit = self.int_lit()
+            st.slimit = min(self.int_lit(), _I32)
         if self.accept_kw("soffset"):
-            st.soffset = self.int_lit()
+            st.soffset = min(self.int_lit(), _I32)
         if self.peek() and self.peek().kind == "ident" and self.peek().text.lower() == "tz":
             self.next()
             self.expect_op("(")
@@ -739,7 +755,7 @@ class _Parser:
                 a = self.next()
                 if a.kind == "duration":
                     targs.append(
-                        int(parse_duration(a.text).total_seconds() * 1e9)
+                        _dur_ns(a.text)
                     )
                 elif a.kind == "number":
                     targs.append(float(a.text) if "." in a.text else int(a.text))
@@ -863,7 +879,7 @@ class _Parser:
             a = self.next()
             if a.kind == "duration":
                 # integral(v, 1h): the unit the area is expressed in
-                arg = int(parse_duration(a.text).total_seconds() * 1e9)
+                arg = _dur_ns(a.text)
             elif a.kind == "number":
                 arg = float(a.text)
             else:
@@ -984,7 +1000,10 @@ class _Parser:
         if t.kind == "string":
             return _rfc3339_ns(t.text)
         if t.kind == "number":
-            return int(t.text)  # influx: bare integers in WHERE time are ns
+            ns = int(t.text)  # influx: bare integers in WHERE time are ns
+            if abs(ns) >= 2**63:
+                raise InfluxQLError(f"time literal out of range: {t.text}")
+            return ns
         if t.kind == "duration":
             # epoch-with-unit literal: '1755043200s' is an epoch in the
             # trailing unit's precision, not a duration. All-integer
@@ -992,7 +1011,10 @@ class _Parser:
             m = re.fullmatch(r"(\d+)(ns|us|µs|u|µ|ms|s|m|h|d|w)", t.text)
             if not m:
                 raise InfluxQLError(f"bad epoch time literal {t.text!r}")
-            return int(m.group(1)) * _EPOCH_UNIT_NS[m.group(2)]
+            ns = int(m.group(1)) * _EPOCH_UNIT_NS[m.group(2)]
+            if ns >= 2**63:
+                raise InfluxQLError(f"time literal out of range: {t.text}")
+            return ns
         if t.kind == "ident" and t.text.lower() == "now":
             self.expect_op("(")
             self.expect_op(")")
@@ -1003,7 +1025,7 @@ class _Parser:
                 d = self.next()
                 if d.kind != "duration":
                     raise InfluxQLError("expected duration after now() ±")
-                ns += sign * int(parse_duration(d.text).total_seconds() * 1e9)
+                ns += sign * _dur_ns(d.text)
             return ns
         raise InfluxQLError(f"bad time operand {t.text!r}")
 
@@ -1014,7 +1036,7 @@ class _Parser:
         if t.kind == "number":
             return float(t.text) if "." in t.text else int(t.text)
         if t.kind == "duration":
-            return int(parse_duration(t.text).total_seconds() * 1e9)
+            return _dur_ns(t.text)
         if t.kind == "ident" and t.text.lower() in ("true", "false"):
             return t.text.lower() == "true"
         raise InfluxQLError(f"bad literal {t.text!r}")
@@ -1033,13 +1055,19 @@ class _Parser:
                 d = self.next()
                 if d.kind != "duration":
                     raise InfluxQLError("time() requires a duration")
-                st.group_time_ns = int(parse_duration(d.text).total_seconds() * 1e9)
+                st.group_time_ns = _dur_ns(d.text)
+                if not 0 < st.group_time_ns < 2**63:
+                    raise InfluxQLError(
+                        f"GROUP BY time interval out of range: {d.text}"
+                    )
                 if self.peek() and self.peek().text == ",":
                     self.next()
                     off = self.next()
-                    st.group_offset_ns = int(
-                        parse_duration(off.text).total_seconds() * 1e9
-                    )
+                    st.group_offset_ns = _dur_ns(off.text)
+                    if abs(st.group_offset_ns) >= 2**63:
+                        raise InfluxQLError(
+                            f"GROUP BY time offset out of range: {off.text}"
+                        )
                 self.expect_op(")")
             else:
                 st.group_tags.append(self.ident())

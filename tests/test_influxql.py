@@ -2141,3 +2141,31 @@ class TestLinearFolds:
         elapsed = _time.monotonic() - t0
         assert rows == n
         assert elapsed < 120, f"linear fold took {elapsed:.1f}s"
+
+
+class TestNumericRangeGuards:
+    """Out-of-range literals in remote input must reject via
+    InfluxQLError, never surface Py4J/Overflow errors."""
+
+    @pytest.mark.parametrize(
+        "q",
+        [
+            "SELECT value FROM events WHERE time > 99999999999999999999999999",
+            "SELECT value FROM events WHERE time > 17550432000000000009999999s",
+            "SELECT value FROM events LIMIT 99999999999999999999999999",
+            "SELECT mean(value) FROM events WHERE time > 0 "
+            "GROUP BY time(99999999999999999999w)",
+            "SELECT mean(value) FROM events WHERE time > 0 "
+            "GROUP BY time(1d, 999999999999999999999w)",
+            "SELECT value FROM events WHERE time > now() - 99999999999999999999w",
+            "SELECT derivative(mean(value), 999999999999999999999w) "
+            "FROM events WHERE time > 0 GROUP BY time(1d)",
+        ],
+    )
+    def test_out_of_range_rejected(self, engine, q):
+        with pytest.raises(InfluxQLError, match="out of range"):
+            engine.query(q).count()
+
+    def test_huge_limit_clamps_not_crashes(self, engine, events):
+        n = engine.query("SELECT value FROM events LIMIT 5000000000").count()
+        assert n == events.where("value is not null").count()
