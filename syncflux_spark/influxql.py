@@ -75,7 +75,7 @@ from syncflux_spark.functions.time import parse_duration
 _BASE_PATTERN = r"""
     (?P<ws>\s+)
   | (?P<duration>\d+(?:\.\d+)?(?:ns|us|µs|u|µ|ms|s|m|h|d|w)(?:\d+(?:\.\d+)?(?:ns|us|µs|u|µ|ms|s|m|h|d|w))*)
-  | (?P<number>\d+\.\d+|\.\d+|\d+)
+  | (?P<number>(?:\d+\.\d+|\.\d+|\d+)(?:[eE][+-]?\d+)?)
   | (?P<qident>"(?:[^"\\]|\\.)*")
   | (?P<string>'(?:[^'\\]|\\.)*')
   {regex_alt}
@@ -586,7 +586,7 @@ class _Parser:
 
     def int_lit(self) -> int:
         t = self.next()
-        if t.kind != "number" or "." in t.text:
+        if t.kind != "number" or not t.text.isdigit():
             raise InfluxQLError(f"expected integer, got {t.text!r}")
         v = int(t.text)
         if v >= 2**63:
@@ -758,7 +758,7 @@ class _Parser:
                         _dur_ns(a.text)
                     )
                 elif a.kind == "number":
-                    targs.append(float(a.text) if "." in a.text else int(a.text))
+                    targs.append(int(a.text) if a.text.isdigit() else float(a.text))
                 else:
                     raise InfluxQLError(f"bad {transform} argument {a.text!r}")
             self.expect_op(")")
@@ -820,7 +820,7 @@ class _Parser:
             return PBin("-", PNum(0), self._proj_factor())
         if t.kind == "number":
             self.next()
-            return PNum(float(t.text) if "." in t.text else int(t.text))
+            return PNum(int(t.text) if t.text.isdigit() else float(t.text))
         if t.kind in ("ident", "qident"):
             if (
                 t.kind == "ident"
@@ -1000,6 +1000,10 @@ class _Parser:
         if t.kind == "string":
             return _rfc3339_ns(t.text)
         if t.kind == "number":
+            if not t.text.isdigit():
+                raise InfluxQLError(
+                    f"time literal must be an integer epoch, got {t.text!r}"
+                )
             ns = int(t.text)  # influx: bare integers in WHERE time are ns
             if abs(ns) >= 2**63:
                 raise InfluxQLError(f"time literal out of range: {t.text}")
@@ -1034,7 +1038,7 @@ class _Parser:
         if t.kind == "string":
             return t.text
         if t.kind == "number":
-            return float(t.text) if "." in t.text else int(t.text)
+            return int(t.text) if t.text.isdigit() else float(t.text)
         if t.kind == "duration":
             return _dur_ns(t.text)
         if t.kind == "ident" and t.text.lower() in ("true", "false"):

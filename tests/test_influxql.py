@@ -2169,3 +2169,23 @@ class TestNumericRangeGuards:
     def test_huge_limit_clamps_not_crashes(self, engine, events):
         n = engine.query("SELECT value FROM events LIMIT 5000000000").count()
         assert n == events.where("value is not null").count()
+
+
+class TestScientificNotation:
+    """InfluxQL float literals accept exponents (1.5e-2, 1E3)."""
+
+    def test_where_and_projection(self, engine, events):
+        n = engine.query(
+            "SELECT value FROM events WHERE value > 1.5e-2"
+        ).count()
+        assert n == events.where("value > 0.015").count()
+        rows = engine.query("SELECT value * 1e2 AS v FROM events LIMIT 3").collect()
+        assert len(rows) == 3
+
+    def test_float_time_literal_rejected(self, engine):
+        with pytest.raises(InfluxQLError, match="integer epoch"):
+            engine.query("SELECT value FROM events WHERE time > 1.5")
+
+    def test_parse_shapes(self):
+        st = parse("SELECT percentile(value, 9.9e1) FROM events")
+        assert st.projs[0].arg == 99.0
