@@ -464,6 +464,13 @@ class DropStmt:
 
 
 @dataclass
+class KillStmt:
+    """KILL QUERY <qid> — cancel a running query's Spark job group."""
+
+    qid: int
+
+
+@dataclass
 class CreateDatabaseStmt:
     db: str
     duration: str | None = None
@@ -618,6 +625,9 @@ class _Parser:
             analyze = bool(self.accept_kw("analyze"))
             sel = self.select()
             return ExplainStmt(select=sel, analyze=analyze)
+        if w == "kill":
+            self.expect_kw("kill", "query")
+            return KillStmt(qid=self.int_lit())
         raise InfluxQLError(f"unsupported statement {t.text!r}")
 
     # -- SELECT -------------------------------------------------------------
@@ -1085,6 +1095,8 @@ class _Parser:
         self.expect_kw("show")
         if self.accept_kw("databases"):
             return ShowStmt("databases")
+        if self.accept_kw("queries"):
+            return ShowStmt("queries")
         # CARDINALITY family (influx 1.4+): SHOW <what> CARDINALITY
         if self.accept_kw("series", "cardinality"):
             return self._show_cardinality("series cardinality")
@@ -1353,6 +1365,84 @@ class InfluxQLEngine:
         est = self._est_buckets(st)
         return est is None or est > self.fold_linear_threshold
 
+    # -- running-query admin (SHOW QUERIES / KILL QUERY) --------------------
+    def tracked(self, text: str):
+        """Context manager registering a query execution for SHOW
+        QUERIES and making it killable: the executing thread joins a
+        per-query Spark job group (interruptOnCancel), so KILL QUERY
+        <qid> cancels its jobs mid-flight. The HTTP /query handler
+        wraps execution in this; direct library callers may too."""
+        import threading as _th
+        import time as _time
+        from contextlib import contextmanager
+
+        if not hasattr(self, "_active_lock"):
+            self._active_lock = _th.Lock()
+            self._active: dict[int, dict] = {}
+            self._qid_counter = 0
+
+        @contextmanager
+        def _cm():
+            with self._active_lock:
+                self._qid_counter += 1
+                qid = self._qid_counter
+            group = f"influxql-q{qid}"
+            sc = self.spark.sparkContext
+            sc.setJobGroup(group, text[:200], interruptOnCancel=True)
+            with self._active_lock:
+                self._active[qid] = {
+                    "query": text,
+                    "db": self.db or "",
+                    "start": _time.monotonic(),
+                    "group": group,
+                }
+            try:
+                yield qid
+            finally:
+                with self._active_lock:
+                    self._active.pop(qid, None)
+                sc.setJobGroup("", "")
+
+        return _cm()
+
+    def _show_queries(self) -> DataFrame:
+        """SHOW QUERIES: the running statements registered via
+        :meth:`tracked` — (qid, query, database, duration), matching
+        InfluxDB 1.x's columns. Durations render in whole seconds
+        like Influx's output."""
+        import time as _time
+
+        if not hasattr(self, "_active_lock"):
+            rows = []
+        else:
+            with self._active_lock:
+                rows = [
+                    (
+                        qid,
+                        meta["query"],
+                        meta["db"],
+                        f"{int(_time.monotonic() - meta['start'])}s",
+                    )
+                    for qid, meta in sorted(self._active.items())
+                ]
+        return self.spark.createDataFrame(
+            rows, "qid long, query string, database string, duration string"
+        )
+
+    def _kill_query(self, st: "KillStmt") -> DataFrame:
+        """KILL QUERY <qid>: cancel the query's Spark job group —
+        running collects fail with a cancellation error in the
+        issuing thread, matching InfluxDB's behavior of erroring the
+        killed client."""
+        if not hasattr(self, "_active_lock"):
+            raise InfluxQLError(f"no such query id {st.qid}")
+        with self._active_lock:
+            meta = self._active.get(st.qid)
+        if meta is None:
+            raise InfluxQLError(f"no such query id {st.qid}")
+        self.spark.sparkContext.cancelJobGroup(meta["group"])
+        return self.spark.createDataFrame([], "killed long")
+
     def register_table(
         self, name: str, df: DataFrame, tags: list[str] | None = None
     ) -> None:
@@ -1367,7 +1457,11 @@ class InfluxQLEngine:
         st = parse(q, now=self.now)
         if isinstance(st, SelectStmt):
             return self._select(st)
+        if isinstance(st, KillStmt):
+            return self._kill_query(st)
         if isinstance(st, ShowStmt):
+            if st.what == "queries":
+                return self._show_queries()
             return self._show(st)
         if isinstance(st, CreateDatabaseStmt):
             self._require_catalog().create_db(st.db)

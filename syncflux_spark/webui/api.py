@@ -111,8 +111,9 @@ class StatusServer:
         for i, stmt in enumerate(stmts):
             try:
                 st = parse(stmt)
-                df = self.query_engine.query(stmt)
-                rows = df.limit(self.max_query_rows).collect()
+                with self.query_engine.tracked(stmt):
+                    df = self.query_engine.query(stmt)
+                    rows = df.limit(self.max_query_rows).collect()
                 name = (
                     st.measurement
                     if isinstance(st, SelectStmt)
@@ -236,13 +237,16 @@ class StatusServer:
         columns = list(df.columns)
 
         def chunks():
-            buf: list = []
-            for row in df.toLocalIterator():
-                buf.append(row)
-                if len(buf) >= chunk_size:
-                    yield buf
-                    buf = []
-            yield buf  # final (possibly empty) chunk closes the stream
+            # tracked for SHOW QUERIES / KILL QUERY for the whole
+            # streaming lifetime, not just plan construction
+            with self.query_engine.tracked(stmts[0]):
+                buf: list = []
+                for row in df.toLocalIterator():
+                    buf.append(row)
+                    if len(buf) >= chunk_size:
+                        yield buf
+                        buf = []
+                yield buf  # final (possibly empty) chunk closes the stream
 
         it = chunks()
         prev = next(it)

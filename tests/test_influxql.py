@@ -2189,3 +2189,56 @@ class TestScientificNotation:
     def test_parse_shapes(self):
         st = parse("SELECT percentile(value, 9.9e1) FROM events")
         assert st.projs[0].arg == 99.0
+
+
+class TestShowKillQueries:
+    """SHOW QUERIES / KILL QUERY: running-query admin backed by Spark
+    job groups (cancellation is real, not bookkeeping)."""
+
+    def test_show_queries_empty(self, engine):
+        assert engine.query("SHOW QUERIES").collect() == []
+
+    def test_tracked_listing_shape(self, engine):
+        with engine.tracked("SELECT count(value) FROM events") as qid:
+            rows = engine.query("SHOW QUERIES").collect()
+            assert [r.qid for r in rows] == [qid]
+            r = rows[0]
+            assert r.query.startswith("SELECT count")
+            assert r.duration.endswith("s")
+        assert engine.query("SHOW QUERIES").collect() == []
+
+    def test_kill_unknown_qid(self, engine):
+        with pytest.raises(InfluxQLError, match="no such query id"):
+            engine.query("KILL QUERY 424242")
+
+    def test_kill_cancels_running_job(self, spark, engine):
+        """KILL must abort the victim's in-flight Spark jobs: a
+        long-running count registered under tracked() dies with a
+        cancellation error once another session kills its qid."""
+        import threading
+        import time
+
+        state = {}
+
+        def victim():
+            try:
+                with engine.tracked("SELECT slow FROM synthetic") as qid:
+                    state["qid"] = qid
+                    # a genuinely long job: ~10^10-row aggregation
+                    spark.range(10**10).selectExpr("sum(id)").collect()
+                state["done"] = "finished"
+            except Exception as e:
+                state["done"] = f"cancelled:{type(e).__name__}"
+
+        t = threading.Thread(target=victim)
+        t.start()
+        for _ in range(100):  # wait for registration
+            if "qid" in state:
+                break
+            time.sleep(0.1)
+        assert "qid" in state
+        time.sleep(0.5)  # let the job actually start
+        engine.query(f"KILL QUERY {state['qid']}")
+        t.join(timeout=60)
+        assert not t.is_alive()
+        assert state["done"].startswith("cancelled:")
