@@ -11705,6 +11705,98 @@ def leakage_safe_split(spark, sf):
     return op(load_table(spark, sf, "documents"), _SPLIT_FRACTIONS)
 
 
+#: series-similarity window: January 2024, daily buckets, n = 31
+_SIM_N, _SIM_Q = 31, 1  # profile length, query user
+
+
+@register(
+    "ts_series_similarity",
+    f"""
+    WITH daily AS (
+      SELECT user_id, CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY user_id, d),
+    q AS (SELECT d, c AS qc FROM daily WHERE user_id = {_SIM_Q}),
+    qs AS (SELECT CAST(SUM(qc) AS BIGINT) AS qsum,
+                  CAST(SUM(qc * qc) AS BIGINT) AS qsq FROM q),
+    cs AS (SELECT user_id, CAST(SUM(c) AS BIGINT) AS sx,
+                  CAST(SUM(c * c) AS BIGINT) AS sxx
+           FROM daily WHERE user_id <> {_SIM_Q} GROUP BY user_id),
+    xy AS (SELECT daily.user_id, CAST(SUM(c * qc) AS BIGINT) AS sxy
+           FROM daily JOIN q USING (d)
+           WHERE daily.user_id <> {_SIM_Q} GROUP BY daily.user_id),
+    corr AS (
+      SELECT cs.user_id,
+             (CAST({_SIM_N} * COALESCE(xy.sxy, 0) - cs.sx * qs.qsum AS DOUBLE))
+             / (sqrt(CAST({_SIM_N} * cs.sxx - cs.sx * cs.sx AS DOUBLE))
+                * sqrt(CAST({_SIM_N} * qs.qsq - qs.qsum * qs.qsum AS DOUBLE)))
+               AS r
+      FROM cs CROSS JOIN qs LEFT JOIN xy ON xy.user_id = cs.user_id
+      WHERE {_SIM_N} * cs.sxx - cs.sx * cs.sx > 0
+        AND {_SIM_N} * qs.qsq - qs.qsum * qs.qsum > 0)
+    SELECT user_id, r AS corr,
+           CAST(row_number() OVER (ORDER BY r DESC, user_id) AS INTEGER)
+             AS rank
+    FROM corr
+    ORDER BY r DESC, user_id LIMIT 10
+    """,
+)
+def ts_series_similarity(spark, sf):
+    """Time-series similarity search (the EDBT'19 streaming-TS-search
+    problem shape, query-vs-corpus form): find the 10 users whose
+    daily-activity profile correlates best with user 1's, by Pearson
+    correlation over aligned 31-day count vectors. The sufficient
+    statistics (Σx, Σx², Σxy) are EXACT INTEGER aggregates — absent
+    days contribute zero to every sum, so the dense profile never
+    materializes and zero-filling is free — and the correlation is a
+    single fixed expression over them (bit-identical cross-engine).
+    Scale shape: integer partial aggs per series + one broadcast join
+    of the tiny query profile; query-vs-all is linear in series
+    count, no pairwise stage. Flat (zero-variance) series are
+    excluded — correlation is undefined there."""
+    ev = load_table(spark, sf, "events")
+    daily = ev.groupBy(
+        "user_id",
+        (F.unix_micros("ts") / F.lit(86_400_000_000)).cast("long").alias("d"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    q = daily.where(F.col("user_id") == _SIM_Q).select("d", F.col("c").alias("qc"))
+    qs = q.agg(
+        F.sum("qc").cast("long").alias("qsum"),
+        F.sum(F.col("qc") * F.col("qc")).cast("long").alias("qsq"),
+    )
+    cand = daily.where(F.col("user_id") != _SIM_Q)
+    cs = cand.groupBy("user_id").agg(
+        F.sum("c").cast("long").alias("sx"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("sxx"),
+    )
+    xy = (
+        cand.join(F.broadcast(q), "d")
+        .groupBy("user_id")
+        .agg(F.sum(F.col("c") * F.col("qc")).cast("long").alias("sxy"))
+    )
+    n = F.lit(_SIM_N)
+    joined = cs.crossJoin(F.broadcast(qs)).join(xy, "user_id", "left")
+    varx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    varq = n * F.col("qsq") - F.col("qsum") * F.col("qsum")
+    r = (
+        (n * F.coalesce("sxy", F.lit(0)) - F.col("sx") * F.col("qsum"))
+        .cast("double")
+        / (F.sqrt(varx.cast("double")) * F.sqrt(varq.cast("double")))
+    )
+    out = (
+        joined.where((varx > 0) & (varq > 0))
+        .select("user_id", r.alias("corr"))
+        .orderBy(F.desc("corr"), F.asc("user_id"))
+        .limit(10)
+    )
+    return out.withColumn(
+        "rank",
+        F.row_number()
+        .over(Window.orderBy(F.desc("corr"), F.asc("user_id")))
+        .cast("integer"),
+    )
+
+
 #: Names with a green row in some CORRECTNESS_r*.json (r1 ∪ r2 ∪ r3).
 #: The driver samples a fixed-size prefix of ``queries()`` in dict
 #: order, so the public order puts never-driver-confirmed entries
