@@ -58,9 +58,12 @@ def table_lock(
     directory). Blocks up to ``timeout`` seconds for a concurrent
     holder, then raises :class:`TableLockTimeout`. Locks older than
     ``stale_after`` are treated as crashed holders and broken."""
+    import uuid
+
     path = _lock_path(target)
     os.makedirs(os.path.dirname(path), exist_ok=True)
     deadline = time.monotonic() + timeout
+    token = uuid.uuid4().hex
     while True:
         try:
             fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
@@ -68,7 +71,11 @@ def table_lock(
                 os.write(
                     fd,
                     json.dumps(
-                        {"pid": os.getpid(), "acquired_at": time.time()}
+                        {
+                            "pid": os.getpid(),
+                            "acquired_at": time.time(),
+                            "token": token,
+                        }
                     ).encode(),
                 )
             finally:
@@ -103,7 +110,12 @@ def table_lock(
     try:
         yield
     finally:
+        # release ONLY our own lock: if we stalled past stale_after, a
+        # breaker may have replaced the file with ITS lock — unlinking
+        # that would hand the table to a third writer mid-rewrite
         try:
-            os.unlink(path)
-        except FileNotFoundError:
+            with open(path) as f:
+                if json.load(f).get("token") == token:
+                    os.unlink(path)
+        except (OSError, ValueError):
             pass

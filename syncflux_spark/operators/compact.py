@@ -126,5 +126,11 @@ def compact_txtable(
     from syncflux_spark.txtable import TxTable
 
     t = TxTable(spark, root)
-    n = max(1, -(-dataset_bytes(os.path.join(root, "data")) // target_file_bytes))
+    # size from the LIVE snapshot's file groups only — dead versions
+    # awaiting vacuum must not inflate the target file count
+    live = sum(
+        dataset_bytes(os.path.join(root, rel))
+        for rel in t._files_at(t.version())
+    )
+    n = max(1, -(-live // target_file_bytes))
     return t.overwrite(lambda snap: snap.repartition(n))

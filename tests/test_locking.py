@@ -114,3 +114,24 @@ class TestConcurrentWriters:
                     copy_range(events, dst, win[0], win[1])
             finally:
                 lk.table_lock = orig
+
+
+class TestStaleBreakRelease:
+    def test_resumed_stale_holder_does_not_release_new_lock(self, tmp_path):
+        """A holder whose lock was staleness-broken must NOT unlink
+        the breaker's replacement lock on its own (late) release."""
+        import json as _json
+
+        target = str(tmp_path / "tbl")
+        path = _lock_path(target)
+        ctx = table_lock(target)
+        ctx.__enter__()  # original holder
+        # simulate the staleness break + takeover by another process
+        os.unlink(path)
+        with open(path, "w") as f:
+            _json.dump({"pid": 4242, "token": "other-holder"}, f)
+        ctx.__exit__(None, None, None)  # late release of the original
+        # the new holder's lock survives
+        assert os.path.exists(path)
+        assert _json.load(open(path))["token"] == "other-holder"
+        os.unlink(path)
