@@ -85,6 +85,57 @@ class StatusServer:
         self._sessions: set[str] = set()
         self._httpd: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
+        #: /metrics counters (Prometheus text format)
+        self._metrics_lock = threading.Lock()
+        self._counters = {
+            "queries_total": 0,
+            "query_errors_total": 0,
+            "points_written_total": 0,
+            "write_errors_total": 0,
+        }
+
+    def _count(self, name: str, n: int = 1) -> None:
+        with self._metrics_lock:
+            self._counters[name] += n
+
+    def _metrics_text(self) -> str:
+        """Prometheus exposition format — the operational surface
+        InfluxDB 1.x exposes at /metrics; counters only, no client
+        library needed."""
+        with self._metrics_lock:
+            snap = dict(self._counters)
+        st = self.monitor.get_status()
+        lines = []
+        for k, v in sorted(snap.items()):
+            lines.append(f"# TYPE syncflux_{k} counter")
+            lines.append(f"syncflux_{k} {v}")
+        lines.append("# TYPE syncflux_cluster_up gauge")
+        cs = getattr(st.cluster_state, "value", st.cluster_state)
+        lines.append(f"syncflux_cluster_up {1 if cs == 'OK' else 0}")
+        return "\n".join(lines) + "\n"
+
+    @staticmethod
+    def _to_csv(body: dict) -> str:
+        """InfluxDB 1.x CSV response shape (``Accept:
+        application/csv``): header ``name,tags,<columns>``; one row
+        per value row; the tags cell is comma-joined k=v pairs."""
+        import csv
+        import io
+
+        out = io.StringIO()
+        w = csv.writer(out)
+        for res in body.get("results", []):
+            for s in res.get("series", []):
+                w.writerow(["name", "tags"] + list(s["columns"]))
+                tags = ",".join(
+                    f"{k}={v}" for k, v in sorted(s.get("tags", {}).items())
+                )
+                for row in s["values"]:
+                    w.writerow(
+                        [s["name"], tags]
+                        + ["" if v is None else v for v in row]
+                    )
+        return out.getvalue()
 
     _EPOCH_DIV = {"ns": 1, "u": 1_000, "us": 1_000, "ms": 1_000_000, "s": 1_000_000_000, "m": 60 * 10**9, "h": 3600 * 10**9}
 
@@ -287,8 +338,22 @@ class StatusServer:
                     if content_type == "application/json"
                     else payload
                 ).encode()
+                enc = None
+                # gzip response bodies for clients that ask (InfluxDB
+                # 1.x honors Accept-Encoding on /query); tiny bodies
+                # aren't worth the header overhead
+                if (
+                    "gzip" in self.headers.get("Accept-Encoding", "")
+                    and len(body) > 512
+                ):
+                    import gzip as _gz
+
+                    body = _gz.compress(body)
+                    enc = "gzip"
                 self.send_response(code)
                 self.send_header("Content-Type", content_type)
+                if enc:
+                    self.send_header("Content-Encoding", enc)
                 self.send_header("Content-Length", str(len(body)))
                 for h, v in getattr(self, "_extra_headers", []):
                     self.send_header(h, v)
@@ -356,12 +421,26 @@ class StatusServer:
                     code, body = server._run_query(
                         q, epoch=self._query_param("epoch")
                     )
+                    server._count("queries_total")
+                    if code != 200:
+                        server._count("query_errors_total")
+                    if (
+                        code == 200
+                        and "application/csv" in self.headers.get("Accept", "")
+                    ):
+                        self._send(200, server._to_csv(body), "application/csv")
+                        return
                     self._send(code, body)
                 elif self.path == "/api/health/" or self.path == "/api/health":
                     st = server.monitor.get_status()
                     self._send(200, asdict(st))
                 elif self.path.startswith("/api/health/"):
                     self._send(200, "hola", "text/plain")  # api.go:47-51 stub
+                elif self.path == "/metrics":
+                    self._send(
+                        200, server._metrics_text(),
+                        "text/plain; version=0.0.4",
+                    )
                 elif self.path == "/api/queryactive":
                     st = server.monitor.get_status()
                     alive = []
@@ -428,8 +507,10 @@ class StatusServer:
                             body, precision=precision
                         )
                     except ValueError as ex:
+                        server._count("write_errors_total")
                         self._send(400, {"error": str(ex)})
                         return
+                    server._count("points_written_total", written)
                     # influx answers 204 No Content on success
                     self.send_response(204)
                     self.send_header("X-Points-Written", str(written))
@@ -452,6 +533,15 @@ class StatusServer:
                     code, body = server._run_query(
                         q, epoch=self._query_param("epoch")
                     )
+                    server._count("queries_total")
+                    if code != 200:
+                        server._count("query_errors_total")
+                    if (
+                        code == 200
+                        and "application/csv" in self.headers.get("Accept", "")
+                    ):
+                        self._send(200, server._to_csv(body), "application/csv")
+                        return
                     self._send(code, body)
                 elif self.path == "/login":
                     n = int(self.headers.get("Content-Length", 0))

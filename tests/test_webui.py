@@ -563,3 +563,90 @@ class TestStaticAssets:
         code, body, _ = _get(static_server, "/api/health")
         assert code == 200
         assert "master" in body or "state" in body
+
+
+class TestCsvGzipMetrics:
+    """InfluxDB 1.x client conveniences: Accept: application/csv
+    responses, gzip response encoding, and /metrics counters."""
+
+    @pytest.fixture()
+    def qserver(self, spark, events, tmp_path):
+        from syncflux_spark.influxql import InfluxQLEngine
+        from syncflux_spark.sources.line_protocol import LineProtocolSink
+
+        monitor = HAMonitor(master_probe=lambda: True, slave_probe=lambda: True)
+        monitor.check_once()
+        eng = InfluxQLEngine(
+            spark, tables={"events": events},
+            tags={"events": ["event_type", "user_id"]},
+        )
+        sink = LineProtocolSink(
+            spark, str(tmp_path), {"m": (["h"], {"v": "float"})}
+        )
+        srv = StatusServer(
+            monitor, port=0, query_engine=eng, max_query_rows=50,
+            write_sink=sink,
+        )
+        port = srv.start()
+        yield srv, port
+        srv.stop()
+
+    def test_csv_response(self, qserver):
+        import csv
+        import io
+
+        _, port = qserver
+        q = urllib.parse.quote(
+            "select count(value) as n from events group by event_type"
+        )
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/query?q={q}",
+            headers={"Accept": "application/csv"},
+        )
+        with urllib.request.urlopen(req) as r:
+            assert r.headers["Content-Type"] == "application/csv"
+            rows = list(csv.reader(io.StringIO(r.read().decode())))
+        headers = [row for row in rows if row and row[0] == "name"]
+        data = [row for row in rows if row and row[0] == "events"]
+        assert headers[0] == ["name", "tags", "n"]
+        assert len(data) == 5
+        assert all(row[1].startswith("event_type=") for row in data)
+
+    def test_gzip_response(self, qserver):
+        import gzip
+        import io
+
+        _, port = qserver
+        q = urllib.parse.quote("select value from events")
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/query?q={q}",
+            headers={"Accept-Encoding": "gzip"},
+        )
+        with urllib.request.urlopen(req) as r:
+            assert r.headers.get("Content-Encoding") == "gzip"
+            body = gzip.decompress(r.read()).decode()
+        assert json.loads(body)["results"][0]["series"]
+
+    def test_metrics_counters(self, qserver):
+        srv, port = qserver
+        q = urllib.parse.quote("select count(value) from events")
+        _get(port, f"/query?q={q}")
+        _get(port, "/query?q=" + urllib.parse.quote("select wat from"))
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/write",
+            data=b"m,h=a v=1.5 1700000000000000000",
+        )
+        with urllib.request.urlopen(req) as r:
+            assert r.status == 204
+        code, body, headers = _get(port, "/metrics")
+        assert code == 200
+        assert headers["Content-Type"].startswith("text/plain")
+        metrics = {
+            ln.split(" ")[0]: float(ln.split(" ")[1])
+            for ln in body.splitlines()
+            if ln and not ln.startswith("#")
+        }
+        assert metrics["syncflux_queries_total"] >= 2
+        assert metrics["syncflux_query_errors_total"] >= 1
+        assert metrics["syncflux_points_written_total"] >= 1
+        assert metrics["syncflux_cluster_up"] == 1
