@@ -436,6 +436,16 @@ class StatusServer:
                     self._send(200, asdict(st))
                 elif self.path.startswith("/api/health/"):
                     self._send(200, "hola", "text/plain")  # api.go:47-51 stub
+                elif self.path == "/ping" or self.path.startswith("/ping?"):
+                    # the Influx client's Ping() (the reference's
+                    # InitPing liveness probe, pkg/agent/
+                    # influxmonitor.go:48-63) expects 204 + the
+                    # version header
+                    self.send_response(204)
+                    self.send_header(
+                        "X-Influxdb-Version", "1.8.10-syncflux-spark"
+                    )
+                    self.end_headers()
                 elif self.path == "/metrics":
                     self._send(
                         200, server._metrics_text(),
@@ -482,6 +492,18 @@ class StatusServer:
                 self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
                 self.wfile.write(body)
+
+            def do_HEAD(self):
+                if self.path == "/ping" or self.path.startswith("/ping?"):
+                    self.send_response(204)
+                    self.send_header(
+                        "X-Influxdb-Version", "1.8.10-syncflux-spark"
+                    )
+                    self.end_headers()
+                else:
+                    self.send_response(404)
+                    self.send_header("Content-Length", "0")
+                    self.end_headers()
 
             def do_POST(self):
                 if self.path.startswith("/write"):

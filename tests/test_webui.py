@@ -650,3 +650,17 @@ class TestCsvGzipMetrics:
         assert metrics["syncflux_query_errors_total"] >= 1
         assert metrics["syncflux_points_written_total"] >= 1
         assert metrics["syncflux_cluster_up"] == 1
+
+
+class TestPing:
+    def test_ping_204_with_version(self, server):
+        import http.client
+
+        _, port, _, _ = server
+        for method in ("GET", "HEAD"):
+            conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+            conn.request(method, "/ping")
+            r = conn.getresponse()
+            assert r.status == 204
+            assert "syncflux" in r.headers["X-Influxdb-Version"]
+            conn.close()
