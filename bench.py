@@ -127,6 +127,8 @@ HEADLINE = [
     "semantic_dedup_flags",
     "epoch_shuffle_manifest",
     "emb_hard_negatives",
+    "winnow_profile",
+    "winnow_overlap_pairs",
 ]
 
 

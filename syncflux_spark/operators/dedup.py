@@ -34,10 +34,10 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from syncflux_spark.functions.text import char_shingles, words
+from syncflux_spark.functions.text import char_shingles, shingles_of_words, words
 from syncflux_spark.utils import eager_persist, spread_for_cpu
 
 
@@ -1375,4 +1375,174 @@ def blocked_edit_distance_pairs(
             ).alias("dist"),
         )
         .where(F.col("dist") <= max_dist)
+    )
+
+
+# -- winnowing fingerprints (rolling-hash document fingerprinting) ----------
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer-Wilkerson-Aiken, SIGMOD '03 —
+    the MOSS algorithm): hash every k-word gram, slide a window of
+    ``w`` consecutive gram hashes, keep the minimum of each window.
+    Guarantee: any shared run of at least ``w + k - 1`` words between
+    two documents contributes at least one shared fingerprint, while
+    only ~``2/(w+1)`` of gram hashes are retained — position-robust
+    local sampling, unlike the global min of MinHash.
+
+    Implementation note: the fingerprint SET equals the distinct
+    window-minima, so no argmin/position bookkeeping is needed — one
+    ``min() OVER (ROWS BETWEEN CURRENT ROW AND w-1 FOLLOWING)`` per
+    gram plus a distinct. Hashes are md5 hex strings (lexicographic
+    min == numeric min on fixed-width hex, identical in any engine).
+
+    Scale shape: the gram explode is linear in corpus tokens and
+    embarrassingly parallel; the window runs inside a per-document
+    sort (documents hash-partition, no global sort); the distinct is
+    a map-side-combined agg on (doc, fp). No pairwise stage.
+
+    Returns (id_col, fp) — one row per retained fingerprint.
+    """
+    grams = (
+        spread_for_cpu(df)
+        .select(F.col(id_col), words(text_col).alias("_ws"))
+        .select(
+            F.col(id_col),
+            F.posexplode(shingles_of_words(F.col("_ws"), k)).alias(
+                "_pos", "_gram"
+            ),
+        )
+        .select(F.col(id_col), "_pos", F.md5(F.col("_gram")).alias("_h"))
+    )
+    win = (
+        Window.partitionBy(id_col).orderBy("_pos").rowsBetween(0, w - 1)
+    )
+    return (
+        grams.select(
+            F.col(id_col),
+            F.min("_h").over(win).alias("fp"),
+            F.count(F.lit(1)).over(win).alias("_n"),
+        )
+        # only full windows: a trailing window of fewer than w grams
+        # would elect extra minima the algorithm does not define
+        .where(F.col("_n") == w)
+        .select(id_col, "fp")
+        .distinct()
+    )
+
+
+def winnow_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """Per-document winnowing profile: gram count, retained
+    fingerprint count, retention density, and an order-insensitive
+    digest of the fingerprint set (md5 over the sorted fps) — the
+    compact per-doc identity a fingerprint store persists. Documents
+    too short for one full window stay in the output with zero
+    fingerprints and a NULL digest (left join), so the result is a
+    full corpus column, not a hit list."""
+    fps = winnow_fingerprints(df, text_col, id_col, k=k, w=w)
+    per_doc = fps.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_fingerprints"),
+        F.md5(F.concat_ws(",", F.array_sort(F.collect_list("fp")))).alias(
+            "fp_digest"
+        ),
+    )
+    base = spread_for_cpu(df).select(
+        F.col(id_col),
+        F.greatest(
+            F.size(words(text_col)) - F.lit(k - 1), F.lit(0)
+        ).cast("long").alias("n_grams"),
+    )
+    return (
+        base.join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            "n_grams",
+            F.coalesce("n_fingerprints", F.lit(0)).cast("long").alias(
+                "n_fingerprints"
+            ),
+            "fp_digest",
+            (
+                F.coalesce("n_fingerprints", F.lit(0)).cast("double")
+                / F.greatest("n_grams", F.lit(1)).cast("double")
+            ).alias("density"),
+        )
+    )
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    w: int = 4,
+    max_df: int = 50,
+    min_overlap: float = 0.2,
+) -> DataFrame:
+    """Document pairs sharing winnowing fingerprints — MOSS-style
+    local-similarity detection. Candidates come from fingerprint
+    posting lists: fingerprints held by 2..``max_df`` documents pair
+    the documents that share them (a fingerprint in more than
+    ``max_df`` docs is boilerplate — a stop-fingerprint, dropped like
+    a df-gated posting in Bayardo '07). Overlap score =
+    |shared| / min(|A|, |B|) — containment-style, so a small doc
+    embedded in a large one still scores high.
+
+    Scale shape: posting-list self-join on the fingerprint key — the
+    fan-out per fingerprint is bounded by ``max_df`` choose 2, so the
+    candidate volume is O(#fps * max_df), never O(n_docs**2)."""
+    fps = eager_persist(winnow_fingerprints(df, text_col, id_col, k=k, w=w))
+    sizes = fps.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_fp")
+    )
+    keep = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where((F.col("_df") >= 2) & (F.col("_df") <= max_df))
+        .select("fp")
+    )
+    posting = fps.join(keep, "fp")
+    a, b = posting.alias("pa"), posting.alias("pb")
+    shared = (
+        a.join(
+            b,
+            (F.col("pa.fp") == F.col("pb.fp"))
+            & (F.col(f"pa.{id_col}") < F.col(f"pb.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"pa.{id_col}").alias("id_a"),
+            F.col(f"pb.{id_col}").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    sa = sizes.select(
+        F.col(id_col).alias("id_a"), F.col("n_fp").alias("n_fp_a")
+    )
+    sb = sizes.select(
+        F.col(id_col).alias("id_b"), F.col("n_fp").alias("n_fp_b")
+    )
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_shared",
+            (
+                F.col("n_shared").cast("double")
+                / F.least("n_fp_a", "n_fp_b").cast("double")
+            ).alias("overlap"),
+        )
+        .where(F.col("overlap") >= min_overlap)
     )

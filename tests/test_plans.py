@@ -347,3 +347,23 @@ class TestNewOperatorPlans:
         plan = plan_of(spark, sf_dir, "semantic_dedup_flags")
         assert "BroadcastExchange" in plan
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestWinnowingPlans:
+    @pytest.mark.parametrize(
+        "name", ["winnow_profile", "winnow_overlap_pairs"]
+    )
+    def test_no_cartesian_no_python(self, spark, sf_dir, name):
+        """The winnowing pipeline is explode + per-doc window +
+        distinct (+ posting-list equality join for pairs) — all
+        codegen; never a cartesian and never a Python kernel."""
+        plan = plan_of(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    def test_window_min_rides_doc_partition(self, spark, sf_dir):
+        """The window minimum partitions by doc_id — a hash exchange,
+        never a one-partition global sort."""
+        plan = plan_of(spark, sf_dir, "winnow_profile")
+        assert "SinglePartition" not in plan
