@@ -129,6 +129,7 @@ HEADLINE = [
     "emb_hard_negatives",
     "winnow_profile",
     "winnow_overlap_pairs",
+    "quantile_sketch_merge",
 ]
 
 

@@ -161,3 +161,94 @@ def cms_query(sketch: DataFrame, keys: DataFrame, key_col: str) -> DataFrame:
         .groupBy(key_col)
         .agg(F.min(F.coalesce("cnt", F.lit(0))).cast("long").alias("est_n"))
     )
+
+
+# -- quantile sketch tables (bottom-k priority samples) ---------------------
+
+#: default quantile-sample size; rank error ~ 1/√k ≈ 6%
+QSK_K_DEFAULT = 256
+
+
+def qsk_build(
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    group_cols: list[str],
+    k: int = QSK_K_DEFAULT,
+) -> DataFrame:
+    """Quantile sketch as a TABLE: one row per group, ``sk`` = the
+    group's k rows of smallest md5-priority, stored as a sorted
+    array of (hash, value) structs. The priority is a deterministic
+    hash of ``key_col`` (a stable row id), independent of the value —
+    so the retained rows are a uniform-without-replacement sample
+    whose order statistics estimate the population quantiles with
+    rank error ~1/√k. Persist per day/partition as data lands.
+
+    Mergeable for the same reason KMV is: the k smallest priorities
+    of a union can only come from each side's k smallest —
+    bottomK(A ∪ B) = bottomK(bottomK(A) ∪ bottomK(B)). Deterministic
+    (no seeds), so an oracle engine reproduces the sketch — and the
+    merged quantile estimates — bit-for-bit.
+
+    Scale shape: one per-group bottom-k (WindowGroupLimit
+    per-partition heaps; the input is never globally sorted); sketch
+    rows are O(k) per group regardless of input size."""
+    hashed = df.select(
+        *group_cols,
+        _kmv_hash(key_col),
+        F.col(value_col).cast("double").alias("_v"),
+    )
+    w = Window.partitionBy(*group_cols).orderBy("_h", "_v")
+    return (
+        hashed.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .groupBy(*group_cols)
+        .agg(F.sort_array(F.collect_list(F.struct("_h", "_v"))).alias("sk"))
+    )
+
+
+def qsk_merge(
+    a: DataFrame, b: DataFrame, group_cols: list[str], k: int = QSK_K_DEFAULT
+) -> DataFrame:
+    """Merge two quantile-sketch tables into one covering the union
+    of their inputs. Touches k·groups rows, never base data. Rows
+    sketched on both sides (same priority AND value) collapse via
+    distinct, mirroring kmv_merge."""
+    exploded = (
+        a.unionByName(b)
+        .select(*group_cols, F.explode("sk").alias("e"))
+        .select(
+            *group_cols,
+            F.col("e._h").alias("_h"),
+            F.col("e._v").alias("_v"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy(*group_cols).orderBy("_h", "_v")
+    return (
+        exploded.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .groupBy(*group_cols)
+        .agg(F.sort_array(F.collect_list(F.struct("_h", "_v"))).alias("sk"))
+    )
+
+
+def qsk_quantiles(
+    sketch: DataFrame,
+    group_cols: list[str],
+    qs: tuple = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Nearest-rank quantile estimates from a sketch table: per
+    group, sort the sampled values and pick rank ceil(q·n) for each
+    requested quantile. Pure per-row array arithmetic on the sketch —
+    base data is never touched. Column names are p50/p90/p99-style."""
+    vs = F.array_sort(F.transform("sk", lambda e: e["_v"]))
+    n = F.size("sk")
+    cols = [*group_cols, n.cast("long").alias("n_sample")]
+    for q in qs:
+        rank = F.greatest(
+            F.lit(1), F.ceil(F.lit(q) * n).cast("int")
+        )
+        label = f"p{q * 100:g}".replace(".", "_")
+        cols.append(F.element_at(vs, rank).alias(label))
+    return sketch.select(*cols)

@@ -11892,6 +11892,79 @@ def winnow_overlap_pairs(spark, sf):
     return dd.winnow_overlap_pairs(load_table(spark, sf, "documents"))
 
 
+# -- quantile sketch tables -------------------------------------------------
+
+_QSK_K = 256
+
+
+def _qsk_half_sql(cmp: str) -> str:
+    return f"""
+    SELECT event_type, h, v FROM (
+      SELECT event_type, h, v,
+             row_number() OVER (PARTITION BY event_type ORDER BY h, v) AS rn
+      FROM (SELECT event_type,
+                   ('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 12))::BIGINT AS h,
+                   CAST(value AS DOUBLE) AS v
+            FROM events WHERE ts {cmp} TIMESTAMP '{_KMV_SPLIT}'))
+    WHERE rn <= {_QSK_K}"""
+
+
+@register(
+    "quantile_sketch_merge",
+    f"""
+    WITH s1 AS ({_qsk_half_sql('<')}),
+    s2 AS ({_qsk_half_sql('>=')}),
+    u AS (SELECT DISTINCT event_type, h, v
+          FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2)),
+    m AS (SELECT event_type, h, v FROM (
+        SELECT event_type, h, v,
+               row_number() OVER (PARTITION BY event_type ORDER BY h, v) AS rn
+        FROM u) WHERE rn <= {_QSK_K}),
+    r AS (SELECT event_type, v,
+                 row_number() OVER (PARTITION BY event_type ORDER BY v) AS vr,
+                 COUNT(*) OVER (PARTITION BY event_type) AS n
+          FROM m)
+    SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_sample,
+           MAX(CASE WHEN vr = GREATEST(1, CAST(CEIL(0.5 * n) AS BIGINT))
+                    THEN v END) AS p50,
+           MAX(CASE WHEN vr = GREATEST(1, CAST(CEIL(0.9 * n) AS BIGINT))
+                    THEN v END) AS p90,
+           MAX(CASE WHEN vr = GREATEST(1, CAST(CEIL(0.99 * n) AS BIGINT))
+                    THEN v END) AS p99
+    FROM r GROUP BY event_type
+    """,
+)
+def quantile_sketch_merge(spark, sf):
+    """Persistable mergeable QUANTILE sketches — the percentile
+    analog of kmv_sketch_merge: per group, keep the k rows of
+    smallest deterministic md5 priority (a uniform sample whose order
+    statistics estimate population quantiles, rank error ~1/√k).
+    Sketch each half-month of events independently, MERGE the two
+    sketch tables — bottomK(bottomK(A) ∪ bottomK(B)), k·groups rows,
+    base data never rescanned — and read p50/p90/p99 per event type
+    off the merged sample. Deterministic (no seeds), so the oracle
+    replays the identical pipeline and the merged estimates match
+    bit-for-bit — proving the mergeability identity that lets a
+    100 TB deployment sketch-per-partition once and answer percentile
+    questions over any union by merging sketch rows."""
+    from syncflux_spark.operators.sketches import (
+        qsk_build,
+        qsk_merge,
+        qsk_quantiles,
+    )
+
+    ev = load_table(spark, sf, "events")
+    split = F.lit(_KMV_SPLIT).cast("timestamp")
+    s1 = qsk_build(
+        ev.where(F.col("ts") < split), "value", "event_id", ["event_type"], k=_QSK_K
+    )
+    s2 = qsk_build(
+        ev.where(F.col("ts") >= split), "value", "event_id", ["event_type"], k=_QSK_K
+    )
+    merged = qsk_merge(s1, s2, ["event_type"], k=_QSK_K)
+    return qsk_quantiles(merged, ["event_type"])
+
+
 #: Names with a green row in some CORRECTNESS_r*.json (r1 ∪ r2 ∪ r3).
 #: The driver samples a fixed-size prefix of ``queries()`` in dict
 #: order, so the public order puts never-driver-confirmed entries

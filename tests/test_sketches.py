@@ -142,3 +142,65 @@ class TestCmsSketchTables:
         keys = spark.createDataFrame([(999999,)], "k long")
         est = cms_query(cms_build(df, "k"), keys, "k").collect()[0]
         assert est.est_n in (0, 3)  # 0 unless all 4 cells collide
+
+
+class TestQuantileSketchTables:
+    """operators/sketches.py: bottom-k priority-sample quantiles."""
+
+    def _df(self, spark, lo, hi, group="a"):
+        # value = key scaled: uniform values 0..(hi-lo), exact
+        # population quantiles known
+        return spark.createDataFrame(
+            [(group, i, float(i)) for i in range(lo, hi)],
+            "g string, k long, v double",
+        )
+
+    def test_merge_equals_sketch_of_union(self, spark):
+        from syncflux_spark.operators.sketches import qsk_build, qsk_merge
+
+        a = self._df(spark, 0, 500)
+        b = self._df(spark, 300, 900)  # overlapping rows collapse
+        sa = qsk_build(a, "v", "k", ["g"], k=32)
+        sb = qsk_build(b, "v", "k", ["g"], k=32)
+        merged = qsk_merge(sa, sb, ["g"], k=32).collect()[0].sk
+        direct = qsk_build(a.unionByName(b).distinct(), "v", "k", ["g"], k=32)
+        assert merged == direct.collect()[0].sk  # mergeability, exactly
+
+    def test_small_group_keeps_every_row(self, spark):
+        from syncflux_spark.operators.sketches import qsk_build, qsk_quantiles
+
+        df = self._df(spark, 0, 10)
+        out = qsk_quantiles(
+            qsk_build(df, "v", "k", ["g"], k=64), ["g"]
+        ).collect()[0]
+        assert out.n_sample == 10
+        # full sample => exact nearest-rank quantiles of 0..9
+        assert out.p50 == 4.0 and out.p90 == 8.0 and out.p99 == 9.0
+
+    def test_quantiles_within_rank_error(self, spark):
+        from syncflux_spark.operators.sketches import qsk_build, qsk_quantiles
+
+        n = 20_000
+        df = self._df(spark, 0, n)
+        out = qsk_quantiles(
+            qsk_build(df, "v", "k", ["g"], k=256), ["g"]
+        ).collect()[0]
+        # rank error ~1/sqrt(256) = 6.25%; allow 3 sigma
+        for q, got in ((0.5, out.p50), (0.9, out.p90), (0.99, out.p99)):
+            assert abs(got / n - q) < 0.1875, (q, got)
+
+    def test_roundtrip_through_parquet(self, spark, tmp_path):
+        from syncflux_spark.operators.sketches import (
+            qsk_build,
+            qsk_merge,
+            qsk_quantiles,
+        )
+
+        p1, p2 = str(tmp_path / "q1"), str(tmp_path / "q2")
+        qsk_build(self._df(spark, 0, 400), "v", "k", ["g"]).write.parquet(p1)
+        qsk_build(self._df(spark, 400, 800), "v", "k", ["g"]).write.parquet(p2)
+        merged = qsk_merge(
+            spark.read.parquet(p1), spark.read.parquet(p2), ["g"]
+        )
+        out = qsk_quantiles(merged, ["g"]).collect()[0]
+        assert abs(out.p50 / 800 - 0.5) < 0.1875
