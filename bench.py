@@ -130,6 +130,7 @@ HEADLINE = [
     "winnow_profile",
     "winnow_overlap_pairs",
     "quantile_sketch_merge",
+    "mm_audio_features",
 ]
 
 

@@ -11965,6 +11965,80 @@ def quantile_sketch_merge(spark, sf):
     return qsk_quantiles(merged, ["event_type"])
 
 
+# -- audio plumbing ---------------------------------------------------------
+
+
+@register(
+    "mm_audio_meta",
+    """
+    SELECT doc_id AS media_id,
+           CAST(16000 AS INTEGER) AS sample_rate,
+           CAST(strlen(text) // 2 AS BIGINT) AS n_samples,
+           CAST(strlen(text) // 2 AS DOUBLE) / 16000.0 AS duration_s,
+           CAST(16 + strlen(text) AS BIGINT) AS n_bytes
+    FROM documents
+    """,
+)
+def mm_audio_meta(spark, sf):
+    """Audio decode plumbing under the oracle gate: documents →
+    binary media → PCM decode kernel (s16le mono @16 kHz behind the
+    16-byte header; the ``wav`` codec branch parses real RIFF bytes
+    with the stdlib ``wave`` module). The oracle recomputes sample
+    count and duration arithmetically from payload length, proving
+    the bytes and the Arrow batch boundary round-tripped intact."""
+    from syncflux_spark.operators.multimodal import (
+        decode_audio,
+        media_from_documents,
+    )
+
+    media = media_from_documents(load_table(spark, sf, "documents"))
+    return decode_audio(media)
+
+
+@register(
+    "mm_audio_frame_counts",
+    """
+    SELECT doc_id AS media_id,
+           CAST((strlen(text) // 2 - 64) // 32 + 1 AS BIGINT) AS n_frames
+    FROM documents
+    WHERE strlen(text) // 2 >= 64
+    """,
+)
+def mm_audio_frame_counts(spark, sf):
+    """Audio framing (1→N expansion in mapInPandas: 64-sample
+    windows every 32) aggregated back to a per-clip full-window
+    count the oracle recomputes from payload length — the audio
+    analog of mm_frame_counts."""
+    from syncflux_spark.operators.multimodal import (
+        audio_frames,
+        media_from_documents,
+    )
+
+    media = media_from_documents(load_table(spark, sf, "documents"))
+    frames = audio_frames(media, frame_len=64, hop=32)
+    return frames.groupBy("media_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_frames")
+    )
+
+
+@register("mm_audio_features", None)  # numpy kernel → rows-only gate
+def mm_audio_features(spark, sf):
+    """Per-clip audio features — mean frame RMS energy and mean
+    zero-crossing rate over 64-sample/32-hop windows, vectorized
+    numpy inside the Arrow batch loop (the cheap speechiness/quality
+    signals a real featurizer replaces in-place). Not
+    SQL-expressible (binary PCM math); the STRONG local gate is
+    tests/test_multimodal.py::TestAudio — hand-computed RMS/ZCR on a
+    known waveform must match exactly."""
+    from syncflux_spark.operators.multimodal import (
+        audio_features,
+        media_from_documents,
+    )
+
+    media = media_from_documents(load_table(spark, sf, "documents"))
+    return audio_features(media, frame_len=64, hop=32)
+
+
 #: Names with a green row in some CORRECTNESS_r*.json (r1 ∪ r2 ∪ r3).
 #: The driver samples a fixed-size prefix of ``queries()`` in dict
 #: order, so the public order puts never-driver-confirmed entries

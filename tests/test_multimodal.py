@@ -274,3 +274,73 @@ class TestRealVideoFrames:
         frames = mm.sample_frames(mp4_media, every_n=2, codec="ffmpeg").collect()
         assert len(frames) == 4
         assert all(bytes(r.frame_bytes).startswith(b"\x89PNG") for r in frames)
+
+
+class TestAudio:
+    def _pcm_media(self, spark, samples):
+        """One media row whose fake-codec payload is the given s16le
+        PCM samples behind the 16-byte header."""
+        import struct as st
+
+        import numpy as np
+
+        header = st.pack("<III", 0, 0, 0) + b"FAKE"
+        body = np.asarray(samples, dtype="<i2").tobytes()
+        return spark.createDataFrame(
+            [(1, "audio", header + body, "synthetic://audio/1")],
+            mm.MEDIA_SCHEMA,
+        )
+
+    def test_decode_meta(self, spark):
+        df = self._pcm_media(spark, [0] * 320)
+        row = mm.decode_audio(df).collect()[0]
+        assert row.sample_rate == mm.FAKE_AUDIO_SR
+        assert row.n_samples == 320
+        assert row.duration_s == 320 / 16000.0
+        assert row.n_bytes == 16 + 640
+
+    def test_known_waveform_features_exact(self, spark):
+        # square wave +8192/-8192: every frame has RMS 0.25 and a
+        # sign change at every adjacent pair (ZCR 1.0)
+        samples = [8192, -8192] * 128  # 256 samples
+        df = self._pcm_media(spark, samples)
+        row = mm.audio_features(df, frame_len=64, hop=32).collect()[0]
+        assert row.n_frames == (256 - 64) // 32 + 1 == 7
+        assert row.mean_rms == 0.25
+        assert row.mean_zcr == 1.0
+
+    def test_framing_full_windows_only(self, spark):
+        df = self._pcm_media(spark, list(range(100)))
+        frames = mm.audio_frames(df, frame_len=64, hop=32).collect()
+        # 100 samples -> starts 0 and 32 fit (32+64=96<=100); 64 doesn't
+        assert [f.frame_idx for f in frames] == [0, 1]
+        assert all(len(f.frame_bytes) == 128 for f in frames)
+
+    def test_short_clip_zero_frames(self, spark):
+        df = self._pcm_media(spark, [5] * 10)
+        row = mm.audio_features(df, frame_len=64, hop=32).collect()[0]
+        assert row.n_frames == 0 and row.mean_rms == 0.0
+
+    def test_wav_codec_decodes_real_riff(self, spark, tmp_path):
+        """The 'wav' branch parses genuine RIFF bytes (stdlib wave) —
+        a real-codec path that actually runs in this container."""
+        import io
+        import wave as wavmod
+
+        import numpy as np
+
+        buf = io.BytesIO()
+        with wavmod.open(buf, "wb") as wf:
+            wf.setnchannels(1)
+            wf.setsampwidth(2)
+            wf.setframerate(8000)
+            wf.writeframes(np.zeros(400, dtype="<i2").tobytes())
+        payload = buf.getvalue()
+        df = spark.createDataFrame(
+            [(7, "audio", payload, "file://x.wav")], mm.MEDIA_SCHEMA
+        )
+        row = mm.decode_audio(df, codec="wav").collect()[0]
+        assert row.sample_rate == 8000
+        assert row.n_samples == 400
+        assert row.duration_s == 400 / 8000.0
+        assert row.n_bytes == len(payload)
