@@ -11965,6 +11965,68 @@ def quantile_sketch_merge(spark, sf):
     return qsk_quantiles(merged, ["event_type"])
 
 
+@register(
+    "stream_quantile_sketch",
+    f"""
+    WITH h AS (
+      SELECT event_type,
+             ('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 12))::BIGINT AS h,
+             CAST(value AS DOUBLE) AS v
+      FROM events),
+    m AS (SELECT event_type, h, v FROM (
+        SELECT event_type, h, v,
+               row_number() OVER (PARTITION BY event_type ORDER BY h, v) AS rn
+        FROM h) WHERE rn <= {_QSK_K}),
+    r AS (SELECT event_type, v,
+                 row_number() OVER (PARTITION BY event_type ORDER BY v) AS vr,
+                 COUNT(*) OVER (PARTITION BY event_type) AS n
+          FROM m)
+    SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_sample,
+           MAX(CASE WHEN vr = GREATEST(1, CAST(CEIL(0.5 * n) AS BIGINT))
+                    THEN v END) AS p50,
+           MAX(CASE WHEN vr = GREATEST(1, CAST(CEIL(0.9 * n) AS BIGINT))
+                    THEN v END) AS p90,
+           MAX(CASE WHEN vr = GREATEST(1, CAST(CEIL(0.99 * n) AS BIGINT))
+                    THEN v END) AS p99
+    FROM r GROUP BY event_type
+    """,
+)
+def stream_quantile_sketch(spark, sf):
+    """STREAMING percentile monitor under the full oracle gate: the
+    event file is delivered TWICE in separate micro-batches, each
+    folds into per-type bottom-256 (priority, value) state via
+    ``applyInPandasWithState``, and the final p50/p90/p99 must
+    equal — estimates included — the batch quantile sketch the
+    oracle computes from the single-copy table. Works because the
+    bottom-k priority sample is a mergeable, DUPLICATE-INSENSITIVE
+    summary (a re-delivered row re-adds the same (hash, value) pair);
+    O(k) state per key regardless of stream volume
+    (streaming/stateful.py::StreamingQuantileSketch)."""
+    import os
+    import shutil
+
+    from syncflux_spark.streaming.stateful import StreamingQuantileSketch
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    root = tempfile.mkdtemp(prefix="sf_sqsk_")
+    src = os.path.join(root, "src")
+    os.makedirs(src)
+    for copy_name in ("a", "b"):
+        shutil.copy(
+            os.path.join(sf, "events.parquet"),
+            os.path.join(src, f"events_{copy_name}.parquet"),
+        )
+    op = StreamingQuantileSketch(
+        spark,
+        src,
+        f"{root}/dst",
+        f"{root}/ckpt",
+        max_files_per_trigger=1,
+    )
+    op.run_available()
+    return op.current_sketches()
+
+
 # -- audio plumbing ---------------------------------------------------------
 
 

@@ -302,3 +302,155 @@ class StreamingKmvSketch:
             .where(F.col("_rn") == 1)
             .select("event_type", "n_sample", "kth_hash", "est_distinct")
         )
+
+
+# -- streaming quantile sketch ----------------------------------------------
+
+QSK_OUTPUT = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("n_sample", T.LongType()),
+        T.StructField("p50", T.DoubleType()),
+        T.StructField("p90", T.DoubleType()),
+        T.StructField("p99", T.DoubleType()),
+    ]
+)
+QSK_STATE = T.StructType(
+    [
+        T.StructField("hashes", T.ArrayType(T.LongType())),
+        T.StructField("values", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+QSK_STREAM_K = 256
+
+
+def _qsk_fn(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Fold a micro-batch into the bottom-k priority sample (the
+    quantile sketch of operators/sketches.py). The state is a SET of
+    (priority, value) pairs truncated to the k smallest — mergeable
+    and duplicate-insensitive, so re-delivered rows change nothing
+    and the streamed sketch equals the batch-computed oracle
+    bit-for-bit, including the quantile estimates read off it."""
+    import hashlib
+    import math
+
+    if state.exists:
+        hs0, vs0 = state.get
+        pairs = set(zip(hs0, vs0))
+    else:
+        pairs = set()
+    for pdf in pdfs:
+        for eid, val in zip(
+            pdf["event_id"].astype("int64"), pdf["value"].astype("float64")
+        ):
+            h = int(hashlib.md5(str(eid).encode()).hexdigest()[:12], 16)
+            pairs.add((h, float(val)))
+    bottom = sorted(pairs)[:QSK_STREAM_K]
+    state.update(([h for h, _ in bottom], [v for _, v in bottom]))
+    n = len(bottom)
+    vs = sorted(v for _, v in bottom)
+
+    def q(p: float) -> float:
+        return vs[max(1, math.ceil(p * n)) - 1] if n else 0.0
+
+    yield pd.DataFrame(
+        {
+            "event_type": [key[0]],
+            "n_sample": [n],
+            "p50": [q(0.5)],
+            "p90": [q(0.9)],
+            "p99": [q(0.99)],
+        }
+    )
+
+
+class StreamingQuantileSketch:
+    """Checkpointed streaming percentile monitor per event type: the
+    quantile companion to StreamingKmvSketch — O(k) state per key no
+    matter how many rows flow through, and because the bottom-k
+    priority sample is a mergeable, duplicate-insensitive summary,
+    the streamed p50/p90/p99 equal the batch sketch's exactly (the
+    oracle checks the estimates themselves, not just plumbing). Same
+    availableNow / batch-keyed-sink / newest-batch-wins discipline."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        src_path: str,
+        dst_path: str,
+        checkpoint_path: str,
+        path_glob_filter: str | None = None,
+        max_files_per_trigger: int | None = None,
+    ):
+        self.spark = spark
+        self.src_path = src_path
+        self.dst_path = dst_path
+        self.checkpoint_path = checkpoint_path
+        self.path_glob_filter = path_glob_filter
+        self.max_files_per_trigger = max_files_per_trigger
+
+    def _reader(self):
+        batch_reader = self.spark.read
+        if self.path_glob_filter:
+            batch_reader = batch_reader.option(
+                "pathGlobFilter", self.path_glob_filter
+            )
+        schema = batch_reader.parquet(self.src_path).schema
+        reader = self.spark.readStream.schema(schema)
+        if self.path_glob_filter:
+            reader = reader.option("pathGlobFilter", self.path_glob_filter)
+        if self.max_files_per_trigger:
+            reader = reader.option(
+                "maxFilesPerTrigger", str(self.max_files_per_trigger)
+            )
+        return reader.parquet(self.src_path)
+
+    def run_available(self) -> None:
+        stream = (
+            self._reader()
+            .groupBy("event_type")
+            .applyInPandasWithState(
+                _qsk_fn,
+                QSK_OUTPUT,
+                QSK_STATE,
+                "update",
+                GroupStateTimeout.NoTimeout,
+            )
+        )
+
+        def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+            batch_df.write.mode("overwrite").parquet(
+                os.path.join(self.dst_path, f"batch={batch_id}")
+            )
+
+        q = (
+            stream.writeStream.foreachBatch(write_batch)
+            .outputMode("update")
+            .option("checkpointLocation", self.checkpoint_path)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def current_sketches(self) -> DataFrame:
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        out = (
+            self.spark.read.option("recursiveFileLookup", "true")
+            .option("basePath", self.dst_path)
+            .parquet(self.dst_path)
+        )
+        files = out.withColumn(
+            "_batch",
+            F.regexp_extract(F.input_file_name(), r"batch=(\d+)", 1).cast("long"),
+        )
+        w = Window.partitionBy("event_type").orderBy(F.desc("_batch"))
+        return (
+            files.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("event_type", "n_sample", "p50", "p90", "p99")
+        )

@@ -449,3 +449,53 @@ class TestCdcMergeStream:
         )
         s._apply_batch(batch, batch_id=99)  # replay
         assert sorted(map(tuple, s.read_base().collect())) == once
+
+
+class TestStreamingQuantileSketch:
+    def test_state_survives_restart_and_matches_batch(self, spark, tmp_path):
+        """The (priority, value) bottom-k state must merge across
+        runs and be duplicate-insensitive, and the quantiles read off
+        the streamed state must equal the batch sketch's exactly."""
+        from syncflux_spark.operators.sketches import (
+            qsk_build,
+            qsk_quantiles,
+        )
+        from syncflux_spark.streaming.stateful import StreamingQuantileSketch
+
+        src = str(tmp_path / "src")
+        schema = "event_id long, ts long, event_type string, value double"
+        rows1 = [(i, 1_000_000_000, "click", float(i % 37)) for i in range(400)]
+        spark.createDataFrame(rows1, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+        s1 = StreamingQuantileSketch(
+            spark, src, str(tmp_path / "dst"), str(tmp_path / "ckpt")
+        )
+        s1.run_available()
+
+        # wave 2: 200 re-delivered rows + 200 new ones, fresh operator
+        rows2 = [(i, 2_000_000_000, "click", float(i % 37)) for i in range(200, 600)]
+        spark.createDataFrame(rows2, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        s2 = StreamingQuantileSketch(
+            spark, src, str(tmp_path / "dst"), str(tmp_path / "ckpt")
+        )
+        s2.run_available()
+        got = {r.event_type: r for r in s2.current_sketches().collect()}
+
+        # batch reference over the DEDUPED union (rows 0..599 once)
+        all_rows = [(i, 0, "click", float(i % 37)) for i in range(600)]
+        batch = spark.createDataFrame(all_rows, schema)
+        ref = qsk_quantiles(
+            qsk_build(batch, "value", "event_id", ["event_type"], k=256),
+            ["event_type"],
+        ).collect()[0]
+        g = got["click"]
+        assert (g.n_sample, g.p50, g.p90, g.p99) == (
+            ref.n_sample,
+            ref.p50,
+            ref.p90,
+            ref.p99,
+        )
