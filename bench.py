@@ -131,6 +131,7 @@ HEADLINE = [
     "winnow_overlap_pairs",
     "quantile_sketch_merge",
     "mm_audio_features",
+    "value_decile_bins",
 ]
 
 

@@ -11966,6 +11966,54 @@ def quantile_sketch_merge(spark, sf):
 
 
 @register(
+    "value_decile_bins",
+    f"""
+    WITH r AS (
+      SELECT value,
+             row_number() OVER (ORDER BY value, event_id) AS rn,
+             COUNT(*) OVER () AS n
+      FROM events)
+    SELECT CAST(((rn - 1) * 10) // n AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(value) AS min_v,
+           MAX(value) AS max_v,
+           CAST(SUM({_sql_micros('value')}) AS BIGINT) AS sum_value_micro
+    FROM r GROUP BY 1
+    """,
+)
+def value_decile_bins(spark, sf):
+    """Equi-depth histogram (decile binning) of the event value
+    column — the feature-binning / data-profiling shape: every row
+    assigned to its decile by GLOBAL rank, then per-bin count, value
+    range, and exact integer sum. The rank comes from
+    utils.global_rank (range exchange + per-partition row_number +
+    driver-side B count scalars), so there is NO single-partition
+    ORDER BY anywhere — the 100 TB-safe form of NTILE. Bin boundaries
+    derive from integer rank arithmetic ((rank-1)·10 div n), total
+    order (value, event_id) — deterministic cross-engine."""
+    from syncflux_spark.utils import global_rank
+
+    ev = load_table(spark, sf, "events").select("event_id", "value")
+    ranked, n = global_rank(
+        ev, ["value", "event_id"], return_total=True
+    )
+    return (
+        ranked.withColumn(
+            # integer DIV, mirroring the oracle's // — no float hop
+            "bin",
+            F.expr(f"CAST(((_rank - 1) * 10) DIV {n} AS BIGINT)"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("value").alias("min_v"),
+            F.max("value").alias("max_v"),
+            F.sum(micros_amt("value")).cast("long").alias("sum_value_micro"),
+        )
+    )
+
+
+@register(
     "stream_quantile_sketch",
     f"""
     WITH h AS (
