@@ -132,6 +132,7 @@ HEADLINE = [
     "quantile_sketch_merge",
     "mm_audio_features",
     "value_decile_bins",
+    "token_budget_select",
 ]
 
 

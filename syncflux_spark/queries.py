@@ -11966,6 +11966,62 @@ def quantile_sketch_merge(spark, sf):
 
 
 @register(
+    "token_budget_select",
+    r"""
+    WITH base AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+               AS n_tokens,
+             CAST(len(list_distinct(string_split_regex(trim(text), '\s+')))
+                  AS DOUBLE)
+               / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE)
+               AS quality
+      FROM documents),
+    c AS (
+      SELECT doc_id, n_tokens, quality,
+             CAST(SUM(n_tokens) OVER (
+                    ORDER BY quality DESC, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum_tokens
+      FROM base)
+    SELECT doc_id, n_tokens, quality, cum_tokens
+    FROM c WHERE cum_tokens <= 15000
+    """,
+)
+def token_budget_select(spark, sf):
+    """Token-budget corpus selection — the "fill N training tokens
+    with the best documents" cut every dataset build ends with: rank
+    docs by a quality key (distinct-token ratio here; any score
+    column drops in), take the prefix whose cumulative token count
+    fits the budget. The running total comes from
+    utils.global_cumsum — range exchange + per-partition running sums
+    + B driver offset scalars — so the global prefix sum never
+    collapses to one partition (the 100 TB-safe form of
+    SUM() OVER (ORDER BY ...)). Integer token counts make the
+    cumulative exact; the oracle replays the same order and budget."""
+    from syncflux_spark.utils import global_cumsum
+
+    ws = F.split(F.trim(F.col("text")), r"\s+")
+    base = load_table(spark, sf, "documents").select(
+        "doc_id",
+        F.size(ws).cast("long").alias("n_tokens"),
+        (
+            F.size(F.array_distinct(ws)).cast("double")
+            / F.size(ws).cast("double")
+        ).alias("quality"),
+    )
+    # descending quality via negated sort key (range partitioner
+    # orders ascending); negation of a double is exact
+    ordered = base.withColumn("_negq", -F.col("quality"))
+    cum = global_cumsum(
+        ordered, ["_negq", "doc_id"], "n_tokens", out_col="cum_tokens"
+    )
+    return cum.where(F.col("cum_tokens") <= 15_000).select(
+        "doc_id", "n_tokens", "quality", "cum_tokens"
+    )
+
+
+@register(
     "value_decile_bins",
     f"""
     WITH r AS (

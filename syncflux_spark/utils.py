@@ -171,3 +171,54 @@ def key_skew_report(
         .orderBy(F.desc("n_rows"), F.asc("key"))
         .limit(top_k)
     )
+
+
+def global_cumsum(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "_cum",
+    n_ranges: int | None = None,
+) -> DataFrame:
+    """Running total over a GLOBAL sort order without the
+    single-partition collapse of ``SUM() OVER (ORDER BY ...)``: the
+    same two-level shape as :func:`global_rank` — range-partition on
+    the sort key, windowed running sum within each range partition,
+    then offset each partition by the total of all preceding
+    partitions (B driver-side scalars, not data). Exact for integer
+    ``value_col`` (partial sums add associatively); ``order_cols``
+    must be a deterministic total order.
+
+    The 100 TB use: budget/knapsack selections ("take the best docs
+    until N tokens"), cumulative distribution curves, prefix-mass
+    cuts — anywhere a global prefix aggregate would otherwise
+    tempt a one-partition window.
+    """
+    from pyspark.sql import Window
+
+    n_ranges = n_ranges or df.sparkSession.sparkContext.defaultParallelism
+    cols = [F.col(c) for c in order_cols]
+    parted = df.repartitionByRange(n_ranges, *cols).withColumn(
+        "_gc_part", F.spark_partition_id()
+    )
+    parted = eager_persist(parted)
+    sums = {
+        r._gc_part: r.s
+        for r in parted.groupBy("_gc_part")
+        .agg(F.sum(value_col).alias("s"))
+        .collect()
+    }
+    offsets, acc = {}, 0
+    for p in sorted(sums):
+        offsets[p] = acc
+        acc += sums[p] or 0
+    off = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+    w = (
+        Window.partitionBy("_gc_part")
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return parted.withColumn(
+        out_col,
+        (off[F.col("_gc_part")] + F.sum(value_col).over(w)).cast("long"),
+    ).drop("_gc_part")

@@ -367,3 +367,36 @@ class TestWinnowingPlans:
         never a one-partition global sort."""
         plan = plan_of(spark, sf_dir, "winnow_profile")
         assert "SinglePartition" not in plan
+
+
+class TestGlobalCumsum:
+    def test_matches_single_partition_window(self, spark):
+        """global_cumsum must equal SUM() OVER (ORDER BY ...) exactly
+        on a multi-partition input with duplicate sort keys."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from syncflux_spark.utils import global_cumsum
+
+        df = spark.createDataFrame(
+            [(i % 7, i, i % 13) for i in range(1000)], "k long, id long, v long"
+        ).repartition(8)
+        got = {
+            r.id: r.c
+            for r in global_cumsum(df, ["k", "id"], "v", out_col="c").collect()
+        }
+        w = (
+            Window.orderBy("k", "id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        ref = {
+            r.id: r.c
+            for r in df.withColumn("c", F.sum("v").over(w)).collect()
+        }
+        assert got == ref
+
+    def test_range_partitioned_not_single(self, spark, sf_dir):
+        plan = plan_of(spark, sf_dir, "token_budget_select")
+        assert "rangepartitioning" in plan.lower()
+        assert "SinglePartition" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
