@@ -133,6 +133,7 @@ HEADLINE = [
     "mm_audio_features",
     "value_decile_bins",
     "token_budget_select",
+    "ivf_index_roundtrip",
 ]
 
 

@@ -1101,3 +1101,96 @@ def hard_negatives(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+# -- persisted IVF index ----------------------------------------------------
+
+
+def ivf_index_build(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    centroids: DataFrame | None = None,
+):
+    """Build the IVF index as two PLAIN TABLES to persist: the
+    centroid table (cid, centv, centn) and the inverted-file
+    assignment table (id, vec, vnorm, cid). This is the
+    index-once-query-many pattern a billion-vector deployment needs —
+    quantizer training and corpus assignment are paid at ingest, and
+    every later search reads the tables instead of re-clustering
+    (the ANN analog of dedup.py::build_dedup_index). Partition the
+    persisted index by ``cid`` so a probe prunes to nprobe
+    directories. Returns (centroids, assignments)."""
+    cents = (
+        centroids
+        if centroids is not None
+        else seed_centroids(corpus, n_centroids, id_col, vec_col)
+    )
+    assigned = ivf_assign(corpus, n_centroids, id_col, vec_col, dim, cents)
+    index = assigned.select(
+        F.col(id_col),
+        F.col("_v").alias("vec"),
+        F.col("_n").alias("vnorm"),
+        "cid",
+    )
+    return cents, index
+
+
+def ivf_index_topk(
+    centroids: DataFrame,
+    index: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """IVF top-k against a PERSISTED index: probe each query's
+    ``nprobe`` nearest centroids (centroid table broadcasts), scan
+    only those inverted lists from the assignment table, exact-score
+    candidates, per-query top-k heap. Produces results identical to
+    :func:`ivf_topk` run directly on the corpus the index was built
+    from — proven by the ivf_index_roundtrip oracle entry — while
+    touching none of the original vectors' plans."""
+    from pyspark.sql import Window
+
+    pw = Window.partitionBy("query_id").orderBy(F.desc("_cs"), F.asc("cid"))
+    probes = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            as_double(vec_col).alias("qv"),
+            norm(vec_col).alias("qn"),
+        )
+        .crossJoin(F.broadcast(centroids))
+        .select(
+            "query_id",
+            "qv",
+            "qn",
+            "cid",
+            (dot("qv", "centv", dim) / (F.col("qn") * F.col("centn"))).alias(
+                "_cs"
+            ),
+        )
+        .withColumn("_rn", F.row_number().over(pw))
+        .where(F.col("_rn") <= nprobe)
+        .select("query_id", "qv", "qn", "cid")
+    )
+    cand = probes.join(
+        index.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col("vec").alias("cv"),
+            F.col("vnorm").alias("cn"),
+            "cid",
+        ),
+        "cid",
+    ).where(F.col("query_id") != F.col("neighbor_id"))
+    scored = cand.select("query_id", "neighbor_id", _pair_cos(dim))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )

@@ -11965,6 +11965,45 @@ def quantile_sketch_merge(spark, sf):
     return qsk_quantiles(merged, ["event_type"])
 
 
+@register("ivf_index_roundtrip", None)  # sql assigned below (== ivf_topk)
+def ivf_index_roundtrip(spark, sf):
+    """Persisted-IVF-index search: build the index as two plain
+    tables (centroids + cid-partitioned inverted file), WRITE them to
+    parquet, read them back, and search — the index-once-query-many
+    pattern of a billion-vector deployment
+    (operators/similarity.py::ivf_index_build/ivf_index_topk). The
+    oracle is ivf_topk's SQL verbatim: searching the persisted index
+    must produce the exact result of searching the corpus directly,
+    which proves the roundtrip loses nothing."""
+    import os
+
+    from syncflux_spark.operators.similarity import (
+        ivf_index_build,
+        ivf_index_topk,
+    )
+
+    emb = load_table(spark, sf, "embeddings")
+    cents, index = ivf_index_build(emb, n_centroids=16)
+    root = tempfile.mkdtemp(prefix="sf_ivfidx_")
+    cents.write.mode("overwrite").parquet(os.path.join(root, "centroids"))
+    index.write.mode("overwrite").partitionBy("cid").parquet(
+        os.path.join(root, "index")
+    )
+    cents_r = spark.read.parquet(os.path.join(root, "centroids"))
+    index_r = spark.read.parquet(os.path.join(root, "index"))
+    out = ivf_index_topk(
+        cents_r, index_r, emb.where(F.col("vec_id") < 10), k=5, nprobe=4
+    )
+    return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+# the roundtrip's oracle IS ivf_topk's: identical output by contract
+REGISTRY["ivf_index_roundtrip"] = Query(
+    spark=REGISTRY["ivf_index_roundtrip"].spark,
+    sql=REGISTRY["ivf_topk"].sql,
+)
+
+
 @register(
     "token_budget_select",
     r"""
