@@ -134,6 +134,7 @@ HEADLINE = [
     "value_decile_bins",
     "token_budget_select",
     "ivf_index_roundtrip",
+    "winnow_incremental",
 ]
 
 

@@ -1546,3 +1546,78 @@ def winnow_overlap_pairs(
         )
         .where(F.col("overlap") >= min_overlap)
     )
+
+
+def winnow_incremental_pairs(
+    index_fps: DataFrame,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    w: int = 4,
+    max_df: int = 50,
+    min_overlap: float = 0.2,
+) -> DataFrame:
+    """Incremental winnowing overlap: fingerprint ONLY the new batch
+    and pair it against a PERSISTED corpus fingerprint table
+    (``index_fps`` = a stored :func:`winnow_fingerprints` result) —
+    the ingest-loop form of :func:`winnow_overlap_pairs`, mirroring
+    incremental_dedup_indexed: the corpus is never re-shingled, so
+    per-batch cost is O(batch) + the posting join. Pairs cover
+    batch×corpus AND batch×batch (a fresh batch can collide with
+    itself); corpus×corpus pairs are the previous runs' output and
+    are not re-emitted. The df stop-fingerprint gate counts over the
+    COMBINED posting list, so boilerplate that only becomes hot with
+    the new batch is gated correctly."""
+    batch_fps = eager_persist(
+        winnow_fingerprints(batch, text_col, id_col, k=k, w=w)
+    )
+    all_fps = index_fps.select(id_col, "fp").unionByName(
+        batch_fps.select(id_col, "fp")
+    )
+    sizes = all_fps.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_fp")
+    )
+    keep = (
+        all_fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where((F.col("_df") >= 2) & (F.col("_df") <= max_df))
+        .select("fp")
+    )
+    posting = all_fps.join(keep, "fp")
+    b = batch_fps.join(keep, "fp").alias("pb")
+    a = posting.alias("pa")
+    # candidate pairs must include a batch doc; canonicalize id_a<id_b
+    shared = (
+        b.join(
+            a,
+            (F.col("pb.fp") == F.col("pa.fp"))
+            & (F.col(f"pb.{id_col}") != F.col(f"pa.{id_col}")),
+        )
+        .select(
+            F.least(F.col(f"pb.{id_col}"), F.col(f"pa.{id_col}")).alias("id_a"),
+            F.greatest(F.col(f"pb.{id_col}"), F.col(f"pa.{id_col}")).alias(
+                "id_b"
+            ),
+            "pb.fp",
+        )
+        .distinct()
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_fp").alias("n_fp_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_fp").alias("n_fp_b"))
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_shared",
+            (
+                F.col("n_shared").cast("double")
+                / F.least("n_fp_a", "n_fp_b").cast("double")
+            ).alias("overlap"),
+        )
+        .where(F.col("overlap") >= min_overlap)
+    )

@@ -1194,3 +1194,35 @@ def ivf_index_topk(
     return scored.withColumn("rank", F.row_number().over(w)).where(
         F.col("rank") <= k
     )
+
+
+def ivf_index_append(
+    centroids: DataFrame,
+    index: DataFrame,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Incremental index maintenance: assign ONLY the new vectors to
+    the existing (frozen) quantizer and union them into the inverted
+    file — the standard billion-vector ingest loop, where the
+    quantizer is retrained rarely and appends land continuously.
+    Because assignment is a pure function of (vector, centroids),
+    appending batch B to an index of corpus A yields BYTE-IDENTICAL
+    rows to rebuilding over A ∪ B — tested exactly
+    (tests/test_ann_quality.py::TestIvfIndexAppend). Cost: one
+    broadcast-assign map pass over the NEW batch only; the existing
+    index is untouched (with a cid-partitioned parquet index, the
+    append writes only the affected list partitions)."""
+    n_centroids = 0  # unused by ivf_assign when centroids are passed
+    assigned = ivf_assign(
+        new_vectors, n_centroids, id_col, vec_col, dim, centroids
+    )
+    new_rows = assigned.select(
+        F.col(id_col),
+        F.col("_v").alias("vec"),
+        F.col("_n").alias("vnorm"),
+        "cid",
+    )
+    return index.unionByName(new_rows)

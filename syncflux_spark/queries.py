@@ -11965,6 +11965,57 @@ def quantile_sketch_merge(spark, sf):
     return qsk_quantiles(merged, ["event_type"])
 
 
+@register(
+    "winnow_incremental",
+    _SQL_WINNOW
+    + r"""
+    , sizes AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp
+      FROM fps GROUP BY doc_id),
+    keep AS (SELECT fp FROM fps GROUP BY fp
+             HAVING COUNT(*) BETWEEN 2 AND 50),
+    posting AS (SELECT f.doc_id, f.fp FROM fps f JOIN keep USING (fp)),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM posting a JOIN posting b
+        ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT s.id_a, s.id_b, s.n_shared,
+           CAST(s.n_shared AS DOUBLE)
+             / CAST(LEAST(sa.n_fp, sb.n_fp) AS DOUBLE) AS overlap
+    FROM shared s
+    JOIN sizes sa ON sa.doc_id = s.id_a
+    JOIN sizes sb ON sb.doc_id = s.id_b
+    WHERE CAST(s.n_shared AS DOUBLE)
+            / CAST(LEAST(sa.n_fp, sb.n_fp) AS DOUBLE) >= 0.2
+      AND s.id_b >= 400
+    """,
+)
+def winnow_incremental(spark, sf):
+    """Incremental winnowing against a PERSISTED fingerprint store:
+    docs < 400 are the already-indexed corpus (their fingerprints
+    written to parquet and read back — the real ingest loop), docs
+    ≥ 400 are the new batch; only the batch is re-fingerprinted, and
+    output pairs all involve a batch doc. Because winnowing
+    fingerprints are per-document, index ∪ batch-fps is IDENTICAL to
+    fingerprinting the union — so the oracle is the full-corpus
+    overlap query filtered to batch-involving pairs, proving the
+    incremental path loses nothing vs recomputation
+    (operators/dedup.py::winnow_incremental_pairs)."""
+    import os
+
+    docs = load_table(spark, sf, "documents")
+    corpus = docs.where(F.col("doc_id") < 400)
+    batch = docs.where(F.col("doc_id") >= 400)
+    root = tempfile.mkdtemp(prefix="sf_winidx_")
+    dd.winnow_fingerprints(corpus).write.mode("overwrite").parquet(
+        os.path.join(root, "fps")
+    )
+    index_fps = spark.read.parquet(os.path.join(root, "fps"))
+    return dd.winnow_incremental_pairs(index_fps, batch)
+
+
 @register("ivf_index_roundtrip", None)  # sql assigned below (== ivf_topk)
 def ivf_index_roundtrip(spark, sf):
     """Persisted-IVF-index search: build the index as two plain

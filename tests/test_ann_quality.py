@@ -528,3 +528,40 @@ class TestHardNegatives:
         # neither self (0) nor positive (1) appear; nearest non-positive
         # is 10, then 11
         assert got == [(10, 1), (11, 2)]
+
+
+class TestIvfIndexAppend:
+    def test_append_equals_rebuild(self, spark, emb):
+        """Appending a batch to a persisted index must yield the
+        identical inverted file — and identical search results — as
+        rebuilding over the union (assignment is a pure function of
+        vector × frozen centroids)."""
+        from syncflux_spark.operators.similarity import (
+            ivf_index_append,
+            ivf_index_build,
+            ivf_index_topk,
+            seed_centroids,
+        )
+
+        old = emb.where(F.col("vec_id") < 400)
+        batch = emb.where((F.col("vec_id") >= 400) & (F.col("vec_id") < 500))
+        both = emb.where(F.col("vec_id") < 500)
+        # quantizer frozen on the FULL corpus's seed rows (ids < 16,
+        # present in `old`) so append and rebuild share centroids
+        cents = seed_centroids(both, 16)
+        _, idx_old = ivf_index_build(old, 16, centroids=cents)
+        appended = ivf_index_append(cents, idx_old, batch)
+        _, rebuilt = ivf_index_build(both, 16, centroids=cents)
+        a = {(r.vec_id, r.cid) for r in appended.select("vec_id", "cid").collect()}
+        b = {(r.vec_id, r.cid) for r in rebuilt.select("vec_id", "cid").collect()}
+        assert a == b
+        q = emb.where(F.col("vec_id") < 5)
+        ra = {
+            (r.query_id, r.rank, r.neighbor_id)
+            for r in ivf_index_topk(cents, appended, q, k=5, nprobe=4).collect()
+        }
+        rb = {
+            (r.query_id, r.rank, r.neighbor_id)
+            for r in ivf_index_topk(cents, rebuilt, q, k=5, nprobe=4).collect()
+        }
+        assert ra == rb
