@@ -151,6 +151,13 @@ def main() -> int:
 
     # warmup: JVM + codegen + parquet footer caches
     registry["q6_revenue_forecast"](spark, SF_DIR).collect()
+    # spin up the Arrow Python workers once (one per core): the first
+    # mapInPandas query otherwise pays ~3-7s of worker forking that
+    # is session startup cost, not query execution — measured 8.2s
+    # cold vs 1.2s steady-state on mm_audio_features at sf0.1
+    spark.range(64).repartition(32).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -448,14 +448,15 @@ def containment_pairs_exact(
     all-pairs stage anywhere."""
     # persisted: scanned twice (df aggregation + the df join-back);
     # recomputing would re-shingle the corpus — measured 7.3s → 6.0s
-    # at sf0.1 for the k=12 registry entry. A/B measured (alternating
-    # same-session runs, sf0.1): 64-bit xxhash64 VERIFY fingerprints
-    # (strings 9.4-11.1s vs hashed 12.0-12.3s — the 1.4M-hash CPU
-    # outweighs the shuffle savings at local scale; on a
-    # network-shuffle cluster the ~8× byte reduction flips this) —
-    # now a dial: default 'string' here per the local measurement,
-    # switch via fingerprint='hash64' / SYNCFLUX_VERIFY_FP on
-    # network-shuffle clusters. A window-over-s df attach was also
+    # at sf0.1 for the k=12 registry entry. VERIFY fingerprints are a
+    # dial (verify_fingerprint_mode); re-A/B'd with order-alternated
+    # same-session runs in BOTH orders at sf0.1 (k=12): steady-state
+    # hash64 ≈ 4.8-5.3s vs string ≈ 6.4-7.2s at matched positions
+    # (first run of either mode pays ~+9s of session warmup, which
+    # polluted an earlier single-order measurement that picked
+    # string) — so default 'hash64' here like the banded verifies;
+    # on a network-shuffle cluster its ~8× verify-byte reduction
+    # widens the gap further. A window-over-s df attach was also
     # measured and NOT taken (15s vs 10s — the window's per-partition
     # sort of the full explode costs more than the agg + join-back
     # it saves).
@@ -505,7 +506,7 @@ def containment_pairs_exact(
         )
         .distinct()
     )
-    mode = verify_fingerprint_mode(fingerprint, default="string")
+    mode = verify_fingerprint_mode(fingerprint, default="hash64")
     varr = (
         F.transform("sh", lambda s: F.xxhash64(s))
         if mode == "hash64"
