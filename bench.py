@@ -135,6 +135,7 @@ HEADLINE = [
     "token_budget_select",
     "ivf_index_roundtrip",
     "winnow_incremental",
+    "kmv_rolling_distinct",
 ]
 
 

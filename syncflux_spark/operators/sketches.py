@@ -252,3 +252,38 @@ def qsk_quantiles(
         label = f"p{q * 100:g}".replace(".", "_")
         cols.append(F.element_at(vs, rank).alias(label))
     return sketch.select(*cols)
+
+
+def kmv_rolling_merge(
+    daily: DataFrame,
+    day_col: str = "d",
+    window_days: int = 7,
+    k: int = K_DEFAULT,
+) -> DataFrame:
+    """Rolling-window sketch merge: from a PER-DAY sketch table
+    (``day_col``, ``hs``) — the thing a daily ingest persists — build
+    the merged sketch for every trailing ``window_days`` window (the
+    rolling-WAU/MAU shape). Each day's ≤k hashes contribute to the
+    ``window_days`` output days that cover it via an offset explode
+    (pure equi-plan, no range join), then the standard bottom-k
+    truncation per output day. Cost is O(days · k · window) sketch
+    rows; the base event data is NEVER rescanned — which is the whole
+    point vs the exact explode-per-event form (sliding_distinct_users)
+    whose cost rides distinct user-days. Output days are restricted
+    to days present in the input (left-edge windows are partial, as
+    in the exact form)."""
+    offs = F.array(*[F.lit(i) for i in range(window_days)])
+    # one generator per select, and a generator can't nest inside an
+    # expression: unnest the sketch, emit the offset, then add
+    contrib = (
+        daily.select(F.col(day_col), F.explode("hs").alias("_h"))
+        .select(F.col(day_col), "_h", F.explode(offs).alias("_off"))
+        .select((F.col(day_col) + F.col("_off")).alias("_d_out"), "_h")
+    )
+    spine = daily.select(F.col(day_col).alias("_d_out")).distinct()
+    exploded = (
+        contrib.join(spine, "_d_out", "left_semi")
+        .select(F.col("_d_out").alias(day_col), "_h")
+        .distinct()
+    )
+    return _bottom_k(exploded, [day_col], k)

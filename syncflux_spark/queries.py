@@ -11966,6 +11966,61 @@ def quantile_sketch_merge(spark, sf):
 
 
 @register(
+    "kmv_rolling_distinct",
+    """
+    WITH h AS (
+      SELECT DISTINCT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+             ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT AS v
+      FROM events),
+    daily AS (SELECT d, v FROM (
+        SELECT d, v, row_number() OVER (PARTITION BY d ORDER BY v) AS rn
+        FROM h) WHERE rn <= 64),
+    spine AS (SELECT DISTINCT d FROM daily),
+    contrib AS (
+      SELECT s.d AS d_out, x.v
+      FROM daily x JOIN spine s ON s.d BETWEEN x.d AND x.d + 6),
+    u AS (SELECT DISTINCT d_out, v FROM contrib),
+    m AS (SELECT d_out, v FROM (
+        SELECT d_out, v, row_number() OVER (PARTITION BY d_out ORDER BY v) AS rn
+        FROM u) WHERE rn <= 64),
+    agg AS (SELECT d_out AS d, CAST(COUNT(*) AS BIGINT) AS n_sample,
+                   CAST(MAX(v) AS BIGINT) AS kth_hash
+            FROM m GROUP BY 1)
+    SELECT d, n_sample, kth_hash,
+           CASE WHEN n_sample < 64 OR kth_hash = 0
+                THEN CAST(n_sample AS DOUBLE)
+                ELSE 17732923532771328.0::DOUBLE / CAST(kth_hash AS DOUBLE)
+           END AS est_distinct
+    FROM agg
+    """,
+)
+def kmv_rolling_distinct(spark, sf):
+    """Rolling 7-day distinct users from PER-DAY sketches — the
+    rolling-WAU shape: sketch each day once as it lands (kmv_build
+    grouped by day), then every trailing window's estimate comes from
+    merging ≤64 hashes per covered day (offset-explode + bottom-k;
+    operators/sketches.py::kmv_rolling_merge) — the base events are
+    NEVER rescanned, unlike the exact sliding_distinct_users whose
+    explode rides distinct user-days. The oracle replays the
+    identical deterministic pipeline, checking the merged estimates
+    themselves — the sketch-series pattern that answers any trailing
+    window at 100 TB for sketch-table cost."""
+    from syncflux_spark.operators.sketches import (
+        kmv_build,
+        kmv_estimate,
+        kmv_rolling_merge,
+    )
+
+    ev = load_table(spark, sf, "events").select(
+        (F.unix_micros("ts") / F.lit(86_400_000_000)).cast("long").alias("d"),
+        "user_id",
+    )
+    daily = kmv_build(ev, "user_id", ["d"])
+    rolled = kmv_rolling_merge(daily, "d", window_days=7)
+    return kmv_estimate(rolled, ["d"])
+
+
+@register(
     "winnow_incremental",
     _SQL_WINNOW
     + r"""

@@ -7,6 +7,7 @@ contracts (no undercount, no false negative, sane estimate ranges).
 from __future__ import annotations
 
 import __spark_entry__ as entry_mod
+from pyspark.sql import functions as F
 
 QUERIES = entry_mod.queries()
 
@@ -204,3 +205,28 @@ class TestQuantileSketchTables:
         )
         out = qsk_quantiles(merged, ["g"]).collect()[0]
         assert abs(out.p50 / 800 - 0.5) < 0.1875
+
+
+class TestKmvRollingMerge:
+    def test_rolling_equals_direct_window_sketch(self, spark):
+        """The rolling merge of per-day sketches must equal a sketch
+        built directly over each trailing window's rows — the
+        mergeability identity applied per window."""
+        from syncflux_spark.operators.sketches import (
+            kmv_build,
+            kmv_rolling_merge,
+        )
+
+        rows = [(d, d * 1000 + u) for d in range(10) for u in range(d * 30 + 5)]
+        df = spark.createDataFrame(rows, "d long, user long")
+        daily = kmv_build(df, "user", ["d"], k=32)
+        rolled = {
+            r.d: r.hs
+            for r in kmv_rolling_merge(daily, "d", window_days=3, k=32).collect()
+        }
+        for day in range(10):
+            win = df.where((F.col("d") >= day - 2) & (F.col("d") <= day))
+            direct = kmv_build(
+                win.withColumn("d", F.lit(day)), "user", ["d"], k=32
+            ).collect()[0].hs
+            assert rolled[day] == direct, day
