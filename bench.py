@@ -136,6 +136,7 @@ HEADLINE = [
     "ivf_index_roundtrip",
     "winnow_incremental",
     "kmv_rolling_distinct",
+    "maxsim_topk",
 ]
 
 

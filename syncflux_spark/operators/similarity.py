@@ -1226,3 +1226,61 @@ def ivf_index_append(
         "cid",
     )
     return index.unionByName(new_rows)
+
+
+def maxsim_topk(
+    corpus_vecs: DataFrame,
+    query_vecs: DataFrame,
+    k: int = 5,
+    doc_col: str = "doc_id",
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    dim: int | None = None,
+) -> DataFrame:
+    """Late-interaction (ColBERT-style) multi-vector retrieval: a
+    document and a query are each a BAG of vectors, and
+    score(Q, D) = Σ_{q∈Q} max_{d∈D} cos(q, d) — every query vector
+    finds its best match inside the document, so fine-grained token
+    alignment survives, which single-vector pooling destroys.
+
+    Exact form: the query side broadcasts (query bags are small by
+    definition) and each (query vector × corpus vector) cosine is
+    computed once; per (query-vector, doc) max then per (query-doc,
+    doc) sum. The per-pair MaxSim sum accumulates in integer MICROS
+    (round(cos·1e6)) so the aggregation is order-free and
+    bit-identical cross-engine — float summation order never leaks
+    into the score. At 100 TB the exact corpus scan becomes the
+    per-query-vector ANN shortlist (ivf_index_topk/lsh_topk per
+    vector, union candidates per doc, rescore exactly) — same
+    max-then-sum plan over the candidate set.
+
+    Inputs carry (doc_col, id_col, vec_col) on both sides. Output:
+    (q_doc, c_doc, score_micro, rank) with rank ≤ k per q_doc."""
+    from pyspark.sql import Window
+
+    q = query_vecs.select(
+        F.col(doc_col).alias("q_doc"),
+        F.col(id_col).alias("_qvec"),
+        F.col(vec_col).alias("qv"),
+    )
+    c = corpus_vecs.select(
+        F.col(doc_col).alias("c_doc"), F.col(vec_col).alias("cv")
+    )
+    cos = dot("qv", "cv", dim) / (norm("qv") * norm("cv"))
+    mc = (
+        c.crossJoin(F.broadcast(q))
+        .select("q_doc", "_qvec", "c_doc", cos.alias("_cos"))
+        .groupBy("q_doc", "_qvec", "c_doc")
+        .agg(F.max("_cos").alias("_m"))
+    )
+    sc = mc.groupBy("q_doc", "c_doc").agg(
+        F.sum(F.round(F.col("_m") * 1_000_000).cast("long"))
+        .cast("long")
+        .alias("score_micro")
+    )
+    w = Window.partitionBy("q_doc").orderBy(
+        F.desc("score_micro"), F.asc("c_doc")
+    )
+    return sc.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )

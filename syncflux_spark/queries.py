@@ -11966,6 +11966,51 @@ def quantile_sketch_merge(spark, sf):
 
 
 @register(
+    "maxsim_topk",
+    f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id // 10 AS q_doc, vec_id AS qvec, v AS qv
+          FROM v WHERE vec_id < 30),
+    c AS (SELECT vec_id // 10 AS c_doc, v AS cv FROM v WHERE vec_id >= 30),
+    mc AS (SELECT q_doc, qvec, c_doc,
+                  MAX({_sql_cos('qv', 'cv')}) AS m
+           FROM q CROSS JOIN c GROUP BY 1, 2, 3),
+    sc AS (SELECT q_doc, c_doc,
+                  CAST(SUM(CAST(ROUND(m * 1000000) AS BIGINT)) AS BIGINT)
+                    AS score_micro
+           FROM mc GROUP BY 1, 2)
+    SELECT q_doc, c_doc, score_micro, CAST(rn AS INTEGER) AS rank
+    FROM (SELECT q_doc, c_doc, score_micro,
+                 row_number() OVER (PARTITION BY q_doc
+                                    ORDER BY score_micro DESC, c_doc) AS rn
+          FROM sc)
+    WHERE rn <= 5
+    """,
+)
+def maxsim_topk(spark, sf):
+    """Late-interaction multi-vector retrieval (the ColBERT MaxSim
+    shape): vectors grouped into 10-vector bags (vec_id div 10),
+    bags 0-2 are queries, the rest the corpus;
+    score = Σ_query-vec max_doc-vec cosine, summed in integer micros
+    so aggregation order can't perturb the score. Top-5 docs per
+    query bag (operators/similarity.py::maxsim_topk; docstring
+    documents the per-vector-ANN candidate path at scale)."""
+    from syncflux_spark.operators.similarity import maxsim_topk as _ms
+
+    emb = load_table(spark, sf, "embeddings").select(
+        F.expr("CAST(vec_id DIV 10 AS BIGINT)").alias("doc_id"),
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    out = _ms(
+        emb.where(F.col("vec_id") >= 30),
+        emb.where(F.col("vec_id") < 30),
+        k=5,
+    )
+    return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+@register(
     "kmv_rolling_distinct",
     """
     WITH h AS (
