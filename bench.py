@@ -137,6 +137,7 @@ HEADLINE = [
     "winnow_incremental",
     "kmv_rolling_distinct",
     "maxsim_topk",
+    "contrastive_triplets",
 ]
 
 

@@ -11965,6 +11965,90 @@ def quantile_sketch_merge(spark, sf):
     return qsk_quantiles(merged, ["event_type"])
 
 
+def _triplet_sql() -> str:
+    pairs = REGISTRY["ngram_jaccard_pairs"].sql
+    return f"""
+    WITH pool AS (
+      SELECT doc_id AS n FROM documents
+      WHERE substring(md5(CAST(doc_id AS VARCHAR) || 'negpool'), 1, 1) = '0'),
+    pairs AS (SELECT id_a, id_b FROM ({pairs})),
+    cand AS (
+      SELECT p.id_a AS anchor, p.id_b AS positive, pl.n,
+             md5(CAST(p.id_a AS VARCHAR) || '|' || CAST(pl.n AS VARCHAR)) AS h
+      FROM pairs p CROSS JOIN pool pl
+      WHERE pl.n <> p.id_a AND pl.n <> p.id_b),
+    nodup AS (
+      SELECT c.anchor, c.positive, c.n, c.h FROM cand c
+      LEFT JOIN pairs d
+        ON LEAST(c.anchor, c.n) = d.id_a AND GREATEST(c.anchor, c.n) = d.id_b
+      WHERE d.id_a IS NULL)
+    SELECT anchor, positive, n AS negative FROM (
+      SELECT anchor, positive, n,
+             row_number() OVER (PARTITION BY anchor, positive ORDER BY h) AS rn
+      FROM nodup) WHERE rn = 1
+    """
+
+
+@register("contrastive_triplets", _triplet_sql())
+def contrastive_triplets(spark, sf):
+    """Contrastive-training triplet mining: (anchor, positive,
+    negative) rows where the positive is a verified near-duplicate of
+    the anchor (the LSH → exact-Jaccard pipeline's pairs — the
+    standard free supervision signal for retrieval/embedding
+    training) and the negative is drawn from a deterministic
+    hash-sampled candidate pool (~1/16 of the corpus, broadcastable),
+    anti-joined against the near-dup pairs so a true duplicate can
+    never be a negative, selected per (anchor, positive) by min
+    pair-hash — seed-free and replayable. At 100 TB the pool
+    threshold is the dial: the pool stays broadcast-sized while the
+    anti-join cost rides the PAIRS count, not the corpus."""
+    from pyspark.sql import Window as W
+
+    from syncflux_spark.utils import eager_persist
+
+    docs = load_table(spark, sf, "documents")
+    pairs = eager_persist(
+        dd.ngram_jaccard_pairs(docs, threshold=0.5).select("id_a", "id_b")
+    )
+    pool = docs.select(F.col("doc_id").alias("n")).where(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("negpool"))),
+            1,
+            1,
+        )
+        == "0"
+    )
+    cand = (
+        pairs.crossJoin(F.broadcast(pool))
+        .where((F.col("n") != F.col("id_a")) & (F.col("n") != F.col("id_b")))
+        .select(
+            F.col("id_a").alias("anchor"),
+            F.col("id_b").alias("positive"),
+            "n",
+            F.md5(
+                F.concat(
+                    F.col("id_a").cast("string"),
+                    F.lit("|"),
+                    F.col("n").cast("string"),
+                )
+            ).alias("_h"),
+        )
+    )
+    dup = pairs.select(F.col("id_a").alias("_pa"), F.col("id_b").alias("_pb"))
+    nodup = cand.join(
+        dup,
+        (F.least("anchor", "n") == F.col("_pa"))
+        & (F.greatest("anchor", "n") == F.col("_pb")),
+        "left_anti",
+    )
+    w = W.partitionBy("anchor", "positive").orderBy("_h")
+    return (
+        nodup.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("anchor", "positive", F.col("n").alias("negative"))
+    )
+
+
 @register(
     "maxsim_topk",
     f"""
