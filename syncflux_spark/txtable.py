@@ -83,7 +83,32 @@ class TxTable:
         df.write.mode("overwrite").parquet(os.path.join(self.root, rel))
         return rel
 
-    def _try_commit(self, version: int, files: list[str]) -> bool:
+    def _group_stats(self, df: DataFrame, stats_cols) -> dict | None:
+        """Per-group min/max for ``stats_cols`` (numeric/string — the
+        engine's canonical time is a ``ts_ns`` long, so time ranges
+        are covered). One tiny agg over the group being written —
+        bounded by group size, paid once at write time, saved forever
+        in the commit log."""
+        if not stats_cols:
+            return None
+        from pyspark.sql import functions as F
+
+        aggs = []
+        for c in stats_cols:
+            aggs += [F.min(c).alias(f"lo_{c}"), F.max(c).alias(f"hi_{c}")]
+        row = df.agg(*aggs).collect()[0]
+        return {c: [row[f"lo_{c}"], row[f"hi_{c}"]] for c in stats_cols}
+
+    def _stats_at(self, version: int) -> dict:
+        """Per-file stats map of a commit ({} for pre-stats logs —
+        every file then survives pruning, which is the safe
+        direction)."""
+        with open(self._log_path(version)) as f:
+            return json.load(f).get("stats", {})
+
+    def _try_commit(
+        self, version: int, files: list[str], stats: dict | None = None
+    ) -> bool:
         """Atomically claim ``version`` with ``files``; False if a
         concurrent writer claimed it first."""
         os.makedirs(os.path.join(self.root, _LOG_DIR), exist_ok=True)
@@ -94,24 +119,29 @@ class TxTable:
         except FileExistsError:
             return False
         try:
-            os.write(
-                fd,
-                json.dumps(
-                    {"files": files, "committed_at": time.time()}
-                ).encode(),
-            )
+            doc = {"files": files, "committed_at": time.time()}
+            if stats:
+                doc["stats"] = stats
+            os.write(fd, json.dumps(doc).encode())
         finally:
             os.close(fd)
         return True
 
     # -- public API ---------------------------------------------------------
     @classmethod
-    def create(cls, spark: SparkSession, root: str, df: DataFrame) -> "TxTable":
+    def create(
+        cls,
+        spark: SparkSession,
+        root: str,
+        df: DataFrame,
+        stats_cols: list[str] | None = None,
+    ) -> "TxTable":
         t = cls(spark, root)
         if t.version() >= 0:
             raise ValueError(f"table already exists at {root}")
         rel = t._write_group(df)
-        if not t._try_commit(0, [rel]):
+        st = t._group_stats(df, stats_cols)
+        if not t._try_commit(0, [rel], {rel: st} if st else None):
             raise CommitConflict(f"concurrent create at {root}")
         return t
 
@@ -124,17 +154,28 @@ class TxTable:
         paths = [os.path.join(self.root, rel) for rel in self._files_at(v)]
         return self.spark.read.parquet(*paths)
 
-    def append(self, df: DataFrame) -> int:
+    def append(
+        self, df: DataFrame, stats_cols: list[str] | None = None
+    ) -> int:
         """Add rows; file adds commute, so a lost race auto-rebases
-        onto the winner's commit. Returns the committed version."""
+        onto the winner's commit (the new group's stats ride along
+        and merge into the winner's stats map). Returns the committed
+        version."""
         rel = self._write_group(df)
+        st = self._group_stats(df, stats_cols)
         while True:
             v = self.version()
-            if self._try_commit(v + 1, self._files_at(v) + [rel]):
+            stats = dict(self._stats_at(v)) if v >= 0 else {}
+            if st:
+                stats[rel] = st
+            if self._try_commit(
+                v + 1, self._files_at(v) + [rel], stats or None
+            ):
                 return v + 1
 
     def overwrite(
-        self, compute, max_retries: int = 3
+        self, compute, max_retries: int = 3,
+        stats_cols: list[str] | None = None,
     ) -> int:
         """Replace the table with ``compute(snapshot_df) -> DataFrame``
         under OCC: the result is staged, then commit V+1 is claimed;
@@ -144,7 +185,8 @@ class TxTable:
             v = self.version()
             out = compute(self.snapshot(v))
             rel = self._write_group(out)
-            if self._try_commit(v + 1, [rel]):
+            st = self._group_stats(out, stats_cols)
+            if self._try_commit(v + 1, [rel], {rel: st} if st else None):
                 return v + 1
         raise CommitConflict(
             f"lost {max_retries} commit races at {self.root}; raise "
@@ -170,6 +212,52 @@ class TxTable:
             ),
             max_retries=max_retries,
         )
+
+    def scan_range(
+        self,
+        col: str,
+        lo,
+        hi,
+        version: int | None = None,
+    ):
+        """Data-skipping range scan: prune whole data groups whose
+        commit-log [min, max] for ``col`` cannot intersect
+        [``lo``, ``hi``] — the lakehouse file-skipping trick, here on
+        the engine's own commit log (zero extra reads: the stats were
+        paid once at write time). Groups without stats for ``col``
+        (pre-stats commits, writers that didn't declare it) are KEPT —
+        pruning only ever skips provably-irrelevant files. The
+        surviving files still get the row-level predicate, so the
+        result equals ``snapshot().where(lo <= col <= hi)`` exactly.
+
+        Returns ``(DataFrame, n_groups_skipped)``. At 100 TB this is
+        the difference between touching one day's file groups and
+        listing a year of them — the same win as partition pruning,
+        without requiring the data to be physically partitioned on
+        ``col``."""
+        from pyspark.sql import functions as F
+
+        v = self.version() if version is None else version
+        if v < 0:
+            raise ValueError(f"no commits at {self.root}")
+        stats = self._stats_at(v)
+        keep, skipped = [], 0
+        for rel in self._files_at(v):
+            s = stats.get(rel, {}).get(col)
+            if (
+                s is not None
+                and s[0] is not None
+                and s[1] is not None
+                and (s[0] > hi or s[1] < lo)
+            ):
+                skipped += 1
+                continue
+            keep.append(rel)
+        pred = (F.col(col) >= lo) & (F.col(col) <= hi)
+        if not keep:
+            return self.snapshot(v).where(F.lit(False)), skipped
+        paths = [os.path.join(self.root, rel) for rel in keep]
+        return self.spark.read.parquet(*paths).where(pred), skipped
 
     def vacuum(self, older_than_s: float = 3600.0) -> list[str]:
         """Remove data groups unreferenced by the CURRENT commit and

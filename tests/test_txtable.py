@@ -194,3 +194,64 @@ class TestTxCompaction:
         got = {r.k: r.v for r in t.snapshot().collect()}
         assert 0 not in got and got[200] == "new"  # merge survived
         assert len(got) == 53  # 50 - 1 + 3 + 1
+
+
+class TestDataSkipping:
+    def test_scan_range_prunes_groups(self, spark, tmp_path):
+        """Disjoint-range appends must be skipped wholesale by a
+        range scan, and the pruned result must equal the full-scan
+        filter exactly."""
+        from pyspark.sql import functions as F
+
+        from syncflux_spark.txtable import TxTable
+
+        root = str(tmp_path / "t")
+        mk = lambda lo, hi: spark.range(lo, hi).select(
+            F.col("id").alias("ts_ns"), (F.col("id") * 2).alias("v")
+        )
+        t = TxTable.create(spark, root, mk(0, 100), stats_cols=["ts_ns"])
+        t.append(mk(100, 200), stats_cols=["ts_ns"])
+        t.append(mk(200, 300), stats_cols=["ts_ns"])
+        df, skipped = t.scan_range("ts_ns", 120, 180)
+        assert skipped == 2  # groups [0,100) and [200,300) pruned
+        got = sorted(r.ts_ns for r in df.collect())
+        want = sorted(
+            r.ts_ns
+            for r in t.snapshot()
+            .where((F.col("ts_ns") >= 120) & (F.col("ts_ns") <= 180))
+            .collect()
+        )
+        assert got == want and len(got) == 61
+
+    def test_statless_groups_survive_pruning(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from syncflux_spark.txtable import TxTable
+
+        root = str(tmp_path / "t2")
+        mk = lambda lo, hi: spark.range(lo, hi).select(
+            F.col("id").alias("ts_ns")
+        )
+        t = TxTable.create(spark, root, mk(0, 50))  # no stats declared
+        t.append(mk(50, 100), stats_cols=["ts_ns"])
+        df, skipped = t.scan_range("ts_ns", 10, 20)
+        # the stats-bearing group [50,100) is pruned; the stat-less
+        # create group must be kept (pruning is only ever provable)
+        assert skipped == 1
+        assert df.count() == 11
+
+    def test_all_pruned_returns_empty_with_schema(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from syncflux_spark.txtable import TxTable
+
+        root = str(tmp_path / "t3")
+        t = TxTable.create(
+            spark,
+            root,
+            spark.range(0, 10).select(F.col("id").alias("ts_ns")),
+            stats_cols=["ts_ns"],
+        )
+        df, skipped = t.scan_range("ts_ns", 1000, 2000)
+        assert skipped == 1 and df.count() == 0
+        assert df.columns == ["ts_ns"]
