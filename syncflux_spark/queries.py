@@ -6022,6 +6022,62 @@ def stream_attribution_pairs(spark, sf):
 
 
 @register(
+    "stream_attribution_unmatched",
+    """
+    SELECT p.user_id, CAST(epoch_us(p.ts) AS BIGINT) AS purchase_us
+    FROM events p
+    WHERE p.event_type = 'purchase'
+      AND NOT EXISTS (
+        SELECT 1 FROM events c
+        WHERE c.event_type = 'click' AND c.user_id = p.user_id
+          AND epoch_us(c.ts) >= epoch_us(p.ts) - 3600000000
+          AND epoch_us(c.ts) <= epoch_us(p.ts))
+    """,
+)
+def stream_attribution_unmatched(spark, sf):
+    """Stream-stream LEFT OUTER interval join under the oracle gate:
+    purchases with NO click in the trailing hour (the
+    organic-conversion / abandoned-attribution feed). Outer-null
+    emission is the hard watermark semantics — an unmatched purchase
+    may only emit once the watermark PROVES no qualifying click can
+    still arrive, and it flushes in the batch AFTER the watermark
+    advances — so the drive appends two far-future sentinel files
+    (user −1, filtered out below) and processes one file per trigger:
+    the first sentinel's batch advances the watermark, the second's
+    performs the eviction. Matching the batch NOT EXISTS oracle
+    proves every unmatched purchase emits exactly once and no matched
+    one leaks (streaming/joins.py, join_type='left_outer')."""
+    import os
+    import shutil
+
+    from syncflux_spark.streaming.joins import ClickAttributionStream
+
+    root = tempfile.mkdtemp(prefix="sf_ssouter_")
+    src = os.path.join(root, "src")
+    os.makedirs(src)
+    shutil.copy(
+        os.path.join(sf, "events.parquet"),
+        os.path.join(src, "a_events.parquet"),
+    )
+    st = ClickAttributionStream(
+        spark,
+        src,
+        f"{root}/dst",
+        f"{root}/ckpt",
+        join_type="left_outer",
+        max_files_per_trigger=1,
+    )
+    st.emit_flush_sentinel()
+    st.emit_flush_sentinel()
+    st.run_available()
+    return (
+        st.read_pairs()
+        .where(F.col("click_us").isNull() & (F.col("user_id") >= 0))
+        .select("user_id", "purchase_us")
+    )
+
+
+@register(
     "q2_min_cost_supplier",
     f"""
     WITH cost AS (

@@ -47,7 +47,13 @@ class ClickAttributionStream:
         watermark_delay: str = "1 hour",
         time_col: str = "ts",
         time_is_ns: bool | None = None,
+        join_type: str = "inner",
+        max_files_per_trigger: int | None = None,
     ):
+        if join_type not in ("inner", "left_outer"):
+            raise ValueError(
+                f"join_type must be inner or left_outer, got {join_type!r}"
+            )
         self.spark = spark
         self.src_path = src_path
         self.dst_path = dst_path
@@ -56,6 +62,15 @@ class ClickAttributionStream:
         self.watermark_delay = watermark_delay
         self.time_col = time_col
         self.time_is_ns = time_is_ns
+        #: "left_outer" additionally emits every UNMATCHED purchase
+        #: (click_us NULL) once the watermark proves no click can
+        #: still arrive inside its window — the abandoned-purchase /
+        #: organic-conversion feed. Outer-null emission is
+        #: watermark-driven: rows flush in the batch AFTER the
+        #: watermark passes their window, so a drained source needs a
+        #: watermark-advancing flush batch (see emit_flush_sentinel).
+        self.join_type = join_type
+        self.max_files_per_trigger = max_files_per_trigger
 
     def _side(self, event_type: str, alias: str) -> DataFrame:
         self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -70,10 +85,15 @@ class ClickAttributionStream:
         evt = (
             unixnano_to_ts(self.time_col) if is_ns else F.col(self.time_col)
         )
+        reader = self.spark.readStream.schema(schema).option(
+            "latestFirst", "false"
+        )
+        if self.max_files_per_trigger:
+            reader = reader.option(
+                "maxFilesPerTrigger", str(self.max_files_per_trigger)
+            )
         return (
-            self.spark.readStream.schema(schema)
-            .option("latestFirst", "false")
-            .parquet(self.src_path)
+            reader.parquet(self.src_path)
             .where(F.col("event_type") == event_type)
             .select(
                 F.col("user_id").alias(f"{alias}_user_id"),
@@ -90,11 +110,64 @@ class ClickAttributionStream:
             & (F.col("c_evt") >= F.expr(f"p_evt - INTERVAL {self.attribution_window}"))
             & (F.col("c_evt") <= F.col("p_evt"))
         )
-        return p.join(c, cond).select(
+        return p.join(c, cond, self.join_type).select(
             F.col("p_user_id").alias("user_id"),
             F.unix_micros("p_evt").alias("purchase_us"),
             F.unix_micros("c_evt").alias("click_us"),
         )
+
+    def emit_flush_sentinel(self, when: str = "2030-01-01 00:00:00") -> None:
+        """Append one sentinel file (a far-future click + purchase for
+        user −1) to the source so the NEXT batches advance both sides'
+        watermarks past every real event — the outer join's pending
+        unmatched rows then flush. Two sentinel files (or a later
+        second call) are needed for a drained availableNow source:
+        the batch reading sentinel N advances the max event time, and
+        the batch reading sentinel N+1 runs with the advanced
+        watermark and performs the eviction/emission. Sentinel rows
+        are user −1, so downstream filters drop them trivially."""
+        import os
+        import time as _time
+        import uuid as _uuid
+
+        base = self.spark.read.parquet(self.src_path).limit(1)
+        is_ns = base.schema[self.time_col].dataType.simpleString() == "bigint"
+        far = (
+            F.lit(1_893_456_000_000_000_000)  # 2030-01-01 in ns
+            if is_ns
+            else F.to_timestamp(F.lit(when))
+        )
+        sent = base.select(
+            *[
+                F.lit(-1).cast("long").alias(c)
+                if c in ("event_id", "user_id")
+                else far.alias(c)
+                if c == self.time_col
+                else F.col(c)
+                for c in base.columns
+            ]
+        )
+        both = sent.withColumn("event_type", F.lit("click")).unionByName(
+            sent.withColumn("event_type", F.lit("purchase"))
+        )
+        import glob as _glob
+        import shutil as _shutil
+        import tempfile as _tempfile
+
+        stage = _tempfile.mkdtemp(prefix="sf_sentinel_")
+        both.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = _glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        # the stream source lists FILES directly under src_path — move
+        # the part file in flat; mtime (now) orders it after existing
+        # data, which is what keeps the watermark monotone
+        _shutil.move(
+            part,
+            os.path.join(
+                self.src_path, f"zz-sentinel-{_uuid.uuid4().hex}.parquet"
+            ),
+        )
+        _shutil.rmtree(stage, ignore_errors=True)
+        _time.sleep(0.01)
 
     def run_available(self) -> None:
         q = (
