@@ -138,6 +138,8 @@ HEADLINE = [
     "kmv_rolling_distinct",
     "maxsim_topk",
     "contrastive_triplets",
+    "lang_confusion_matrix",
+    "maxsim_topk_ann",
 ]
 
 

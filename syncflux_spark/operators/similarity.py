@@ -1284,3 +1284,98 @@ def maxsim_topk(
     return sc.withColumn("rank", F.row_number().over(w)).where(
         F.col("rank") <= k
     )
+
+
+def maxsim_topk_ann(
+    corpus_vecs: DataFrame,
+    query_vecs: DataFrame,
+    k: int = 5,
+    m: int = 20,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    doc_col: str = "doc_id",
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    dim: int | None = None,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """The scale path for :func:`maxsim_topk`: instead of scoring
+    every (query bag × corpus doc), candidate docs come from
+    per-QUERY-VECTOR ANN — each query vector probes an IVF index of
+    the corpus VECTORS for its top-``m`` neighbors, the neighbors'
+    parent docs form the candidate set per query doc, and MaxSim is
+    then rescored EXACTLY over the candidates' full bags (a doc in
+    the shortlist is never scored approximately — the ANN only
+    selects, like pq_rescored_topk). Candidate volume is
+    O(#query-vecs · m) docs instead of the whole corpus; recall < 1
+    by construction (a doc whose every vector misses every query
+    vector's top-m is skipped), gated in tests/test_ann_quality.py —
+    with ``m`` ≥ corpus vectors the output equals the exact operator
+    row-for-row (also tested). Query and corpus ``id_col`` spaces
+    must be disjoint (the vec-level ANN drops identical ids as
+    self-matches)."""
+    cvecs = corpus_vecs.select(
+        F.col(doc_col).alias("c_doc"),
+        F.col(id_col),
+        as_double(vec_col).alias("_v"),
+    )
+    if centroids is None:
+        # seed quantizer = the n_centroids LOWEST-id corpus vectors
+        # (seed_centroids' `id < n` rule assumes ids start at 0,
+        # which a doc-bag corpus slice generally violates)
+        centroids = (
+            cvecs.orderBy(id_col)
+            .limit(n_centroids)
+            .select(
+                F.col(id_col).cast("int").alias("cid"),
+                F.col("_v").alias("centv"),
+                norm("_v").alias("centn"),
+            )
+        )
+    cents, index = ivf_index_build(
+        cvecs, n_centroids, id_col=id_col, vec_col="_v",
+        dim=dim, centroids=centroids,
+    )
+    qv = query_vecs.select(
+        F.col(doc_col).alias("q_doc"),
+        F.col(id_col),
+        as_double(vec_col).alias("_v"),
+    )
+    hits = ivf_index_topk(
+        cents, index, qv.select(id_col, "_v"),
+        k=m, nprobe=nprobe, id_col=id_col, vec_col="_v", dim=dim,
+    )
+    pairs = (
+        hits.join(
+            qv.select(F.col(id_col).alias("query_id"), "q_doc"), "query_id"
+        )
+        .join(
+            cvecs.select(F.col(id_col).alias("neighbor_id"), "c_doc"),
+            "neighbor_id",
+        )
+        .select("q_doc", "c_doc")
+        .distinct()
+    )
+    qside = qv.select("q_doc", F.col(id_col).alias("_qvec"), F.col("_v").alias("qv"))
+    cside = cvecs.select("c_doc", F.col("_v").alias("cv"))
+    from pyspark.sql import Window
+
+    cos = dot("qv", "cv", dim) / (norm("qv") * norm("cv"))
+    mc = (
+        pairs.join(qside, "q_doc")
+        .join(cside, "c_doc")
+        .select("q_doc", "_qvec", "c_doc", cos.alias("_cos"))
+        .groupBy("q_doc", "_qvec", "c_doc")
+        .agg(F.max("_cos").alias("_m"))
+    )
+    sc = mc.groupBy("q_doc", "c_doc").agg(
+        F.sum(F.round(F.col("_m") * 1_000_000).cast("long"))
+        .cast("long")
+        .alias("score_micro")
+    )
+    w = Window.partitionBy("q_doc").orderBy(
+        F.desc("score_micro"), F.asc("c_doc")
+    )
+    return sc.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )

@@ -1703,6 +1703,54 @@ def lang_detect(spark, sf):
 
 
 @register(
+    "lang_confusion_matrix",
+    f"""
+    WITH pred AS ({_sql_lang_detect()}),
+    j AS (SELECT d.lang AS label_lang, p.pred_lang
+          FROM documents d JOIN pred p USING (doc_id)),
+    tot AS (SELECT label_lang, CAST(COUNT(*) AS BIGINT) AS label_n
+            FROM j GROUP BY label_lang)
+    SELECT j.label_lang, j.pred_lang,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) AS DOUBLE) / CAST(t.label_n AS DOUBLE) AS recall
+    FROM j JOIN tot t USING (label_lang)
+    GROUP BY j.label_lang, j.pred_lang, t.label_n
+    """,
+)
+def lang_confusion_matrix(spark, sf):
+    """Language-ID quality audit: the confusion matrix of the
+    heuristic detector against the corpus's labeled ``lang`` column —
+    (label, predicted, count, per-label recall share). The
+    data-quality report every multilingual pipeline runs before
+    trusting a lang filter; one detector scan + two partial-agg
+    shuffles on tiny (label, pred) keys. Recall is an integer-count
+    division — bit-identical cross-engine."""
+    from syncflux_spark.operators.textops import detect_language
+
+    docs = load_table(spark, sf, "documents")
+    pred = detect_language(docs).select("doc_id", "pred_lang")
+    j = docs.select("doc_id", F.col("lang").alias("label_lang")).join(
+        pred, "doc_id"
+    )
+    tot = j.groupBy("label_lang").agg(
+        F.count(F.lit(1)).cast("long").alias("label_n")
+    )
+    return (
+        j.groupBy("label_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .join(tot, "label_lang")
+        .select(
+            "label_lang",
+            "pred_lang",
+            "n",
+            (F.col("n").cast("double") / F.col("label_n").cast("double")).alias(
+                "recall"
+            ),
+        )
+    )
+
+
+@register(
     "doc_fingerprint",
     f"""
     SELECT doc_id,
@@ -12146,6 +12194,33 @@ def maxsim_topk(spark, sf):
         emb.where(F.col("vec_id") >= 30),
         emb.where(F.col("vec_id") < 30),
         k=5,
+    )
+    return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+@register("maxsim_topk_ann", None)  # ANN shortlist → rows-only gate
+def maxsim_topk_ann(spark, sf):
+    """The MaxSim scale path: per-query-vector IVF shortlist (top-20
+    neighbors, 4 probes) selects candidate docs, then EXACT MaxSim
+    rescoring over the candidates' full bags — approximate selection,
+    exact scoring, like pq_rescored_topk. Gated rows-only (the
+    shortlist is the approximation); the STRONG local gates are
+    tests/test_ann_quality.py::TestMaxSimAnn — full-shortlist output
+    equals the exact operator row-for-row, and the m=20 shortlist
+    holds a recall floor against exact top-5."""
+    from syncflux_spark.operators.similarity import maxsim_topk_ann as _msa
+
+    emb = load_table(spark, sf, "embeddings").select(
+        F.expr("CAST(vec_id DIV 10 AS BIGINT)").alias("doc_id"),
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    out = _msa(
+        emb.where(F.col("vec_id") >= 30),
+        emb.where(F.col("vec_id") < 30),
+        k=5,
+        m=20,
+        nprobe=4,
     )
     return out.withColumn("rank", F.col("rank").cast("int"))
 

@@ -565,3 +565,54 @@ class TestIvfIndexAppend:
             for r in ivf_index_topk(cents, rebuilt, q, k=5, nprobe=4).collect()
         }
         assert ra == rb
+
+
+class TestMaxSimAnn:
+    def _bags(self, emb):
+        return emb.select(
+            F.expr("CAST(vec_id DIV 10 AS BIGINT)").alias("doc_id"),
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("v"),
+        )
+
+    def test_full_shortlist_equals_exact(self, spark, emb):
+        """With m >= corpus vectors every doc is a candidate, so the
+        ANN form must reproduce the exact MaxSim row-for-row."""
+        from syncflux_spark.operators.similarity import (
+            maxsim_topk,
+            maxsim_topk_ann,
+        )
+
+        bags = self._bags(emb)
+        q = bags.where(F.col("vec_id") < 30)
+        c = bags.where(F.col("vec_id") >= 30)
+        n_corpus = c.count()
+        exact = {
+            (r.q_doc, r.rank, r.c_doc, r.score_micro)
+            for r in maxsim_topk(c, q, k=5).collect()
+        }
+        full = {
+            (r.q_doc, r.rank, r.c_doc, r.score_micro)
+            for r in maxsim_topk_ann(
+                c, q, k=5, m=n_corpus, n_centroids=16, nprobe=16
+            ).collect()
+        }
+        assert full == exact
+
+    def test_shortlist_recall_floor(self, spark, emb):
+        from syncflux_spark.operators.similarity import (
+            maxsim_topk,
+            maxsim_topk_ann,
+        )
+
+        bags = self._bags(emb)
+        q = bags.where(F.col("vec_id") < 30)
+        c = bags.where(F.col("vec_id") >= 30)
+        exact = {
+            (r.q_doc, r.c_doc) for r in maxsim_topk(c, q, k=5).collect()
+        }
+        approx = {
+            (r.q_doc, r.c_doc)
+            for r in maxsim_topk_ann(c, q, k=5, m=20, nprobe=4).collect()
+        }
+        assert len(approx & exact) / len(exact) >= 0.5
