@@ -213,6 +213,49 @@ class TxTable:
             max_retries=max_retries,
         )
 
+    def publish_with_audit(
+        self,
+        df: DataFrame,
+        audit,
+        stats_cols: list[str] | None = None,
+    ) -> int:
+        """Write-audit-publish (the Iceberg WAP pattern): stage the
+        new data group, run ``audit(candidate_df)`` against the
+        CANDIDATE snapshot (current files + the staged group) while
+        it is still invisible to readers, and only then commit.
+        ``audit`` raises (or returns False) to veto — the staged
+        group is deleted and the table is byte-identical to before;
+        readers can never observe data that failed its checks. The
+        audit sees the post-publish state, so cross-batch invariants
+        (key uniqueness, row-count deltas, null budgets) are
+        checkable, not just per-batch ones. Returns the committed
+        version; raises ``ValueError`` on veto."""
+        rel = self._write_group(df)
+        st = self._group_stats(df, stats_cols)
+        try:
+            while True:
+                v = self.version()
+                paths = [
+                    os.path.join(self.root, r)
+                    for r in self._files_at(v) + [rel]
+                ]
+                candidate = self.spark.read.parquet(*paths)
+                ok = audit(candidate)
+                if ok is False:
+                    raise ValueError("audit vetoed publish")
+                stats = dict(self._stats_at(v)) if v >= 0 else {}
+                if st:
+                    stats[rel] = st
+                if self._try_commit(
+                    v + 1, self._files_at(v) + [rel], stats or None
+                ):
+                    return v + 1
+                # lost the commit race: re-audit against the winner's
+                # snapshot (the cross-batch invariants may now differ)
+        except BaseException:
+            shutil.rmtree(os.path.join(self.root, rel), ignore_errors=True)
+            raise
+
     def scan_range(
         self,
         col: str,

@@ -255,3 +255,62 @@ class TestDataSkipping:
         df, skipped = t.scan_range("ts_ns", 1000, 2000)
         assert skipped == 1 and df.count() == 0
         assert df.columns == ["ts_ns"]
+
+
+class TestWriteAuditPublish:
+    def test_vetoed_publish_leaves_table_unchanged(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from syncflux_spark.txtable import TxTable
+
+        root = str(tmp_path / "wap")
+        t = TxTable.create(
+            spark, root, spark.range(0, 10).select(F.col("id").alias("k"))
+        )
+        v0 = t.version()
+
+        def no_dup_keys(candidate):
+            n, d = candidate.count(), candidate.select("k").distinct().count()
+            if n != d:
+                raise ValueError(f"duplicate keys: {n} rows, {d} distinct")
+            return True
+
+        # clean batch publishes
+        t.publish_with_audit(
+            spark.range(10, 20).select(F.col("id").alias("k")), no_dup_keys
+        )
+        assert t.version() == v0 + 1 and t.snapshot().count() == 20
+
+        # batch re-inserting key 5 is vetoed by the CANDIDATE audit
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="duplicate keys"):
+            t.publish_with_audit(
+                spark.range(5, 6).select(F.col("id").alias("k")), no_dup_keys
+            )
+        assert t.version() == v0 + 1  # no commit
+        assert t.snapshot().count() == 20  # no data change
+        # the staged group was cleaned up: vacuum finds nothing young
+        import os
+
+        data = os.path.join(root, "data")
+        live = {x.split("/")[-1] for x in t._files_at(t.version())}
+        assert {n for n in os.listdir(data)} == live
+
+    def test_false_return_vetoes_too(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        import pytest as _pytest
+
+        from syncflux_spark.txtable import TxTable
+
+        root = str(tmp_path / "wap2")
+        t = TxTable.create(
+            spark, root, spark.range(0, 5).select(F.col("id").alias("k"))
+        )
+        with _pytest.raises(ValueError, match="vetoed"):
+            t.publish_with_audit(
+                spark.range(5, 8).select(F.col("id").alias("k")),
+                lambda c: False,
+            )
+        assert t.snapshot().count() == 5
