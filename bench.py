@@ -140,6 +140,7 @@ HEADLINE = [
     "contrastive_triplets",
     "lang_confusion_matrix",
     "maxsim_topk_ann",
+    "token_budget_by_source",
 ]
 
 

@@ -272,6 +272,15 @@ def kmv_rolling_merge(
     whose cost rides distinct user-days. Output days are restricted
     to days present in the input (left-edge windows are partial, as
     in the exact form)."""
+    from syncflux_spark.utils import eager_persist
+
+    # `daily` feeds both the contribution fan-out and the day spine;
+    # without pinning it, BOTH subplans re-run the sketch build (a
+    # full base-data scan when `daily` is computed inline rather than
+    # read from a persisted sketch table). The sketch is k·groups
+    # rows — persisting it is always cheap (caught by
+    # tests/test_plans.py::test_rolling_sketch_never_touches_events_twice)
+    daily = eager_persist(daily)
     offs = F.array(*[F.lit(i) for i in range(window_days)])
     # one generator per select, and a generator can't nest inside an
     # expression: unnest the sketch, emit the offset, then add

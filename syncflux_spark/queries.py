@@ -12427,6 +12427,64 @@ def token_budget_select(spark, sf):
 
 
 @register(
+    "token_budget_by_source",
+    r"""
+    WITH base AS (
+      SELECT doc_id, source,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+               AS n_tokens,
+             CAST(len(list_distinct(string_split_regex(trim(text), '\s+')))
+                  AS DOUBLE)
+               / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE)
+               AS quality
+      FROM documents),
+    c AS (
+      SELECT doc_id, source, n_tokens, quality,
+             CAST(SUM(n_tokens) OVER (
+                    PARTITION BY source
+                    ORDER BY quality DESC, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum_tokens
+      FROM base)
+    SELECT doc_id, source, n_tokens, quality, cum_tokens
+    FROM c WHERE cum_tokens <= 1500
+    """,
+)
+def token_budget_by_source(spark, sf):
+    """Per-source token budgeting — the per-domain form of
+    token_budget_select and how real mixtures are actually built:
+    every source gets its own budget (a flat 1500 tokens here; a
+    mixture-weight-scaled map drops into the same plan) and
+    independently keeps its best-quality prefix. The running total is
+    a plain window PARTITIONED BY source — per-group windows scale
+    horizontally (each source sorts within its own hash partition),
+    so unlike the global cut this needs no range-exchange machinery
+    at all. Integer token sums keep the cumulative exact."""
+    ws = F.split(F.trim(F.col("text")), r"\s+")
+    base = load_table(spark, sf, "documents").select(
+        "doc_id",
+        "source",
+        F.size(ws).cast("long").alias("n_tokens"),
+        (
+            F.size(F.array_distinct(ws)).cast("double")
+            / F.size(ws).cast("double")
+        ).alias("quality"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("quality"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        base.withColumn(
+            "cum_tokens", F.sum("n_tokens").over(w).cast("long")
+        )
+        .where(F.col("cum_tokens") <= 1_500)
+        .select("doc_id", "source", "n_tokens", "quality", "cum_tokens")
+    )
+
+
+@register(
     "value_decile_bins",
     f"""
     WITH r AS (

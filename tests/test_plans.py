@@ -400,3 +400,47 @@ class TestGlobalCumsum:
         assert "rangepartitioning" in plan.lower()
         assert "SinglePartition" not in plan
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestRound4OperatorPlans:
+    """Plan discipline for the round-4 additions."""
+
+    @pytest.mark.parametrize(
+        "name",
+        [
+            "quantile_sketch_merge",
+            "kmv_rolling_distinct",
+            "winnow_incremental",
+            "token_budget_by_source",
+            "value_decile_bins",
+            "contrastive_triplets",
+            "lang_confusion_matrix",
+        ],
+    )
+    def test_no_cartesian_no_python(self, spark, sf_dir, name):
+        plan = plan_of(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    def test_maxsim_query_side_broadcasts(self, spark, sf_dir):
+        """The exact MaxSim must broadcast the (small) query bags —
+        the corpus side never replicates."""
+        plan = plan_of(spark, sf_dir, "maxsim_topk")
+        assert "BroadcastExchange" in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    def test_per_source_budget_needs_no_range_exchange(self, spark, sf_dir):
+        """Per-group windows hash-partition by source; the global
+        range-exchange machinery must NOT appear."""
+        plan = plan_of(spark, sf_dir, "token_budget_by_source")
+        assert "SinglePartition" not in plan
+        assert "rangepartitioning" not in plan.lower()
+
+    def test_rolling_sketch_reads_daily_from_cache(self, spark, sf_dir):
+        """The daily sketch feeds both the window fan-out and the day
+        spine: both consumers must read the PINNED sketch
+        (InMemoryTableScan), never re-run the events scan. (The plan
+        text still prints the cached child's scan per reference, so
+        we assert the cache reads, not the scan count.)"""
+        plan = plan_of(spark, sf_dir, "kmv_rolling_distinct")
+        assert plan.count("InMemoryTableScan") >= 2
