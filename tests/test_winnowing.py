@@ -73,3 +73,48 @@ def test_overlap_pair_found(corpus):
     keys = {(r.id_a, r.id_b) for r in pairs}
     assert (1, 2) in keys
     assert all(p in {(1, 2)} for p in keys), keys
+
+
+# -- property-based guarantee (pure-python reference implementation) --------
+
+import hashlib as _hashlib
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _ref_fingerprints(doc_words, k=K, w=W):
+    """Reference winnowing on plain Python: md5 k-gram hashes,
+    distinct window minima over full windows."""
+    grams = [
+        _hashlib.md5(" ".join(doc_words[i : i + k]).encode()).hexdigest()
+        for i in range(len(doc_words) - k + 1)
+    ]
+    return {
+        min(grams[q : q + w]) for q in range(len(grams) - w + 1)
+    } if len(grams) >= w else set()
+
+
+_word = st.text(alphabet="abcdefgh", min_size=1, max_size=4)
+_doc = st.lists(_word, min_size=0, max_size=40)
+
+
+@settings(max_examples=25, deadline=None)
+@given(a=_doc, b=_doc, run=st.lists(_word, min_size=GUARANTEE, max_size=GUARANTEE))
+def test_guarantee_holds_on_random_docs(spark, a, b, run):
+    """For ANY two documents sharing an inserted w+k-1-word run, the
+    Spark operator must (1) reproduce the pure-python reference
+    fingerprints per doc and (2) give the pair >= 1 shared
+    fingerprint — the SIGMOD '03 guarantee, property-tested."""
+    wa, wb = a + run, run + b
+    df = spark.createDataFrame(
+        [(1, " ".join(wa)), (2, " ".join(wb))], ["doc_id", "text"]
+    )
+    got = {}
+    for r in dd.winnow_fingerprints(df, k=K, w=W).collect():
+        got.setdefault(r.doc_id, set()).add(r.fp)
+    # NB: words() splits on whitespace, so the joined text re-splits
+    # to exactly wa/wb (generated words are non-empty, no spaces)
+    assert got.get(1, set()) == _ref_fingerprints(wa)
+    assert got.get(2, set()) == _ref_fingerprints(wb)
+    assert got.get(1, set()) & got.get(2, set()), "guarantee violated"
