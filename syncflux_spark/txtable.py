@@ -147,20 +147,54 @@ class TxTable:
 
     def snapshot(self, version: int | None = None) -> DataFrame:
         """The table at a committed version (default: latest) — an
-        immutable, torn-read-free view."""
+        immutable, torn-read-free view. Reads with ``mergeSchema`` so
+        columns added by later appends (see :meth:`append`'s
+        ``allow_new_columns``) surface across every group, null-filled
+        where a group predates them."""
         v = self.version() if version is None else version
         if v < 0:
             raise ValueError(f"no commits at {self.root}")
         paths = [os.path.join(self.root, rel) for rel in self._files_at(v)]
-        return self.spark.read.parquet(*paths)
+        return self.spark.read.option("mergeSchema", "true").parquet(*paths)
+
+    def _check_schema_compatible(
+        self, df: DataFrame, allow_new_columns: bool
+    ) -> None:
+        """Appends may widen the schema (new columns → earlier groups
+        read as null) but never CHANGE an existing column's type —
+        parquet's mergeSchema would fail at read time, which is the
+        worst place to discover it. Checked at write time instead."""
+        current = {f.name: f.dataType for f in self.snapshot().schema.fields}
+        for f in df.schema.fields:
+            if f.name in current:
+                if f.dataType != current[f.name]:
+                    raise ValueError(
+                        f"column {f.name!r}: type {f.dataType.simpleString()} "
+                        f"conflicts with existing "
+                        f"{current[f.name].simpleString()} — schema evolution "
+                        "adds columns, never retypes them"
+                    )
+            elif not allow_new_columns:
+                raise ValueError(
+                    f"column {f.name!r} not in table schema; pass "
+                    "allow_new_columns=True to evolve the schema"
+                )
 
     def append(
-        self, df: DataFrame, stats_cols: list[str] | None = None
+        self,
+        df: DataFrame,
+        stats_cols: list[str] | None = None,
+        allow_new_columns: bool = False,
     ) -> int:
         """Add rows; file adds commute, so a lost race auto-rebases
         onto the winner's commit (the new group's stats ride along
-        and merge into the winner's stats map). Returns the committed
-        version."""
+        and merge into the winner's stats map). With
+        ``allow_new_columns`` the batch may carry columns the table
+        lacks — snapshot reads merge schemas and older groups surface
+        them as null; a TYPE change for an existing column always
+        raises at write time (see _check_schema_compatible). Returns
+        the committed version."""
+        self._check_schema_compatible(df, allow_new_columns)
         rel = self._write_group(df)
         st = self._group_stats(df, stats_cols)
         while True:
@@ -300,7 +334,14 @@ class TxTable:
         if not keep:
             return self.snapshot(v).where(F.lit(False)), skipped
         paths = [os.path.join(self.root, rel) for rel in keep]
-        return self.spark.read.parquet(*paths).where(pred), skipped
+        # mergeSchema, like snapshot(): surviving groups may straddle
+        # a schema evolution
+        return (
+            self.spark.read.option("mergeSchema", "true")
+            .parquet(*paths)
+            .where(pred),
+            skipped,
+        )
 
     def vacuum(self, older_than_s: float = 3600.0) -> list[str]:
         """Remove data groups unreferenced by the CURRENT commit and

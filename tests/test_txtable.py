@@ -314,3 +314,60 @@ class TestWriteAuditPublish:
                 lambda c: False,
             )
         assert t.snapshot().count() == 5
+
+
+class TestSchemaEvolution:
+    def test_new_column_appends_and_merges(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from syncflux_spark.txtable import TxTable
+
+        root = str(tmp_path / "ev")
+        t = TxTable.create(
+            spark, root, spark.range(0, 5).select(F.col("id").alias("k"))
+        )
+        t.append(
+            spark.range(5, 8).select(
+                F.col("id").alias("k"), F.lit("web").alias("source")
+            ),
+            allow_new_columns=True,
+        )
+        snap = t.snapshot()
+        assert set(snap.columns) == {"k", "source"}
+        rows = {r.k: r.source for r in snap.collect()}
+        assert rows[0] is None and rows[6] == "web"
+
+    def test_new_column_rejected_by_default(self, spark, tmp_path):
+        import pytest as _pytest
+        from pyspark.sql import functions as F
+
+        from syncflux_spark.txtable import TxTable
+
+        root = str(tmp_path / "ev2")
+        t = TxTable.create(
+            spark, root, spark.range(0, 5).select(F.col("id").alias("k"))
+        )
+        with _pytest.raises(ValueError, match="allow_new_columns"):
+            t.append(
+                spark.range(5, 8).select(
+                    F.col("id").alias("k"), F.lit(1).alias("extra")
+                )
+            )
+
+    def test_type_change_always_rejected(self, spark, tmp_path):
+        import pytest as _pytest
+        from pyspark.sql import functions as F
+
+        from syncflux_spark.txtable import TxTable
+
+        root = str(tmp_path / "ev3")
+        t = TxTable.create(
+            spark, root, spark.range(0, 5).select(F.col("id").alias("k"))
+        )
+        with _pytest.raises(ValueError, match="conflicts"):
+            t.append(
+                spark.range(5, 8).select(
+                    F.col("id").cast("string").alias("k")
+                ),
+                allow_new_columns=True,
+            )
