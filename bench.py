@@ -141,6 +141,7 @@ HEADLINE = [
     "lang_confusion_matrix",
     "maxsim_topk_ann",
     "token_budget_by_source",
+    "regex_token_stats",
 ]
 
 

@@ -1703,6 +1703,48 @@ def lang_detect(spark, sf):
 
 
 @register(
+    "regex_token_stats",
+    r"""
+    SELECT doc_id,
+           CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+             AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text,
+                 '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT)
+             AS n_regex_tokens,
+           CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT)
+             AS n_number_runs,
+           CAST(len(regexp_extract_all(text,
+                 '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS DOUBLE)
+             / CAST(GREATEST(len(string_split_regex(trim(text), '\s+')), 1)
+                    AS DOUBLE) AS tokens_per_word
+    FROM documents
+    """,
+)
+def regex_token_stats(spark, sf):
+    """GPT-style regex pre-tokenization counts — the BPE-ish
+    complement to whitespace token_stats: letter runs, digit runs,
+    and isolated punctuation each count as one pre-token (the
+    ASCII-safe core of the GPT-2 pattern), and tokens_per_word is the
+    fertility proxy dataset builders budget sequence lengths with.
+    Pure codegen regexp over one scan — no shuffle, no Python."""
+    docs = load_table(spark, sf, "documents")
+    pat = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+    n_ws = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    n_re = F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), 0)).cast("long")
+    return docs.select(
+        "doc_id",
+        n_ws.alias("n_ws_tokens"),
+        n_re.alias("n_regex_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[0-9]+"), 0))
+        .cast("long")
+        .alias("n_number_runs"),
+        (
+            n_re.cast("double") / F.greatest(n_ws, F.lit(1)).cast("double")
+        ).alias("tokens_per_word"),
+    )
+
+
+@register(
     "lang_confusion_matrix",
     f"""
     WITH pred AS ({_sql_lang_detect()}),
