@@ -142,6 +142,7 @@ HEADLINE = [
     "maxsim_topk_ann",
     "token_budget_by_source",
     "regex_token_stats",
+    "quantile_rolling_series",
 ]
 
 

@@ -296,3 +296,51 @@ def kmv_rolling_merge(
         .distinct()
     )
     return _bottom_k(exploded, [day_col], k)
+
+
+def qsk_rolling_merge(
+    daily: DataFrame,
+    day_col: str = "d",
+    window_days: int = 7,
+    k: int = QSK_K_DEFAULT,
+) -> DataFrame:
+    """Rolling-window QUANTILE sketch merge — the percentile twin of
+    :func:`kmv_rolling_merge`: from a per-day quantile-sketch table
+    (``day_col``, ``sk``), build the merged sketch for every trailing
+    ``window_days`` window by fanning each day's ≤k (priority, value)
+    pairs to the windows that cover it, then re-truncating bottom-k
+    per output day. Feed the result to :func:`qsk_quantiles` for a
+    rolling p50/p90/p99 series — trailing-window percentiles from
+    persisted daily sketches, the base data never rescanned."""
+    from syncflux_spark.utils import eager_persist
+
+    daily = eager_persist(daily)  # feeds fan-out AND spine (see kmv twin)
+    offs = F.array(*[F.lit(i) for i in range(window_days)])
+    contrib = (
+        daily.select(
+            F.col(day_col),
+            F.explode("sk").alias("e"),
+        )
+        .select(
+            F.col(day_col),
+            F.col("e._h").alias("_h"),
+            F.col("e._v").alias("_v"),
+            F.explode(offs).alias("_off"),
+        )
+        .select(
+            (F.col(day_col) + F.col("_off")).alias("_d_out"), "_h", "_v"
+        )
+    )
+    spine = daily.select(F.col(day_col).alias("_d_out")).distinct()
+    exploded = (
+        contrib.join(spine, "_d_out", "left_semi")
+        .select(F.col("_d_out").alias(day_col), "_h", "_v")
+        .distinct()
+    )
+    w = Window.partitionBy(day_col).orderBy("_h", "_v")
+    return (
+        exploded.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .groupBy(day_col)
+        .agg(F.sort_array(F.collect_list(F.struct("_h", "_v"))).alias("sk"))
+    )

@@ -12323,6 +12323,66 @@ def kmv_rolling_distinct(spark, sf):
 
 
 @register(
+    "quantile_rolling_series",
+    f"""
+    WITH h AS (
+      SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+             ('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 12))::BIGINT AS h,
+             CAST(value AS DOUBLE) AS v
+      FROM events),
+    daily AS (SELECT d, h, v FROM (
+        SELECT d, h, v, row_number() OVER (PARTITION BY d ORDER BY h, v) AS rn
+        FROM h) WHERE rn <= {_QSK_K}),
+    spine AS (SELECT DISTINCT d FROM daily),
+    contrib AS (
+      SELECT s.d AS d_out, x.h, x.v
+      FROM daily x JOIN spine s ON s.d BETWEEN x.d AND x.d + 6),
+    u AS (SELECT DISTINCT d_out, h, v FROM contrib),
+    m AS (SELECT d_out, h, v FROM (
+        SELECT d_out, h, v,
+               row_number() OVER (PARTITION BY d_out ORDER BY h, v) AS rn
+        FROM u) WHERE rn <= {_QSK_K}),
+    r AS (SELECT d_out AS d, v,
+                 row_number() OVER (PARTITION BY d_out ORDER BY v) AS vr,
+                 COUNT(*) OVER (PARTITION BY d_out) AS n
+          FROM m)
+    SELECT d, CAST(MAX(n) AS BIGINT) AS n_sample,
+           MAX(CASE WHEN vr = GREATEST(1, CAST(CEIL(0.5 * n) AS BIGINT))
+                    THEN v END) AS p50,
+           MAX(CASE WHEN vr = GREATEST(1, CAST(CEIL(0.9 * n) AS BIGINT))
+                    THEN v END) AS p90,
+           MAX(CASE WHEN vr = GREATEST(1, CAST(CEIL(0.99 * n) AS BIGINT))
+                    THEN v END) AS p99
+    FROM r GROUP BY d
+    """,
+)
+def quantile_rolling_series(spark, sf):
+    """Rolling trailing-7-day p50/p90/p99 of event values from
+    PER-DAY quantile sketches — the percentile twin of
+    kmv_rolling_distinct, and the monitoring series (latency/value
+    percentiles over a moving window) that usually forces a second
+    system: sketch each day once, fan each day's ≤256 (priority,
+    value) pairs to the windows covering it, re-truncate bottom-k per
+    window, read quantiles off the merged sample — base events never
+    rescanned. Oracle replays the identical deterministic pipeline,
+    estimates included (operators/sketches.py::qsk_rolling_merge)."""
+    from syncflux_spark.operators.sketches import (
+        qsk_build,
+        qsk_quantiles,
+        qsk_rolling_merge,
+    )
+
+    ev = load_table(spark, sf, "events").select(
+        (F.unix_micros("ts") / F.lit(86_400_000_000)).cast("long").alias("d"),
+        "event_id",
+        "value",
+    )
+    daily = qsk_build(ev, "value", "event_id", ["d"], k=_QSK_K)
+    rolled = qsk_rolling_merge(daily, "d", window_days=7, k=_QSK_K)
+    return qsk_quantiles(rolled, ["d"])
+
+
+@register(
     "winnow_incremental",
     _SQL_WINNOW
     + r"""

@@ -230,3 +230,31 @@ class TestKmvRollingMerge:
                 win.withColumn("d", F.lit(day)), "user", ["d"], k=32
             ).collect()[0].hs
             assert rolled[day] == direct, day
+
+
+class TestQskRollingMerge:
+    def test_rolling_equals_direct_window_sketch(self, spark):
+        from syncflux_spark.operators.sketches import (
+            qsk_build,
+            qsk_rolling_merge,
+        )
+
+        rows = [
+            (d, d * 1000 + u, float((d * 7 + u) % 53))
+            for d in range(8)
+            for u in range(d * 25 + 10)
+        ]
+        df = spark.createDataFrame(rows, "d long, key long, v double")
+        daily = qsk_build(df, "v", "key", ["d"], k=32)
+        rolled = {
+            r.d: r.sk
+            for r in qsk_rolling_merge(daily, "d", window_days=3, k=32).collect()
+        }
+        from pyspark.sql import functions as F
+
+        for day in range(8):
+            win = df.where((F.col("d") >= day - 2) & (F.col("d") <= day))
+            direct = qsk_build(
+                win.withColumn("d", F.lit(day)), "v", "key", ["d"], k=32
+            ).collect()[0].sk
+            assert rolled[day] == direct, day
