@@ -444,3 +444,21 @@ class TestRound4OperatorPlans:
         we assert the cache reads, not the scan count.)"""
         plan = plan_of(spark, sf_dir, "kmv_rolling_distinct")
         assert plan.count("InMemoryTableScan") >= 2
+
+
+class TestPlanReportTool:
+    def test_report_fields_on_known_queries(self, spark, sf_dir):
+        from syncflux_spark.plans import plan_report
+
+        r = plan_report(spark, sf_dir, "ts_scan_range")
+        assert r["query"] == "ts_scan_range"
+        assert r["scans"] and r["scans"][0]["format"] == "parquet"
+        assert r["scans"][0]["pushed_filters"]  # the ns range reaches the scan
+        assert r["python_stages"] == 0 and not r["cartesian"]
+
+        r2 = plan_report(spark, sf_dir, "token_budget_select")
+        assert r2["range_exchanges"] >= 1  # global_cumsum's range exchange
+        assert not r2["single_partition"]
+
+        r3 = plan_report(spark, sf_dir, "q5_local_supplier_volume")
+        assert r3["broadcast_joins"] >= 1  # dims broadcast
