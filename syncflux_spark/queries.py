@@ -5142,31 +5142,55 @@ def ts_counter_increase(spark, sf):
 )
 def customer_rfm_segments(spark, sf):
     """RFM customer segmentation: recency / frequency / monetary
-    quartiles (ntile over total orders — ties pinned by custkey so the
-    quartile assignment is a total order on both engines) composed
-    into standard segment labels. Money rides exact cents; one
-    partial-agg shuffle to per-customer rows, then three global-order
-    windows over the CUSTOMER-sized frame (ntile needs a global sort —
-    acceptable because the frame is per-customer aggregates, ~1e9 rows
-    at 100 TB, not raw orders; range-partitioned sort, no single-node
-    bottleneck)."""
+    quartiles (ties pinned by custkey so the assignment is a total
+    order on both engines) composed into standard segment labels.
+    Money rides exact cents. The quartiles come from THREE chained
+    utils.global_rank passes (range exchange + per-partition
+    row_number each) with NTILE's exact bucket arithmetic applied to
+    the global rank — a bare ``ntile() OVER (ORDER BY …)`` plans as a
+    SINGLE-PARTITION window, the one-node sort this engine bans (the
+    plans.py audit caught this masquerading as 'range-partitioned');
+    the rank form is plan-asserted SinglePartition-free."""
+    from syncflux_spark.utils import global_rank
+
     o = load_table(spark, sf, "orders")
     base = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
         F.max(F.unix_micros("o_orderdate")).alias("last_us"),
         F.count(F.lit(1)).alias("frequency"),
         F.sum(cents("o_totalprice")).alias("monetary_c"),
     )
-    rq = F.ntile(4).over(Window.orderBy(F.desc("last_us"), F.asc("custkey")))
-    fq = F.ntile(4).over(Window.orderBy(F.desc("frequency"), F.asc("custkey")))
-    mq = F.ntile(4).over(Window.orderBy(F.desc("monetary_c"), F.asc("custkey")))
-    scored = base.select(
+    # descending orders via negated keys (range partitioner sorts asc)
+    keyed = base.select(
+        "*",
+        (-F.col("last_us")).alias("_nr"),
+        (-F.col("frequency")).alias("_nf"),
+        (-F.col("monetary_c")).alias("_nm"),
+    )
+    ranked, n = global_rank(keyed, ["_nr", "custkey"], "_r1", return_total=True)
+    ranked = global_rank(ranked, ["_nf", "custkey"], "_r2")
+    ranked = global_rank(ranked, ["_nm", "custkey"], "_r3")
+    # NTILE(4)'s exact buckets: q = n//4, r = n%4; the first r tiles
+    # hold q+1 rows — reproduced from the global rank so the result
+    # is bit-identical to the oracle's ntile
+    q, r = divmod(n, 4)
+    cut = r * (q + 1)
+
+    def tile(rank_col: str) -> F.Column:
+        return F.expr(
+            f"CAST(CASE WHEN {rank_col} <= {cut} "
+            f"THEN ({rank_col} - 1) DIV {q + 1} + 1 "
+            f"ELSE {r} + ({rank_col} - 1 - {cut}) DIV {max(q, 1)} + 1 "
+            f"END AS BIGINT)"
+        )
+
+    scored = ranked.select(
         "custkey",
         "last_us",
         "frequency",
         "monetary_c",
-        rq.cast("long").alias("r_quartile"),
-        fq.cast("long").alias("f_quartile"),
-        mq.cast("long").alias("m_quartile"),
+        tile("_r1").alias("r_quartile"),
+        tile("_r2").alias("f_quartile"),
+        tile("_r3").alias("m_quartile"),
     )
     seg = (
         F.when(

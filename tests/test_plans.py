@@ -462,3 +462,13 @@ class TestPlanReportTool:
 
         r3 = plan_report(spark, sf_dir, "q5_local_supplier_volume")
         assert r3["broadcast_joins"] >= 1  # dims broadcast
+
+
+class TestRfmScaleSafety:
+    def test_rfm_quartiles_not_single_partition(self, spark, sf_dir):
+        """RFM's quartiles rank a CUSTOMER-sized frame: they must ride
+        range exchanges (global_rank), never the single-partition
+        window a bare ntile() OVER (ORDER BY ...) plans as."""
+        plan = plan_of(spark, sf_dir, "customer_rfm_segments")
+        assert "SinglePartition" not in plan
+        assert "rangepartitioning" in plan.lower()
