@@ -143,6 +143,7 @@ HEADLINE = [
     "token_budget_by_source",
     "regex_token_stats",
     "quantile_rolling_series",
+    "corpus_overview",
 ]
 
 

@@ -1703,6 +1703,78 @@ def lang_detect(spark, sf):
 
 
 @register(
+    "corpus_overview",
+    r"""
+    WITH d AS (
+      SELECT doc_id, lang, md5(text) AS digest,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+               AS n_tokens,
+             CAST(len(list_distinct(string_split_regex(trim(text), '\s+')))
+                  AS BIGINT) AS n_distinct
+      FROM documents),
+    langs AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
+              FROM d GROUP BY lang),
+    lg AS (SELECT CAST(SUM(n * n) AS BIGINT) AS sq,
+                  CAST(SUM(n) AS BIGINT) AS tot FROM langs)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(d.n_tokens) AS BIGINT) AS total_tokens,
+           CAST(COUNT(DISTINCT d.digest) AS BIGINT) AS n_distinct_docs,
+           1.0 - CAST(COUNT(DISTINCT d.digest) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS exact_dup_rate,
+           CAST(SUM(d.n_distinct) AS DOUBLE)
+             / CAST(SUM(d.n_tokens) AS DOUBLE) AS corpus_distinct_ratio,
+           1.0 - CAST(MAX(lg.sq) AS DOUBLE)
+                   / CAST(MAX(lg.tot) * MAX(lg.tot) AS DOUBLE)
+             AS lang_gini
+    FROM d CROSS JOIN lg
+    """,
+)
+def corpus_overview(spark, sf):
+    """The one-row dataset card a curation team reads first: corpus
+    size, total tokens, exact-duplicate rate (1 − distinct digests /
+    docs), corpus-level distinct-token ratio, and language diversity
+    as Gini impurity (1 − Σ share² — deliberately log-free, so every
+    metric is integer sums + single rational divisions and
+    bit-identical cross-engine). One scan, two partial aggs, a 1-row
+    broadcast; at 100 TB this is the cheapest query in the registry
+    per byte scanned."""
+    ws = F.split(F.trim(F.col("text")), r"\s+")
+    d = load_table(spark, sf, "documents").select(
+        "lang",
+        F.md5("text").alias("digest"),
+        F.size(ws).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(ws)).cast("long").alias("n_distinct"),
+    )
+    langs = d.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    lg = langs.agg(
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("sq"),
+        F.sum("n").cast("long").alias("tot"),
+    )
+    return (
+        d.crossJoin(F.broadcast(lg))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.countDistinct("digest").cast("long").alias("n_distinct_docs"),
+            (
+                F.lit(1.0)
+                - F.countDistinct("digest").cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("exact_dup_rate"),
+            (
+                F.sum("n_distinct").cast("double")
+                / F.sum("n_tokens").cast("double")
+            ).alias("corpus_distinct_ratio"),
+            (
+                F.lit(1.0)
+                - F.max("sq").cast("double")
+                / (F.max("tot") * F.max("tot")).cast("double")
+            ).alias("lang_gini"),
+        )
+    )
+
+
+@register(
     "regex_token_stats",
     r"""
     SELECT doc_id,
