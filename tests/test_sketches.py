@@ -258,3 +258,62 @@ class TestQskRollingMerge:
                 win.withColumn("d", F.lit(day)), "v", "key", ["d"], k=32
             ).collect()[0].sk
             assert rolled[day] == direct, day
+
+
+# -- property-based mergeability ------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_keys = st.lists(
+    st.integers(min_value=0, max_value=10_000), min_size=1, max_size=60
+)
+
+
+@settings(max_examples=20, deadline=None)
+@given(a=_keys, b=_keys)
+def test_kmv_mergeability_property(spark, a, b):
+    """bottomK(A ∪ B) == bottomK(bottomK(A) ∪ bottomK(B)) for ANY
+    two key multisets — the identity every incremental sketch
+    deployment silently relies on, hypothesis-swept."""
+    from syncflux_spark.operators.sketches import kmv_build, kmv_merge
+
+    da = spark.createDataFrame([("g", k) for k in a], "g string, k long")
+    db = spark.createDataFrame([("g", k) for k in b], "g string, k long")
+    merged = kmv_merge(
+        kmv_build(da, "k", ["g"], k=16),
+        kmv_build(db, "k", ["g"], k=16),
+        ["g"],
+        k=16,
+    ).collect()[0].hs
+    direct = kmv_build(da.unionByName(db), "k", ["g"], k=16).collect()[0].hs
+    assert merged == direct
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 50), st.integers(0, 100_000), st.integers(-5, 5)
+        ),
+        min_size=1,
+        max_size=80,
+        unique_by=lambda t: t[1],
+    )
+)
+def test_global_cumsum_property(spark, rows):
+    """global_cumsum == SUM() OVER (ORDER BY ...) on arbitrary data
+    with duplicate sort keys and negative values."""
+    from pyspark.sql import Window
+    from syncflux_spark.utils import global_cumsum
+
+    df = spark.createDataFrame(rows, "k long, id long, v long").repartition(5)
+    got = {
+        r.id: r.c
+        for r in global_cumsum(df, ["k", "id"], "v", out_col="c").collect()
+    }
+    w = Window.orderBy("k", "id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ref = {r.id: r.c for r in df.withColumn("c", F.sum("v").over(w)).collect()}
+    assert got == ref
