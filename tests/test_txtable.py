@@ -371,3 +371,48 @@ class TestSchemaEvolution:
                 ),
                 allow_new_columns=True,
             )
+
+
+class TestWapConcurrency:
+    def test_racing_audited_publishes_both_land(self, spark, tmp_path):
+        """Two threads publishing through the audit path race on the
+        commit file; the loser must re-audit against the winner's
+        snapshot and retry — both batches land exactly once."""
+        import threading
+
+        from pyspark.sql import functions as F
+
+        from syncflux_spark.txtable import TxTable
+
+        root = str(tmp_path / "race")
+        t = TxTable.create(
+            spark, root, spark.range(0, 10).select(F.col("id").alias("k"))
+        )
+        barrier = threading.Barrier(2)
+        errs = []
+
+        def publish(lo, hi):
+            try:
+                tt = TxTable(spark, root)
+                df = spark.range(lo, hi).select(F.col("id").alias("k"))
+                barrier.wait()
+                tt.publish_with_audit(
+                    df,
+                    lambda c: c.count()
+                    == c.select("k").distinct().count(),
+                )
+            except Exception as exc:  # surfaced below
+                errs.append(exc)
+
+        th = [
+            threading.Thread(target=publish, args=(10, 20)),
+            threading.Thread(target=publish, args=(20, 30)),
+        ]
+        for x in th:
+            x.start()
+        for x in th:
+            x.join()
+        assert not errs, errs
+        assert t.version() == 2  # two commits past create
+        got = sorted(r.k for r in t.snapshot().collect())
+        assert got == list(range(30))  # both batches, no dup, no loss
