@@ -4189,14 +4189,69 @@ def emb_top_eigenvector(spark, sf):
     return top_eigenvector(load_table(spark, sf, "embeddings"))
 
 
-@register("ivf_topk_kmeans", None)  # k-means|| is not SQL-reproducible
+#: Fixed handshake directory for oracle-replay artifacts: a Spark
+#: query persists a small derived table here (k-means centroids, a
+#: feature table), and its oracle SQL reads it back with
+#: ``read_parquet`` — the persisted-index pattern
+#: (ivf_index_roundtrip) extended to artifacts a SQL engine cannot
+#: re-derive. The gate runs the Spark side first (both the driver and
+#: tests/test_oracle_parity.py), so the artifact always matches the
+#: sf under comparison; the path is fixed because the SQL string is.
+_ORACLE_ART = "/tmp/syncflux_oracle_artifacts"
+
+
+@register(
+    "ivf_topk_kmeans",
+    f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cent AS (SELECT cid, centv AS cv
+             FROM read_parquet('{_ORACLE_ART}/kmeans_centroids.parquet')),
+    assign AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT a.vec_id, a.v, c.cid,
+               row_number() OVER (PARTITION BY a.vec_id
+                                  ORDER BY {_sql_cos('a.v', 'c.cv')} DESC, c.cid)
+                 AS rn
+        FROM v a CROSS JOIN cent c)
+      WHERE rn = 1),
+    probe AS (
+      SELECT vec_id AS query_id, v AS qv, cid FROM (
+        SELECT q.vec_id, q.v, c.cid,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {_sql_cos('q.v', 'c.cv')} DESC, c.cid)
+                 AS rn
+        FROM v q CROSS JOIN cent c WHERE q.vec_id < 10)
+      WHERE rn <= 4),
+    cand AS (
+      SELECT p.query_id, p.qv, a.vec_id AS neighbor_id, a.v AS cv
+      FROM probe p JOIN assign a USING (cid)
+      WHERE a.vec_id != p.query_id)
+    SELECT query_id, neighbor_id, cos_sim, CAST(rn AS INTEGER) AS rank
+    FROM (SELECT query_id, neighbor_id,
+                 {_sql_cos('qv', 'cv')} AS cos_sim,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY {_sql_cos('qv', 'cv')} DESC,
+                                             neighbor_id) AS rn
+          FROM cand)
+    WHERE rn <= 5
+    """,
+)
 def ivf_topk_kmeans(spark, sf):
     """IVF top-5 over k-means|| centroids — the production quantizer
     (operators/similarity.py::kmeans_centroids): distributed init +
     Lloyd rounds adapt the partition to the data, balancing inverted
-    lists. Deterministic under the fixed seed but not expressible as a
-    DuckDB oracle → rows-only gate here; recall vs exact search is
-    gated in tests/test_ann_quality.py."""
+    lists. k-means|| itself is not SQL-reproducible, but the trained
+    centroids are just 16 rows of doubles: persist them to the oracle
+    handshake dir and the oracle REPLAYS assignment + probing +
+    scoring from them in pure SQL (ivf_topk's query with the seed
+    CTE swapped for read_parquet) — a full-hash gate on everything
+    downstream of training; centroid quality itself stays gated by
+    tests/test_ann_quality.py recall bounds."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
     from syncflux_spark.operators.similarity import (
         ivf_topk as _ivf,
         kmeans_centroids,
@@ -4204,6 +4259,22 @@ def ivf_topk_kmeans(spark, sf):
 
     emb = load_table(spark, sf, "embeddings")
     cents = kmeans_centroids(emb, n_centroids=16)
+    # 16 rows by construction (bounded by n_centroids) — persisted
+    # driver-side as ONE parquet file so the oracle's fixed path works
+    crows = cents.select("cid", "centv").collect()
+    os.makedirs(_ORACLE_ART, exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "cid": pa.array([r["cid"] for r in crows], pa.int32()),
+                "centv": pa.array(
+                    [list(r["centv"]) for r in crows],
+                    pa.list_(pa.float64()),
+                ),
+            }
+        ),
+        os.path.join(_ORACLE_ART, "kmeans_centroids.parquet"),
+    )
     out = _ivf(
         emb,
         emb.where(F.col("vec_id") < 10),
@@ -5931,21 +6002,51 @@ def mm_decode_meta(spark, sf):
     return decode_images(media)
 
 
-@register("mm_phash_dedup", None)
+@register(
+    "mm_phash_dedup",
+    """
+    WITH base AS (
+      SELECT doc_id, text, length(text) AS n,
+             greatest(1, length(text) // 64) AS step
+      FROM documents),
+    bytes AS (
+      SELECT doc_id, n, step, u.i AS i,
+             ord(substr(text, u.i, 1)) AS v
+      FROM base, UNNEST(range(1, n + 1)) AS u(i)),
+    blocks AS (
+      SELECT doc_id,
+             least((i - 1) // step, 63) AS blk,
+             CAST(SUM(v) AS DOUBLE) / COUNT(*) AS bmean,
+             CAST(SUM(SUM(v)) OVER (PARTITION BY doc_id) AS DOUBLE)
+               / SUM(COUNT(*)) OVER (PARTITION BY doc_id) AS gmean
+      FROM bytes GROUP BY doc_id, blk),
+    ph AS (
+      SELECT doc_id,
+             CAST(COALESCE(SUM(CASE WHEN bmean > gmean THEN
+               CASE WHEN blk = 63 THEN -9223372036854775808
+                    ELSE (1::BIGINT << blk) END ELSE 0 END), 0) AS BIGINT)
+               AS phash
+      FROM blocks GROUP BY doc_id)
+    SELECT phash, MIN(doc_id) AS keep_id,
+           CAST(COUNT(*) AS BIGINT) AS n_dups
+    FROM ph GROUP BY phash
+    """,
+)
 def mm_phash_dedup(spark, sf):
     """Perceptual-hash dedup over the binary media column: documents
     → media bytes → 64-bit block-mean pHash (Arrow mapInPandas,
     operators/multimodal.py::perceptual_hash) → hash-groupBy dedup
     groups (phash, keep_id, n_dups) — the media twin of
     dedup_exact, which is how image dedup actually runs at scale
-    (fingerprint once, shuffle 8-byte hashes, never bytes). Not
-    SQL-expressible (the fingerprint kernel is the Python stage), so
-    the driver records rows-only; the STRONG gate is
-    tests/test_multimodal.py::test_phash_coarsens_exact_dedup —
-    identical payloads must hash identically, so every exact-text
-    dup group lands whole inside one phash group (phash partitions
-    COARSEN the exact partition; near-identical payloads may merge
-    further — that's the perceptual part, not an error)."""
+    (fingerprint once, shuffle 8-byte hashes, never bytes). The
+    oracle DERIVES the same 64-bit fingerprint in SQL: the fake
+    codec's payload body is the utf-8 text (pure-ASCII fixture, so
+    ``ord(substr(...))`` yields byte values), block membership is
+    ``min((pos-1)//step, 63)`` (identical to the kernel's slicing),
+    and the block/global means are exact-integer-sum divisions —
+    bit-equal doubles on both engines, verified across sf0.001–0.1.
+    tests/test_multimodal.py::test_phash_coarsens_exact_dedup keeps
+    the coarsening property gate (identical payloads → one group)."""
     from syncflux_spark.operators.multimodal import (
         media_from_documents,
         perceptual_hash,
@@ -5982,13 +6083,35 @@ def mm_frame_counts(spark, sf):
     return frames.groupBy("media_id").agg(F.count(F.lit(1)).alias("n_frames"))
 
 
-@register("mm_feature_knn", None)  # hash-derived features → rows-only gate
+@register(
+    "mm_feature_knn",
+    f"""
+    WITH v AS (SELECT media_id, feature::DOUBLE[] AS v
+               FROM read_parquet('{_ORACLE_ART}/mm_features/*.parquet'))
+    SELECT query_id, neighbor_id, cos_sim, CAST(rn AS INTEGER) AS rank
+    FROM (SELECT a.media_id AS query_id, b.media_id AS neighbor_id,
+                 {_sql_cos('a.v', 'b.v')} AS cos_sim,
+                 row_number() OVER (PARTITION BY a.media_id
+                                    ORDER BY {_sql_cos('a.v', 'b.v')} DESC,
+                                             b.media_id) AS rn
+          FROM v a JOIN v b ON a.media_id != b.media_id
+          WHERE a.media_id < 5)
+    WHERE rn <= 3
+    """,
+)
 def mm_feature_knn(spark, sf):
     """Feature-extraction → ANN composition: sha256-stub features
     (stand-in for a vision model in the mapInPandas kernel) feed the
     exact top-k operator directly — the media → embedding → similarity
-    pipeline shape at 100 TB. Deterministic but not SQL-expressible
-    (sha256+unpack), so the driver records the weaker rows-only check."""
+    pipeline shape at 100 TB. sha256+unpack is not SQL-expressible
+    (the payload header holds bytes > 0x7F, unreachable through
+    DuckDB's VARCHAR-only sha256), so the feature table is PERSISTED
+    to the oracle handshake dir and the oracle replays the exact
+    cosine top-k from the same float32 bits — full-hash gate on the
+    knn composition; feature determinism itself stays gated by
+    tests/test_multimodal.py. The Spark side searches the read-back
+    table too, so both engines score identical stored values (the
+    ivf_index_roundtrip build-once/query-many pattern)."""
     from syncflux_spark.operators.multimodal import (
         extract_features,
         media_from_documents,
@@ -5997,9 +6120,12 @@ def mm_feature_knn(spark, sf):
 
     media = media_from_documents(load_table(spark, sf, "documents"))
     feats = extract_features(media, dim=8)
+    art = f"{_ORACLE_ART}/mm_features"
+    feats.write.mode("overwrite").parquet(art)
+    feats_r = spark.read.parquet(art)
     return brute_force_topk(
-        feats,
-        feats.where(F.col("media_id") < 5),
+        feats_r,
+        feats_r.where(F.col("media_id") < 5),
         k=3,
         id_col="media_id",
         vec_col="feature",
