@@ -1351,6 +1351,18 @@ class InfluxQLEngine:
         #: path: their bucket count is unknowable at plan time and
         #: only the linear form is safe at scale.
         self.fold_linear_threshold = 5000
+        #: above this estimated bucket count even the linear Arrow
+        #: kernel hits a wall — the whole series materializes as ONE
+        #: collect_list array cell through one Python worker — so the
+        #: fold family (EMA/RSI/DEMA/TEMA/TRIX/KAMA/ER) switches to
+        #: the row-streaming form (functions/tafold.py::
+        #: streaming_fold): state carried across Arrow batches, memory
+        #: O(batch) instead of O(series), bit-identical (the same
+        #: stepper closures drive both paths). holt_winters keeps the
+        #: array form (its forecast needs the post-series final state
+        #: and last bucket time — a post-emission hook the streaming
+        #: runner doesn't model yet).
+        self.fold_stream_threshold = 1_000_000
 
     def _est_buckets(self, st: "SelectStmt") -> int | None:
         """Bucket-count estimate from the statement alone: exact when
@@ -1364,6 +1376,10 @@ class InfluxQLEngine:
     def _use_linear_fold(self, st: "SelectStmt") -> bool:
         est = self._est_buckets(st)
         return est is None or est > self.fold_linear_threshold
+
+    def _use_stream_fold(self, st: "SelectStmt") -> bool:
+        est = self._est_buckets(st)
+        return est is not None and est > self.fold_stream_threshold
 
     # -- running-query admin (SHOW QUERIES / KILL QUERY) --------------------
     def tracked(self, text: str):
@@ -2204,6 +2220,13 @@ class InfluxQLEngine:
         alpha = 2.0 / (n + 1.0)
         beta = 1.0 - alpha
         name, tags = p.out_name, [F.col(t) for t in group_tags]
+        if self._use_stream_fold(st):
+            from syncflux_spark.functions.tafold import ema_stepper
+
+            return self._stream_fold(
+                out, st, group_tags, name,
+                lambda: ema_stepper(alpha, beta),
+            )
         pts = F.array_sort(
             F.collect_list(F.struct(F.col("time").alias("t"), F.col(name)))
         )
@@ -2278,6 +2301,13 @@ class InfluxQLEngine:
             raise InfluxQLError("relative_strength_index period must be >= 1")
         fn, fn1 = float(n), float(n - 1)
         name, tags = p.out_name, [F.col(t) for t in group_tags]
+        if self._use_stream_fold(st):
+            from syncflux_spark.functions.tafold import rsi_stepper
+
+            return self._stream_fold(
+                out, st, group_tags, name,
+                lambda: rsi_stepper(n), emit_from=n + 1,
+            )
         pts = F.array_sort(
             F.collect_list(F.struct(F.col("time").alias("t"), F.col(name)))
         )
@@ -2464,6 +2494,38 @@ class InfluxQLEngine:
         g = g.select(*tags, F.col("_pts"), xs.alias("_xs"))
         return p, n, name, tags, g
 
+    def _stream_fold(
+        self,
+        out: DataFrame,
+        st: SelectStmt,
+        group_tags: list[str],
+        name: str,
+        stepper_factory,
+        emit_from: int = 1,
+    ) -> DataFrame:
+        """Shared tail of the fold family's ROW-STREAMING path (above
+        fold_stream_threshold): no per-series array ever builds — the
+        rollup rows stream through functions/tafold.py::streaming_fold
+        with recurrence state carried across Arrow batches. The value
+        cast to double mirrors the array path's ``_xs`` cast; ORDER/
+        LIMIT/OFFSET match _explode_series."""
+        from syncflux_spark.functions.tafold import streaming_fold
+
+        src = out.select(
+            "time", *group_tags, F.col(name).cast("double").alias(name)
+        )
+        res = streaming_fold(
+            src, list(group_tags), "time", name, stepper_factory,
+            emit_from=emit_from,
+        )
+        order = [F.desc("time")] if st.order_desc else [F.asc("time")]
+        res = res.orderBy(*order)
+        if st.offset:
+            res = res.offset(st.offset)
+        if st.limit is not None:
+            res = res.limit(st.limit)
+        return res
+
     def _explode_series(
         self, g: DataFrame, rows, st: SelectStmt, group_tags: list[str],
         name: str,
@@ -2505,6 +2567,17 @@ class InfluxQLEngine:
         )
         alpha = 2.0 / (n + 1.0)
         beta = 1.0 - alpha
+        if self._use_stream_fold(st):
+            from syncflux_spark.functions.tafold import cascade_stepper
+
+            kind_s = p.transform
+            return self._stream_fold(
+                out, st, group_tags, name,
+                lambda: cascade_stepper(alpha, beta, kind_s),
+                emit_from=2
+                if kind_s == "triple_exponential_derivative"
+                else 1,
+            )
 
         def step(acc, x):
             e1 = x * F.lit(alpha) + acc["e1"] * F.lit(beta)
@@ -2588,6 +2661,23 @@ class InfluxQLEngine:
         p, n, name, tags, g = self._series_arrays(
             out, st, group_tags, has_bucket, st.projs[0].transform
         )
+        if self._use_stream_fold(st):
+            from syncflux_spark.functions.tafold import (
+                er_stepper,
+                kama_stepper,
+            )
+
+            # plain locals: the factory closure is pickled to the
+            # Python workers — capturing self would drag the session
+            spread, slow = self._KAMA_SPREAD, self._KAMA_SLOW
+            factory = (
+                (lambda: er_stepper(n))
+                if p.transform == "kaufmans_efficiency_ratio"
+                else (lambda: kama_stepper(n, spread, slow))
+            )
+            return self._stream_fold(
+                out, st, group_tags, name, factory, emit_from=n + 1
+            )
         ad = F.transform(
             F.sequence(F.lit(1), F.size("_xs") - F.lit(1)),
             lambda i: F.abs(

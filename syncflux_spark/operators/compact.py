@@ -134,3 +134,61 @@ def compact_txtable(
     )
     n = max(1, -(-live // target_file_bytes))
     return t.overwrite(lambda snap: snap.repartition(n))
+
+
+def compact_tx_tagged(
+    spark: SparkSession,
+    root: str,
+    tag_key: str = "win",
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_files: int = 2,
+    stats_cols: list[str] | None = None,
+) -> int:
+    """Tag-preserving compaction for a TxTable written through
+    ``replace_tagged`` (the copy/replication sinks): rewrite each tag
+    value's fragmented groups into ONE right-sized group carrying the
+    SAME tag. Unlike :func:`compact_txtable` (whose overwrite drops
+    tags), this keeps the sink's replay contract intact — a window
+    re-run after compaction still replaces exactly its own data,
+    because the compacted group still wears the window's tag (the
+    Delta ``OPTIMIZE WHERE <partition>`` shape).
+
+    Each tag value compacts as its own compare-and-swap commit
+    (txtable.TxTable.swap_groups): the rewrite lands only while the
+    exact groups it read are still live, so a concurrent window
+    replacement makes the compactor ABANDON that window's stale
+    rewrite instead of clobbering the fresh data — compaction can
+    never resurrect replaced data. Tag values whose data is already a
+    single group with fewer than ``min_files`` files are skipped.
+    Returns the number of tag values rewritten."""
+    from syncflux_spark.txtable import TxTable
+
+    t = TxTable(spark, root)
+    v = t.version()
+    if v < 0:
+        return 0
+    files, _stats, tags = t._state_at(v)
+    by_tag: dict[str, list[str]] = {}
+    for rel in files:
+        tv = tags.get(rel, {}).get(tag_key)
+        if tv is not None:
+            by_tag.setdefault(tv, []).append(rel)
+    rewritten = 0
+    for tv, rels in sorted(by_tag.items()):
+        n_files = sum(data_file_count(os.path.join(root, r)) for r in rels)
+        if len(rels) == 1 and n_files < min_files:
+            continue
+        nbytes = sum(dataset_bytes(os.path.join(root, r)) for r in rels)
+        n_out = max(1, -(-nbytes // target_file_bytes))
+        merged = spark.read.option("mergeSchema", "true").parquet(
+            *[os.path.join(root, r) for r in rels]
+        )
+        committed = t.swap_groups(
+            rels,
+            merged.repartition(n_out),
+            tags={tag_key: tv},
+            stats_cols=stats_cols,
+        )
+        if committed is not None:
+            rewritten += 1
+    return rewritten

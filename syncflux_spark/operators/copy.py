@@ -138,27 +138,51 @@ def copy_range(
     end,
     time_col: str = "ts",
     max_records_per_file: int = 1_000_000,
+    table_format: str = "dir",
 ) -> int:
     """The minimum end-to-end slice (SURVEY §7.4): one measurement,
     one half-open window, read → filter → write. Returns rows written.
 
-    The write goes to a window-keyed subdirectory and *overwrites* it,
-    making re-runs idempotent (chunk replay semantics, SURVEY §7.3 #1).
+    Two sink formats, same chunk-replay idempotency contract:
+
+    * ``dir`` — the window lands in a window-keyed subdirectory and
+      *overwrites* it (SURVEY §7.3 #1). Correct for ONE writer per
+      window; the advisory lock makes a second concurrent writer wait
+      or fail loudly instead of interleaving (locking.py).
+    * ``tx`` — the window commits to a txtable.TxTable via
+      ``replace_tagged("win", ...)``: snapshot-isolated readers, OCC
+      instead of locks (concurrent windows commute; a replayed window
+      atomically swaps its previous groups), per-window ``ts_ns``
+      min/max stats in the commit log for data-skipping scans, and an
+      O(1)-per-commit checkpointed log — the format a 5-minute-chunk
+      replicator needs (~100k commits/year never re-lists history).
     """
     from pyspark.sql import Observation
     from pyspark.sql import functions as F
 
-    from syncflux_spark.locking import table_lock
-
     window = scan_time_range(df, start, end, time_col=time_col)
-    part = f"win={_win_key(start, end)}"
     # row count observed on the write pass itself (C5 accounting,
     # sync.go:151-196) — no second scan of the chunk
     obs = Observation()
     window = window.observe(obs, F.count(F.lit(1)).alias("n"))
-    # idempotency here is directory overwrite — correct for ONE writer
-    # per window; the advisory lock makes a second concurrent writer
-    # wait or fail loudly instead of interleaving (locking.py)
+    if table_format == "tx":
+        from syncflux_spark.txtable import TxTable
+
+        t = TxTable.ensure(df.sparkSession, dst_path)
+        stats_cols = [c for c in ("ts_ns",) if c in window.columns]
+        t.replace_tagged(
+            "win",
+            _win_key(start, end),
+            window,
+            stats_cols=stats_cols,
+            write_options={"maxRecordsPerFile": max_records_per_file},
+        )
+        return int(obs.get["n"])
+    if table_format != "dir":
+        raise ValueError(f"table_format must be 'dir' or 'tx', got {table_format!r}")
+    from syncflux_spark.locking import table_lock
+
+    part = f"win={_win_key(start, end)}"
     with table_lock(f"{dst_path}/{part}"):
         (
             window.write.mode("overwrite")
@@ -191,13 +215,18 @@ def sync(
     rw_retry_delay: float = 0.0,
     fail_injector=None,
     src_label: str = "src",
+    table_format: str = "dir",
 ) -> SyncReport:
     """C1 ``Sync`` (pkg/agent/sync.go:95-213).
 
     measurements: name → source DataFrame (already typed; in catalog
     terms, every measurement of one (db, rp)).
     dst_root: destination directory; measurement ``m`` chunk output
-    lands at ``{dst_root}/{m}/win=<start>_<end>/``.
+    lands at ``{dst_root}/{m}/win=<start>_<end>/`` (``dir`` format)
+    or as a window-tagged commit to the TxTable at
+    ``{dst_root}/{m}`` (``tx`` format — see copy_range; concurrent
+    measurements write disjoint tables, concurrent windows of one
+    measurement commute under OCC).
 
     Chunks iterate newest→oldest; within a chunk, measurements fan out
     on a thread pool (concurrent Spark jobs — Spark's FAIR scheduling
@@ -218,7 +247,14 @@ def sync(
             name, df = item
             if fail_injector is not None:
                 fail_injector(name, s, e)
-            n = copy_range(df, f"{dst_root}/{name}", s, e, time_col=time_col)
+            n = copy_range(
+                df,
+                f"{dst_root}/{name}",
+                s,
+                e,
+                time_col=time_col,
+                table_format=table_format,
+            )
             return name, n
 
         with ThreadPoolExecutor(max_workers=num_workers) as pool:
@@ -281,9 +317,16 @@ def sync_dbrp(
 
 
 def read_copied(spark: SparkSession, dst_root: str, measurement: str) -> DataFrame:
-    """Read back everything copied for one measurement (all windows).
-    Window directories are plain subdirs, so a recursive read merges
-    them; schema is identical across windows."""
-    return spark.read.option("recursiveFileLookup", "true").parquet(
-        f"{dst_root}/{measurement}"
-    )
+    """Read back everything copied for one measurement (all windows),
+    auto-detecting the sink format: a ``_txlog`` directory means a
+    TxTable (snapshot-isolated read of the latest commit); otherwise
+    window directories are plain subdirs and a recursive read merges
+    them — schema is identical across windows either way."""
+    import os
+
+    path = f"{dst_root}/{measurement}"
+    if os.path.isdir(os.path.join(path, "_txlog")):
+        from syncflux_spark.txtable import TxTable
+
+        return TxTable(spark, path).snapshot()
+    return spark.read.option("recursiveFileLookup", "true").parquet(path)

@@ -359,6 +359,39 @@ def ts_copy_roundtrip(spark, sf):
     )
 
 
+@register(
+    "ts_copy_roundtrip_tx",
+    f"""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM({_sql_micros('value')}) AS BIGINT) AS sum_value_micro
+    FROM events
+    WHERE ts >= TIMESTAMP '{EV_WIN[0]}' AND ts < TIMESTAMP '{EV_WIN[1]}'
+    GROUP BY event_type
+    """,
+)
+def ts_copy_roundtrip_tx(spark, sf):
+    """ts_copy_roundtrip through the TRANSACTIONAL sink
+    (copy_range(table_format="tx")): the window lands as a
+    window-tagged TxTable commit — snapshot isolation + OCC instead
+    of the advisory-locked directory overwrite, with per-window
+    ts_ns stats in the checkpointed commit log (txtable.py). The
+    chunk is REPLAYED once before reading back, so the oracle match
+    also proves replace_tagged idempotency end-to-end: a duplicated
+    window would double n_rows."""
+    from syncflux_spark.operators.copy import copy_range, read_copied
+
+    ev = load_table(spark, sf, "events")
+    dst = tempfile.mkdtemp(prefix="sf_copytx_")
+    copy_range(ev, f"{dst}/events", EV_WIN[0], EV_WIN[1], table_format="tx")
+    # deliberate replay — replaced, not duplicated
+    copy_range(ev, f"{dst}/events", EV_WIN[0], EV_WIN[1], table_format="tx")
+    back = read_copied(spark, dst, "events")
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(micros_amt("value")).alias("sum_value_micro"),
+    )
+
+
 # ===========================================================================
 # Relational surface (TPC-H-shaped; extended-engine coverage)
 # ===========================================================================
@@ -5839,6 +5872,40 @@ def stream_replicate_counts(spark, sf):
     rs = ReplicationStream(
         spark, sf, f"{root}/dst", f"{root}/ckpt",
         path_glob_filter="events.parquet",
+    )
+    rs.run_available()
+    rep = rs.read_replica()
+    return rep.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(micros_amt("value")).alias("sum_value_micro"),
+    )
+
+
+@register(
+    "stream_replicate_counts_tx",
+    f"""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM({_sql_micros('value')}) AS BIGINT) AS sum_value_micro
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_replicate_counts_tx(spark, sf):
+    """stream_replicate_counts through the TRANSACTIONAL sink: each
+    micro-batch commits to a TxTable tagged with its batch id
+    (streaming/replicate.py table_format="tx") — checkpoint replay
+    after a crash REPLACES the batch's groups instead of relying on
+    directory overwrite, readers get snapshot isolation, and the
+    table's delta-encoded commit log stays O(interval) to resolve at
+    any age (txtable.py). Matching the source-side oracle proves the
+    committed replica is complete and exact."""
+    from syncflux_spark.streaming.replicate import ReplicationStream
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    root = tempfile.mkdtemp(prefix="sf_streamtx_")
+    rs = ReplicationStream(
+        spark, sf, f"{root}/dst", f"{root}/ckpt",
+        path_glob_filter="events.parquet",
+        table_format="tx",
     )
     rs.run_available()
     rep = rs.read_replica()

@@ -48,7 +48,12 @@ class ReplicationStream:
         checkpoint_path: str,
         max_files_per_trigger: int | None = None,
         path_glob_filter: str | None = None,
+        table_format: str = "dir",
     ):
+        if table_format not in ("dir", "tx"):
+            raise ValueError(
+                f"table_format must be 'dir' or 'tx', got {table_format!r}"
+            )
         self.spark = spark
         self.src_path = src_path
         self.dst_path = dst_path
@@ -57,17 +62,33 @@ class ReplicationStream:
         #: file streams require a DIRECTORY source; a glob filter
         #: scopes the stream to one measurement's files within it
         self.path_glob_filter = path_glob_filter
+        #: ``dir``: per-batch directories (below). ``tx``: batches are
+        #: batch-id-tagged TxTable commits — snapshot-isolated readers
+        #: and an O(1)-per-commit checkpointed log, the shape a
+        #: long-lived 5-min-cadence replicator needs (~100k
+        #: commits/year; see txtable.py module docstring).
+        self.table_format = table_format
         self.batches_written = 0
 
     def _write_batch(self, batch_df: DataFrame, batch_id: int) -> None:
-        """Idempotent sink: batch ``n`` always lands in ``batch=n/`` and
-        overwrites it, so checkpoint replay after a crash between
-        'sink write' and 'offset commit' cannot double-write."""
-        (
-            batch_df.write.mode("overwrite").parquet(
-                os.path.join(self.dst_path, f"batch={batch_id}")
+        """Idempotent sink: batch ``n`` always lands in ``batch=n/``
+        (dir format) or replaces the ``batch=n``-tagged groups of the
+        destination TxTable (tx format), so checkpoint replay after a
+        crash between 'sink write' and 'offset commit' cannot
+        double-write."""
+        if self.table_format == "tx":
+            from syncflux_spark.txtable import TxTable
+
+            TxTable.ensure(self.spark, self.dst_path).replace_tagged(
+                "batch", str(batch_id), batch_df,
+                stats_cols=[c for c in ("ts_ns",) if c in batch_df.columns],
             )
-        )
+        else:
+            (
+                batch_df.write.mode("overwrite").parquet(
+                    os.path.join(self.dst_path, f"batch={batch_id}")
+                )
+            )
         self.batches_written += 1
 
     def _reader(self):
@@ -120,7 +141,12 @@ class ReplicationStream:
         )
 
     def read_replica(self) -> DataFrame:
-        """Everything replicated so far."""
+        """Everything replicated so far (snapshot-isolated in tx
+        format — a half-committed concurrent batch is invisible)."""
+        if self.table_format == "tx":
+            from syncflux_spark.txtable import TxTable
+
+            return TxTable(self.spark, self.dst_path).snapshot()
         return self.spark.read.option("recursiveFileLookup", "true").parquet(
             self.dst_path
         )

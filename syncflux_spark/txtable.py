@@ -4,37 +4,60 @@ overwrite-based writers.
 
 The advisory locks (locking.py) ENFORCE the single-writer contract;
 this module REMOVES it for the tables that need true concurrency
-(a streaming CDC merger and a nightly compactor on one table). The
-design is the standard lakehouse shape, cut to the bone:
+(the chunked copy/replication sinks, a streaming CDC merger, and a
+compactor on one table). The design is the standard lakehouse shape,
+cut to the bone:
 
 * ``{root}/data/<uuid>.parquet/`` — immutable data-file groups; a
   writer only ever ADDS new groups, never mutates existing ones.
-* ``{root}/_txlog/{version:08d}.json`` — the commit log. Each commit
-  records the COMPLETE file-group list of its snapshot (full listing,
-  not add/remove deltas — right up to thousands of commits; a delta
-  encoding + checkpointing drops in behind the same API when a table
-  outlives that).
+* ``{root}/_txlog/{version:08d}.json`` — the commit log. Two commit
+  kinds:
+
+  - **snapshot** commits record the COMPLETE file-group list (plus
+    per-group stats/tags). Version 0, every ``overwrite``, and every
+    ``checkpoint_interval``-th version are snapshots.
+  - **delta** commits record only ``add``/``remove`` group lists
+    (plus stats/tags for the adds) against the previous version.
+
+  A reader resolves state by walking back from the target version to
+  the nearest snapshot and replaying deltas forward — O(interval)
+  log files regardless of table age, so a 5-minute-chunk replicator
+  making ~100k commits/year never re-reads its history (the wall the
+  pre-checkpoint full-listing format hit at thousands of commits;
+  test: tests/test_txtable.py::TestLogCheckpointing, 5k commits).
 * **Snapshot isolation**: a reader resolves the highest committed
   version once and reads exactly that file list — concurrent commits
   never produce a torn read.
-* **Optimistic concurrency**: a writer prepares data files, then
-  atomically creates commit ``V+1`` via ``O_CREAT | O_EXCL`` (the
-  same portable primitive locking.py uses; on object stores, a
-  conditional PUT). Losing the race raises
-  :class:`CommitConflict`; ``append`` auto-rebases (its file adds
-  commute with any winner), while ``overwrite``/``merge_changes``
-  re-run their computation against the new snapshot and retry —
-  real OCC, bounded by ``max_retries``.
+* **Optimistic concurrency**: a writer prepares data files and the
+  full commit document in a temp file, then atomically claims version
+  ``V+1`` via ``os.link`` onto the log name (fails-if-exists like
+  ``O_EXCL``, but the linked file already carries its complete
+  content, so a concurrent reader can never observe a half-written
+  commit; on object stores, a conditional PUT). Losing the race
+  raises :class:`CommitConflict`; ``append``/``replace_tagged``
+  auto-rebase (their edits commute with or are recomputed against any
+  winner), while ``overwrite``/``merge_changes`` re-run their
+  computation against the new snapshot and retry — real OCC, bounded
+  by ``max_retries`` where the retry re-reads data.
+* **Tags**: a commit may label each added group with small key/value
+  strings (``{"win": "<start>_<end>"}``). :meth:`replace_tagged`
+  atomically swaps every group carrying one tag value for a new
+  group — the engine's ``replaceWhere``: chunk replay in
+  operators/copy.py re-runs a window by replacing exactly that
+  window's groups, under OCC instead of an advisory lock.
 * Crash safety: a writer dying before its commit leaves unreferenced
   data groups — invisible to every reader; :meth:`vacuum` removes
   groups unreferenced by the CURRENT commit once they are old enough
   to not belong to an in-flight writer (the same age discipline as
-  operators/compact.py::clean_stale_staging).
+  operators/compact.py::clean_stale_staging). :meth:`vacuum_log`
+  drops log files older than the newest snapshot at-or-before a
+  horizon, bounding the log the same way vacuum bounds data.
 
 Reference note: the reference has no table format at all (it
 delegates storage to InfluxDB); this is the Spark-native answer to
 the same durability need its replication loop gets from InfluxDB's
-storage engine.
+storage engine (pkg/agent/sync.go:95-213 writes through InfluxDB's
+upsert; here the sink itself provides the transactionality).
 """
 
 from __future__ import annotations
@@ -57,30 +80,95 @@ class CommitConflict(RuntimeError):
 
 
 class TxTable:
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        checkpoint_interval: int = 100,
+    ):
+        if checkpoint_interval < 1:
+            raise ValueError("checkpoint_interval must be >= 1")
         self.spark = spark
         self.root = root
+        #: every Nth version is written as a full snapshot commit.
+        #: Writers with different intervals interoperate — resolution
+        #: walks to the NEAREST snapshot, whoever wrote it.
+        self.checkpoint_interval = checkpoint_interval
 
     # -- log plumbing -------------------------------------------------------
     def _log_path(self, version: int) -> str:
         return os.path.join(self.root, _LOG_DIR, f"{version:08d}.json")
 
     def version(self) -> int:
-        """Highest committed version, or -1 for an empty/absent log."""
+        """Highest committed version, or -1 for an empty/absent log.
+        One directory listing — no commit content is read."""
         log = os.path.join(self.root, _LOG_DIR)
         try:
-            names = [n for n in os.listdir(log) if n.endswith(".json")]
+            names = [
+                n for n in os.listdir(log)
+                if n.endswith(".json") and not n.startswith(".")
+            ]
         except FileNotFoundError:
             return -1
         return max((int(n[:-5]) for n in names), default=-1)
 
-    def _files_at(self, version: int) -> list[str]:
+    def _read_doc(self, version: int) -> dict:
+        """One commit document. Test seam for the O(log-files) bound
+        (TestLogCheckpointing counts calls)."""
         with open(self._log_path(version)) as f:
-            return json.load(f)["files"]
+            return json.load(f)
 
-    def _write_group(self, df: DataFrame) -> str:
+    def _state_at(self, version: int) -> tuple[list[str], dict, dict]:
+        """(files, stats, tags) at ``version``: walk back to the
+        nearest snapshot commit, replay deltas forward. Bounded by
+        the checkpoint interval, never by table age."""
+        chain: list[dict] = []
+        v = version
+        while True:
+            if v < 0:
+                raise ValueError(
+                    f"corrupt log at {self.root}: no snapshot commit "
+                    f"at or below version {version}"
+                )
+            doc = self._read_doc(v)
+            chain.append(doc)
+            if "files" in doc:  # snapshot commit (also the pre-delta format)
+                break
+            v -= 1
+        base = chain[-1]
+        files = list(base["files"])
+        stats = dict(base.get("stats", {}))
+        tags = dict(base.get("tags", {}))
+        for doc in reversed(chain[:-1]):
+            removed = set(doc.get("remove", ()))
+            if removed:
+                files = [r for r in files if r not in removed]
+                for r in removed:
+                    stats.pop(r, None)
+                    tags.pop(r, None)
+            files += list(doc.get("add", ()))
+            stats.update(doc.get("stats", {}))
+            tags.update(doc.get("tags", {}))
+        return files, stats, tags
+
+    def _files_at(self, version: int) -> list[str]:
+        return self._state_at(version)[0]
+
+    def _stats_at(self, version: int) -> dict:
+        """Per-file stats map of a commit ({} for pre-stats logs —
+        every file then survives pruning, which is the safe
+        direction)."""
+        return self._state_at(version)[1]
+
+    def _tags_at(self, version: int) -> dict:
+        return self._state_at(version)[2]
+
+    def _write_group(self, df: DataFrame, write_options: dict | None = None) -> str:
         rel = os.path.join(_DATA_DIR, f"{uuid.uuid4().hex}.parquet")
-        df.write.mode("overwrite").parquet(os.path.join(self.root, rel))
+        w = df.write.mode("overwrite")
+        for k, v in (write_options or {}).items():
+            w = w.option(k, v)
+        w.parquet(os.path.join(self.root, rel))
         return rel
 
     def _group_stats(self, df: DataFrame, stats_cols) -> dict | None:
@@ -99,33 +187,67 @@ class TxTable:
         row = df.agg(*aggs).collect()[0]
         return {c: [row[f"lo_{c}"], row[f"hi_{c}"]] for c in stats_cols}
 
-    def _stats_at(self, version: int) -> dict:
-        """Per-file stats map of a commit ({} for pre-stats logs —
-        every file then survives pruning, which is the safe
-        direction)."""
-        with open(self._log_path(version)) as f:
-            return json.load(f).get("stats", {})
-
-    def _try_commit(
-        self, version: int, files: list[str], stats: dict | None = None
-    ) -> bool:
-        """Atomically claim ``version`` with ``files``; False if a
-        concurrent writer claimed it first."""
-        os.makedirs(os.path.join(self.root, _LOG_DIR), exist_ok=True)
+    def _try_commit_doc(self, version: int, doc: dict) -> bool:
+        """Atomically claim ``version`` with a COMPLETE document:
+        the content is written to a temp file first and linked onto
+        the log name — claim and content are one atomic step, so a
+        torn read of a winning commit is impossible. False if a
+        concurrent writer claimed the version first."""
+        log_dir = os.path.join(self.root, _LOG_DIR)
+        os.makedirs(log_dir, exist_ok=True)
+        doc = dict(doc)
+        doc["committed_at"] = time.time()
+        tmp = os.path.join(log_dir, f".tmp-{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as f:
+            json.dump(doc, f)
         try:
-            fd = os.open(
-                self._log_path(version), os.O_CREAT | os.O_EXCL | os.O_WRONLY
-            )
+            os.link(tmp, self._log_path(version))
+            return True
         except FileExistsError:
             return False
-        try:
-            doc = {"files": files, "committed_at": time.time()}
-            if stats:
-                doc["stats"] = stats
-            os.write(fd, json.dumps(doc).encode())
         finally:
-            os.close(fd)
-        return True
+            os.unlink(tmp)
+
+    def _commit_next(
+        self,
+        add: list[str],
+        remove: list[str],
+        stats_add: dict | None = None,
+        tags_add: dict | None = None,
+    ) -> int:
+        """Claim the next version with an add/remove edit, rebasing
+        onto any winner (the edit lists are recomputed by CALLERS that
+        depend on current state — this helper only re-resolves the
+        snapshot policy). Every ``checkpoint_interval``-th version is
+        materialized as a full snapshot; other versions are O(1)
+        delta documents."""
+        while True:
+            v = self.version()
+            next_v = v + 1
+            if next_v % self.checkpoint_interval == 0 or v < 0:
+                files, stats, tags = (
+                    self._state_at(v) if v >= 0 else ([], {}, {})
+                )
+                removed = set(remove)
+                files = [r for r in files if r not in removed] + list(add)
+                for r in removed:
+                    stats.pop(r, None)
+                    tags.pop(r, None)
+                stats.update(stats_add or {})
+                tags.update(tags_add or {})
+                doc: dict = {"files": files}
+                if stats:
+                    doc["stats"] = stats
+                if tags:
+                    doc["tags"] = tags
+            else:
+                doc = {"add": list(add), "remove": list(remove)}
+                if stats_add:
+                    doc["stats"] = stats_add
+                if tags_add:
+                    doc["tags"] = tags_add
+            if self._try_commit_doc(next_v, doc):
+                return next_v
 
     # -- public API ---------------------------------------------------------
     @classmethod
@@ -135,14 +257,34 @@ class TxTable:
         root: str,
         df: DataFrame,
         stats_cols: list[str] | None = None,
+        checkpoint_interval: int = 100,
     ) -> "TxTable":
-        t = cls(spark, root)
+        t = cls(spark, root, checkpoint_interval=checkpoint_interval)
         if t.version() >= 0:
             raise ValueError(f"table already exists at {root}")
         rel = t._write_group(df)
         st = t._group_stats(df, stats_cols)
-        if not t._try_commit(0, [rel], {rel: st} if st else None):
+        doc: dict = {"files": [rel]}
+        if st:
+            doc["stats"] = {rel: st}
+        if not t._try_commit_doc(0, doc):
             raise CommitConflict(f"concurrent create at {root}")
+        return t
+
+    @classmethod
+    def ensure(
+        cls,
+        spark: SparkSession,
+        root: str,
+        checkpoint_interval: int = 100,
+    ) -> "TxTable":
+        """Open the table at ``root``, initializing an EMPTY table
+        (version 0, zero data groups) if none exists — the idempotent
+        form sinks use: many concurrent first-writers race to create
+        version 0 and every loser simply adopts the winner's table."""
+        t = cls(spark, root, checkpoint_interval=checkpoint_interval)
+        if t.version() < 0:
+            t._try_commit_doc(0, {"files": []})  # loser adopts winner
         return t
 
     def snapshot(self, version: int | None = None) -> DataFrame:
@@ -154,7 +296,13 @@ class TxTable:
         v = self.version() if version is None else version
         if v < 0:
             raise ValueError(f"no commits at {self.root}")
-        paths = [os.path.join(self.root, rel) for rel in self._files_at(v)]
+        files = self._files_at(v)
+        if not files:
+            raise ValueError(
+                f"table at {self.root} (version {v}) has no data groups "
+                "yet — write one before reading"
+            )
+        paths = [os.path.join(self.root, rel) for rel in files]
         return self.spark.read.option("mergeSchema", "true").parquet(*paths)
 
     def _check_schema_compatible(
@@ -164,6 +312,8 @@ class TxTable:
         read as null) but never CHANGE an existing column's type —
         parquet's mergeSchema would fail at read time, which is the
         worst place to discover it. Checked at write time instead."""
+        if not self._files_at(self.version()):
+            return  # empty table: the incoming batch defines the schema
         current = {f.name: f.dataType for f in self.snapshot().schema.fields}
         for f in df.schema.fields:
             if f.name in current:
@@ -187,25 +337,136 @@ class TxTable:
         allow_new_columns: bool = False,
     ) -> int:
         """Add rows; file adds commute, so a lost race auto-rebases
-        onto the winner's commit (the new group's stats ride along
-        and merge into the winner's stats map). With
-        ``allow_new_columns`` the batch may carry columns the table
-        lacks — snapshot reads merge schemas and older groups surface
-        them as null; a TYPE change for an existing column always
-        raises at write time (see _check_schema_compatible). Returns
-        the committed version."""
+        onto the winner's commit (the new group's stats ride along).
+        With ``allow_new_columns`` the batch may carry columns the
+        table lacks — snapshot reads merge schemas and older groups
+        surface them as null; a TYPE change for an existing column
+        always raises at write time (see _check_schema_compatible).
+        Returns the committed version. The commit itself is an O(1)
+        delta document (a snapshot only at checkpoint versions)."""
         self._check_schema_compatible(df, allow_new_columns)
         rel = self._write_group(df)
         st = self._group_stats(df, stats_cols)
+        return self._commit_next(
+            [rel], [], {rel: st} if st else None
+        )
+
+    def replace_tagged(
+        self,
+        tag_key: str,
+        tag_value: str,
+        df: DataFrame,
+        stats_cols: list[str] | None = None,
+        extra_tags: dict | None = None,
+        allow_new_columns: bool = False,
+        write_options: dict | None = None,
+    ) -> int:
+        """Atomically replace every group tagged ``tag_key=tag_value``
+        with one new group carrying that tag — the transactional
+        ``replaceWhere``. Re-running the same logical unit (a chunk
+        window, a stream batch id) is idempotent: the previous run's
+        groups leave in the same commit the new one lands, and readers
+        see either the old window or the new, never both or neither.
+        A lost commit race recomputes the removal set against the
+        winner's state and retries — concurrent DISTINCT tag values
+        commute; concurrent writers of the SAME value serialize to
+        last-writer-wins. Returns the committed version."""
+        self._check_schema_compatible(df, allow_new_columns)
+        rel = self._write_group(df, write_options)
+        st = self._group_stats(df, stats_cols)
+        tags = {tag_key: str(tag_value), **(extra_tags or {})}
         while True:
             v = self.version()
-            stats = dict(self._stats_at(v)) if v >= 0 else {}
-            if st:
-                stats[rel] = st
-            if self._try_commit(
-                v + 1, self._files_at(v) + [rel], stats or None
-            ):
-                return v + 1
+            _files, _stats, cur_tags = (
+                self._state_at(v) if v >= 0 else ([], {}, {})
+            )
+            remove = [
+                r for r in _files
+                if cur_tags.get(r, {}).get(tag_key) == str(tag_value)
+            ]
+            next_v = self._commit_next_once(
+                v, [rel], remove, {rel: st} if st else None, {rel: tags}
+            )
+            if next_v is not None:
+                return next_v
+
+    def swap_groups(
+        self,
+        expected: list[str],
+        df: DataFrame,
+        tags: dict | None = None,
+        stats_cols: list[str] | None = None,
+        write_options: dict | None = None,
+    ) -> int | None:
+        """Compare-and-swap group replacement: atomically replace
+        EXACTLY the ``expected`` groups with one new group holding
+        ``df`` — but only while every expected group is still live.
+        If any has been removed by a concurrent commit (e.g. a window
+        writer replaced the data this rewrite was derived FROM), the
+        swap ABORTS, deletes its staged group, and returns None —
+        unlike :meth:`replace_tagged`, it can never clobber data
+        newer than what it read. A winner that merely ADDED unrelated
+        groups is rebased over. This is what a compactor needs: its
+        output is a pure rewrite of its input, so the input vanishing
+        means the output is stale by definition."""
+        rel = self._write_group(df, write_options)
+        st = self._group_stats(df, stats_cols)
+        tags_add = {rel: tags} if tags else None
+        try:
+            while True:
+                v = self.version()
+                live = set(self._files_at(v)) if v >= 0 else set()
+                if not set(expected) <= live:
+                    shutil.rmtree(
+                        os.path.join(self.root, rel), ignore_errors=True
+                    )
+                    return None
+                next_v = self._commit_next_once(
+                    v, [rel], list(expected),
+                    {rel: st} if st else None, tags_add,
+                )
+                if next_v is not None:
+                    return next_v
+        except BaseException:
+            shutil.rmtree(os.path.join(self.root, rel), ignore_errors=True)
+            raise
+
+    def _commit_next_once(
+        self,
+        parent: int,
+        add: list[str],
+        remove: list[str],
+        stats_add: dict | None,
+        tags_add: dict | None,
+    ) -> int | None:
+        """One attempt to claim ``parent + 1`` (None if lost) — for
+        writers whose edit lists depend on the parent state and must
+        be recomputed on a lost race (replace_tagged), unlike
+        _commit_next's self-rebasing loop."""
+        next_v = parent + 1
+        if next_v % self.checkpoint_interval == 0 or parent < 0:
+            files, stats, tags = (
+                self._state_at(parent) if parent >= 0 else ([], {}, {})
+            )
+            removed = set(remove)
+            files = [r for r in files if r not in removed] + list(add)
+            for r in removed:
+                stats.pop(r, None)
+                tags.pop(r, None)
+            stats.update(stats_add or {})
+            tags.update(tags_add or {})
+            doc: dict = {"files": files}
+            if stats:
+                doc["stats"] = stats
+            if tags:
+                doc["tags"] = tags
+        else:
+            doc = {"add": list(add), "remove": list(remove)}
+            if stats_add:
+                doc["stats"] = stats_add
+            if tags_add:
+                doc["tags"] = tags_add
+        return next_v if self._try_commit_doc(next_v, doc) else None
 
     def overwrite(
         self, compute, max_retries: int = 3,
@@ -214,13 +475,18 @@ class TxTable:
         """Replace the table with ``compute(snapshot_df) -> DataFrame``
         under OCC: the result is staged, then commit V+1 is claimed;
         losing the race re-runs ``compute`` against the winner's
-        snapshot. Returns the committed version."""
+        snapshot. Always a snapshot commit (its state is complete by
+        construction, so it doubles as a log checkpoint). Returns the
+        committed version."""
         for _ in range(max_retries):
             v = self.version()
             out = compute(self.snapshot(v))
             rel = self._write_group(out)
             st = self._group_stats(out, stats_cols)
-            if self._try_commit(v + 1, [rel], {rel: st} if st else None):
+            doc: dict = {"files": [rel]}
+            if st:
+                doc["stats"] = {rel: st}
+            if self._try_commit_doc(v + 1, doc):
                 return v + 1
         raise CommitConflict(
             f"lost {max_retries} commit races at {self.root}; raise "
@@ -277,13 +543,11 @@ class TxTable:
                 ok = audit(candidate)
                 if ok is False:
                     raise ValueError("audit vetoed publish")
-                stats = dict(self._stats_at(v)) if v >= 0 else {}
-                if st:
-                    stats[rel] = st
-                if self._try_commit(
-                    v + 1, self._files_at(v) + [rel], stats or None
-                ):
-                    return v + 1
+                next_v = self._commit_next_once(
+                    v, [rel], [], {rel: st} if st else None, None
+                )
+                if next_v is not None:
+                    return next_v
                 # lost the commit race: re-audit against the winner's
                 # snapshot (the cross-batch invariants may now differ)
         except BaseException:
@@ -317,9 +581,9 @@ class TxTable:
         v = self.version() if version is None else version
         if v < 0:
             raise ValueError(f"no commits at {self.root}")
-        stats = self._stats_at(v)
+        files, stats, _tags = self._state_at(v)
         keep, skipped = [], 0
-        for rel in self._files_at(v):
+        for rel in files:
             s = stats.get(rel, {}).get(col)
             if (
                 s is not None
@@ -369,3 +633,36 @@ class TxTable:
                 shutil.rmtree(full, ignore_errors=True)
                 removed.append(rel)
         return sorted(removed)
+
+    def vacuum_log(self, keep_versions: int = 0) -> list[str]:
+        """Drop commit documents older than the newest SNAPSHOT commit
+        at or below ``version() - keep_versions`` — every retained
+        version stays resolvable (the walk-back from any kept version
+        hits a kept snapshot). Time travel below the cut is lost, the
+        same trade as :meth:`vacuum`. Returns removed log file names.
+
+        A long-lived sink calls this on the compaction schedule: with
+        the default interval, a year of 5-minute commits retains ~100
+        log files instead of ~100k."""
+        v = self.version()
+        if v < 0:
+            return []
+        horizon = v - max(0, keep_versions)
+        cut = None
+        probe = min(horizon, v)
+        while probe >= 0:
+            if "files" in self._read_doc(probe):
+                cut = probe
+                break
+            probe -= 1
+        if cut is None or cut == 0:
+            return []
+        removed = []
+        for version in range(cut):
+            path = self._log_path(version)
+            try:
+                os.unlink(path)
+                removed.append(os.path.basename(path))
+            except FileNotFoundError:
+                pass
+        return removed

@@ -105,7 +105,18 @@ def global_rank(
     parted = df.repartitionByRange(n_ranges, *cols).withColumn(
         "_gr_part", F.spark_partition_id()
     )
-    parted = eager_persist(parted)
+    # persist + collect the per-partition counts in ONE action: the
+    # counts aggregate is itself the materializing pass (a single
+    # action can't race itself, so the eager_persist two-job form —
+    # count() then collect() — would pay a whole extra job per rank
+    # pass for nothing; chained callers like customer_rfm_segments
+    # run three passes, so this halves their job count).
+    # NOTE the persist is load-bearing for CORRECTNESS, not just
+    # speed: the counts and the ranks must see the SAME range
+    # boundaries, and two executions of a repartitionByRange exchange
+    # sample independently — without the cache pin, the rank pass
+    # could land rows in different partitions than the counted ones.
+    parted = parted.persist()
     counts = {
         r._gr_part: r.n
         for r in parted.groupBy("_gr_part").agg(F.count(F.lit(1)).alias("n")).collect()
