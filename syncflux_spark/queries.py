@@ -13069,28 +13069,44 @@ def mm_audio_features(spark, sf):
 _DRIVER_CONFIRMED = frozenset(
     """
     bigram_top_terms c4_filter_flags containment_pairs
-    corpus_filter_report cumulative_spend_per_customer dedup_components
-    dedup_exact dedup_graph_clustering dedup_graph_triangles
-    dedup_incremental dedup_incremental_indexed dedup_near_keep
-    dedup_normalized dedup_rate_by_source doc_fingerprint doc_novelty
-    doc_pack_bins doc_sample_10pct doc_split_assign
-    doc_stratified_sample emb_norms emb_quantize_int8
-    gopher_quality_flags ivf_topk knn_threshold_pairs knn_topk
-    lang_detect lsh_ann_topk lsh_candidate_pairs minhash_signatures
-    ngram_jaccard_pairs orders_per_month q10_returned_items
-    q13_customer_distribution q14_promo_share q15_top_supplier
-    q17_small_quantity_revenue q18_large_orders q19_discounted_revenue
-    q1_pricing_summary q22_inactive_customers q3_shipping_priority
-    q4_order_priority q5_local_supplier_volume q6_revenue_forecast
-    q7_volume_shipping q8_market_share quality_scores
-    revenue_rollup_region simhash_fingerprint simhash_near_pairs
-    source_quota_cap token_stats top_customers_by_revenue
-    ts_asof_purchase ts_chunk_counts ts_copy_roundtrip
-    ts_downsample_1h ts_field_coercion ts_first_per_series
-    ts_gap_detect ts_last_per_series ts_measurement_stats
-    ts_pivot_daily_counts ts_scan_range ts_series_discovery
-    ts_series_stats ts_sessionize vocab_growth_curve vocab_top_terms
-    word_jaccard_pairs
+    containment_pairs_exact corpus_filter_report cq_daily_rollup
+    cq_downsample_roundtrip cumulative_spend_per_customer
+    dedup_components dedup_exact dedup_graph_clustering
+    dedup_graph_triangles dedup_incremental dedup_incremental_indexed
+    dedup_near_keep dedup_normalized dedup_rate_by_source
+    doc_fingerprint doc_novelty doc_pack_bins doc_sample_10pct
+    doc_split_assign doc_stratified_sample emb_norms emb_quantize_int8
+    gopher_quality_flags influxql_agg_math influxql_cmo_daily
+    influxql_count_star influxql_cumulative_daily influxql_dema_daily
+    influxql_derivative_daily influxql_elapsed_clicks
+    influxql_ema_daily influxql_field_math influxql_fill_zero_6h
+    influxql_first_last_daily influxql_having_idiom
+    influxql_holt_winters influxql_holt_winters_seasonal
+    influxql_kama_daily influxql_ker_daily influxql_math_fns
+    influxql_math_of_agg influxql_mean_1h influxql_percentile_spread
+    influxql_regex_measurements influxql_rsi_daily influxql_show_series
+    influxql_slimit_series influxql_subquery_peak influxql_tag_values
+    influxql_tema_daily influxql_top3_daily influxql_trix_daily
+    influxql_where_math ivf_pq_topk ivf_topk knn_threshold_pairs
+    knn_topk lang_detect lp_roundtrip_stats lsh_ann_topk
+    lsh_candidate_pairs minhash_signatures mm_decode_meta
+    mm_frame_counts ngram_jaccard_pairs orders_per_month pq_ann_topk
+    pq_rescored_topk q10_returned_items q13_customer_distribution
+    q14_promo_share q15_top_supplier q17_small_quantity_revenue
+    q18_large_orders q19_discounted_revenue q1_pricing_summary
+    q22_inactive_customers q3_shipping_priority q4_order_priority
+    q5_local_supplier_volume q6_revenue_forecast q7_volume_shipping
+    q8_market_share quality_scores revenue_rollup_region
+    simhash_fingerprint simhash_near_pairs source_quota_cap
+    stream_attribution_pairs stream_attribution_unmatched
+    stream_dedup_counts stream_kmv_users stream_replicate_counts
+    stream_session_rollup stream_stateful_totals stream_windowed_rollup
+    token_stats top_customers_by_revenue ts_asof_purchase
+    ts_chunk_counts ts_copy_roundtrip ts_downsample_1h
+    ts_field_coercion ts_first_per_series ts_gap_detect
+    ts_last_per_series ts_measurement_stats ts_pivot_daily_counts
+    ts_scan_range ts_series_discovery ts_series_stats ts_sessionize
+    vocab_growth_curve vocab_top_terms word_jaccard_pairs
     """.split()
 )
 

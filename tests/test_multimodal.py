@@ -3,6 +3,8 @@ expansion, deterministic stub kernels, clean real-codec refusal."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from pyspark.sql import functions as F
@@ -251,13 +253,34 @@ def _mp4_bytes() -> bytes:
     ).stdout
 
 
+_DATA_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data")
+
+
 class TestRealVideoFrames:
-    """Real-codec frame sampling over a synthesized MP4 — mirrors
-    TestRealImageCodecs; skipped where no video codec exists."""
+    """Real-codec frame sampling over a real MP4 — mirrors
+    TestRealImageCodecs; skipped where no video codec exists.
+
+    The fixture prefers the VENDORED file (tests/data/tiny.mp4, see
+    tools/make_media_fixtures.py): decoding it needs only a decoder,
+    so a CI image with ffmpeg exercises the branch even without an
+    encoder. Where the vendored file is absent and an encoder exists,
+    the fixture synthesizes the bytes AND self-vendors them for the
+    next run."""
 
     @pytest.fixture()
     def mp4_media(self, spark):
-        b = _mp4_bytes()
+        vendored = os.path.join(_DATA_DIR, "tiny.mp4")
+        if os.path.exists(vendored):
+            with open(vendored, "rb") as f:
+                b = f.read()
+        else:
+            b = _mp4_bytes()
+            try:
+                os.makedirs(_DATA_DIR, exist_ok=True)
+                with open(vendored, "wb") as f:
+                    f.write(b)
+            except OSError:
+                pass  # read-only checkout: synthesis still serves the test
         return spark.createDataFrame(
             [(1, "video", b, "synthetic://video/1")], mm.MEDIA_SCHEMA
         )
@@ -344,3 +367,32 @@ class TestAudio:
         assert row.n_samples == 400
         assert row.duration_s == 400 / 8000.0
         assert row.n_bytes == len(payload)
+
+    def test_vendored_wav_fixture_decodes(self, spark):
+        """The CHECKED-IN micro-fixture (tests/data/tiny.wav, written
+        by tools/make_media_fixtures.py) round-trips through the wav
+        branch: known waveform (square ±8192, 20-sample half-period),
+        so the decode metadata AND the PCM features are exact."""
+        path = os.path.join(_DATA_DIR, "tiny.wav")
+        with open(path, "rb") as f:
+            payload = f.read()
+        df = spark.createDataFrame(
+            [(9, "audio", payload, f"file://{path}")], mm.MEDIA_SCHEMA
+        )
+        row = mm.decode_audio(df, codec="wav").collect()[0]
+        assert row.sample_rate == 16000
+        assert row.n_samples == 320
+        assert row.duration_s == 320 / 16000.0
+        # strip the 44-byte RIFF header down to raw PCM and run the
+        # feature kernel: every 40-sample window of the 20/20 square
+        # wave has RMS 0.25 exactly
+        body = payload[44:]
+        import struct as st
+
+        fake = st.pack("<III", 0, 0, 0) + b"FAKE" + body
+        fdf = spark.createDataFrame(
+            [(9, "audio", fake, "synthetic://audio/9")], mm.MEDIA_SCHEMA
+        )
+        feat = mm.audio_features(fdf, frame_len=40, hop=40).collect()[0]
+        assert feat.n_frames == 8
+        assert feat.mean_rms == 0.25

@@ -1,0 +1,82 @@
+"""Regenerate the pinned _DRIVER_CONFIRMED snapshot in queries.py.
+
+The public ordering of `queries()` pushes driver-confirmed entries to
+the back so each round's 50-query sample covers fresh names. The
+confirmed set is the union of (a) the PINNED snapshot in queries.py
+and (b) any CORRECTNESS_r*.json files present at runtime. Run this at
+round end to fold (b) into (a), so the ordering is reproducible even
+without the JSON files (a missing/foreign file can then only ADD
+confirmations for the current round, never change history).
+
+Usage: python tools/gen_confirmed.py [--write]
+  default prints the regenerated block; --write rewrites queries.py
+  in place between the frozenset's triple-quote markers.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+import textwrap
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+QUERIES_PY = os.path.join(REPO, "syncflux_spark", "queries.py")
+
+
+def green_names() -> set[str]:
+    names: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        with open(path) as f:
+            doc = json.load(f)
+        rows = doc.get("queries", doc) if isinstance(doc, dict) else {}
+        for name, row in rows.items():
+            if (
+                isinstance(row, dict)
+                and row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match") is not False
+                and not row.get("err")
+            ):
+                names.add(name)
+    return names
+
+
+def current_pinned(src: str) -> set[str]:
+    m = re.search(
+        r'_DRIVER_CONFIRMED = frozenset\(\s*"""(.*?)"""', src, re.S
+    )
+    if not m:
+        raise SystemExit("queries.py: _DRIVER_CONFIRMED block not found")
+    return set(m.group(1).split())
+
+
+def main() -> None:
+    with open(QUERIES_PY) as f:
+        src = f.read()
+    union = sorted(current_pinned(src) | green_names())
+    body = textwrap.fill(
+        " ".join(union), width=71, initial_indent="    ",
+        subsequent_indent="    ",
+    )
+    block = f'_DRIVER_CONFIRMED = frozenset(\n    """\n{body}\n    """'
+    if "--write" in sys.argv:
+        new = re.sub(
+            r'_DRIVER_CONFIRMED = frozenset\(\s*""".*?"""',
+            block,
+            src,
+            count=1,
+            flags=re.S,
+        )
+        with open(QUERIES_PY, "w") as f:
+            f.write(new)
+        print(f"pinned {len(union)} names into queries.py")
+    else:
+        print(block + ".split()\n)")
+        print(f"# {len(union)} names", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
