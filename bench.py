@@ -144,6 +144,8 @@ HEADLINE = [
     "regex_token_stats",
     "quantile_rolling_series",
     "corpus_overview",
+    "ivf_topk_kmeans",  # k-means|| quantizer + IVF search (r5 oracle)
+    "mm_phash_dedup",  # media fingerprint via mapInPandas (r5 oracle)
 ]
 
 

@@ -282,7 +282,51 @@ def hw_fit_stepper():
             st["l"] = s_new
         return out
 
+    step.state = st  # exposed for forecast finishers (hw_finisher)
     return step
+
+
+def hw_stream_stepper(with_fit: bool):
+    """holt_winters over streaming rollup rows: converts the DOUBLE
+    rollup value to fixed-point int64 micros exactly as the codegen
+    form does (``floor(v·10⁶ + 0.5)`` — same two IEEE ops), then
+    advances the dyadic level/trend state via hw_fit_stepper. Emits
+    the fitted value per bucket in the with_fit form; the plain form
+    emits nothing per bucket (forecasts come from the finisher)."""
+    inner = hw_fit_stepper()
+
+    def step(x):
+        xm = (
+            None
+            if x is None
+            else int(math.floor(x * 1_000_000.0 + 0.5))
+        )
+        fit = inner(xm)
+        return fit if with_fit else None
+
+    step.state = inner.state
+    return step
+
+
+def hw_finisher(n_fc: int, iv: int):
+    """Post-series forecast emitter for streaming_fold: from the
+    final (l, b) micros state, bucket h ∈ [1, n_fc] forecasts
+    ``(l + h·b)/10⁶`` at ``last_t + h·iv`` — the identical int64
+    arithmetic of the codegen ``fc`` transform."""
+
+    def finish(step, last_t):
+        if last_t is None:
+            return []
+        l, b = step.state["l"], step.state["b"]
+        return [
+            (
+                last_t + h * iv,
+                None if (l is None or b is None) else (l + h * b) / 1e6,
+            )
+            for h in range(1, n_fc + 1)
+        ]
+
+    return finish
 
 
 def _run(stepper_factory, xs: list) -> list:
@@ -355,8 +399,9 @@ def streaming_fold(
     time_col: str,
     value_col: str,
     stepper_factory,
-    emit_from: int = 1,
+    emit_from: float = 1,
     out_col: str | None = None,
+    finisher=None,
 ):
     """Run a stepper recurrence over rollup ROWS without ever building
     a per-series array: cluster rows by series (hash repartition),
@@ -368,7 +413,12 @@ def streaming_fold(
     ``emit_from`` drops each series' first ``emit_from − 1`` buckets
     from the OUTPUT while still folding them into the state — the
     warm-up semantics the array call sites express with their ``idx``
-    sequence lower bound (RSI/KAMA start at N+1, TRIX at 2).
+    sequence lower bound (RSI/KAMA start at N+1, TRIX at 2);
+    ``float("inf")`` emits no per-bucket rows at all (forecast-only
+    operators). ``finisher(step, last_time) -> [(t, v), ...]`` runs
+    once per COMPLETED series (at each key change and at stream end)
+    and appends its rows — how holt_winters emits forecasts past each
+    series' last bucket without the array form's final-state fold.
 
     Scale shape: the shuffle moves one row per (series, bucket) —
     exactly what the rollup already produced; no collect_list, no
@@ -394,30 +444,59 @@ def streaming_fold(
     part = part.sortWithinPartitions(*series_cols, time_col)
 
     def kernel(batches):
-        state = {"key": object(), "step": None, "pos": 0}
+        sentinel = object()
+        state = {"key": sentinel, "step": None, "pos": 0, "last_t": None}
+
+        def finish_frame(key, step, last_t):
+            if finisher is None or step is None:
+                return None
+            extra = finisher(step, last_t)
+            if not extra:
+                return None
+            data: dict = {time_col: [t for t, _ in extra]}
+            for i, c in enumerate(series_cols):
+                data[c] = [key[i]] * len(extra)
+            data[out_name] = pd.Series(
+                [v for _, v in extra], dtype=object
+            )
+            return pd.DataFrame(data)
 
         for pdf in batches:
             m = len(pdf)
             if m == 0:
                 continue
             xs = [None if _is_null(v) else v for v in pdf[value_col].tolist()]
+            ts = pdf[time_col].tolist()
             if series_cols:
                 keys = list(zip(*[pdf[c].tolist() for c in series_cols]))
             else:
                 keys = [()] * m
-            vals, emit = [], []
-            key0, step, pos = state["key"], state["step"], state["pos"]
-            for key, x in zip(keys, xs):
+            vals, emit, done = [], [], []
+            key0, step, pos, last_t = (
+                state["key"], state["step"], state["pos"], state["last_t"]
+            )
+            for key, x, t in zip(keys, xs, ts):
                 if key != key0:
+                    if key0 is not sentinel:
+                        done.append((key0, step, last_t))
                     key0, step, pos = key, stepper_factory(), 0
                 pos += 1
                 vals.append(step(x))
                 emit.append(pos >= emit_from)
-            state["key"], state["step"], state["pos"] = key0, step, pos
+                last_t = t
+            state.update(key=key0, step=step, pos=pos, last_t=last_t)
             res = pdf[[time_col, *series_cols]].copy()
             # object dtype: None must reach Arrow as a NULL, which a
             # float64 Series would silently turn into NaN (≠ SQL null)
             res[out_name] = pd.Series(vals, index=pdf.index, dtype=object)
             yield res[pd.Series(emit, index=pdf.index)]
+            for key, stp, lt in done:
+                fr = finish_frame(key, stp, lt)
+                if fr is not None:
+                    yield fr
+        if state["key"] is not sentinel:
+            fr = finish_frame(state["key"], state["step"], state["last_t"])
+            if fr is not None:
+                yield fr
 
     return part.mapInPandas(kernel, schema)

@@ -1358,10 +1358,12 @@ class InfluxQLEngine:
         #: the row-streaming form (functions/tafold.py::
         #: streaming_fold): state carried across Arrow batches, memory
         #: O(batch) instead of O(series), bit-identical (the same
-        #: stepper closures drive both paths). holt_winters keeps the
-        #: array form (its forecast needs the post-series final state
-        #: and last bucket time — a post-emission hook the streaming
-        #: runner doesn't model yet).
+        #: stepper closures drive both paths). holt_winters streams
+        #: too — forecasts come from the per-series finisher hook;
+        #: only the SEASONAL form (S > 0) keeps the array shape (its
+        #: state carries an S-slot season array; S is user-bounded,
+        #: so the wall is n_buckets, which the non-seasonal path
+        #: already covers).
         self.fold_stream_threshold = 1_000_000
 
     def _est_buckets(self, st: "SelectStmt") -> int | None:
@@ -2501,7 +2503,8 @@ class InfluxQLEngine:
         group_tags: list[str],
         name: str,
         stepper_factory,
-        emit_from: int = 1,
+        emit_from: float = 1,
+        finisher=None,
     ) -> DataFrame:
         """Shared tail of the fold family's ROW-STREAMING path (above
         fold_stream_threshold): no per-series array ever builds — the
@@ -2516,7 +2519,7 @@ class InfluxQLEngine:
         )
         res = streaming_fold(
             src, list(group_tags), "time", name, stepper_factory,
-            emit_from=emit_from,
+            emit_from=emit_from, finisher=finisher,
         )
         order = [F.desc("time")] if st.order_desc else [F.asc("time")]
         res = res.orderBy(*order)
@@ -2914,6 +2917,22 @@ class InfluxQLEngine:
             )
         name, iv = p.out_name, st.group_time_ns
         tags = [F.col(t) for t in group_tags]
+        if self._use_stream_fold(st):
+            # row-streaming form: per-bucket fits stream through the
+            # stepper, forecasts come from the per-series finisher —
+            # no collect_list array at 10⁶+ buckets
+            from syncflux_spark.functions.tafold import (
+                hw_finisher,
+                hw_stream_stepper,
+            )
+
+            with_fit = p.transform == "holt_winters_with_fit"
+            return self._stream_fold(
+                out, st, group_tags, name,
+                lambda: hw_stream_stepper(with_fit),
+                emit_from=1 if with_fit else float("inf"),
+                finisher=hw_finisher(n_fc, iv),
+            )
         pts = F.array_sort(
             F.collect_list(F.struct(F.col("time").alias("t"), F.col(name)))
         )

@@ -5882,6 +5882,52 @@ def stream_replicate_counts(spark, sf):
 
 
 @register(
+    "ts_retention_tx",
+    f"""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM({_sql_micros('value')}) AS BIGINT) AS sum_value_micro
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-11 00:00:00'
+      AND ts < TIMESTAMP '{EV_WIN[1]}'
+    GROUP BY event_type
+    """,
+)
+def ts_retention_tx(spark, sf):
+    """Retention enforcement on the transactional sink
+    (txtable.TxTable.expire_below): the copied window's expired
+    chunks retire as ONE log-only delta commit (their per-group ts_ns
+    stats prove hi < cutoff — zero data IO, the DROP PARTITION
+    shape), and only the group straddling the cutoff pays a filtered
+    rewrite. The oracle aggregates the source above the cutoff, so a
+    hash match proves expiry dropped exactly the sub-cutoff rows —
+    no more (lost data) and no less (retention leak). D2/§1.4's RP
+    duration semantics on the lakehouse sink; compare
+    catalog.py::enforce_retention, where every expiry rewrites all
+    survivors."""
+    from syncflux_spark.operators.copy import copy_range, read_copied
+    from syncflux_spark.txtable import TxTable
+
+    ev = load_table(spark, sf, "events")
+    dst = tempfile.mkdtemp(prefix="sf_rettx_")
+    # two chunks below the cutoff (log-only drops), one straddling
+    # (exact rewrite), rest kept untouched
+    for lo, hi in [
+        ("2024-01-08 00:00:00", "2024-01-09 12:00:00"),
+        ("2024-01-09 12:00:00", "2024-01-10 18:00:00"),
+        ("2024-01-10 18:00:00", "2024-01-12 00:00:00"),
+        ("2024-01-12 00:00:00", EV_WIN[1]),
+    ]:
+        copy_range(ev, f"{dst}/events", lo, hi, table_format="tx")
+    cutoff_ns = 1_704_931_200 * 10**9  # 2024-01-11T00:00:00Z
+    TxTable(spark, f"{dst}/events").expire_below("ts_ns", cutoff_ns)
+    back = read_copied(spark, dst, "events")
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(micros_amt("value")).alias("sum_value_micro"),
+    )
+
+
+@register(
     "stream_replicate_counts_tx",
     f"""
     SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,

@@ -607,6 +607,76 @@ class TxTable:
             skipped,
         )
 
+    def expire_below(self, col: str, cutoff) -> dict:
+        """Retention enforcement as a LOG operation: drop rows with
+        ``col < cutoff``.
+
+        * Groups whose commit-log ``hi_{col}`` is below the cutoff are
+          removed in ONE delta commit — zero data IO, the
+          ``ALTER TABLE DROP PARTITION`` shape (the data files linger
+          for time travel until :meth:`vacuum`). At 100 TB this is
+          the whole point: a year of expired 5-minute windows retires
+          as one tiny JSON document, not a rewrite.
+        * Groups straddling the cutoff (and stats-less groups — the
+          safe direction) are rewritten filtered via
+          :meth:`swap_groups`, keeping their tags, so a concurrent
+          window replacement always wins over a stale rewrite.
+        * Groups entirely at/above the cutoff are untouched.
+
+        Compare catalog.py::enforce_retention, the staging-rewrite
+        form for plain catalog tables — there every expiry rewrites
+        the survivors; here only the boundary group pays data IO.
+
+        Returns ``{"dropped_groups": n, "rewritten_groups": n,
+        "kept_groups": n}``."""
+        from pyspark.sql import functions as F
+
+        v = self.version()
+        if v < 0:
+            return {"dropped_groups": 0, "rewritten_groups": 0, "kept_groups": 0}
+        files, stats, tags = self._state_at(v)
+        drop, rewrite, keep = [], [], []
+        for rel in files:
+            s = stats.get(rel, {}).get(col)
+            if s is not None and s[0] is not None and s[1] is not None:
+                if s[1] < cutoff:
+                    drop.append(rel)
+                    continue
+                if s[0] >= cutoff:
+                    keep.append(rel)
+                    continue
+            rewrite.append(rel)
+        if drop:
+            # pure log edit; rebases over any winner (removals of
+            # expired groups commute with everything except their own
+            # replacement, which swap/replace writers would re-add
+            # with fresh stats anyway)
+            while True:
+                cur = self.version()
+                live = set(self._files_at(cur))
+                still = [r for r in drop if r in live]
+                if not still:
+                    break
+                if self._commit_next_once(cur, [], still, None, None) is not None:
+                    break
+        rewritten = 0
+        for rel in rewrite:
+            df = self.spark.read.parquet(os.path.join(self.root, rel)).where(
+                F.col(col) >= cutoff
+            )
+            if (
+                self.swap_groups(
+                    [rel], df, tags=tags.get(rel), stats_cols=[col]
+                )
+                is not None
+            ):
+                rewritten += 1
+        return {
+            "dropped_groups": len(drop),
+            "rewritten_groups": rewritten,
+            "kept_groups": len(keep),
+        }
+
     def vacuum(self, older_than_s: float = 3600.0) -> list[str]:
         """Remove data groups unreferenced by the CURRENT commit and
         older than ``older_than_s`` (an in-flight writer's uncommitted

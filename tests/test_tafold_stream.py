@@ -98,6 +98,31 @@ class TestStreamMatchesArray:
         stream = _counter(eng.query(stmt))
         assert stream == arr and len(arr) > 0
 
+    @pytest.mark.parametrize(
+        "proj",
+        [
+            "holt_winters(mean(value), 3, 0)",
+            "holt_winters_with_fit(mean(value), 3, 0)",
+        ],
+    )
+    def test_holt_winters_stream_with_forecasts(self, spark, engine, proj):
+        """HW streams with the finisher hook: per-bucket fits (fit
+        form) plus n_fc forecast rows PAST each series' end — both
+        bit-equal to the array form, across tiny Arrow batches."""
+        engine.fold_stream_threshold = 10**18
+        engine.fold_linear_threshold = 0
+        arr = _counter(engine.query(STMT.format(proj=proj)))
+        old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+        try:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "5")
+            engine.fold_stream_threshold = 0
+            stream = _counter(engine.query(STMT.format(proj=proj)))
+        finally:
+            spark.conf.set(
+                "spark.sql.execution.arrow.maxRecordsPerBatch", old
+            )
+        assert stream == arr and len(arr) > 0
+
     def test_threshold_picks_stream_plan(self, engine):
         """Above the threshold the plan is mapInPandas over rows — no
         collect_list aggregate (the array the fallback exists to

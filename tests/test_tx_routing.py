@@ -285,6 +285,90 @@ class TestTaggedCompaction:
         assert compact_tx_tagged(spark, dst) == 0  # idempotent
 
 
+class TestTxRetention:
+    def _table(self, spark, events, tmp_path):
+        from syncflux_spark.operators.copy import copy_range
+
+        dst = str(tmp_path / "tx/events")
+        wins = [
+            (datetime(2024, 1, 2, tzinfo=timezone.utc),
+             datetime(2024, 1, 3, tzinfo=timezone.utc)),
+            (datetime(2024, 1, 3, tzinfo=timezone.utc),
+             datetime(2024, 1, 4, tzinfo=timezone.utc)),
+            (datetime(2024, 1, 4, tzinfo=timezone.utc),
+             datetime(2024, 1, 6, tzinfo=timezone.utc)),
+            (datetime(2024, 1, 6, tzinfo=timezone.utc),
+             datetime(2024, 1, 8, tzinfo=timezone.utc)),
+        ]
+        for s, e in wins:
+            copy_range(events, dst, s, e, table_format="tx")
+        return dst
+
+    def test_whole_windows_drop_log_only(self, spark, events, tmp_path):
+        """Fully-expired groups leave via one delta commit — their
+        data directories remain on disk (time travel) until vacuum."""
+        dst = self._table(spark, events, tmp_path)
+        t = TxTable(spark, dst)
+        v_before = t.version()
+        files_before = set(t._files_at(v_before))
+        cutoff = int(
+            datetime(2024, 1, 5, tzinfo=timezone.utc).timestamp() * 1e9
+        )
+        rep = t.expire_below("ts_ns", cutoff)
+        assert rep["dropped_groups"] == 2  # Jan2-3, Jan3-4
+        assert rep["rewritten_groups"] == 1  # Jan4-6 straddles
+        assert rep["kept_groups"] == 1  # Jan6-8
+        # exactness: table == source filtered
+        got = sorted(
+            r["event_id"] for r in t.snapshot().select("event_id").collect()
+        )
+        want = sorted(
+            r["event_id"]
+            for r in events.where(events.ts_ns >= cutoff)
+            .where(events.ts < datetime(2024, 1, 8, tzinfo=timezone.utc))
+            .select("event_id")
+            .collect()
+        )
+        assert got == want and len(want) > 0
+        # dropped groups' data still on disk; old version still reads
+        dropped = files_before - set(t._files_at(t.version()))
+        assert all(
+            os.path.isdir(os.path.join(dst, rel)) for rel in dropped
+        )
+        assert t.snapshot(v_before).count() > t.snapshot().count()
+        removed = t.vacuum(older_than_s=0.0)
+        assert set(removed) >= {r for r in dropped if "rewritten" not in r}
+
+    def test_statless_group_takes_safe_rewrite(self, spark, tmp_path):
+        t = TxTable.ensure(spark, str(tmp_path / "t"))
+        t.append(
+            spark.createDataFrame([(1, 5), (2, 50)], "k int, ts_ns long")
+        )  # no stats declared
+        rep = t.expire_below("ts_ns", 10)
+        assert rep == {
+            "dropped_groups": 0, "rewritten_groups": 1, "kept_groups": 0
+        }
+        assert [r["k"] for r in t.snapshot().collect()] == [2]
+
+    def test_tags_survive_rewrite(self, spark, tmp_path):
+        t = TxTable.ensure(spark, str(tmp_path / "t"))
+        t.replace_tagged(
+            "win", "w1",
+            spark.createDataFrame([(1, 5), (2, 50)], "k int, ts_ns long"),
+            stats_cols=["ts_ns"],
+        )
+        t.expire_below("ts_ns", 10)
+        tags = t._tags_at(t.version())
+        assert any(v.get("win") == "w1" for v in tags.values())
+        # window replay still replaces the rewritten group
+        t.replace_tagged(
+            "win", "w1",
+            spark.createDataFrame([(3, 60)], "k int, ts_ns long"),
+            stats_cols=["ts_ns"],
+        )
+        assert sorted(r["k"] for r in t.snapshot().collect()) == [3]
+
+
 class TestTxReplicationStream:
     def test_stream_batches_commit_transactionally(self, spark, sf_dir, tmp_path):
         from syncflux_spark.streaming.replicate import ReplicationStream
