@@ -308,6 +308,73 @@ def hw_stream_stepper(with_fit: bool):
     return step
 
 
+def hw_seasonal_stepper(S: int):
+    """Additive seasonal Holt-Winters state advance (dyadic α=1/2
+    β=1/4 γ=1/2, fixed-point int64 micros, S-slot season array seeded
+    at zero) — the exact integer/floor op sequence of influxql.py::
+    _apply_holt_winters_seasonal's codegen fold, with SQL null
+    propagation (a null bucket poisons level/trend and the slot it
+    touches). Emits nothing per bucket; forecasts come from
+    :func:`hw_seasonal_finisher`."""
+    st = {"k": 0, "l": None, "b": None, "c": [0] * S}
+
+    def fdiv(v, d):
+        return None if v is None else math.floor(float(v) / float(d))
+
+    def step(x):
+        xm = None if x is None else int(math.floor(x * 1_000_000.0 + 0.5))
+        st["k"] += 1
+        if st["k"] == 1:
+            st["l"], st["b"] = xm, 0
+            return None
+        slot = (st["k"] - 1) % S
+        cs = st["c"][slot]
+        l, b = st["l"], st["b"]
+        l_new = (
+            None
+            if (xm is None or cs is None or l is None or b is None)
+            else fdiv(xm - cs + l + b, 2)
+        )
+        b_new = (
+            None
+            if (l_new is None or l is None or b is None)
+            else fdiv(l_new - l, 4) + (b - fdiv(b, 4))
+        )
+        c_upd = (
+            None
+            if (xm is None or l_new is None or cs is None)
+            else fdiv(xm - l_new, 2) + (cs - fdiv(cs, 2))
+        )
+        st["l"], st["b"], st["c"][slot] = l_new, b_new, c_upd
+        return None
+
+    step.state = st
+    return step
+
+
+def hw_seasonal_finisher(n_fc: int, iv: int, S: int):
+    """forecast_h = (l + h·b + c[(n−1+h) mod S]) / 10⁶ at
+    ``last_t + h·iv`` — identical to the codegen fc transform."""
+
+    def finish(step, last_t):
+        if last_t is None:
+            return []
+        stt = step.state
+        l, b, n, c = stt["l"], stt["b"], stt["k"], stt["c"]
+        out = []
+        for h in range(1, n_fc + 1):
+            cs = c[(n + h - 1) % S]
+            v = (
+                None
+                if (l is None or b is None or cs is None)
+                else (l + h * b + cs) / 1e6
+            )
+            out.append((last_t + h * iv, v))
+        return out
+
+    return finish
+
+
 def hw_finisher(n_fc: int, iv: int):
     """Post-series forecast emitter for streaming_fold: from the
     final (l, b) micros state, bucket h ∈ [1, n_fc] forecasts

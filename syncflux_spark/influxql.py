@@ -1358,12 +1358,9 @@ class InfluxQLEngine:
         #: the row-streaming form (functions/tafold.py::
         #: streaming_fold): state carried across Arrow batches, memory
         #: O(batch) instead of O(series), bit-identical (the same
-        #: stepper closures drive both paths). holt_winters streams
-        #: too — forecasts come from the per-series finisher hook;
-        #: only the SEASONAL form (S > 0) keeps the array shape (its
-        #: state carries an S-slot season array; S is user-bounded,
-        #: so the wall is n_buckets, which the non-seasonal path
-        #: already covers).
+        #: stepper closures drive both paths). holt_winters — both
+        #: plain and seasonal — streams too: forecasts come from the
+        #: per-series finisher hook, seasonal state is S longs.
         self.fold_stream_threshold = 1_000_000
 
     def _est_buckets(self, st: "SelectStmt") -> int | None:
@@ -2795,6 +2792,19 @@ class InfluxQLEngine:
         non-seasonal path; state adds S longs per series."""
         name, iv = p.out_name, st.group_time_ns
         tags = [F.col(t) for t in group_tags]
+        if self._use_stream_fold(st):
+            from syncflux_spark.functions.tafold import (
+                hw_seasonal_finisher,
+                hw_seasonal_stepper,
+            )
+
+            S_ = season
+            return self._stream_fold(
+                out, st, group_tags, name,
+                lambda: hw_seasonal_stepper(S_),
+                emit_from=float("inf"),
+                finisher=hw_seasonal_finisher(n_fc, iv, S_),
+            )
         pts = F.array_sort(
             F.collect_list(F.struct(F.col("time").alias("t"), F.col(name)))
         )

@@ -72,6 +72,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 _LOG_DIR = "_txlog"
 _DATA_DIR = "data"
+_HINT = ".last"
 
 
 class CommitConflict(RuntimeError):
@@ -101,8 +102,26 @@ class TxTable:
 
     def version(self) -> int:
         """Highest committed version, or -1 for an empty/absent log.
-        One directory listing — no commit content is read."""
+
+        Fast path: the ``.last`` hint file (updated best-effort after
+        every commit) plus a forward probe — O(1 + staleness)
+        existence checks instead of listing the directory, which at
+        ~100k commits/year is the difference between one GET and a
+        paged LIST on an object store. The hint is advisory only: it
+        may lag behind concurrent writers (the probe walks forward)
+        and a corrupt/missing hint falls back to the full listing —
+        correctness never depends on it."""
         log = os.path.join(self.root, _LOG_DIR)
+        try:
+            with open(os.path.join(log, _HINT)) as f:
+                hint = int(f.read().strip())
+        except (FileNotFoundError, ValueError, OSError):
+            hint = -1
+        if hint >= 0 and os.path.exists(self._log_path(hint)):
+            v = hint
+            while os.path.exists(self._log_path(v + 1)):
+                v += 1
+            return v
         try:
             names = [
                 n for n in os.listdir(log)
@@ -111,6 +130,21 @@ class TxTable:
         except FileNotFoundError:
             return -1
         return max((int(n[:-5]) for n in names), default=-1)
+
+    def _update_hint(self, version: int) -> None:
+        """Best-effort ``.last`` advance (atomic replace; losers of a
+        hint race leave a LOWER value, which the probe corrects)."""
+        log = os.path.join(self.root, _LOG_DIR)
+        tmp = os.path.join(log, f".hint-{uuid.uuid4().hex}")
+        try:
+            with open(tmp, "w") as f:
+                f.write(str(version))
+            os.replace(tmp, os.path.join(log, _HINT))
+        except OSError:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
 
     def _read_doc(self, version: int) -> dict:
         """One commit document. Test seam for the O(log-files) bound
@@ -202,11 +236,12 @@ class TxTable:
             json.dump(doc, f)
         try:
             os.link(tmp, self._log_path(version))
-            return True
         except FileExistsError:
             return False
         finally:
             os.unlink(tmp)
+        self._update_hint(version)
+        return True
 
     def _commit_next(
         self,

@@ -103,6 +103,7 @@ class TestStreamMatchesArray:
         [
             "holt_winters(mean(value), 3, 0)",
             "holt_winters_with_fit(mean(value), 3, 0)",
+            "holt_winters(mean(value), 4, 3)",  # seasonal S=3
         ],
     )
     def test_holt_winters_stream_with_forecasts(self, spark, engine, proj):

@@ -102,6 +102,25 @@ class TestLogCheckpointing:
         with pytest.raises(FileNotFoundError):
             t._read_doc(5)  # time travel below the cut is gone
 
+    def test_version_hint_fast_path(self, spark, tmp_path):
+        """version() trusts the .last hint + forward probe; a stale,
+        backward, or corrupt hint never changes the answer."""
+        root = str(tmp_path / "t")
+        t = TxTable.ensure(spark, root, checkpoint_interval=10)
+        for i in range(25):
+            t._commit_next([f"data/g{i:03d}.parquet"], [])
+        hint_path = os.path.join(root, "_txlog", ".last")
+        assert os.path.exists(hint_path)
+        assert t.version() == 25
+        with open(hint_path, "w") as f:
+            f.write("7")  # stale/backward hint → probe walks forward
+        assert t.version() == 25
+        with open(hint_path, "w") as f:
+            f.write("not-a-number")  # corrupt → listing fallback
+        assert t.version() == 25
+        os.unlink(hint_path)  # missing → listing fallback
+        assert t.version() == 25
+
     def test_torn_commit_read_impossible(self, spark, tmp_path):
         """The log claim links a COMPLETE temp file onto the version
         name — a visible commit always parses."""
