@@ -41,7 +41,7 @@ def build_parser() -> argparse.ArgumentParser:
     # single-dash long flags, matching the Go CLI surface (main.go:77-119)
     p.add_argument("-action", default=None,
                    choices=["copy", "replicaschema", "fullcopy", "hamonitor",
-                            "serve"])
+                            "serve", "maintain"])
     p.add_argument("-config", default=None, help="TOML config file")
     p.add_argument("-version", action="store_true",
                    help="display the version and exit")
@@ -77,6 +77,16 @@ def build_parser() -> argparse.ArgumentParser:
                         "disabled when unset, like the reference)")
     p.add_argument("-once", action="store_true",
                    help="hamonitor: one supervision cycle, then exit")
+    p.add_argument("-table-format", dest="table_format", default="dir",
+                   choices=["dir", "tx"],
+                   help="copy sink format: 'dir' = window-keyed "
+                        "directory overwrite (advisory-locked), 'tx' = "
+                        "transactional TxTable commits (OCC, snapshot "
+                        "isolation, checkpointed log)")
+    p.add_argument("-retention-duration", dest="retention_duration",
+                   default="0s",
+                   help="maintain: drop data older than this from tx "
+                        "tables (0s = retention off)")
     p.add_argument("-master", default="local[*]", help="Spark master URL")
     p.add_argument("-v", action="count", default=0)
     return p
@@ -166,6 +176,8 @@ def main(argv: list[str] | None = None) -> int:
             return _run_hamonitor(spark, args)
         if args.action == "serve":
             return _run_serve(spark, args)
+        if args.action == "maintain":
+            return _run_maintain(spark, args)
         return 2
     finally:
         if owns_session:
@@ -189,9 +201,67 @@ def _run_copy(spark, args) -> int:
     rep = action_copy(
         spark, args.src_root, args.dst_root, start, end,
         meas_filter=args.meas, chunk=args.chunk, num_workers=args.num_workers,
+        table_format=args.table_format,
     )
     print(json.dumps(rep.as_dict()))
     return 0 if not rep.bad_chunks else 1
+
+
+def _run_maintain(spark, args) -> int:
+    """Extended action (no reference equivalent — the reference
+    delegates storage upkeep to InfluxDB): one maintenance sweep over
+    a copy destination. Per measurement table: retention (tx only,
+    when -retention-duration > 0: log-only expiry via
+    TxTable.expire_below), window compaction (compact_tx_tagged for
+    tx tables, compact_parquet for directory sinks), data vacuum and
+    commit-log vacuum. Prints a JSON report per table."""
+    import os
+    import re
+
+    from syncflux_spark.functions.time import parse_duration
+
+    if not args.dst_root:
+        print("maintain requires -dst-root", file=sys.stderr)
+        return 2
+    ret = parse_duration(args.retention_duration)
+    cutoff_ns = None
+    if ret.total_seconds() > 0:
+        cutoff_ns = int(
+            (datetime.now(timezone.utc) - ret).timestamp() * 1e9
+        )
+    meas_re = re.compile(args.meas)
+    report: dict = {}
+    for name in sorted(os.listdir(args.dst_root)):
+        path = os.path.join(args.dst_root, name)
+        if not os.path.isdir(path) or not meas_re.match(name):
+            continue
+        if os.path.isdir(os.path.join(path, "_txlog")):
+            from syncflux_spark.operators.compact import compact_tx_tagged
+            from syncflux_spark.txtable import TxTable
+
+            t = TxTable(spark, path)
+            r: dict = {"format": "tx"}
+            if cutoff_ns is not None:
+                r["retention"] = t.expire_below("ts_ns", cutoff_ns)
+            r["compacted_windows"] = compact_tx_tagged(
+                spark, path, stats_cols=["ts_ns"]
+            )
+            r["vacuumed_groups"] = len(t.vacuum())
+            r["vacuumed_log_docs"] = len(t.vacuum_log())
+            report[name] = r
+        else:
+            from syncflux_spark.operators.compact import (
+                clean_stale_staging,
+                compact_parquet,
+            )
+
+            report[name] = {
+                "format": "dir",
+                "files": compact_parquet(spark, path),
+                "stale_staging_removed": len(clean_stale_staging(path)),
+            }
+    print(json.dumps(report))
+    return 0
 
 
 def _run_replicaschema(spark, args) -> int:

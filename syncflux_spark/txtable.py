@@ -340,6 +340,69 @@ class TxTable:
         paths = [os.path.join(self.root, rel) for rel in files]
         return self.spark.read.option("mergeSchema", "true").parquet(*paths)
 
+    def snapshot_as_of(self, ts: float) -> DataFrame:
+        """Time travel by WALL CLOCK: the table as of unix time ``ts``
+        — the newest version whose ``committed_at`` ≤ ts (binary
+        search over the version range; O(log n) commit reads).
+        Raises if the table didn't exist yet or that history was
+        vacuumed (:meth:`vacuum_log`)."""
+        hi = self.version()
+        if hi < 0:
+            raise ValueError(f"no commits at {self.root}")
+        lo = 0
+        # versions below the vacuum_log cut are gone; find the floor
+        while lo <= hi:
+            try:
+                self._read_doc(lo)
+                break
+            except FileNotFoundError:
+                lo += 1
+        if self._read_doc(lo).get("committed_at", 0) > ts:
+            raise ValueError(
+                f"no commit at or before ts={ts} at {self.root} "
+                "(table younger, or history vacuumed)"
+            )
+        while lo < hi:
+            mid = (lo + hi + 1) // 2
+            if self._read_doc(mid).get("committed_at", 0) <= ts:
+                lo = mid
+            else:
+                hi = mid - 1
+        return self.snapshot(lo)
+
+    def history(self, limit: int = 20) -> list[dict]:
+        """Newest-first commit metadata (version, committed_at, kind,
+        adds/removes) — the DESCRIBE HISTORY view. Reads ``limit``
+        documents, never the data."""
+        v = self.version()
+        out = []
+        while v >= 0 and len(out) < limit:
+            try:
+                doc = self._read_doc(v)
+            except FileNotFoundError:
+                break  # below the vacuum_log cut
+            if "files" in doc:
+                out.append(
+                    {
+                        "version": v,
+                        "committed_at": doc.get("committed_at"),
+                        "kind": "snapshot",
+                        "n_files": len(doc["files"]),
+                    }
+                )
+            else:
+                out.append(
+                    {
+                        "version": v,
+                        "committed_at": doc.get("committed_at"),
+                        "kind": "delta",
+                        "added": list(doc.get("add", ())),
+                        "removed": list(doc.get("remove", ())),
+                    }
+                )
+            v -= 1
+        return out
+
     def _check_schema_compatible(
         self, df: DataFrame, allow_new_columns: bool
     ) -> None:

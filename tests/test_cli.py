@@ -39,6 +39,45 @@ def test_action_copy_roundtrip(spark, sf_dir, tmp_path, capsys):
     assert back.count() == rep.points > 0
 
 
+def test_action_copy_tx_and_maintain(spark, sf_dir, tmp_path, capsys):
+    """The tx sink end-to-end from the CLI surface: copy with
+    -table-format tx, then the maintain sweep (compaction + retention
+    + vacuum + log vacuum) over the destination."""
+    import os
+    from datetime import datetime
+
+    from syncflux_spark.agent import action_copy
+    from syncflux_spark.operators.copy import read_copied
+
+    rep = action_copy(
+        spark, sf_dir, str(tmp_path),
+        datetime(2024, 1, 1), datetime(2024, 2, 1),
+        meas_filter="^events$", chunk="240h", num_workers=2,
+        table_format="tx",
+    )
+    assert rep.bad_chunks == []
+    assert os.path.isdir(tmp_path / "events" / "_txlog")
+    n = read_copied(spark, str(tmp_path), "events").count()
+    assert n == rep.points > 0
+    rc = main([
+        "-action", "maintain", "-dst-root", str(tmp_path),
+        "-master", "local[2]",
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["events"]["format"] == "tx"
+    # data intact after the sweep (retention off by default)
+    assert read_copied(spark, str(tmp_path), "events").count() == n
+    # retention pass: everything is older than 1h relative to NOW
+    rc = main([
+        "-action", "maintain", "-dst-root", str(tmp_path),
+        "-retention-duration", "1h", "-master", "local[2]",
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["events"]["retention"]["dropped_groups"] >= 1
+
+
 def test_action_replicaschema_rename(spark, tmp_path):
     from syncflux_spark.agent import action_replicaschema
     from syncflux_spark.catalog import RetPol, SparkCatalog

@@ -136,6 +136,42 @@ class TestLogCheckpointing:
         assert leftovers == []
 
 
+class TestTimeTravelAndHistory:
+    def test_snapshot_as_of_wall_clock(self, spark, tmp_path):
+        import time
+
+        t = TxTable.create(spark, str(tmp_path / "t"), _df(spark, [(1, "a")]))
+        time.sleep(0.05)
+        mark = time.time()
+        time.sleep(0.05)
+        t.append(_df(spark, [(2, "b")]))
+        assert sorted(
+            r["k"] for r in t.snapshot_as_of(mark).collect()
+        ) == [1]
+        assert sorted(
+            r["k"] for r in t.snapshot_as_of(time.time()).collect()
+        ) == [1, 2]
+        with pytest.raises(ValueError, match="no commit at or before"):
+            t.snapshot_as_of(mark - 100)
+
+    def test_history_lists_commit_kinds(self, spark, tmp_path):
+        t = TxTable.create(
+            spark, str(tmp_path / "t"), _df(spark, [(1, "a")]),
+            checkpoint_interval=2,
+        )
+        TxTable(spark, t.root, checkpoint_interval=2).append(
+            _df(spark, [(2, "b")])
+        )
+        TxTable(spark, t.root, checkpoint_interval=2).append(
+            _df(spark, [(3, "c")])
+        )
+        h = t.history()
+        assert [e["version"] for e in h] == [2, 1, 0]
+        assert h[0]["kind"] == "snapshot"  # v2 hit the interval
+        assert h[1]["kind"] == "delta" and len(h[1]["added"]) == 1
+        assert h[2]["kind"] == "snapshot"  # create
+
+
 class TestSwapGroups:
     def test_swap_aborts_when_input_replaced(self, spark, tmp_path):
         """Compare-and-swap: a rewrite derived from groups that a
@@ -162,6 +198,49 @@ class TestSwapGroups:
         assert v is not None
         got = sorted(r["k"] for r in t.snapshot().collect())
         assert got == [1, 2, 3]
+
+
+class TestReplaceTaggedRaces:
+    def test_distinct_windows_commute(self, spark, tmp_path):
+        """Concurrent replace_tagged on DIFFERENT tag values: both
+        land (adds/removes of disjoint windows commute under the OCC
+        rebase) — the multi-chunk writer pool scenario."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        root = str(tmp_path / "t")
+        TxTable.ensure(spark, root)
+
+        def put(w):
+            TxTable(spark, root).replace_tagged(
+                "win", f"w{w}", _df(spark, [(w, f"v{w}")])
+            )
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            list(pool.map(put, [1, 2]))
+        t = TxTable(spark, root)
+        assert t.version() == 2
+        assert sorted(r["k"] for r in t.snapshot().collect()) == [1, 2]
+
+    def test_same_window_serializes_last_writer_wins(self, spark, tmp_path):
+        """Concurrent replace_tagged on the SAME tag value: OCC
+        serializes them — exactly one row survives (the later commit
+        removed the earlier's group), never both, never neither."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        root = str(tmp_path / "t")
+        TxTable.ensure(spark, root)
+
+        def put(tag):
+            TxTable(spark, root).replace_tagged(
+                "win", "w1", _df(spark, [(99, tag)])
+            )
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            list(pool.map(put, ["a", "b"]))
+        t = TxTable(spark, root)
+        assert t.version() == 2
+        rows = t.snapshot().collect()
+        assert len(rows) == 1 and rows[0]["v"] in ("a", "b")
 
 
 EV_START = datetime(2024, 1, 2, tzinfo=timezone.utc)
