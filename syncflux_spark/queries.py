@@ -30,6 +30,7 @@ the LLM-pipeline surface (BASELINE.json north star).
 
 from __future__ import annotations
 
+import os as _os
 import tempfile
 from collections.abc import Callable
 from dataclasses import dataclass
@@ -4230,7 +4231,10 @@ def emb_top_eigenvector(spark, sf):
 #: re-derive. The gate runs the Spark side first (both the driver and
 #: tests/test_oracle_parity.py), so the artifact always matches the
 #: sf under comparison; the path is fixed because the SQL string is.
-_ORACLE_ART = "/tmp/syncflux_oracle_artifacts"
+_ORACLE_ART = (
+    f"{tempfile.gettempdir()}/syncflux_oracle_artifacts_"
+    f"{_os.getuid() if hasattr(_os, 'getuid') else 0}"
+)
 
 
 @register(

@@ -197,6 +197,74 @@ class TxTable:
     def _tags_at(self, version: int) -> dict:
         return self._state_at(version)[2]
 
+    def _schema_at(self, version: int):
+        """The table schema recorded in the commit log: walk back to
+        the nearest document carrying ``schema`` (every snapshot
+        commit does, so the walk is bounded like _state_at's). None
+        for pre-schema logs — readers then fall back to parquet
+        footer merging, and the next commit records it. This is what
+        keeps the write path O(1) metadata: without it, every
+        append's compatibility check and every snapshot() read pays
+        one footer read PER GROUP — O(groups) at 100k windows."""
+        from pyspark.sql import types as T
+
+        v = version
+        while v >= 0:
+            try:
+                doc = self._read_doc(v)
+            except FileNotFoundError:
+                return None  # below the vacuum_log cut
+            if "schema" in doc:
+                return T.StructType.fromJson(doc["schema"])
+            v -= 1
+        return None
+
+    @staticmethod
+    def _nullable(schema):
+        from pyspark.sql import types as T
+
+        return T.StructType(
+            [T.StructField(f.name, f.dataType, True) for f in schema.fields]
+        )
+
+    def _doc_schema(
+        self, parent: int, batch_schema, snapshot_doc: bool
+    ) -> dict | None:
+        """The ``schema`` value to record on a commit (jsonValue), or
+        None to omit. Delta commits record it only when the batch
+        EVOLVES the schema (new columns — existing fields first, all
+        nullable so older groups read the new columns as null);
+        snapshot commits always carry the current schema so the
+        _schema_at walk-back is bounded by the checkpoint interval.
+        Pre-schema legacy logs with data recover the schema once from
+        parquet footers."""
+        from pyspark.sql import types as T
+
+        cur = self._schema_at(parent) if parent >= 0 else None
+        if (
+            cur is None
+            and parent >= 0
+            and batch_schema is not None
+            and self._files_at(parent)
+        ):
+            try:
+                cur = self.snapshot(parent).schema
+            except ValueError:
+                cur = None
+        if batch_schema is None:
+            return (
+                cur.jsonValue() if (snapshot_doc and cur is not None) else None
+            )
+        if cur is None:
+            return self._nullable(batch_schema).jsonValue()
+        names = {f.name for f in cur.fields}
+        new = [f for f in batch_schema.fields if f.name not in names]
+        if new:
+            return self._nullable(
+                T.StructType(list(cur.fields) + list(new))
+            ).jsonValue()
+        return cur.jsonValue() if snapshot_doc else None
+
     def _write_group(self, df: DataFrame, write_options: dict | None = None) -> str:
         rel = os.path.join(_DATA_DIR, f"{uuid.uuid4().hex}.parquet")
         w = df.write.mode("overwrite")
@@ -249,6 +317,7 @@ class TxTable:
         remove: list[str],
         stats_add: dict | None = None,
         tags_add: dict | None = None,
+        batch_schema=None,
     ) -> int:
         """Claim the next version with an add/remove edit, rebasing
         onto any winner (the edit lists are recomputed by CALLERS that
@@ -258,31 +327,11 @@ class TxTable:
         delta documents."""
         while True:
             v = self.version()
-            next_v = v + 1
-            if next_v % self.checkpoint_interval == 0 or v < 0:
-                files, stats, tags = (
-                    self._state_at(v) if v >= 0 else ([], {}, {})
-                )
-                removed = set(remove)
-                files = [r for r in files if r not in removed] + list(add)
-                for r in removed:
-                    stats.pop(r, None)
-                    tags.pop(r, None)
-                stats.update(stats_add or {})
-                tags.update(tags_add or {})
-                doc: dict = {"files": files}
-                if stats:
-                    doc["stats"] = stats
-                if tags:
-                    doc["tags"] = tags
-            else:
-                doc = {"add": list(add), "remove": list(remove)}
-                if stats_add:
-                    doc["stats"] = stats_add
-                if tags_add:
-                    doc["tags"] = tags_add
-            if self._try_commit_doc(next_v, doc):
-                return next_v
+            out = self._commit_next_once(
+                v, add, remove, stats_add, tags_add, batch_schema
+            )
+            if out is not None:
+                return out
 
     # -- public API ---------------------------------------------------------
     @classmethod
@@ -299,7 +348,10 @@ class TxTable:
             raise ValueError(f"table already exists at {root}")
         rel = t._write_group(df)
         st = t._group_stats(df, stats_cols)
-        doc: dict = {"files": [rel]}
+        doc: dict = {
+            "files": [rel],
+            "schema": t._nullable(df.schema).jsonValue(),
+        }
         if st:
             doc["stats"] = {rel: st}
         if not t._try_commit_doc(0, doc):
@@ -324,10 +376,12 @@ class TxTable:
 
     def snapshot(self, version: int | None = None) -> DataFrame:
         """The table at a committed version (default: latest) — an
-        immutable, torn-read-free view. Reads with ``mergeSchema`` so
-        columns added by later appends (see :meth:`append`'s
-        ``allow_new_columns``) surface across every group, null-filled
-        where a group predates them."""
+        immutable, torn-read-free view. Reads with the schema RECORDED
+        in the commit log (columns a group predates surface as null),
+        so scan planning touches zero parquet footers — at 100k groups
+        a ``mergeSchema`` read would pay one footer fetch per group
+        before the first row. Pre-schema legacy logs fall back to
+        footer merging."""
         v = self.version() if version is None else version
         if v < 0:
             raise ValueError(f"no commits at {self.root}")
@@ -338,6 +392,9 @@ class TxTable:
                 "yet — write one before reading"
             )
         paths = [os.path.join(self.root, rel) for rel in files]
+        sch = self._schema_at(v)
+        if sch is not None:
+            return self.spark.read.schema(sch).parquet(*paths)
         return self.spark.read.option("mergeSchema", "true").parquet(*paths)
 
     def snapshot_as_of(self, ts: float) -> DataFrame:
@@ -409,10 +466,15 @@ class TxTable:
         """Appends may widen the schema (new columns → earlier groups
         read as null) but never CHANGE an existing column's type —
         parquet's mergeSchema would fail at read time, which is the
-        worst place to discover it. Checked at write time instead."""
-        if not self._files_at(self.version()):
-            return  # empty table: the incoming batch defines the schema
-        current = {f.name: f.dataType for f in self.snapshot().schema.fields}
+        worst place to discover it. Checked at write time instead,
+        against the LOG-recorded schema (O(1) — no footer reads)."""
+        v = self.version()
+        cur = self._schema_at(v)
+        if cur is None:
+            if not self._files_at(v):
+                return  # empty table: the incoming batch defines the schema
+            cur = self.snapshot(v).schema  # pre-schema legacy log
+        current = {f.name: f.dataType for f in cur.fields}
         for f in df.schema.fields:
             if f.name in current:
                 if f.dataType != current[f.name]:
@@ -446,7 +508,7 @@ class TxTable:
         rel = self._write_group(df)
         st = self._group_stats(df, stats_cols)
         return self._commit_next(
-            [rel], [], {rel: st} if st else None
+            [rel], [], {rel: st} if st else None, None, df.schema
         )
 
     def replace_tagged(
@@ -483,7 +545,8 @@ class TxTable:
                 if cur_tags.get(r, {}).get(tag_key) == str(tag_value)
             ]
             next_v = self._commit_next_once(
-                v, [rel], remove, {rel: st} if st else None, {rel: tags}
+                v, [rel], remove, {rel: st} if st else None, {rel: tags},
+                df.schema,
             )
             if next_v is not None:
                 return next_v
@@ -521,7 +584,7 @@ class TxTable:
                     return None
                 next_v = self._commit_next_once(
                     v, [rel], list(expected),
-                    {rel: st} if st else None, tags_add,
+                    {rel: st} if st else None, tags_add, df.schema,
                 )
                 if next_v is not None:
                     return next_v
@@ -536,13 +599,17 @@ class TxTable:
         remove: list[str],
         stats_add: dict | None,
         tags_add: dict | None,
+        batch_schema=None,
     ) -> int | None:
         """One attempt to claim ``parent + 1`` (None if lost) — for
         writers whose edit lists depend on the parent state and must
         be recomputed on a lost race (replace_tagged), unlike
-        _commit_next's self-rebasing loop."""
+        _commit_next's self-rebasing loop. The schema to record is
+        resolved against THIS parent, so a rebase can never shadow a
+        concurrent winner's schema evolution."""
         next_v = parent + 1
-        if next_v % self.checkpoint_interval == 0 or parent < 0:
+        snapshot_doc = next_v % self.checkpoint_interval == 0 or parent < 0
+        if snapshot_doc:
             files, stats, tags = (
                 self._state_at(parent) if parent >= 0 else ([], {}, {})
             )
@@ -564,6 +631,9 @@ class TxTable:
                 doc["stats"] = stats_add
             if tags_add:
                 doc["tags"] = tags_add
+        sch = self._doc_schema(parent, batch_schema, snapshot_doc)
+        if sch is not None:
+            doc["schema"] = sch
         return next_v if self._try_commit_doc(next_v, doc) else None
 
     def overwrite(
@@ -581,7 +651,10 @@ class TxTable:
             out = compute(self.snapshot(v))
             rel = self._write_group(out)
             st = self._group_stats(out, stats_cols)
-            doc: dict = {"files": [rel]}
+            doc: dict = {
+                "files": [rel],
+                "schema": self._nullable(out.schema).jsonValue(),
+            }
             if st:
                 doc["stats"] = {rel: st}
             if self._try_commit_doc(v + 1, doc):
@@ -642,7 +715,7 @@ class TxTable:
                 if ok is False:
                     raise ValueError("audit vetoed publish")
                 next_v = self._commit_next_once(
-                    v, [rel], [], {rel: st} if st else None, None
+                    v, [rel], [], {rel: st} if st else None, None, df.schema
                 )
                 if next_v is not None:
                     return next_v
@@ -696,14 +769,15 @@ class TxTable:
         if not keep:
             return self.snapshot(v).where(F.lit(False)), skipped
         paths = [os.path.join(self.root, rel) for rel in keep]
-        # mergeSchema, like snapshot(): surviving groups may straddle
-        # a schema evolution
-        return (
-            self.spark.read.option("mergeSchema", "true")
-            .parquet(*paths)
-            .where(pred),
-            skipped,
+        # log-recorded schema, like snapshot(): surviving groups may
+        # straddle a schema evolution, and footer merging is O(groups)
+        sch = self._schema_at(v)
+        reader = (
+            self.spark.read.schema(sch)
+            if sch is not None
+            else self.spark.read.option("mergeSchema", "true")
         )
+        return reader.parquet(*paths).where(pred), skipped
 
     def expire_below(self, col: str, cutoff) -> dict:
         """Retention enforcement as a LOG operation: drop rows with

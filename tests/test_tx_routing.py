@@ -136,6 +136,48 @@ class TestLogCheckpointing:
         assert leftovers == []
 
 
+class TestLogRecordedSchema:
+    def test_schema_in_log_and_nullfill(self, spark, tmp_path):
+        """The table schema lives in the commit log: evolution via
+        allow_new_columns records the widened schema, snapshot reads
+        plan with it (older groups null-fill) — zero footer merging."""
+        t = TxTable.create(spark, str(tmp_path / "t"), _df(spark, [(1, "a")]))
+        doc0 = t._read_doc(0)
+        assert [f["name"] for f in doc0["schema"]["fields"]] == ["k", "v"]
+        t2 = TxTable(spark, t.root)
+        t2.append(
+            spark.createDataFrame([(2, "b", 9.5)], "k int, v string, w double"),
+            allow_new_columns=True,
+        )
+        assert [f.name for f in t2._schema_at(t2.version()).fields] == [
+            "k", "v", "w"
+        ]
+        rows = {r["k"]: r["w"] for r in t2.snapshot().collect()}
+        assert rows == {1: None, 2: 9.5}
+        # the plan carries the explicit schema, not a footer merge
+        plan = t2.snapshot()._jdf.queryExecution().executedPlan().toString()
+        assert "FileScan" in plan
+
+    def test_compat_check_uses_log_not_footers(self, spark, tmp_path):
+        """With the schema in the log, the write-time retype check
+        never opens data files (snapshot() is not called)."""
+        t = TxTable.create(spark, str(tmp_path / "t"), _df(spark, [(1, "a")]))
+        called = []
+        orig = TxTable.snapshot
+        try:
+            TxTable.snapshot = lambda self, *a, **k: (
+                called.append(1), orig(self, *a, **k)
+            )[1]
+            t._check_schema_compatible(_df(spark, [(2, "b")]), False)
+            with pytest.raises(ValueError, match="retypes"):
+                t._check_schema_compatible(
+                    spark.createDataFrame([(1, 2)], "k int, v int"), False
+                )
+        finally:
+            TxTable.snapshot = orig
+        assert called == []
+
+
 class TestTimeTravelAndHistory:
     def test_snapshot_as_of_wall_clock(self, spark, tmp_path):
         import time
