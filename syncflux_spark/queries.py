@@ -5886,6 +5886,84 @@ def stream_replicate_counts(spark, sf):
 
 
 @register(
+    "pipeline_corpus_publish",
+    f"""
+    WITH gates AS (
+      SELECT doc_id,
+             CAST(len({_SQL_WORDS}) AS BIGINT) >= 30
+             AND CAST(len(list_distinct({_SQL_WORDS})) AS DOUBLE)
+                 / CAST(len({_SQL_WORDS}) AS DOUBLE) >= 0.4
+             AND NOT contains(lower(text), 'lorem ipsum') AS passes
+      FROM documents),
+    kept AS (SELECT d.* FROM documents d JOIN gates USING (doc_id)
+             WHERE passes),
+    winners AS (
+      SELECT MIN(doc_id) AS doc_id
+      FROM kept
+      GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))),
+    clean AS (SELECT k.* FROM kept k JOIN winners USING (doc_id))
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len({_SQL_WORDS})) AS BIGINT) AS total_tokens
+    FROM clean GROUP BY source
+    """,
+)
+def pipeline_corpus_publish(spark, sf):
+    """The corpus-build pipeline END-TO-END, as one driver-gated
+    query: Gopher-style quality gate (word-count floor + lexical-
+    diversity floor + placeholder check — thresholds chosen to split
+    the fixture, the C4 sentence gate being vacuous on punctuation-
+    free synthetic text) → normalized exact dedup keeping each
+    group's lowest doc_id (operators/dedup.py::
+    normalized_dedup_groups) → whitespace token counts →
+    WRITE-AUDIT-PUBLISH into a transactional table
+    (txtable.TxTable.publish_with_audit: the audit checks doc_id
+    uniqueness + non-emptiness against the candidate snapshot before
+    readers can see it) → aggregate the PUBLISHED table per source.
+    The oracle recomputes gate+dedup+counts from the source, so a
+    hash match proves the published table holds exactly the cleaned
+    corpus — the full dataset-build loop (filter, dedup, account,
+    commit) every training-data pipeline runs, here with each stage's
+    scale story already audited by its standalone query."""
+    from syncflux_spark.functions.text import token_count, words
+    from syncflux_spark.txtable import TxTable
+
+    docs = load_table(spark, sf, "documents")
+    ws = words("text")
+    passes = (
+        (F.size(ws) >= 30)
+        & (
+            F.size(F.array_distinct(ws)).cast("double")
+            / F.size(ws).cast("double")
+            >= 0.4
+        )
+        & ~F.lower(F.col("text")).contains("lorem ipsum")
+    )
+    kept = docs.where(passes)
+    winners = dd.normalized_dedup_groups(kept).select(
+        F.col("keep_id").alias("doc_id")
+    )
+    clean = kept.join(winners, "doc_id").select(
+        "doc_id", "source", token_count("text").alias("n_tokens")
+    )
+    root = tempfile.mkdtemp(prefix="sf_corpus_")
+    t = TxTable.ensure(spark, f"{root}/corpus")
+
+    def audit(cand):
+        row = cand.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("doc_id").alias("d"),
+        ).collect()[0]
+        return row["n"] > 0 and row["n"] == row["d"]
+
+    t.publish_with_audit(clean, audit, stats_cols=["doc_id"])
+    return t.snapshot().groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
+
+
+@register(
     "ts_retention_tx",
     f"""
     SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
