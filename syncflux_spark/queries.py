@@ -13243,6 +13243,9 @@ _DRIVER_CONFIRMED = frozenset(
 _PRIORITY_PREFIXES = (
     "influxql_", "cdc_", "stream_", "mm_", "pq_", "ivf_", "bpe_",
     "containment_pairs_exact", "cq_", "lp_",
+    # round-5 transactional-sink flagships: newest surface, zero
+    # driver rows yet — front of the sample until confirmed
+    "pipeline_", "ts_retention_tx", "ts_copy_roundtrip_tx",
 )
 
 

@@ -24,7 +24,12 @@ cut to the bone:
   log files regardless of table age, so a 5-minute-chunk replicator
   making ~100k commits/year never re-reads its history (the wall the
   pre-checkpoint full-listing format hit at thousands of commits;
-  test: tests/test_txtable.py::TestLogCheckpointing, 5k commits).
+  test: tests/test_tx_routing.py::TestLogCheckpointing, 5k commits).
+  The log also records the TABLE SCHEMA (snapshot commits always;
+  delta commits only when a batch evolves it), so the write-time
+  compatibility check and snapshot/scan planning read zero parquet
+  footers, and ``version()`` rides a best-effort ``.last`` hint +
+  forward probe instead of a directory listing.
 * **Snapshot isolation**: a reader resolves the highest committed
   version once and reads exactly that file list — concurrent commits
   never produce a torn read.
