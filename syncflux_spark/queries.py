@@ -5963,6 +5963,110 @@ def pipeline_corpus_publish(spark, sf):
     )
 
 
+@register("stream_corpus_publish", None)  # oracle assigned below
+def stream_corpus_publish(spark, sf):
+    """The corpus-build pipeline as STREAMING INGEST: the documents
+    arrive as two files (split on doc_id, one micro-batch each via
+    maxFilesPerTrigger=1); every batch runs the quality gate,
+    within-batch normalized dedup (keep-min doc_id), then an
+    anti-join against the digests ALREADY PUBLISHED in the
+    transactional corpus table — cross-batch dedup against committed
+    state, the real production ingest loop. Each batch lands through
+    write-audit-publish whose audit asserts GLOBAL digest uniqueness
+    on the candidate snapshot, so a cross-batch dedup bug can never
+    become visible. Because batches ascend in doc_id, keep-first
+    equals the batch pipeline's global keep-min — the oracle is
+    pipeline_corpus_publish's SQL verbatim, proving the incremental
+    path converges to exactly the one-shot result."""
+    import os
+
+    import duckdb as _duck
+
+    from syncflux_spark.functions.text import token_count, words
+    from syncflux_spark.operators.dedup import normalized_text
+    from syncflux_spark.txtable import TxTable
+
+    root = tempfile.mkdtemp(prefix="sf_scorpus_")
+    src = os.path.join(root, "src")
+    os.makedirs(src)
+    con = _duck.connect()
+    for name, cond in (("docs_a", "doc_id < 250"), ("docs_b", "doc_id >= 250")):
+        con.sql(
+            f"COPY (SELECT * FROM '{sf}/documents.parquet' WHERE {cond} "
+            f"ORDER BY doc_id) TO '{src}/{name}.parquet' (FORMAT PARQUET)"
+        )
+    con.close()
+    now = __import__("time").time()
+    os.utime(f"{src}/docs_a.parquet", (now - 60, now - 60))
+    os.utime(f"{src}/docs_b.parquet", (now, now))
+    table_root = os.path.join(root, "corpus")
+
+    ws = words("text")
+    passes = (
+        (F.size(ws) >= 30)
+        & (
+            F.size(F.array_distinct(ws)).cast("double")
+            / F.size(ws).cast("double")
+            >= 0.4
+        )
+        & ~F.lower(F.col("text")).contains("lorem ipsum")
+    )
+
+    def audit(cand):
+        row = cand.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("digest").alias("d"),
+        ).collect()[0]
+        return row["n"] > 0 and row["n"] == row["d"]
+
+    def ingest(batch_df, batch_id):
+        scored = batch_df.where(passes).select(
+            "doc_id",
+            "source",
+            token_count("text").alias("n_tokens"),
+            F.md5(normalized_text("text")).alias("digest"),
+        )
+        w = Window.partitionBy("digest").orderBy("doc_id")
+        first = (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        t = TxTable.ensure(spark, table_root)
+        try:
+            published = t.snapshot().select("digest").distinct()
+            fresh = first.join(published, "digest", "left_anti")
+        except ValueError:  # no groups published yet
+            fresh = first
+        if fresh.head(1):
+            t.publish_with_audit(fresh, audit, stats_cols=["doc_id"])
+
+    schema = spark.read.parquet(f"{src}/docs_a.parquet").schema
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(src)
+        .writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return TxTable(spark, table_root).snapshot().groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
+
+
+# the streaming ingest must converge to exactly the one-shot batch
+# pipeline's published corpus — identical oracle by contract
+REGISTRY["stream_corpus_publish"] = Query(
+    spark=REGISTRY["stream_corpus_publish"].spark,
+    sql=REGISTRY["pipeline_corpus_publish"].sql,
+)
+
+
 @register(
     "ts_retention_tx",
     f"""
