@@ -146,6 +146,7 @@ HEADLINE = [
     "corpus_overview",
     "ivf_topk_kmeans",  # k-means|| quantizer + IVF search (r5 oracle)
     "mm_phash_dedup",  # media fingerprint via mapInPandas (r5 oracle)
+    "pipeline_corpus_publish",  # gate→dedup→WAP publish composition (r5)
 ]
 
 
