@@ -255,9 +255,24 @@ def _run_maintain(spark, args) -> int:
                 compact_parquet,
             )
 
+            # a window-keyed copy destination compacts PER WINDOW —
+            # compacting the whole dir would flatten the win= layout
+            # that chunk-replay overwrite idempotency keys on
+            wins = sorted(
+                d for d in os.listdir(path)
+                if d.startswith("win=")
+                and os.path.isdir(os.path.join(path, d))
+            )
+            if wins:
+                files = sum(
+                    compact_parquet(spark, os.path.join(path, w))
+                    for w in wins
+                )
+            else:
+                files = compact_parquet(spark, path)
             report[name] = {
                 "format": "dir",
-                "files": compact_parquet(spark, path),
+                "files": files,
                 "stale_staging_removed": len(clean_stale_staging(path)),
             }
     print(json.dumps(report))
