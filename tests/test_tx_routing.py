@@ -337,6 +337,36 @@ class TestTxCopyRouting:
         t = read_copied(spark, str(tmp_path / "tx"), "events").count()
         assert t == d > 0
 
+    def test_sync_tx_multi_measurement_pool(self, spark, events, tmp_path):
+        """Two measurements fan out on the worker pool — concurrent
+        TxTable.ensure + window commits on separate roots, exact
+        per-measurement roundtrips."""
+        from pyspark.sql import functions as F
+
+        from syncflux_spark.operators.copy import read_copied, sync
+
+        clicks = events.where(F.col("event_type") == "click")
+        rest = events.where(F.col("event_type") != "click")
+        rep = sync(
+            spark,
+            {"clicks": clicks, "rest": rest},
+            str(tmp_path / "tx"),
+            EV_START,
+            EV_END,
+            chunk="24h",
+            num_workers=2,
+            table_format="tx",
+        )
+        assert rep.write_errors == 0
+        nc = read_copied(spark, str(tmp_path / "tx"), "clicks").count()
+        nr = read_copied(spark, str(tmp_path / "tx"), "rest").count()
+        in_win = events.where(
+            (events.ts >= EV_START) & (events.ts < EV_END)
+        )
+        assert nc == in_win.where(F.col("event_type") == "click").count()
+        assert nr == in_win.where(F.col("event_type") != "click").count()
+        assert nc + nr == rep.points > 0
+
     def test_sync_dbrp_recovery_tx(self, spark, events, tmp_path):
         """C2 recovery on the tx sink: a failing chunk re-runs at
         finer granularity; fine windows land as their own tagged
