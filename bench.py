@@ -157,9 +157,21 @@ def main() -> int:
     from syncflux_spark import queries as q
     from syncflux_spark.session import get_spark
 
+    # --full: time EVERY registered query (one measured run each, cache
+    # cleared) and write the per-query map to --out (default
+    # BENCH_FULL.json) — regression visibility for the ~215 queries
+    # outside the headline tail (r5 verdict item #6). The driver's
+    # per-round invocation passes no args and keeps the headline set.
+    full = "--full" in sys.argv
+    out_path = "BENCH_FULL.json"
+    if "--out" in sys.argv:
+        out_path = sys.argv[sys.argv.index("--out") + 1]
+
     spark = get_spark("syncflux-bench")
     spark.sparkContext.setLogLevel("ERROR")
     registry = q.queries()
+    names = list(registry) if full else HEADLINE
+    runs_per_query = 1 if full else 2
 
     # warmup: JVM + codegen + parquet footer caches
     registry["q6_revenue_forecast"](spark, SF_DIR).collect()
@@ -172,13 +184,16 @@ def main() -> int:
     ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in names:
         fn = registry[name]
         # best-of-2: the second run amortizes codegen/JIT compilation,
         # which is per-query-shape startup cost, not steady-state
         # execution — the quantity that scales to a cluster run
+        # (--full uses one run per query: 284 queries × 2 would double
+        # a multi-minute pass, and the full map is for round-over-round
+        # regression DIFFS, where per-query noise washes out)
         best, n = float("inf"), 0
-        for _ in range(2):
+        for _ in range(runs_per_query):
             # cold cache each run: operators that persist intermediates
             # (LSH bands, shingle sets) must re-earn them — we measure
             # the query, not a leftover cache hit
@@ -201,12 +216,16 @@ def main() -> int:
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
-        "metric": "headline_query_wall_sec",
+        "metric": "full_query_wall_sec" if full else "headline_query_wall_sec",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else SF_DIR,
     }
+    if full:
+        with open(out_path, "w") as f:
+            json.dump(out, f, indent=1, sort_keys=True)
+        print(f"# wrote {out_path}", file=sys.stderr)
     print(json.dumps(out))
     spark.stop()
     return 0

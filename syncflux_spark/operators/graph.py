@@ -80,6 +80,67 @@ def pagerank(
     return ranks
 
 
+def pagerank_fixedpoint(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    n_iter: int = 10,
+    scale: int = 10**12,
+) -> DataFrame:
+    """:func:`pagerank` with ORDER-FREE integer arithmetic — the
+    oracle-hashable variant. Ranks live as int64 at ``scale`` parts
+    per unit; damping 0.85 is the exact rational 17/20, so every op
+    is integer (share = rank DIV deg, inflow = int64 SUM, next =
+    base + 17·inflow DIV 20) and the result is bit-identical under
+    any row order or partitioning — replayable in unrolled SQL.
+
+    Same distributed shape as the float version: per round one hash
+    join of ranks÷degrees onto the edge list + one partial-agg shuffle
+    on the destination id; O(|E|) work, O(|V|) state. Quantization
+    error is ≤1 part-per-scale per op (~1e-12 relative), far below
+    the float version's own accumulation drift tolerance."""
+    edges = pairs.select("id_a", "id_b").localCheckpoint()
+    sym = edges.union(
+        edges.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    ).localCheckpoint()
+    deg = sym.groupBy(F.col("id_a").alias(id_col)).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    n = nodes.count()
+    base = (3 * scale) // (20 * n)
+    ranks = (
+        nodes.select(F.col(id_col))
+        .withColumn("rank_fp", F.lit(scale // n).cast("long"))
+        .localCheckpoint()
+    )
+    for _ in range(n_iter):
+        src = ranks.join(deg, id_col)
+        contrib = sym.join(src, sym.id_a == src[id_col]).select(
+            F.col("id_b").alias("_dst"),
+            F.expr("rank_fp DIV deg").alias("c"),
+        )
+        inflow = contrib.groupBy(F.col("_dst").alias(id_col)).agg(
+            F.sum("c").alias("inflow")
+        )
+        ranks = (
+            nodes.select(F.col(id_col))
+            .join(inflow, id_col, "left")
+            .select(
+                F.col(id_col),
+                (
+                    F.lit(base)
+                    + F.expr("(17 * coalesce(inflow, CAST(0 AS LONG))) DIV 20")
+                ).alias("rank_fp"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select(
+        F.col(id_col),
+        "rank_fp",
+        (F.col("rank_fp").cast("double") / F.lit(float(scale))).alias("rank"),
+    )
+
+
 def degree_oriented_edges(pairs: DataFrame) -> DataFrame:
     """Re-point every undirected edge from its lower-degree endpoint
     to its higher-degree one (ties by id): (src, dst, deg_dst). Under

@@ -576,6 +576,64 @@ def audio_frames(
     return spread_for_cpu(df).mapInPandas(kernel, FRAME_SCHEMA)
 
 
+AUDIO_FRAME_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("rms_micro", T.LongType()),
+        T.StructField("zcr_micro", T.LongType()),
+    ]
+)
+
+
+def audio_frame_features(
+    df: DataFrame, frame_len: int = 512, hop: int = 256, codec: str = "fake"
+) -> DataFrame:
+    """Per-FRAME features quantized to integer micros — the
+    oracle-hashable stage under :func:`audio_features`: RMS energy
+    and zero-crossing rate per 1→N expanded window, each rounded
+    half-away to parts-per-million int64 inside the kernel (numpy
+    over the Arrow batch). Downstream per-clip means become pure
+    integer SUM / COUNT aggregations that any engine replays exactly
+    — this is the table mm_audio_features persists to the oracle
+    handshake dir (the mm_feature_knn pattern). Zero-frame clips emit
+    zero rows here; callers re-attach them by left join."""
+    _require_codec(codec, supported=("fake",))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, idxs, rms_l, zcr_l = [], [], [], []
+            for mid, b in zip(pdf["media_id"], pdf["content"]):
+                pcm = _fake_pcm(b).astype(np.float64) / 32768.0
+                n_frames = max(0, (len(pcm) - frame_len) // hop + 1)
+                if n_frames == 0:
+                    continue
+                starts = np.arange(n_frames) * hop
+                idx = starts[:, None] + np.arange(frame_len)[None, :]
+                fr = pcm[idx]
+                rms = np.sqrt((fr * fr).mean(axis=1))
+                zc = (np.signbit(fr[:, 1:]) != np.signbit(fr[:, :-1])).mean(
+                    axis=1
+                )
+                ids.extend([mid] * n_frames)
+                idxs.extend(range(n_frames))
+                # half-away rounding (values are nonnegative)
+                rms_l.extend(np.floor(rms * 1e6 + 0.5).astype(np.int64))
+                zcr_l.extend(np.floor(zc * 1e6 + 0.5).astype(np.int64))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "frame_idx": idxs,
+                    "rms_micro": rms_l,
+                    "zcr_micro": zcr_l,
+                }
+            )
+
+    return spread_for_cpu(df).mapInPandas(kernel, AUDIO_FRAME_FEATURE_SCHEMA)
+
+
 def audio_features(
     df: DataFrame, frame_len: int = 512, hop: int = 256, codec: str = "fake"
 ) -> DataFrame:

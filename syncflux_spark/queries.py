@@ -30,6 +30,7 @@ the LLM-pipeline surface (BASELINE.json north star).
 
 from __future__ import annotations
 
+import math
 import os as _os
 import tempfile
 from collections.abc import Callable
@@ -4191,36 +4192,136 @@ def ivf_topk(spark, sf):
     return out.withColumn("rank", F.col("rank").cast("int"))
 
 
-@register("doc_pagerank", None)  # cross-row float sums: no bitwise oracle
+def _pagerank_sql(n_iter: int = 10, scale: int = 10**12) -> str:
+    """Unrolled fixed-point PageRank — replays
+    operators/graph.py::pagerank_fixedpoint exactly: ranks are int64
+    at ``scale`` parts per unit, damping is the exact rational 17/20,
+    every cross-row sum is an int64 sum → bit-identical under any
+    join/aggregation order."""
+    pairs = REGISTRY["ngram_jaccard_pairs"].sql
+    # AS MATERIALIZED: DuckDB inlines CTEs by default, so sym (and the
+    # expensive pairs subquery under it) would be recomputed in every
+    # unrolled round.
+    parts = [
+        f"WITH pairs AS MATERIALIZED (SELECT id_a, id_b FROM ({pairs}))",
+        "nodes AS MATERIALIZED (SELECT doc_id FROM documents)",
+        "cnt AS MATERIALIZED"
+        " (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes)",
+        "sym AS MATERIALIZED (SELECT id_a, id_b FROM pairs"
+        " UNION ALL SELECT id_b AS id_a, id_a AS id_b FROM pairs)",
+        "deg AS MATERIALIZED"
+        " (SELECT id_a AS doc_id, CAST(COUNT(*) AS BIGINT) AS deg"
+        " FROM sym GROUP BY id_a)",
+        f"r0 AS MATERIALIZED (SELECT doc_id,"
+        f" {scale} // (SELECT n FROM cnt) AS rank_fp FROM nodes)",
+    ]
+    for k in range(n_iter):
+        parts.append(
+            f"r{k + 1} AS MATERIALIZED ("
+            f" SELECT nd.doc_id, CAST("
+            f" (3 * {scale}) // (20 * (SELECT n FROM cnt))"
+            f" + (17 * COALESCE(s.inflow, 0)) // 20 AS BIGINT) AS rank_fp"
+            f" FROM nodes nd LEFT JOIN ("
+            f"  SELECT e.id_b AS doc_id,"
+            f"  CAST(SUM(r.rank_fp // d.deg) AS BIGINT) AS inflow"
+            f"  FROM sym e"
+            f"  JOIN r{k} r ON e.id_a = r.doc_id"
+            f"  JOIN deg d ON e.id_a = d.doc_id"
+            f"  GROUP BY e.id_b) s USING (doc_id))"
+        )
+    return ",\n".join(parts) + f"""
+    SELECT doc_id, rank_fp,
+           CAST(rank_fp AS DOUBLE) / {float(scale)!r} AS rank
+    FROM r{n_iter}
+    """
+
+
+@register("doc_pagerank", _pagerank_sql())
 def doc_pagerank(spark, sf):
     """PageRank over the verified near-dup graph — ranks the hub
     documents of duplicate neighborhoods (canonical-copy selection
     keeps the highest-ranked cluster member). Ten rounds of one
     join + one partial-agg shuffle each, lineage-checkpointed
-    (operators/graph.py::pagerank over
-    operators/dedup.py::ngram_jaccard_pairs edges). Rows-only gate;
-    numerics gated vs a numpy replica in
+    (operators/graph.py::pagerank_fixedpoint over
+    operators/dedup.py::ngram_jaccard_pairs edges). Ranks accumulate
+    as int64 parts-per-10¹² with damping as the exact rational 17/20,
+    so cross-row sums are order-free and the oracle replays all ten
+    rounds in unrolled SQL — full-hash gate (was rows-only through
+    r5). Float-precision numerics stay gated vs the numpy replica in
     tests/test_ann_quality.py::test_pagerank_matches_numpy."""
-    from syncflux_spark.operators.graph import pagerank
+    from syncflux_spark.operators.graph import pagerank_fixedpoint
 
     docs = load_table(spark, sf, "documents")
     pairs = dd.ngram_jaccard_pairs(docs, threshold=0.5)
-    return pagerank(docs.select("doc_id"), pairs.select("id_a", "id_b"))
+    return pagerank_fixedpoint(
+        docs.select("doc_id"), pairs.select("id_a", "id_b")
+    )
 
 
-@register("emb_top_eigenvector", None)  # cross-row float sums: no bitwise oracle
+def _eig_sql(dim: int = 64, n_iter: int = 10) -> str:
+    """Unrolled fixed-point power iteration as pure SQL — replays
+    operators/similarity.py::top_eigenvector_fixedpoint exactly: every
+    cross-row sum is an int64 sum of per-row rounded micros, every
+    float op is a single IEEE expression on identical operands, so 10
+    iterations stay bit-identical between Spark and DuckDB."""
+    init = repr(1.0 / math.sqrt(dim))
+    # AS MATERIALIZED everywhere: without it DuckDB inlines CTE
+    # references, and v{k+1} referencing md{k} twice (directly and
+    # through lam{k}) doubles the inlined plan per iteration — a 2^10
+    # planning blow-up that never finishes.
+    parts = [
+        "WITH v AS MATERIALIZED"
+        " (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        "cnt AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v)",
+        f"xe AS MATERIALIZED (SELECT vec_id AS rid, i AS d, v[i] AS xd FROM v"
+        f" CROSS JOIN generate_series(1, {dim}) AS g(i))",
+        f"v0 AS MATERIALIZED (SELECT i AS d, CAST({init} AS DOUBLE) AS val"
+        f" FROM generate_series(1, {dim}) AS g(i))",
+    ]
+    for k in range(n_iter):
+        parts += [
+            f"dot{k} AS MATERIALIZED (SELECT rid,"
+            f" SUM(CAST(ROUND(xd * val * 1000000.0) AS BIGINT)) AS dotm"
+            f" FROM xe JOIN v{k} USING (d) GROUP BY rid)",
+            f"mv{k} AS MATERIALIZED (SELECT d,"
+            f" SUM(CAST(ROUND(xd * dotm) AS BIGINT)) AS mvm"
+            f" FROM xe JOIN dot{k} USING (rid) GROUP BY d)",
+            f"md{k} AS MATERIALIZED (SELECT d, CAST(mvm AS DOUBLE)"
+            f" / 1000000.0 / (SELECT n FROM cnt) AS mvd FROM mv{k})",
+            f"lam{k} AS MATERIALIZED (SELECT sqrt(CAST(SUM(CAST(ROUND(mvd"
+            f" * mvd * 1000000000000.0) AS BIGINT)) AS DOUBLE)"
+            f" / 1000000000000.0) AS lam FROM md{k})",
+            f"v{k + 1} AS MATERIALIZED (SELECT d,"
+            f" mvd / (SELECT lam FROM lam{k}) AS val FROM md{k})",
+        ]
+    return ",\n".join(parts) + f"""
+    SELECT CAST(d AS INTEGER) AS dim_idx,
+           CAST(ROUND(val * 1000000.0) AS BIGINT) AS component_micro,
+           (SELECT CAST(ROUND(lam * 1000000.0) AS BIGINT)
+            FROM lam{n_iter - 1}) AS eigenvalue_micro,
+           CAST({n_iter} AS INTEGER) AS n_iter,
+           CAST({dim} AS INTEGER) AS dim
+    FROM v{n_iter}
+    """
+
+
+@register("emb_top_eigenvector", _eig_sql())
 def emb_top_eigenvector(spark, sf):
     """Top principal direction of the embedding second-moment matrix
     via matrix-free power iteration — M·v recomputed per round as one
-    distributed pass (broadcast d-vector, codegen dot, element-wise
-    array-sum aggregate); the d×d matrix never materializes
-    (operators/similarity.py::top_eigenvector). Cross-row float
-    accumulation is order-dependent → rows-only gate here; the
-    numerics are gated against numpy eigendecomposition in
+    distributed pass (broadcast d-vector, codegen per-row work, one
+    partial-agg of d int64 sums); the d×d matrix never materializes
+    (operators/similarity.py::top_eigenvector_fixedpoint). Cross-row
+    accumulation is integer micros, so the 10-round recurrence is
+    order-free and the oracle replays all 10 iterations in unrolled
+    SQL — a full-hash gate. Result is d scalar rows (dim_idx,
+    component_micro, ...), never an array column (r5: top-level
+    arrays crash the driver's canonicalization). Float-precision
+    numerics stay gated against numpy eigendecomposition in
     tests/test_ann_quality.py::test_power_iteration_matches_numpy."""
-    from syncflux_spark.operators.similarity import top_eigenvector
+    from syncflux_spark.operators.similarity import top_eigenvector_fixedpoint
 
-    return top_eigenvector(load_table(spark, sf, "embeddings"))
+    return top_eigenvector_fixedpoint(load_table(spark, sf, "embeddings"))
 
 
 #: Fixed handshake directory for oracle-replay artifacts: a Spark
@@ -12632,18 +12733,46 @@ def quantile_sketch_merge(spark, sf):
     return qsk_quantiles(merged, ["event_type"])
 
 
+def _sql_hex8(expr: str) -> str:
+    """First-8-hex-chars → BIGINT, portable: DuckDB has no conv(),
+    so decode digit-by-digit against the hex alphabet — numerically
+    identical to Spark's ``conv(substring(h,1,8), 16, 10)``."""
+    return "(" + " + ".join(
+        f"(strpos('0123456789abcdef', substring({expr}, {i + 1}, 1)) - 1)"
+        f" * {16 ** (7 - i)}"
+        for i in range(8)
+    ) + ")"
+
+
+_TRIPLET_PROBES = 8
+
+
 def _triplet_sql() -> str:
     pairs = REGISTRY["ngram_jaccard_pairs"].sql
+    probe_h = (
+        "md5(CAST(p.id_a AS VARCHAR) || '|' || CAST(p.id_b AS VARCHAR)"
+        " || '|' || CAST(g.i AS VARCHAR) || 'probebkt')"
+    )
+    pool_h = "md5(CAST(n AS VARCHAR) || 'poolbkt')"
     return f"""
     WITH pool AS (
       SELECT doc_id AS n FROM documents
       WHERE substring(md5(CAST(doc_id AS VARCHAR) || 'negpool'), 1, 1) = '0'),
+    bkt AS (SELECT CAST(GREATEST(COUNT(*), 1) AS BIGINT) AS b FROM pool),
+    poolb AS (
+      SELECT n, {_sql_hex8(pool_h)} % (SELECT b FROM bkt) AS pb FROM pool),
     pairs AS (SELECT id_a, id_b FROM ({pairs})),
+    probes AS (
+      SELECT p.id_a AS anchor, p.id_b AS positive,
+             {_sql_hex8(probe_h)} % (SELECT b FROM bkt) AS pb
+      FROM pairs p
+      CROSS JOIN generate_series(0, {_TRIPLET_PROBES - 1}) AS g(i)),
     cand AS (
-      SELECT p.id_a AS anchor, p.id_b AS positive, pl.n,
-             md5(CAST(p.id_a AS VARCHAR) || '|' || CAST(pl.n AS VARCHAR)) AS h
-      FROM pairs p CROSS JOIN pool pl
-      WHERE pl.n <> p.id_a AND pl.n <> p.id_b),
+      SELECT pr.anchor, pr.positive, pl.n,
+             md5(CAST(pr.anchor AS VARCHAR) || '|' || CAST(pl.n AS VARCHAR))
+               AS h
+      FROM probes pr JOIN poolb pl USING (pb)
+      WHERE pl.n <> pr.anchor AND pl.n <> pr.positive),
     nodup AS (
       SELECT c.anchor, c.positive, c.n, c.h FROM cand c
       LEFT JOIN pairs d
@@ -12651,7 +12780,8 @@ def _triplet_sql() -> str:
       WHERE d.id_a IS NULL)
     SELECT anchor, positive, n AS negative FROM (
       SELECT anchor, positive, n,
-             row_number() OVER (PARTITION BY anchor, positive ORDER BY h) AS rn
+             row_number() OVER (PARTITION BY anchor, positive
+                                ORDER BY h, n) AS rn
       FROM nodup) WHERE rn = 1
     """
 
@@ -12662,16 +12792,26 @@ def contrastive_triplets(spark, sf):
     negative) rows where the positive is a verified near-duplicate of
     the anchor (the LSH → exact-Jaccard pipeline's pairs — the
     standard free supervision signal for retrieval/embedding
-    training) and the negative is drawn from a deterministic
-    hash-sampled candidate pool (~1/16 of the corpus, broadcastable),
-    anti-joined against the near-dup pairs so a true duplicate can
-    never be a negative, selected per (anchor, positive) by min
-    pair-hash — seed-free and replayable. At 100 TB the pool
-    threshold is the dial: the pool stays broadcast-sized while the
-    anti-join cost rides the PAIRS count, not the corpus."""
+    training) and the negative comes from a deterministic
+    hash-sampled pool (~1/16 of the corpus) WITHOUT enumerating
+    pairs×pool: the pool is hashed into B = |pool| buckets and each
+    pair probes the 8 buckets named by md5(anchor|positive|i) — an
+    equality join on the bucket key, so the candidate set is
+    O(8·|pairs|) rows with ~1 pool member per probe regardless of
+    corpus size (r5 verdict: the old broadcast-pool crossJoin
+    materialized |pairs|·|pool| rows — a 100 TB killer). Candidates
+    are anti-joined against the near-dup pairs so a true duplicate
+    can never be a negative, then one negative per (anchor,
+    positive) is selected by min pair-hash — seed-free, replayable,
+    and identical in the SQL oracle. A pair whose 8 probed buckets
+    are all empty/invalid yields no triplet (P ≈ e⁻⁸ at mean bucket
+    occupancy 1)."""
     from pyspark.sql import Window as W
 
     from syncflux_spark.utils import eager_persist
+
+    def hex8(col):
+        return F.conv(F.substring(col, 1, 8), 16, 10).cast("long")
 
     docs = load_table(spark, sf, "documents")
     pairs = eager_persist(
@@ -12685,16 +12825,51 @@ def contrastive_triplets(spark, sf):
         )
         == "0"
     )
-    cand = (
-        pairs.crossJoin(F.broadcast(pool))
-        .where((F.col("n") != F.col("id_a")) & (F.col("n") != F.col("id_b")))
+    b = max(pool.count(), 1)  # bounded scalar: one agg, one long
+    poolb = pool.withColumn(
+        "pb",
+        hex8(F.md5(F.concat(F.col("n").cast("string"), F.lit("poolbkt"))))
+        % F.lit(b),
+    )
+    probes = (
+        pairs.select(
+            F.col("id_a").alias("anchor"), F.col("id_b").alias("positive")
+        )
+        .withColumn(
+            "i", F.explode(F.sequence(F.lit(0), F.lit(_TRIPLET_PROBES - 1)))
+        )
         .select(
-            F.col("id_a").alias("anchor"),
-            F.col("id_b").alias("positive"),
+            "anchor",
+            "positive",
+            (
+                hex8(
+                    F.md5(
+                        F.concat(
+                            F.col("anchor").cast("string"),
+                            F.lit("|"),
+                            F.col("positive").cast("string"),
+                            F.lit("|"),
+                            F.col("i").cast("string"),
+                            F.lit("probebkt"),
+                        )
+                    )
+                )
+                % F.lit(b)
+            ).alias("pb"),
+        )
+    )
+    cand = (
+        probes.join(poolb, "pb")
+        .where(
+            (F.col("n") != F.col("anchor")) & (F.col("n") != F.col("positive"))
+        )
+        .select(
+            "anchor",
+            "positive",
             "n",
             F.md5(
                 F.concat(
-                    F.col("id_a").cast("string"),
+                    F.col("anchor").cast("string"),
                     F.lit("|"),
                     F.col("n").cast("string"),
                 )
@@ -12708,7 +12883,7 @@ def contrastive_triplets(spark, sf):
         & (F.greatest("anchor", "n") == F.col("_pb")),
         "left_anti",
     )
-    w = W.partitionBy("anchor", "positive").orderBy("_h")
+    w = W.partitionBy("anchor", "positive").orderBy("_h", "n")
     return (
         nodup.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
@@ -13273,22 +13448,69 @@ def mm_audio_frame_counts(spark, sf):
     )
 
 
-@register("mm_audio_features", None)  # numpy kernel → rows-only gate
+@register(
+    "mm_audio_features",
+    f"""
+    WITH f AS (SELECT media_id, rms_micro, zcr_micro
+               FROM read_parquet('{_ORACLE_ART}/mm_audio_frames/*.parquet')),
+    agg AS (SELECT media_id, CAST(COUNT(*) AS BIGINT) AS n_frames,
+                   CAST(SUM(rms_micro) AS BIGINT) AS rms_sum,
+                   CAST(SUM(zcr_micro) AS BIGINT) AS zcr_sum
+            FROM f GROUP BY media_id)
+    SELECT d.doc_id AS media_id,
+           COALESCE(a.n_frames, 0) AS n_frames,
+           COALESCE(CAST(a.rms_sum AS DOUBLE) / 1000000.0 / a.n_frames, 0.0)
+             AS mean_rms,
+           COALESCE(CAST(a.zcr_sum AS DOUBLE) / 1000000.0 / a.n_frames, 0.0)
+             AS mean_zcr
+    FROM documents d LEFT JOIN agg a ON a.media_id = d.doc_id
+    """,
+)
 def mm_audio_features(spark, sf):
     """Per-clip audio features — mean frame RMS energy and mean
-    zero-crossing rate over 64-sample/32-hop windows, vectorized
-    numpy inside the Arrow batch loop (the cheap speechiness/quality
-    signals a real featurizer replaces in-place). Not
-    SQL-expressible (binary PCM math); the STRONG local gate is
-    tests/test_multimodal.py::TestAudio — hand-computed RMS/ZCR on a
-    known waveform must match exactly."""
+    zero-crossing rate over 64-sample/32-hop windows. The numpy PCM
+    kernel emits PER-FRAME integer-micro features
+    (operators/multimodal.py::audio_frame_features), which are
+    PERSISTED to the oracle handshake dir; per-clip means are pure
+    integer SUM/COUNT over that table, so the oracle replays the
+    aggregation + zero-frame left join from the same stored bits —
+    full-hash gate on everything downstream of the kernel (the
+    mm_feature_knn pattern; was rows-only through r5). Kernel
+    determinism itself stays gated by tests/test_multimodal.py::
+    TestAudio's hand-computed RMS/ZCR."""
     from syncflux_spark.operators.multimodal import (
-        audio_features,
+        audio_frame_features,
         media_from_documents,
     )
 
     media = media_from_documents(load_table(spark, sf, "documents"))
-    return audio_features(media, frame_len=64, hop=32)
+    frames = audio_frame_features(media, frame_len=64, hop=32)
+    art = f"{_ORACLE_ART}/mm_audio_frames"
+    frames.write.mode("overwrite").parquet(art)
+    agg = (
+        spark.read.parquet(art)
+        .groupBy("media_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.sum("rms_micro").alias("rms_sum"),
+            F.sum("zcr_micro").alias("zcr_sum"),
+        )
+    )
+    docs = load_table(spark, sf, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+    return docs.join(agg, "media_id", "left").select(
+        "media_id",
+        F.coalesce("n_frames", F.lit(0).cast("long")).alias("n_frames"),
+        F.coalesce(
+            F.col("rms_sum").cast("double") / 1000000.0 / F.col("n_frames"),
+            F.lit(0.0),
+        ).alias("mean_rms"),
+        F.coalesce(
+            F.col("zcr_sum").cast("double") / 1000000.0 / F.col("n_frames"),
+            F.lit(0.0),
+        ).alias("mean_zcr"),
+    )
 
 
 #: Names with a green row in some CORRECTNESS_r*.json (r1 ∪ r2 ∪ r3).
@@ -13352,6 +13574,17 @@ _PRIORITY_PREFIXES = (
     "pipeline_", "ts_retention_tx", "ts_copy_roundtrip_tx",
 )
 
+#: Queries whose implementation or oracle changed THIS round — pinned
+#: to the very front of the sample so the gate re-checks them before
+#: anything else (a changed query with a stale green row is the one
+#: regression the self-maintaining order can't see on its own).
+_ROUND_FOCUS = (
+    "emb_top_eigenvector",  # r5 gate crash → exploded scalar rows
+    "doc_pagerank",  # rows-only → fixed-point full-hash oracle
+    "mm_audio_features",  # rows-only → artifact-replay oracle
+    "contrastive_triplets",  # pairs×pool crossJoin → bucket probes
+)
+
 
 def _confirmed_names() -> frozenset:
     """The union of the static set above and every green row found in
@@ -13387,12 +13620,14 @@ def _confirmed_names() -> frozenset:
 
 def _public_order() -> list[str]:
     names = list(REGISTRY)
-    confirmed_set = _confirmed_names()
+    confirmed_set = _confirmed_names() - set(_ROUND_FOCUS)
+    focus = [n for n in _ROUND_FOCUS if n in REGISTRY]
+    names = [n for n in names if n not in _ROUND_FOCUS]
     unconfirmed = [n for n in names if n not in confirmed_set]
     confirmed = [n for n in names if n in confirmed_set]
     prio = [n for n in unconfirmed if n.startswith(_PRIORITY_PREFIXES)]
     rest = [n for n in unconfirmed if not n.startswith(_PRIORITY_PREFIXES)]
-    return prio + rest + confirmed
+    return focus + prio + rest + confirmed
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

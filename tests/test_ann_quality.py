@@ -329,6 +329,51 @@ def test_power_iteration_matches_numpy(spark, emb):
     assert abs(row.eigenvalue - top_val) / top_val < 0.05
 
 
+def test_power_iteration_fixedpoint_matches_float(spark, emb):
+    """The integer-micros variant (the oracle-hashable registered
+    query) must track the float power iteration to quantization
+    error: components agree to ~1e-5 and the eigenvalue to 1e-4
+    relative — a wrong scale, a dropped /n, or a rounding-rule
+    mismatch shifts results far beyond that."""
+    import numpy as np
+
+    from syncflux_spark.operators.similarity import (
+        top_eigenvector,
+        top_eigenvector_fixedpoint,
+    )
+
+    frow = top_eigenvector(emb, n_iter=10).collect()[0]
+    rows = top_eigenvector_fixedpoint(emb, n_iter=10).collect()
+    assert sorted(r.dim_idx for r in rows) == list(range(1, frow.dim + 1))
+    got = np.array(
+        [r.component_micro for r in sorted(rows, key=lambda r: r.dim_idx)]
+    ) / 1e6
+    ref = np.array(frow.eigenvector)
+    assert float(np.abs(got - ref).max()) < 1e-4
+    ev = rows[0].eigenvalue_micro / 1e6
+    assert abs(ev - frow.eigenvalue) / frow.eigenvalue < 1e-4
+
+
+def test_pagerank_fixedpoint_matches_float(spark, sf_dir):
+    """The int64 parts-per-10¹² variant (the oracle-hashable
+    registered query) must track float PageRank to quantization
+    error (≤1 part per 10¹² per op × 10 rounds ≪ 1e-9)."""
+    from syncflux_spark.operators.dedup import ngram_jaccard_pairs
+    from syncflux_spark.operators.graph import pagerank, pagerank_fixedpoint
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5).select("id_a", "id_b")
+    fl = {
+        r.doc_id: r.rank
+        for r in pagerank(docs.select("doc_id"), pairs, n_iter=10).collect()
+    }
+    fp = pagerank_fixedpoint(docs.select("doc_id"), pairs, n_iter=10).collect()
+    assert len(fp) == len(fl)
+    for r in fp:
+        assert abs(r.rank - fl[r.doc_id]) < 1e-9, (r.doc_id, r.rank, fl[r.doc_id])
+        assert r.rank == r.rank_fp / 1e12
+
+
 def test_pagerank_matches_numpy(spark, sf_dir):
     """The distributed PageRank rounds must agree with a local numpy
     replica of the identical iteration (same init, damping, rounds) —

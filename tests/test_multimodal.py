@@ -344,6 +344,22 @@ class TestAudio:
         row = mm.audio_features(df, frame_len=64, hop=32).collect()[0]
         assert row.n_frames == 0 and row.mean_rms == 0.0
 
+    def test_frame_features_micro_exact(self, spark):
+        """The per-frame integer-micro stage (the table
+        mm_audio_features persists for its oracle) must quantize the
+        same kernel math exactly: square wave frames have RMS 0.25
+        (→ 250000 micro) and ZCR 1.0 (→ 1000000 micro)."""
+        samples = [8192, -8192] * 128
+        df = self._pcm_media(spark, samples)
+        rows = mm.audio_frame_features(df, frame_len=64, hop=32).collect()
+        assert [r.frame_idx for r in rows] == list(range(7))
+        assert all(r.rms_micro == 250000 for r in rows)
+        assert all(r.zcr_micro == 1000000 for r in rows)
+
+    def test_frame_features_zero_frame_clip_emits_no_rows(self, spark):
+        df = self._pcm_media(spark, [5] * 10)
+        assert mm.audio_frame_features(df, frame_len=64, hop=32).count() == 0
+
     def test_wav_codec_decodes_real_riff(self, spark, tmp_path):
         """The 'wav' branch parses genuine RIFF bytes (stdlib wave) —
         a real-codec path that actually runs in this container."""

@@ -69,6 +69,17 @@ def assert_frames_match(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: s
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_matches_oracle(name, spark, sf_dir, duck):
     sdf = QUERIES[name](spark, sf_dir)
+    # Driver-canonicalizable shapes only: the gate sorts result
+    # columns through pandas, and a top-level array/map column crashes
+    # it (unhashable list — bit emb_top_eigenvector in r5). Vectors
+    # must leave exploded to (idx, value) rows or scalar columns.
+    import pyspark.sql.types as T
+
+    for field in sdf.schema.fields:
+        assert not isinstance(field.dataType, (T.ArrayType, T.MapType)), (
+            f"{name}.{field.name}: top-level {field.dataType.simpleString()} "
+            "column would crash the driver's rows-only canonicalization"
+        )
     spark_pdf = sdf.toPandas()
     if name not in ORACLES:
         assert len(spark_pdf) >= 0  # rows-only check for non-SQL ops
