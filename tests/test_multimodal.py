@@ -298,6 +298,82 @@ class TestRealVideoFrames:
         assert len(frames) == 4
         assert all(bytes(r.frame_bytes).startswith(b"\x89PNG") for r in frames)
 
+    def test_vendored_mp4_is_structurally_valid(self):
+        """Runs in EVERY environment (no decoder needed): the vendored
+        fixture must be a consistent ISO BMFF file whose sample table
+        addresses well-formed JPEG samples (tools/mjpeg_mp4's box +
+        marker walk). Where a real decoder exists, the skipped tests
+        above decode the same file."""
+        from tools.mjpeg_mp4 import check_mjpeg_mp4
+
+        vendored = os.path.join(_DATA_DIR, "tiny.mp4")
+        if not os.path.exists(vendored):
+            pytest.skip("fixture not vendored yet")
+        with open(vendored, "rb") as f:
+            b = f.read()
+        assert len(b) <= 10_000
+        info = check_mjpeg_mp4(b)
+        assert info == {"n_samples": 8, "width": 32, "height": 32}
+
+    def test_pure_python_mjpeg_entropy_roundtrip(self):
+        """Bit-exact check of the no-encoder JPEG path: decode the
+        entropy stream back with an independent canonical-Huffman
+        reader and recover the expected quantized DC per block."""
+        import struct as st
+
+        from tools.mjpeg_mp4 import (
+            _AC_BITS,
+            _AC_VALS,
+            _DC_BITS,
+            _DC_VALS,
+            _huffman_codes,
+            solid_jpeg,
+        )
+
+        for gray in (0, 30, 128, 255):
+            s = solid_jpeg(32, 32, gray)
+            pos = 2
+            while True:
+                marker = s[pos + 1]
+                ln = st.unpack_from(">H", s, pos + 2)[0]
+                pos += 2 + ln
+                if marker == 0xDA:
+                    break
+            ent = s[pos:-2].replace(b"\xff\x00", b"\xff")
+            bits = "".join(f"{byte:08b}" for byte in ent)
+            dc = {
+                f"{c:0{l}b}": sym
+                for sym, (c, l) in _huffman_codes(_DC_BITS, _DC_VALS).items()
+            }
+            ac = {
+                f"{c:0{l}b}": sym
+                for sym, (c, l) in _huffman_codes(_AC_BITS, _AC_VALS).items()
+            }
+            i, prev, expect = 0, 0, round(8 * (gray - 128) / 16)
+            for _ in range(16):
+                for l in range(1, 17):
+                    if bits[i : i + l] in dc:
+                        cat = dc[bits[i : i + l]]
+                        i += l
+                        break
+                else:
+                    pytest.fail("no DC code matched")
+                v = 0
+                if cat:
+                    v = int(bits[i : i + cat], 2)
+                    i += cat
+                    if v < (1 << (cat - 1)):
+                        v = v - (1 << cat) + 1
+                prev += v
+                assert prev == expect
+                for l in range(1, 17):
+                    if bits[i : i + l] in ac:
+                        assert ac[bits[i : i + l]] == 0x00  # EOB
+                        i += l
+                        break
+                else:
+                    pytest.fail("no AC code matched")
+
 
 class TestAudio:
     def _pcm_media(self, spark, samples):

@@ -55,15 +55,24 @@ def write_mp4(path: str) -> bool:
     sys.path.insert(0, repo)
     from syncflux_spark.operators import multimodal as mm
 
-    if not (mm.codec_available("pyav") or mm.codec_available("ffmpeg")):
-        print("no video encoder (PyAV/ffmpeg) here — tiny.mp4 not written")
-        return False
-    from tests.test_multimodal import _mp4_bytes
+    if mm.codec_available("pyav") or mm.codec_available("ffmpeg"):
+        from tests.test_multimodal import _mp4_bytes
 
-    b = _mp4_bytes()
+        b = _mp4_bytes()
+        with open(path, "wb") as f:
+            f.write(b)
+        print(f"wrote {path} ({len(b)} bytes, real encoder)")
+        return True
+    # no encoder anywhere: build MJPEG-in-MP4 in pure Python (solid
+    # DC-only JPEG frames, hand-boxed ISO BMFF — see tools/mjpeg_mp4)
+    # and prove the structure with the marker/box checker
+    from tools.mjpeg_mp4 import check_mjpeg_mp4, tiny_mp4_bytes
+
+    b = tiny_mp4_bytes()
+    info = check_mjpeg_mp4(b)
     with open(path, "wb") as f:
         f.write(b)
-    print(f"wrote {path} ({len(b)} bytes)")
+    print(f"wrote {path} ({len(b)} bytes, pure-python MJPEG: {info})")
     return True
 
 
