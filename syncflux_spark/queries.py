@@ -11657,12 +11657,41 @@ def key_skew_report(spark, sf):
     )
 
 
-@register(
-    "dedup_graph_kcore",
-    None,  # iterative fixpoint (peel rounds) — no closed SQL form;
-    # rows-only driver check, semantics pinned by unit tests
-    # (tests/test_graph_orientation.py::TestKCore)
-)
+def _kcore_sql(k: int = 3, rounds: int = 30) -> str:
+    """Unrolled simultaneous k-core peeling. The peel is a FIXPOINT
+    (data-dependent round count), but each round is idempotent once
+    converged — dropping nobody leaves the edge set unchanged — so
+    ``rounds`` unrolled rounds compute the EXACT k-core for any graph
+    whose peel depth is ≤ rounds, and a deeper graph produces a
+    visible gate mismatch (the Spark side iterates to the true
+    fixpoint), never a silently wrong match. 30 ≫ the LSH candidate
+    graph's peel depth at gate scale (≤ a handful of rounds)."""
+    pairs = REGISTRY["lsh_candidate_pairs"].sql
+    parts = [
+        f"WITH pairs AS MATERIALIZED (SELECT id_a, id_b FROM ({pairs}))",
+        "e0 AS MATERIALIZED (SELECT DISTINCT id_a, id_b FROM pairs"
+        " WHERE id_a <> id_b)",
+    ]
+    for r in range(rounds):
+        parts += [
+            f"bad{r} AS MATERIALIZED (SELECT _v FROM ("
+            f" SELECT id_a AS _v, COUNT(*) AS d FROM ("
+            f"  SELECT id_a, id_b FROM e{r}"
+            f"  UNION ALL SELECT id_b AS id_a, id_a AS id_b FROM e{r}) s"
+            f" GROUP BY id_a) WHERE d < {k})",
+            f"e{r + 1} AS MATERIALIZED (SELECT id_a, id_b FROM e{r}"
+            f" WHERE id_a NOT IN (SELECT _v FROM bad{r})"
+            f" AND id_b NOT IN (SELECT _v FROM bad{r}))",
+        ]
+    return ",\n".join(parts) + f"""
+    SELECT id_a AS doc_id, CAST(COUNT(*) AS BIGINT) AS core_degree
+    FROM (SELECT id_a, id_b FROM e{rounds}
+          UNION ALL SELECT id_b AS id_a, id_a AS id_b FROM e{rounds}) s
+    GROUP BY id_a
+    """
+
+
+@register("dedup_graph_kcore", _kcore_sql())
 def dedup_graph_kcore(spark, sf):
     """3-core of the LSH candidate graph
     (operators/graph.py::k_core): the maximal subgraph where every
@@ -11671,7 +11700,11 @@ def dedup_graph_kcore(spark, sf):
     chains of borderline pairwise matches do not — the
     subgraph-global complement to the per-wedge triangle signal.
     Distributed simultaneous peeling, one degree agg + two anti-joins
-    per round, O(1) lineage via localCheckpoint."""
+    per round, O(1) lineage via localCheckpoint. The oracle unrolls
+    30 idempotent peel rounds in SQL (exact for peel depth ≤ 30,
+    visible mismatch beyond — see _kcore_sql), upgrading the last
+    rows-only registry entry to a full-hash gate; peel semantics stay
+    pinned by tests/test_graph_orientation.py::TestKCore."""
     from syncflux_spark.operators.graph import k_core
 
     pairs = dd.lsh_candidate_pairs(load_table(spark, sf, "documents"))
@@ -12936,16 +12969,84 @@ def maxsim_topk(spark, sf):
     return out.withColumn("rank", F.col("rank").cast("int"))
 
 
-@register("maxsim_topk_ann", None)  # ANN shortlist → rows-only gate
+def _maxsim_ann_sql(m: int = 20, nprobe: int = 4, k: int = 5) -> str:
+    """Full SQL replay of operators/similarity.py::maxsim_topk_ann:
+    seed quantizer (16 lowest corpus vec_ids) → IVF assignment →
+    per-query-vector probe → top-m shortlist → DISTINCT candidate
+    (q_doc, c_doc) pairs → exact MaxSim rescore in integer micros.
+    Every stage mirrors the Spark operator's ordering and tie rules
+    (cos DESC then id ASC), so the approximation is replayed, not
+    approximated — the same determinism that made ivf_topk and
+    maxsim_topk full-hash gates."""
+    cos_vc = _sql_cos("a.v", "c.cv")
+    return f"""
+    WITH v AS MATERIALIZED (
+      SELECT vec_id, CAST(vec_id // 10 AS BIGINT) AS doc,
+             embedding::DOUBLE[] AS v
+      FROM embeddings),
+    c AS MATERIALIZED (
+      SELECT vec_id, doc AS c_doc, v FROM v WHERE vec_id >= 30),
+    q AS MATERIALIZED (
+      SELECT vec_id, doc AS q_doc, v FROM v WHERE vec_id < 30),
+    cent AS MATERIALIZED (
+      SELECT vec_id AS cid, v AS cv FROM c ORDER BY vec_id LIMIT 16),
+    assign AS MATERIALIZED (
+      SELECT vec_id, c_doc, v, cid FROM (
+        SELECT a.vec_id, a.c_doc, a.v, c.cid,
+               row_number() OVER (PARTITION BY a.vec_id
+                                  ORDER BY {cos_vc} DESC, c.cid) AS rn
+        FROM c a CROSS JOIN cent c)
+      WHERE rn = 1),
+    probe AS MATERIALIZED (
+      SELECT vec_id AS query_id, q_doc, v AS qv, cid FROM (
+        SELECT a.vec_id, a.q_doc, a.v, c.cid,
+               row_number() OVER (PARTITION BY a.vec_id
+                                  ORDER BY {cos_vc} DESC, c.cid) AS rn
+        FROM q a CROSS JOIN cent c)
+      WHERE rn <= {nprobe}),
+    hits AS MATERIALIZED (
+      SELECT query_id, q_doc, neighbor_id, c_doc FROM (
+        SELECT p.query_id, p.q_doc, a.vec_id AS neighbor_id, a.c_doc,
+               row_number() OVER (PARTITION BY p.query_id
+                                  ORDER BY {_sql_cos('p.qv', 'a.v')} DESC,
+                                           a.vec_id) AS rn
+        FROM probe p JOIN assign a USING (cid)
+        WHERE a.vec_id != p.query_id)
+      WHERE rn <= {m}),
+    pairs AS MATERIALIZED (SELECT DISTINCT q_doc, c_doc FROM hits),
+    mc AS MATERIALIZED (
+      SELECT p.q_doc, qs.vec_id AS qvec, p.c_doc,
+             MAX({_sql_cos('qs.v', 'cs.v')}) AS mx
+      FROM pairs p
+      JOIN q qs ON qs.q_doc = p.q_doc
+      JOIN c cs ON cs.c_doc = p.c_doc
+      GROUP BY 1, 2, 3),
+    sc AS MATERIALIZED (
+      SELECT q_doc, c_doc,
+             CAST(SUM(CAST(ROUND(mx * 1000000) AS BIGINT)) AS BIGINT)
+               AS score_micro
+      FROM mc GROUP BY 1, 2)
+    SELECT q_doc, c_doc, score_micro, CAST(rn AS INTEGER) AS rank
+    FROM (SELECT q_doc, c_doc, score_micro,
+                 row_number() OVER (PARTITION BY q_doc
+                                    ORDER BY score_micro DESC, c_doc) AS rn
+          FROM sc)
+    WHERE rn <= {k}
+    """
+
+
+@register("maxsim_topk_ann", _maxsim_ann_sql())
 def maxsim_topk_ann(spark, sf):
     """The MaxSim scale path: per-query-vector IVF shortlist (top-20
     neighbors, 4 probes) selects candidate docs, then EXACT MaxSim
     rescoring over the candidates' full bags — approximate selection,
-    exact scoring, like pq_rescored_topk. Gated rows-only (the
-    shortlist is the approximation); the STRONG local gates are
-    tests/test_ann_quality.py::TestMaxSimAnn — full-shortlist output
-    equals the exact operator row-for-row, and the m=20 shortlist
-    holds a recall floor against exact top-5."""
+    exact scoring, like pq_rescored_topk. The shortlist itself is
+    deterministic (seed quantizer = 16 lowest corpus ids, cos/id tie
+    rules), so the oracle REPLAYS the whole approximation in SQL —
+    full-hash gate (was rows-only through r5). The STRONG local gates
+    remain tests/test_ann_quality.py::TestMaxSimAnn — full-shortlist
+    output equals the exact operator row-for-row, and the m=20
+    shortlist holds a recall floor against exact top-5."""
     from syncflux_spark.operators.similarity import maxsim_topk_ann as _msa
 
     emb = load_table(spark, sf, "embeddings").select(
@@ -13583,6 +13684,8 @@ _ROUND_FOCUS = (
     "doc_pagerank",  # rows-only → fixed-point full-hash oracle
     "mm_audio_features",  # rows-only → artifact-replay oracle
     "contrastive_triplets",  # pairs×pool crossJoin → bucket probes
+    "maxsim_topk_ann",  # rows-only → full SQL replay of the shortlist
+    "dedup_graph_kcore",  # rows-only → unrolled idempotent peel oracle
 )
 
 
