@@ -598,38 +598,71 @@ def top_eigenvector_fixedpoint(
     ``(dim_idx, component_micro, eigenvalue_micro, n_iter, dim)`` —
     no array columns, so the result canonicalizes through any
     row-hash gate (VERDICT r5: top-level arrays crash the driver's
-    pandas sort)."""
+    pandas sort).
+
+    The per-round v travels as a broadcast ONE-ROW frame rather than
+    64 literals: literals bake into the generated code, so every
+    iteration would be a fresh whole-stage-codegen compile (~3s × 10
+    rounds of pure JIT, measured); with v as data the plan text is
+    identical each round and Spark's generated-class cache compiles
+    once. The input projection is persisted across rounds."""
     import math
 
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
     from syncflux_spark.functions.vectors import as_double
 
     spark = df.sparkSession
-    x = df.select(as_double(vec_col).alias("x"))
-    n = x.count()
-    dim = len(x.first()["x"])
-    v = [1.0 / math.sqrt(dim)] * dim
-    lam = 0.0
-    for _ in range(n_iter):
-        vlit = F.array(*[F.lit(c) for c in v])
+    x = df.select(as_double(vec_col).alias("x")).persist()
+    try:
+        n = x.count()
+        dim = len(x.first()["x"])
+        v = [1.0 / math.sqrt(dim)] * dim
+        lam = 0.0
+        vschema = T.StructType(
+            [T.StructField("varr", T.ArrayType(T.DoubleType()))]
+        )
         dotm = F.aggregate(
-            F.zip_with("x", vlit, lambda a, b: F.round(a * b * 1000000.0).cast("long")),
+            F.zip_with(
+                "x",
+                "varr",
+                lambda a, b: F.round(a * b * 1000000.0).cast("long"),
+            ),
             F.lit(0).cast("long"),
             lambda acc, y: acc + y,
         )
-        contrib = x.select(
-            F.transform("x", lambda c: F.round(c * dotm).cast("long")).alias("cx")
+        # dotm is hoisted into its OWN projection before the transform
+        # that consumes it: nested inside the lambda it would re-run
+        # the whole zip_with fold per output element (64× per row,
+        # each allocating the zipped array — measured 4s/round vs
+        # 0.8s hoisted)
+        cx = F.transform(
+            "x", lambda c: F.round(c * F.col("dotm")).cast("long")
         )
-        mvm = contrib.agg(
-            F.array(
-                *[F.sum(F.element_at("cx", i + 1)) for i in range(dim)]
-            ).alias("mvm")
-        ).collect()[0]["mvm"]
-        mvd = [m / 1000000.0 / n for m in mvm]
-        s = sum(_round_half_away(c * c * 1000000000000.0) for c in mvd)
-        lam = math.sqrt(s / 1000000000000.0)
-        v = [c / lam for c in mvd] if lam > 0 else v
+        for _ in range(n_iter):
+            vdf = spark.createDataFrame([([float(c) for c in v],)], vschema)
+            # posexplode + d-key partial agg instead of d aggregate
+            # columns: same shuffle bytes (map-side combine reduces
+            # both to d values per partition), but a plan the analyzer
+            # and codegen handle in milliseconds rather than seconds
+            rows = (
+                x.crossJoin(F.broadcast(vdf))
+                .select("x", dotm.alias("dotm"))
+                .select(F.posexplode(cx).alias("d", "c"))
+                .groupBy("d")
+                .agg(F.sum("c").alias("mvm"))
+                .collect()
+            )
+            mvm = [0] * dim
+            for r in rows:
+                mvm[r["d"]] = r["mvm"]
+            mvd = [m / 1000000.0 / n for m in mvm]
+            s = sum(_round_half_away(c * c * 1000000000000.0) for c in mvd)
+            lam = math.sqrt(s / 1000000000000.0)
+            v = [c / lam for c in mvd] if lam > 0 else v
+    finally:
+        x.unpersist()
     ev_micro = _round_half_away(lam * 1000000.0)
     return spark.createDataFrame(
         [
