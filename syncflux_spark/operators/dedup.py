@@ -870,10 +870,18 @@ def connected_components(
     ``id_col``; ``pairs``: (id_a, id_b).
 
     Iterative min-label propagation (the Pregel/GraphX pattern,
-    driver-coordinated like any Spark iterative algorithm): each round
-    every node takes the min of its own label and its neighbors';
-    converges in O(component diameter) rounds, which for near-dup
-    clusters is tiny. Each round is one shuffle on the edge list.
+    driver-coordinated like any Spark iterative algorithm) PLUS
+    pointer halving: each round every node takes the min of its own
+    label, its neighbors' labels, and its LABEL'S label (one extra
+    hash join against the label table — the path-halving step of
+    MapReduce components à la Kiveris et al.). Neighbor-min alone
+    moves the min one hop per round (O(diameter) rounds — measured
+    13 rounds on the cosine-0.3 semantic graph at sf0.1, 13s);
+    halving makes established labels jump exponentially, converging
+    in O(log diameter) rounds. The fixpoint is unchanged: a node's
+    label is always a node id inside its own component, so label-of-
+    label is still a same-component id and the limit is the same min
+    reachable id the oracle's recursive CTE computes.
 
     Edges and per-round labels go through ``localCheckpoint`` (eager),
     NOT ``persist``: ``labels`` feeds two plan branches per round
@@ -903,22 +911,44 @@ def connected_components(
             .groupBy(F.col("id_b").alias(id_col))
             .agg(F.min("component").alias("nbr_min"))
         )
+        # pointer halving: my label's own current label (labels is
+        # keyed by node id and every label IS a node id, so this is
+        # one hash join of the label table against itself)
+        half = labels.join(
+            labels.select(
+                F.col(id_col).alias("_lbl"), F.col("component").alias("_lbl_c")
+            ),
+            F.col("component") == F.col("_lbl"),
+        ).select(F.col(id_col), F.col("_lbl_c").alias("half_min"))
+        # the changed-label count rides the SAME job that materializes
+        # the checkpoint (observe() metrics are collected during the
+        # localCheckpoint action) — previously a separate join+count
+        # job per round, ~a third of each round's wall time
+        from pyspark.sql import Observation
+
+        obs = Observation()
         new_labels = (
             labels.join(nbr, on=id_col, how="left")
+            .join(half, on=id_col, how="left")
             .select(
                 F.col(id_col),
+                F.col("component").alias("_old"),
                 F.least(
-                    "component", F.coalesce("nbr_min", "component")
-                ).alias("component"),
+                    "component",
+                    F.coalesce("nbr_min", "component"),
+                    F.coalesce("half_min", "component"),
+                ).alias("_new"),
             )
+            .observe(
+                obs,
+                F.sum(
+                    (F.col("_new") != F.col("_old")).cast("long")
+                ).alias("changed"),
+            )
+            .select(F.col(id_col), F.col("_new").alias("component"))
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), on=id_col)
-            .where(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
+        changed = obs.get["changed"] or 0
         labels = new_labels
         if changed == 0:
             break
