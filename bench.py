@@ -171,7 +171,10 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     registry = q.queries()
     names = list(registry) if full else HEADLINE
-    runs_per_query = 1 if full else 2
+    # best-of-2 in BOTH modes: single-run full sweeps measured
+    # order-dependent cold-start outliers of 10-25x (Python worker
+    # pool re-forks, codegen) that would read as phantom regressions
+    runs_per_query = 2
 
     # warmup: JVM + codegen + parquet footer caches
     registry["q6_revenue_forecast"](spark, SF_DIR).collect()

@@ -13623,45 +13623,62 @@ def mm_audio_features(spark, sf):
 #: CORRECTNESS file each round.
 _DRIVER_CONFIRMED = frozenset(
     """
-    bigram_top_terms c4_filter_flags containment_pairs
-    containment_pairs_exact corpus_filter_report cq_daily_rollup
-    cq_downsample_roundtrip cumulative_spend_per_customer
-    dedup_components dedup_exact dedup_graph_clustering
-    dedup_graph_triangles dedup_incremental dedup_incremental_indexed
-    dedup_near_keep dedup_normalized dedup_rate_by_source
-    doc_fingerprint doc_novelty doc_pack_bins doc_sample_10pct
-    doc_split_assign doc_stratified_sample emb_norms emb_quantize_int8
+    benchmark_contamination bigram_top_terms bm25_search
+    bpe_merge_candidates bpe_tokenize_stats c4_filter_flags
+    cdc_merge_apply cdc_merge_audit containment_pairs
+    containment_pairs_exact conversion_latency_daily
+    corpus_filter_report corpus_mixture_stats corpus_overview
+    cq_daily_rollup cq_downsample_roundtrip
+    cumulative_spend_per_customer dedup_components dedup_exact
+    dedup_graph_clustering dedup_graph_triangles dedup_incremental
+    dedup_incremental_indexed dedup_near_keep dedup_normalized
+    dedup_rate_by_source doc_chunk_windows doc_fingerprint doc_novelty
+    doc_pack_bins doc_sample_10pct doc_size_weighted_sample
+    doc_split_assign doc_stratified_sample doc_top_terms
+    drift_value_chi2 emb_near_dup_pairs emb_norms emb_quantize_int8
     gopher_quality_flags influxql_agg_math influxql_cmo_daily
     influxql_count_star influxql_cumulative_daily influxql_dema_daily
     influxql_derivative_daily influxql_elapsed_clicks
     influxql_ema_daily influxql_field_math influxql_fill_zero_6h
     influxql_first_last_daily influxql_having_idiom
     influxql_holt_winters influxql_holt_winters_seasonal
-    influxql_kama_daily influxql_ker_daily influxql_math_fns
-    influxql_math_of_agg influxql_mean_1h influxql_percentile_spread
-    influxql_regex_measurements influxql_rsi_daily influxql_show_series
-    influxql_slimit_series influxql_subquery_peak influxql_tag_values
-    influxql_tema_daily influxql_top3_daily influxql_trix_daily
-    influxql_where_math ivf_pq_topk ivf_topk knn_threshold_pairs
-    knn_topk lang_detect lp_roundtrip_stats lsh_ann_topk
-    lsh_candidate_pairs minhash_signatures mm_decode_meta
-    mm_frame_counts ngram_jaccard_pairs orders_per_month pq_ann_topk
-    pq_rescored_topk q10_returned_items q13_customer_distribution
-    q14_promo_share q15_top_supplier q17_small_quantity_revenue
-    q18_large_orders q19_discounted_revenue q1_pricing_summary
-    q22_inactive_customers q3_shipping_priority q4_order_priority
-    q5_local_supplier_volume q6_revenue_forecast q7_volume_shipping
-    q8_market_share quality_scores revenue_rollup_region
-    simhash_fingerprint simhash_near_pairs source_quota_cap
-    stream_attribution_pairs stream_attribution_unmatched
-    stream_dedup_counts stream_kmv_users stream_replicate_counts
-    stream_session_rollup stream_stateful_totals stream_windowed_rollup
+    influxql_integral_daily influxql_kama_daily influxql_ker_daily
+    influxql_math_fns influxql_math_of_agg influxql_mean_1h
+    influxql_percentile_spread influxql_regex_measurements
+    influxql_rsi_daily influxql_sample_series
+    influxql_select_into_roundtrip influxql_series_cardinality
+    influxql_show_series influxql_slimit_series influxql_subquery_peak
+    influxql_tag_values influxql_tema_daily influxql_top3_daily
+    influxql_trix_daily influxql_tz_daily influxql_where_math
+    ivf_index_roundtrip ivf_pq_topk ivf_topk ivf_topk_kmeans
+    knn_threshold_pairs knn_topk lang_confusion_matrix lang_detect
+    lm_predictability lp_roundtrip_stats lsh_ann_topk
+    lsh_candidate_pairs minhash_signatures mm_audio_frame_counts
+    mm_audio_meta mm_decode_meta mm_feature_knn mm_frame_counts
+    mm_phash_dedup ngram_jaccard_pairs ngram_jaccard_pairs_strfp
+    orders_per_month pii_scrub_stats pipeline_corpus_publish
+    pq_ann_topk pq_rescored_topk q10_returned_items
+    q13_customer_distribution q14_promo_share q15_top_supplier
+    q17_small_quantity_revenue q18_large_orders q19_discounted_revenue
+    q1_pricing_summary q22_inactive_customers q3_shipping_priority
+    q4_order_priority q5_local_supplier_volume q6_revenue_forecast
+    q7_volume_shipping q8_market_share quality_scores regex_token_stats
+    repetition_stats revenue_rollup_region session_top_paths
+    session_type_lift simhash_fingerprint simhash_near_pairs
+    source_quota_cap stream_attribution_pairs
+    stream_attribution_unmatched stream_cdc_apply stream_corpus_publish
+    stream_dedup_counts stream_kmv_users stream_late_events
+    stream_quantile_sketch stream_replicate_counts
+    stream_replicate_counts_tx stream_session_rollup
+    stream_stateful_totals stream_windowed_rollup token_diversity
     token_stats top_customers_by_revenue ts_asof_purchase
-    ts_chunk_counts ts_copy_roundtrip ts_downsample_1h
-    ts_field_coercion ts_first_per_series ts_gap_detect
+    ts_asof_tolerance ts_changepoint ts_chunk_counts ts_copy_roundtrip
+    ts_copy_roundtrip_tx ts_downsample_1h ts_field_coercion
+    ts_first_per_series ts_gap_detect ts_hourly_bands
     ts_last_per_series ts_measurement_stats ts_pivot_daily_counts
-    ts_scan_range ts_series_discovery ts_series_stats ts_sessionize
-    vocab_growth_curve vocab_top_terms word_jaccard_pairs
+    ts_retention_tx ts_scan_range ts_series_discovery ts_series_stats
+    ts_sessionize ts_theil_sen ts_type_correlation vocab_growth_curve
+    vocab_top_terms word_jaccard_pairs
     """.split()
 )
 
