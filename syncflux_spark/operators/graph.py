@@ -45,20 +45,24 @@ def pagerank(
     edges = pairs.select("id_a", "id_b").localCheckpoint()
     sym = edges.union(
         edges.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
-    ).localCheckpoint()
-    deg = sym.groupBy(F.col("id_a").alias(id_col)).agg(
+    )
+    deg = sym.groupBy(F.col("id_a").alias("_src")).agg(
         F.count(F.lit(1)).alias("deg")
     )
-    n = nodes.count()
-    base = (1.0 - damping) / n
-    ranks = (
-        nodes.select(F.col(id_col))
-        .withColumn("rank", F.lit(1.0 / n))
+    # degree is loop-invariant: annotate the edge list with the source
+    # degree once — one hash join per round instead of two (isolated
+    # nodes still drop out: they have no out-edges)
+    esrc = (
+        sym.join(deg, sym.id_a == F.col("_src"))
+        .select("id_a", "id_b", "deg")
         .localCheckpoint()
     )
+    nodes0 = nodes.select(F.col(id_col)).localCheckpoint()
+    n = nodes0.count()
+    base = (1.0 - damping) / n
+    ranks = nodes0.withColumn("rank", F.lit(1.0 / n)).localCheckpoint()
     for _ in range(n_iter):
-        src = ranks.join(deg, id_col)  # isolated nodes drop out: no out-edges
-        contrib = sym.join(src, sym.id_a == src[id_col]).select(
+        contrib = esrc.join(ranks, esrc.id_a == ranks[id_col]).select(
             F.col("id_b").alias("_dst"),
             (F.col("rank") / F.col("deg")).alias("c"),
         )
@@ -66,8 +70,7 @@ def pagerank(
             F.sum("c").alias("inflow")
         )
         ranks = (
-            nodes.select(F.col(id_col))
-            .join(inflow, id_col, "left")
+            nodes0.join(inflow, id_col, "left")
             .select(
                 F.col(id_col),
                 (
@@ -102,20 +105,26 @@ def pagerank_fixedpoint(
     edges = pairs.select("id_a", "id_b").localCheckpoint()
     sym = edges.union(
         edges.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
-    ).localCheckpoint()
-    deg = sym.groupBy(F.col("id_a").alias(id_col)).agg(
+    )
+    deg = sym.groupBy(F.col("id_a").alias("_src")).agg(
         F.count(F.lit(1)).alias("deg")
     )
-    n = nodes.count()
-    base = (3 * scale) // (20 * n)
-    ranks = (
-        nodes.select(F.col(id_col))
-        .withColumn("rank_fp", F.lit(scale // n).cast("long"))
+    # degree is loop-invariant: annotate the edge list with the source
+    # degree ONCE instead of re-joining ranks⋈deg every round — one
+    # hash join per round instead of two
+    esrc = (
+        sym.join(deg, sym.id_a == F.col("_src"))
+        .select("id_a", "id_b", "deg")
         .localCheckpoint()
     )
+    nodes0 = nodes.select(F.col(id_col)).localCheckpoint()
+    n = nodes0.count()
+    base = (3 * scale) // (20 * n)
+    ranks = nodes0.withColumn(
+        "rank_fp", F.lit(scale // n).cast("long")
+    ).localCheckpoint()
     for _ in range(n_iter):
-        src = ranks.join(deg, id_col)
-        contrib = sym.join(src, sym.id_a == src[id_col]).select(
+        contrib = esrc.join(ranks, esrc.id_a == ranks[id_col]).select(
             F.col("id_b").alias("_dst"),
             F.expr("rank_fp DIV deg").alias("c"),
         )
@@ -123,8 +132,7 @@ def pagerank_fixedpoint(
             F.sum("c").alias("inflow")
         )
         ranks = (
-            nodes.select(F.col(id_col))
-            .join(inflow, id_col, "left")
+            nodes0.join(inflow, id_col, "left")
             .select(
                 F.col(id_col),
                 (
