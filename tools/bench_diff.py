@@ -30,6 +30,11 @@ def load_timings(path: str) -> dict[str, float]:
         pass
     # driver record: escaped, possibly truncated — regex the pairs out
     pairs = re.findall(r'\\"([a-zA-Z0-9_]+)\\": ([0-9.]+)', text)
+    # a record cut MID-NUMBER would yield a bogus final value
+    # ('12.34' truncated to '1'): drop the last pair when the text
+    # ends inside its number
+    if pairs and re.search(r"[0-9.]$", text.rstrip('"\n }')):
+        pairs = pairs[:-1]
     out = {k: float(v) for k, v in pairs if k not in ("sf", "value")}
     if not out:
         raise SystemExit(f"{path}: no per-query timings found")
@@ -37,23 +42,16 @@ def load_timings(path: str) -> dict[str, float]:
 
 
 def main() -> int:
-    argv = sys.argv[1:]
-    args, skip = [], False
-    for i, a in enumerate(argv):
-        if skip:
-            skip = False
-        elif a.startswith("--"):
-            skip = True  # every flag takes one value
-        else:
-            args.append(a)
-    if len(args) != 2:
-        raise SystemExit(__doc__)
-    top = int(sys.argv[sys.argv.index("--top") + 1]) if "--top" in sys.argv else 15
-    thr = (
-        float(sys.argv[sys.argv.index("--threshold") + 1])
-        if "--threshold" in sys.argv
-        else 1.2
-    )
+    import argparse
+
+    p = argparse.ArgumentParser(description="diff two benchmark artifacts")
+    p.add_argument("old")
+    p.add_argument("new")
+    p.add_argument("--top", type=int, default=15)
+    p.add_argument("--threshold", type=float, default=1.2)
+    ns = p.parse_args()
+    args = [ns.old, ns.new]
+    top, thr = ns.top, ns.threshold
     old, new = load_timings(args[0]), load_timings(args[1])
     shared = sorted(set(old) & set(new))
     added = sorted(set(new) - set(old))
@@ -72,8 +70,10 @@ def main() -> int:
         (
             (new[n] / old[n], n)
             for n in shared
-            if old[n] > 0.05 and max(new[n] / old[n], old[n] / new[n]) >= thr
-            # sub-50ms entries are pure noise
+            # sub-50ms (or zero — a truncated capture) entries are noise
+            if old[n] > 0.05
+            and new[n] > 0.05
+            and max(new[n] / old[n], old[n] / new[n]) >= thr
             and abs(new[n] - old[n]) >= 0.1
         ),
         reverse=True,

@@ -4,14 +4,14 @@ tiny.wav is written unconditionally (stdlib ``wave`` — deterministic
 320-sample 16 kHz mono square wave, ~700 bytes) and is exercised by
 tests/test_multimodal.py's wav-branch tests in EVERY environment.
 
-tiny.mp4 needs a video encoder (PyAV or the ffmpeg binary) and is
-written only where one exists — run this script once from such an
-environment (any CI image with ffmpeg) and commit the file; from then
-on the PyAV/ffmpeg DECODE branches in operators/multimodal.py get
-exercised wherever a decoder exists, without needing the encoder.
+tiny.mp4 needs NO encoder: tools/mjpeg_mp4.py builds an MJPEG-in-MP4
+file in pure Python (always the same deterministic bytes, so the
+structural assertions in tests/test_multimodal.py hold in every
+environment), and the PyAV/ffmpeg DECODE branches in
+operators/multimodal.py get exercised wherever a decoder exists.
 tests/test_multimodal.py also self-vendors: when its mp4 fixture has
-to synthesize (no vendored file yet, codec present), it writes the
-bytes here for the next run.
+to synthesize (no vendored file yet, real codec present), it writes
+those bytes here for the next run.
 
 Usage: python tools/make_media_fixtures.py
 """
@@ -51,21 +51,17 @@ def write_wav(path: str) -> None:
 
 
 def write_mp4(path: str) -> bool:
+    """The vendored tiny.mp4 is ALWAYS the pure-Python MJPEG build
+    (solid DC-only JPEG frames, hand-boxed ISO BMFF — see
+    tools/mjpeg_mp4): deterministic bytes in every environment, so
+    tests/test_multimodal.py's structural assertions (box tree,
+    sample table, 8×32×32) hold no matter where the tool runs.
+    Regenerating on a box WITH an encoder must not swap in an
+    encoder-specific file (an mpeg4/fragmented MP4 would fail the
+    structural test); encoder environments still exercise their real
+    codec by DECODING this same file."""
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     sys.path.insert(0, repo)
-    from syncflux_spark.operators import multimodal as mm
-
-    if mm.codec_available("pyav") or mm.codec_available("ffmpeg"):
-        from tests.test_multimodal import _mp4_bytes
-
-        b = _mp4_bytes()
-        with open(path, "wb") as f:
-            f.write(b)
-        print(f"wrote {path} ({len(b)} bytes, real encoder)")
-        return True
-    # no encoder anywhere: build MJPEG-in-MP4 in pure Python (solid
-    # DC-only JPEG frames, hand-boxed ISO BMFF — see tools/mjpeg_mp4)
-    # and prove the structure with the marker/box checker
     from tools.mjpeg_mp4 import check_mjpeg_mp4, tiny_mp4_bytes
 
     b = tiny_mp4_bytes()
