@@ -587,7 +587,11 @@ AUDIO_FRAME_FEATURE_SCHEMA = T.StructType(
 
 
 def audio_frame_features(
-    df: DataFrame, frame_len: int = 512, hop: int = 256, codec: str = "fake"
+    df: DataFrame,
+    frame_len: int = 512,
+    hop: int = 256,
+    codec: str = "fake",
+    spread: bool = True,
 ) -> DataFrame:
     """Per-FRAME features quantized to integer micros — the
     oracle-hashable stage under :func:`audio_features`: RMS energy
@@ -597,7 +601,12 @@ def audio_frame_features(
     integer SUM / COUNT aggregations that any engine replays exactly
     — this is the table mm_audio_features persists to the oracle
     handshake dir (the mm_feature_knn pattern). Zero-frame clips emit
-    zero rows here; callers re-attach them by left join."""
+    zero rows here; callers re-attach them by left join.
+
+    ``spread=False`` skips the CPU-spreading repartition — pass it
+    when ``df`` is already spread (e.g. fresh out of
+    :func:`media_from_documents`), so the two Arrow kernels chain in
+    one stage instead of paying an exchange between them."""
     _require_codec(codec, supported=("fake",))
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -631,7 +640,8 @@ def audio_frame_features(
                 }
             )
 
-    return spread_for_cpu(df).mapInPandas(kernel, AUDIO_FRAME_FEATURE_SCHEMA)
+    src = spread_for_cpu(df) if spread else df
+    return src.mapInPandas(kernel, AUDIO_FRAME_FEATURE_SCHEMA)
 
 
 def audio_features(

@@ -13590,7 +13590,9 @@ def mm_audio_features(spark, sf):
     )
 
     media = media_from_documents(load_table(spark, sf, "documents"))
-    frames = audio_frame_features(media, frame_len=64, hop=32)
+    # media is already CPU-spread: chain the two Arrow kernels in one
+    # stage instead of paying an exchange between them
+    frames = audio_frame_features(media, frame_len=64, hop=32, spread=False)
     art = f"{_ORACLE_ART}/mm_audio_frames"
     frames.write.mode("overwrite").parquet(art)
     agg = (
