@@ -13593,10 +13593,15 @@ def mm_audio_features(spark, sf):
     # media is already CPU-spread: chain the two Arrow kernels in one
     # stage instead of paying an exchange between them
     frames = audio_frame_features(media, frame_len=64, hop=32, spread=False)
+    # lazy persist: the oracle artifact write is the one action that
+    # runs the Arrow kernel AND fills the cache in the same pass; the
+    # aggregation then reads cached blocks instead of re-scanning the
+    # just-written parquet (the r6 form double-paid here)
+    frames = frames.persist()
     art = f"{_ORACLE_ART}/mm_audio_frames"
     frames.write.mode("overwrite").parquet(art)
     agg = (
-        spark.read.parquet(art)
+        frames
         .groupBy("media_id")
         .agg(
             F.count(F.lit(1)).alias("n_frames"),
@@ -13630,19 +13635,22 @@ def mm_audio_features(spark, sf):
 #: CORRECTNESS file each round.
 _DRIVER_CONFIRMED = frozenset(
     """
-    benchmark_contamination bigram_top_terms bm25_search
-    bpe_merge_candidates bpe_tokenize_stats c4_filter_flags
-    cdc_merge_apply cdc_merge_audit containment_pairs
-    containment_pairs_exact conversion_latency_daily
-    corpus_filter_report corpus_mixture_stats corpus_overview
-    cq_daily_rollup cq_downsample_roundtrip
-    cumulative_spend_per_customer dedup_components dedup_exact
-    dedup_graph_clustering dedup_graph_triangles dedup_incremental
-    dedup_incremental_indexed dedup_near_keep dedup_normalized
-    dedup_rate_by_source doc_chunk_windows doc_fingerprint doc_novelty
-    doc_pack_bins doc_sample_10pct doc_size_weighted_sample
-    doc_split_assign doc_stratified_sample doc_top_terms
-    drift_value_chi2 emb_near_dup_pairs emb_norms emb_quantize_int8
+    benchmark_contamination bigram_top_terms bloom_purchase_filter
+    bm25_search bpe_merge_candidates bpe_tokenize_stats c4_filter_flags
+    cdc_merge_apply cdc_merge_audit cms_user_counts cohort_retention
+    containment_pairs containment_pairs_exact contrastive_triplets
+    conversion_latency_daily corpus_filter_report corpus_mixture_stats
+    corpus_overview cq_daily_rollup cq_downsample_roundtrip
+    cumulative_spend_per_customer customer_rfm_segments
+    dedup_components dedup_exact dedup_graph_clustering
+    dedup_graph_kcore dedup_graph_triangles dedup_incremental
+    dedup_incremental_indexed dedup_keep_documents dedup_near_keep
+    dedup_normalized dedup_rate_by_source doc_chunk_windows
+    doc_fingerprint doc_novelty doc_pack_bins doc_pagerank
+    doc_sample_10pct doc_size_weighted_sample doc_split_assign
+    doc_stratified_sample doc_top_terms drift_value_chi2
+    emb_dedup_components emb_near_dup_pairs emb_norms emb_quantize_int8
+    emb_top_eigenvector event_transitions funnel_conversion
     gopher_quality_flags influxql_agg_math influxql_cmo_daily
     influxql_count_star influxql_cumulative_daily influxql_dema_daily
     influxql_derivative_daily influxql_elapsed_clicks
@@ -13658,34 +13666,45 @@ _DRIVER_CONFIRMED = frozenset(
     influxql_tag_values influxql_tema_daily influxql_top3_daily
     influxql_trix_daily influxql_tz_daily influxql_where_math
     ivf_index_roundtrip ivf_pq_topk ivf_topk ivf_topk_kmeans
-    knn_threshold_pairs knn_topk lang_confusion_matrix lang_detect
+    kmv_distinct_users kmv_set_overlap knn_threshold_pairs knn_topk
+    lang_confusion_matrix lang_detect leakage_safe_split
     lm_predictability lp_roundtrip_stats lsh_ann_topk
-    lsh_candidate_pairs minhash_signatures mm_audio_frame_counts
-    mm_audio_meta mm_decode_meta mm_feature_knn mm_frame_counts
-    mm_phash_dedup ngram_jaccard_pairs ngram_jaccard_pairs_strfp
-    orders_per_month pii_scrub_stats pipeline_corpus_publish
-    pq_ann_topk pq_rescored_topk q10_returned_items
-    q13_customer_distribution q14_promo_share q15_top_supplier
-    q17_small_quantity_revenue q18_large_orders q19_discounted_revenue
-    q1_pricing_summary q22_inactive_customers q3_shipping_priority
-    q4_order_priority q5_local_supplier_volume q6_revenue_forecast
-    q7_volume_shipping q8_market_share quality_scores regex_token_stats
-    repetition_stats revenue_rollup_region session_top_paths
-    session_type_lift simhash_fingerprint simhash_near_pairs
-    source_quota_cap stream_attribution_pairs
-    stream_attribution_unmatched stream_cdc_apply stream_corpus_publish
-    stream_dedup_counts stream_kmv_users stream_late_events
-    stream_quantile_sketch stream_replicate_counts
-    stream_replicate_counts_tx stream_session_rollup
-    stream_stateful_totals stream_windowed_rollup token_diversity
-    token_stats top_customers_by_revenue ts_asof_purchase
+    lsh_candidate_pairs maxsim_topk_ann minhash_signatures
+    mm_audio_features mm_audio_frame_counts mm_audio_meta
+    mm_decode_meta mm_feature_knn mm_frame_counts mm_phash_dedup
+    ngram_jaccard_pairs ngram_jaccard_pairs_strfp orders_per_month
+    partitioned_scan_counts pii_scrub_stats pipeline_corpus_publish
+    pq_ann_topk pq_rescored_topk q10_returned_items q11_important_parts
+    q12_priority_shipping q13_customer_distribution q14_promo_share
+    q15_top_supplier q16_supplier_counts q17_small_quantity_revenue
+    q18_large_orders q19_discounted_revenue q1_pricing_summary
+    q20_excess_suppliers q21_waiting_suppliers q22_inactive_customers
+    q2_min_cost_supplier q3_shipping_priority q4_order_priority
+    q5_local_supplier_volume q6_revenue_forecast q7_volume_shipping
+    q8_market_share q9_product_profit quality_scores regex_token_stats
+    repetition_stats revenue_cube_flags revenue_rollup_region
+    session_top_paths session_type_lift simhash_fingerprint
+    simhash_near_pairs sliding_distinct_users source_quota_cap
+    stream_attribution_pairs stream_attribution_unmatched
+    stream_cdc_apply stream_corpus_publish stream_dedup_counts
+    stream_kmv_users stream_late_events stream_quantile_sketch
+    stream_replicate_counts stream_replicate_counts_tx
+    stream_session_rollup stream_stateful_totals stream_windowed_rollup
+    supplier_rank_in_nation token_diversity token_stats
+    top_customers_by_revenue top_users_per_event_type ts_asof_purchase
     ts_asof_tolerance ts_changepoint ts_chunk_counts ts_copy_roundtrip
-    ts_copy_roundtrip_tx ts_downsample_1h ts_field_coercion
-    ts_first_per_series ts_gap_detect ts_hourly_bands
-    ts_last_per_series ts_measurement_stats ts_pivot_daily_counts
-    ts_retention_tx ts_scan_range ts_series_discovery ts_series_stats
-    ts_sessionize ts_theil_sen ts_type_correlation vocab_growth_curve
-    vocab_top_terms word_jaccard_pairs
+    ts_copy_roundtrip_tx ts_count_distinct ts_counter_increase
+    ts_derivative ts_difference ts_downsample_1h ts_elapsed
+    ts_field_coercion ts_first_per_series ts_gap_detect ts_hourly_bands
+    ts_integral ts_json_props ts_last_per_series ts_measurement_stats
+    ts_moving_average ts_nn_derivative ts_nn_difference ts_outliers
+    ts_percentiles ts_pivot_daily_counts ts_retention_tx
+    ts_sample_per_series ts_scan_range ts_series_discovery
+    ts_series_stats ts_sessionize ts_sparse_field_merge
+    ts_spread_stddev ts_theil_sen ts_type_correlation
+    ts_upsert_collapse users_click_and_purchase users_click_no_purchase
+    vocab_growth_curve vocab_top_terms word_jaccard_pairs
+    zorder_scan_counts
     """.split()
 )
 
@@ -13704,19 +13723,13 @@ _PRIORITY_PREFIXES = (
 #: anything else (a changed query with a stale green row is the one
 #: regression the self-maintaining order can't see on its own).
 _ROUND_FOCUS = (
-    "emb_top_eigenvector",  # r5 gate crash → exploded scalar rows
-    "doc_pagerank",  # rows-only → fixed-point full-hash oracle
-    "mm_audio_features",  # rows-only → artifact-replay oracle
-    "contrastive_triplets",  # pairs×pool crossJoin → bucket probes
-    "maxsim_topk_ann",  # rows-only → full SQL replay of the shortlist
-    "dedup_graph_kcore",  # rows-only → unrolled idempotent peel oracle
-    # consumers of connected_components, whose propagation loop was
-    # rewritten this round (pointer halving + observed change counts)
-    # — their green rows predate the rewrite
-    "dedup_components",
+    # r7: artifact write now aggregates from the persisted frame
+    # instead of re-reading parquet — impl changed, re-confirm
+    "mm_audio_features",
+    # r7: LSH→verify chain retuned (shared ngram_jaccard_pairs
+    # kernel) — the direct consumers' green rows predate the change
     "dedup_near_keep",
-    "emb_dedup_components",
-    "leakage_safe_split",
+    "contrastive_triplets",
 )
 
 
