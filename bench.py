@@ -157,15 +157,20 @@ def main() -> int:
     from syncflux_spark import queries as q
     from syncflux_spark.session import get_spark
 
+    import argparse
+
     # --full: time EVERY registered query (best-of-2, cache cleared)
     # and write the per-query map to --out (default BENCH_FULL.json) —
     # regression visibility for the ~215 queries outside the headline
     # tail (r5 verdict item #6). The driver's per-round invocation
     # passes no args and keeps the headline set.
-    full = "--full" in sys.argv
-    out_path = "BENCH_FULL.json"
-    if "--out" in sys.argv:
-        out_path = sys.argv[sys.argv.index("--out") + 1]
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--full", action="store_true")
+    ap.add_argument("--out", default="BENCH_FULL.json")
+    ns = ap.parse_args()
+    full, out_path = ns.full, ns.out
+    if ns.out != "BENCH_FULL.json" and not full:
+        print("# --out has no effect without --full", file=sys.stderr)
 
     spark = get_spark("syncflux-bench")
     spark.sparkContext.setLogLevel("ERROR")

@@ -657,6 +657,17 @@ def top_eigenvector_fixedpoint(
             mvm = [0] * dim
             for r in rows:
                 mvm[r["d"]] = r["mvm"]
+            # the oracle replays CAST(mvm AS DOUBLE)/1e6/n — identical
+            # to Python int/float division only while the int64 fits a
+            # double exactly; past 2^53 the gate would mismatch with a
+            # confusing hash error, so fail loudly at the source
+            # instead (unit-norm v keeps dot_micro ≤ ~8e6·√d per row,
+            # so this bound holds far beyond the supported SFs)
+            if any(abs(m) >= 2**53 for m in mvm):
+                raise OverflowError(
+                    "power-iteration micros exceed 2^53; the SQL oracle's"
+                    " int->double cast would no longer be exact"
+                )
             mvd = [m / 1000000.0 / n for m in mvm]
             s = sum(_round_half_away(c * c * 1000000000000.0) for c in mvd)
             lam = math.sqrt(s / 1000000000000.0)

@@ -4291,16 +4291,24 @@ def _eig_sql(dim: int = 64, n_iter: int = 10) -> str:
             f" FROM xe JOIN dot{k} USING (rid) GROUP BY d)",
             f"md{k} AS MATERIALIZED (SELECT d, CAST(mvm AS DOUBLE)"
             f" / 1000000.0 / (SELECT n FROM cnt) AS mvd FROM mv{k})",
-            f"lam{k} AS MATERIALIZED (SELECT sqrt(CAST(SUM(CAST(ROUND(mvd"
-            f" * mvd * 1000000000000.0) AS BIGINT)) AS DOUBLE)"
+            # FLOOR(x + 0.5), not ROUND: the driver side quantizes with
+            # _round_half_away (floor(abs+0.5)), and the two disagree
+            # when x sits 1 ulp below a .5 boundary (0.49999999999999994
+            # + 0.5 == 1.0 in IEEE, but ROUND sees a value < 0.5) —
+            # mvd² is nonnegative so the plain form suffices here
+            f"lam{k} AS MATERIALIZED (SELECT sqrt(CAST(SUM(CAST(FLOOR(mvd"
+            f" * mvd * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE)"
             f" / 1000000000000.0) AS lam FROM md{k})",
             f"v{k + 1} AS MATERIALIZED (SELECT d,"
             f" mvd / (SELECT lam FROM lam{k}) AS val FROM md{k})",
         ]
+    # same FLOOR(+0.5) arithmetic as the driver's _round_half_away:
+    # components can be negative, so the copysign form SIGN·FLOOR(ABS)
     return ",\n".join(parts) + f"""
     SELECT CAST(d AS INTEGER) AS dim_idx,
-           CAST(ROUND(val * 1000000.0) AS BIGINT) AS component_micro,
-           (SELECT CAST(ROUND(lam * 1000000.0) AS BIGINT)
+           CAST(SIGN(val) * FLOOR(ABS(val * 1000000.0) + 0.5) AS BIGINT)
+             AS component_micro,
+           (SELECT CAST(FLOOR(lam * 1000000.0 + 0.5) AS BIGINT)
             FROM lam{n_iter - 1}) AS eigenvalue_micro,
            CAST({n_iter} AS INTEGER) AS n_iter,
            CAST({dim} AS INTEGER) AS dim

@@ -60,11 +60,17 @@ def main() -> int:
         print(f"added ({len(added)}): {', '.join(added)}")
     if removed:
         print(f"removed ({len(removed)}): {', '.join(removed)}")
-    tot_old = sum(old[n] for n in shared)
-    tot_new = sum(new[n] for n in shared)
+    # zero entries (possible in a truncated driver record recovered by
+    # regex) are excluded from the totals the same way the mover list
+    # excludes them — and they'd make the ratio divide by zero
+    timed = [n for n in shared if old[n] > 0 and new[n] > 0]
+    tot_old = sum(old[n] for n in timed)
+    tot_new = sum(new[n] for n in timed)
     print(
-        f"shared {len(shared)} queries: {tot_old:.1f}s -> {tot_new:.1f}s "
-        f"({tot_new / tot_old:.2f}x)" if shared else "no shared queries"
+        f"shared {len(timed)} timed queries: {tot_old:.1f}s -> "
+        f"{tot_new:.1f}s ({tot_new / tot_old:.2f}x)"
+        if timed and tot_old > 0
+        else "no shared timed queries"
     )
     movers = sorted(
         (
