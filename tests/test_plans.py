@@ -472,3 +472,128 @@ class TestRfmScaleSafety:
         plan = plan_of(spark, sf_dir, "customer_rfm_segments")
         assert "SinglePartition" not in plan
         assert "rangepartitioning" in plan.lower()
+
+
+class TestIterationLoopInvariants:
+    """Pin the measured r6 loop optimizations structurally, the way
+    the scan tests pin pushdown: a refactor that re-joins degrees
+    inside the PageRank loop, or reintroduces a per-round driver
+    action in connected components, fails here instead of as a
+    silent per-round cost multiplier."""
+
+    @staticmethod
+    def _n_joins(plan: str) -> int:
+        import re
+
+        return len(
+            re.findall(
+                r"\bJoin (Inner|Left|Right|Full|Cross)", plan
+            )
+        )
+
+    def _capture_checkpoints(self, monkeypatch):
+        """Spy on localCheckpoint: record each pre-checkpoint
+        OPTIMIZED plan, then checkpoint for real — the per-round
+        plans are only visible before lineage truncation."""
+        from pyspark.sql.classic.dataframe import DataFrame
+
+        captured: list[str] = []
+        orig = DataFrame.localCheckpoint
+
+        def spy(self, eager=True):
+            captured.append(
+                self._jdf.queryExecution().optimizedPlan().toString()
+            )
+            return orig(self, eager)
+
+        monkeypatch.setattr(DataFrame, "localCheckpoint", spy)
+        return captured
+
+    @staticmethod
+    def _toy_graph(spark):
+        nodes = spark.createDataFrame(
+            [(i,) for i in range(1, 7)], "doc_id long"
+        )
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (4, 5)], "id_a long, id_b long"
+        )
+        return nodes, pairs
+
+    def test_pagerank_round_has_degree_join_hoisted(
+        self, spark, monkeypatch
+    ):
+        """Each PageRank round must plan exactly TWO joins (edge⋈rank
+        contribution + node⋈inflow update). The degree annotation is
+        loop-invariant and joined ONCE in the preamble (graph.py) —
+        a third per-round join means it slid back into the loop."""
+        from syncflux_spark.operators.graph import pagerank_fixedpoint
+
+        captured = self._capture_checkpoints(monkeypatch)
+        nodes, pairs = self._toy_graph(spark)
+        pagerank_fixedpoint(nodes, pairs, n_iter=2)
+        # preamble checkpoints: edges, degree-annotated edges (the ONE
+        # degree join), node ids, initial ranks — then one per round
+        assert len(captured) == 4 + 2
+        assert self._n_joins(captured[1]) == 1  # degree annotation
+        for round_plan in captured[4:]:
+            assert self._n_joins(round_plan) == 2
+
+    def test_pagerank_loop_runs_no_driver_actions(
+        self, spark, monkeypatch
+    ):
+        """The only driver action in pagerank is the single preamble
+        count() for N — per-round state flows through localCheckpoint
+        alone, never a per-round collect/count."""
+        from pyspark.sql.classic.dataframe import DataFrame
+
+        from syncflux_spark.operators.graph import pagerank_fixedpoint
+
+        calls = {"count": 0, "collect": 0}
+        orig_count, orig_collect = DataFrame.count, DataFrame.collect
+        monkeypatch.setattr(
+            DataFrame,
+            "count",
+            lambda s: (calls.__setitem__("count", calls["count"] + 1),
+                       orig_count(s))[1],
+        )
+        monkeypatch.setattr(
+            DataFrame,
+            "collect",
+            lambda s: (calls.__setitem__("collect", calls["collect"] + 1),
+                       orig_collect(s))[1],
+        )
+        nodes, pairs = self._toy_graph(spark)
+        pagerank_fixedpoint(nodes, pairs, n_iter=3)
+        assert calls == {"count": 1, "collect": 0}
+
+    def test_components_changed_count_rides_checkpoint_job(
+        self, spark, monkeypatch
+    ):
+        """connected_components' convergence check must cost ZERO
+        extra actions: the changed-label count is an observe() riding
+        the round's localCheckpoint materialization (dedup.py). Any
+        DataFrame.count/collect inside the loop is the r5 regression
+        (a separate join+count job per round, ~1/3 of round time)."""
+        from pyspark.sql.classic.dataframe import DataFrame
+
+        from syncflux_spark.operators.dedup import connected_components
+
+        def forbid(name):
+            def _f(self, *a, **k):
+                raise AssertionError(
+                    f"connected_components ran DataFrame.{name}() — "
+                    "driver state must ride observe()+localCheckpoint"
+                )
+
+            return _f
+
+        monkeypatch.setattr(DataFrame, "count", forbid("count"))
+        monkeypatch.setattr(DataFrame, "collect", forbid("collect"))
+        monkeypatch.setattr(DataFrame, "toPandas", forbid("toPandas"))
+        nodes, pairs = self._toy_graph(spark)
+        labels = connected_components(nodes, pairs)
+        monkeypatch.undo()
+        got = {
+            (r["doc_id"], r["component"]) for r in labels.collect()
+        }
+        assert got == {(1, 1), (2, 1), (3, 1), (4, 4), (5, 4), (6, 6)}
