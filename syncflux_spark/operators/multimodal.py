@@ -113,6 +113,8 @@ def codec_available(codec: str) -> bool:
     inside executors."""
     if codec == "fake":
         return True
+    if codec == "mjpegdc":
+        return True  # pure-stdlib spec decoder (operators/mjpegdc.py)
     if codec == "pil":
         try:
             import PIL.Image  # noqa: F401
@@ -282,11 +284,13 @@ def sample_frames(df: DataFrame, every_n: int = 4, codec: str = "fake") -> DataF
     Arrow batch so memory stays bounded regardless of video length.
     ``fake`` emits 32-byte slices of the content (deterministic stub);
     ``pyav`` decodes real containers in-process (raw rgb24 frames);
-    ``ffmpeg`` shells out to the binary (PNG frames). Both real
-    codecs are capability-probed and share the fake path's kernel
-    contract: same schema, same per-batch iteration, same 1→N row
-    expansion."""
-    _require_codec(codec, supported=("fake", "pyav", "ffmpeg"))
+    ``ffmpeg`` shells out to the binary (PNG frames); ``mjpegdc`` is
+    the pure-stdlib DC-only MJPEG/MP4 decoder (operators/mjpegdc.py,
+    rgb24 frames like pyav) that needs no third-party codec at all.
+    The real codecs are capability-probed and share the fake path's
+    kernel contract: same schema, same per-batch iteration, same 1→N
+    row expansion."""
+    _require_codec(codec, supported=("fake", "pyav", "ffmpeg", "mjpegdc"))
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -297,6 +301,12 @@ def sample_frames(df: DataFrame, every_n: int = 4, codec: str = "fake") -> DataF
                     decoded = _pyav_frames(b, every_n)
                 elif codec == "ffmpeg":
                     decoded = _ffmpeg_frames(b, every_n)
+                elif codec == "mjpegdc":
+                    from syncflux_spark.operators.mjpegdc import (
+                        mjpeg_mp4_frames,
+                    )
+
+                    decoded = mjpeg_mp4_frames(b, every_n)
                 else:
                     n_frames = max(1, (len(b) - 16) // 32)
                     decoded = [

@@ -6494,6 +6494,71 @@ def mm_frame_counts(spark, sf):
     return frames.groupBy("media_id").agg(F.count(F.lit(1)).alias("n_frames"))
 
 
+def _tiny_mp4_bytes() -> bytes:
+    """The vendored MJPEG fixture (tests/data/tiny.mp4), rebuilt from
+    the pure-Python spec writer when the file is absent — both are
+    deterministic, byte-identical artifacts of tools/mjpeg_mp4.py."""
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tests",
+        "data",
+        "tiny.mp4",
+    )
+    if os.path.exists(path):
+        with open(path, "rb") as f:
+            return f.read()
+    from tools.mjpeg_mp4 import tiny_mp4_bytes
+
+    return tiny_mp4_bytes()
+
+
+@register(
+    "mm_video_frames",
+    """
+    SELECT * FROM (VALUES
+      (0, 0, 0, 3072), (1, 30, 30, 3072), (2, 60, 60, 3072),
+      (3, 90, 90, 3072), (4, 120, 120, 3072), (5, 150, 150, 3072),
+      (6, 180, 180, 3072), (7, 210, 210, 3072)
+    ) AS t(frame_idx, first_px, last_px, n_bytes)
+    """,
+)
+def mm_video_frames(spark, sf):
+    """REAL video decode end-to-end: the vendored MJPEG/MP4 fixture
+    decoded inside the mapInPandas kernel by the pure-stdlib DC-JPEG
+    decoder (operators/mjpegdc.py — ISO-BMFF sample walk, T.81 Huffman
+    entropy decode, dequantize, flat-block reconstruction), one rgb24
+    frame row per sample. The oracle is the SPEC-PREDICTED constant
+    table: the writer stores gray g as DC=round(8·(g−128)/16) and the
+    decoder must recover round(DC·16/8)+128 — for the fixture's ramp
+    (i·30, all even offsets from 128) that is exactly i·30 again, so
+    any drift in either the box walk, the Huffman tables, or the
+    reconstruction arithmetic flips the full-hash gate. Pixel-level
+    uniformity of every frame is asserted in
+    tests/test_multimodal.py::TestMjpegDcDecode; here first/last byte
+    + frame size pin the Spark-side plumbing. (sf-independent by
+    design: the fixture is the input, like lp_roundtrip_stats' inline
+    corpus.)"""
+    from syncflux_spark.operators.multimodal import MEDIA_SCHEMA, sample_frames
+
+    media = spark.createDataFrame(
+        [(1, "video", _tiny_mp4_bytes(), "fixture://tiny.mp4")],
+        MEDIA_SCHEMA,
+    )
+    frames = sample_frames(media, every_n=1, codec="mjpegdc")
+    return frames.select(
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        F.expr(
+            "CAST(conv(hex(substring(frame_bytes, 1, 1)), 16, 10) AS INT)"
+        ).alias("first_px"),
+        F.expr(
+            "CAST(conv(hex(substring(frame_bytes, -1, 1)), 16, 10) AS INT)"
+        ).alias("last_px"),
+        F.length("frame_bytes").cast("int").alias("n_bytes"),
+    )
+
+
 @register(
     "mm_feature_knn",
     f"""

@@ -496,3 +496,93 @@ class TestAudio:
         feat = mm.audio_features(fdf, frame_len=40, hop=40).collect()[0]
         assert feat.n_frames == 8
         assert feat.mean_rms == 0.25
+
+
+class TestMjpegDcDecode:
+    """The pure-stdlib DC-JPEG decoder (operators/mjpegdc.py) executes
+    the video decode path IN THIS CONTAINER — no Pillow/PyAV/ffmpeg —
+    against the vendored fixture whose gray levels are known from the
+    writer's spec arithmetic. The real-codec branches above still skip
+    where their libraries are absent; this class is the decode seam
+    they leave, closed."""
+
+    @pytest.fixture(scope="class")
+    def mp4_bytes(self):
+        vendored = os.path.join(_DATA_DIR, "tiny.mp4")
+        if os.path.exists(vendored):
+            with open(vendored, "rb") as f:
+                return f.read()
+        from tools.mjpeg_mp4 import tiny_mp4_bytes
+
+        return tiny_mp4_bytes()
+
+    def test_decoder_recovers_writer_gray_ramp_exactly(self, mp4_bytes):
+        """Every frame decodes to a UNIFORM rgb24 image at exactly the
+        writer's gray level: the ramp i*30 survives quantize→Huffman→
+        decode→dequantize→reconstruct bit-for-bit (all offsets from
+        128 are even, so round(8*(g-128)/16)*16/8 + 128 == g)."""
+        from syncflux_spark.operators.mjpegdc import mjpeg_mp4_frames
+
+        frames = mjpeg_mp4_frames(mp4_bytes, every_n=1)
+        assert [fi for fi, _ in frames] == list(range(8))
+        for fi, rgb in frames:
+            assert len(rgb) == 32 * 32 * 3
+            assert set(rgb) == {(fi * 30) % 256}
+
+    def test_sample_frames_mjpegdc_through_spark(self, spark, mp4_bytes):
+        """The same decode running INSIDE the mapInPandas kernel —
+        schema, 1→N expansion, and every-Nth sampling all real."""
+        media = spark.createDataFrame(
+            [(1, "video", mp4_bytes, "fixture://tiny.mp4")],
+            mm.MEDIA_SCHEMA,
+        )
+        rows = mm.sample_frames(media, every_n=2, codec="mjpegdc").collect()
+        assert [r.frame_idx for r in rows] == [0, 2, 4, 6]
+        for r in rows:
+            b = bytes(r.frame_bytes)
+            assert len(b) == 32 * 32 * 3
+            assert set(b) == {(r.frame_idx * 30) % 256}
+
+    def test_rejects_nonzero_ac_coefficients(self):
+        """The decoder never approximates: a hand-built scan carrying
+        one AC coefficient (run 0 / size 1 after the DC term) must
+        raise, not return a wrong flat block."""
+        import struct as st
+
+        from tools.mjpeg_mp4 import (
+            _AC_BITS,
+            _AC_VALS,
+            _DC_BITS,
+            _DC_VALS,
+            _BitWriter,
+            _huffman_codes,
+            solid_jpeg,
+        )
+
+        from syncflux_spark.operators.mjpegdc import decode_dc_only_jpeg
+
+        base = solid_jpeg(8, 8, 128)  # dcq == 0: entropy = DC cat0 + EOB
+        dc = _huffman_codes(_DC_BITS, _DC_VALS)
+        ac = _huffman_codes(_AC_BITS, _AC_VALS)
+        bw = _BitWriter()
+        bw.write(*dc[0])  # DC diff category 0
+        bw.write(*ac[0x01])  # AC run 0, size 1 ...
+        bw.write(1, 1)  # ... coefficient +1
+        bw.write(*ac[0x00])  # EOB for the rest
+        bw.flush()
+        sos = base.index(b"\xff\xda")
+        sos_len = st.unpack_from(">H", base, sos + 2)[0]
+        mutated = base[: sos + 2 + sos_len] + bytes(bw.buf) + b"\xff\xd9"
+        with pytest.raises(NotImplementedError, match="AC coefficient"):
+            decode_dc_only_jpeg(mutated)
+
+    def test_rejects_non_mp4_payload(self):
+        """Garbage (the fake codec's 16-byte header payload) fails the
+        box walk loudly instead of decoding nonsense."""
+        from syncflux_spark.operators.mjpegdc import mp4_video_samples
+
+        with pytest.raises(ValueError):
+            mp4_video_samples(b"\x00" * 64)
+
+    def test_codec_probe_always_available(self):
+        assert mm.codec_available("mjpegdc")
