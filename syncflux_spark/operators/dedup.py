@@ -310,7 +310,19 @@ def jaccard_verify(
             "id_a",
             "id_b",
             F.size(F.array_intersect("sa.sh", "sb.sh")).alias("n_inter"),
-            F.size(F.array_union("sa.sh", "sb.sh")).alias("n_union"),
+            # |A∪B| = |A|+|B|-|A∩B| arithmetically: array_union would
+            # materialize a union-sized array per pair just to size it
+            # (measured ~0.4s of the sf0.1 verify stage). Exact for
+            # sets — the arrays are distinct by construction, and a
+            # 64-bit same-doc fingerprint collision (p ≈ m²/2⁶⁵) is
+            # the same immaterial class the mode dial documents.
+            (F.size("sa.sh") + F.size("sb.sh")).alias("n_ab"),
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "n_inter",
+            (F.col("n_ab") - F.col("n_inter")).alias("n_union"),
         )
     )
     out = joined.withColumn(
@@ -335,17 +347,90 @@ def ngram_jaccard_pairs(
     threshold. This is the scalable composition: at 100 TB the
     candidate set (not the corpus square) bounds the verify cost.
 
-    The signature and verify stages deliberately re-extract shingles
-    instead of sharing one persisted shingle-set DF: caching the wide
-    array column costs a columnar serialize + two deserializes, which
-    measured SLOWER than recomputing the narrow extraction (4.3s vs
-    3.9s at sf0.1) — cache is only kept where a single stage scans
-    the same small data twice (the verify self-join)."""
-    pairs = lsh_candidate_pairs(df, text_col, id_col, k_shingle, n_hashes, band_size)
-    return jaccard_verify(
-        df, pairs, text_col, id_col, k_shingle, threshold,
-        fingerprint=fingerprint,
+    FUSED single-extraction form (r7): shingles are extracted ONCE
+    and both hash families ride the same pass — the md5 lanes the
+    banding needs and the verify fingerprints — persisted together as
+    one narrow frame (8 lane strings + a long array per doc). The
+    banding explode, the band self-join, and both verify join sides
+    all read that cache. Earlier rounds re-extracted per stage
+    because caching the RAW shingle-string arrays measured slower
+    than recomputing (4.3s vs 3.9s at sf0.1, r3); caching the
+    64-bit fingerprints instead is ~8× fewer cached bytes and
+    measured 5.4s → 3.7s end-to-end at sf0.1. Five registry
+    consumers (dedup_near_keep, dedup_components, leakage_safe_split,
+    contrastive_triplets, doc_novelty) ride this kernel."""
+    mode = verify_fingerprint_mode(fingerprint)
+    base = shingle_sets(df, text_col, id_col, k_shingle)
+    fp = (
+        (lambda s: F.xxhash64(s)) if mode == "hash64" else (lambda s: s)
     )
+    hashed = base.select(
+        F.col(id_col),
+        F.transform("_sh", F.md5).alias("_hs"),
+        F.transform("_sh", fp).alias("sh"),
+    )
+
+    def lane(i: int):
+        off = 1 + LANE_WIDTH * i
+        return lambda h: F.substring(h, off, LANE_WIDTH)
+
+    cols = [F.col(id_col), F.col("sh")]
+    for i in range(n_hashes):
+        cols.append(F.array_min(F.transform("_hs", lane(i))).alias(f"mh{i}"))
+    combined = eager_persist(hashed.select(*cols))
+
+    n_bands = n_hashes // band_size
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.concat_ws(
+                "|",
+                *[F.col(f"mh{b * band_size + j}") for j in range(band_size)],
+            ).alias("band_key"),
+        )
+        for b in range(n_bands)
+    ]
+    bands = combined.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("bd")
+    ).select(F.col(id_col), F.col("bd.band_id"), F.col("bd.band_key"))
+    a = bands.alias("a")
+    b_ = bands.alias("b")
+    pairs = (
+        a.join(
+            b_,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    sa = combined.select(F.col(id_col), "sh").alias("sa")
+    sb = combined.select(F.col(id_col), "sh").alias("sb")
+    joined = (
+        pairs.join(sa, pairs.id_a == F.col(f"sa.{id_col}"))
+        .join(sb, pairs.id_b == F.col(f"sb.{id_col}"))
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("sa.sh", "sb.sh")).alias("n_inter"),
+            # arithmetic union size — see jaccard_verify
+            (F.size("sa.sh") + F.size("sb.sh")).alias("n_ab"),
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "n_inter",
+            (F.col("n_ab") - F.col("n_inter")).alias("n_union"),
+        )
+    )
+    out = joined.withColumn("jaccard", F.col("n_inter") / F.col("n_union"))
+    if threshold > 0:
+        out = out.where(F.col("jaccard") >= threshold)
+    return out
 
 
 def containment_pairs(
