@@ -38,7 +38,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from syncflux_spark.functions.text import char_shingles, shingles_of_words, words
-from syncflux_spark.utils import eager_persist, spread_for_cpu
+from syncflux_spark.utils import eager_persist, loop_checkpoint, spread_for_cpu
 
 
 def verify_fingerprint_mode(mode: str | None = None, default: str = "hash64") -> str:
@@ -980,15 +980,23 @@ def connected_components(
     cluster, executor loss invalidates localCheckpoint data — for a
     long-running production job set a checkpoint dir and swap in
     ``checkpoint``; the loop is unchanged.)
+
+    The per-round state goes through :func:`utils.loop_checkpoint`
+    rather than bare ``localCheckpoint``: the checkpoint leaf carries
+    the pre-checkpoint plan's STATISTICS, and because each round
+    self-joins the label table (pointer halving), the sizeInBytes
+    estimate compounds to ~s³ per round — BigInteger digits triple
+    every round and Catalyst's stats visitor dominated wall time past
+    round ~11 (0.5s → 48s/round, found by the r7 slope measurement on
+    a 15-round-diameter graph). The rebase keeps planning cost
+    constant; see loop_checkpoint's docstring.
     """
     edges = pairs.select("id_a", "id_b").localCheckpoint()
     sym = edges.union(
         edges.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
     )
-    labels = (
-        nodes.select(F.col(id_col))
-        .withColumn("component", F.col(id_col))
-        .localCheckpoint()
+    labels = loop_checkpoint(
+        nodes.select(F.col(id_col)).withColumn("component", F.col(id_col))
     )
     for _ in range(max_iter):
         nbr = (
@@ -1012,7 +1020,7 @@ def connected_components(
         from pyspark.sql import Observation
 
         obs = Observation()
-        new_labels = (
+        new_labels = loop_checkpoint(
             labels.join(nbr, on=id_col, how="left")
             .join(half, on=id_col, how="left")
             .select(
@@ -1031,7 +1039,6 @@ def connected_components(
                 ).alias("changed"),
             )
             .select(F.col(id_col), F.col("_new").alias("component"))
-            .localCheckpoint()
         )
         changed = obs.get["changed"] or 0
         labels = new_labels

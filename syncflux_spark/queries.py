@@ -13803,6 +13803,10 @@ _ROUND_FOCUS = (
     # kernel) — the direct consumers' green rows predate the change
     "dedup_near_keep",
     "contrastive_triplets",
+    # r7: connected_components rounds now reset checkpoint-leaf stats
+    # (utils.loop_checkpoint) — re-confirm the component consumers
+    "dedup_components",
+    "emb_dedup_components",
 )
 
 

@@ -25,6 +25,45 @@ def spread_for_cpu(df: DataFrame, min_partitions: int | None = None) -> DataFram
     return df.repartition(target)
 
 
+def loop_checkpoint(df: DataFrame) -> DataFrame:
+    """``localCheckpoint()`` for ITERATIVE-LOOP state, with the leaf's
+    statistics reset.
+
+    ``localCheckpoint`` truncates the logical plan but carries the
+    pre-checkpoint plan's ``Statistics`` onto the new leaf. In a loop
+    whose round references its own state more than once (connected
+    components' pointer-halving label SELF-join), the next round's
+    sizeInBytes estimate becomes a PRODUCT of the previous leaf's —
+    the estimate compounds to s³ per round, so its BigInteger digit
+    count roughly TRIPLES every round (measured 6 → 22 → 69 → 211 →
+    635 → 1909 → 5730 …) and by round ~12 Catalyst spends most of the
+    wall clock multiplying million-digit integers inside
+    SizeInBytesOnlyStatsPlanVisitor: round times went 0.5s → 2.4s →
+    13s → 48s on a 2000-node graph. Caught by tools/measure_slopes.py
+    on a 15-round graph; latent in any convergence-driven loop that
+    outlasts ~11 rounds.
+
+    The fix rebuilds a FRESH ``LogicalRDD`` over the already-
+    checkpointed rows (``internalCreateDataFrame`` — zero extra IO or
+    compute; the rdd is the same materialized blocks), which restores
+    the session-default size estimate, making per-round planning cost
+    constant. Loops whose state is referenced ONCE per round
+    (PageRank's rank table) only grow digits linearly and don't need
+    this, but it's correct and free there too.
+
+    Falls back to the plain checkpoint if the internal constructor is
+    unavailable (correct, just slow past ~11 rounds)."""
+    ck = df.localCheckpoint()
+    spark = df.sparkSession
+    try:
+        fresh = spark._jsparkSession.internalCreateDataFrame(
+            ck._jdf.queryExecution().toRdd(), ck._jdf.schema(), False
+        )
+        return DataFrame(fresh, spark)
+    except Exception:  # private API moved: keep correctness
+        return ck
+
+
 def eager_persist(df: DataFrame) -> DataFrame:
     """Persist AND materialize now.
 
