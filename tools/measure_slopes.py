@@ -103,9 +103,13 @@ def main() -> int:
                 best = min(best, time.monotonic() - t0)
             times[s] = round(best, 2)
             print(f"# {name} x{s}: {times[s]}s", file=sys.stderr)
-            if best > ns.budget:
+            # prospective: if the NEXT scale would exceed the budget
+            # even at linear growth, don't start it — a super-linear
+            # query at x10 can cost 15 minutes nobody asked for
+            nxt = scales[scales.index(s) + 1] if s != scales[-1] else None
+            if nxt is not None and best * (nxt / s) > ns.budget:
                 print(
-                    f"# {name}: exceeded budget at x{s}, skipping larger",
+                    f"# {name}: projected x{nxt} > budget, skipping",
                     file=sys.stderr,
                 )
                 break
