@@ -13666,15 +13666,18 @@ def mm_audio_features(spark, sf):
     # media is already CPU-spread: chain the two Arrow kernels in one
     # stage instead of paying an exchange between them
     frames = audio_frame_features(media, frame_len=64, hop=32, spread=False)
-    # lazy persist: the oracle artifact write is the one action that
-    # runs the Arrow kernel AND fills the cache in the same pass; the
-    # aggregation then reads cached blocks instead of re-scanning the
-    # just-written parquet (the r6 form double-paid here)
-    frames = frames.persist()
+    # artifact written UNCOMPRESSED and re-read for the aggregation:
+    # measured fastest of the four (write-codec × persist-vs-reread)
+    # combinations at sf0.1 — snappy encode costs more than the extra
+    # scan of a local temp file, and persist() loses outright (cache
+    # fill serializes the 1.1M frame rows for MORE than the parquet
+    # re-read costs: 1.42s persist+snappy vs 1.13s reread+none). The
+    # handshake property is unchanged: both engines aggregate the
+    # same stored bits.
     art = f"{_ORACLE_ART}/mm_audio_frames"
-    frames.write.mode("overwrite").parquet(art)
+    frames.write.mode("overwrite").option("compression", "none").parquet(art)
     agg = (
-        frames
+        spark.read.parquet(art)
         .groupBy("media_id")
         .agg(
             F.count(F.lit(1)).alias("n_frames"),
