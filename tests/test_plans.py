@@ -597,3 +597,50 @@ class TestIterationLoopInvariants:
             (r["doc_id"], r["component"]) for r in labels.collect()
         }
         assert got == {(1, 1), (2, 1), (3, 1), (4, 4), (5, 4), (6, 6)}
+
+    def test_loop_checkpoint_resets_compounding_stats(self, spark):
+        """The r7 fix: a loop whose round SELF-joins its own state
+        compounds the checkpoint leaf's sizeInBytes estimate (~s³ per
+        round — digit counts TRIPLED per round and Catalyst stats
+        arithmetic dominated wall time past round ~11).
+        utils.loop_checkpoint must keep the leaf estimate constant
+        across rounds; bare localCheckpoint demonstrably does not."""
+        from pyspark.sql import functions as F
+
+        from syncflux_spark.utils import loop_checkpoint
+
+        def digits(df):
+            return len(
+                str(
+                    df._jdf.queryExecution().analyzed().stats().sizeInBytes()
+                )
+            )
+
+        def round_once(labels, ckpt):
+            half = labels.join(
+                labels.select(
+                    F.col("id").alias("_l"), F.col("lbl").alias("_lc")
+                ),
+                F.col("lbl") == F.col("_l"),
+            ).select(F.col("id"), F.col("_lc").alias("jump"))
+            return ckpt(
+                labels.join(half, on="id", how="left").select(
+                    "id", F.least("lbl", F.coalesce("jump", "lbl")).alias("lbl")
+                )
+            )
+
+        base = spark.range(32).select(
+            F.col("id"), F.col("id").alias("lbl")
+        )
+        fixed = loop_checkpoint(base)
+        for _ in range(5):
+            fixed = round_once(fixed, loop_checkpoint)
+        assert digits(fixed) < 30  # constant (session default estimate)
+
+        from pyspark.sql.classic.dataframe import DataFrame
+
+        bare = base.localCheckpoint()
+        for _ in range(5):
+            bare = round_once(bare, DataFrame.localCheckpoint)
+        # the pathology this guards against: digits compound per round
+        assert digits(bare) > digits(fixed)
