@@ -644,3 +644,15 @@ class TestIterationLoopInvariants:
             bare = round_once(bare, DataFrame.localCheckpoint)
         # the pathology this guards against: digits compound per round
         assert digits(bare) > digits(fixed)
+
+    def test_ngram_pipeline_reads_one_cached_extraction(self, spark, sf_dir):
+        """The r7 fusion: band self-join sides AND both verify join
+        sides must read the single persisted shingle+signature frame
+        (4 InMemoryTableScans), never re-run the extraction — and the
+        whole pipeline stays JVM-side. (The plan text prints the
+        cache's child scan per reference, so we assert the cache
+        reads, not the FileScan count — same caveat as the
+        kmv_rolling_distinct test.)"""
+        plan = plan_of(spark, sf_dir, "ngram_jaccard_pairs")
+        assert plan.count("InMemoryTableScan") >= 4
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
