@@ -113,8 +113,8 @@ def codec_available(codec: str) -> bool:
     inside executors."""
     if codec == "fake":
         return True
-    if codec == "mjpegdc":
-        return True  # pure-stdlib spec decoder (operators/mjpegdc.py)
+    if codec in ("mjpegdc", "dcjpeg"):
+        return True  # pure-stdlib spec decoders (operators/mjpegdc.py)
     if codec == "pil":
         try:
             import PIL.Image  # noqa: F401
@@ -168,16 +168,21 @@ def _require_codec(
 
 def decode_images(df: DataFrame, codec: str = "fake") -> DataFrame:
     """Decode stage: bytes → image metadata. Arrow-batched
-    ``mapInPandas``; same kernel shape for both codecs — ``fake``
+    ``mapInPandas``; same kernel shape for every codec — ``fake``
     parses the synthetic 16-byte header, ``pil`` calls
-    ``PIL.Image.open`` on the real bytes (capability-probed)."""
-    _require_codec(codec)
+    ``PIL.Image.open`` on the real bytes (capability-probed), and
+    ``dcjpeg`` fully entropy-decodes real DC-only baseline JPEGs with
+    the pure-stdlib T.81 decoder (operators/mjpegdc.py — executes the
+    real-bytes branch in environments with no Pillow at all)."""
+    _require_codec(codec, supported=("fake", "pil", "dcjpeg"))
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         if codec == "pil":
             from io import BytesIO
 
             from PIL import Image
+        elif codec == "dcjpeg":
+            from syncflux_spark.operators.mjpegdc import decode_dc_only_jpeg
 
         for pdf in batches:
             content = pdf["content"]
@@ -186,6 +191,11 @@ def decode_images(df: DataFrame, codec: str = "fake") -> DataFrame:
                 for b in content:
                     im = Image.open(BytesIO(bytes(b)))
                     meta.append((im.size[0], im.size[1], len(im.getbands())))
+            elif codec == "dcjpeg":
+                meta = []
+                for b in content:
+                    w, h, _grays = decode_dc_only_jpeg(bytes(b))
+                    meta.append((w, h, 1))  # grayscale-only scope
             else:
                 meta = [struct.unpack("<III", b[:12]) for b in content]
             yield pd.DataFrame(
@@ -204,16 +214,20 @@ def decode_images(df: DataFrame, codec: str = "fake") -> DataFrame:
 def extract_features(df: DataFrame, dim: int = 16, codec: str = "fake") -> DataFrame:
     """Feature-extraction stage: bytes → ``array<float>`` embedding.
     ``fake``: sha256-seeded deterministic vector; ``pil``: grayscale
-    downsample to ``dim`` pixels normalized to [0,1] — a real model
+    downsample to ``dim`` pixels normalized to [0,1]; ``dcjpeg``:
+    column-stripe means of the T.81 DC block grid normalized the same
+    way (real-bytes path with zero third-party codecs) — a real model
     slots into the same Arrow batch loop. Output feeds the
     similarity/dedup operators directly."""
-    _require_codec(codec)
+    _require_codec(codec, supported=("fake", "pil", "dcjpeg"))
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         if codec == "pil":
             from io import BytesIO
 
             from PIL import Image
+        elif codec == "dcjpeg":
+            from syncflux_spark.operators.mjpegdc import decode_dc_only_jpeg
 
         for pdf in batches:
             feats = []
@@ -222,6 +236,22 @@ def extract_features(df: DataFrame, dim: int = 16, codec: str = "fake") -> DataF
                     im = Image.open(BytesIO(bytes(b))).convert("L")
                     px = list(im.resize((dim, 1)).getdata())
                     feats.append([p / 255.0 for p in px])
+                    continue
+                if codec == "dcjpeg":
+                    w, h, grays = decode_dc_only_jpeg(bytes(b))
+                    bw = w // 8
+                    # mean gray per column stripe, resampled to dim
+                    col_means = [
+                        sum(grays[r * bw + c] for r in range(h // 8))
+                        / (h // 8)
+                        for c in range(bw)
+                    ]
+                    feats.append(
+                        [
+                            col_means[min(bw - 1, i * bw // dim)] / 255.0
+                            for i in range(dim)
+                        ]
+                    )
                     continue
                 h = hashlib.sha256(bytes(b)).digest()
                 # dim floats in [0,1) from repeated hash material

@@ -6559,6 +6559,57 @@ def mm_video_frames(spark, sf):
     )
 
 
+def _tiny_jpeg_samples() -> list[bytes]:
+    """The vendored fixture's per-frame JPEG bytes, addressed through
+    the MP4 sample table — so the image-decode query exercises real
+    JPEG bytes without a second vendored fixture."""
+    from syncflux_spark.operators.mjpegdc import mp4_video_samples
+
+    return mp4_video_samples(_tiny_mp4_bytes())
+
+
+def _image_decode_sql() -> str:
+    """Spec-predicted constants for mm_image_decode: dimensions are
+    fixed by the writer; n_bytes comes from the fixture's own sample
+    table (read once at registration — deterministic, vendored)."""
+    rows = ", ".join(
+        f"({i}, 32, 32, 1, {len(s)})"
+        for i, s in enumerate(_tiny_jpeg_samples())
+    )
+    return f"""
+    SELECT * FROM (VALUES {rows})
+      AS t(media_id, width, height, channels, n_bytes)
+    """
+
+
+@register("mm_image_decode", _image_decode_sql())
+def mm_image_decode(spark, sf):
+    """REAL image decode end-to-end: the fixture's 8 baseline JPEGs
+    decoded inside the mapInPandas kernel by the pure-stdlib T.81
+    DC-only decoder (decode_images(codec="dcjpeg") — full entropy
+    decode, not a header sniff), metadata full-hash-gated against the
+    writer-spec constants with n_bytes taken from the fixture's own
+    sample table. The video analog is mm_video_frames; together they
+    execute both real-bytes decode branches with zero third-party
+    codecs. (sf-independent by design, like lp_roundtrip_stats.)"""
+    from syncflux_spark.operators.multimodal import MEDIA_SCHEMA, decode_images
+
+    media = spark.createDataFrame(
+        [
+            (i, "image", s, f"fixture://tiny.mp4/sample/{i}")
+            for i, s in enumerate(_tiny_jpeg_samples())
+        ],
+        MEDIA_SCHEMA,
+    )
+    return decode_images(media, codec="dcjpeg").select(
+        F.col("media_id").cast("int").alias("media_id"),
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.col("channels").cast("int").alias("channels"),
+        F.col("n_bytes").cast("int").alias("n_bytes"),
+    )
+
+
 @register(
     "mm_feature_knn",
     f"""

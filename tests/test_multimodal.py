@@ -586,3 +586,38 @@ class TestMjpegDcDecode:
 
     def test_codec_probe_always_available(self):
         assert mm.codec_available("mjpegdc")
+
+    def test_decode_images_dcjpeg_real_bytes(self, spark, mp4_bytes):
+        """decode_images' real-bytes branch executes in-container: the
+        fixture's JPEG samples fully entropy-decode (not a header
+        sniff) to the writer's dimensions."""
+        from syncflux_spark.operators.mjpegdc import mp4_video_samples
+
+        samples = mp4_video_samples(mp4_bytes)
+        media = spark.createDataFrame(
+            [(i, "image", s, f"fixture://s/{i}") for i, s in enumerate(samples)],
+            mm.MEDIA_SCHEMA,
+        )
+        rows = mm.decode_images(media, codec="dcjpeg").collect()
+        assert len(rows) == 8
+        for r in rows:
+            assert (r.width, r.height, r.channels) == (32, 32, 1)
+            assert r.n_bytes == len(samples[r.media_id])
+
+    def test_extract_features_dcjpeg_solid_gray(self, spark, mp4_bytes):
+        """Feature extraction over real JPEG bytes: a solid-gray image
+        must yield a constant vector at exactly gray/255 — the DC
+        block grid is exact, so no tolerance needed."""
+        from syncflux_spark.operators.mjpegdc import mp4_video_samples
+
+        samples = mp4_video_samples(mp4_bytes)
+        media = spark.createDataFrame(
+            [(i, "image", s, f"fixture://s/{i}") for i, s in enumerate(samples)],
+            mm.MEDIA_SCHEMA,
+        )
+        rows = mm.extract_features(media, dim=8, codec="dcjpeg").collect()
+        assert len(rows) == 8
+        for r in rows:
+            expected = ((r.media_id * 30) % 256) / 255.0
+            # FEATURE_SCHEMA stores float32 — compare at its precision
+            assert all(abs(v - expected) < 1e-6 for v in r.feature)
