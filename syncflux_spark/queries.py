@@ -6154,17 +6154,20 @@ def stream_corpus_publish(spark, sf):
             t.publish_with_audit(fresh, audit, stats_cols=["doc_id"])
 
     schema = spark.read.parquet(f"{src}/docs_a.parquet").schema
-    q = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
-        .option("latestFirst", "false")
-        .parquet(src)
-        .writeStream.foreachBatch(ingest)
-        .option("checkpointLocation", os.path.join(root, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    from syncflux_spark.utils import shuffle_partitions
+
+    with shuffle_partitions(spark, 4):
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("latestFirst", "false")
+            .parquet(src)
+            .writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return TxTable(spark, table_root).snapshot().groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("total_tokens"),
@@ -6291,7 +6294,12 @@ def stream_dedup_counts(spark, sf):
             os.path.join(src, f"events_{copy_name}.parquet"),
         )
     op = DedupReplicationStream(
-        spark, src, f"{root}/dst", f"{root}/ckpt", max_files_per_trigger=1
+        spark,
+        src,
+        f"{root}/dst",
+        f"{root}/ckpt",
+        max_files_per_trigger=1,
+        state_partitions=4,
     )
     op.run_available()
     rep = op.read_replica()
@@ -6352,6 +6360,7 @@ def stream_kmv_users(spark, sf):
         f"{root}/dst",
         f"{root}/ckpt",
         max_files_per_trigger=1,
+        state_partitions=4,
     )
     op.run_available()
     return op.current_sketches()
@@ -6381,6 +6390,7 @@ def stream_stateful_totals(spark, sf):
     op = StatefulUserTotals(
         spark, sf, f"{root}/dst", f"{root}/ckpt",
         path_glob_filter="events.parquet",
+        state_partitions=4,
     )
     op.run_available()
     return op.current_totals()
@@ -6735,7 +6745,9 @@ def stream_windowed_rollup(spark, sf):
     shutil.copy(
         os.path.join(sf, "events.parquet"), os.path.join(src, "events.parquet")
     )
-    ws = WindowedRollupStream(spark, src, f"{root}/dst", f"{root}/ckpt")
+    ws = WindowedRollupStream(
+        spark, src, f"{root}/dst", f"{root}/ckpt", state_partitions=4
+    )
     ws.run_available()
     max_ns = (
         load_table(spark, sf, "events").agg(F.max("ts_ns").alias("m")).collect()[0].m
@@ -6805,7 +6817,12 @@ def stream_session_rollup(spark, sf):
         os.path.join(sf, "events.parquet"), os.path.join(src, "events.parquet")
     )
     ws = SessionWindowStream(
-        spark, src, f"{root}/dst", f"{root}/ckpt", group_cols=("user_id",)
+        spark,
+        src,
+        f"{root}/dst",
+        f"{root}/ckpt",
+        group_cols=("user_id",),
+        state_partitions=4,
     )
     ws.run_available()
     max_ns = (
@@ -6855,7 +6872,9 @@ def stream_attribution_pairs(spark, sf):
     shutil.copy(
         os.path.join(sf, "events.parquet"), os.path.join(src, "events.parquet")
     )
-    st = ClickAttributionStream(spark, src, f"{root}/dst", f"{root}/ckpt")
+    st = ClickAttributionStream(
+        spark, src, f"{root}/dst", f"{root}/ckpt", state_partitions=4
+    )
     st.run_available()
     return st.read_pairs()
 
@@ -6905,6 +6924,7 @@ def stream_attribution_unmatched(spark, sf):
         f"{root}/ckpt",
         join_type="left_outer",
         max_files_per_trigger=1,
+        state_partitions=4,
     )
     st.emit_flush_sentinel()
     st.emit_flush_sentinel()
@@ -11548,7 +11568,9 @@ def stream_late_events(spark, sf):
     shutil.copy(
         os.path.join(sf, "events.parquet"), os.path.join(src, "events.parquet")
     )
-    ws = WindowedRollupStream(spark, src, f"{root}/dst", f"{root}/ckpt")
+    ws = WindowedRollupStream(
+        spark, src, f"{root}/dst", f"{root}/ckpt", state_partitions=4
+    )
     ws.run_available()
     bounds = (
         load_table(spark, sf, "events")
@@ -12191,6 +12213,7 @@ def stream_cdc_apply(spark, sf):
         f"{root}/base",
         f"{root}/ckpt",
         key_col="o_orderkey",
+        state_partitions=4,
     )
     s.run_available()
     return s.read_base()
@@ -13617,6 +13640,7 @@ def stream_quantile_sketch(spark, sf):
         f"{root}/dst",
         f"{root}/ckpt",
         max_files_per_trigger=1,
+        state_partitions=4,
     )
     op.run_available()
     return op.current_sketches()
@@ -13850,17 +13874,29 @@ _PRIORITY_PREFIXES = (
 #: anything else (a changed query with a stale green row is the one
 #: regression the self-maintaining order can't see on its own).
 _ROUND_FOCUS = (
-    # r7: artifact write now aggregates from the persisted frame
-    # instead of re-reading parquet — impl changed, re-confirm
+    # r7 changes below kept until a driver row lands (no
+    # CORRECTNESS_r07 was recorded): audio artifact aggregation from
+    # the persisted frame; the fused LSH→verify kernel's consumers;
+    # the loop_checkpoint stats reset's component consumers
     "mm_audio_features",
-    # r7: LSH→verify chain retuned (shared ngram_jaccard_pairs
-    # kernel) — the direct consumers' green rows predate the change
     "dedup_near_keep",
     "contrastive_triplets",
-    # r7: connected_components rounds now reset checkpoint-leaf stats
-    # (utils.loop_checkpoint) — re-confirm the component consumers
     "dedup_components",
     "emb_dedup_components",
+    # r8: every stateful stream now runs with state_partitions=4
+    # (state-store shard count sized to load, utils.shuffle_partitions)
+    # — values must be partition-count-invariant; re-confirm the family
+    "stream_windowed_rollup",
+    "stream_session_rollup",
+    "stream_attribution_pairs",
+    "stream_attribution_unmatched",
+    "stream_late_events",
+    "stream_kmv_users",
+    "stream_quantile_sketch",
+    "stream_dedup_counts",
+    "stream_corpus_publish",
+    "stream_cdc_apply",
+    "stream_stateful_totals",
 )
 
 

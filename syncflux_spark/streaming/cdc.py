@@ -56,6 +56,7 @@ class CdcMergeStream:
         max_files_per_trigger: int | None = None,
         seq_col: str | None = None,
         base_format: str = "dir",
+        state_partitions: int | None = None,
     ):
         self.spark = spark
         self.changes_path = changes_path
@@ -75,6 +76,10 @@ class CdcMergeStream:
         if base_format not in ("dir", "tx"):
             raise ValueError(f"base_format must be 'dir' or 'tx', got {base_format!r}")
         self.base_format = base_format
+        #: sizes the per-batch compaction window + merge join (no
+        #: streaming state here — CDC state is the base table itself);
+        #: see utils.shuffle_partitions. None = session conf.
+        self.state_partitions = state_partitions
         self.batches_applied = 0
 
     # -- plumbing -----------------------------------------------------------
@@ -156,14 +161,17 @@ class CdcMergeStream:
     def run_available(self) -> int:
         """Apply every change file currently present, then stop — the
         deterministic 'catch up now' trigger."""
-        q = (
-            self._reader()
-            .writeStream.foreachBatch(self._apply_batch)
-            .option("checkpointLocation", self.checkpoint_path)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        from syncflux_spark.utils import shuffle_partitions
+
+        with shuffle_partitions(self.spark, self.state_partitions):
+            q = (
+                self._reader()
+                .writeStream.foreachBatch(self._apply_batch)
+                .option("checkpointLocation", self.checkpoint_path)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
         return self.batches_applied
 
     def start_continuous(self, processing_interval: str = "10 seconds"):

@@ -49,6 +49,7 @@ class ReplicationStream:
         max_files_per_trigger: int | None = None,
         path_glob_filter: str | None = None,
         table_format: str = "dir",
+        state_partitions: int | None = None,
     ):
         if table_format not in ("dir", "tx"):
             raise ValueError(
@@ -68,6 +69,12 @@ class ReplicationStream:
         #: long-lived 5-min-cadence replicator needs (~100k
         #: commits/year; see txtable.py module docstring).
         self.table_format = table_format
+        #: state-store shard count for stateful subclasses (the dedup
+        #: stream's dropDuplicatesWithinWatermark keeps per-key state;
+        #: plain replication has none, where this only sizes per-batch
+        #: shuffles). See utils.shuffle_partitions for the pin/restore
+        #: semantics and measurements. None = session conf.
+        self.state_partitions = state_partitions
         self.batches_written = 0
 
     def _write_batch(self, batch_df: DataFrame, batch_id: int) -> None:
@@ -118,14 +125,17 @@ class ReplicationStream:
         deterministic 'catch up now' trigger — used for backfill after
         an outage and in tests). Returns batches written this run."""
         before = self.batches_written
-        q = (
-            self._reader()
-            .writeStream.foreachBatch(self._write_batch)
-            .option("checkpointLocation", self.checkpoint_path)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        from syncflux_spark.utils import shuffle_partitions
+
+        with shuffle_partitions(self.spark, self.state_partitions):
+            q = (
+                self._reader()
+                .writeStream.foreachBatch(self._write_batch)
+                .option("checkpointLocation", self.checkpoint_path)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
         return self.batches_written - before
 
     def start_continuous(self, processing_interval: str = "10 seconds"):

@@ -92,12 +92,16 @@ class StatefulUserTotals:
         dst_path: str,
         checkpoint_path: str,
         path_glob_filter: str | None = None,
+        state_partitions: int | None = None,
     ):
         self.spark = spark
         self.src_path = src_path
         self.dst_path = dst_path
         self.checkpoint_path = checkpoint_path
         self.path_glob_filter = path_glob_filter
+        # see utils.shuffle_partitions: shard count pinned at first
+        # batch, per-batch cost is per-shard; None = session conf
+        self.state_partitions = state_partitions
 
     def _reader(self):
         batch_reader = self.spark.read
@@ -132,14 +136,17 @@ class StatefulUserTotals:
                 os.path.join(self.dst_path, f"batch={batch_id}")
             )
 
-        q = (
-            stream.writeStream.foreachBatch(write_batch)
-            .outputMode("update")
-            .option("checkpointLocation", self.checkpoint_path)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        from syncflux_spark.utils import shuffle_partitions
+
+        with shuffle_partitions(self.spark, self.state_partitions):
+            q = (
+                stream.writeStream.foreachBatch(write_batch)
+                .outputMode("update")
+                .option("checkpointLocation", self.checkpoint_path)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
 
     def current_totals(self) -> DataFrame:
         """Latest summary per user across all emitted batches (update
@@ -232,6 +239,7 @@ class StreamingKmvSketch:
         checkpoint_path: str,
         path_glob_filter: str | None = None,
         max_files_per_trigger: int | None = None,
+        state_partitions: int | None = None,
     ):
         self.spark = spark
         self.src_path = src_path
@@ -239,6 +247,9 @@ class StreamingKmvSketch:
         self.checkpoint_path = checkpoint_path
         self.path_glob_filter = path_glob_filter
         self.max_files_per_trigger = max_files_per_trigger
+        # see utils.shuffle_partitions: shard count pinned at first
+        # batch, per-batch cost is per-shard; None = session conf
+        self.state_partitions = state_partitions
 
     def _reader(self):
         batch_reader = self.spark.read
@@ -274,14 +285,17 @@ class StreamingKmvSketch:
                 os.path.join(self.dst_path, f"batch={batch_id}")
             )
 
-        q = (
-            stream.writeStream.foreachBatch(write_batch)
-            .outputMode("update")
-            .option("checkpointLocation", self.checkpoint_path)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        from syncflux_spark.utils import shuffle_partitions
+
+        with shuffle_partitions(self.spark, self.state_partitions):
+            q = (
+                stream.writeStream.foreachBatch(write_batch)
+                .outputMode("update")
+                .option("checkpointLocation", self.checkpoint_path)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
 
     def current_sketches(self) -> DataFrame:
         from pyspark.sql import Window
@@ -384,6 +398,7 @@ class StreamingQuantileSketch:
         checkpoint_path: str,
         path_glob_filter: str | None = None,
         max_files_per_trigger: int | None = None,
+        state_partitions: int | None = None,
     ):
         self.spark = spark
         self.src_path = src_path
@@ -391,6 +406,9 @@ class StreamingQuantileSketch:
         self.checkpoint_path = checkpoint_path
         self.path_glob_filter = path_glob_filter
         self.max_files_per_trigger = max_files_per_trigger
+        # see utils.shuffle_partitions: shard count pinned at first
+        # batch, per-batch cost is per-shard; None = session conf
+        self.state_partitions = state_partitions
 
     def _reader(self):
         batch_reader = self.spark.read
@@ -426,14 +444,17 @@ class StreamingQuantileSketch:
                 os.path.join(self.dst_path, f"batch={batch_id}")
             )
 
-        q = (
-            stream.writeStream.foreachBatch(write_batch)
-            .outputMode("update")
-            .option("checkpointLocation", self.checkpoint_path)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        from syncflux_spark.utils import shuffle_partitions
+
+        with shuffle_partitions(self.spark, self.state_partitions):
+            q = (
+                stream.writeStream.foreachBatch(write_batch)
+                .outputMode("update")
+                .option("checkpointLocation", self.checkpoint_path)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
 
     def current_sketches(self) -> DataFrame:
         from pyspark.sql import Window

@@ -54,6 +54,7 @@ class WindowedRollupStream:
         time_is_ns: bool | None = None,
         path_glob_filter: str | None = None,
         max_files_per_trigger: int | None = None,
+        state_partitions: int | None = None,
     ):
         self.spark = spark
         self.src_path = src_path
@@ -72,6 +73,13 @@ class WindowedRollupStream:
         self.time_is_ns = time_is_ns
         self.path_glob_filter = path_glob_filter
         self.max_files_per_trigger = max_files_per_trigger
+        #: state-store shard count, pinned from
+        #: spark.sql.shuffle.partitions at the stream's FIRST batch
+        #: and frozen into the checkpoint; per-batch cost is one task
+        #: + one store commit per shard, so size it to the keyed-state
+        #: volume (utils.shuffle_partitions has the measurements).
+        #: None = inherit the session conf unchanged.
+        self.state_partitions = state_partitions
 
     def _reader(self) -> DataFrame:
         self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -120,16 +128,19 @@ class WindowedRollupStream:
         """Process everything currently in the source, then stop.
         Append mode: only windows the watermark has passed are
         emitted; re-run after new data arrives to flush more."""
-        q = (
-            self._transform(self._reader())
-            .writeStream.format("parquet")
-            .option("path", self.dst_path)
-            .option("checkpointLocation", self.checkpoint_path)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        from syncflux_spark.utils import shuffle_partitions
+
+        with shuffle_partitions(self.spark, self.state_partitions):
+            q = (
+                self._transform(self._reader())
+                .writeStream.format("parquet")
+                .option("path", self.dst_path)
+                .option("checkpointLocation", self.checkpoint_path)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
 
     def read_rollup(self) -> DataFrame:
         """Windows emitted so far (the parquet sink's commit log hides

@@ -2,8 +2,42 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import contextlib
+
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+@contextlib.contextmanager
+def shuffle_partitions(spark: SparkSession, n: int | None):
+    """Temporarily size ``spark.sql.shuffle.partitions`` around a
+    block, restoring the session value afterwards.
+
+    The streaming state store is the motivating caller: a stateful
+    query pins its SHARD COUNT from this conf at its first batch
+    (recorded in the checkpoint offset log, immutable for the
+    checkpoint's lifetime), and every micro-batch then pays one task
+    plus one store load/commit PER SHARD regardless of data volume —
+    so the default batch parallelism (sized for full-table shuffles)
+    over-shards small keyed state by 10-100×. Measured on the sf0.1
+    fixtures: the stream-stream outer join ran 5× faster at 4 shards
+    than at 32, identical results. At 100 TB the same dial turns the
+    other way — raise it to the stateful stage's true parallelism
+    before the FIRST run, because the checkpoint freezes it.
+
+    ``n=None`` is a no-op passthrough, so callers can thread an
+    optional knob without branching.
+    """
+    if n is None:
+        yield
+        return
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
 
 
 def spread_for_cpu(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
