@@ -1969,6 +1969,36 @@ def simhash_near_pairs(spark, sf):
     return dd.simhash_near_pairs(docs, max_hamming=3)
 
 
+@register(
+    "simhash_near_pairs_wide",
+    f"""
+    WITH fp AS ({_sql_simhash(32)}),
+    bands AS (
+      SELECT doc_id, simhash, b.band_id,
+             (simhash >> (band_id * 8)) & 255 AS band_bits
+      FROM fp, (VALUES (0), (1), (2), (3)) AS b(band_id))
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.band_bits = b.band_bits
+     AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def simhash_near_pairs_wide(spark, sf):
+    """The 16-bit query's documented scale dial, exercised: a 32-bit
+    fingerprint (4 bands × 8 bits, same pigeonhole exact recall at
+    Hamming ≤ 3) for corpora where 16 bits saturate. The r7 slope run
+    measured the saturation — 27% of ALL doc pairs fall within
+    Hamming ≤ 3 of a 16-bit simhash on a vocabulary-homogeneous 50k
+    corpus, so the ANSWER grows quadratically (alpha 1.49, x10 = 64s);
+    doubling the fingerprint makes near-collision mean near-identical
+    again and the output linear. Same operator, same oracle shape —
+    only n_bits turns (operators/dedup.py::simhash_near_pairs)."""
+    docs = load_table(spark, sf, "documents")
+    return dd.simhash_near_pairs(docs, n_bits=32, max_hamming=3)
+
+
 #: transitive closure of the verified near-dup graph — DuckDB computes
 #: it with a recursive CTE; Spark with iterative label propagation
 _COMPONENTS_SQL_TEMPLATE = """
