@@ -56,6 +56,7 @@ HEADLINE = [
     "ngram_jaccard_pairs",
     "ngram_jaccard_pairs_strfp",  # verify-fingerprint dial: both positions measured
     "simhash_near_pairs",
+    "simhash_near_pairs_wide",  # fingerprint-width dial: both widths measured
     "token_stats",
     "lang_detect",
     "repetition_stats",

@@ -862,3 +862,50 @@ def c4_filter_flags(
         (~has_lorem).alias("flag_no_lorem"),
         (f_sent & f_block & ~has_brace & ~has_lorem).alias("passes"),
     )
+
+
+def compression_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document zlib compression statistics — the classic
+    "entropy" quality filter (CCNet/MassiveWeb lineage): text that
+    compresses TOO well is boilerplate/template spam (long repeats),
+    text that barely compresses is junk (minified code, base64,
+    random bytes). Natural prose sits in a stable mid band, so the
+    ratio separates both failure modes with one number that n-gram
+    rules miss (repeats longer than the n-gram window, junk made of
+    common characters).
+
+    Returns (id, raw_len, comp_len) — byte lengths of UTF-8 text and
+    its zlib level-6 deflate. Ratios/flags are left to plain column
+    arithmetic downstream so a SQL oracle can replay them from the
+    persisted kernel output (the audio-features handshake pattern).
+
+    Scale: an Arrow-batched ``mapInPandas`` kernel, map-only — no
+    shuffle, no per-row Python; cost is one linear deflate pass over
+    the corpus bytes, the same IO class as the scan itself. zlib is
+    in-process (no codec libs needed); level 6 is the zlib default —
+    deterministic for a fixed zlib build, which is all the handshake
+    needs since BOTH engines read the persisted lengths."""
+    import pandas as pd  # noqa: F401 — signature documentation
+
+    id_field = df.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_field}, raw_len long, comp_len long"
+    cols = df.select(id_col, text_col)
+
+    def kernel(batches):
+        import zlib
+
+        for pdf in batches:
+            raw = pdf[text_col].fillna("").str.encode("utf-8")
+            yield __import__("pandas").DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "raw_len": raw.str.len().astype("int64"),
+                    "comp_len": raw.map(
+                        lambda b: len(zlib.compress(b, 6))
+                    ).astype("int64"),
+                }
+            )
+
+    return spread_for_cpu(cols).mapInPandas(kernel, out_schema)

@@ -13807,6 +13807,79 @@ def mm_audio_features(spark, sf):
     )
 
 
+@register(
+    "doc_compression_ratio",
+    f"""
+    WITH k AS (SELECT doc_id, raw_len, comp_len
+               FROM read_parquet('{_ORACLE_ART}/doc_zlib/*.parquet')),
+    r AS (SELECT doc_id,
+                 CASE WHEN raw_len > 0
+                      THEN (comp_len * 1000000) // raw_len
+                      ELSE CAST(0 AS BIGINT) END AS ratio_micro
+          FROM k)
+    SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN ratio_micro < 350000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_repetitive,
+           CAST(SUM(CASE WHEN ratio_micro > 950000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_incompressible,
+           CAST(SUM(ratio_micro) AS BIGINT) AS ratio_micro_sum
+    FROM documents d JOIN r ON r.doc_id = d.doc_id
+    GROUP BY d.source
+    """,
+)
+def doc_compression_ratio(spark, sf):
+    """The zlib compression-ratio quality filter (CCNet/MassiveWeb
+    lineage): per-source counts of too-compressible (boilerplate /
+    template spam, ratio < 0.35) and near-incompressible (junk,
+    ratio > 0.95) documents. The deflate kernel is an Arrow-batched
+    map-only pass (operators/textops.py::compression_stats) whose
+    (raw_len, comp_len) output is PERSISTED to the oracle handshake
+    dir; ratios are exact integer floor-division micros and the
+    rollup is plain SQL over the stored lengths, so the full-hash
+    gate covers everything downstream of the deflate call — the
+    mm_audio_features pattern applied to text. At 100 TB the kernel
+    rides the corpus scan (no shuffle, no collect); the one shuffle
+    here is the per-source count aggregation."""
+    from syncflux_spark.operators.textops import compression_stats
+
+    docs = load_table(spark, sf, "documents")
+    k = compression_stats(docs)
+    art = f"{_ORACLE_ART}/doc_zlib"
+    k.write.mode("overwrite").option("compression", "none").parquet(art)
+    # integer floor-division micros: Spark DIV == DuckDB // for
+    # positive longs — no float rounding to harmonize across engines
+    r = spark.read.parquet(art).select(
+        "doc_id",
+        F.when(
+            F.col("raw_len") > 0,
+            F.expr("comp_len * 1000000L DIV raw_len"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("ratio_micro"),
+    )
+    return (
+        load_table(spark, sf, "documents")
+        .select("doc_id", "source")
+        .join(r, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("ratio_micro") < 350_000, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_repetitive"),
+            F.sum(
+                F.when(F.col("ratio_micro") > 950_000, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_incompressible"),
+            F.sum("ratio_micro").cast("long").alias("ratio_micro_sum"),
+        )
+    )
+
+
 #: Names with a green row in some CORRECTNESS_r*.json (r1 ∪ r2 ∪ r3).
 #: The driver samples a fixed-size prefix of ``queries()`` in dict
 #: order, so the public order puts never-driver-confirmed entries

@@ -113,3 +113,57 @@ class TestC4Rules:
         out = c4_filter_flags(df, blocklist=["class"]).collect()[0]
         # 'classic'/'classy' must NOT match the blocked word 'class'
         assert out.n_blocked_words == 0 and out.flag_blocklist
+
+
+class TestCompressionStats:
+    """compression_stats (zlib entropy filter): the three text
+    classes it exists to separate, plus exactness of the lengths."""
+
+    def test_separates_repetitive_natural_random(self, spark):
+        import random
+        import zlib
+
+        rng = random.Random(7)
+        natural = " ".join(
+            rng.choice(
+                "the quick brown fox jumps over a lazy dog while rain "
+                "falls on ancient stone bridges near quiet rivers".split()
+            )
+            for _ in range(400)
+        )
+        rows = [
+            (1, "spam spam spam " * 100),                     # repetitive
+            (2, natural),                                      # mid band
+            (3, "".join(chr(rng.randint(33, 126)) for _ in range(1500))),
+        ]
+        from syncflux_spark.operators.textops import compression_stats
+
+        got = {
+            r.doc_id: r
+            for r in compression_stats(
+                spark.createDataFrame(rows, "doc_id long, text string")
+            ).collect()
+        }
+        ratios = {i: got[i].comp_len / got[i].raw_len for i in (1, 2, 3)}
+        assert ratios[1] < 0.1            # boilerplate collapses
+        assert 0.2 < ratios[2] < 0.8      # prose sits in the mid band
+        assert ratios[3] > 0.8            # junk barely compresses
+        assert ratios[1] < ratios[2] < ratios[3]
+        # lengths are exactly the local zlib's output, no approximation
+        for i, text in rows:
+            assert got[i].raw_len == len(text.encode("utf-8"))
+            assert got[i].comp_len == len(zlib.compress(text.encode("utf-8"), 6))
+
+    def test_null_and_empty_text(self, spark):
+        from syncflux_spark.operators.textops import compression_stats
+
+        rows = [(1, None), (2, "")]
+        got = {
+            r.doc_id: r
+            for r in compression_stats(
+                spark.createDataFrame(rows, "doc_id long, text string")
+            ).collect()
+        }
+        assert got[1].raw_len == 0 and got[2].raw_len == 0
+        # zlib of b"" is the 8-byte empty deflate stream, not 0
+        assert got[1].comp_len == got[2].comp_len > 0
