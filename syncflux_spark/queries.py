@@ -2056,6 +2056,49 @@ def _register_components():
             F.count(F.lit(1)).alias("group_size")
         )
 
+    comp_sql = _COMPONENTS_SQL_TEMPLATE.format(edges=edges_sql)
+    keep_longest_sql = f"""
+    WITH comp AS ({comp_sql}),
+    ranked AS (
+      SELECT comp.component, comp.doc_id, d.n_chars,
+             COUNT(*) OVER (PARTITION BY comp.component) AS gs,
+             ROW_NUMBER() OVER (PARTITION BY comp.component
+                                ORDER BY d.n_chars DESC, comp.doc_id) AS rn
+      FROM comp JOIN documents d ON d.doc_id = comp.doc_id)
+    SELECT CAST(component AS BIGINT) AS cluster_id,
+           CAST(doc_id AS BIGINT) AS keep_id,
+           CAST(n_chars AS BIGINT) AS keep_n_chars,
+           CAST(gs AS BIGINT) AS group_size
+    FROM ranked WHERE rn = 1
+    """
+
+    @register("dedup_keep_longest", keep_longest_sql)
+    def dedup_keep_longest(spark, sf):
+        """Canonical selection by QUALITY, not id: per near-dup
+        component keep the longest member (n_chars argmax, min-id
+        tiebreak) — the production keep rule when duplicates are
+        truncations/excerpts of one another and min-id would keep the
+        fragment. One window shuffle on the component label on top of
+        dedup_components; the n_chars annotation join carries only
+        (id, length) and broadcasts under AQE at any corpus size."""
+        docs = load_table(spark, sf, "documents")
+        comp = dd.duplicate_components(docs, threshold=0.5)
+        joined = comp.join(docs.select("doc_id", "n_chars"), "doc_id")
+        w = Window.partitionBy("component").orderBy(
+            F.desc("n_chars"), F.asc("doc_id")
+        )
+        return (
+            joined.withColumn("rn", F.row_number().over(w))
+            .withColumn("gs", F.count(F.lit(1)).over(Window.partitionBy("component")))
+            .where(F.col("rn") == 1)
+            .select(
+                F.col("component").alias("cluster_id"),
+                F.col("doc_id").alias("keep_id"),
+                F.col("n_chars").alias("keep_n_chars"),
+                F.col("gs").cast("long").alias("group_size"),
+            )
+        )
+
 
 _register_components()
 
