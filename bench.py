@@ -148,6 +148,10 @@ HEADLINE = [
     "ivf_topk_kmeans",  # k-means|| quantizer + IVF search (r5 oracle)
     "mm_phash_dedup",  # media fingerprint via mapInPandas (r5 oracle)
     "pipeline_corpus_publish",  # gate→dedup→WAP publish composition (r5)
+    "stream_windowed_rollup",  # r8: state shards sized to load
+    "stream_attribution_unmatched",  # r8: the heaviest stateful stream
+    "doc_compression_ratio",  # r8: zlib entropy quality filter
+    "dedup_keep_longest",  # r8: quality-argmax canonical selection
 ]
 
 
