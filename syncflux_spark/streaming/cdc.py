@@ -57,6 +57,7 @@ class CdcMergeStream:
         seq_col: str | None = None,
         base_format: str = "dir",
         state_partitions: int | None = None,
+        state_backend: str | None = None,
     ):
         self.spark = spark
         self.changes_path = changes_path
@@ -78,8 +79,9 @@ class CdcMergeStream:
         self.base_format = base_format
         #: sizes the per-batch compaction window + merge join (no
         #: streaming state here — CDC state is the base table itself);
-        #: see utils.shuffle_partitions. None = session conf.
+        #: see utils.streaming_state. None = session conf.
         self.state_partitions = state_partitions
+        self.state_backend = state_backend
         self.batches_applied = 0
 
     # -- plumbing -----------------------------------------------------------
@@ -161,9 +163,11 @@ class CdcMergeStream:
     def run_available(self) -> int:
         """Apply every change file currently present, then stop — the
         deterministic 'catch up now' trigger."""
-        from syncflux_spark.utils import shuffle_partitions
+        from syncflux_spark.utils import streaming_state
 
-        with shuffle_partitions(self.spark, self.state_partitions):
+        with streaming_state(
+            self.spark, self.state_partitions, self.state_backend
+        ):
             q = (
                 self._reader()
                 .writeStream.foreachBatch(self._apply_batch)

@@ -50,6 +50,7 @@ class ClickAttributionStream:
         join_type: str = "inner",
         max_files_per_trigger: int | None = None,
         state_partitions: int | None = None,
+        state_backend: str | None = None,
     ):
         if join_type not in ("inner", "left_outer"):
             raise ValueError(
@@ -79,6 +80,10 @@ class ClickAttributionStream:
         #: the checkpoint; measured 5× wall-clock at 4 vs 32 shards on
         #: the sf0.1 outer join. None = inherit the session conf.
         self.state_partitions = state_partitions
+        #: state-store provider dial (utils.STATE_BACKENDS); the four
+        #: per-shard join stores are the first state to outgrow the
+        #: heap at scale — 'rocksdb' moves them to local disk.
+        self.state_backend = state_backend
 
     def _side(self, event_type: str, alias: str) -> DataFrame:
         self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -178,9 +183,11 @@ class ClickAttributionStream:
         _time.sleep(0.01)
 
     def run_available(self) -> None:
-        from syncflux_spark.utils import shuffle_partitions
+        from syncflux_spark.utils import streaming_state
 
-        with shuffle_partitions(self.spark, self.state_partitions):
+        with streaming_state(
+            self.spark, self.state_partitions, self.state_backend
+        ):
             q = (
                 self._joined()
                 .writeStream.format("parquet")

@@ -50,6 +50,7 @@ class ReplicationStream:
         path_glob_filter: str | None = None,
         table_format: str = "dir",
         state_partitions: int | None = None,
+        state_backend: str | None = None,
     ):
         if table_format not in ("dir", "tx"):
             raise ValueError(
@@ -75,6 +76,9 @@ class ReplicationStream:
         #: shuffles). See utils.shuffle_partitions for the pin/restore
         #: semantics and measurements. None = session conf.
         self.state_partitions = state_partitions
+        #: state-store provider dial for stateful subclasses
+        #: (utils.STATE_BACKENDS); None = session conf.
+        self.state_backend = state_backend
         self.batches_written = 0
 
     def _write_batch(self, batch_df: DataFrame, batch_id: int) -> None:
@@ -125,9 +129,11 @@ class ReplicationStream:
         deterministic 'catch up now' trigger — used for backfill after
         an outage and in tests). Returns batches written this run."""
         before = self.batches_written
-        from syncflux_spark.utils import shuffle_partitions
+        from syncflux_spark.utils import streaming_state
 
-        with shuffle_partitions(self.spark, self.state_partitions):
+        with streaming_state(
+            self.spark, self.state_partitions, self.state_backend
+        ):
             q = (
                 self._reader()
                 .writeStream.foreachBatch(self._write_batch)

@@ -93,15 +93,17 @@ class StatefulUserTotals:
         checkpoint_path: str,
         path_glob_filter: str | None = None,
         state_partitions: int | None = None,
+        state_backend: str | None = None,
     ):
         self.spark = spark
         self.src_path = src_path
         self.dst_path = dst_path
         self.checkpoint_path = checkpoint_path
         self.path_glob_filter = path_glob_filter
-        # see utils.shuffle_partitions: shard count pinned at first
-        # batch, per-batch cost is per-shard; None = session conf
+        # see utils.streaming_state: shard count + provider pinned at
+        # first batch, per-batch cost is per-shard; None = session conf
         self.state_partitions = state_partitions
+        self.state_backend = state_backend
 
     def _reader(self):
         batch_reader = self.spark.read
@@ -136,9 +138,11 @@ class StatefulUserTotals:
                 os.path.join(self.dst_path, f"batch={batch_id}")
             )
 
-        from syncflux_spark.utils import shuffle_partitions
+        from syncflux_spark.utils import streaming_state
 
-        with shuffle_partitions(self.spark, self.state_partitions):
+        with streaming_state(
+            self.spark, self.state_partitions, self.state_backend
+        ):
             q = (
                 stream.writeStream.foreachBatch(write_batch)
                 .outputMode("update")
@@ -240,6 +244,7 @@ class StreamingKmvSketch:
         path_glob_filter: str | None = None,
         max_files_per_trigger: int | None = None,
         state_partitions: int | None = None,
+        state_backend: str | None = None,
     ):
         self.spark = spark
         self.src_path = src_path
@@ -247,9 +252,10 @@ class StreamingKmvSketch:
         self.checkpoint_path = checkpoint_path
         self.path_glob_filter = path_glob_filter
         self.max_files_per_trigger = max_files_per_trigger
-        # see utils.shuffle_partitions: shard count pinned at first
-        # batch, per-batch cost is per-shard; None = session conf
+        # see utils.streaming_state: shard count + provider pinned at
+        # first batch, per-batch cost is per-shard; None = session conf
         self.state_partitions = state_partitions
+        self.state_backend = state_backend
 
     def _reader(self):
         batch_reader = self.spark.read
@@ -285,9 +291,11 @@ class StreamingKmvSketch:
                 os.path.join(self.dst_path, f"batch={batch_id}")
             )
 
-        from syncflux_spark.utils import shuffle_partitions
+        from syncflux_spark.utils import streaming_state
 
-        with shuffle_partitions(self.spark, self.state_partitions):
+        with streaming_state(
+            self.spark, self.state_partitions, self.state_backend
+        ):
             q = (
                 stream.writeStream.foreachBatch(write_batch)
                 .outputMode("update")
@@ -399,6 +407,7 @@ class StreamingQuantileSketch:
         path_glob_filter: str | None = None,
         max_files_per_trigger: int | None = None,
         state_partitions: int | None = None,
+        state_backend: str | None = None,
     ):
         self.spark = spark
         self.src_path = src_path
@@ -406,9 +415,10 @@ class StreamingQuantileSketch:
         self.checkpoint_path = checkpoint_path
         self.path_glob_filter = path_glob_filter
         self.max_files_per_trigger = max_files_per_trigger
-        # see utils.shuffle_partitions: shard count pinned at first
-        # batch, per-batch cost is per-shard; None = session conf
+        # see utils.streaming_state: shard count + provider pinned at
+        # first batch, per-batch cost is per-shard; None = session conf
         self.state_partitions = state_partitions
+        self.state_backend = state_backend
 
     def _reader(self):
         batch_reader = self.spark.read
@@ -444,9 +454,11 @@ class StreamingQuantileSketch:
                 os.path.join(self.dst_path, f"batch={batch_id}")
             )
 
-        from syncflux_spark.utils import shuffle_partitions
+        from syncflux_spark.utils import streaming_state
 
-        with shuffle_partitions(self.spark, self.state_partitions):
+        with streaming_state(
+            self.spark, self.state_partitions, self.state_backend
+        ):
             q = (
                 stream.writeStream.foreachBatch(write_batch)
                 .outputMode("update")

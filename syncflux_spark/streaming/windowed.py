@@ -55,6 +55,7 @@ class WindowedRollupStream:
         path_glob_filter: str | None = None,
         max_files_per_trigger: int | None = None,
         state_partitions: int | None = None,
+        state_backend: str | None = None,
     ):
         self.spark = spark
         self.src_path = src_path
@@ -80,6 +81,11 @@ class WindowedRollupStream:
         #: volume (utils.shuffle_partitions has the measurements).
         #: None = inherit the session conf unchanged.
         self.state_partitions = state_partitions
+        #: state-store provider: None = session conf, 'hdfs' = in-heap
+        #: maps, 'rocksdb' = off-heap local-disk (the 100 TB backend);
+        #: pinned into the checkpoint like the shard count
+        #: (utils.STATE_BACKENDS).
+        self.state_backend = state_backend
 
     def _reader(self) -> DataFrame:
         self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -128,9 +134,11 @@ class WindowedRollupStream:
         """Process everything currently in the source, then stop.
         Append mode: only windows the watermark has passed are
         emitted; re-run after new data arrives to flush more."""
-        from syncflux_spark.utils import shuffle_partitions
+        from syncflux_spark.utils import streaming_state
 
-        with shuffle_partitions(self.spark, self.state_partitions):
+        with streaming_state(
+            self.spark, self.state_partitions, self.state_backend
+        ):
             q = (
                 self._transform(self._reader())
                 .writeStream.format("parquet")

@@ -40,6 +40,56 @@ def shuffle_partitions(spark: SparkSession, n: int | None):
         spark.conf.set(key, prev)
 
 
+#: provider classes behind the ``state_backend`` dial on the
+#: streaming operators. ``hdfs`` (Spark's default) keeps every shard's
+#: state as an in-heap map snapshotted to the checkpoint — right for
+#: small keyed state; ``rocksdb`` keeps it off-heap on local disk with
+#: changelog/zip snapshots — the 100 TB backend, where watermark-
+#: horizon state (stream-stream join buffers, session windows over
+#: millions of keys) must not live on the executor heap.
+STATE_BACKENDS = {
+    "hdfs": (
+        "org.apache.spark.sql.execution.streaming.state."
+        "HDFSBackedStateStoreProvider"
+    ),
+    "rocksdb": (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    ),
+}
+
+
+@contextlib.contextmanager
+def streaming_state(
+    spark: SparkSession,
+    partitions: int | None = None,
+    backend: str | None = None,
+):
+    """Scope BOTH streaming-state dials around a stream run: shard
+    count (see :func:`shuffle_partitions`) and the state-store
+    provider class. Like the shard count, the provider is pinned into
+    the checkpoint at the stream's first batch — switching it on an
+    existing checkpoint is not supported by Spark, so set it before
+    the FIRST run. ``None`` for either leaves the session conf
+    untouched."""
+    if backend is not None and backend not in STATE_BACKENDS:
+        raise ValueError(
+            f"state_backend must be one of {sorted(STATE_BACKENDS)}, "
+            f"got {backend!r}"
+        )
+    key = "spark.sql.streaming.stateStore.providerClass"
+    with shuffle_partitions(spark, partitions):
+        if backend is None:
+            yield
+            return
+        prev = spark.conf.get(key)
+        spark.conf.set(key, STATE_BACKENDS[backend])
+        try:
+            yield
+        finally:
+            spark.conf.set(key, prev)
+
+
 def spread_for_cpu(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Repartition a *small-bytes, big-CPU* input to the session's
     parallelism.

@@ -546,3 +546,74 @@ class TestStatePartitionsKnob:
         assert shards2 == [0, 1, 2]
         # and the rollup still emits correctly through the resize-free replay
         assert ws2.read_rollup().count() >= 2
+
+
+class TestStateBackendKnob:
+    """Pin utils.streaming_state's provider dial: RocksDB runs the
+    same stream end-to-end with identical emitted results, leaves
+    RocksDB artifacts in the checkpoint, restores the session conf,
+    and rejects unknown backends."""
+
+    BASE = 1704067200
+
+    def _write(self, spark, path, minutes):
+        data = [
+            (i, (self.BASE + 60 * m) * 1_000_000_000, 1, "a", 1.5, "{}")
+            for i, m in enumerate(minutes)
+        ]
+        spark.createDataFrame(
+            data,
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string",
+        ).coalesce(1).write.mode("append").parquet(path)
+
+    def test_rocksdb_end_to_end_matches_hdfs(self, spark, tmp_path):
+        minutes = [10, 20, 90, 110, 150, 210]
+        results = {}
+        for backend in ("hdfs", "rocksdb"):
+            src = str(tmp_path / backend / "src")
+            self._write(spark, src, minutes)
+            key = "spark.sql.streaming.stateStore.providerClass"
+            before = spark.conf.get(key)
+            ws = WindowedRollupStream(
+                spark,
+                src,
+                str(tmp_path / backend / "dst"),
+                str(tmp_path / backend / "ckpt"),
+                state_partitions=2,
+                state_backend=backend,
+            )
+            ws.run_available()
+            assert spark.conf.get(key) == before  # restored
+            results[backend] = sorted(
+                (r.bucket_s, r.event_type, r.n_rows, r.sum_value_micro)
+                for r in ws.read_rollup().collect()
+            )
+        # provider choice cannot change emitted data
+        assert results["rocksdb"] == results["hdfs"]
+        assert len(results["hdfs"]) >= 2
+
+        # RocksDB leaves its own artifact layout (zip snapshots /
+        # changelogs) under the shard dirs; HDFS leaves .delta files
+        import glob
+
+        rocks = glob.glob(
+            str(tmp_path / "rocksdb" / "ckpt" / "state" / "0" / "*" / "*.zip")
+        ) + glob.glob(
+            str(tmp_path / "rocksdb" / "ckpt" / "state" / "0" / "*" / "*.changelog")
+        )
+        assert rocks, "no RocksDB snapshot artifacts found in the checkpoint"
+        hdfs = glob.glob(
+            str(tmp_path / "hdfs" / "ckpt" / "state" / "0" / "*" / "*.delta")
+        )
+        assert hdfs, "no HDFS-provider delta files found in the checkpoint"
+
+    def test_unknown_backend_raises(self, spark, tmp_path):
+        src = str(tmp_path / "src")
+        self._write(spark, src, [10, 90])
+        ws = WindowedRollupStream(
+            spark, src, str(tmp_path / "dst"), str(tmp_path / "ckpt"),
+            state_backend="bogus",
+        )
+        with pytest.raises(ValueError, match="state_backend"):
+            ws.run_available()
