@@ -998,6 +998,20 @@ def connected_components(
     labels = loop_checkpoint(
         nodes.select(F.col(id_col)).withColumn("component", F.col(id_col))
     )
+    # loop shuffles move only the label table and the symmetrized
+    # edge list — size their partition count to that state, not the
+    # batch default (both counts are over already-checkpointed data,
+    # ~free). See utils.loop_parallelism for the measurement.
+    from syncflux_spark.utils import loop_parallelism, shuffle_partitions
+
+    spark = nodes.sparkSession
+    state_rows = max(labels.count(), 2 * edges.count())
+    with shuffle_partitions(spark, loop_parallelism(spark, state_rows)):
+        labels = _components_loop(sym, labels, id_col, max_iter)
+    return labels
+
+
+def _components_loop(sym, labels, id_col, max_iter):
     for _ in range(max_iter):
         nbr = (
             sym.join(labels, sym.id_a == labels[id_col])

@@ -61,25 +61,33 @@ def pagerank(
     n = nodes0.count()
     base = (1.0 - damping) / n
     ranks = nodes0.withColumn("rank", F.lit(1.0 / n)).localCheckpoint()
-    for _ in range(n_iter):
-        contrib = esrc.join(ranks, esrc.id_a == ranks[id_col]).select(
-            F.col("id_b").alias("_dst"),
-            (F.col("rank") / F.col("deg")).alias("c"),
-        )
-        inflow = contrib.groupBy(F.col("_dst").alias(id_col)).agg(
-            F.sum("c").alias("inflow")
-        )
-        ranks = (
-            nodes0.join(inflow, id_col, "left")
-            .select(
-                F.col(id_col),
-                (
-                    F.lit(base)
-                    + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))
-                ).alias("rank"),
+    # per-round shuffles move only ranks and the annotated edge list —
+    # size partitions to that state (utils.loop_parallelism; both
+    # counts are over checkpointed data)
+    from syncflux_spark.utils import loop_parallelism, shuffle_partitions
+
+    spark = nodes.sparkSession
+    parts = loop_parallelism(spark, max(n, esrc.count()))
+    with shuffle_partitions(spark, parts):
+        for _ in range(n_iter):
+            contrib = esrc.join(ranks, esrc.id_a == ranks[id_col]).select(
+                F.col("id_b").alias("_dst"),
+                (F.col("rank") / F.col("deg")).alias("c"),
             )
-            .localCheckpoint()
-        )
+            inflow = contrib.groupBy(F.col("_dst").alias(id_col)).agg(
+                F.sum("c").alias("inflow")
+            )
+            ranks = (
+                nodes0.join(inflow, id_col, "left")
+                .select(
+                    F.col(id_col),
+                    (
+                        F.lit(base)
+                        + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))
+                    ).alias("rank"),
+                )
+                .localCheckpoint()
+            )
     return ranks
 
 
@@ -123,25 +131,31 @@ def pagerank_fixedpoint(
     ranks = nodes0.withColumn(
         "rank_fp", F.lit(scale // n).cast("long")
     ).localCheckpoint()
-    for _ in range(n_iter):
-        contrib = esrc.join(ranks, esrc.id_a == ranks[id_col]).select(
-            F.col("id_b").alias("_dst"),
-            F.expr("rank_fp DIV deg").alias("c"),
-        )
-        inflow = contrib.groupBy(F.col("_dst").alias(id_col)).agg(
-            F.sum("c").alias("inflow")
-        )
-        ranks = (
-            nodes0.join(inflow, id_col, "left")
-            .select(
-                F.col(id_col),
-                (
-                    F.lit(base)
-                    + F.expr("(17 * coalesce(inflow, CAST(0 AS LONG))) DIV 20")
-                ).alias("rank_fp"),
+    # same loop-state partition sizing as the float variant
+    from syncflux_spark.utils import loop_parallelism, shuffle_partitions
+
+    spark = nodes.sparkSession
+    parts = loop_parallelism(spark, max(n, esrc.count()))
+    with shuffle_partitions(spark, parts):
+        for _ in range(n_iter):
+            contrib = esrc.join(ranks, esrc.id_a == ranks[id_col]).select(
+                F.col("id_b").alias("_dst"),
+                F.expr("rank_fp DIV deg").alias("c"),
             )
-            .localCheckpoint()
-        )
+            inflow = contrib.groupBy(F.col("_dst").alias(id_col)).agg(
+                F.sum("c").alias("inflow")
+            )
+            ranks = (
+                nodes0.join(inflow, id_col, "left")
+                .select(
+                    F.col(id_col),
+                    (
+                        F.lit(base)
+                        + F.expr("(17 * coalesce(inflow, CAST(0 AS LONG))) DIV 20")
+                    ).alias("rank_fp"),
+                )
+                .localCheckpoint()
+            )
     return ranks.select(
         F.col(id_col),
         "rank_fp",
@@ -275,30 +289,37 @@ def k_core(
         .distinct()
         .localCheckpoint()
     )
-    for _ in range(max_rounds):
-        sym = edges.union(
-            edges.select(
-                F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")
+    # peel-loop shuffles move only the (shrinking) edge list — size
+    # partitions to the initial edge count (utils.loop_parallelism)
+    from syncflux_spark.utils import loop_parallelism, shuffle_partitions
+
+    spark = pairs.sparkSession
+    parts = loop_parallelism(spark, 2 * edges.count())
+    with shuffle_partitions(spark, parts):
+        for _ in range(max_rounds):
+            sym = edges.union(
+                edges.select(
+                    F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")
+                )
             )
-        )
-        deg = sym.groupBy(F.col("id_a").alias("_v")).agg(
-            F.count(F.lit(1)).alias("_deg")
-        )
-        bad = deg.where(F.col("_deg") < k).select("_v")
-        n_bad = bad.count()
-        if n_bad == 0:
-            survivors = deg.select(
-                F.col("_v").alias(id_col),
-                F.col("_deg").cast("long").alias("core_degree"),
+            deg = sym.groupBy(F.col("id_a").alias("_v")).agg(
+                F.count(F.lit(1)).alias("_deg")
             )
-            return survivors
-        edges = (
-            edges.join(bad, edges.id_a == bad._v, "left_anti")
-            .join(bad, F.col("id_b") == bad._v, "left_anti")
-            .localCheckpoint()
+            bad = deg.where(F.col("_deg") < k).select("_v")
+            n_bad = bad.count()
+            if n_bad == 0:
+                survivors = deg.select(
+                    F.col("_v").alias(id_col),
+                    F.col("_deg").cast("long").alias("core_degree"),
+                )
+                return survivors
+            edges = (
+                edges.join(bad, edges.id_a == bad._v, "left_anti")
+                .join(bad, F.col("id_b") == bad._v, "left_anti")
+                .localCheckpoint()
+            )
+            # an emptied edge list terminates next round: empty degrees →
+            # zero bad vertices → empty survivors with the right schema
+        raise RuntimeError(
+            f"k_core did not converge in {max_rounds} rounds — raise max_rounds"
         )
-        # an emptied edge list terminates next round: empty degrees →
-        # zero bad vertices → empty survivors with the right schema
-    raise RuntimeError(
-        f"k_core did not converge in {max_rounds} rounds — raise max_rounds"
-    )

@@ -14043,6 +14043,11 @@ _ROUND_FOCUS = (
     "stream_corpus_publish",
     "stream_cdc_apply",
     "stream_stateful_totals",
+    # r8: iterative-loop shuffle partitions now sized to per-round
+    # state (utils.loop_parallelism) — re-confirm the loop operators
+    # not already in the component-consumer focus above
+    "doc_pagerank",
+    "dedup_graph_kcore",
 )
 
 

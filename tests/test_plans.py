@@ -541,9 +541,10 @@ class TestIterationLoopInvariants:
     def test_pagerank_loop_runs_no_driver_actions(
         self, spark, monkeypatch
     ):
-        """The only driver action in pagerank is the single preamble
-        count() for N — per-round state flows through localCheckpoint
-        alone, never a per-round collect/count."""
+        """pagerank's driver actions are PREAMBLE-ONLY (the N count
+        plus the loop-parallelism edge count, r8) — per-round state
+        flows through localCheckpoint alone. Pinned as O(1): the
+        action count must not grow with n_iter."""
         from pyspark.sql.classic.dataframe import DataFrame
 
         from syncflux_spark.operators.graph import pagerank_fixedpoint
@@ -563,40 +564,61 @@ class TestIterationLoopInvariants:
                        orig_collect(s))[1],
         )
         nodes, pairs = self._toy_graph(spark)
-        pagerank_fixedpoint(nodes, pairs, n_iter=3)
-        assert calls == {"count": 1, "collect": 0}
+        pagerank_fixedpoint(nodes, pairs, n_iter=2)
+        after_two = dict(calls)
+        assert after_two == {"count": 2, "collect": 0}  # N + edge sizing
+        pagerank_fixedpoint(nodes, pairs, n_iter=5)
+        # 2.5x the rounds must add ZERO driver actions beyond a second
+        # run's own preamble
+        assert calls == {"count": 4, "collect": 0}
 
     def test_components_changed_count_rides_checkpoint_job(
         self, spark, monkeypatch
     ):
         """connected_components' convergence check must cost ZERO
-        extra actions: the changed-label count is an observe() riding
-        the round's localCheckpoint materialization (dedup.py). Any
-        DataFrame.count/collect inside the loop is the r5 regression
-        (a separate join+count job per round, ~1/3 of round time)."""
+        per-round actions: the changed-label count is an observe()
+        riding the round's localCheckpoint materialization (dedup.py);
+        a separate join+count job per round is the r5 regression
+        (~1/3 of round time). Driver actions are preamble-only (the
+        two loop-parallelism sizing counts, r8), so the pin is O(1):
+        counts must not grow with the graph's diameter (= rounds)."""
         from pyspark.sql.classic.dataframe import DataFrame
 
         from syncflux_spark.operators.dedup import connected_components
 
-        def forbid(name):
+        calls = {"count": 0, "collect": 0, "toPandas": 0}
+        origs = {n: getattr(DataFrame, n) for n in calls}
+
+        def spy(name):
             def _f(self, *a, **k):
-                raise AssertionError(
-                    f"connected_components ran DataFrame.{name}() — "
-                    "driver state must ride observe()+localCheckpoint"
-                )
+                calls[name] += 1
+                return origs[name](self, *a, **k)
 
             return _f
 
-        monkeypatch.setattr(DataFrame, "count", forbid("count"))
-        monkeypatch.setattr(DataFrame, "collect", forbid("collect"))
-        monkeypatch.setattr(DataFrame, "toPandas", forbid("toPandas"))
-        nodes, pairs = self._toy_graph(spark)
+        for n in calls:
+            monkeypatch.setattr(DataFrame, n, spy(n))
+        nodes, pairs = self._toy_graph(spark)  # diameter 2 → few rounds
         labels = connected_components(nodes, pairs)
+        shallow = dict(calls)
+        assert shallow == {"count": 2, "collect": 0, "toPandas": 0}
+
+        # a 12-node chain needs more propagation rounds; actions stay
+        # at one preamble's worth
+        chain_nodes = spark.createDataFrame(
+            [(i,) for i in range(1, 13)], "doc_id long"
+        )
+        chain_pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(1, 12)], "id_a long, id_b long"
+        )
+        deep_labels = connected_components(chain_nodes, chain_pairs)
+        assert calls == {"count": 4, "collect": 0, "toPandas": 0}
         monkeypatch.undo()
         got = {
             (r["doc_id"], r["component"]) for r in labels.collect()
         }
         assert got == {(1, 1), (2, 1), (3, 1), (4, 4), (5, 4), (6, 6)}
+        assert {r["component"] for r in deep_labels.collect()} == {1}
 
     def test_loop_checkpoint_resets_compounding_stats(self, spark):
         """The r7 fix: a loop whose round SELF-joins its own state
