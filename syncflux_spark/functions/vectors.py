@@ -91,27 +91,36 @@ def dequantize(qvec: Column | str, scale: Column) -> Column:
 
 def simhash_bits(tokens: Column | str, n_bits: int = 16) -> Column:
     """SimHash over a token array: for each bit b, sign of
-    sum_tokens(±1 by md5(token||b) parity) — expressed with
-    higher-order functions only, portable to the SQL oracle.
+    sum_tokens(±1 votes) — expressed with higher-order functions only,
+    portable to the SQL oracle.
 
-    Bit b of the fingerprint is 1 iff the number of tokens whose
-    ``md5(concat(token, '_b'))`` first hex nibble is >= '8' exceeds
-    half the token count (an unbiased ±1 vote). Returns an int bitmap.
+    ONE md5 per token supplies every bit's vote: bit b is 1 iff the
+    number of tokens whose md5 hex digest has its (b+1)-th character
+    >= '8' (the top bit of that nibble — an unbiased coin per
+    position, since md5's 128 bits are uniform and independent)
+    exceeds half the token count. The first form of this function
+    hashed per BIT (md5(token||'_b') × n_bits) — 32× the hashing for
+    a 32-bit fingerprint, and hashing IS the corpus-scan cost of the
+    simhash family at scale; hashing once and reading positional
+    nibble bits is vote-for-vote as unbiased. Caps at 32 bits (md5
+    has 32 hex chars). Returns an int bitmap.
     """
+    if n_bits > 32:
+        raise ValueError(f"simhash_bits supports at most 32 bits, got {n_bits}")
     toks = _c(tokens) if not isinstance(tokens, str) else F.col(tokens)
     total = F.size(toks)
+    # one md5 per token, shared by every bit's filter below
+    hexes = F.transform(toks, lambda t: F.md5(t))
 
     def pred(b: int):
-        # NB: must return a SINGLE-arg lambda — a `lambda t, b=b` would
+        # NB: must return a SINGLE-arg lambda — a `lambda h, b=b` would
         # be inspected by PySpark as the (element, index) binary form
         # and the index would silently shadow the closure value.
-        return lambda t: (
-            F.substring(F.md5(F.concat(t, F.lit(f"_{b}"))), 1, 1) >= F.lit("8")
-        )
+        return lambda h: F.substring(h, b + 1, 1) >= F.lit("8")
 
     bits = []
     for b in range(n_bits):
-        votes = F.size(F.filter(toks, pred(b)))
+        votes = F.size(F.filter(hexes, pred(b)))
         bit = (votes * 2 > total).cast("long") * F.lit(1 << b)
         bits.append(bit)
     out = bits[0]

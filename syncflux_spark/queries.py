@@ -1921,16 +1921,19 @@ def doc_fingerprint(spark, sf):
 
 
 def _sql_simhash(n_bits: int = 16) -> str:
+    # one md5 per token shared across every bit's vote (bit b reads
+    # hex char b+1), mirroring functions/vectors.py::simhash_bits
     w = _SQL_WORDS
     bits = " + ".join(
-        f"CASE WHEN 2 * len(list_filter({w}, "
-        f"t -> substr(md5(t || '_{b}'), 1, 1) >= '8')) > len({w}) "
+        f"CASE WHEN 2 * len(list_filter(hx, "
+        f"h -> substr(h, {b + 1}, 1) >= '8')) > len(hx) "
         f"THEN {1 << b} ELSE 0 END"
         for b in range(n_bits)
     )
     return f"""
     SELECT doc_id, CAST({bits} AS BIGINT) AS simhash
-    FROM documents
+    FROM (SELECT doc_id, list_transform({w}, t -> md5(t)) AS hx
+          FROM documents)
     """
 
 
@@ -14048,6 +14051,12 @@ _ROUND_FOCUS = (
     # not already in the component-consumer focus above
     "doc_pagerank",
     "dedup_graph_kcore",
+    # r8: simhash kernel now hashes each token ONCE (positional nibble
+    # votes) — fingerprint VALUES changed, oracle updated in lockstep;
+    # the whole family must re-confirm
+    "simhash_fingerprint",
+    "simhash_near_pairs",
+    "simhash_near_pairs_wide",
 )
 
 
