@@ -678,3 +678,43 @@ class TestIterationLoopInvariants:
         plan = plan_of(spark, sf_dir, "ngram_jaccard_pairs")
         assert plan.count("InMemoryTableScan") >= 4
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestParallelismSizing:
+    """Unit pins for the r8 sizing helpers: the dials must only turn
+    DOWN at toy state sizes and always restore the session conf."""
+
+    def test_loop_parallelism_clamps_both_ways(self, spark):
+        from syncflux_spark.utils import loop_parallelism
+
+        default = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        assert loop_parallelism(spark, 0) == 1
+        assert loop_parallelism(spark, 1) == 1
+        assert loop_parallelism(spark, 250_000) == 1
+        assert loop_parallelism(spark, 250_001) == min(2, default)
+        # a 10^9-node graph wants more partitions than any local
+        # session default — the clamp keeps full parallelism
+        assert loop_parallelism(spark, 10**9) == default
+
+    def test_shuffle_partitions_noop_and_restore_on_error(self, spark):
+        from syncflux_spark.utils import shuffle_partitions
+
+        key = "spark.sql.shuffle.partitions"
+        before = spark.conf.get(key)
+        with shuffle_partitions(spark, None):
+            assert spark.conf.get(key) == before  # no-op passthrough
+        with pytest.raises(RuntimeError, match="boom"):
+            with shuffle_partitions(spark, 3):
+                assert spark.conf.get(key) == "3"
+                raise RuntimeError("boom")
+        assert spark.conf.get(key) == before  # restored despite the raise
+
+    def test_streaming_state_rejects_unknown_backend_eagerly(self, spark):
+        from syncflux_spark.utils import streaming_state
+
+        key = "spark.sql.shuffle.partitions"
+        before = spark.conf.get(key)
+        with pytest.raises(ValueError, match="state_backend"):
+            with streaming_state(spark, 4, "bogus"):
+                pass
+        assert spark.conf.get(key) == before
