@@ -530,13 +530,24 @@ class TestIterationLoopInvariants:
 
         captured = self._capture_checkpoints(monkeypatch)
         nodes, pairs = self._toy_graph(spark)
-        pagerank_fixedpoint(nodes, pairs, n_iter=2)
+        pagerank_fixedpoint(nodes, pairs, n_iter=2, ckpt_every=1)
         # preamble checkpoints: edges, degree-annotated edges (the ONE
         # degree join), node ids, initial ranks — then one per round
         assert len(captured) == 4 + 2
         assert self._n_joins(captured[1]) == 1  # degree annotation
         for round_plan in captured[4:]:
             assert self._n_joins(round_plan) == 2
+
+        # the default cadence batches rounds per checkpoint (linear
+        # rank lineage, unlike components' self-join): 10 rounds at
+        # ckpt_every=5 materialize exactly twice, each plan carrying
+        # 5 rounds × 2 joins
+        captured.clear()
+        pagerank_fixedpoint(nodes, pairs, n_iter=10)
+        round_plans = captured[4:]
+        assert len(round_plans) == 2
+        for plan in round_plans:
+            assert self._n_joins(plan) == 10
 
     def test_pagerank_loop_runs_no_driver_actions(
         self, spark, monkeypatch
