@@ -1012,6 +1012,7 @@ def connected_components(
 
 
 def _components_loop(sym, labels, id_col, max_iter):
+    changed = None  # max_iter <= 0 reaches the else: branch unbound otherwise
     for _ in range(max_iter):
         nbr = (
             sym.join(labels, sym.id_a == labels[id_col])
@@ -1067,7 +1068,12 @@ def _components_loop(sym, labels, id_col, max_iter):
 
         warnings.warn(
             f"connected_components did not converge in {max_iter} rounds "
-            f"({changed} labels still changing); increase max_iter",
+            + (
+                "(no rounds ran)"
+                if changed is None
+                else f"({changed} labels still changing)"
+            )
+            + "; increase max_iter",
             RuntimeWarning,
             stacklevel=2,
         )

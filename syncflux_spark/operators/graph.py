@@ -43,6 +43,8 @@ def pagerank(
     Cross-row float sums make the result order-sensitive in the last
     ulps → registered rows-only; numerics are gated against a numpy
     replica in tests (same rounds, same init, tolerance 1e-9)."""
+    if ckpt_every < 1:
+        raise ValueError(f"ckpt_every must be >= 1, got {ckpt_every}")
     edges = pairs.select("id_a", "id_b").localCheckpoint()
     sym = edges.union(
         edges.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
@@ -117,6 +119,8 @@ def pagerank_fixedpoint(
     on the destination id; O(|E|) work, O(|V|) state. Quantization
     error is ≤1 part-per-scale per op (~1e-12 relative), far below
     the float version's own accumulation drift tolerance."""
+    if ckpt_every < 1:
+        raise ValueError(f"ckpt_every must be >= 1, got {ckpt_every}")
     edges = pairs.select("id_a", "id_b").localCheckpoint()
     sym = edges.union(
         edges.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))

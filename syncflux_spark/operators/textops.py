@@ -882,12 +882,14 @@ def compression_stats(
     persisted kernel output (the audio-features handshake pattern).
 
     Scale: an Arrow-batched ``mapInPandas`` kernel, map-only — no
-    shuffle, no per-row Python; cost is one linear deflate pass over
+    shuffle, no per-row Python overhead beyond the deflate call itself
+    (the per-row cost IS the deflate; the dispatch around it is
+    negligible next to it); total cost is one linear deflate pass over
     the corpus bytes, the same IO class as the scan itself. zlib is
     in-process (no codec libs needed); level 6 is the zlib default —
     deterministic for a fixed zlib build, which is all the handshake
     needs since BOTH engines read the persisted lengths."""
-    import pandas as pd  # noqa: F401 — signature documentation
+    import pandas as pd
 
     id_field = df.schema[id_col].dataType.simpleString()
     out_schema = f"{id_col} {id_field}, raw_len long, comp_len long"
@@ -898,7 +900,7 @@ def compression_stats(
 
         for pdf in batches:
             raw = pdf[text_col].fillna("").str.encode("utf-8")
-            yield __import__("pandas").DataFrame(
+            yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],
                     "raw_len": raw.str.len().astype("int64"),

@@ -14023,40 +14023,11 @@ _PRIORITY_PREFIXES = (
 #: anything else (a changed query with a stale green row is the one
 #: regression the self-maintaining order can't see on its own).
 _ROUND_FOCUS = (
-    # r7 changes below kept until a driver row lands (no
-    # CORRECTNESS_r07 was recorded): audio artifact aggregation from
-    # the persisted frame; the fused LSH→verify kernel's consumers;
-    # the loop_checkpoint stats reset's component consumers
-    "mm_audio_features",
-    "dedup_near_keep",
-    "contrastive_triplets",
-    "dedup_components",
-    "emb_dedup_components",
-    # r8: every stateful stream now runs with state_partitions=4
-    # (state-store shard count sized to load, utils.shuffle_partitions)
-    # — values must be partition-count-invariant; re-confirm the family
-    "stream_windowed_rollup",
-    "stream_session_rollup",
-    "stream_attribution_pairs",
-    "stream_attribution_unmatched",
-    "stream_late_events",
-    "stream_kmv_users",
-    "stream_quantile_sketch",
-    "stream_dedup_counts",
-    "stream_corpus_publish",
-    "stream_cdc_apply",
-    "stream_stateful_totals",
-    # r8: iterative-loop shuffle partitions now sized to per-round
-    # state (utils.loop_parallelism) — re-confirm the loop operators
-    # not already in the component-consumer focus above
-    "doc_pagerank",
-    "dedup_graph_kcore",
-    # r8: simhash kernel now hashes each token ONCE (positional nibble
-    # votes) — fingerprint VALUES changed, oracle updated in lockstep;
-    # the whole family must re-confirm
-    "simhash_fingerprint",
-    "simhash_near_pairs",
-    "simhash_near_pairs_wide",
+    # r9: empty on purpose — every r7/r8 pin landed a green driver row
+    # in CORRECTNESS_r08, so keeping them here would displace the 46
+    # never-sampled names the sample must drain this round. Pin only
+    # queries whose impl/oracle actually changes in r9 (new queries
+    # are unconfirmed and sort into the sample on their own).
 )
 
 

@@ -27,6 +27,13 @@ def shuffle_partitions(spark: SparkSession, n: int | None):
 
     ``n=None`` is a no-op passthrough, so callers can thread an
     optional knob without branching.
+
+    NOT thread-safe: the conf is session-global, so any query started
+    concurrently on the same SparkSession (another thread, or a
+    continuous stream still running) silently inherits the temporary
+    value. Callers must not overlap runs on one session while inside
+    this block — the registry runs queries one at a time, which is
+    the contract this helper assumes.
     """
     if n is None:
         yield
@@ -71,7 +78,8 @@ def streaming_state(
     the checkpoint at the stream's first batch — switching it on an
     existing checkpoint is not supported by Spark, so set it before
     the FIRST run. ``None`` for either leaves the session conf
-    untouched."""
+    untouched. Session-global like :func:`shuffle_partitions` — do
+    not start concurrent queries on the session inside the block."""
     if backend is not None and backend not in STATE_BACKENDS:
         raise ValueError(
             f"state_backend must be one of {sorted(STATE_BACKENDS)}, "
