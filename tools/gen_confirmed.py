@@ -44,6 +44,33 @@ def green_names() -> set[str]:
     return names
 
 
+def warn_missing_rounds() -> None:
+    """Warn when a round left no CORRECTNESS/BENCH artifact (it has
+    happened: no r7 files were recorded), so the next round's focus
+    list is sized knowing a round of confirmations never landed."""
+    rounds: dict[str, set[int]] = {"CORRECTNESS": set(), "BENCH": set()}
+    for path in glob.glob(os.path.join(REPO, "*_r*.json")):
+        m = re.match(r"(CORRECTNESS|BENCH)_r(\d+)\.json", os.path.basename(path))
+        if m:
+            rounds[m.group(1)].add(int(m.group(2)))
+    for kind, seen in rounds.items():
+        if not seen:
+            continue
+        missing = sorted(set(range(1, max(seen) + 1)) - seen)
+        if missing:
+            hint = (
+                "those rounds confirmed nothing; keep their changed "
+                "queries in _ROUND_FOCUS"
+                if kind == "CORRECTNESS"
+                else "no regression record for those rounds"
+            )
+            print(
+                f"# WARNING: no {kind} artifact for round(s) {missing} — "
+                f"{hint}",
+                file=sys.stderr,
+            )
+
+
 def current_pinned(src: str) -> set[str]:
     m = re.search(
         r'_DRIVER_CONFIRMED = frozenset\(\s*"""(.*?)"""', src, re.S
@@ -54,6 +81,7 @@ def current_pinned(src: str) -> set[str]:
 
 
 def main() -> None:
+    warn_missing_rounds()
     with open(QUERIES_PY) as f:
         src = f.read()
     union = sorted(current_pinned(src) | green_names())
