@@ -152,6 +152,8 @@ HEADLINE = [
     "stream_attribution_unmatched",  # r8: the heaviest stateful stream
     "doc_compression_ratio",  # r8: zlib entropy quality filter
     "dedup_keep_longest",  # r8: quality-argmax canonical selection
+    "lsh_candidate_pairs_strict",  # r9: band-precision dial, strict position
+    "dedup_graph_triangles_verified",  # r9: triangle QA over verified edges
 ]
 
 

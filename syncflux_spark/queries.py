@@ -993,6 +993,47 @@ def dedup_graph_clustering(spark, sf):
     )
 
 
+#: Strict banding: the SAME 8 md5 lanes in ONE band of 8 (candidate
+#: probability J⁸ vs the default 1-(1-J⁴)²) — the LSH precision dial
+#: named by the x1/x3/x10 slope run (SCALE.md): on vocabulary-
+#: homogeneous corpora the 2×4 banding's candidate graph saturates
+#: (~n², 1.25M candidates at x10) and every consumer of the graph
+#: (verify joins, triangle QA) inherits that mass. One band of 8
+#: targets the J≳0.9 near-exact regime; border pairs the narrow band
+#: misses are the exact-verify stage's job in a composed pipeline.
+_BANDS_SQL_STRICT = (
+    "SELECT doc_id, 0 AS band_id, "
+    + " || '|' || ".join(f"mh{j}" for j in range(dd.N_MINHASH))
+    + " AS band_key FROM sig"
+)
+
+
+@register(
+    "lsh_candidate_pairs_strict",
+    f"""
+    WITH sh AS ({_sql_shingles()}),
+         hs AS ({_HS_SQL}),
+         sig AS (SELECT doc_id, {_MH_SELECT} FROM hs GROUP BY doc_id),
+         bands AS ({_BANDS_SQL_STRICT})
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    """,
+)
+def lsh_candidate_pairs_strict(spark, sf):
+    """LSH banding at the strict dial position: all 8 minhash lanes
+    in one band (p = J⁸), the rows-per-band analog of the 32-bit
+    simhash variant — same plan shape as lsh_candidate_pairs (one
+    band-key self-join), but the band explode emits ONE row per doc
+    instead of two and false-candidate mass drops ~quadratically on
+    homogeneous corpora. Registered so the dial position is
+    oracle-gated and slope-measured, not a design argument."""
+    return dd.lsh_candidate_pairs(
+        load_table(spark, sf, "documents"), band_size=dd.N_MINHASH
+    )
+
+
 @register(
     "dedup_rate_by_source",
     """
@@ -1253,6 +1294,40 @@ def ngram_jaccard_pairs_strfp(spark, sf):
              F.col("n_inter").cast("long").alias("n_inter"),
              F.col("n_union").cast("long").alias("n_union"),
              "jaccard")
+
+
+@register(
+    "dedup_graph_triangles_verified",
+    f"""
+    WITH e AS (SELECT id_a, id_b FROM ({REGISTRY["ngram_jaccard_pairs"].sql})),
+         tri AS (SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+                 FROM e e1
+                 JOIN e e2 ON e2.id_a = e1.id_b
+                 JOIN e e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM (SELECT unnest([a, b, c]) AS doc_id FROM tri)
+    GROUP BY doc_id
+    """,
+)
+def dedup_graph_triangles_verified(spark, sf):
+    """Triangle participation over the VERIFIED near-dup graph
+    (exact Jaccard ≥ 0.5 edges) instead of the raw LSH candidate
+    graph — the collision-heavy-corpus form the slope run called for:
+    candidate-graph triangle mass rides banding false positives
+    cubically (363M participations at x10 on the homogeneous
+    fixture), while the verified graph carries only true duplicate
+    structure, so QA cost tracks the ANSWER size. The verified edge
+    list is persisted once and scanned three times inside the
+    triangle join."""
+    from syncflux_spark.operators.graph import triangle_counts
+    from syncflux_spark.utils import eager_persist
+
+    pairs = eager_persist(
+        dd.ngram_jaccard_pairs(
+            load_table(spark, sf, "documents"), threshold=0.5
+        ).select("id_a", "id_b")
+    )
+    return triangle_counts(pairs)
 
 
 @register(
