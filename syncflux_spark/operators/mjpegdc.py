@@ -142,16 +142,11 @@ class _BitReader:
         return v
 
 
-def decode_dc_only_jpeg(s: bytes) -> tuple[int, int, list[int]]:
-    """Decode a grayscale baseline JPEG whose every block is DC-only.
-
-    Returns ``(width, height, block_grays)`` with one reconstructed
-    gray level per 8×8 block in scan order: dequantized DC is
-    ``dc_q · q00``; the IDCT of a lone DC coefficient is a constant
-    block at ``DC/8``, level-shifted by +128 (T.81 A.3.1/A.3.3) and
-    clamped to [0, 255]. Any nonzero AC coefficient means the frame is
-    not constant-per-block and raises — this decoder never
-    approximates."""
+def _parse_headers(s: bytes):
+    """Shared T.81 segment walk up to SOS. Returns ``(width, height,
+    qt, dc_table, ac_table, reader)`` where ``qt`` is the component's
+    64-entry quant table in ZIGZAG order and ``reader`` is positioned
+    at the entropy-coded scan."""
     if s[:2] != b"\xff\xd8":
         raise ValueError("missing SOI")
     pos = 2
@@ -210,10 +205,29 @@ def decode_dc_only_jpeg(s: bytes) -> tuple[int, int, list[int]]:
     if width % 8 or height % 8:
         raise NotImplementedError("partial edge blocks")
     end = s.rindex(b"\xff\xd9")
-    reader = _BitReader(s[pos:end])
-    dc_table = huff[(0, comp_dc)]
-    ac_table = huff[(1, comp_ac)]
-    q00 = qtab[comp_q][0]
+    return (
+        width,
+        height,
+        qtab[comp_q],
+        huff[(0, comp_dc)],
+        huff[(1, comp_ac)],
+        _BitReader(s[pos:end]),
+    )
+
+
+def decode_dc_only_jpeg(s: bytes) -> tuple[int, int, list[int]]:
+    """Decode a grayscale baseline JPEG whose every block is DC-only.
+
+    Returns ``(width, height, block_grays)`` with one reconstructed
+    gray level per 8×8 block in scan order: dequantized DC is
+    ``dc_q · q00``; the IDCT of a lone DC coefficient is a constant
+    block at ``DC/8``, level-shifted by +128 (T.81 A.3.1/A.3.3) and
+    clamped to [0, 255]. Any nonzero AC coefficient means the frame is
+    not constant-per-block and raises — this fast path never
+    approximates; :func:`decode_baseline_gray` handles general blocks.
+    """
+    width, height, qt, dc_table, ac_table, reader = _parse_headers(s)
+    q00 = qt[0]
     n_blocks = (width // 8) * (height // 8)
     grays: list[int] = []
     prev = 0
@@ -225,12 +239,105 @@ def decode_dc_only_jpeg(s: bytes) -> tuple[int, int, list[int]]:
         if sym != 0x00:
             raise NotImplementedError(
                 "nonzero AC coefficient: frame is not constant-per-block; "
-                "use a full decoder (Pillow/PyAV) for photographic JPEG"
+                "use decode_baseline_gray (full IDCT) or a library decoder"
             )
         # dequantize + IDCT of a lone DC: flat block at DC/8, +128 shift
         level = round(prev * q00 / 8) + 128
         grays.append(min(255, max(0, level)))
     return width, height, grays
+
+
+#: T.81 Figure A.6 zigzag scan: zigzag index -> natural (row*8+col).
+_ZIGZAG = [
+    0,  1,  8, 16,  9,  2,  3, 10,
+    17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+#: 1-D IDCT basis, row u -> [0.5·C(u)·cos((2x+1)uπ/16) for x in 0..7]
+#: (T.81 A.3.3 split into two separable passes; 0.5² = the ¼ factor).
+def _idct_basis() -> list[list[float]]:
+    import math
+
+    return [
+        [
+            0.5
+            * (1.0 / math.sqrt(2.0) if u == 0 else 1.0)
+            * math.cos((2 * x + 1) * u * math.pi / 16.0)
+            for x in range(8)
+        ]
+        for u in range(8)
+    ]
+
+
+_BASIS = _idct_basis()
+
+
+def decode_baseline_gray(s: bytes) -> tuple[int, int, bytes]:
+    """Full decode of a grayscale baseline JPEG — general blocks with
+    AC coefficients, unlike :func:`decode_dc_only_jpeg`'s flat-block
+    fast path. Per block: T.81 F.2 entropy decode (run-length AC
+    symbols, ZRL, EOB) into zigzag coefficients, dequantize against
+    the zigzag-stored quant table, separable 2-D IDCT (A.3.3), +128
+    level shift, round-half-even, clamp. Returns ``(width, height,
+    pixels)`` with row-major grayscale bytes.
+
+    Same narrow scope otherwise (one 8-bit component, baseline, no
+    restart markers, whole blocks) and loudly enforced; speed is a
+    non-goal — this exists so the real-compressed-bytes branch
+    EXECUTES in environments with no codec library, pinned bit-exact
+    against spec-computed pixels in tests."""
+    width, height, qt, dc_table, ac_table, reader = _parse_headers(s)
+    bw, bh = width // 8, height // 8
+    pixels = bytearray(width * height)
+    prev = 0
+    for bi in range(bw * bh):
+        # entropy decode one block of quantized zigzag coefficients
+        zz = [0] * 64
+        cat = reader.read_symbol(dc_table)
+        prev += reader.receive_extend(cat)
+        zz[0] = prev
+        k = 1
+        while k < 64:
+            sym = reader.read_symbol(ac_table)
+            if sym == 0x00:  # EOB
+                break
+            if sym == 0xF0:  # ZRL: 16 zeros
+                k += 16
+                continue
+            k += sym >> 4
+            if k > 63:
+                raise ValueError("AC run past end of block")
+            zz[k] = reader.receive_extend(sym & 0x0F)
+            k += 1
+        # dequantize into natural (row-major u,v) order
+        coef = [0.0] * 64
+        for i in range(64):
+            if zz[i]:
+                coef[_ZIGZAG[i]] = zz[i] * qt[i]
+        coef[0] = zz[0] * qt[0]
+        # separable IDCT: columns (over v), then rows (over u)
+        tmp = [0.0] * 64
+        for u in range(8):
+            row = coef[u * 8 : u * 8 + 8]
+            if any(row):
+                for y in range(8):
+                    tmp[u * 8 + y] = sum(
+                        row[v] * _BASIS[v][y] for v in range(8) if row[v]
+                    )
+        by, bx = divmod(bi, bw)
+        for x in range(8):
+            base = (by * 8 + x) * width + bx * 8
+            for y in range(8):
+                val = sum(tmp[u * 8 + y] * _BASIS[u][x] for u in range(8))
+                level = round(val) + 128
+                pixels[base + y] = min(255, max(0, level))
+    return width, height, bytes(pixels)
 
 
 def decode_frame_rgb24(s: bytes) -> tuple[int, int, bytes]:

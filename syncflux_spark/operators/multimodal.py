@@ -171,9 +171,10 @@ def decode_images(df: DataFrame, codec: str = "fake") -> DataFrame:
     ``mapInPandas``; same kernel shape for every codec — ``fake``
     parses the synthetic 16-byte header, ``pil`` calls
     ``PIL.Image.open`` on the real bytes (capability-probed), and
-    ``dcjpeg`` fully entropy-decodes real DC-only baseline JPEGs with
-    the pure-stdlib T.81 decoder (operators/mjpegdc.py — executes the
-    real-bytes branch in environments with no Pillow at all)."""
+    ``dcjpeg`` fully entropy-decodes real grayscale baseline JPEGs —
+    AC coefficients and IDCT included — with the pure-stdlib T.81
+    decoder (operators/mjpegdc.py::decode_baseline_gray — executes
+    the real-bytes branch in environments with no Pillow at all)."""
     _require_codec(codec, supported=("fake", "pil", "dcjpeg"))
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -182,7 +183,7 @@ def decode_images(df: DataFrame, codec: str = "fake") -> DataFrame:
 
             from PIL import Image
         elif codec == "dcjpeg":
-            from syncflux_spark.operators.mjpegdc import decode_dc_only_jpeg
+            from syncflux_spark.operators.mjpegdc import decode_baseline_gray
 
         for pdf in batches:
             content = pdf["content"]
@@ -194,7 +195,7 @@ def decode_images(df: DataFrame, codec: str = "fake") -> DataFrame:
             elif codec == "dcjpeg":
                 meta = []
                 for b in content:
-                    w, h, _grays = decode_dc_only_jpeg(bytes(b))
+                    w, h, _px = decode_baseline_gray(bytes(b))
                     meta.append((w, h, 1))  # grayscale-only scope
             else:
                 meta = [struct.unpack("<III", b[:12]) for b in content]
@@ -215,10 +216,13 @@ def extract_features(df: DataFrame, dim: int = 16, codec: str = "fake") -> DataF
     """Feature-extraction stage: bytes → ``array<float>`` embedding.
     ``fake``: sha256-seeded deterministic vector; ``pil``: grayscale
     downsample to ``dim`` pixels normalized to [0,1]; ``dcjpeg``:
-    column-stripe means of the T.81 DC block grid normalized the same
-    way (real-bytes path with zero third-party codecs) — a real model
-    slots into the same Arrow batch loop. Output feeds the
-    similarity/dedup operators directly."""
+    per-pixel-column means of the full T.81 decode (AC + IDCT)
+    resampled to ``dim`` and normalized the same way (real-bytes path
+    with zero third-party codecs; identical values to the former
+    block-stripe means on flat-block media, and now faithful on
+    photographic blocks too) — a real model slots into the same Arrow
+    batch loop. Output feeds the similarity/dedup operators
+    directly."""
     _require_codec(codec, supported=("fake", "pil", "dcjpeg"))
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -227,7 +231,7 @@ def extract_features(df: DataFrame, dim: int = 16, codec: str = "fake") -> DataF
 
             from PIL import Image
         elif codec == "dcjpeg":
-            from syncflux_spark.operators.mjpegdc import decode_dc_only_jpeg
+            from syncflux_spark.operators.mjpegdc import decode_baseline_gray
 
         for pdf in batches:
             feats = []
@@ -238,17 +242,15 @@ def extract_features(df: DataFrame, dim: int = 16, codec: str = "fake") -> DataF
                     feats.append([p / 255.0 for p in px])
                     continue
                 if codec == "dcjpeg":
-                    w, h, grays = decode_dc_only_jpeg(bytes(b))
-                    bw = w // 8
-                    # mean gray per column stripe, resampled to dim
+                    w, h, px = decode_baseline_gray(bytes(b))
+                    # mean gray per pixel column, resampled to dim
                     col_means = [
-                        sum(grays[r * bw + c] for r in range(h // 8))
-                        / (h // 8)
-                        for c in range(bw)
+                        sum(px[r * w + c] for r in range(h)) / h
+                        for c in range(w)
                     ]
                     feats.append(
                         [
-                            col_means[min(bw - 1, i * bw // dim)] / 255.0
+                            col_means[min(w - 1, i * w // dim)] / 255.0
                             for i in range(dim)
                         ]
                     )

@@ -14098,11 +14098,16 @@ _PRIORITY_PREFIXES = (
 #: anything else (a changed query with a stale green row is the one
 #: regression the self-maintaining order can't see on its own).
 _ROUND_FOCUS = (
-    # r9: empty on purpose — every r7/r8 pin landed a green driver row
-    # in CORRECTNESS_r08, so keeping them here would displace the 46
-    # never-sampled names the sample must drain this round. Pin only
-    # queries whose impl/oracle actually changes in r9 (new queries
-    # are unconfirmed and sort into the sample on their own).
+    # r9: kept minimal on purpose — every r7/r8 pin landed a green
+    # driver row in CORRECTNESS_r08, so carrying them would displace
+    # the 46 never-sampled names the sample must drain this round.
+    # Pinned below: only queries whose impl changed in r9.
+    #
+    # the dcjpeg decode branch now routes through the full baseline
+    # decoder (AC + IDCT, operators/mjpegdc.py::decode_baseline_gray);
+    # values are provably identical on the DC-only fixture, but the
+    # changed code path must re-confirm against the driver gate
+    "mm_image_decode",
 )
 
 

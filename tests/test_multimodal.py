@@ -71,22 +71,26 @@ class TestPilCodec:
             rows.append((i, "image", buf.getvalue(), f"synthetic://png/{i}"))
         return spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
 
-    def test_decode_real_dims(self, png_media):
-        rows = {r.media_id: r for r in mm.decode_images(png_media, codec="pil").collect()}
-        assert (rows[0].width, rows[0].height, rows[0].channels) == (32, 16, 3)
-        assert (rows[5].width, rows[5].height) == (72, 36)
-
-    def test_resize_reencodes(self, png_media):
+    def test_decode_resize_features_phash(self, png_media):
+        """One combined Pillow pass (decode dims, resize re-encode,
+        features, phash): the decode/feature coverage over real
+        compressed bytes also runs WITHOUT Pillow via the stdlib
+        T.81 path (TestBaselineJpegAc below); only the re-ENCODE in
+        resize_images genuinely needs a codec library, so Pillow
+        absence costs one skip, not three."""
         from io import BytesIO
 
         from PIL import Image
+
+        rows = {r.media_id: r for r in mm.decode_images(png_media, codec="pil").collect()}
+        assert (rows[0].width, rows[0].height, rows[0].channels) == (32, 16, 3)
+        assert (rows[5].width, rows[5].height) == (72, 36)
 
         out = mm.resize_images(png_media, 24, 24, codec="pil").collect()
         for r in out:
             im = Image.open(BytesIO(bytes(r.content)))
             assert im.size == (24, 24)
 
-    def test_features_and_phash(self, png_media):
         feats = mm.extract_features(png_media, dim=8, codec="pil").collect()
         assert all(len(r.feature) == 8 for r in feats)
         assert all(0.0 <= v <= 1.0 for r in feats for v in r.feature)
@@ -621,3 +625,121 @@ class TestMjpegDcDecode:
             expected = ((r.media_id * 30) % 256) / 255.0
             # FEATURE_SCHEMA stores float32 — compare at its precision
             assert all(abs(v - expected) < 1e-6 for v in r.feature)
+
+
+class TestBaselineJpegAc:
+    """Full baseline decode — AC coefficients, ZRL runs, IDCT — over
+    REAL photographic-class JPEG bytes, in this container, with zero
+    codec libraries: the seam the r8 verdict called the one code path
+    no gate had ever executed. The fixture's quantized coefficients
+    are formula-derived (tools/mjpeg_mp4.py::tiny_ac_blocks), so the
+    expected pixels are recomputed here with an INDEPENDENT numpy
+    IDCT straight from T.81 A.3.3 and asserted bit-exact."""
+
+    @pytest.fixture(scope="class")
+    def jpeg_bytes(self):
+        vendored = os.path.join(_DATA_DIR, "tiny_ac.jpg")
+        if os.path.exists(vendored):
+            with open(vendored, "rb") as f:
+                return f.read()
+        from tools.mjpeg_mp4 import tiny_ac_jpeg_bytes
+
+        return tiny_ac_jpeg_bytes()
+
+    def test_vendored_fixture_is_canonical(self, jpeg_bytes):
+        from tools.mjpeg_mp4 import tiny_ac_jpeg_bytes
+
+        assert jpeg_bytes == tiny_ac_jpeg_bytes()
+        assert len(jpeg_bytes) < 2_000
+
+    def test_decoded_pixels_match_spec_idct_exactly(self, jpeg_bytes):
+        """decode_baseline_gray vs an independent float64 reference:
+        dequantize (zigzag table), direct 2-D IDCT double sum per
+        T.81 A.3.3, +128 level shift, round-half-even, clamp. Every
+        one of the 1024 pixels must agree exactly."""
+        import numpy as np
+
+        from tools.mjpeg_mp4 import ZIGZAG, tiny_ac_blocks
+
+        from syncflux_spark.operators.mjpegdc import decode_baseline_gray
+
+        w, h, px = decode_baseline_gray(jpeg_bytes)
+        assert (w, h) == (32, 32)
+        got = np.frombuffer(px, dtype=np.uint8).reshape(h, w)
+
+        q = 16
+        c = np.array([1.0 / np.sqrt(2.0)] + [1.0] * 7)
+        xs = np.arange(8)
+        cos = np.cos((2 * xs[:, None] + 1) * np.arange(8)[None, :] * np.pi / 16)
+        expected = np.zeros((32, 32), dtype=np.uint8)
+        for bi, zz in enumerate(tiny_ac_blocks(16)):
+            F = np.zeros((8, 8))
+            for i, v in enumerate(zz):
+                F[ZIGZAG[i] // 8, ZIGZAG[i] % 8] = v * q
+            # f(x,y) = 1/4 ΣuΣv C(u)C(v)F(u,v)cos((2x+1)uπ/16)cos((2y+1)vπ/16)
+            block = 0.25 * np.einsum(
+                "u,v,uv,xu,yv->xy", c, c, F, cos, cos
+            )
+            by, bx = divmod(bi, 4)
+            expected[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
+                np.rint(block) + 128, 0, 255
+            ).astype(np.uint8)
+        assert (got == expected).all(), (
+            f"{(got != expected).sum()} pixels diverge from spec IDCT"
+        )
+        # the fixture genuinely carries AC energy: blocks are not flat
+        assert got[0:8, 0:8].std() > 1.0
+
+    def test_dc_fast_path_refuses_and_full_path_decodes(self, jpeg_bytes):
+        """The two decoders keep their contracts on the same bytes:
+        the flat-block fast path refuses (nonzero AC), the full path
+        decodes."""
+        from syncflux_spark.operators.mjpegdc import (
+            decode_baseline_gray,
+            decode_dc_only_jpeg,
+        )
+
+        with pytest.raises(NotImplementedError, match="AC coefficient"):
+            decode_dc_only_jpeg(jpeg_bytes)
+        w, h, px = decode_baseline_gray(jpeg_bytes)
+        assert (w, h, len(px)) == (32, 32, 1024)
+
+    def test_full_path_matches_dc_path_on_flat_blocks(self):
+        """On DC-only input the general IDCT must reproduce the flat
+        fast path exactly (lone-DC IDCT == DC/8 everywhere)."""
+        from tools.mjpeg_mp4 import solid_jpeg
+
+        from syncflux_spark.operators.mjpegdc import (
+            decode_baseline_gray,
+            decode_dc_only_jpeg,
+        )
+
+        for gray in (0, 7, 128, 190, 255):
+            b = solid_jpeg(16, 16, gray)
+            _, _, grays = decode_dc_only_jpeg(b)
+            _, _, px = decode_baseline_gray(b)
+            assert set(px) == set(grays) == {grays[0]}
+
+    def test_decode_images_real_ac_bytes_through_spark(self, spark, jpeg_bytes):
+        """The real-compressed-bytes decode branch inside the
+        mapInPandas kernel — dims from a full entropy decode, plus
+        features over genuinely non-flat content (columns differ)."""
+        from tools.mjpeg_mp4 import tiny_ac_jpeg_bytes
+
+        media = spark.createDataFrame(
+            [
+                (0, "image", jpeg_bytes, "fixture://tiny_ac.jpg"),
+                (1, "image", tiny_ac_jpeg_bytes(size=16), "fixture://ac16"),
+            ],
+            mm.MEDIA_SCHEMA,
+        )
+        rows = {r.media_id: r for r in mm.decode_images(media, codec="dcjpeg").collect()}
+        assert (rows[0].width, rows[0].height, rows[0].channels) == (32, 32, 1)
+        assert (rows[1].width, rows[1].height) == (16, 16)
+
+        feats = mm.extract_features(media, dim=8, codec="dcjpeg").collect()
+        assert all(len(r.feature) == 8 for r in feats)
+        assert all(0.0 <= v <= 1.0 for r in feats for v in r.feature)
+        # AC content shows: the feature vector is not constant
+        for r in feats:
+            assert max(r.feature) - min(r.feature) > 1e-3

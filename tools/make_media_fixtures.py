@@ -72,7 +72,25 @@ def write_mp4(path: str) -> bool:
     return True
 
 
+def write_ac_jpeg(path: str) -> None:
+    """tiny_ac.jpg: a grayscale baseline JPEG with nonzero AC
+    coefficients (tools/mjpeg_mp4.py::tiny_ac_jpeg_bytes) — the
+    photographic-class fixture the full stdlib decoder
+    (operators/mjpegdc.py::decode_baseline_gray) is pinned against.
+    Deterministic formula-derived blocks, so tests recompute the
+    coefficients and assert decoded pixels bit-exact."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo)
+    from tools.mjpeg_mp4 import tiny_ac_jpeg_bytes
+
+    b = tiny_ac_jpeg_bytes()
+    with open(path, "wb") as f:
+        f.write(b)
+    print(f"wrote {path} ({len(b)} bytes)")
+
+
 if __name__ == "__main__":
     os.makedirs(DATA_DIR, exist_ok=True)
     write_wav(os.path.join(DATA_DIR, "tiny.wav"))
     write_mp4(os.path.join(DATA_DIR, "tiny.mp4"))
+    write_ac_jpeg(os.path.join(DATA_DIR, "tiny_ac.jpg"))

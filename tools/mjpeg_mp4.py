@@ -89,6 +89,101 @@ class _BitWriter:
             self.write(1, 1)  # pad final byte with 1-bits (T.81 F.1.2.3)
 
 
+#: T.81 Figure A.6 zigzag scan: zigzag index -> natural (row*8+col).
+ZIGZAG = [
+    0,  1,  8, 16,  9,  2,  3, 10,
+    17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def _jpeg_wrap(entropy: bytes, width: int, height: int, q: int) -> bytes:
+    """Common segment scaffolding around an entropy-coded scan:
+    SOI, JFIF APP0, uniform DQT, grayscale SOF0, Annex-K DHTs, SOS."""
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(
+        0xFFE0, b"JFIF\x00\x01\x01\x00" + struct.pack(">HHBB", 1, 1, 0, 0)
+    )
+    out += seg(0xFFDB, b"\x00" + bytes([q] * 64))
+    out += seg(
+        0xFFC0, struct.pack(">BHHB", 8, height, width, 1) + b"\x01\x11\x00"
+    )
+    out += seg(0xFFC4, b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS))
+    out += seg(0xFFC4, b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALS))
+    out += seg(0xFFDA, b"\x01\x01\x00\x00\x3f\x00")
+    out += entropy
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def coeff_jpeg(
+    width: int, height: int, blocks: list[list[int]], q: int = 16
+) -> bytes:
+    """Baseline grayscale JPEG from explicit QUANTIZED coefficient
+    blocks — the general T.81 entropy coder (F.2 run-length AC
+    symbols, ZRL, EOB), so fixtures can carry nonzero AC coefficients
+    and exercise a full decoder's dequantize + IDCT path, not just
+    the DC shortcut. ``blocks`` holds one 64-int list per 8×8 block
+    in scan order, coefficients in ZIGZAG order (index 0 = DC)."""
+    if width % 8 or height % 8:
+        raise ValueError("dimensions must be multiples of 8")
+    n_blocks = (width // 8) * (height // 8)
+    if len(blocks) != n_blocks:
+        raise ValueError(f"need {n_blocks} blocks, got {len(blocks)}")
+    dc_codes = _huffman_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _huffman_codes(_AC_BITS, _AC_VALS)
+    bw = _BitWriter()
+    prev = 0
+
+    def write_magnitude(v: int) -> None:
+        cat = abs(v).bit_length()
+        bw.write(v if v > 0 else v + (1 << cat) - 1, cat)
+
+    for blk in blocks:
+        if len(blk) != 64:
+            raise ValueError("each block needs 64 zigzag coefficients")
+        diff = blk[0] - prev
+        prev = blk[0]
+        cat = abs(diff).bit_length()
+        code, ln = dc_codes[cat]
+        bw.write(code, ln)
+        if cat:
+            write_magnitude(diff)
+        # AC: run-length of zeros before each nonzero (T.81 F.2.2.2)
+        last_nz = max((i for i in range(1, 64) if blk[i]), default=0)
+        run = 0
+        for i in range(1, last_nz + 1):
+            v = blk[i]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                zrl, zln = ac_codes[0xF0]
+                bw.write(zrl, zln)
+                run -= 16
+            c = abs(v).bit_length()
+            if c > 10:
+                raise ValueError(f"AC coefficient {v} exceeds category 10")
+            sym_code, sym_len = ac_codes[(run << 4) | c]
+            bw.write(sym_code, sym_len)
+            write_magnitude(v)
+            run = 0
+        if last_nz != 63:
+            eob, eln = ac_codes[0x00]
+            bw.write(eob, eln)
+    bw.flush()
+    return _jpeg_wrap(bytes(bw.buf), width, height, q)
+
+
 def solid_jpeg(width: int, height: int, gray: int, q: int = 16) -> bytes:
     """Baseline grayscale JFIF of one solid gray level. Dimensions
     must be multiples of 8 (no partial-block edge handling)."""
@@ -114,24 +209,7 @@ def solid_jpeg(width: int, height: int, gray: int, q: int = 16) -> bytes:
         eob, eln = ac_codes[0x00]
         bw.write(eob, eln)
     bw.flush()
-
-    def seg(marker: int, payload: bytes) -> bytes:
-        return struct.pack(">HH", marker, len(payload) + 2) + payload
-
-    out = bytearray(b"\xff\xd8")  # SOI
-    out += seg(
-        0xFFE0, b"JFIF\x00\x01\x01\x00" + struct.pack(">HHBB", 1, 1, 0, 0)
-    )
-    out += seg(0xFFDB, b"\x00" + bytes([q] * 64))
-    out += seg(
-        0xFFC0, struct.pack(">BHHB", 8, height, width, 1) + b"\x01\x11\x00"
-    )
-    out += seg(0xFFC4, b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS))
-    out += seg(0xFFC4, b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALS))
-    out += seg(0xFFDA, b"\x01\x01\x00\x00\x3f\x00")
-    out += bw.buf
-    out += b"\xff\xd9"  # EOI
-    return bytes(out)
+    return _jpeg_wrap(bytes(bw.buf), width, height, q)
 
 
 # --- ISO BMFF boxing ----------------------------------------------------
@@ -251,6 +329,35 @@ def mjpeg_mp4(
     )
     moov = _box(b"moov", mvhd + _box(b"trak", tkhd + mdia))
     return ftyp + mdat + moov
+
+
+def tiny_ac_blocks(n_blocks: int = 16) -> list[list[int]]:
+    """Deterministic quantized-coefficient blocks for the AC-bearing
+    JPEG fixture (formula-based, no RNG, so tests recompute the exact
+    same blocks and assert decoded pixels against their own IDCT).
+    Coverage by construction: positive/negative DC diffs, low- and
+    mid-frequency ACs, a >15-zero run (ZRL path) every 4th block, and
+    a final-position coefficient in the last block (no-EOB path)."""
+    blocks = []
+    for b in range(n_blocks):
+        zz = [0] * 64
+        zz[0] = (b * 7) % 37 - 18
+        zz[1 + (b % 5)] = 9 + b  # low-frequency AC
+        zz[10 + (b % 3)] = -(3 + b % 6)  # mid-frequency AC
+        if b % 4 == 0:
+            zz[40] = 5  # zero run > 15 -> exercises ZRL
+        if b == n_blocks - 1:
+            zz[63] = 1  # block ends on a coefficient -> no EOB emitted
+        blocks.append(zz)
+    return blocks
+
+
+def tiny_ac_jpeg_bytes(size: int = 32, q: int = 16) -> bytes:
+    """The vendored AC fixture: a 32×32 grayscale baseline JPEG whose
+    blocks carry nonzero AC coefficients — real photographic-class
+    entropy structure, decodable only by a full (dequantize + IDCT)
+    decoder, unlike tiny.mp4's flat DC-only frames."""
+    return coeff_jpeg(size, size, tiny_ac_blocks((size // 8) ** 2), q=q)
 
 
 def tiny_mp4_bytes(n_frames: int = 8, size: int = 32, fps: int = 4) -> bytes:
