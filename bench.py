@@ -57,6 +57,7 @@ HEADLINE = [
     "ngram_jaccard_pairs_strfp",  # verify-fingerprint dial: both positions measured
     "simhash_near_pairs",
     "simhash_near_pairs_wide",  # fingerprint-width dial: both widths measured
+    "simhash_near_pairs_wide64",  # production width (4x16 bands): x30 wall 180s -> 15s
     "token_stats",
     "lang_detect",
     "repetition_stats",

@@ -897,11 +897,34 @@ def simhash_near_pairs(
     positives. One shuffle on the band key; per-bucket work is
     |bucket|², bounded by 2^band_width granularity — at larger corpora
     raise n_bits (wider fingerprint, finer bands) exactly like the
-    MinHash banding above."""
-    from syncflux_spark.functions.vectors import simhash_bits
+    MinHash banding above.
 
-    fp = spread_for_cpu(df).select(
-        F.col(id_col), simhash_bits(words(text_col), n_bits).alias("simhash")
+    ``n_bits=64`` (the Manku-et-al production width; requires
+    ``max_hamming=3``) stores the fingerprint as TWO 32-bit longs —
+    ``lo`` from each md5 nibble's top bit, ``hi`` from its second bit
+    (functions/vectors.py::simhash_bits ``nibble_bit``) — banded
+    4 × 16. Two longs instead of one keeps every materialized value
+    unsigned-small (< 2^32): a single 64-bit bitmap would need bit 63,
+    which overflows a signed BIGINT literal in both engines' SQL.
+    Hamming distance is the sum of the halves' XOR popcounts —
+    identical to the one-word form since the halves partition the
+    bits. Plan shape is unchanged: one band-key self-join."""
+    from syncflux_spark.functions.vectors import simhash_bits_hex
+
+    if n_bits == 64:
+        if max_hamming != 3:
+            raise ValueError(
+                "n_bits=64 supports max_hamming=3 (4 bands x 16 bits), "
+                f"got {max_hamming}"
+            )
+        return _simhash_near_pairs64(df, text_col, id_col)
+    # digest array materialized in its own projection: Catalyst does
+    # not CSE a transform() repeated inside each bit's filter, so the
+    # fused form would md5 the token array once PER BIT
+    # (vectors.simhash_bits_hex documents the 3.1x measurement)
+    fp = _simhash_hex_tokens(df, text_col, id_col).select(
+        F.col(id_col),
+        simhash_bits_hex("_hx", F.col("_nt"), n_bits).alias("simhash"),
     )
     n_bands = max_hamming + 1
     bounds = [i * n_bits // n_bands for i in range(n_bands + 1)]
@@ -938,6 +961,70 @@ def simhash_near_pairs(
         )
         .distinct()
         .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def _simhash_hex_tokens(df, text_col, id_col):
+    """(id, _hx: array<md5 hex>, _nt: token count) — the shared
+    one-md5-per-token projection every simhash width reads bits from."""
+    toks = words(text_col)
+    return spread_for_cpu(df).select(
+        F.col(id_col),
+        F.transform(toks, lambda t: F.md5(t)).alias("_hx"),
+        F.size(toks).alias("_nt"),
+    )
+
+
+def _simhash_near_pairs64(df, text_col, id_col):
+    """The 64-bit two-word body of :func:`simhash_near_pairs` —
+    4 bands × 16 bits over (lo, hi), exact Hamming ≤ 3 recall by the
+    same pigeonhole. Both 32-bit halves ride ONE md5 pass per token:
+    the digest array is materialized once (`_simhash_hex_tokens`) and
+    the two nibble-bit vote predicates read it — so the corpus-scan
+    cost is ~the 32-bit kernel's, not 2×."""
+    from syncflux_spark.functions.vectors import simhash_bits_hex
+
+    fp = _simhash_hex_tokens(df, text_col, id_col).select(
+        F.col(id_col),
+        simhash_bits_hex("_hx", F.col("_nt"), 32, nibble_bit=3).alias("lo"),
+        simhash_bits_hex("_hx", F.col("_nt"), 32, nibble_bit=2).alias("hi"),
+    )
+    band_structs = []
+    for b in range(4):
+        half = F.col("lo") if b < 2 else F.col("hi")
+        lo_bit = 16 * (b % 2)
+        band_structs.append(
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.shiftright(half, lo_bit)
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias("band_bits"),
+            )
+        )
+    banded = eager_persist(
+        fp.select(
+            F.col(id_col), "lo", "hi", F.explode(F.array(*band_structs)).alias("bd")
+        ).select(F.col(id_col), "lo", "hi", "bd.band_id", "bd.band_bits")
+    )  # both self-join sides scan it
+    a, b_ = banded.alias("a"), banded.alias("b")
+    hamming = (
+        F.bit_count(F.col("a.lo").bitwiseXOR(F.col("b.lo")))
+        + F.bit_count(F.col("a.hi").bitwiseXOR(F.col("b.hi")))
+    ).cast("long")
+    return (
+        a.join(
+            b_,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_bits") == F.col("b.band_bits"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            hamming.alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= 3)
     )
 
 

@@ -46,7 +46,7 @@ from syncflux_spark.functions.text import (
     word_fingerprint,
     words,
 )
-from syncflux_spark.functions.vectors import dot, norm, simhash_bits
+from syncflux_spark.functions.vectors import dot, norm
 from syncflux_spark.operators import dedup as dd
 from syncflux_spark.operators import sampling as smp
 from syncflux_spark.sources.parquet import load_table
@@ -1995,18 +1995,31 @@ def doc_fingerprint(spark, sf):
     )
 
 
-def _sql_simhash(n_bits: int = 16) -> str:
+def _sql_simhash_bits(n_bits: int, nibble_bit: int = 3) -> str:
     # one md5 per token shared across every bit's vote (bit b reads
-    # hex char b+1), mirroring functions/vectors.py::simhash_bits
-    w = _SQL_WORDS
-    bits = " + ".join(
+    # hex char b+1), mirroring functions/vectors.py::simhash_bits.
+    # nibble_bit 3 votes on the nibble's top bit (char >= '8'),
+    # nibble_bit 2 on its second bit (char in 4-7 or c-f) — the two
+    # independent coins a 64-bit fingerprint draws from one digest.
+    if nibble_bit == 3:
+        pred = "substr(h, {c}, 1) >= '8'"
+    else:
+        pred = (
+            "((substr(h, {c}, 1) >= '4' AND substr(h, {c}, 1) <= '7') "
+            "OR substr(h, {c}, 1) >= 'c')"
+        )
+    return " + ".join(
         f"CASE WHEN 2 * len(list_filter(hx, "
-        f"h -> substr(h, {b + 1}, 1) >= '8')) > len(hx) "
+        f"h -> {pred.format(c=b + 1)})) > len(hx) "
         f"THEN {1 << b} ELSE 0 END"
         for b in range(n_bits)
     )
+
+
+def _sql_simhash(n_bits: int = 16) -> str:
+    w = _SQL_WORDS
     return f"""
-    SELECT doc_id, CAST({bits} AS BIGINT) AS simhash
+    SELECT doc_id, CAST({_sql_simhash_bits(n_bits)} AS BIGINT) AS simhash
     FROM (SELECT doc_id, list_transform({w}, t -> md5(t)) AS hx
           FROM documents)
     """
@@ -2015,10 +2028,19 @@ def _sql_simhash(n_bits: int = 16) -> str:
 @register("simhash_fingerprint", _sql_simhash())
 def simhash_fingerprint(spark, sf):
     """16-bit SimHash over word tokens (±1 votes from md5 parity) —
-    Hamming-close fingerprints ⇒ near-dup candidates."""
+    Hamming-close fingerprints ⇒ near-dup candidates. The digest
+    array is a separate projection so each bit's filter reads it
+    instead of re-hashing (vectors.simhash_bits_hex)."""
+    from syncflux_spark.functions.vectors import simhash_bits_hex
+
     docs = load_table(spark, sf, "documents")
+    toks = words("text")
     return docs.select(
-        "doc_id", simhash_bits(words("text"), 16).alias("simhash")
+        "doc_id",
+        F.transform(toks, lambda t: F.md5(t)).alias("_hx"),
+        F.size(toks).alias("_nt"),
+    ).select(
+        "doc_id", simhash_bits_hex("_hx", F.col("_nt"), 16).alias("simhash")
     )
 
 
@@ -2075,6 +2097,48 @@ def simhash_near_pairs_wide(spark, sf):
     only n_bits turns (operators/dedup.py::simhash_near_pairs)."""
     docs = load_table(spark, sf, "documents")
     return dd.simhash_near_pairs(docs, n_bits=32, max_hamming=3)
+
+
+@register(
+    "simhash_near_pairs_wide64",
+    f"""
+    WITH fp AS (
+      SELECT doc_id,
+             CAST({_sql_simhash_bits(32, 3)} AS BIGINT) AS lo,
+             CAST({_sql_simhash_bits(32, 2)} AS BIGINT) AS hi
+      FROM (SELECT doc_id, list_transform({_SQL_WORDS}, t -> md5(t)) AS hx
+            FROM documents)),
+    bands AS (
+      SELECT doc_id, lo, hi, b.band_id,
+             CASE WHEN b.band_id < 2
+                  THEN (lo >> (band_id * 16)) & 65535
+                  ELSE (hi >> ((band_id - 2) * 16)) & 65535 END AS band_bits
+      FROM fp, (VALUES (0), (1), (2), (3)) AS b(band_id))
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))
+                AS BIGINT) AS hamming
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.band_bits = b.band_bits
+     AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
+    """,
+)
+def simhash_near_pairs_wide64(spark, sf):
+    """The width dial's PRODUCTION position: a 64-bit fingerprint
+    (Manku et al., WWW'07 — the width web-scale simhash dedup ships
+    with), banded 4 × 16 bits, exact Hamming ≤ 3 recall by pigeonhole.
+    Motivated by a measured wall: the x30 slope run (150k homogeneous
+    docs) put the 32-bit form at 247s with 3.9 BILLION band-join input
+    pairs — 8-bit bands over a vocabulary-homogeneous corpus collide
+    ~n² no matter the constant, so the dial must widen the BAND
+    (2^16 buckets/band here), not just the fingerprint. Stored as two
+    32-bit longs (lo = nibble top-bit votes, hi = second-bit votes,
+    one shared md5 pass per token; a single 64-bit bitmap would need
+    bit 63 — signed-BIGINT overflow in both engines' SQL). Same plan
+    shape as the 16/32-bit forms: one band-key self-join
+    (operators/dedup.py::simhash_near_pairs n_bits=64)."""
+    docs = load_table(spark, sf, "documents")
+    return dd.simhash_near_pairs(docs, n_bits=64, max_hamming=3)
 
 
 #: transitive closure of the verified near-dup graph — DuckDB computes

@@ -182,6 +182,66 @@ def test_simhash_band_search_is_exact(spark, sf_dir):
     assert banded == brute and len(brute) > 0
 
 
+def test_simhash64_band_search_is_exact(spark, sf_dir):
+    """Same pigeonhole-exactness claim for the 64-bit two-word form:
+    the 4x16 band self-join over (lo, hi) must equal the brute-force
+    Hamming-over-both-halves filter. Also pins the half layout: lo =
+    nibble top-bit votes, hi = second-bit votes (independent coins
+    from ONE md5 pass), so the two halves genuinely differ."""
+    from syncflux_spark.functions.text import words
+    from syncflux_spark.functions.vectors import simhash_bits
+    from syncflux_spark.operators.dedup import simhash_near_pairs
+    from syncflux_spark.sources.parquet import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    banded = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_near_pairs(docs, n_bits=64, max_hamming=3).collect()
+    }
+    toks = words("text")
+    fp = docs.select(
+        "doc_id",
+        simhash_bits(toks, 32, nibble_bit=3).alias("lo"),
+        simhash_bits(toks, 32, nibble_bit=2).alias("hi"),
+    )
+    halves_differ = fp.where(F.col("lo") != F.col("hi")).count()
+    assert halves_differ > 0
+    a, b = fp.alias("a"), fp.alias("b")
+    brute = {
+        (r.id_a, r.id_b, r.h)
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            (
+                F.bit_count(F.col("a.lo").bitwiseXOR(F.col("b.lo")))
+                + F.bit_count(F.col("a.hi").bitwiseXOR(F.col("b.hi")))
+            )
+            .cast("long")
+            .alias("h"),
+        )
+        .where(F.col("h") <= 3)
+        .collect()
+    }
+    assert banded == brute and len(brute) > 0
+
+
+def test_simhash64_requires_hamming3(spark, sf_dir):
+    from syncflux_spark.operators.dedup import simhash_near_pairs
+    from syncflux_spark.sources.parquet import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    with pytest.raises(ValueError, match="max_hamming=3"):
+        simhash_near_pairs(docs, n_bits=64, max_hamming=2)
+
+
+def test_simhash_nibble_bit_validated():
+    from syncflux_spark.functions.vectors import simhash_bits
+
+    with pytest.raises(ValueError, match="nibble_bit"):
+        simhash_bits(F.col("toks"), 16, nibble_bit=1)
+
+
 def test_ivf_kmeans_centroids_recall(spark, emb, truth):
     """k-means|| centroids must keep IVF usable: a recall floor and
     the nprobe dial still monotone. (Measured on this NEAR-UNIFORM
