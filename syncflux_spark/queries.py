@@ -14172,6 +14172,15 @@ _ROUND_FOCUS = (
     # values are provably identical on the DC-only fixture, but the
     # changed code path must re-confirm against the driver gate
     "mm_image_decode",
+    # the whole simhash family re-routed through a shared
+    # materialized-digest projection (the per-bit re-hash fix,
+    # operators/dedup.py::_simhash_hex_tokens) — values proven
+    # identical against the oracle at sf0.01 locally, but changed
+    # impl means the historical green rows are stale evidence
+    # (the new wide64 query is unconfirmed and auto-fronts itself)
+    "simhash_fingerprint",
+    "simhash_near_pairs",
+    "simhash_near_pairs_wide",
 )
 
 
