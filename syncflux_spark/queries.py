@@ -6525,6 +6525,59 @@ def stream_dedup_counts(spark, sf):
 
 
 @register(
+    "stream_neardup_index",
+    f"""
+    WITH sh AS ({_sql_shingles()}),
+         hs AS ({_HS_SQL}),
+         sig AS (SELECT doc_id, {_MH_SELECT} FROM hs GROUP BY doc_id),
+         bands AS ({_BANDS_SQL}),
+         bmin AS (SELECT band_id, band_key, MIN(doc_id) AS m
+                  FROM bands GROUP BY band_id, band_key)
+    SELECT b.doc_id,
+           CAST(MIN(bm.m) AS BIGINT) AS canonical_id,
+           MIN(bm.m) < b.doc_id AS is_dup
+    FROM bands b JOIN bmin bm
+      ON bm.band_id = b.band_id AND bm.band_key = b.band_key
+    GROUP BY b.doc_id
+    """,
+)
+def stream_neardup_index(spark, sf):
+    """STREAMING near-dup LSH index under the full oracle gate: the
+    documents file is delivered TWICE in separate micro-batches
+    (``maxFilesPerTrigger=1``); each batch folds its LSH band rows
+    into per-bucket canonical-minimum state via
+    ``applyInPandasWithState``, and the final per-document decision
+    (smallest id sharing >= 1 band) must equal — ids and flags — what
+    the oracle computes from the single-copy batch table. Min-wins
+    state is duplicate- and order-insensitive, which is what makes the
+    bitwise claim possible (streaming/neardup.py); O(1) state per band
+    bucket, bounded by distinct band keys, not corpus size."""
+    import os
+    import shutil
+
+    from syncflux_spark.streaming.neardup import StreamingLshIndex
+
+    root = tempfile.mkdtemp(prefix="sf_slsh_")
+    src = os.path.join(root, "src")
+    os.makedirs(src)
+    for copy_name in ("a", "b"):
+        shutil.copy(
+            os.path.join(sf, "documents.parquet"),
+            os.path.join(src, f"documents_{copy_name}.parquet"),
+        )
+    op = StreamingLshIndex(
+        spark,
+        src,
+        f"{root}/dst",
+        f"{root}/ckpt",
+        max_files_per_trigger=1,
+        state_partitions=4,
+    )
+    op.run_available()
+    return op.decisions(load_table(spark, sf, "documents"))
+
+
+@register(
     "stream_kmv_users",
     """
     WITH h AS (SELECT DISTINCT event_type,
@@ -14155,6 +14208,10 @@ _PRIORITY_PREFIXES = (
     # round-5 transactional-sink flagships: newest surface, zero
     # driver rows yet — front of the sample until confirmed
     "pipeline_", "ts_retention_tx", "ts_copy_roundtrip_tx",
+    # r9: 53 unconfirmed+focus names compete for ~50 sample slots —
+    # promote the verdict-named r8 query so it cannot be one of the
+    # ~3 that spill to next round
+    "doc_compression_ratio",
 )
 
 #: Queries whose implementation or oracle changed THIS round — pinned

@@ -1,0 +1,203 @@
+"""Streaming near-duplicate LSH index: incremental MinHash banding.
+
+The reference has no streaming and no near-dup surface (SURVEY §2.6 —
+its stateful layer is the HA supervisor's in-memory counters); this is
+the Spark-native operator a live training-data ingestion pipeline
+needs: as documents arrive, maintain an LSH index incrementally so
+each bucket knows its canonical representative, without ever
+re-scanning the corpus.
+
+Semantics — chosen so the streamed answer is PROVABLY the batch
+answer: per LSH band bucket the state is the MINIMUM document id ever
+seen (the bucket's canonical representative). ``min`` is idempotent,
+commutative and associative, i.e. duplicate-delivery-insensitive and
+delivery-ORDER-insensitive — so after any micro-batch schedule,
+including re-deliveries, the index equals what a single batch job
+would compute. That is the same design rule as the streaming KMV
+sketch (stateful.py): pick a mergeable, duplicate-insensitive summary
+and the full value-hash oracle gate applies to the stream.
+("First-seen wins" — the tempting alternative — depends on arrival
+order and can't be oracle-checked; "min wins" can.)
+
+The dedup decision answered by the index: ``canonical_id(doc) =``
+min over the doc's bands of the bucket minimum — *is there a smaller-id
+document that shares at least one band with mine?* This is the one-hop
+canonical, NOT the transitive closure (the batch
+``connected_components`` operator computes that over the full pair
+graph); one hop is what an ingestion-time filter wants, because it is
+O(1) state per bucket and O(bands) lookups per document.
+
+Scale: state is one long per non-empty band bucket — bounded by the
+number of DISTINCT band keys, not by corpus size, and far smaller than
+the dedup-horizon key state of exact streaming dedup. Buckets shard
+across the state store by group key (band_id, band_key — high-entropy
+md5-derived strings, so no hot shards); each micro-batch shuffles only
+its own band rows. At 100 TB the state store is RocksDB
+(``state_backend='rocksdb'``, measured in SCALE.md) and the index keeps
+running forever; a batch rebuild is one groupBy if the store is lost.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from syncflux_spark.operators.dedup import band_keys
+
+BANDMIN_OUTPUT = T.StructType(
+    [
+        T.StructField("band_id", T.IntegerType()),
+        T.StructField("band_key", T.StringType()),
+        T.StructField("min_doc_id", T.LongType()),
+    ]
+)
+BANDMIN_STATE = T.StructType([T.StructField("min_id", T.LongType())])
+
+
+def _bandmin_factory(id_col: str):
+    def _bandmin_fn(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        m = state.get[0] if state.exists else None
+        for pdf in pdfs:
+            bm = int(pdf[id_col].astype("int64").min())
+            m = bm if m is None else min(m, bm)
+        state.update((m,))
+        yield pd.DataFrame(
+            {"band_id": [key[0]], "band_key": [key[1]], "min_doc_id": [m]}
+        )
+
+    return _bandmin_fn
+
+
+class StreamingLshIndex:
+    """Checkpointed incremental LSH band index over a document stream:
+    per-bucket canonical-minimum state maintained across micro-batches
+    and restarts, equal by construction to the batch-computed index.
+    Same availableNow / batch-keyed-sink / newest-batch-wins plumbing
+    as the other stateful operators in this package."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        src_path: str,
+        dst_path: str,
+        checkpoint_path: str,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        path_glob_filter: str | None = None,
+        max_files_per_trigger: int | None = None,
+        state_partitions: int | None = None,
+        state_backend: str | None = None,
+    ):
+        self.spark = spark
+        self.src_path = src_path
+        self.dst_path = dst_path
+        self.checkpoint_path = checkpoint_path
+        self.id_col = id_col
+        self.text_col = text_col
+        self.path_glob_filter = path_glob_filter
+        self.max_files_per_trigger = max_files_per_trigger
+        self.state_partitions = state_partitions
+        self.state_backend = state_backend
+
+    def _reader(self):
+        batch_reader = self.spark.read
+        if self.path_glob_filter:
+            batch_reader = batch_reader.option(
+                "pathGlobFilter", self.path_glob_filter
+            )
+        schema = batch_reader.parquet(self.src_path).schema
+        reader = self.spark.readStream.schema(schema)
+        if self.path_glob_filter:
+            reader = reader.option("pathGlobFilter", self.path_glob_filter)
+        if self.max_files_per_trigger:
+            reader = reader.option(
+                "maxFilesPerTrigger", str(self.max_files_per_trigger)
+            )
+        return reader.parquet(self.src_path)
+
+    def run_available(self) -> None:
+        # band_keys is all narrow ops (shingle → md5 → array_min →
+        # explode), so it composes onto the streaming reader unchanged
+        bands = band_keys(
+            self._reader(), text_col=self.text_col, id_col=self.id_col
+        )
+        stream = bands.groupBy("band_id", "band_key").applyInPandasWithState(
+            _bandmin_factory(self.id_col),
+            BANDMIN_OUTPUT,
+            BANDMIN_STATE,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+
+        def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+            batch_df.write.mode("overwrite").parquet(
+                os.path.join(self.dst_path, f"batch={batch_id}")
+            )
+
+        from syncflux_spark.utils import streaming_state
+
+        with streaming_state(
+            self.spark, self.state_partitions, self.state_backend
+        ):
+            q = (
+                stream.writeStream.foreachBatch(write_batch)
+                .outputMode("update")
+                .option("checkpointLocation", self.checkpoint_path)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+    def current_index(self) -> DataFrame:
+        """The live index: newest emitted row per band bucket."""
+        from pyspark.sql import Window
+
+        out = (
+            self.spark.read.option("recursiveFileLookup", "true")
+            .option("basePath", self.dst_path)
+            .parquet(self.dst_path)
+        )
+        files = out.withColumn(
+            "_batch",
+            F.regexp_extract(F.input_file_name(), r"batch=(\d+)", 1).cast(
+                "long"
+            ),
+        )
+        w = Window.partitionBy("band_id", "band_key").orderBy(
+            F.desc("_batch")
+        )
+        return (
+            files.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("band_id", "band_key", "min_doc_id")
+        )
+
+    def decisions(self, docs: DataFrame) -> DataFrame:
+        """Per-document dedup decision against the live index:
+        (id, canonical_id, is_dup) where canonical_id is the smallest
+        id sharing at least one band. The probe side computes its band
+        keys batch-side (narrow) and joins the index on the bucket key
+        — at scale this is the same high-entropy shuffle the batch LSH
+        self-join does, but against an O(buckets) index instead of the
+        corpus."""
+        probe = band_keys(docs, text_col=self.text_col, id_col=self.id_col)
+        idx = self.current_index()
+        return (
+            probe.join(idx, ["band_id", "band_key"])
+            .groupBy(self.id_col)
+            .agg(F.min("min_doc_id").alias("canonical_id"))
+            .select(
+                self.id_col,
+                "canonical_id",
+                (F.col("canonical_id") < F.col(self.id_col)).alias("is_dup"),
+            )
+        )

@@ -137,6 +137,10 @@ def spread_for_cpu(df: DataFrame, min_partitions: int | None = None) -> DataFram
     and buys full core utilization; for inputs already split this is
     a no-op.
     """
+    if df.isStreaming:
+        # no .rdd on a streaming plan; micro-batch parallelism comes
+        # from the source trigger + state shuffle, so pass through
+        return df
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= target:
         return df

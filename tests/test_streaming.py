@@ -298,6 +298,70 @@ class TestStreamingKmvSketch:
         assert t2["click"].n_sample == 64
 
 
+class TestStreamingLshIndex:
+    def test_index_matches_batch_and_survives_restart(self, spark, tmp_path):
+        """The streamed per-bucket minimum must equal the batch
+        groupBy-min over the same corpus (min-wins is delivery-
+        insensitive), survive a restart (fresh operator, same
+        checkpoint), and ignore re-delivered documents."""
+        from pyspark.sql import functions as F
+
+        from syncflux_spark.operators.dedup import band_keys
+        from syncflux_spark.streaming.neardup import StreamingLshIndex
+
+        schema = "doc_id long, text string"
+        base = "the quick brown fox jumps over the lazy dog "
+        rows1 = [
+            (10, base * 3),
+            (11, base * 3),  # exact dup of 10
+            (12, "completely different content with its own shingles"),
+            (13, "ab"),  # shorter than the shingle width: dropped
+        ]
+        src = str(tmp_path / "src")
+        spark.createDataFrame(rows1, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+        op = StreamingLshIndex(
+            spark, src, str(tmp_path / "dst"), str(tmp_path / "ckpt")
+        )
+        op.run_available()
+
+        batch_docs = spark.createDataFrame(rows1, schema)
+        expect = {
+            (r.band_id, r.band_key): r.m
+            for r in band_keys(batch_docs)
+            .groupBy("band_id", "band_key")
+            .agg(F.min("doc_id").alias("m"))
+            .collect()
+        }
+        got = {
+            (r.band_id, r.band_key): r.min_doc_id
+            for r in op.current_index().collect()
+        }
+        assert got == expect
+
+        dec = {r.doc_id: r for r in op.decisions(batch_docs).collect()}
+        assert set(dec) == {10, 11, 12}  # 13 has no shingles
+        assert dec[10].canonical_id == 10 and not dec[10].is_dup
+        assert dec[11].canonical_id == 10 and dec[11].is_dup
+        assert dec[12].canonical_id == 12 and not dec[12].is_dup
+
+        # wave 2: re-deliver doc 11 (no-op) + a new dup of 10 (id 20)
+        rows2 = [(11, base * 3), (20, base * 3)]
+        spark.createDataFrame(rows2, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        op2 = StreamingLshIndex(  # fresh object, same checkpoint
+            spark, src, str(tmp_path / "dst"), str(tmp_path / "ckpt")
+        )
+        op2.run_available()
+        all_docs = spark.createDataFrame(rows1 + [(20, base * 3)], schema)
+        dec2 = {r.doc_id: r for r in op2.decisions(all_docs).collect()}
+        assert dec2[20].canonical_id == 10 and dec2[20].is_dup
+        assert dec2[10].canonical_id == 10 and not dec2[10].is_dup
+
+
 class TestCdcMergeStream:
     """Streaming MERGE: sequential batches across restarts equal the
     one-shot merge; replayed change files are no-ops."""
