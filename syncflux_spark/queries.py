@@ -6578,6 +6578,87 @@ def stream_neardup_index(spark, sf):
 
 
 @register(
+    "stream_session_close",
+    """
+    WITH flagged AS (
+      SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS us,
+             CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                    OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, us,
+             CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id,
+           CAST(MIN(us) AS BIGINT) AS start_us,
+           CAST(MAX(us) AS BIGINT) AS end_us,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def stream_session_close(spark, sf):
+    """STREAMING exactly-once session closing under the full oracle
+    gate: events are delivered in three time-ordered micro-batches
+    (early half, late half, and a far-future flush sentinel per user);
+    sessions are emitted APPEND-ONLY, each exactly once, when the
+    event-time watermark proves no future event can extend it —
+    per-key EventTimeTimeout timers close sessions for users who went
+    quiet (streaming/sessions.py). The accumulated closed-session
+    table must equal — ids, bounds, counts, and the per-user running
+    session numbering — the batch gaps-and-islands SQL
+    (`ts_sessionize`'s oracle verbatim). Sentinel sessions never close
+    and are never emitted. State per key = open islands only, bounded
+    by the watermark horizon, not history."""
+    import glob as _glob
+    import os
+    import shutil
+
+    from syncflux_spark.streaming.sessions import StreamingSessionCloser
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    root = tempfile.mkdtemp(prefix="sf_sclose_")
+    src = os.path.join(root, "src")
+    os.makedirs(src)
+    ev = load_table(spark, sf, "events").select("user_id", "ts")
+    cut = F.to_timestamp(F.lit("2024-01-16"))
+    slices = [
+        ("a_early", ev.where(F.col("ts") < cut)),
+        ("b_late", ev.where(F.col("ts") >= cut)),
+        (
+            "c_flush",
+            ev.select("user_id")
+            .distinct()
+            .select(
+                "user_id", F.to_timestamp(F.lit("2030-01-01")).alias("ts")
+            ),
+        ),
+    ]
+    # staged sequentially: FileStreamSource delivers oldest-mtime
+    # first, and the names keep path order aligned as a tiebreak
+    for name, df in slices:
+        tmp = os.path.join(root, f"stage_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        shutil.copy(part, os.path.join(src, f"{name}.parquet"))
+    op = StreamingSessionCloser(
+        spark,
+        src,
+        f"{root}/dst",
+        f"{root}/ckpt",
+        max_files_per_trigger=1,
+        state_partitions=4,
+    )
+    op.run_available()
+    return op.closed_sessions()
+
+
+@register(
     "stream_kmv_users",
     """
     WITH h AS (SELECT DISTINCT event_type,

@@ -298,6 +298,81 @@ class TestStreamingKmvSketch:
         assert t2["click"].n_sample == 64
 
 
+class TestStreamingSessionCloser:
+    def test_timer_closes_quiet_user_and_restart_is_exactly_once(
+        self, spark, tmp_path
+    ):
+        """A user who stops sending events must still get their
+        session closed (event-time TIMER, not new data, triggers it);
+        across a restart every session is emitted exactly once and the
+        numbering continues."""
+        from syncflux_spark.streaming.sessions import StreamingSessionCloser
+
+        t0 = 1_704_067_200_000_000  # 2024-01-01 00:00:00 UTC in µs
+        minute = 60_000_000
+
+        def write(name, rows):
+            spark.createDataFrame(
+                [(u, us) for u, us in rows], "user_id long, us long"
+            ).select(
+                "user_id", F.timestamp_micros(F.col("us")).alias("ts")
+            ).coalesce(1).write.mode("overwrite").parquet(
+                str(tmp_path / f"stage_{name}")
+            )
+            import glob as g
+            import shutil
+
+            part = g.glob(str(tmp_path / f"stage_{name}" / "part-*.parquet"))[0]
+            shutil.copy(part, str(tmp_path / "src" / f"{name}.parquet"))
+
+        from pyspark.sql import functions as F
+
+        (tmp_path / "src").mkdir()
+        # wave 1: user 1 two events 10 min apart; user 2 one event
+        write("a", [(1, t0), (1, t0 + 10 * minute), (2, t0)])
+        # wave 2: user 1 again 2 h later (new session); user 2 QUIET
+        write("b", [(1, t0 + 120 * minute)])
+
+        op = StreamingSessionCloser(
+            spark,
+            str(tmp_path / "src"),
+            str(tmp_path / "dst"),
+            str(tmp_path / "ckpt"),
+            max_files_per_trigger=1,
+        )
+        op.run_available()
+        rows = {
+            (r.user_id, r.session_id): r
+            for r in op.closed_sessions().collect()
+        }
+        # both first sessions closed: user 1 by its own later event,
+        # user 2 purely by the timer (no user-2 data after wave 1)
+        assert set(rows) == {(1, 1), (2, 1)}
+        assert rows[(1, 1)].start_us == t0
+        assert rows[(1, 1)].end_us == t0 + 10 * minute
+        assert rows[(1, 1)].n_events == 2
+        assert rows[(2, 1)].n_events == 1
+
+        # restart: sentinel flushes user 1's open second session
+        write("c", [(1, t0 + 525_600 * minute), (2, t0 + 525_600 * minute)])
+        op2 = StreamingSessionCloser(  # fresh object, same checkpoint
+            spark,
+            str(tmp_path / "src"),
+            str(tmp_path / "dst"),
+            str(tmp_path / "ckpt"),
+            max_files_per_trigger=1,
+        )
+        op2.run_available()
+        all_rows = op2.closed_sessions().collect()
+        assert len(all_rows) == len(
+            {(r.user_id, r.session_id) for r in all_rows}
+        ), "a session was emitted twice"
+        final = {(r.user_id, r.session_id): r for r in all_rows}
+        assert set(final) == {(1, 1), (2, 1), (1, 2)}
+        assert final[(1, 2)].start_us == t0 + 120 * minute
+        assert final[(1, 2)].n_events == 1
+
+
 class TestStreamingLshIndex:
     def test_index_matches_batch_and_survives_restart(self, spark, tmp_path):
         """The streamed per-bucket minimum must equal the batch
