@@ -155,6 +155,8 @@ HEADLINE = [
     "dedup_keep_longest",  # r8: quality-argmax canonical selection
     "lsh_candidate_pairs_strict",  # r9: band-precision dial, strict position
     "dedup_graph_triangles_verified",  # r9: triangle QA over verified edges
+    "stream_neardup_index",  # r9: incremental LSH index, min-wins state
+    "stream_session_close",  # r9: watermark-final sessions, event-time timers
 ]
 
 

@@ -27,14 +27,20 @@ canonical, NOT the transitive closure (the batch
 graph); one hop is what an ingestion-time filter wants, because it is
 O(1) state per bucket and O(bands) lookups per document.
 
-Scale: state is one long per non-empty band bucket — bounded by the
-number of DISTINCT band keys, not by corpus size, and far smaller than
-the dedup-horizon key state of exact streaming dedup. Buckets shard
-across the state store by group key (band_id, band_key — high-entropy
-md5-derived strings, so no hot shards); each micro-batch shuffles only
-its own band rows. At 100 TB the state store is RocksDB
-(``state_backend='rocksdb'``, measured in SCALE.md) and the index keeps
-running forever; a batch rebuild is one groupBy if the store is lost.
+Scale: state is one (bucket, min) entry per non-empty band bucket —
+bounded by the number of DISTINCT band keys, not by corpus size, and
+far smaller than the dedup-horizon key state of exact streaming dedup.
+Buckets are hashed into ``n_shards`` state-store groups (xxhash64 on
+the high-entropy md5-derived bucket key, so shards balance); each
+micro-batch shuffles only its own band rows, and each shard merges its
+batch vectorized (pandas groupby + dict update) — one Python
+invocation per SHARD per batch instead of one per bucket, which is
+what applyInPandasWithState would otherwise pay (measured: the
+per-bucket layout spent its wall on dispatch, SCALE.md). At 100 TB the
+state store is RocksDB (``state_backend='rocksdb'``, measured in
+SCALE.md), ``n_shards`` grows with the bucket count to keep per-shard
+maps small, and the index keeps running forever; a batch rebuild is
+one groupBy if the store is lost.
 """
 
 from __future__ import annotations
@@ -58,20 +64,61 @@ BANDMIN_OUTPUT = T.StructType(
         T.StructField("min_doc_id", T.LongType()),
     ]
 )
-BANDMIN_STATE = T.StructType([T.StructField("min_id", T.LongType())])
+#: Per SHARD of buckets (not per bucket): three parallel arrays forming
+#: the shard's bucket → min map. Keying the state store per bucket
+#: would be the classic point-update layout, but applyInPandasWithState
+#: pays one PYTHON invocation per key per batch — with tens of
+#: thousands of near-singleton band buckets that dispatch dominated the
+#: wall (measured 23.2s → see SCALE.md after sharding). Hashing buckets
+#: into ``n_shards`` groups amortizes the dispatch; inside a shard the
+#: merge is a vectorized pandas groupby + dict update. min-wins
+#: semantics are unchanged — a bucket's min is the same wherever it
+#: lives.
+BANDMIN_STATE = T.StructType(
+    [
+        T.StructField("band_ids", T.ArrayType(T.IntegerType())),
+        T.StructField("band_keys", T.ArrayType(T.StringType())),
+        T.StructField("mins", T.ArrayType(T.LongType())),
+    ]
+)
 
 
 def _bandmin_factory(id_col: str):
     def _bandmin_fn(
         key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        m = state.get[0] if state.exists else None
-        for pdf in pdfs:
-            bm = int(pdf[id_col].astype("int64").min())
-            m = bm if m is None else min(m, bm)
-        state.update((m,))
+        if state.exists:
+            bids, bkeys, mins = state.get
+            cur = {
+                (int(b), k): int(m) for b, k, m in zip(bids, bkeys, mins)
+            }
+        else:
+            cur = {}
+        batches = [pdf for pdf in pdfs if len(pdf)]
+        pdf = pd.concat(batches) if len(batches) > 1 else batches[0]
+        batch_min = pdf.groupby(["band_id", "band_key"], sort=False)[
+            id_col
+        ].min()
+        out_b, out_k, out_m = [], [], []
+        for (bid, bk), m in batch_min.items():
+            bid, m = int(bid), int(m)
+            old = cur.get((bid, bk))
+            new = m if old is None or m < old else old
+            cur[(bid, bk)] = new
+            out_b.append(bid)
+            out_k.append(bk)
+            out_m.append(new)
+        state.update(
+            (
+                [b for b, _ in cur],
+                [k for _, k in cur],
+                list(cur.values()),
+            )
+        )
+        # emit only the buckets this batch touched (update semantics;
+        # the sink resolves newest-wins per bucket)
         yield pd.DataFrame(
-            {"band_id": [key[0]], "band_key": [key[1]], "min_doc_id": [m]}
+            {"band_id": out_b, "band_key": out_k, "min_doc_id": out_m}
         )
 
     return _bandmin_fn
@@ -92,17 +139,25 @@ class StreamingLshIndex:
         checkpoint_path: str,
         id_col: str = "doc_id",
         text_col: str = "text",
+        n_shards: int = 64,
         path_glob_filter: str | None = None,
         max_files_per_trigger: int | None = None,
         state_partitions: int | None = None,
         state_backend: str | None = None,
     ):
+        if n_shards < 1:
+            raise ValueError(f"n_shards must be >= 1, got {n_shards}")
         self.spark = spark
         self.src_path = src_path
         self.dst_path = dst_path
         self.checkpoint_path = checkpoint_path
         self.id_col = id_col
         self.text_col = text_col
+        # Python invocations per batch == shards touched; per-shard
+        # state == buckets/n_shards map entries moved through Arrow.
+        # Size it so both stay small: more shards at bigger corpora
+        # (the dispatch side re-dominates only past ~10^3 shards).
+        self.n_shards = n_shards
         self.path_glob_filter = path_glob_filter
         self.max_files_per_trigger = max_files_per_trigger
         self.state_partitions = state_partitions
@@ -127,10 +182,23 @@ class StreamingLshIndex:
     def run_available(self) -> None:
         # band_keys is all narrow ops (shingle → md5 → array_min →
         # explode), so it composes onto the streaming reader unchanged
-        bands = band_keys(
-            self._reader(), text_col=self.text_col, id_col=self.id_col
+        # one file per trigger = ONE scan partition: without an
+        # explicit spread the md5/shingle kernel runs single-core per
+        # micro-batch (spread_for_cpu can't size a streaming plan —
+        # no .rdd — so the operator spreads here, before the
+        # CPU-heavy narrow stage)
+        docs = self._reader().repartition(
+            self.spark.sparkContext.defaultParallelism
         )
-        stream = bands.groupBy("band_id", "band_key").applyInPandasWithState(
+        bands = band_keys(
+            docs, text_col=self.text_col, id_col=self.id_col
+        ).withColumn(
+            "_shard",
+            F.pmod(
+                F.xxhash64("band_id", "band_key"), F.lit(self.n_shards)
+            ).cast("int"),
+        )
+        stream = bands.groupBy("_shard").applyInPandasWithState(
             _bandmin_factory(self.id_col),
             BANDMIN_OUTPUT,
             BANDMIN_STATE,
