@@ -437,6 +437,95 @@ class TestStreamingLshIndex:
         assert dec2[10].canonical_id == 10 and not dec2[10].is_dup
 
 
+class TestStreamingSessionCloserEdges:
+    def test_gap_boundary_duplicates_and_singletons(self, spark, tmp_path):
+        """The batch islands rule is diff > gap SPLITS (diff == gap
+        chains) — pin the closer to the exact boundary, plus duplicate
+        timestamps and single-event sessions."""
+        import glob as g
+        import shutil
+
+        from pyspark.sql import functions as F
+
+        from syncflux_spark.streaming.sessions import StreamingSessionCloser
+
+        t0 = 1_704_067_200_000_000
+        gap = 1_800_000_000  # 30 min in µs (operator default)
+        rows = [
+            # exactly gap apart twice: ONE session of 3
+            (1, t0), (1, t0 + gap), (1, t0 + 2 * gap),
+            # gap+1 apart: TWO sessions
+            (2, t0), (2, t0 + gap + 1),
+            # duplicate timestamps: one session, n_events=3
+            (3, t0), (3, t0), (3, t0),
+            # singleton
+            (4, t0),
+        ]
+        year_us = 31_536_000_000_000
+        sentinel = [(u, t0 + year_us) for u in (1, 2, 3, 4)]
+
+        (tmp_path / "src").mkdir()
+        for name, batch in (("a_data", rows), ("b_flush", sentinel)):
+            spark.createDataFrame(batch, "user_id long, us long").select(
+                "user_id", F.timestamp_micros(F.col("us")).alias("ts")
+            ).coalesce(1).write.mode("overwrite").parquet(
+                str(tmp_path / f"stage_{name}")
+            )
+            part = g.glob(str(tmp_path / f"stage_{name}" / "part-*.parquet"))[0]
+            shutil.copy(part, str(tmp_path / "src" / f"{name}.parquet"))
+
+        op = StreamingSessionCloser(
+            spark,
+            str(tmp_path / "src"),
+            str(tmp_path / "dst"),
+            str(tmp_path / "ckpt"),
+            max_files_per_trigger=1,
+        )
+        op.run_available()
+        got = {
+            (r.user_id, r.session_id): (r.start_us, r.end_us, r.n_events)
+            for r in op.closed_sessions().collect()
+        }
+        assert got == {
+            (1, 1): (t0, t0 + 2 * gap, 3),
+            (2, 1): (t0, t0, 1),
+            (2, 2): (t0 + gap + 1, t0 + gap + 1, 1),
+            (3, 1): (t0, t0, 3),
+            (4, 1): (t0, t0, 1),
+        }
+
+
+class TestStreamingNeardupPlan:
+    def test_probe_is_equi_join_no_python(self, spark, tmp_path):
+        """The decisions() probe must plan as an equality join on the
+        bucket key — never a nested-loop/cartesian — and the whole
+        batch side stays JVM-side (band keys are built-in md5/substr
+        expressions, no Python eval)."""
+        from pyspark.sql import functions as F
+
+        from syncflux_spark.operators.dedup import band_keys
+        from syncflux_spark.streaming.neardup import StreamingLshIndex
+
+        docs = spark.createDataFrame(
+            [(i, f"document number {i} with some shared text") for i in range(20)],
+            "doc_id long, text string",
+        )
+        # stand in for a streamed index: one committed batch directory
+        band_keys(docs).groupBy("band_id", "band_key").agg(
+            F.min("doc_id").alias("min_doc_id")
+        ).write.parquet(str(tmp_path / "dst" / "batch=0"))
+        op = StreamingLshIndex(
+            spark,
+            str(tmp_path / "src"),
+            str(tmp_path / "dst"),
+            str(tmp_path / "ckpt"),
+        )
+        plan = op.decisions(docs)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 class TestCdcMergeStream:
     """Streaming MERGE: sequential batches across restarts equal the
     one-shot merge; replayed change files are no-ops."""
