@@ -95,6 +95,8 @@ def _bandmin_factory(id_col: str):
         else:
             cur = {}
         batches = [pdf for pdf in pdfs if len(pdf)]
+        if not batches:  # defensive: an all-empty Arrow chunk stream
+            return  # existing state (if any) persists untouched
         pdf = pd.concat(batches) if len(batches) > 1 else batches[0]
         batch_min = pdf.groupby(["band_id", "band_key"], sort=False)[
             id_col
@@ -256,7 +258,9 @@ class StreamingLshIndex:
         keys batch-side (narrow) and joins the index on the bucket key
         — at scale this is the same high-entropy shuffle the batch LSH
         self-join does, but against an O(buckets) index instead of the
-        corpus."""
+        corpus. Inner-join semantics: a probe document NONE of whose
+        buckets exist in the index (i.e. it was never ingested) gets
+        no row — probe the stream's own corpus, or ingest first."""
         probe = band_keys(docs, text_col=self.text_col, id_col=self.id_col)
         idx = self.current_index()
         return (

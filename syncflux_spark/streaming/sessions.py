@@ -27,12 +27,19 @@ key arrives — without it, a key whose user went quiet would hold its
 last session in state forever (the closing logic would only run on the
 key's next event, which may never come).
 
-Scale: state per key is the events of OPEN islands only — bounded by
+Scale: the EVENT buffer per key holds OPEN islands only — bounded by
 the watermark horizon (an island older than ``gap`` behind the
-watermark closes and leaves state), not by history. The one shuffle is
-the keyed state exchange every stateful stream pays; shard count and
-RocksDB backend ride the same dials as the rest of this package
-(`utils.streaming_state`, measured in SCALE.md).
+watermark closes and leaves the buffer), not by history. One honest
+residue: the per-user session COUNTER must survive after all of a
+user's sessions close (batch-identical numbering needs the count of
+every session that ever closed), so a fully-drained key keeps one
+(empty array, long) row in the store — O(1) per user ever seen, the
+explicit price of numbering parity; a deployment that only needs
+session FACTS can key sessions by (user, start_us) instead and drop
+drained keys. The one shuffle is the keyed state exchange every
+stateful stream pays; shard count and RocksDB backend ride the same
+dials as the rest of this package (`utils.streaming_state`, measured
+in SCALE.md).
 """
 
 from __future__ import annotations
