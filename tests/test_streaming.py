@@ -495,6 +495,59 @@ class TestStreamingSessionCloserEdges:
         }
 
 
+class TestSessionCloserRocksdbTimers:
+    def test_event_time_timers_match_hdfs_backend(self, spark, tmp_path):
+        """EventTimeTimeout timers live IN the state store — a
+        provider with a different timer codepath could drop or
+        double-fire them. Run the gap/duplicate/singleton fixture on
+        both backends and require identical closed sessions."""
+        import glob as g
+        import shutil
+
+        from pyspark.sql import functions as F
+
+        from syncflux_spark.streaming.sessions import StreamingSessionCloser
+
+        t0 = 1_704_067_200_000_000
+        gap = 1_800_000_000
+        rows = [
+            (1, t0), (1, t0 + gap), (1, t0 + 2 * gap),
+            (2, t0), (2, t0 + gap + 1),
+            (3, t0), (3, t0), (3, t0),
+            (4, t0),
+        ]
+        sentinel = [(u, t0 + 31_536_000_000_000) for u in (1, 2, 3, 4)]
+        results = {}
+        for backend in ("hdfs", "rocksdb"):
+            base = tmp_path / backend
+            (base / "src").mkdir(parents=True)
+            for name, batch in (("a_data", rows), ("b_flush", sentinel)):
+                spark.createDataFrame(
+                    batch, "user_id long, us long"
+                ).select(
+                    "user_id", F.timestamp_micros(F.col("us")).alias("ts")
+                ).coalesce(1).write.mode("overwrite").parquet(
+                    str(base / f"stage_{name}")
+                )
+                part = g.glob(str(base / f"stage_{name}" / "part-*.parquet"))[0]
+                shutil.copy(part, str(base / "src" / f"{name}.parquet"))
+            op = StreamingSessionCloser(
+                spark,
+                str(base / "src"),
+                str(base / "dst"),
+                str(base / "ckpt"),
+                max_files_per_trigger=1,
+                state_partitions=2,
+                state_backend=backend,
+            )
+            op.run_available()
+            results[backend] = sorted(
+                tuple(r) for r in op.closed_sessions().collect()
+            )
+        assert results["rocksdb"] == results["hdfs"]
+        assert len(results["hdfs"]) == 5
+
+
 class TestStreamingNeardupPlan:
     def test_probe_is_equi_join_no_python(self, spark, tmp_path):
         """The decisions() probe must plan as an equality join on the
