@@ -548,6 +548,47 @@ class TestSessionCloserRocksdbTimers:
         assert len(results["hdfs"]) == 5
 
 
+class TestNeardupRocksdbShardMaps:
+    def test_shard_map_state_matches_hdfs_backend(self, spark, tmp_path):
+        """The index's state values are parallel ARRAYS (a shard's
+        whole bucket map) — a large-value shape no other backend test
+        exercises. Same corpus on both providers must yield the same
+        decisions."""
+        from syncflux_spark.streaming.neardup import StreamingLshIndex
+
+        schema = "doc_id long, text string"
+        base_txt = "the quick brown fox jumps over the lazy dog "
+        rows = [
+            (10, base_txt * 3),
+            (11, base_txt * 3),
+            (12, "completely different content with its own shingles"),
+        ]
+        results = {}
+        for backend in ("hdfs", "rocksdb"):
+            broot = tmp_path / backend
+            src = str(broot / "src")
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+            op = StreamingLshIndex(
+                spark,
+                src,
+                str(broot / "dst"),
+                str(broot / "ckpt"),
+                state_partitions=2,
+                state_backend=backend,
+            )
+            op.run_available()
+            results[backend] = sorted(
+                tuple(r)
+                for r in op.decisions(
+                    spark.createDataFrame(rows, schema)
+                ).collect()
+            )
+        assert results["rocksdb"] == results["hdfs"]
+        assert len(results["hdfs"]) == 3
+
+
 class TestStreamingNeardupPlan:
     def test_probe_is_equi_join_no_python(self, spark, tmp_path):
         """The decisions() probe must plan as an equality join on the
