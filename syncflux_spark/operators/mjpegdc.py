@@ -1,20 +1,27 @@
-"""Pure-Python DC-only baseline-JPEG decoder for MJPEG-in-MP4.
+"""Pure-Python baseline-JPEG decoder for MJPEG-in-MP4.
 
 This container has no Pillow/PyAV/ffmpeg, so the real-codec branches
 of :func:`syncflux_spark.operators.multimodal.sample_frames` never
 execute here. This module closes that seam from the other side: a
 spec-only decoder (ITU T.81 baseline entropy coding + ISO 14496-12
 sample tables, the same public specs ``tools/mjpeg_mp4.py`` writes
-with) that recovers frames EXACTLY for the class of JPEG it supports —
-grayscale baseline scans whose blocks carry only a DC coefficient
-(every solid-color frame, which is what the vendored fixture holds).
+with) for single-component grayscale baseline scans, at two levels:
 
-Scope is deliberately narrow and loudly enforced: one grayscale
-component, baseline DCT, no restart markers, and any nonzero AC
-coefficient raises ``NotImplementedError`` — a constant 8×8 block is
-fully described by its DC term (IDCT of a lone DC is a flat block at
-``DC/8``), so reconstruction needs no IDCT and is bit-exact. General
-photographic JPEG stays with Pillow/PyAV where those exist.
+- :func:`decode_dc_only_jpeg` — the fast path for blocks that carry
+  only a DC coefficient (every solid-color frame, which is what the
+  vendored fixture holds). A constant 8×8 block is fully described by
+  its DC term (IDCT of a lone DC is a flat block at ``DC/8``), so
+  reconstruction needs no IDCT and is bit-exact. Any nonzero AC
+  coefficient raises ``NotImplementedError`` here.
+- :func:`decode_baseline_gray` — the full T.81 baseline path: Huffman
+  run-length AC decode, dequantization, zigzag, and a separable
+  floating-point IDCT (Annex A.3.3), pixel-asserted in tests against
+  an independent numpy IDCT built straight from the spec formula.
+
+Scope limits are loudly enforced with ``NotImplementedError``:
+progressive SOF, subsampled/multi-component scans, 16-bit quant
+tables, and restart intervals stay with Pillow/PyAV where those
+binaries exist.
 
 Everything is stdlib-only so the kernel ships to executors with no
 extra imports.

@@ -6621,7 +6621,9 @@ def stream_session_close(spark, sf):
 
     from syncflux_spark.streaming.sessions import StreamingSessionCloser
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # no nanosAsLong here: the staged slices are Spark-written µs
+    # parquet and events.parquet is timestamp[us] — setting the legacy
+    # ns read mode would only leak session-global state (ADVICE r9)
     root = tempfile.mkdtemp(prefix="sf_sclose_")
     src = os.path.join(root, "src")
     os.makedirs(src)
@@ -6639,13 +6641,17 @@ def stream_session_close(spark, sf):
             ),
         ),
     ]
-    # staged sequentially: FileStreamSource delivers oldest-mtime
-    # first, and the names keep path order aligned as a tiebreak
-    for name, df in slices:
+    # FileStreamSource delivers oldest-mtime first; pin strictly
+    # increasing mtimes explicitly so delivery order never depends on
+    # filesystem clock granularity (an a_early/b_late mtime tie would
+    # flip the batches and drop the early slice as late data)
+    for i, (name, df) in enumerate(slices):
         tmp = os.path.join(root, f"stage_{name}")
         df.coalesce(1).write.mode("overwrite").parquet(tmp)
         part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
-        shutil.copy(part, os.path.join(src, f"{name}.parquet"))
+        dst_file = os.path.join(src, f"{name}.parquet")
+        shutil.copy(part, dst_file)
+        os.utime(dst_file, (1_700_000_000 + i, 1_700_000_000 + i))
     op = StreamingSessionCloser(
         spark,
         src,
@@ -6659,6 +6665,89 @@ def stream_session_close(spark, sf):
         state_partitions=16,
     )
     op.run_available()
+    return op.closed_sessions()
+
+
+@register(
+    "stream_session_facts",
+    """
+    WITH flagged AS (
+      SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS us,
+             CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                    OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, us,
+             CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           CAST(MIN(us) AS BIGINT) AS start_us,
+           CAST(MAX(us) AS BIGINT) AS end_us,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def stream_session_facts(spark, sf):
+    """STREAMING session closing in FACTS-ONLY mode
+    (streaming/sessions.py, ``numbering=False``): same watermark-
+    proven exactly-once gap sessions as `stream_session_close`, but
+    sessions are identified by (user, start_us) — already unique,
+    since a key's islands are disjoint — and a key whose buffer
+    drains is REMOVED from the state store instead of keeping a
+    numbering-parity counter row forever. This is the deployment
+    shape a 100 TB pipeline that doesn't need per-user session
+    numbering runs: store size is O(keys with an open island inside
+    the watermark horizon), not O(users ever seen). The oracle is the
+    batch gaps-and-islands SQL minus the session_id column (the
+    grouping still happens per island; only the id is dropped from
+    the output)."""
+    import glob as _glob
+    import os
+    import shutil
+
+    from syncflux_spark.streaming.sessions import StreamingSessionCloser
+
+    root = tempfile.mkdtemp(prefix="sf_sfacts_")
+    src = os.path.join(root, "src")
+    os.makedirs(src)
+    ev = load_table(spark, sf, "events").select("user_id", "ts")
+    cut = F.to_timestamp(F.lit("2024-01-16"))
+    slices = [
+        ("a_early", ev.where(F.col("ts") < cut)),
+        ("b_late", ev.where(F.col("ts") >= cut)),
+        (
+            "c_flush",
+            ev.select("user_id")
+            .distinct()
+            .select(
+                "user_id", F.to_timestamp(F.lit("2030-01-01")).alias("ts")
+            ),
+        ),
+    ]
+    for i, (name, df) in enumerate(slices):
+        tmp = os.path.join(root, f"stage_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst_file = os.path.join(src, f"{name}.parquet")
+        shutil.copy(part, dst_file)
+        os.utime(dst_file, (1_700_000_000 + i, 1_700_000_000 + i))
+    op = StreamingSessionCloser(
+        spark,
+        src,
+        f"{root}/dst",
+        f"{root}/ckpt",
+        max_files_per_trigger=1,
+        state_partitions=16,
+        numbering=False,
+    )
+    op.run_available()
+    # sentinel islands never close, so no 2030 rows reach the output
     return op.closed_sessions()
 
 
@@ -9574,14 +9663,14 @@ def table_profile(spark, sf):
                       THEN (n*c - s) * (n*l3 - s) END) AS num3
       FROM led GROUP BY event_type, n, s)
     SELECT event_type, CAST(1 AS BIGINT) AS lag, n AS n_hours,
-           num1 AS acf_num, den AS acf_den,
+           CAST(num1 AS BIGINT) AS acf_num, CAST(den AS BIGINT) AS acf_den,
            CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE) AS acf
     FROM agg
     UNION ALL
-    SELECT event_type, 2, n, num2, den,
+    SELECT event_type, 2, n, CAST(num2 AS BIGINT), CAST(den AS BIGINT),
            CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE) FROM agg
     UNION ALL
-    SELECT event_type, 3, n, num3, den,
+    SELECT event_type, 3, n, CAST(num3 AS BIGINT), CAST(den AS BIGINT),
            CAST(num3 AS DOUBLE) / CAST(den AS DOUBLE) FROM agg
     """,
 )
@@ -14304,25 +14393,20 @@ _PRIORITY_PREFIXES = (
 #: anything else (a changed query with a stale green row is the one
 #: regression the self-maintaining order can't see on its own).
 _ROUND_FOCUS = (
-    # r9: kept minimal on purpose — every r7/r8 pin landed a green
-    # driver row in CORRECTNESS_r08, so carrying them would displace
-    # the 46 never-sampled names the sample must drain this round.
-    # Pinned below: only queries whose impl changed in r9.
+    # r10: pinned = only queries whose impl or oracle changed this
+    # round; everything else rides the self-maintaining order (the 5
+    # never-sampled r9 spill-overs and the new registrations are
+    # unconfirmed, so they auto-front without displacing anything).
     #
-    # the dcjpeg decode branch now routes through the full baseline
-    # decoder (AC + IDCT, operators/mjpegdc.py::decode_baseline_gray);
-    # values are provably identical on the DC-only fixture, but the
-    # changed code path must re-confirm against the driver gate
-    "mm_image_decode",
-    # the whole simhash family re-routed through a shared
-    # materialized-digest projection (the per-bit re-hash fix,
-    # operators/dedup.py::_simhash_hex_tokens) — values proven
-    # identical against the oracle at sf0.01 locally, but changed
-    # impl means the historical green rows are stale evidence
-    # (the new wide64 query is unconfirmed and auto-fronts itself)
-    "simhash_fingerprint",
-    "simhash_near_pairs",
-    "simhash_near_pairs_wide",
+    # oracle fix: CAST the HUGEINT (DuckDB SUM-of-BIGINT) output
+    # columns to BIGINT — the r9 hash mismatch was a dtype leak, the
+    # Spark values were proven bit-exact (VERDICT r9)
+    "ts_acf",
+    # sessions.py refactor: the closing kernel factored into
+    # _close_islands/_arm_timer and the output schema is now derived
+    # from the source key type — values identical by construction,
+    # but changed impl means the r9 green row is stale evidence
+    "stream_session_close",
 )
 
 

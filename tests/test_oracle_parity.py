@@ -51,6 +51,23 @@ def assert_frames_match(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: s
     d = normalize(duck_pdf)
     for col in s.columns:
         sv, dv = s[col], d[col]
+        # The driver's value-hash stringifies each cell, so an
+        # int64-vs-float64 divergence (1082416320 vs 1082416320.0)
+        # hash-mismatches even when the values are numerically equal.
+        # The classic leak: DuckDB SUM(BIGINT) returns HUGEINT, which
+        # pandas materializes as float64 — the oracle must CAST such
+        # output columns to BIGINT. Catch that class locally (ts_acf
+        # slipped through in r9 because the old float branch coerced
+        # both sides to float before comparing).
+        ks, kd = sv.dtype.kind, dv.dtype.kind
+        if ks in "iufb" and kd in "iufb":
+            assert (ks == "f") == (kd == "f"), (
+                f"{name}.{col}: dtype kind mismatch spark={sv.dtype} "
+                f"oracle={dv.dtype} — the driver's value-hash stringifies "
+                "int and float differently; CAST the oracle column (DuckDB "
+                "HUGEINT from SUM-of-BIGINT arrives as float64) or align "
+                "the Spark type"
+            )
         if sv.dtype.kind == "f" or dv.dtype.kind == "f":
             sa, da = sv.astype(float).to_numpy(), dv.astype(float).to_numpy()
             for i, (x, y) in enumerate(zip(sa, da)):
@@ -86,6 +103,20 @@ def test_query_matches_oracle(name, spark, sf_dir, duck):
         return
     duck_pdf = duck.sql(ORACLES[name]).df()
     assert_frames_match(spark_pdf, duck_pdf, name)
+
+
+def test_dtype_kind_gate_catches_hugeint_leak():
+    """The r9 blind spot, pinned: identical VALUES but int64 on the
+    Spark side vs float64 on the oracle side (what DuckDB HUGEINT
+    from an uncast SUM-of-BIGINT materializes as) must FAIL locally,
+    because the driver's value-hash stringifies them differently."""
+    ints = pd.DataFrame({"k": ["a", "b"], "s": pd.array([10, 20], dtype="int64")})
+    floats = pd.DataFrame({"k": ["a", "b"], "s": pd.array([10.0, 20.0], dtype="float64")})
+    with pytest.raises(AssertionError, match="dtype kind mismatch"):
+        assert_frames_match(ints, floats, "hugeint_leak_fixture")
+    # same-kind frames still pass
+    assert_frames_match(ints, ints.copy(), "int_ok")
+    assert_frames_match(floats, floats.copy(), "float_ok")
 
 
 def test_entry_smoke(spark):

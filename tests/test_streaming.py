@@ -495,6 +495,131 @@ class TestStreamingSessionCloserEdges:
         }
 
 
+class TestSessionCloserFactsOnly:
+    @staticmethod
+    def _stage(spark, src_dir, waves, schema="user_id long, us long"):
+        """Write each wave as one parquet file with strictly
+        increasing mtimes so FileStreamSource delivery order is
+        pinned."""
+        import glob as g
+        import os
+        import shutil
+
+        from pyspark.sql import functions as F
+
+        src_dir.mkdir(parents=True, exist_ok=True)
+        for i, (name, batch) in enumerate(waves):
+            stage = src_dir.parent / f"stage_{name}"
+            spark.createDataFrame(batch, schema).select(
+                "user_id", F.timestamp_micros(F.col("us")).alias("ts")
+            ).coalesce(1).write.mode("overwrite").parquet(str(stage))
+            part = g.glob(str(stage / "part-*.parquet"))[0]
+            dst = str(src_dir / f"{name}.parquet")
+            shutil.copy(part, dst)
+            os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    def test_facts_match_numbered_output_minus_session_id(
+        self, spark, tmp_path
+    ):
+        """numbering=False must emit exactly the numbered mode's
+        sessions minus the id column, and a key whose state was
+        REMOVED on drain must restart cleanly when it reappears."""
+        from syncflux_spark.streaming.sessions import StreamingSessionCloser
+
+        t0 = 1_704_067_200_000_000
+        gap = 1_800_000_000
+        year = 31_536_000_000_000
+        rows = [
+            (1, t0), (1, t0 + gap), (1, t0 + 2 * gap),
+            (2, t0), (2, t0 + gap + 1),
+            (3, t0),
+        ]
+        waves = [
+            ("a_data", rows),
+            # closes every open island above; users 1-3 DRAIN (their
+            # sentinel island stays open only for user 9, the pump)
+            ("b_flush", [(9, t0 + year)]),
+            # user 1 REAPPEARS after its state row was removed
+            ("c_return", [(1, t0 + year + gap + 1)]),
+            ("d_flush", [(9, t0 + 2 * year)]),
+        ]
+        self._stage(spark, tmp_path / "src", waves)
+        op = StreamingSessionCloser(
+            spark,
+            str(tmp_path / "src"),
+            str(tmp_path / "dst"),
+            str(tmp_path / "ckpt"),
+            max_files_per_trigger=1,
+            numbering=False,
+        )
+        op.run_available()
+        df = op.closed_sessions()
+        assert df.columns == ["user_id", "start_us", "end_us", "n_events"]
+        got = sorted(tuple(r) for r in df.collect())
+        assert got == sorted(
+            [
+                (1, t0, t0 + 2 * gap, 3),
+                (2, t0, t0, 1),
+                (2, t0 + gap + 1, t0 + gap + 1, 1),
+                (3, t0, t0, 1),
+                # the post-removal return closed as its own fact
+                (1, t0 + year + gap + 1, t0 + year + gap + 1, 1),
+                # the pump's first sentinel closed when its second
+                # arrived a year later
+                (9, t0 + year, t0 + year, 1),
+            ]
+        )
+
+    def test_string_keyed_stream_works_end_to_end(self, spark, tmp_path):
+        """The key column keeps its source type (ADVICE r9: the old
+        hardcoded LongType schema broke string keys with an opaque
+        Arrow error)."""
+        from syncflux_spark.streaming.sessions import StreamingSessionCloser
+
+        t0 = 1_704_067_200_000_000
+        waves = [
+            ("a_data", [("alice", t0), ("alice", t0 + 60_000_000)]),
+            ("b_flush", [("pump", t0 + 31_536_000_000_000)]),
+        ]
+        self._stage(
+            spark, tmp_path / "src", waves, schema="user_id string, us long"
+        )
+        op = StreamingSessionCloser(
+            spark,
+            str(tmp_path / "src"),
+            str(tmp_path / "dst"),
+            str(tmp_path / "ckpt"),
+            max_files_per_trigger=1,
+        )
+        op.run_available()
+        rows = op.closed_sessions().collect()
+        assert [(r.user_id, r.session_id, r.n_events) for r in rows] == [
+            ("alice", 1, 2)
+        ]
+
+    def test_bad_key_or_time_type_fails_fast(self, spark, tmp_path):
+        """Clear TypeError at startup, not an opaque analysis error
+        deep inside applyInPandasWithState."""
+        import pytest
+
+        from syncflux_spark.streaming.sessions import StreamingSessionCloser
+
+        src = str(tmp_path / "src")
+        spark.createDataFrame(
+            [(1, 1_704_067_200_000_000_000)], "user_id long, ts long"
+        ).write.parquet(src)
+
+        def mk(**kw):
+            return StreamingSessionCloser(
+                spark, src, str(tmp_path / "dst"), str(tmp_path / "ckpt"), **kw
+            )
+
+        with pytest.raises(TypeError, match="must be TimestampType"):
+            mk().run_available()  # ns-long ts column
+        with pytest.raises(TypeError, match="not in source schema"):
+            mk(key_col="nope").run_available()
+
+
 class TestSessionCloserRocksdbTimers:
     def test_event_time_timers_match_hdfs_backend(self, spark, tmp_path):
         """EventTimeTimeout timers live IN the state store — a
