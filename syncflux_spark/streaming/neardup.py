@@ -38,9 +38,11 @@ invocation per SHARD per batch instead of one per bucket, which is
 what applyInPandasWithState would otherwise pay (measured: the
 per-bucket layout spent its wall on dispatch, SCALE.md). At 100 TB the
 state store is RocksDB (``state_backend='rocksdb'``, measured in
-SCALE.md), ``n_shards`` grows with the bucket count to keep per-shard
-maps small, and the index keeps running forever; a batch rebuild is
-one groupBy if the store is lost.
+SCALE.md), ``n_shards`` is sized ONCE at index creation with
+:func:`shards_for_buckets` (the r10 A/B replaced the old "grows with
+the bucket count" hand rule with a measured one — see the helper's
+docstring and SCALE.md), and the index keeps running forever; a batch
+rebuild is one groupBy if the store is lost.
 """
 
 from __future__ import annotations
@@ -81,6 +83,44 @@ BANDMIN_STATE = T.StructType(
         T.StructField("mins", T.ArrayType(T.LongType())),
     ]
 )
+
+
+def shards_for_buckets(
+    parallelism: int, n_buckets: int, target_per_shard: int = 1024
+) -> int:
+    """Size the ``n_shards`` dial from the expected distinct band
+    bucket count (≈ ``n_bands × expected corpus size``; band_keys's
+    default is 2 bands/doc, and dup-heavy corpora land below that).
+
+    Calibrated by ``tools/measure_lsh_shards.py`` on the x1/x10/x30
+    corpora (7.1k/41k/84k buckets, 32 cores — SCALE.md r10):
+
+    - FLOOR = 2 × parallelism. The state-merge stage runs one task
+      per touched shard; below ~cores the stage underfills the
+      machine (x1: 16 shards = 11.9s bulk vs 64 shards = 7.1s, a 67%
+      penalty purely from idle cores).
+    - CAP = 8 shards per core. Past it, per-shard Python dispatch
+      re-dominates: 1024 shards at x30 cost +7.5% over 64 on the
+      bulk shape (~9 ms per dispatch per batch), bought nothing —
+      the full-map Arrow rewrite the shard count is meant to bound
+      was NOT measurable at ≤x30 (the 1% tail batch timed 1.6-2.5s
+      at every dial, all stream-startup fixed cost; state was only
+      5.5 MB at x30).
+    - Between the clamps, one shard per ``target_per_shard`` buckets
+      keeps the per-shard map (and its per-batch rewrite, the term
+      that DOES grow with corpus lifetime) around a thousand entries
+      — the winner band 64 ≈ 84k/1024 at x30.
+
+    The result is baked into the stream's state keys, so choose it
+    ONCE per checkpoint: changing ``n_shards`` against an existing
+    checkpoint would orphan every bucket's state (min-wins would
+    silently restart, not corrupt — but the index would forget).
+    """
+    if n_buckets < 0:
+        raise ValueError(f"n_buckets must be >= 0, got {n_buckets}")
+    floor = 2 * parallelism
+    cap = 8 * parallelism
+    return max(floor, min(cap, max(1, n_buckets // target_per_shard)))
 
 
 def _bandmin_factory(id_col: str):
@@ -157,8 +197,9 @@ class StreamingLshIndex:
         self.text_col = text_col
         # Python invocations per batch == shards touched; per-shard
         # state == buckets/n_shards map entries moved through Arrow.
-        # Size it so both stay small: more shards at bigger corpora
-        # (the dispatch side re-dominates only past ~10^3 shards).
+        # Size ONCE per checkpoint with shards_for_buckets (measured
+        # rule, SCALE.md r10); 64 = that rule's output for this
+        # container's 32 cores across every measured bucket count.
         self.n_shards = n_shards
         self.path_glob_filter = path_glob_filter
         self.max_files_per_trigger = max_files_per_trigger

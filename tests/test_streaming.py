@@ -714,6 +714,30 @@ class TestNeardupRocksdbShardMaps:
         assert len(results["hdfs"]) == 3
 
 
+class TestLshShardSizing:
+    def test_measured_calibration_points(self):
+        """Pin the sizing rule to the tools/measure_lsh_shards.py A/B
+        (SCALE.md r10): at 32 cores the winner is 64 shards across
+        every measured bucket count (7.1k/41k/84k), i.e. the
+        2×parallelism floor binds until ~66k buckets and the quotient
+        takes over after."""
+        from syncflux_spark.streaming.neardup import shards_for_buckets
+
+        assert shards_for_buckets(32, 7_136) == 64  # x1: floor binds
+        assert shards_for_buckets(32, 41_065) == 64  # x10: floor binds
+        assert shards_for_buckets(32, 84_019) == 82  # x30: quotient
+        # dispatch cap: 8 shards/core no matter how many buckets
+        assert shards_for_buckets(32, 10**9) == 256
+        # cluster-scale: 8000 cores, 1e9 buckets → quotient in band
+        assert shards_for_buckets(8_000, 10**9) == 64_000
+        # degenerate inputs stay sane
+        assert shards_for_buckets(4, 0) == 8
+        import pytest
+
+        with pytest.raises(ValueError):
+            shards_for_buckets(4, -1)
+
+
 class TestStreamingNeardupPlan:
     def test_probe_is_equi_join_no_python(self, spark, tmp_path):
         """The decisions() probe must plan as an equality join on the

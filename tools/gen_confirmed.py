@@ -71,6 +71,33 @@ def warn_missing_rounds() -> None:
             )
 
 
+def warn_null_bench_artifacts() -> None:
+    """A present-but-unusable artifact is worse than a missing one:
+    BENCH_r08/r09.json both arrived with ``"parsed": null`` and a
+    truncated string tail (driver-side truncation), so the round's
+    perf record silently rested on BENCH_FULL alone. Surface that the
+    same way missing rounds are surfaced."""
+    for path in sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json"))):
+        base = os.path.basename(path)
+        try:
+            with open(path) as f:
+                doc = json.load(f)
+        except (OSError, ValueError):
+            print(
+                f"# WARNING: {base} is not valid JSON — the round has no "
+                "usable headline bench record; rely on BENCH_FULL and say so",
+                file=sys.stderr,
+            )
+            continue
+        if isinstance(doc, dict) and "parsed" in doc and doc["parsed"] is None:
+            print(
+                f"# WARNING: {base} parsed to null (truncated driver "
+                "capture) — the round's perf record rests on its BENCH_FULL "
+                "artifact; keep the isolated --only re-measure discipline",
+                file=sys.stderr,
+            )
+
+
 def current_pinned(src: str) -> set[str]:
     m = re.search(
         r'_DRIVER_CONFIRMED = frozenset\(\s*"""(.*?)"""', src, re.S
@@ -82,6 +109,7 @@ def current_pinned(src: str) -> set[str]:
 
 def main() -> None:
     warn_missing_rounds()
+    warn_null_bench_artifacts()
     with open(QUERIES_PY) as f:
         src = f.read()
     union = sorted(current_pinned(src) | green_names())
