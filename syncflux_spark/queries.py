@@ -6555,7 +6555,10 @@ def stream_neardup_index(spark, sf):
     import os
     import shutil
 
-    from syncflux_spark.streaming.neardup import StreamingLshIndex
+    from syncflux_spark.streaming.neardup import (
+        StreamingLshIndex,
+        shards_for_buckets,
+    )
 
     root = tempfile.mkdtemp(prefix="sf_slsh_")
     src = os.path.join(root, "src")
@@ -6565,6 +6568,14 @@ def stream_neardup_index(spark, sf):
             os.path.join(sf, "documents.parquet"),
             os.path.join(src, f"documents_{copy_name}.parquet"),
         )
+    docs = load_table(spark, sf, "documents")
+    # size the shard dial ONCE at index creation from the expected
+    # bucket count (<= 2 bands/doc) — the measured rule from the r10
+    # A/B (SCALE.md; resolves to the old hand-picked 64 on this box,
+    # and values are shard-placement-invariant by min-wins anyway)
+    n_shards = shards_for_buckets(
+        spark.sparkContext.defaultParallelism, 2 * docs.count()
+    )
     op = StreamingLshIndex(
         spark,
         src,
@@ -6572,9 +6583,10 @@ def stream_neardup_index(spark, sf):
         f"{root}/ckpt",
         max_files_per_trigger=1,
         state_partitions=4,
+        n_shards=n_shards,
     )
     op.run_available()
-    return op.decisions(load_table(spark, sf, "documents"))
+    return op.decisions(docs)
 
 
 @register(
@@ -14407,6 +14419,10 @@ _ROUND_FOCUS = (
     # from the source key type — values identical by construction,
     # but changed impl means the r9 green row is stale evidence
     "stream_session_close",
+    # the registered index query now sizes n_shards with the measured
+    # rule (shards_for_buckets — resolves to the old 64 on 32 cores);
+    # shard placement is value-invariant, but changed impl re-pins
+    "stream_neardup_index",
 )
 
 
