@@ -232,12 +232,30 @@ def lsh_candidate_pairs(
     n_hashes: int = N_MINHASH,
     band_size: int = BAND_SIZE,
     shingled: DataFrame | None = None,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """LSH banding: signature split into bands of ``band_size`` hashes;
     documents sharing any band key become a candidate pair (id_a <
     id_b, deduplicated across bands). The only shuffle is the
     band-key self-join; band keys are md5-concat strings with high
-    entropy, so bucket skew is bounded by true duplicate mass."""
+    entropy, so bucket skew is bounded by true duplicate mass.
+
+    ``bucket_cap`` is the HOT-BUCKET STAR-COLLAPSE dial, the measured
+    answer to exactly that bound biting (SCALE.md r10): a bucket of c
+    members emits c·(c−1)/2 clique pairs, and a corpus whose duplicate
+    mass concentrates (boilerplate, templates, the homogeneous x100
+    fixture: 33 buckets > 1000 members carried 62% of 120.9M pairs and
+    a >78 GB verify-shuffle spill) goes quadratic in its hot tail no
+    matter how high-entropy the keys are. With a cap, buckets of
+    c > cap emit the STAR instead — (bucket-min, member) edges, O(c) —
+    which preserves CONNECTIVITY exactly (a star spans the same
+    component as its clique), so downstream connected-components
+    clustering is unaffected where edges are used unverified; what is
+    given up is pair-level completeness inside hot buckets, the same
+    trade every production web-dedup makes for degenerate clusters.
+    The hot set is found with one map-side-combined count and
+    broadcast back (hot buckets are FEW by definition), so the dial
+    adds no wide shuffle."""
     # eager: a lazy persist would let the self-join's two concurrent
     # stage scans each recompute the signature plan (utils.eager_persist)
     all_bands = eager_persist(
@@ -245,22 +263,52 @@ def lsh_candidate_pairs(
             df, text_col, id_col, k_shingle, n_hashes, band_size, shingled=shingled
         )
     )
-    a = all_bands.alias("a")
-    b_ = all_bands.alias("b")
-    pairs = (
-        a.join(
-            b_,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-        )
-        .distinct()
+    return _bands_to_pairs(all_bands, id_col, bucket_cap)
+
+
+def _bands_to_pairs(
+    bands: DataFrame, id_col: str, bucket_cap: int | None
+) -> DataFrame:
+    """(id, band_id, band_key) rows → distinct candidate pairs, with
+    the optional hot-bucket star collapse (see lsh_candidate_pairs)."""
+    if bucket_cap is not None and bucket_cap < 1:
+        raise ValueError(f"bucket_cap must be >= 1, got {bucket_cap}")
+    a = bands.alias("a")
+    b_ = bands.alias("b")
+    band_eq = (F.col("a.band_id") == F.col("b.band_id")) & (
+        F.col("a.band_key") == F.col("b.band_key")
     )
-    return pairs
+    if bucket_cap is None:
+        return (
+            a.join(b_, band_eq & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+            )
+            .distinct()
+        )
+    hot = F.broadcast(
+        bands.groupBy("band_id", "band_key")
+        .agg(
+            F.count(F.lit(1)).alias("_c"),
+            F.min(id_col).alias("_m"),
+        )
+        .where(F.col("_c") > bucket_cap)
+    )
+    cold = bands.join(hot, ["band_id", "band_key"], "left_anti")
+    ca, cb = cold.alias("a"), cold.alias("b")
+    clique = ca.join(
+        cb, band_eq & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+    )
+    star = (
+        bands.join(hot, ["band_id", "band_key"])
+        .where(F.col(id_col) > F.col("_m"))
+        .select(F.col("_m").alias("id_a"), F.col(id_col).alias("id_b"))
+    )
+    return clique.unionByName(star).distinct()
 
 
 def jaccard_verify(
@@ -342,6 +390,7 @@ def ngram_jaccard_pairs(
     n_hashes: int = N_MINHASH,
     band_size: int = BAND_SIZE,
     fingerprint: str | None = None,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """The full near-dup pipeline: LSH candidates → exact Jaccard ≥
     threshold. This is the scalable composition: at 100 TB the
@@ -393,21 +442,11 @@ def ngram_jaccard_pairs(
     bands = combined.select(
         F.col(id_col), F.explode(F.array(*band_structs)).alias("bd")
     ).select(F.col(id_col), F.col("bd.band_id"), F.col("bd.band_key"))
-    a = bands.alias("a")
-    b_ = bands.alias("b")
-    pairs = (
-        a.join(
-            b_,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-        )
-        .distinct()
-    )
+    # optional hot-bucket star collapse — see lsh_candidate_pairs;
+    # star edges go through the SAME verify below, so a failing
+    # star edge can split a hot cluster the clique would have held
+    # together (the documented recall trade inside over-cap buckets)
+    pairs = _bands_to_pairs(bands, id_col, bucket_cap)
     sa = combined.select(F.col(id_col), "sh").alias("sa")
     sb = combined.select(F.col(id_col), "sh").alias("sb")
     joined = (
@@ -1173,11 +1212,19 @@ def duplicate_components(
     id_col: str = "doc_id",
     threshold: float = 0.5,
     max_iter: int = 20,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Dedup GROUPS over the verified text near-dup graph: connected
     components of :func:`ngram_jaccard_pairs` edges (see
-    :func:`connected_components` for the propagation pattern)."""
-    pairs = ngram_jaccard_pairs(df, text_col, id_col, threshold=threshold)
+    :func:`connected_components` for the propagation pattern).
+    ``bucket_cap`` rides through to the pair generator — the
+    hot-bucket star collapse keeps the candidate graph linear in
+    over-cap buckets; because star edges still face the Jaccard
+    verify, a failing one can split a hot cluster (recall trade
+    documented at lsh_candidate_pairs)."""
+    pairs = ngram_jaccard_pairs(
+        df, text_col, id_col, threshold=threshold, bucket_cap=bucket_cap
+    )
     return connected_components(
         df.select(F.col(id_col)), pairs, id_col, max_iter
     )

@@ -1034,6 +1034,117 @@ def lsh_candidate_pairs_strict(spark, sf):
     )
 
 
+#: capped candidate generation: buckets of c <= cap emit the clique,
+#: buckets of c > cap emit the star around the bucket minimum — O(c)
+#: instead of O(c²) for the hot tail (operators/dedup.py r10)
+_CAPPED_CAND_SQL = """
+         stats AS (SELECT band_id, band_key, COUNT(*) AS c,
+                          MIN(doc_id) AS m
+                   FROM bands GROUP BY band_id, band_key),
+         hot AS (SELECT * FROM stats WHERE c > {cap}),
+         cold AS (SELECT b.* FROM bands b
+                  ANTI JOIN hot h
+                    ON h.band_id = b.band_id AND h.band_key = b.band_key),
+         cand AS (SELECT DISTINCT id_a, id_b FROM (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM cold a JOIN cold b
+             ON a.band_id = b.band_id AND a.band_key = b.band_key
+                AND a.doc_id < b.doc_id
+           UNION ALL
+           SELECT h.m, b.doc_id FROM bands b
+           JOIN hot h ON h.band_id = b.band_id AND h.band_key = b.band_key
+           WHERE b.doc_id > h.m) t(id_a, id_b))
+"""
+
+#: the registered dial position: cap=3 BINDS on the driver corpus
+#: (sf0.01 max bucket = 4), so the star path is value-hash-exercised
+#: by the driver gate; the production default for real corpora is
+#: O(hundreds) — see the operator docstring.
+_BUCKET_CAP = 3
+
+
+@register(
+    "lsh_candidate_pairs_capped",
+    f"""
+    WITH sh AS ({_sql_shingles()}),
+         hs AS ({_HS_SQL}),
+         sig AS (SELECT doc_id, {_MH_SELECT} FROM hs GROUP BY doc_id),
+         bands AS ({_BANDS_SQL}),
+         {_CAPPED_CAND_SQL.format(cap=_BUCKET_CAP)}
+    SELECT id_a, id_b FROM cand
+    """,
+)
+def lsh_candidate_pairs_capped(spark, sf):
+    """LSH banding with the HOT-BUCKET STAR-COLLAPSE dial engaged
+    (bucket_cap: buckets above the cap emit (bucket-min, member)
+    star edges instead of the O(c²) clique). This is the measured
+    answer to the r10 x100 wall: 500k homogeneous docs put 62% of
+    120.9M candidate pairs in 33 buckets and the uncapped verify
+    shuffle spilled past the machine's disk (SCALE.md r10) —
+    star-collapse keeps the hot tail linear while preserving
+    component connectivity exactly. Registered at cap=3 so the star
+    path BINDS on the driver corpus (max bucket there is 4) and its
+    values ride the full hash gate; production caps are O(hundreds).
+    Plan: one map-side-combined bucket count, hot set broadcast back
+    (hot buckets are few by definition) — no wide shuffle added."""
+    return dd.lsh_candidate_pairs(
+        load_table(spark, sf, "documents"), bucket_cap=_BUCKET_CAP
+    )
+
+
+def _register_capped_keep():
+    edges_sql = f"""
+    WITH sh AS ({_sql_shingles()}),
+         hs AS ({_HS_SQL}),
+         sig AS (SELECT doc_id, {_MH_SELECT} FROM hs GROUP BY doc_id),
+         bands AS ({_BANDS_SQL}),
+         {_CAPPED_CAND_SQL.format(cap=_BUCKET_CAP)},
+         dsh AS (SELECT DISTINCT doc_id, s FROM sh),
+         sizes AS (SELECT doc_id, COUNT(*) AS n FROM dsh GROUP BY doc_id),
+         inter AS (SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+                   FROM cand c
+                   JOIN dsh x ON x.doc_id = c.id_a
+                   JOIN dsh y ON y.doc_id = c.id_b AND y.s = x.s
+                   GROUP BY c.id_a, c.id_b)
+    SELECT i.id_a, i.id_b
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE CAST(i.n_inter AS BIGINT)
+          / CAST(sa.n + sb.n - i.n_inter AS BIGINT) >= 0.5
+    """
+    keep_sql = _COMPONENTS_SQL_TEMPLATE.format(edges=edges_sql).replace(
+        "SELECT id AS doc_id, CAST(MIN(r) AS BIGINT) AS component\n"
+        "    FROM reach GROUP BY id",
+        "SELECT CAST(component AS BIGINT) AS keep_id,\n"
+        "           CAST(COUNT(*) AS BIGINT) AS group_size\n"
+        "    FROM (SELECT id, MIN(r) AS component FROM reach GROUP BY id)\n"
+        "    GROUP BY component",
+    )
+
+    @register("dedup_near_keep_capped", keep_sql)
+    def dedup_near_keep_capped(spark, sf):
+        """dedup_near_keep at the hot-bucket star-collapse dial
+        position: the query that DIED at x100 (disk wall: >78 GB of
+        verify-shuffle spill from 33 hot buckets, SCALE.md r10), with
+        candidate generation capped so over-cap buckets emit star
+        edges around their minimum. Star edges still face the Jaccard
+        ≥ 0.5 verify, so a failing star edge can split a hot cluster
+        the clique would have held — the documented recall trade,
+        confined to over-cap buckets; everywhere else the output is
+        IDENTICAL to dedup_near_keep. cap=3 binds on the driver
+        corpus; oracle = the same recursive-CTE closure over the
+        capped-verified edge set."""
+        comp = dd.duplicate_components(
+            load_table(spark, sf, "documents"),
+            threshold=0.5,
+            bucket_cap=_BUCKET_CAP,
+        )
+        return comp.groupBy(F.col("component").alias("keep_id")).agg(
+            F.count(F.lit(1)).alias("group_size")
+        )
+
+
 @register(
     "dedup_rate_by_source",
     """
@@ -2243,6 +2354,7 @@ def _register_components():
 
 
 _register_components()
+_register_capped_keep()  # needs _COMPONENTS_SQL_TEMPLATE above
 
 
 # ===========================================================================

@@ -299,3 +299,73 @@ class TestVerifyFingerprintDial:
         with _pytest.raises(ValueError, match="hash64"):
             verify_fingerprint_mode("md5")
         assert verify_fingerprint_mode(None, default="string") == "string"
+
+
+class TestHotBucketStarCollapse:
+    """The r10 scale dial: buckets above bucket_cap emit the star
+    around their minimum instead of the O(c²) clique (found by the
+    x100 disk wall — SCALE.md r10). Pin the exact edge set on a
+    constructed hot bucket and the connectivity-preservation claim."""
+
+    @pytest.fixture()
+    def hot_corpus(self, spark):
+        # five byte-identical docs: every band bucket holds all five
+        # (one hot cluster), plus two unrelated singleton docs
+        same = "the same exact sentence repeated for banding " * 3
+        rows = [(i, same) for i in range(10, 15)] + [
+            (20, "first completely unrelated text with private words"),
+            (21, "second disjoint document nothing shared here at all"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_star_edges_replace_clique(self, hot_corpus):
+        uncapped = {
+            (r.id_a, r.id_b)
+            for r in dd.lsh_candidate_pairs(hot_corpus).collect()
+        }
+        capped = {
+            (r.id_a, r.id_b)
+            for r in dd.lsh_candidate_pairs(
+                hot_corpus, bucket_cap=3
+            ).collect()
+        }
+        # clique on {10..14}: 10 pairs; star around min=10: 4 edges
+        assert uncapped == {
+            (a, b)
+            for a in range(10, 15)
+            for b in range(a + 1, 15)
+        }
+        assert capped == {(10, b) for b in range(11, 15)}
+
+    def test_cap_not_binding_is_identity(self, hot_corpus):
+        uncapped = sorted(
+            map(tuple, dd.lsh_candidate_pairs(hot_corpus).collect())
+        )
+        big_cap = sorted(
+            map(
+                tuple,
+                dd.lsh_candidate_pairs(hot_corpus, bucket_cap=5).collect(),
+            )
+        )
+        assert big_cap == uncapped
+
+    def test_components_preserved_under_cap(self, hot_corpus):
+        """Star spans the same component as the clique, so the
+        unverified-graph clustering is invariant; with verification,
+        byte-identical members (Jaccard 1.0) also survive intact."""
+        base = {
+            (r.doc_id, r.component)
+            for r in dd.duplicate_components(hot_corpus).collect()
+        }
+        capped = {
+            (r.doc_id, r.component)
+            for r in dd.duplicate_components(
+                hot_corpus, bucket_cap=3
+            ).collect()
+        }
+        assert capped == base
+        assert {(i, 10) for i in range(10, 15)} <= base
+
+    def test_bad_cap_rejected(self, hot_corpus):
+        with pytest.raises(ValueError, match="bucket_cap"):
+            dd.lsh_candidate_pairs(hot_corpus, bucket_cap=0).collect()

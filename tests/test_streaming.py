@@ -597,6 +597,53 @@ class TestSessionCloserFactsOnly:
             ("alice", 1, 2)
         ]
 
+    def test_facts_state_removal_matches_hdfs_on_rocksdb(
+        self, spark, tmp_path
+    ):
+        """facts-only is the one operator that calls state.remove()
+        on drained keys — a provider-specific codepath no other
+        backend test exercises (numbering mode never removes). Same
+        fixture on both backends must close identical sessions AND
+        leave the identical (pump-only) store."""
+        from syncflux_spark.streaming.sessions import StreamingSessionCloser
+
+        t0 = 1_704_067_200_000_000
+        gap = 1_800_000_000
+        year = 31_536_000_000_000
+        waves = [
+            ("a_data", [(1, t0), (1, t0 + gap), (2, t0), (3, t0)]),
+            ("b_flush", [(9, t0 + year)]),
+            ("c_return", [(1, t0 + year + gap + 1)]),
+            ("d_flush", [(9, t0 + 2 * year)]),
+        ]
+        results = {}
+        for backend in ("hdfs", "rocksdb"):
+            base = tmp_path / backend
+            self._stage(spark, base / "src", waves)
+            op = StreamingSessionCloser(
+                spark,
+                str(base / "src"),
+                str(base / "dst"),
+                str(base / "ckpt"),
+                max_files_per_trigger=1,
+                state_partitions=2,
+                state_backend=backend,
+                numbering=False,
+            )
+            op.run_available()
+            closed = sorted(tuple(r) for r in op.closed_sessions().collect())
+            state_keys = sorted(
+                r.key.user_id
+                for r in spark.read.format("statestore")
+                .load(str(base / "ckpt"))
+                .collect()
+            )
+            results[backend] = (closed, state_keys)
+        assert results["rocksdb"] == results["hdfs"]
+        closed, state_keys = results["hdfs"]
+        assert len(closed) == 5  # 1's two islands, 2, 3, pump's first
+        assert state_keys == [9], "drained keys must leave the store"
+
     def test_bad_key_or_time_type_fails_fast(self, spark, tmp_path):
         """Clear TypeError at startup, not an opaque analysis error
         deep inside applyInPandasWithState."""
