@@ -412,6 +412,7 @@ def near_dup_pairs(
     vec_col: str = "embedding",
     n_tables: int = 1,
     target_bucket_size: int = 1024,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate detection over the whole corpus:
     sign-LSH bucket (2^n_planes buckets) → same-bucket self-join →
@@ -436,7 +437,22 @@ def near_dup_pairs(
     scan it, and the bucket bitmap costs n_planes×dim multiply-adds
     per row — recomputing it on the second side measured 2.6s → 2.1s
     at sf0.1 (unlike the text-shingle case in operators/dedup.py,
-    where caching the much wider array column lost)."""
+    where caching the much wider array column lost).
+
+    ``bucket_cap`` is the embedding flavor of the hot-bucket
+    star-collapse dial (operators/dedup.py, SCALE.md r10): plane
+    count sizes buckets only under the UNIFORM-hashing assumption,
+    and real embedding corpora are clustered — a tight cluster shares
+    signs on every hyperplane, so one bucket holds the whole cluster
+    at ANY plane count (measured: the registered 16-bucket query on
+    60k clustered vectors built ~112M candidate pairs, each dragging
+    two dim-double arrays into the shuffle, and spilled past the
+    machine's disk). Buckets above the cap emit (bucket-min, member)
+    star candidates — O(c) — instead of the O(c²) clique; every
+    candidate still faces the exact-cosine ≥ threshold verify, so a
+    star edge failing it can split a hot cluster (recall trade
+    confined to over-cap buckets; connectivity of what survives is
+    the downstream components' concern, same as the text dial)."""
     from syncflux_spark.utils import eager_persist
 
     if n_planes is None:
@@ -460,7 +476,57 @@ def near_dup_pairs(
             F.explode(tables).alias("tb"),
         ).select(F.col(id_col), "v", "n", "tb.tbl", "tb.bk")
     )
-    a, c = tagged.alias("a"), tagged.alias("b")
+    if bucket_cap is not None and bucket_cap < 1:
+        raise ValueError(f"bucket_cap must be >= 1, got {bucket_cap}")
+    join_src = tagged
+    star = None
+    if bucket_cap is not None:
+        # hot set = one map-side-combined count, broadcast back (few
+        # by definition); the vector payload rides only the candidate
+        # rows either way, so the dial's whole effect is pair count
+        hot = F.broadcast(
+            tagged.groupBy("tbl", "bk")
+            .agg(
+                F.count(F.lit(1)).alias("_c"),
+                F.min(id_col).alias("_m"),
+            )
+            .where(F.col("_c") > bucket_cap)
+        )
+        join_src = tagged.join(hot, ["tbl", "bk"], "left_anti")
+        # one row per hot bucket: its min id + that vector's payload
+        mins = (
+            tagged.alias("t")
+            .join(
+                F.broadcast(hot.alias("h")),
+                (F.col("t.tbl") == F.col("h.tbl"))
+                & (F.col("t.bk") == F.col("h.bk"))
+                & (F.col(f"t.{id_col}") == F.col("h._m")),
+            )
+            .select(
+                F.col("t.tbl").alias("_htbl"),
+                F.col("t.bk").alias("_hbk"),
+                F.col(f"t.{id_col}").alias("_min_id"),
+                F.col("t.v").alias("va"),
+                F.col("t.n").alias("na"),
+            )
+        )
+        star = (
+            tagged.join(
+                F.broadcast(mins),
+                (F.col("tbl") == F.col("_htbl"))
+                & (F.col("bk") == F.col("_hbk"))
+                & (F.col(id_col) > F.col("_min_id")),
+            )
+            .select(
+                F.col("_min_id").alias("id_a"),
+                F.col(id_col).alias("id_b"),
+                "va",
+                "na",
+                F.col("v").alias("vb"),
+                F.col("n").alias("nb"),
+            )
+        )
+    a, c = join_src.alias("a"), join_src.alias("b")
     pairs = (
         a.join(
             c,
@@ -476,8 +542,10 @@ def near_dup_pairs(
             F.col("b.v").alias("vb"),
             F.col("b.n").alias("nb"),
         )
-        .dropDuplicates(["id_a", "id_b"])
     )
+    if star is not None:
+        pairs = pairs.unionByName(star)
+    pairs = pairs.dropDuplicates(["id_a", "id_b"])
     return (
         pairs.select(
             "id_a",

@@ -4835,6 +4835,52 @@ def emb_near_dup_pairs(spark, sf):
     return near_dup_pairs(emb, threshold=0.3, n_planes=4, dim=64)
 
 
+@register(
+    "emb_near_dup_pairs_capped",
+    f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                      {_sql_sign_bucket('embedding::DOUBLE[]', 4, 64)} AS bk
+               FROM embeddings),
+    stats AS (SELECT bk, COUNT(*) AS c, MIN(vec_id) AS m
+              FROM v GROUP BY bk),
+    hot AS (SELECT * FROM stats WHERE c > 8),
+    cold AS (SELECT v.* FROM v ANTI JOIN hot h ON h.bk = v.bk),
+    cand AS (
+      SELECT a.vec_id AS id_a, a.v AS va, b.vec_id AS id_b, b.v AS vb
+      FROM cold a JOIN cold b ON a.bk = b.bk AND a.vec_id < b.vec_id
+      UNION ALL
+      SELECT h.m, mv.v, x.vec_id, x.v
+      FROM v x
+      JOIN hot h ON h.bk = x.bk AND x.vec_id > h.m
+      JOIN v mv ON mv.bk = h.bk AND mv.vec_id = h.m)
+    SELECT id_a, id_b, {_sql_cos('va', 'vb')} AS cos_sim
+    FROM cand
+    WHERE {_sql_cos('va', 'vb')} >= 0.3
+    """,
+)
+def emb_near_dup_pairs_capped(spark, sf):
+    """emb_near_dup_pairs with the hot-bucket star-collapse dial —
+    the embedding flavor of the r10 scale fix. Plane count sizes
+    sign-LSH buckets only under uniform hashing; REAL embedding
+    corpora are clustered, and a tight cluster shares signs on every
+    hyperplane, so one bucket holds the whole cluster at any plane
+    count: the uncapped registered query on 60k clustered vectors
+    built ~112M candidate pairs (each dragging two 64-double arrays
+    through the shuffle) and spilled past the machine's disk
+    (SCALE.md r10). Buckets over the cap emit (bucket-min, member)
+    star candidates — O(c) — all still facing the exact cosine ≥ 0.3
+    verify. cap=8 binds on the driver corpus (200 vectors / 16
+    buckets); production caps are O(thousands). Hot set = one
+    map-side-combined count, broadcast back; no wide shuffle added
+    (operators/similarity.py::near_dup_pairs)."""
+    from syncflux_spark.operators.similarity import near_dup_pairs
+
+    emb = load_table(spark, sf, "embeddings")
+    return near_dup_pairs(
+        emb, threshold=0.3, n_planes=4, dim=64, bucket_cap=8
+    )
+
+
 def _register_emb_components():
     edges_sql = REGISTRY["emb_near_dup_pairs"].sql
 

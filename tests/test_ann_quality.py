@@ -134,6 +134,58 @@ class TestNearDupAutoPlanes:
             "defeated the plane split"
         )
 
+    def test_bucket_cap_star_collapse(self, spark):
+        """The embedding flavor of the r10 hot-bucket dial: a tight
+        cluster that no plane count can split must emit star
+        candidates around its min id; when the cap doesn't bind the
+        output is identical to uncapped."""
+        from syncflux_spark.operators.similarity import near_dup_pairs
+
+        dim = 8
+        # cluster A: five near-identical vectors (ids 10..14) — one
+        # sign bucket; ids 20,21: two isolated directions
+        base = [1.0] * dim
+
+        def jig(i):
+            v = list(base)
+            v[0] += i * 1e-3
+            return v
+
+        rows = [(10 + i, jig(i)) for i in range(5)] + [
+            (20, [1.0, -1.0] * (dim // 2)),
+            (21, [-1.0, 1.0] * (dim // 2)),
+        ]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+
+        def pairs(**kw):
+            return {
+                (r.id_a, r.id_b)
+                for r in near_dup_pairs(
+                    emb, threshold=0.3, n_planes=4, dim=dim, **kw
+                ).collect()
+            }
+
+        uncapped = pairs()
+        capped = pairs(bucket_cap=3)
+        # cluster A clique (10 pairs, all cos≈1) collapses to the
+        # star around 10; everything else unchanged
+        clusterA_clique = {
+            (a, b) for a in range(10, 15) for b in range(a + 1, 15)
+        }
+        assert clusterA_clique <= uncapped
+        assert capped & clusterA_clique == {
+            (10, b) for b in range(11, 15)
+        }
+        assert (uncapped - clusterA_clique) == (capped - clusterA_clique)
+        # non-binding cap is the identity
+        assert pairs(bucket_cap=5) == uncapped
+        import pytest
+
+        with pytest.raises(ValueError, match="bucket_cap"):
+            near_dup_pairs(emb, threshold=0.3, dim=dim, bucket_cap=0)
+
     def test_more_tables_superset_pairs(self, spark, emb):
         """Multi-table banding only ADDS candidate pairs (recall dial):
         every pair found with 1 table must appear with 2 tables."""
