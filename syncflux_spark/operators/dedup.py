@@ -32,6 +32,7 @@ ports of anything in /root/reference (which has no dedup surface).
 
 from __future__ import annotations
 
+import math
 import os
 
 from pyspark.sql import DataFrame, Window
@@ -92,6 +93,86 @@ def _verify_arrays(
 N_MINHASH = 8
 BAND_SIZE = 4
 LANE_WIDTH = 4  # hex chars per lane (16 bits)
+
+#: AUTO-CAP: the default position of the hot-bucket star-collapse
+#: dial (r11, closing the r10 verdict's "dial exists but the default
+#: is the wall"). ``bucket_cap="auto"`` derives the cap from the
+#: bucket census itself:
+#:
+#:     cap = clamp(p99_bucket_count, AUTO_CAP_FLOOR, ceiling)
+#:
+#: * p99 = the exact discrete 99th-percentile bucket size (smallest
+#:   count whose cumulative bucket frequency reaches ceil(0.99 ×
+#:   n_buckets)) — on a BENIGN corpus, where big buckets are common
+#:   enough to be the corpus's real duplicate structure, p99 rises to
+#:   meet them and the clique semantics stay exact;
+#: * FLOOR — buckets this small are never collapsed, so tiny corpora
+#:   and ordinary duplicate groups always get exact pair semantics
+#:   (the local test fixtures' max band bucket is 4-20, far below);
+#: * ceiling — the absolute survival bound. The verify join's cost
+#:   per bucket is c·(c−1)/2 pairs × two fingerprint payloads; disk
+#:   and executor memory do NOT grow with the corpus, so past some c
+#:   the clique is un-runnable no matter how "real" the bucket is
+#:   (the r10 x100 wall: 33 buckets > 1000 members = 62% of 120.9M
+#:   pairs = >78 GB of spill). The ceiling turns exactly those
+#:   buckets into O(c) stars. 512 caps a bucket's clique at ~131k
+#:   pairs. The p99-only rule fails precisely when degenerate
+#:   buckets are the MAJORITY of mass (a 16-bucket sign-LSH table of
+#:   clustered embeddings: p99 = max → no collapse → wall); the
+#:   ceiling is what makes auto survive that case.
+#:
+#: The census is a map-side-combined groupBy of the (already
+#: persisted) band rows, and the cap is resolved from its count-of-
+#: counts HISTOGRAM — O(distinct bucket sizes) driver rows, never
+#: O(buckets), so resolution is scale-free. When no bucket exceeds
+#: the resolved cap the operator returns the EXACT uncapped plan
+#: (no hot/cold split, no extra joins) — auto is bit-identical to
+#: ``bucket_cap=None`` everywhere the wall isn't.
+AUTO_CAP_P = 0.99
+AUTO_CAP_FLOOR = 64
+AUTO_CAP_CEILING = 512
+
+
+def resolve_auto_cap(
+    hist: list[tuple[int, int]],
+    floor: int = AUTO_CAP_FLOOR,
+    ceiling: int = AUTO_CAP_CEILING,
+) -> int:
+    """Resolve the auto bucket cap from a bucket-size histogram
+    ``[(bucket_size, n_buckets_of_that_size), ...]`` (any order):
+    ``min(ceiling, max(floor, p99))`` with p99 the exact discrete
+    99th-percentile bucket size. Pure arithmetic on the histogram —
+    the driver never sees per-bucket rows — and mirrored verbatim by
+    the oracle SQL of the ``*_auto`` registered queries, so the
+    derivation itself is value-hash-gated."""
+    if floor < 1:
+        raise ValueError(f"auto_floor must be >= 1, got {floor}")
+    if ceiling < floor:
+        raise ValueError(
+            f"auto_ceiling must be >= auto_floor, got {ceiling} < {floor}"
+        )
+    rows = sorted(hist)
+    n = sum(f for _, f in rows)
+    if n == 0:
+        return floor
+    idx = math.ceil(AUTO_CAP_P * n)
+    cum = 0
+    for c, f in rows:
+        cum += f
+        if cum >= idx:
+            return min(ceiling, max(floor, int(c)))
+    return min(ceiling, max(floor, int(rows[-1][0])))
+
+
+def _validate_bucket_cap(bucket_cap) -> None:
+    if bucket_cap is None or bucket_cap == "auto":
+        return
+    if isinstance(bucket_cap, bool) or not isinstance(bucket_cap, int):
+        raise ValueError(
+            f"bucket_cap must be an int >= 1, None, or 'auto', got {bucket_cap!r}"
+        )
+    if bucket_cap < 1:
+        raise ValueError(f"bucket_cap must be >= 1, got {bucket_cap}")
 
 
 def exact_dedup_groups(
@@ -232,7 +313,9 @@ def lsh_candidate_pairs(
     n_hashes: int = N_MINHASH,
     band_size: int = BAND_SIZE,
     shingled: DataFrame | None = None,
-    bucket_cap: int | None = None,
+    bucket_cap: int | None | str = "auto",
+    auto_floor: int = AUTO_CAP_FLOOR,
+    auto_ceiling: int = AUTO_CAP_CEILING,
 ) -> DataFrame:
     """LSH banding: signature split into bands of ``band_size`` hashes;
     documents sharing any band key become a candidate pair (id_a <
@@ -255,7 +338,17 @@ def lsh_candidate_pairs(
     trade every production web-dedup makes for degenerate clusters.
     The hot set is found with one map-side-combined count and
     broadcast back (hot buckets are FEW by definition), so the dial
-    adds no wide shuffle."""
+    adds no wide shuffle.
+
+    The DEFAULT is ``bucket_cap="auto"`` (r11): the cap is derived
+    from the bucket census itself — ``clamp(p99 bucket size,
+    auto_floor, auto_ceiling)``, see :func:`resolve_auto_cap` and the
+    AUTO_CAP_* constants — so a user running defaults on a degenerate
+    corpus gets the measured survival path without opting in, while
+    any corpus whose buckets all fit under the resolved cap gets the
+    bit-identical exact uncapped plan. ``None`` opts out entirely
+    (exact cliques at any bucket size — the pre-r11 default); an int
+    pins the cap by hand."""
     # eager: a lazy persist would let the self-join's two concurrent
     # stage scans each recompute the signature plan (utils.eager_persist)
     all_bands = eager_persist(
@@ -263,16 +356,49 @@ def lsh_candidate_pairs(
             df, text_col, id_col, k_shingle, n_hashes, band_size, shingled=shingled
         )
     )
-    return _bands_to_pairs(all_bands, id_col, bucket_cap)
+    return _bands_to_pairs(all_bands, id_col, bucket_cap, auto_floor, auto_ceiling)
 
 
 def _bands_to_pairs(
-    bands: DataFrame, id_col: str, bucket_cap: int | None
+    bands: DataFrame,
+    id_col: str,
+    bucket_cap: int | None | str,
+    auto_floor: int = AUTO_CAP_FLOOR,
+    auto_ceiling: int = AUTO_CAP_CEILING,
 ) -> DataFrame:
     """(id, band_id, band_key) rows → distinct candidate pairs, with
-    the optional hot-bucket star collapse (see lsh_candidate_pairs)."""
-    if bucket_cap is not None and bucket_cap < 1:
-        raise ValueError(f"bucket_cap must be >= 1, got {bucket_cap}")
+    the hot-bucket star collapse (see lsh_candidate_pairs). With
+    ``bucket_cap="auto"`` the cap is resolved from the bucket-census
+    histogram (:func:`resolve_auto_cap`); when no bucket exceeds the
+    resolved cap the returned plan is EXACTLY the uncapped self-join
+    (bit-identical output, no extra join stages)."""
+    _validate_bucket_cap(bucket_cap)
+    hot_is_small = True
+    if bucket_cap == "auto":
+        # count-of-counts histogram: O(distinct bucket sizes) driver
+        # rows — scale-free even at billions of buckets. bands is
+        # persisted by every caller, so this is a cached scan.
+        hist = [
+            (int(r["_c"]), int(r["_f"]))
+            for r in bands.groupBy("band_id", "band_key")
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .groupBy("_c")
+            .agg(F.count(F.lit(1)).alias("_f"))
+            .collect()
+        ]
+        cap = resolve_auto_cap(hist, auto_floor, auto_ceiling)
+        max_c = max((c for c, _ in hist), default=0)
+        if max_c > cap:
+            bucket_cap = cap
+            # the census is already driver-side: bound the hot-set
+            # broadcast by COUNT (~60 B per hot bucket row) — past
+            # ~200k hot buckets fall back to shuffle joins rather
+            # than ship an oversized broadcast (ADVICE r10, the
+            # embedding flavor of the same bound)
+            n_hot = sum(f for c, f in hist if c > cap)
+            hot_is_small = n_hot <= 200_000
+        else:
+            bucket_cap = None
     a = bands.alias("a")
     b_ = bands.alias("b")
     band_eq = (F.col("a.band_id") == F.col("b.band_id")) & (
@@ -287,7 +413,8 @@ def _bands_to_pairs(
             )
             .distinct()
         )
-    hot = F.broadcast(
+    maybe_bcast = F.broadcast if hot_is_small else (lambda df: df)
+    hot = maybe_bcast(
         bands.groupBy("band_id", "band_key")
         .agg(
             F.count(F.lit(1)).alias("_c"),
@@ -390,7 +517,9 @@ def ngram_jaccard_pairs(
     n_hashes: int = N_MINHASH,
     band_size: int = BAND_SIZE,
     fingerprint: str | None = None,
-    bucket_cap: int | None = None,
+    bucket_cap: int | None | str = "auto",
+    auto_floor: int = AUTO_CAP_FLOOR,
+    auto_ceiling: int = AUTO_CAP_CEILING,
 ) -> DataFrame:
     """The full near-dup pipeline: LSH candidates → exact Jaccard ≥
     threshold. This is the scalable composition: at 100 TB the
@@ -442,11 +571,12 @@ def ngram_jaccard_pairs(
     bands = combined.select(
         F.col(id_col), F.explode(F.array(*band_structs)).alias("bd")
     ).select(F.col(id_col), F.col("bd.band_id"), F.col("bd.band_key"))
-    # optional hot-bucket star collapse — see lsh_candidate_pairs;
-    # star edges go through the SAME verify below, so a failing
-    # star edge can split a hot cluster the clique would have held
-    # together (the documented recall trade inside over-cap buckets)
-    pairs = _bands_to_pairs(bands, id_col, bucket_cap)
+    # hot-bucket star collapse, auto-capped by default (r11) — see
+    # lsh_candidate_pairs; star edges go through the SAME verify
+    # below, so a failing star edge can split a hot cluster the
+    # clique would have held together (the documented recall trade
+    # inside over-cap buckets)
+    pairs = _bands_to_pairs(bands, id_col, bucket_cap, auto_floor, auto_ceiling)
     sa = combined.select(F.col(id_col), "sh").alias("sa")
     sb = combined.select(F.col(id_col), "sh").alias("sb")
     joined = (
@@ -1212,18 +1342,27 @@ def duplicate_components(
     id_col: str = "doc_id",
     threshold: float = 0.5,
     max_iter: int = 20,
-    bucket_cap: int | None = None,
+    bucket_cap: int | None | str = "auto",
+    auto_floor: int = AUTO_CAP_FLOOR,
+    auto_ceiling: int = AUTO_CAP_CEILING,
 ) -> DataFrame:
     """Dedup GROUPS over the verified text near-dup graph: connected
     components of :func:`ngram_jaccard_pairs` edges (see
     :func:`connected_components` for the propagation pattern).
-    ``bucket_cap`` rides through to the pair generator — the
-    hot-bucket star collapse keeps the candidate graph linear in
-    over-cap buckets; because star edges still face the Jaccard
-    verify, a failing one can split a hot cluster (recall trade
-    documented at lsh_candidate_pairs)."""
+    ``bucket_cap`` rides through to the pair generator (default
+    ``"auto"`` — the census-derived cap, r11) — the hot-bucket star
+    collapse keeps the candidate graph linear in over-cap buckets;
+    because star edges still face the Jaccard verify, a failing one
+    can split a hot cluster (recall trade documented at
+    lsh_candidate_pairs)."""
     pairs = ngram_jaccard_pairs(
-        df, text_col, id_col, threshold=threshold, bucket_cap=bucket_cap
+        df,
+        text_col,
+        id_col,
+        threshold=threshold,
+        bucket_cap=bucket_cap,
+        auto_floor=auto_floor,
+        auto_ceiling=auto_ceiling,
     )
     return connected_components(
         df.select(F.col(id_col)), pairs, id_col, max_iter
@@ -1238,6 +1377,9 @@ def embedding_components(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_iter: int = 20,
+    bucket_cap: int | None | str = "auto",
+    auto_floor: int = AUTO_CAP_FLOOR,
+    auto_ceiling: int | None = None,
 ) -> DataFrame:
     """SEMANTIC dedup groups: connected components over the
     embedding-cosine near-dup graph
@@ -1245,12 +1387,21 @@ def embedding_components(
     threshold) — the "keep one per meaning cluster" primitive of an
     LLM training pipeline, complementing the lexical
     :func:`duplicate_components`. Same label propagation, same
-    scale shape: bucketed candidate generation, then O(diameter)
-    rounds of one shuffle each."""
+    scale shape: bucketed candidate generation (auto-capped by
+    default — near_dup_pairs's census-derived dial, r11), then
+    O(diameter) rounds of one shuffle each."""
     from syncflux_spark.operators.similarity import near_dup_pairs
 
     pairs = near_dup_pairs(
-        corpus, threshold, n_planes, dim, id_col=id_col, vec_col=vec_col
+        corpus,
+        threshold,
+        n_planes,
+        dim,
+        id_col=id_col,
+        vec_col=vec_col,
+        bucket_cap=bucket_cap,
+        auto_floor=auto_floor,
+        auto_ceiling=auto_ceiling,
     )
     return connected_components(
         corpus.select(F.col(id_col)), pairs, id_col, max_iter

@@ -412,7 +412,9 @@ def near_dup_pairs(
     vec_col: str = "embedding",
     n_tables: int = 1,
     target_bucket_size: int = 1024,
-    bucket_cap: int | None = None,
+    bucket_cap: int | None | str = "auto",
+    auto_floor: int | None = None,
+    auto_ceiling: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate detection over the whole corpus:
     sign-LSH bucket (2^n_planes buckets) → same-bucket self-join →
@@ -452,9 +454,37 @@ def near_dup_pairs(
     candidate still faces the exact-cosine ≥ threshold verify, so a
     star edge failing it can split a hot cluster (recall trade
     confined to over-cap buckets; connectivity of what survives is
-    the downstream components' concern, same as the text dial)."""
+    the downstream components' concern, same as the text dial).
+
+    The DEFAULT is ``bucket_cap="auto"`` (r11): the cap is resolved
+    from the (tbl, bucket) census as ``clamp(p99 bucket count,
+    auto_floor, auto_ceiling)`` — floor defaults to the shared
+    AUTO_CAP_FLOOR (64), ceiling to ``2 × target_bucket_size``
+    (buckets more than twice the size the plane count TARGETS are by
+    definition hashing failures: under uniform hashing a bucket sits
+    within ~√target of target, so 2× headroom only ever collapses
+    cluster-degenerate buckets). When no bucket exceeds the resolved
+    cap, the exact uncapped plan is returned bit-for-bit. ``None``
+    opts out (pre-r11 behavior); an int pins the cap.
+
+    Hot-set size bound (the broadcast premise): each hot bucket
+    contributes one min row carrying a dim-double payload (~8·dim
+    bytes), so the mins broadcast holds while hot buckets ≲ a few
+    hundred thousand. In auto mode the operator KNOWS the hot count
+    from the census histogram and falls back to shuffle joins past
+    200k hot buckets; with a MANUAL ``bucket_cap`` the caller owns
+    that bound — keep ``bucket_cap`` high enough that the expected
+    over-cap bucket count stays well under ~200k (for a corpus of n
+    vectors, cap ≳ n / 10⁶ · target_bucket_size is a practical
+    floor), or use "auto"."""
+    from syncflux_spark.operators.dedup import (
+        AUTO_CAP_FLOOR,
+        _validate_bucket_cap,
+        resolve_auto_cap,
+    )
     from syncflux_spark.utils import eager_persist
 
+    _validate_bucket_cap(bucket_cap)
     if n_planes is None:
         n_planes = auto_planes(corpus.count(), target_bucket_size)
     if n_planes == 0:
@@ -476,15 +506,42 @@ def near_dup_pairs(
             F.explode(tables).alias("tb"),
         ).select(F.col(id_col), "v", "n", "tb.tbl", "tb.bk")
     )
-    if bucket_cap is not None and bucket_cap < 1:
-        raise ValueError(f"bucket_cap must be >= 1, got {bucket_cap}")
+    hot_is_small = True
+    if bucket_cap == "auto":
+        floor = AUTO_CAP_FLOOR if auto_floor is None else auto_floor
+        ceiling = (
+            2 * target_bucket_size if auto_ceiling is None else auto_ceiling
+        )
+        hist = [
+            (int(r["_c"]), int(r["_f"]))
+            for r in tagged.groupBy("tbl", "bk")
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .groupBy("_c")
+            .agg(F.count(F.lit(1)).alias("_f"))
+            .collect()
+        ]
+        cap = resolve_auto_cap(hist, floor, ceiling)
+        max_c = max((c for c, _ in hist), default=0)
+        if max_c > cap:
+            bucket_cap = cap
+            # the census is already on the driver: bound the hot-set
+            # broadcast by COUNT, not hope (ADVICE r10) — past ~200k
+            # hot buckets the mins frame (8·dim B each) outgrows a
+            # sane broadcast and the joins fall back to shuffles
+            n_hot = sum(f for c, f in hist if c > cap)
+            hot_is_small = n_hot <= 200_000
+        else:
+            bucket_cap = None
     join_src = tagged
     star = None
     if bucket_cap is not None:
         # hot set = one map-side-combined count, broadcast back (few
-        # by definition); the vector payload rides only the candidate
-        # rows either way, so the dial's whole effect is pair count
-        hot = F.broadcast(
+        # by definition; in auto mode the census PROVED it small, else
+        # the shuffle fallback above); the vector payload rides only
+        # the candidate rows either way, so the dial's whole effect is
+        # pair count
+        maybe_bcast = F.broadcast if hot_is_small else (lambda df: df)
+        hot = maybe_bcast(
             tagged.groupBy("tbl", "bk")
             .agg(
                 F.count(F.lit(1)).alias("_c"),
@@ -497,7 +554,7 @@ def near_dup_pairs(
         mins = (
             tagged.alias("t")
             .join(
-                F.broadcast(hot.alias("h")),
+                maybe_bcast(hot.alias("h")),
                 (F.col("t.tbl") == F.col("h.tbl"))
                 & (F.col("t.bk") == F.col("h.bk"))
                 & (F.col(f"t.{id_col}") == F.col("h._m")),
@@ -512,7 +569,7 @@ def near_dup_pairs(
         )
         star = (
             tagged.join(
-                F.broadcast(mins),
+                maybe_bcast(mins),
                 (F.col("tbl") == F.col("_htbl"))
                 & (F.col("bk") == F.col("_hbk"))
                 & (F.col(id_col) > F.col("_min_id")),

@@ -369,3 +369,203 @@ class TestHotBucketStarCollapse:
     def test_bad_cap_rejected(self, hot_corpus):
         with pytest.raises(ValueError, match="bucket_cap"):
             dd.lsh_candidate_pairs(hot_corpus, bucket_cap=0).collect()
+
+
+class TestAutoCap:
+    """bucket_cap="auto" (r11, the default): cap = clamp(discrete-p99
+    bucket size, floor, ceiling) resolved from the census HISTOGRAM.
+    Pin the resolver arithmetic, the not-binding-is-bit-identity
+    claim, and equivalence of auto to the explicit cap it resolves."""
+
+    # ---- pure resolver arithmetic (mirrored verbatim by the *_auto
+    # oracle SQL — the same cases the driver gate rides) ----
+
+    def test_resolver_empty_histogram_is_floor(self):
+        assert dd.resolve_auto_cap([], 64, 512) == 64
+
+    def test_resolver_floor_wins_on_singleton_corpora(self):
+        # 1000 singleton buckets: p99 = 1 → clamped up to floor
+        assert dd.resolve_auto_cap([(1, 1000)], 64, 512) == 64
+
+    def test_resolver_p99_wins_between_clamps(self):
+        # 99 singletons + 1 bucket of 100: ceil(.99*100)=99 → p99 = 1;
+        # 98 singletons + 2 of 100: ceil(.99*100)=99 → falls on the
+        # second group → p99 = 100
+        assert dd.resolve_auto_cap([(1, 99), (100, 1)], 2, 512) == 2
+        assert dd.resolve_auto_cap([(1, 98), (100, 2)], 2, 512) == 100
+
+    def test_resolver_ceiling_clamps_degenerate_majority(self):
+        # the 16-bucket clustered-embedding shape: p99 = max → only
+        # the ceiling can save it
+        assert dd.resolve_auto_cap([(20000, 16)], 64, 2048) == 2048
+
+    def test_resolver_validates_clamps(self):
+        with pytest.raises(ValueError, match="auto_floor"):
+            dd.resolve_auto_cap([(1, 10)], 0, 512)
+        with pytest.raises(ValueError, match="auto_ceiling"):
+            dd.resolve_auto_cap([(1, 10)], 64, 63)
+
+    def test_bool_and_junk_caps_rejected(self, spark):
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="bucket_cap"):
+            dd.lsh_candidate_pairs(df, bucket_cap=True)
+        with pytest.raises(ValueError, match="bucket_cap"):
+            dd.lsh_candidate_pairs(df, bucket_cap="always")
+
+    # ---- end-to-end over a constructed hot corpus ----
+
+    @pytest.fixture()
+    def hot_corpus(self, spark):
+        same = "the same exact sentence repeated for banding " * 3
+        rows = [(i, same) for i in range(10, 15)] + [
+            (20, "first completely unrelated text with private words"),
+            (21, "second disjoint document nothing shared here at all"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_default_auto_not_binding_is_identity(self, hot_corpus):
+        """Default floor 64 ≫ the 5-member hot bucket: the default
+        plan must equal the explicit opt-out bit-for-bit."""
+        auto = sorted(
+            map(tuple, dd.lsh_candidate_pairs(hot_corpus).collect())
+        )
+        uncapped = sorted(
+            map(
+                tuple,
+                dd.lsh_candidate_pairs(hot_corpus, bucket_cap=None).collect(),
+            )
+        )
+        assert auto == uncapped
+
+    def test_auto_binding_equals_resolved_explicit_cap(self, hot_corpus):
+        """With tight clamps the auto path must produce exactly the
+        edge set of the explicit cap it resolves to."""
+        bands = dd.band_keys(hot_corpus)
+        hist_rows = (
+            bands.groupBy("band_id", "band_key")
+            .count()
+            .groupBy("count")
+            .count()
+            .collect()
+        )
+        hist = [(int(r[0]), int(r[1])) for r in hist_rows]
+        cap = dd.resolve_auto_cap(hist, 2, 3)
+        assert max(c for c, _ in hist) > cap  # the fixture binds
+        auto = sorted(
+            map(
+                tuple,
+                dd.lsh_candidate_pairs(
+                    hot_corpus, auto_floor=2, auto_ceiling=3
+                ).collect(),
+            )
+        )
+        explicit = sorted(
+            map(
+                tuple,
+                dd.lsh_candidate_pairs(hot_corpus, bucket_cap=cap).collect(),
+            )
+        )
+        assert auto == explicit
+        # and the star actually engaged: fewer edges than the clique
+        uncapped = dd.lsh_candidate_pairs(
+            hot_corpus, bucket_cap=None
+        ).count()
+        assert len(auto) < uncapped
+
+    def test_components_survive_auto_binding(self, hot_corpus):
+        """Connectivity invariance holds through the auto path too."""
+        base = {
+            (r.doc_id, r.component)
+            for r in dd.duplicate_components(
+                hot_corpus, bucket_cap=None
+            ).collect()
+        }
+        auto = {
+            (r.doc_id, r.component)
+            for r in dd.duplicate_components(
+                hot_corpus, auto_floor=2, auto_ceiling=3
+            ).collect()
+        }
+        assert auto == base
+
+
+class TestEmbeddingAutoCap:
+    """The embedding flavor: near_dup_pairs bucket_cap='auto'."""
+
+    @pytest.fixture()
+    def clustered(self, spark):
+        # 12 near-identical vectors (one tight cluster → one sign
+        # bucket at any plane count) + 3 well-separated singletons
+        import math
+
+        rows = []
+        for i in range(12):
+            v = [1.0] * 8
+            v[i % 8] += 0.01 * (i + 1)
+            rows.append((i, v))
+        rows += [
+            (100, [(-1.0) ** d * (d + 1.0) for d in range(8)]),
+            (101, [math.sin(d + 1.0) * 5 for d in range(8)]),
+            (102, [-3.0 if d < 4 else 2.0 for d in range(8)]),
+        ]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def test_default_auto_not_binding_is_identity(self, clustered):
+        from syncflux_spark.operators.similarity import near_dup_pairs
+
+        auto = sorted(
+            map(
+                tuple,
+                near_dup_pairs(
+                    clustered, threshold=0.9, n_planes=3, dim=8
+                ).collect(),
+            )
+        )
+        uncapped = sorted(
+            map(
+                tuple,
+                near_dup_pairs(
+                    clustered,
+                    threshold=0.9,
+                    n_planes=3,
+                    dim=8,
+                    bucket_cap=None,
+                ).collect(),
+            )
+        )
+        assert auto == uncapped
+
+    def test_auto_binding_equals_resolved_explicit(self, clustered):
+        from syncflux_spark.operators.similarity import near_dup_pairs
+
+        # floor 2 / ceiling 4: the 12-member cluster bucket exceeds
+        # any resolvable cap in [2, 4] → star engages
+        auto = sorted(
+            map(
+                tuple,
+                near_dup_pairs(
+                    clustered,
+                    threshold=0.9,
+                    n_planes=3,
+                    dim=8,
+                    auto_floor=2,
+                    auto_ceiling=4,
+                ).collect(),
+            )
+        )
+        explicit = sorted(
+            map(
+                tuple,
+                near_dup_pairs(
+                    clustered,
+                    threshold=0.9,
+                    n_planes=3,
+                    dim=8,
+                    bucket_cap=4,
+                ).collect(),
+            )
+        )
+        # p99 of this census is the cluster size (few buckets → p99 =
+        # max) so the ceiling 4 is the resolved cap
+        assert auto == explicit
+        assert len(auto) > 0
