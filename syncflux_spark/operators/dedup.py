@@ -133,17 +133,20 @@ AUTO_CAP_FLOOR = 64
 AUTO_CAP_CEILING = 512
 
 
-def resolve_auto_cap(
+def auto_cap_stats(
     hist: list[tuple[int, int]],
     floor: int = AUTO_CAP_FLOOR,
     ceiling: int = AUTO_CAP_CEILING,
-) -> int:
-    """Resolve the auto bucket cap from a bucket-size histogram
-    ``[(bucket_size, n_buckets_of_that_size), ...]`` (any order):
-    ``min(ceiling, max(floor, p99))`` with p99 the exact discrete
-    99th-percentile bucket size. Pure arithmetic on the histogram —
-    the driver never sees per-bucket rows — and mirrored verbatim by
-    the oracle SQL of the ``*_auto`` registered queries, so the
+) -> tuple[int, int, int, int]:
+    """Auto-cap derivation with its decision inputs exposed:
+    ``(n_buckets, max_bucket, p99, cap)`` from a bucket-size histogram
+    ``[(bucket_size, n_buckets_of_that_size), ...]`` (any order), with
+    ``cap = min(ceiling, max(floor, p99))`` and p99 the exact discrete
+    99th-percentile bucket size (smallest size whose cumulative bucket
+    frequency reaches ceil(0.99 × n_buckets); 0 on an empty corpus).
+    Pure arithmetic on the histogram — the driver never sees
+    per-bucket rows — and mirrored verbatim by the oracle SQL of the
+    ``lsh_auto_cap`` / ``*_auto`` registered queries, so the
     derivation itself is value-hash-gated."""
     if floor < 1:
         raise ValueError(f"auto_floor must be >= 1, got {floor}")
@@ -154,14 +157,25 @@ def resolve_auto_cap(
     rows = sorted(hist)
     n = sum(f for _, f in rows)
     if n == 0:
-        return floor
+        return (0, 0, 0, floor)
     idx = math.ceil(AUTO_CAP_P * n)
     cum = 0
+    p99 = int(rows[-1][0])
     for c, f in rows:
         cum += f
         if cum >= idx:
-            return min(ceiling, max(floor, int(c)))
-    return min(ceiling, max(floor, int(rows[-1][0])))
+            p99 = int(c)
+            break
+    return (n, int(rows[-1][0]), p99, min(ceiling, max(floor, p99)))
+
+
+def resolve_auto_cap(
+    hist: list[tuple[int, int]],
+    floor: int = AUTO_CAP_FLOOR,
+    ceiling: int = AUTO_CAP_CEILING,
+) -> int:
+    """The cap alone — see :func:`auto_cap_stats`."""
+    return auto_cap_stats(hist, floor, ceiling)[3]
 
 
 def _validate_bucket_cap(bucket_cap) -> None:

@@ -800,6 +800,64 @@ _BANDS_SQL = " UNION ALL ".join(
 )
 
 
+def _sql_capped_cand(cap: int | tuple[int, int]) -> str:
+    """Banded candidate generation WITH the hot-bucket star-collapse
+    dial, as oracle SQL over a ``bands`` CTE: buckets of c <= cap emit
+    the clique, buckets of c > cap emit the star around the bucket
+    minimum — O(c) instead of O(c²) for the hot tail
+    (operators/dedup.py::_bands_to_pairs).
+
+    ``cap`` is either an int literal (the pinned dial) or a
+    ``(floor, ceiling)`` tuple — the AUTO position (the r11 default):
+    cap = clamp(discrete-p99 bucket size, floor, ceiling), the
+    verbatim SQL mirror of operators/dedup.py::resolve_auto_cap —
+    p99 = the smallest bucket size whose cumulative bucket frequency
+    reaches ceil(0.99 × n_buckets), resolved from the count-of-counts
+    histogram exactly as the Spark side does, so the derivation
+    arithmetic itself is value-hash-gated by the ``*_auto``
+    registered queries."""
+    if isinstance(cap, tuple):
+        floor, ceiling = cap
+        extra = f""",
+         chist AS (SELECT c AS bc, COUNT(*) AS f FROM stats GROUP BY c),
+         capv AS (SELECT LEAST({ceiling}, GREATEST({floor}, COALESCE(
+                    (SELECT MIN(bc)
+                     FROM (SELECT bc, SUM(f) OVER (ORDER BY bc) AS cf
+                           FROM chist)
+                     WHERE cf >= CEIL({dd.AUTO_CAP_P}
+                                      * (SELECT SUM(f) FROM chist))),
+                    {floor}))) AS cap)"""
+        cap_expr = "(SELECT cap FROM capv)"
+    else:
+        extra, cap_expr = "", str(cap)
+    return f"""stats AS (SELECT band_id, band_key, COUNT(*) AS c,
+                          MIN(doc_id) AS m
+                   FROM bands GROUP BY band_id, band_key){extra},
+         hot AS (SELECT band_id, band_key, c, m FROM stats
+                 WHERE c > {cap_expr}),
+         cold AS (SELECT b.* FROM bands b
+                  ANTI JOIN hot h
+                    ON h.band_id = b.band_id AND h.band_key = b.band_key),
+         cand AS (SELECT DISTINCT id_a, id_b FROM (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM cold a JOIN cold b
+             ON a.band_id = b.band_id AND a.band_key = b.band_key
+                AND a.doc_id < b.doc_id
+           UNION ALL
+           SELECT h.m, b.doc_id FROM bands b
+           JOIN hot h ON h.band_id = b.band_id AND h.band_key = b.band_key
+           WHERE b.doc_id > h.m) t(id_a, id_b))"""
+
+
+#: the production AUTO dial position: every banded-candidate oracle
+#: below carries this chain so parity holds at ANY scale the gate
+#: runs, binding or not (at the driver/bench scales the resolved cap
+#: is the 64 floor and no band bucket exceeds 20, so cand == the
+#: plain uncapped self-join bit-for-bit — measured censuses in
+#: SCALE.md r11)
+_AUTO_CAND_SQL = _sql_capped_cand((dd.AUTO_CAP_FLOOR, dd.AUTO_CAP_CEILING))
+
+
 @register(
     "minhash_signatures",
     f"""
@@ -820,16 +878,19 @@ def minhash_signatures(spark, sf):
     WITH sh AS ({_sql_shingles()}),
          hs AS ({_HS_SQL}),
          sig AS (SELECT doc_id, {_MH_SELECT} FROM hs GROUP BY doc_id),
-         bands AS ({_BANDS_SQL})
-    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-    FROM bands a JOIN bands b
-      ON a.band_id = b.band_id AND a.band_key = b.band_key
-         AND a.doc_id < b.doc_id
+         bands AS ({_BANDS_SQL}),
+         {_AUTO_CAND_SQL}
+    SELECT id_a, id_b FROM cand
     """,
 )
 def lsh_candidate_pairs(spark, sf):
     """LSH banding self-join: candidate near-dup pairs without the
-    O(n²) cross product — the join shuffles on high-entropy band keys."""
+    O(n²) cross product — the join shuffles on high-entropy band
+    keys. Runs the r11 DEFAULT dial (bucket_cap='auto'): the oracle
+    carries the same census-derived cap chain, so parity holds
+    whether or not the star-collapse engages (at gate scale it does
+    not — max band bucket 4 ≪ the 64 floor — and the operator
+    returns the exact uncapped plan)."""
     return dd.lsh_candidate_pairs(load_table(spark, sf, "documents"))
 
 
@@ -902,10 +963,8 @@ def doc_novelty(spark, sf):
          hs AS ({_HS_SQL}),
          sig AS (SELECT doc_id, {_MH_SELECT} FROM hs GROUP BY doc_id),
          bands AS ({_BANDS_SQL}),
-         e AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-               FROM bands a JOIN bands b
-                 ON a.band_id = b.band_id AND a.band_key = b.band_key
-                AND a.doc_id < b.doc_id),
+         {_AUTO_CAND_SQL},
+         e AS (SELECT id_a, id_b FROM cand),
          tri AS (SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
                  FROM e e1
                  JOIN e e2 ON e2.id_a = e1.id_b
@@ -933,10 +992,8 @@ def dedup_graph_triangles(spark, sf):
          hs AS ({_HS_SQL}),
          sig AS (SELECT doc_id, {_MH_SELECT} FROM hs GROUP BY doc_id),
          bands AS ({_BANDS_SQL}),
-         e AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-               FROM bands a JOIN bands b
-                 ON a.band_id = b.band_id AND a.band_key = b.band_key
-                AND a.doc_id < b.doc_id),
+         {_AUTO_CAND_SQL},
+         e AS (SELECT id_a, id_b FROM cand),
          deg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS degree
                  FROM (SELECT id_a AS doc_id FROM e
                        UNION ALL SELECT id_b FROM e)
@@ -1014,11 +1071,9 @@ _BANDS_SQL_STRICT = (
     WITH sh AS ({_sql_shingles()}),
          hs AS ({_HS_SQL}),
          sig AS (SELECT doc_id, {_MH_SELECT} FROM hs GROUP BY doc_id),
-         bands AS ({_BANDS_SQL_STRICT})
-    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-    FROM bands a JOIN bands b
-      ON a.band_id = b.band_id AND a.band_key = b.band_key
-         AND a.doc_id < b.doc_id
+         bands AS ({_BANDS_SQL_STRICT}),
+         {_AUTO_CAND_SQL}
+    SELECT id_a, id_b FROM cand
     """,
 )
 def lsh_candidate_pairs_strict(spark, sf):
@@ -1034,33 +1089,18 @@ def lsh_candidate_pairs_strict(spark, sf):
     )
 
 
-#: capped candidate generation: buckets of c <= cap emit the clique,
-#: buckets of c > cap emit the star around the bucket minimum — O(c)
-#: instead of O(c²) for the hot tail (operators/dedup.py r10)
-_CAPPED_CAND_SQL = """
-         stats AS (SELECT band_id, band_key, COUNT(*) AS c,
-                          MIN(doc_id) AS m
-                   FROM bands GROUP BY band_id, band_key),
-         hot AS (SELECT * FROM stats WHERE c > {cap}),
-         cold AS (SELECT b.* FROM bands b
-                  ANTI JOIN hot h
-                    ON h.band_id = b.band_id AND h.band_key = b.band_key),
-         cand AS (SELECT DISTINCT id_a, id_b FROM (
-           SELECT a.doc_id AS id_a, b.doc_id AS id_b
-           FROM cold a JOIN cold b
-             ON a.band_id = b.band_id AND a.band_key = b.band_key
-                AND a.doc_id < b.doc_id
-           UNION ALL
-           SELECT h.m, b.doc_id FROM bands b
-           JOIN hot h ON h.band_id = b.band_id AND h.band_key = b.band_key
-           WHERE b.doc_id > h.m) t(id_a, id_b))
-"""
-
-#: the registered dial position: cap=3 BINDS on the driver corpus
-#: (sf0.01 max bucket = 4), so the star path is value-hash-exercised
-#: by the driver gate; the production default for real corpora is
-#: O(hundreds) — see the operator docstring.
+#: the registered pinned-dial position: cap=3 BINDS on the driver
+#: corpus (sf0.01 max bucket = 4), so the star path is
+#: value-hash-exercised by the driver gate; the production default is
+#: now bucket_cap="auto" (see _AUTO_CAND_SQL / the operator docstring).
 _BUCKET_CAP = 3
+
+#: the AUTO dial with clamps tight enough to BIND at gate scale
+#: (floor 2 / ceiling 3 on a corpus whose band buckets reach 4, with
+#: p99 = 1): the census → histogram → p99 → clamp derivation — the
+#: whole r11 auto path, hot and cold branches both populated — rides
+#: the driver's full value-hash gate through lsh_candidate_pairs_auto.
+_AUTO_BIND = (2, 3)
 
 
 @register(
@@ -1070,7 +1110,7 @@ _BUCKET_CAP = 3
          hs AS ({_HS_SQL}),
          sig AS (SELECT doc_id, {_MH_SELECT} FROM hs GROUP BY doc_id),
          bands AS ({_BANDS_SQL}),
-         {_CAPPED_CAND_SQL.format(cap=_BUCKET_CAP)}
+         {_sql_capped_cand(_BUCKET_CAP)}
     SELECT id_a, id_b FROM cand
     """,
 )
@@ -1092,13 +1132,191 @@ def lsh_candidate_pairs_capped(spark, sf):
     )
 
 
-def _register_capped_keep():
-    edges_sql = f"""
+@register(
+    "lsh_candidate_pairs_auto",
+    f"""
     WITH sh AS ({_sql_shingles()}),
          hs AS ({_HS_SQL}),
          sig AS (SELECT doc_id, {_MH_SELECT} FROM hs GROUP BY doc_id),
          bands AS ({_BANDS_SQL}),
-         {_CAPPED_CAND_SQL.format(cap=_BUCKET_CAP)},
+         {_sql_capped_cand(_AUTO_BIND)}
+    SELECT id_a, id_b FROM cand
+    """,
+)
+def lsh_candidate_pairs_auto(spark, sf):
+    """The AUTO dial derivation under the full value-hash gate, with
+    clamps tight enough to BIND at gate scale (floor 2 / ceiling 3;
+    the driver corpus's band census is 853 singletons, 61 pairs, 8
+    bigger buckets up to 4 — discrete p99 = 2, resolved cap = 2 — so
+    buckets of 3-4 emit stars while 2-buckets emit cliques: BOTH
+    branches of the auto path populated). The oracle replays the entire
+    derivation — census → count-of-counts histogram → discrete p99 →
+    clamp — in SQL (operators/dedup.py::resolve_auto_cap), so the
+    arithmetic the production default rests on is driver-gated, not
+    just unit-tested. The production clamps (64/512) ride every other
+    banded oracle via _AUTO_CAND_SQL but never bind at gate scale by
+    design; this query is where the binding path is exercised."""
+    return dd.lsh_candidate_pairs(
+        load_table(spark, sf, "documents"),
+        auto_floor=_AUTO_BIND[0],
+        auto_ceiling=_AUTO_BIND[1],
+    )
+
+
+#: census → histogram shared by the two census diagnostics below
+_HIST_SQL = """stats AS (SELECT band_id, band_key, COUNT(*) AS c
+                   FROM bands GROUP BY band_id, band_key),
+         hist AS (SELECT c, COUNT(*) AS f FROM stats GROUP BY c),
+         tot AS (SELECT SUM(f) AS nb,
+                        SUM(f * ((c * (c - 1)) // 2)) AS tp FROM hist)"""
+
+_CENSUS_SELECT_SQL = """
+    SELECT CAST(c AS BIGINT) AS bucket_size,
+           CAST(f AS BIGINT) AS n_buckets,
+           CAST(c * f AS BIGINT) AS rows_mass,
+           CAST(f * ((c * (c - 1)) // 2) AS BIGINT) AS pair_mass,
+           CASE WHEN (SELECT tp FROM tot) = 0 THEN 0.0
+                ELSE CAST(f * ((c * (c - 1)) // 2) AS DOUBLE)
+                     / CAST((SELECT tp FROM tot) AS DOUBLE) END AS pair_share,
+           CAST(SUM(f) OVER (ORDER BY c) AS DOUBLE)
+             / CAST((SELECT nb FROM tot) AS DOUBLE) AS cum_bucket_frac
+    FROM hist
+"""
+
+
+def _bucket_census_frame(stats: DataFrame) -> DataFrame:
+    """(…, c) per-bucket counts → per-distinct-bucket-size census:
+    (bucket_size, n_buckets, rows_mass, pair_mass, pair_share,
+    cum_bucket_frac). All mass columns are exact integer arithmetic;
+    the two shares are single divisions of exact longs. The windows
+    run over the count-of-counts HISTOGRAM — O(distinct bucket
+    sizes) rows however large the corpus — so the global sort they
+    imply is a no-op at any scale."""
+    hist = stats.groupBy("c").agg(F.count(F.lit(1)).alias("f"))
+    pair_mass = (F.col("f") * F.expr("c * (c - 1) DIV 2")).cast("long")
+    base = hist.select(
+        F.col("c").cast("long").alias("bucket_size"),
+        F.col("f").cast("long").alias("n_buckets"),
+        (F.col("c") * F.col("f")).cast("long").alias("rows_mass"),
+        pair_mass.alias("pair_mass"),
+    )
+    w_tot = Window.partitionBy()
+    w_cum = (
+        Window.partitionBy()
+        .orderBy("bucket_size")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tp = F.sum("pair_mass").over(w_tot)
+    nb = F.sum("n_buckets").over(w_tot)
+    return base.select(
+        "bucket_size",
+        "n_buckets",
+        "rows_mass",
+        "pair_mass",
+        F.when(tp == 0, F.lit(0.0))
+        .otherwise(F.col("pair_mass") / tp)
+        .alias("pair_share"),
+        (F.sum("n_buckets").over(w_cum) / nb).alias("cum_bucket_frac"),
+    )
+
+
+@register(
+    "lsh_bucket_census",
+    f"""
+    WITH sh AS ({_sql_shingles()}),
+         hs AS ({_HS_SQL}),
+         sig AS (SELECT doc_id, {_MH_SELECT} FROM hs GROUP BY doc_id),
+         bands AS ({_BANDS_SQL}),
+         {_HIST_SQL}
+    {_CENSUS_SELECT_SQL}
+    """,
+)
+def lsh_bucket_census(spark, sf):
+    """The pre-flight skew diagnostic a user runs BEFORE near-dup at
+    scale — the exact table the r10 x100 postmortem computed ad hoc
+    (33 buckets > 1000 members = 62% of 120.9M candidate pairs): per
+    distinct band-bucket size, how many buckets, how many rows and
+    candidate pairs they carry, each size's share of total pair mass,
+    and the cumulative bucket fraction (so the discrete p99 the auto
+    cap resolves is readable straight off the row where
+    cum_bucket_frac first reaches 0.99). One map-side-combined
+    groupBy over band keys plus windows over the count-of-counts
+    histogram — the identical derivation input
+    operators/dedup.py::auto_cap_stats consumes."""
+    docs = load_table(spark, sf, "documents")
+    bands = dd.band_keys(docs)
+    stats = bands.groupBy("band_id", "band_key").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return _bucket_census_frame(stats)
+
+
+@register(
+    "lsh_auto_cap",
+    f"""
+    WITH sh AS ({_sql_shingles()}),
+         hs AS ({_HS_SQL}),
+         sig AS (SELECT doc_id, {_MH_SELECT} FROM hs GROUP BY doc_id),
+         bands AS ({_BANDS_SQL}),
+         stats AS (SELECT band_id, band_key, COUNT(*) AS c
+                   FROM bands GROUP BY band_id, band_key),
+         chist AS (SELECT c AS bc, COUNT(*) AS f FROM stats GROUP BY c),
+         p99 AS (SELECT COALESCE(
+                   (SELECT MIN(bc)
+                    FROM (SELECT bc, SUM(f) OVER (ORDER BY bc) AS cf
+                          FROM chist)
+                    WHERE cf >= CEIL({dd.AUTO_CAP_P}
+                                     * (SELECT SUM(f) FROM chist))),
+                   0) AS v)
+    SELECT CAST(COALESCE((SELECT SUM(f) FROM chist), 0) AS BIGINT)
+             AS n_buckets,
+           CAST(COALESCE((SELECT MAX(bc) FROM chist), 0) AS BIGINT)
+             AS max_bucket,
+           CAST((SELECT v FROM p99) AS BIGINT) AS p99,
+           CAST(LEAST({dd.AUTO_CAP_CEILING},
+                      GREATEST({dd.AUTO_CAP_FLOOR}, (SELECT v FROM p99)))
+                AS BIGINT) AS cap
+    """,
+)
+def lsh_auto_cap(spark, sf):
+    """The auto-cap DECISION itself as a 1-row query: (n_buckets,
+    max_bucket, discrete p99, resolved cap) at the production clamps
+    — what a pipeline operator reads to know whether the default dial
+    will engage on their corpus and at what value (cap < max_bucket ⟹
+    star-collapse will fire). Spark resolves from the collected
+    count-of-counts histogram (operators/dedup.py::auto_cap_stats, the
+    same code path every auto-capped operator runs); the oracle
+    replays the identical arithmetic in SQL — so the production
+    derivation is driver-gated even though the production clamps
+    never BIND at gate scale (the binding path is
+    lsh_candidate_pairs_auto's job)."""
+    docs = load_table(spark, sf, "documents")
+    bands = dd.band_keys(docs)
+    hist = [
+        (int(r["_c"]), int(r["_f"]))
+        for r in bands.groupBy("band_id", "band_key")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy("_c")
+        .agg(F.count(F.lit(1)).alias("_f"))
+        .collect()
+    ]
+    n_buckets, max_bucket, p99, cap = dd.auto_cap_stats(hist)
+    return spark.createDataFrame(
+        [(n_buckets, max_bucket, p99, cap)],
+        "n_buckets long, max_bucket long, p99 long, cap long",
+    )
+
+
+def _capped_edges_sql(cap: int | tuple[int, int]) -> str:
+    """Verified near-dup edges (exact Jaccard >= 0.5) over the capped
+    candidate chain — the oracle building block shared by
+    dedup_near_keep_capped and doc_pagerank_capped."""
+    return f"""
+    WITH sh AS ({_sql_shingles()}),
+         hs AS ({_HS_SQL}),
+         sig AS (SELECT doc_id, {_MH_SELECT} FROM hs GROUP BY doc_id),
+         bands AS ({_BANDS_SQL}),
+         {_sql_capped_cand(cap)},
          dsh AS (SELECT DISTINCT doc_id, s FROM sh),
          sizes AS (SELECT doc_id, COUNT(*) AS n FROM dsh GROUP BY doc_id),
          inter AS (SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
@@ -1113,14 +1331,10 @@ def _register_capped_keep():
     WHERE CAST(i.n_inter AS BIGINT)
           / CAST(sa.n + sb.n - i.n_inter AS BIGINT) >= 0.5
     """
-    keep_sql = _COMPONENTS_SQL_TEMPLATE.format(edges=edges_sql).replace(
-        "SELECT id AS doc_id, CAST(MIN(r) AS BIGINT) AS component\n"
-        "    FROM reach GROUP BY id",
-        "SELECT CAST(component AS BIGINT) AS keep_id,\n"
-        "           CAST(COUNT(*) AS BIGINT) AS group_size\n"
-        "    FROM (SELECT id, MIN(r) AS component FROM reach GROUP BY id)\n"
-        "    GROUP BY component",
-    )
+
+
+def _register_capped_keep():
+    keep_sql = _keep_sql_from_components(_capped_edges_sql(_BUCKET_CAP))
 
     @register("dedup_near_keep_capped", keep_sql)
     def dedup_near_keep_capped(spark, sf):
@@ -1356,10 +1570,7 @@ def containment_pairs(spark, sf):
          hs AS ({_HS_SQL}),
          sig AS (SELECT doc_id, {_MH_SELECT} FROM hs GROUP BY doc_id),
          bands AS ({_BANDS_SQL}),
-         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-                  FROM bands a JOIN bands b
-                    ON a.band_id = b.band_id AND a.band_key = b.band_key
-                       AND a.doc_id < b.doc_id),
+         {_AUTO_CAND_SQL},
          dsh AS (SELECT DISTINCT doc_id, s FROM sh),
          sizes AS (SELECT doc_id, COUNT(*) AS n FROM dsh GROUP BY doc_id),
          inter AS (SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
@@ -2268,6 +2479,29 @@ _COMPONENTS_SQL_TEMPLATE = """
 """
 
 
+def _keep_sql_from_components(edges_sql: str) -> str:
+    """Rewrite the components closure into the keep/group-size report
+    (one canonical representative per component with its cluster
+    size). Shared by dedup_near_keep and dedup_near_keep_capped; the
+    assert turns a drifted template (a silently no-op .replace —
+    ADVICE r10) into an import-time failure instead of a confusing
+    oracle column mismatch at gate time."""
+    base = _COMPONENTS_SQL_TEMPLATE.format(edges=edges_sql)
+    keep = base.replace(
+        "SELECT id AS doc_id, CAST(MIN(r) AS BIGINT) AS component\n"
+        "    FROM reach GROUP BY id",
+        "SELECT CAST(component AS BIGINT) AS keep_id,\n"
+        "           CAST(COUNT(*) AS BIGINT) AS group_size\n"
+        "    FROM (SELECT id, MIN(r) AS component FROM reach GROUP BY id)\n"
+        "    GROUP BY component",
+    )
+    assert keep != base, (
+        "_COMPONENTS_SQL_TEMPLATE drifted: the keep rewrite no-oped — "
+        "update _keep_sql_from_components' replace target"
+    )
+    return keep
+
+
 def _register_components():
     edges_sql = REGISTRY["ngram_jaccard_pairs"].sql
 
@@ -2286,14 +2520,7 @@ def _register_components():
             load_table(spark, sf, "documents"), threshold=0.5
         )
 
-    keep_sql = _COMPONENTS_SQL_TEMPLATE.format(edges=edges_sql).replace(
-        "SELECT id AS doc_id, CAST(MIN(r) AS BIGINT) AS component\n"
-        "    FROM reach GROUP BY id",
-        "SELECT CAST(component AS BIGINT) AS keep_id,\n"
-        "           CAST(COUNT(*) AS BIGINT) AS group_size\n"
-        "    FROM (SELECT id, MIN(r) AS component FROM reach GROUP BY id)\n"
-        "    GROUP BY component",
-    )
+    keep_sql = _keep_sql_from_components(edges_sql)
 
     @register("dedup_near_keep", keep_sql)
     def dedup_near_keep(spark, sf):
@@ -4519,13 +4746,16 @@ def ivf_topk(spark, sf):
     return out.withColumn("rank", F.col("rank").cast("int"))
 
 
-def _pagerank_sql(n_iter: int = 10, scale: int = 10**12) -> str:
+def _pagerank_sql(
+    n_iter: int = 10, scale: int = 10**12, edges_sql: str | None = None
+) -> str:
     """Unrolled fixed-point PageRank — replays
     operators/graph.py::pagerank_fixedpoint exactly: ranks are int64
     at ``scale`` parts per unit, damping is the exact rational 17/20,
     every cross-row sum is an int64 sum → bit-identical under any
-    join/aggregation order."""
-    pairs = REGISTRY["ngram_jaccard_pairs"].sql
+    join/aggregation order. ``edges_sql`` overrides the edge set
+    (doc_pagerank_capped rides the star-collapsed graph)."""
+    pairs = edges_sql or REGISTRY["ngram_jaccard_pairs"].sql
     # AS MATERIALIZED: DuckDB inlines CTEs by default, so sym (and the
     # expensive pairs subquery under it) would be recomputed in every
     # unrolled round.
@@ -4580,6 +4810,35 @@ def doc_pagerank(spark, sf):
 
     docs = load_table(spark, sf, "documents")
     pairs = dd.ngram_jaccard_pairs(docs, threshold=0.5)
+    return pagerank_fixedpoint(
+        docs.select("doc_id"), pairs.select("id_a", "id_b")
+    )
+
+
+@register(
+    "doc_pagerank_capped",
+    _pagerank_sql(edges_sql=_capped_edges_sql(_BUCKET_CAP)),
+)
+def doc_pagerank_capped(spark, sf):
+    """PageRank over the STAR-COLLAPSED verified near-dup graph
+    (bucket_cap=3, binding at gate scale) — the capped twin the r10
+    verdict named missing: doc_pagerank consumes the uncapped
+    verified graph and DIED with it at x100 (>78 GB verify-shuffle
+    spill). Identical ten-round int64 fixed-point iteration
+    (operators/graph.py::pagerank_fixedpoint); only the edge set
+    changes — over-cap buckets contribute their O(c) verified star
+    instead of the O(c²) verified clique, so hub scores inside
+    degenerate buckets concentrate on the bucket minimum (the star
+    center) rather than spreading through the clique: a DIFFERENT,
+    coarser ranking in exactly the buckets where the exact one is
+    unaffordable. The oracle unrolls the same rounds over the same
+    capped edges — full-hash gate."""
+    from syncflux_spark.operators.graph import pagerank_fixedpoint
+
+    docs = load_table(spark, sf, "documents")
+    pairs = dd.ngram_jaccard_pairs(
+        docs, threshold=0.5, bucket_cap=_BUCKET_CAP
+    )
     return pagerank_fixedpoint(
         docs.select("doc_id"), pairs.select("id_a", "id_b")
     )
@@ -4811,16 +5070,60 @@ def lsh_ann_topk(spark, sf):
     return out.withColumn("rank", F.col("rank").cast("int"))
 
 
+def _sql_emb_capped_cand(cap: int | tuple[int, int]) -> str:
+    """Embedding candidate generation with the star-collapse dial as
+    oracle SQL over a ``v(vec_id, v, bk)`` CTE — the embedding mirror
+    of _sql_capped_cand: int = pinned cap, (floor, ceiling) tuple =
+    the AUTO census-derived cap (operators/similarity.py::
+    near_dup_pairs / operators/dedup.py::resolve_auto_cap)."""
+    if isinstance(cap, tuple):
+        floor, ceiling = cap
+        extra = f""",
+    chist AS (SELECT c AS bc, COUNT(*) AS f FROM stats GROUP BY c),
+    capv AS (SELECT LEAST({ceiling}, GREATEST({floor}, COALESCE(
+               (SELECT MIN(bc)
+                FROM (SELECT bc, SUM(f) OVER (ORDER BY bc) AS cf FROM chist)
+                WHERE cf >= CEIL({dd.AUTO_CAP_P}
+                                 * (SELECT SUM(f) FROM chist))),
+               {floor}))) AS cap)"""
+        cap_expr = "(SELECT cap FROM capv)"
+    else:
+        extra, cap_expr = "", str(cap)
+    return f"""stats AS (SELECT bk, COUNT(*) AS c, MIN(vec_id) AS m
+              FROM v GROUP BY bk){extra},
+    hot AS (SELECT bk, c, m FROM stats WHERE c > {cap_expr}),
+    cold AS (SELECT v.* FROM v ANTI JOIN hot h ON h.bk = v.bk),
+    cand AS (
+      SELECT a.vec_id AS id_a, a.v AS va, b.vec_id AS id_b, b.v AS vb
+      FROM cold a JOIN cold b ON a.bk = b.bk AND a.vec_id < b.vec_id
+      UNION ALL
+      SELECT h.m, mv.v, x.vec_id, x.v
+      FROM v x
+      JOIN hot h ON h.bk = x.bk AND x.vec_id > h.m
+      JOIN v mv ON mv.bk = h.bk AND mv.vec_id = h.m)"""
+
+
+#: production AUTO clamps for the embedding kernel: shared floor 64,
+#: ceiling = 2 × the plane count's target bucket size (1024 default)
+_EMB_AUTO = (dd.AUTO_CAP_FLOOR, 2 * 1024)
+
+#: binding AUTO clamps for the gate: the sf0.01 sign-LSH census is 16
+#: buckets of 18-44 vectors (p99 = max = 44, few buckets), so ceiling
+#: 30 resolves as the cap, buckets of <= 30 keep cliques and the
+#: bigger ones emit stars — both branches populated
+_EMB_AUTO_BIND = (2, 30)
+
+
 @register(
     "emb_near_dup_pairs",
     f"""
     WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v,
                       {_sql_sign_bucket('embedding::DOUBLE[]', 4, 64)} AS bk
-               FROM embeddings)
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           {_sql_cos('a.v', 'b.v')} AS cos_sim
-    FROM v a JOIN v b ON a.bk = b.bk AND a.vec_id < b.vec_id
-    WHERE {_sql_cos('a.v', 'b.v')} >= 0.3
+               FROM embeddings),
+    {_sql_emb_capped_cand(_EMB_AUTO)}
+    SELECT id_a, id_b, {_sql_cos('va', 'vb')} AS cos_sim
+    FROM cand
+    WHERE {_sql_cos('va', 'vb')} >= 0.3
     """,
 )
 def emb_near_dup_pairs(spark, sf):
@@ -4828,11 +5131,79 @@ def emb_near_dup_pairs(spark, sf):
     sign-LSH bucket self-join (16 buckets) → exact cosine ≥ 0.3 on
     same-bucket pairs only. The corpus cross-product never
     materializes — the scale property that matters at 100 TB
-    (operators/similarity.py::near_dup_pairs)."""
+    (operators/similarity.py::near_dup_pairs). Runs the r11 DEFAULT
+    dial (bucket_cap='auto', clamps 64 / 2×target): the oracle
+    carries the same census-derived chain; at gate scale p99 = the
+    max bucket (16 buckets → p99 IS the max), the resolved cap covers
+    every bucket and the exact uncapped plan runs bit-for-bit."""
     from syncflux_spark.operators.similarity import near_dup_pairs
 
     emb = load_table(spark, sf, "embeddings")
     return near_dup_pairs(emb, threshold=0.3, n_planes=4, dim=64)
+
+
+@register(
+    "emb_near_dup_pairs_auto",
+    f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                      {_sql_sign_bucket('embedding::DOUBLE[]', 4, 64)} AS bk
+               FROM embeddings),
+    {_sql_emb_capped_cand(_EMB_AUTO_BIND)}
+    SELECT id_a, id_b, {_sql_cos('va', 'vb')} AS cos_sim
+    FROM cand
+    WHERE {_sql_cos('va', 'vb')} >= 0.3
+    """,
+)
+def emb_near_dup_pairs_auto(spark, sf):
+    """The embedding AUTO derivation under the full gate with clamps
+    that BIND (floor 2 / ceiling 30): census → histogram → discrete
+    p99 → clamp, replayed verbatim in the oracle — the embedding twin
+    of lsh_candidate_pairs_auto. At sf0.01 the 16 sign-LSH buckets
+    hold 18-44 vectors, so the resolved cap is the ceiling 30:
+    buckets ≤ 30 keep exact cliques, larger ones emit (bucket-min,
+    member) stars, and every candidate still faces the exact
+    cosine ≥ 0.3 verify."""
+    from syncflux_spark.operators.similarity import near_dup_pairs
+
+    emb = load_table(spark, sf, "embeddings")
+    return near_dup_pairs(
+        emb,
+        threshold=0.3,
+        n_planes=4,
+        dim=64,
+        auto_floor=_EMB_AUTO_BIND[0],
+        auto_ceiling=_EMB_AUTO_BIND[1],
+    )
+
+
+@register(
+    "emb_bucket_census",
+    f"""
+    WITH v AS (SELECT vec_id, {_sql_sign_bucket('embedding::DOUBLE[]', 4, 64)} AS bk
+               FROM embeddings),
+         stats AS (SELECT bk, COUNT(*) AS c FROM v GROUP BY bk),
+         hist AS (SELECT c, COUNT(*) AS f FROM stats GROUP BY c),
+         tot AS (SELECT SUM(f) AS nb,
+                        SUM(f * ((c * (c - 1)) // 2)) AS tp FROM hist)
+    {_CENSUS_SELECT_SQL}
+    """,
+)
+def emb_bucket_census(spark, sf):
+    """The embedding flavor of the bucket-mass census: per distinct
+    sign-LSH bucket size (16 buckets at 4 planes), bucket counts and
+    row/pair mass — the table that exposes the clustered-embedding
+    failure mode (a tight cluster shares signs on EVERY hyperplane,
+    so one bucket holds the whole cluster at any plane count) before
+    the self-join pays for it."""
+    from syncflux_spark.operators.similarity import sign_lsh_bucket
+
+    emb = load_table(spark, sf, "embeddings")
+    stats = (
+        emb.select(sign_lsh_bucket("embedding", 4, 64).alias("bk"))
+        .groupBy("bk")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return _bucket_census_frame(stats)
 
 
 @register(
@@ -4911,6 +5282,43 @@ def _register_emb_components():
             threshold=0.3,
             n_planes=4,
             dim=64,
+        )
+
+    capped_edges = REGISTRY["emb_near_dup_pairs_capped"].sql
+
+    @register(
+        "emb_dedup_components_capped",
+        f"""
+        WITH RECURSIVE edges AS ({capped_edges}),
+        sym AS (SELECT id_a AS a, id_b AS b FROM edges
+                UNION ALL SELECT id_b, id_a FROM edges),
+        reach(id, r) AS (
+          SELECT vec_id, vec_id FROM embeddings
+          UNION
+          SELECT s.b, reach.r FROM reach JOIN sym s ON s.a = reach.id
+        )
+        SELECT id AS vec_id, CAST(MIN(r) AS BIGINT) AS component
+        FROM reach GROUP BY id
+        """,
+    )
+    def emb_dedup_components_capped(spark, sf):
+        """Semantic dedup components over the STAR-COLLAPSED embedding
+        near-dup graph (bucket_cap=8, binding on every sf0.01 bucket)
+        — the capped twin the r10 verdict named missing: the uncapped
+        form inherits emb_near_dup_pairs' x30 clustered-bucket disk
+        wall, while this one consumes the O(c)-per-bucket star
+        candidate graph. Star edges face the same cosine ≥ 0.3
+        verify, so a failed star edge can split a hot cluster the
+        clique would have held (the label propagation then sees two
+        components) — the documented recall trade; the oracle replays
+        the identical capped graph so the trade is value-hash-gated,
+        not asserted."""
+        return dd.embedding_components(
+            load_table(spark, sf, "embeddings"),
+            threshold=0.3,
+            n_planes=4,
+            dim=64,
+            bucket_cap=8,
         )
 
 
@@ -12610,10 +13018,8 @@ def doc_lang_mix(spark, sf):
          hs AS ({_HS_SQL}),
          sig AS (SELECT doc_id, {_MH_SELECT} FROM hs GROUP BY doc_id),
          bands AS ({_BANDS_SQL}),
-         pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-                   FROM bands a JOIN bands b
-                     ON a.band_id = b.band_id AND a.band_key = b.band_key
-                        AND a.doc_id < b.doc_id)
+         {_AUTO_CAND_SQL},
+         pairs AS (SELECT id_a, id_b FROM cand)
     SELECT LEAST(da.source, db.source) AS source_a,
            GREATEST(da.source, db.source) AS source_b,
            CAST(COUNT(*) AS BIGINT) AS n_pairs
@@ -14563,23 +14969,35 @@ _PRIORITY_PREFIXES = (
 #: anything else (a changed query with a stale green row is the one
 #: regression the self-maintaining order can't see on its own).
 _ROUND_FOCUS = (
-    # r10: pinned = only queries whose impl or oracle changed this
-    # round; everything else rides the self-maintaining order (the 5
-    # never-sampled r9 spill-overs and the new registrations are
-    # unconfirmed, so they auto-front without displacing anything).
-    #
-    # oracle fix: CAST the HUGEINT (DuckDB SUM-of-BIGINT) output
-    # columns to BIGINT — the r9 hash mismatch was a dtype leak, the
-    # Spark values were proven bit-exact (VERDICT r9)
-    "ts_acf",
-    # sessions.py refactor: the closing kernel factored into
-    # _close_islands/_arm_timer and the output schema is now derived
-    # from the source key type — values identical by construction,
-    # but changed impl means the r9 green row is stale evidence
-    "stream_session_close",
-    # the registered index query now sizes n_shards with the measured
-    # rule (shards_for_buckets — resolves to the old 64 on 32 cores);
-    # shard placement is value-invariant, but changed impl re-pins
+    # r11: bucket_cap now defaults to "auto" in the banded-candidate
+    # operators and every consumer's oracle carries the census-derived
+    # cap chain (_AUTO_CAND_SQL) — values are unchanged at gate scale
+    # (the 64 floor never binds there: max band bucket 4), but both
+    # impl and oracle text changed for this whole family, so the old
+    # green rows are stale evidence. The new *_auto/*_capped/census
+    # registrations are unconfirmed and auto-front on their own.
+    "lsh_candidate_pairs",
+    "lsh_candidate_pairs_strict",
+    "lsh_candidate_pairs_capped",
+    "ngram_jaccard_pairs",
+    "ngram_jaccard_pairs_strfp",
+    "dedup_graph_triangles",
+    "dedup_graph_clustering",
+    "dedup_graph_triangles_verified",
+    "dedup_graph_kcore",
+    "dedup_cross_source_matrix",
+    "dedup_components",
+    "dedup_near_keep",
+    "dedup_near_keep_capped",
+    "dedup_keep_longest",
+    "doc_pagerank",
+    "leakage_safe_split",
+    "contrastive_triplets",
+    "emb_near_dup_pairs",
+    "emb_near_dup_pairs_capped",
+    "emb_dedup_components",
+    # r11: decisions() now probes the band rows persisted at ingest
+    # instead of re-banding the corpus (the measured A/B — SCALE.md)
     "stream_neardup_index",
 )
 
