@@ -7117,14 +7117,20 @@ def stream_neardup_index(spark, sf):
     the oracle computes from the single-copy batch table. Min-wins
     state is duplicate- and order-insensitive, which is what makes the
     bitwise claim possible (streaming/neardup.py); O(1) state per band
-    bucket, bounded by distinct band keys, not corpus size."""
+    bucket, bounded by distinct band keys, not corpus size.
+
+    r11 shape, from the measured A/B (SCALE.md): ``persist_bands``
+    writes each batch's band rows (already computed for the state
+    fold) as a by-product, and the decision probe reads THOSE instead
+    of re-banding the corpus — the probe-side md5 re-scan was the
+    query's largest constant (x30 decide: 65.7 s → 1.5 s; values
+    identical by construction). n_shards rides the default None — the
+    library derives it via shards_for_buckets and pins it in the
+    checkpoint marker, the same path a production user gets."""
     import os
     import shutil
 
-    from syncflux_spark.streaming.neardup import (
-        StreamingLshIndex,
-        shards_for_buckets,
-    )
+    from syncflux_spark.streaming.neardup import StreamingLshIndex
 
     root = tempfile.mkdtemp(prefix="sf_slsh_")
     src = os.path.join(root, "src")
@@ -7134,14 +7140,6 @@ def stream_neardup_index(spark, sf):
             os.path.join(sf, "documents.parquet"),
             os.path.join(src, f"documents_{copy_name}.parquet"),
         )
-    docs = load_table(spark, sf, "documents")
-    # size the shard dial ONCE at index creation from the expected
-    # bucket count (<= 2 bands/doc) — the measured rule from the r10
-    # A/B (SCALE.md; resolves to the old hand-picked 64 on this box,
-    # and values are shard-placement-invariant by min-wins anyway)
-    n_shards = shards_for_buckets(
-        spark.sparkContext.defaultParallelism, 2 * docs.count()
-    )
     op = StreamingLshIndex(
         spark,
         src,
@@ -7149,10 +7147,10 @@ def stream_neardup_index(spark, sf):
         f"{root}/ckpt",
         max_files_per_trigger=1,
         state_partitions=4,
-        n_shards=n_shards,
+        persist_bands=True,
     )
     op.run_available()
-    return op.decisions(docs)
+    return op.decisions_ingested()
 
 
 @register(

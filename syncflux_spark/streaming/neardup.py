@@ -66,6 +66,17 @@ BANDMIN_OUTPUT = T.StructType(
         T.StructField("min_doc_id", T.LongType()),
     ]
 )
+#: persist_bands=True widens the kernel output with the raw band rows
+#: of each batch (doc_id set, min_doc_id null) next to the bucket
+#: updates (doc_id null): the band rows were ALREADY computed and
+#: Arrow-shipped into the kernel for the state fold, so emitting them
+#: back and parquet-ing them per batch costs one narrow write — and
+#: saves decisions() a full md5/banding re-scan of the corpus (the
+#: largest constant in the registered query's wall, measured in
+#: SCALE.md r11).
+BANDMIN_OUTPUT_WITH_BANDS = T.StructType(
+    list(BANDMIN_OUTPUT.fields) + [T.StructField("doc_id", T.LongType())]
+)
 #: Per SHARD of buckets (not per bucket): three parallel arrays forming
 #: the shard's bucket → min map. Keying the state store per bucket
 #: would be the classic point-update layout, but applyInPandasWithState
@@ -123,7 +134,7 @@ def shards_for_buckets(
     return max(floor, min(cap, max(1, n_buckets // target_per_shard)))
 
 
-def _bandmin_factory(id_col: str):
+def _bandmin_factory(id_col: str, emit_bands: bool = False):
     def _bandmin_fn(
         key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
@@ -159,8 +170,25 @@ def _bandmin_factory(id_col: str):
         )
         # emit only the buckets this batch touched (update semantics;
         # the sink resolves newest-wins per bucket)
-        yield pd.DataFrame(
+        bucket_frame = pd.DataFrame(
             {"band_id": out_b, "band_key": out_k, "min_doc_id": out_m}
+        )
+        if not emit_bands:
+            yield bucket_frame
+            return
+        bucket_frame["doc_id"] = pd.array(
+            [None] * len(bucket_frame), dtype="Int64"
+        )
+        yield bucket_frame
+        # the batch's raw band rows, tagged by a null min_doc_id —
+        # write_batch splits them off to the bands sink
+        yield pd.DataFrame(
+            {
+                "band_id": pdf["band_id"].astype("int32"),
+                "band_key": pdf["band_key"],
+                "min_doc_id": pd.array([None] * len(pdf), dtype="Int64"),
+                "doc_id": pdf[id_col].astype("int64"),
+            }
         )
 
     return _bandmin_fn
@@ -181,13 +209,15 @@ class StreamingLshIndex:
         checkpoint_path: str,
         id_col: str = "doc_id",
         text_col: str = "text",
-        n_shards: int = 64,
+        n_shards: int | None = None,
         path_glob_filter: str | None = None,
         max_files_per_trigger: int | None = None,
         state_partitions: int | None = None,
         state_backend: str | None = None,
+        persist_bands: bool = False,
+        bands_path: str | None = None,
     ):
-        if n_shards < 1:
+        if n_shards is not None and n_shards < 1:
             raise ValueError(f"n_shards must be >= 1, got {n_shards}")
         self.spark = spark
         self.src_path = src_path
@@ -197,14 +227,64 @@ class StreamingLshIndex:
         self.text_col = text_col
         # Python invocations per batch == shards touched; per-shard
         # state == buckets/n_shards map entries moved through Arrow.
-        # Size ONCE per checkpoint with shards_for_buckets (measured
-        # rule, SCALE.md r10); 64 = that rule's output for this
-        # container's 32 cores across every measured bucket count.
+        # The dial is baked into the stream's state keys, so it is
+        # sized ONCE per checkpoint: n_shards=None (the default since
+        # r11) resolves at first run — adopt the checkpoint's marker
+        # if one exists, else derive from the measured rule
+        # shards_for_buckets (one batch count of the source directory
+        # estimates the expected bucket count at <= 2 bands/doc) —
+        # instead of baking THIS container's hand tuning into the
+        # constructor (VERDICT r10 #4). The choice is persisted in a
+        # checkpoint marker and a mismatched explicit restart fails
+        # loudly (ADVICE r10), so a grown corpus or different machine
+        # can never silently orphan every bucket's state.
         self.n_shards = n_shards
         self.path_glob_filter = path_glob_filter
         self.max_files_per_trigger = max_files_per_trigger
         self.state_partitions = state_partitions
         self.state_backend = state_backend
+        self.persist_bands = persist_bands
+        self.bands_path = bands_path or f"{dst_path}_bands"
+
+    _SHARDS_MARKER = "SYNCFLUX_N_SHARDS"
+
+    def _resolve_n_shards(self) -> int:
+        """n_shards is baked into the state-store keys: restarting an
+        existing checkpoint with a different value would silently
+        reshard every bucket into an empty group (min-wins would
+        restart, not corrupt — but the index would FORGET). Resolution
+        order: the checkpoint's marker wins for n_shards=None (a
+        restart must never re-derive from a grown corpus); an explicit
+        value must MATCH an existing marker or fail; a first run
+        derives (if None), then persists the marker."""
+        marker = os.path.join(self.checkpoint_path, self._SHARDS_MARKER)
+        if os.path.exists(marker):
+            with open(marker) as f:
+                stored = int(f.read().strip())
+            if self.n_shards is not None and stored != self.n_shards:
+                raise ValueError(
+                    f"checkpoint at {self.checkpoint_path} was built with "
+                    f"n_shards={stored}, got {self.n_shards}: resharding an "
+                    "existing checkpoint orphans all bucket state. Pass "
+                    f"n_shards={stored}, n_shards=None (adopts the marker), "
+                    "or a fresh checkpoint dir."
+                )
+            return stored
+        n = self.n_shards
+        if n is None:
+            reader = self.spark.read
+            if self.path_glob_filter:
+                reader = reader.option(
+                    "pathGlobFilter", self.path_glob_filter
+                )
+            n_docs = reader.parquet(self.src_path).count()
+            n = shards_for_buckets(
+                self.spark.sparkContext.defaultParallelism, 2 * n_docs
+            )
+        os.makedirs(self.checkpoint_path, exist_ok=True)
+        with open(marker, "w") as f:
+            f.write(str(n))
+        return n
 
     def _reader(self):
         batch_reader = self.spark.read
@@ -230,6 +310,7 @@ class StreamingLshIndex:
         # micro-batch (spread_for_cpu can't size a streaming plan —
         # no .rdd — so the operator spreads here, before the
         # CPU-heavy narrow stage)
+        n_shards = self._resolve_n_shards()
         docs = self._reader().repartition(
             self.spark.sparkContext.defaultParallelism
         )
@@ -238,21 +319,50 @@ class StreamingLshIndex:
         ).withColumn(
             "_shard",
             F.pmod(
-                F.xxhash64("band_id", "band_key"), F.lit(self.n_shards)
+                F.xxhash64("band_id", "band_key"), F.lit(n_shards)
             ).cast("int"),
         )
+        out_schema = (
+            BANDMIN_OUTPUT_WITH_BANDS if self.persist_bands else BANDMIN_OUTPUT
+        )
         stream = bands.groupBy("_shard").applyInPandasWithState(
-            _bandmin_factory(self.id_col),
-            BANDMIN_OUTPUT,
+            _bandmin_factory(self.id_col, emit_bands=self.persist_bands),
+            out_schema,
             BANDMIN_STATE,
             "update",
             GroupStateTimeout.NoTimeout,
         )
 
+        persist_bands = self.persist_bands
+        dst_path, bands_path, id_col = (
+            self.dst_path,
+            self.bands_path,
+            self.id_col,
+        )
+
         def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-            batch_df.write.mode("overwrite").parquet(
-                os.path.join(self.dst_path, f"batch={batch_id}")
-            )
+            if not persist_bands:
+                batch_df.write.mode("overwrite").parquet(
+                    os.path.join(dst_path, f"batch={batch_id}")
+                )
+                return
+            # two sinks from one micro-batch: persist first so the
+            # stateful plan (and its state updates) runs once, not
+            # once per sink
+            batch_df = batch_df.persist()
+            try:
+                batch_df.where(F.col("doc_id").isNull()).select(
+                    "band_id", "band_key", "min_doc_id"
+                ).write.mode("overwrite").parquet(
+                    os.path.join(dst_path, f"batch={batch_id}")
+                )
+                batch_df.where(F.col("min_doc_id").isNull()).select(
+                    F.col("doc_id").alias(id_col), "band_id", "band_key"
+                ).write.mode("overwrite").parquet(
+                    os.path.join(bands_path, f"batch={batch_id}")
+                )
+            finally:
+                batch_df.unpersist()
 
         from syncflux_spark.utils import streaming_state
 
@@ -303,6 +413,35 @@ class StreamingLshIndex:
         buckets exist in the index (i.e. it was never ingested) gets
         no row — probe the stream's own corpus, or ingest first."""
         probe = band_keys(docs, text_col=self.text_col, id_col=self.id_col)
+        return self._decide(probe)
+
+    def ingested_bands(self) -> DataFrame:
+        """The band rows persisted at ingest (persist_bands=True):
+        (id, band_id, band_key), one row per band per DELIVERY — a
+        re-delivered document appears once per delivery, which the
+        min-aggregation in decisions is insensitive to."""
+        if not self.persist_bands:
+            raise ValueError(
+                "ingested_bands requires persist_bands=True at ingest"
+            )
+        return self.spark.read.option("recursiveFileLookup", "true").parquet(
+            self.bands_path
+        )
+
+    def decisions_ingested(self) -> DataFrame:
+        """decisions() for the stream's own corpus WITHOUT re-banding
+        it: the probe side reads the (id, band) rows persisted as a
+        by-product of ingestion instead of recomputing the
+        shingle→md5→min banding over the full corpus — the banding
+        was already paid once per delivery inside the stream, and at
+        x30 the probe-side re-scan was the registered query's single
+        largest constant (measured A/B in SCALE.md r11). Values are
+        identical to decisions(corpus) by construction: the persisted
+        rows are exactly band_keys(delivered docs), duplicates across
+        deliveries collapse in the min."""
+        return self._decide(self.ingested_bands())
+
+    def _decide(self, probe: DataFrame) -> DataFrame:
         idx = self.current_index()
         return (
             probe.join(idx, ["band_id", "band_key"])

@@ -436,6 +436,107 @@ class TestStreamingLshIndex:
         assert dec2[20].canonical_id == 10 and dec2[20].is_dup
         assert dec2[10].canonical_id == 10 and not dec2[10].is_dup
 
+    def test_shard_marker_pins_checkpoint_and_none_derives(
+        self, spark, tmp_path
+    ):
+        """n_shards=None (the r11 default) derives from the measured
+        rule and persists the choice next to the checkpoint; a
+        restart with None ADOPTS the marker (never re-derives from a
+        grown corpus), and an explicit mismatch fails loudly instead
+        of silently orphaning all bucket state (ADVICE r10)."""
+        import os
+
+        from syncflux_spark.streaming.neardup import (
+            StreamingLshIndex,
+            shards_for_buckets,
+        )
+
+        schema = "doc_id long, text string"
+        rows = [(i, f"document number {i} with plenty of text") for i in range(6)]
+        src = str(tmp_path / "src")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+
+        def mk(**kw):
+            return StreamingLshIndex(
+                spark, src, str(tmp_path / "dst"), str(tmp_path / "ckpt"), **kw
+            )
+
+        op = mk()  # n_shards=None
+        op.run_available()
+        marker = os.path.join(str(tmp_path / "ckpt"), "SYNCFLUX_N_SHARDS")
+        derived = int(open(marker).read())
+        assert derived == shards_for_buckets(
+            spark.sparkContext.defaultParallelism, 2 * len(rows)
+        )
+        # restart with None adopts the marker even if the corpus grew
+        spark.createDataFrame(
+            [(100 + i, f"new arrival {i} text body") for i in range(4)], schema
+        ).coalesce(1).write.mode("append").parquet(src)
+        op2 = mk()
+        op2.run_available()
+        assert int(open(marker).read()) == derived
+        # explicit mismatch: loud failure, state untouched
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="orphans all bucket state"):
+            mk(n_shards=derived + 1).run_available()
+        # explicit match: fine
+        mk(n_shards=derived).run_available()
+
+    def test_ingested_decisions_match_reban_probe(self, spark, tmp_path):
+        """persist_bands=True: the probe over ingest-persisted band
+        rows must produce byte-identical decisions to the re-banding
+        probe, across a re-delivery (duplicate band rows collapse in
+        the min)."""
+        from syncflux_spark.streaming.neardup import StreamingLshIndex
+
+        schema = "doc_id long, text string"
+        base = "the quick brown fox jumps over the lazy dog "
+        rows = [
+            (10, base * 3),
+            (11, base * 3),
+            (12, "completely different content with its own shingles"),
+        ]
+        src = str(tmp_path / "src")
+        df = spark.createDataFrame(rows, schema).coalesce(1)
+        df.write.mode("append").parquet(src)
+        df.write.mode("append").parquet(src)  # second delivery
+
+        op = StreamingLshIndex(
+            spark,
+            src,
+            str(tmp_path / "dst"),
+            str(tmp_path / "ckpt"),
+            max_files_per_trigger=1,
+            persist_bands=True,
+        )
+        op.run_available()
+        via_reban = sorted(
+            tuple(r)
+            for r in op.decisions(
+                spark.createDataFrame(rows, schema)
+            ).collect()
+        )
+        via_ingested = sorted(
+            tuple(r) for r in op.decisions_ingested().collect()
+        )
+        assert via_ingested == via_reban
+        assert len(via_ingested) == 3
+
+    def test_ingested_bands_requires_flag(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from syncflux_spark.streaming.neardup import StreamingLshIndex
+
+        op = StreamingLshIndex(
+            spark,
+            str(tmp_path / "src"),
+            str(tmp_path / "dst"),
+            str(tmp_path / "ckpt"),
+        )
+        with _pytest.raises(ValueError, match="persist_bands"):
+            op.ingested_bands()
+
 
 class TestStreamingSessionCloserEdges:
     def test_gap_boundary_duplicates_and_singletons(self, spark, tmp_path):
