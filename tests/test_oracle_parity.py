@@ -61,10 +61,16 @@ def assert_frames_match(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: s
         # both sides to float before comparing).
         ks, kd = sv.dtype.kind, dv.dtype.kind
         if ks in "iufb" and kd in "iufb":
-            assert (ks == "f") == (kd == "f"), (
+            # kind equality up to signed/unsigned width: i/u
+            # interchange is stringify-identical, but bool-vs-int
+            # ('True' vs '1') and int-vs-float ('1' vs '1.0') are the
+            # driver hash leaks (ADVICE r10 tightened this from a
+            # float-ness-only check)
+            canon = {"u": "i"}
+            assert canon.get(ks, ks) == canon.get(kd, kd), (
                 f"{name}.{col}: dtype kind mismatch spark={sv.dtype} "
                 f"oracle={dv.dtype} — the driver's value-hash stringifies "
-                "int and float differently; CAST the oracle column (DuckDB "
+                "bool/int/float differently; CAST the oracle column (DuckDB "
                 "HUGEINT from SUM-of-BIGINT arrives as float64) or align "
                 "the Spark type"
             )
@@ -124,3 +130,19 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert df.columns[0] == "l_returnflag"
+
+
+def test_dtype_kind_gate_catches_bool_int_leak():
+    """ADVICE r10: bool-vs-int (kinds 'b'/'i') stringify differently
+    in the driver's hash ('True' vs '1') but both sat inside the old
+    float-ness-only check — the tightened gate must flag it, while
+    int64-vs-uint64 (stringify-identical) must still pass."""
+    import numpy as np
+
+    bools = pd.DataFrame({"k": ["a", "b"], "v": pd.array([True, False], dtype="bool")})
+    ints = pd.DataFrame({"k": ["a", "b"], "v": pd.array([1, 0], dtype="int64")})
+    with pytest.raises(AssertionError, match="dtype kind mismatch"):
+        assert_frames_match(bools, ints, "bool_int_leak_fixture")
+    signed = pd.DataFrame({"v": np.array([1, 2], dtype="int64")})
+    unsigned = pd.DataFrame({"v": np.array([1, 2], dtype="uint64")})
+    assert_frames_match(signed, unsigned, "iu_ok")

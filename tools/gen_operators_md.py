@@ -4,7 +4,11 @@ query, its gate kind, and the first sentence of its docstring, grouped
 by family. Run after adding queries:
 
     python tools/gen_operators_md.py > OPERATORS.md
-"""
+
+``--check`` verifies the committed file instead (documented count ==
+len(REGISTRY) and every registered name present) and exits non-zero on
+staleness — the r10 verdict's "regenerated one commit too early" class
+becomes a CI failure (tests/test_catalog.py runs it)."""
 
 from __future__ import annotations
 
@@ -38,9 +42,53 @@ FAMILIES = [
 ]
 
 
+def check(path: str) -> list[str]:
+    """Staleness probe against a committed OPERATORS.md: returns the
+    problems found (empty == fresh). Cheap by design — no Spark
+    session, just the registry import and a text scan."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    from syncflux_spark import queries as q
+
+    problems: list[str] = []
+    if not os.path.exists(path):
+        return [f"{path} missing — run tools/gen_operators_md.py"]
+    with open(path) as f:
+        text = f.read()
+    m = re.search(r"^(\d+) registered queries", text, re.M)
+    if not m:
+        problems.append("no 'N registered queries' header found")
+    elif int(m.group(1)) != len(q.REGISTRY):
+        problems.append(
+            f"documented count {m.group(1)} != registry {len(q.REGISTRY)}"
+        )
+    documented = set(re.findall(r"^\| `([a-z0-9_]+)` \|", text, re.M))
+    missing = sorted(set(q.REGISTRY) - documented)
+    stale = sorted(documented - set(q.REGISTRY))
+    if missing:
+        problems.append(f"registered but undocumented: {missing}")
+    if stale:
+        problems.append(f"documented but unregistered: {stale}")
+    return problems
+
+
 def main() -> int:
     import os
     import sys
+
+    if "--check" in sys.argv[1:]:
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "OPERATORS.md",
+        )
+        problems = check(path)
+        for p in problems:
+            print(f"STALE: {p}", file=sys.stderr)
+        return 1 if problems else 0
 
     sys.path.insert(
         0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
