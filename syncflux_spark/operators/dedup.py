@@ -363,13 +363,18 @@ def lsh_candidate_pairs(
     bit-identical exact uncapped plan. ``None`` opts out entirely
     (exact cliques at any bucket size — the pre-r11 default); an int
     pins the cap by hand."""
-    # eager: a lazy persist would let the self-join's two concurrent
-    # stage scans each recompute the signature plan (utils.eager_persist)
-    all_bands = eager_persist(
-        band_keys(
-            df, text_col, id_col, k_shingle, n_hashes, band_size, shingled=shingled
-        )
+    # materialized persist: a lazy persist would let the self-join's
+    # two concurrent stage scans each recompute the signature plan
+    # (utils.eager_persist). In auto mode the census collect IS the
+    # materializing action (it scans every band row before any join
+    # runs), so the kernel skips the separate count job.
+    all_bands = band_keys(
+        df, text_col, id_col, k_shingle, n_hashes, band_size, shingled=shingled
     )
+    if bucket_cap == "auto":
+        all_bands = all_bands.persist()
+    else:
+        all_bands = eager_persist(all_bands)
     return _bands_to_pairs(all_bands, id_col, bucket_cap, auto_floor, auto_ceiling)
 
 
@@ -391,7 +396,10 @@ def _bands_to_pairs(
     if bucket_cap == "auto":
         # count-of-counts histogram: O(distinct bucket sizes) driver
         # rows — scale-free even at billions of buckets. bands is
-        # persisted by every caller, so this is a cached scan.
+        # persist()ed by every caller and this collect is the FIRST
+        # action over it, so the census doubles as the cache
+        # materialization (the eager count the pre-auto kernels paid
+        # is folded in, not added — one job, not two).
         hist = [
             (int(r["_c"]), int(r["_f"]))
             for r in bands.groupBy("band_id", "band_key")
@@ -569,7 +577,14 @@ def ngram_jaccard_pairs(
     cols = [F.col(id_col), F.col("sh")]
     for i in range(n_hashes):
         cols.append(F.array_min(F.transform("_hs", lane(i))).alias(f"mh{i}"))
-    combined = eager_persist(hashed.select(*cols))
+    # in auto mode the census collect inside _bands_to_pairs is the
+    # first action over the cached frame and materializes it (one job
+    # replaces the eager count — see lsh_candidate_pairs)
+    combined = hashed.select(*cols)
+    if bucket_cap == "auto":
+        combined = combined.persist()
+    else:
+        combined = eager_persist(combined)
 
     n_bands = n_hashes // band_size
     band_structs = [

@@ -498,14 +498,20 @@ def near_dup_pairs(
             for t in range(n_tables)
         ]
     )
-    tagged = eager_persist(
-        corpus.select(
-            F.col(id_col),
-            as_double(vec_col).alias("v"),
-            norm(vec_col).alias("n"),
-            F.explode(tables).alias("tb"),
-        ).select(F.col(id_col), "v", "n", "tb.tbl", "tb.bk")
-    )
+    tagged = corpus.select(
+        F.col(id_col),
+        as_double(vec_col).alias("v"),
+        norm(vec_col).alias("n"),
+        F.explode(tables).alias("tb"),
+    ).select(F.col(id_col), "v", "n", "tb.tbl", "tb.bk")
+    if bucket_cap == "auto":
+        # the census collect below is the first action over the
+        # cached frame — it materializes the persist, so auto mode
+        # pays one job where the eager count used to be (not one
+        # more on top)
+        tagged = tagged.persist()
+    else:
+        tagged = eager_persist(tagged)
     hot_is_small = True
     if bucket_cap == "auto":
         floor = AUTO_CAP_FLOOR if auto_floor is None else auto_floor
