@@ -131,6 +131,14 @@ LANE_WIDTH = 4  # hex chars per lane (16 bits)
 AUTO_CAP_P = 0.99
 AUTO_CAP_FLOOR = 64
 AUTO_CAP_CEILING = 512
+#: hot-set broadcast bound (auto mode only — the census histogram
+#: makes the hot-bucket COUNT known on the driver for free): above
+#: this many over-cap buckets the hot/cold/star joins fall back to
+#: shuffle joins instead of shipping an oversized broadcast (~60 B
+#: per hot bucket row for text, 8·dim B for embedding mins). With a
+#: manual int cap no census exists and the caller owns the bound —
+#: see the operator docstrings.
+HOT_BROADCAST_MAX = 200_000
 
 
 def auto_cap_stats(
@@ -414,11 +422,11 @@ def _bands_to_pairs(
             bucket_cap = cap
             # the census is already driver-side: bound the hot-set
             # broadcast by COUNT (~60 B per hot bucket row) — past
-            # ~200k hot buckets fall back to shuffle joins rather
-            # than ship an oversized broadcast (ADVICE r10, the
-            # embedding flavor of the same bound)
+            # HOT_BROADCAST_MAX hot buckets fall back to shuffle
+            # joins rather than ship an oversized broadcast (ADVICE
+            # r10, the embedding flavor of the same bound)
             n_hot = sum(f for c, f in hist if c > cap)
-            hot_is_small = n_hot <= 200_000
+            hot_is_small = n_hot <= HOT_BROADCAST_MAX
         else:
             bucket_cap = None
     a = bands.alias("a")

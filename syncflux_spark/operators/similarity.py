@@ -531,11 +531,14 @@ def near_dup_pairs(
         if max_c > cap:
             bucket_cap = cap
             # the census is already on the driver: bound the hot-set
-            # broadcast by COUNT, not hope (ADVICE r10) — past ~200k
-            # hot buckets the mins frame (8·dim B each) outgrows a
-            # sane broadcast and the joins fall back to shuffles
+            # broadcast by COUNT, not hope (ADVICE r10) — past
+            # HOT_BROADCAST_MAX hot buckets the mins frame (8·dim B
+            # each) outgrows a sane broadcast and the joins fall
+            # back to shuffles
+            from syncflux_spark.operators.dedup import HOT_BROADCAST_MAX
+
             n_hot = sum(f for c, f in hist if c > cap)
-            hot_is_small = n_hot <= 200_000
+            hot_is_small = n_hot <= HOT_BROADCAST_MAX
         else:
             bucket_cap = None
     join_src = tagged

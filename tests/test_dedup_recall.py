@@ -569,3 +569,72 @@ class TestEmbeddingAutoCap:
         # max) so the ceiling 4 is the resolved cap
         assert auto == explicit
         assert len(auto) > 0
+
+
+class TestHotSetShuffleFallback:
+    """The auto path's no-broadcast branch (hot count >
+    HOT_BROADCAST_MAX): values must be identical to the broadcast
+    path — the bound changes the JOIN STRATEGY, never the answer."""
+
+    def test_text_fallback_values_identical(self, spark, monkeypatch):
+        same = "the same exact sentence repeated for banding " * 3
+        rows = [(i, same) for i in range(10, 15)] + [
+            (20, "first completely unrelated text with private words"),
+            (21, "second disjoint document nothing shared here at all"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        bcast = sorted(
+            map(
+                tuple,
+                dd.lsh_candidate_pairs(
+                    df, auto_floor=2, auto_ceiling=3
+                ).collect(),
+            )
+        )
+        monkeypatch.setattr(dd, "HOT_BROADCAST_MAX", 0)
+        fallback = sorted(
+            map(
+                tuple,
+                dd.lsh_candidate_pairs(
+                    df, auto_floor=2, auto_ceiling=3
+                ).collect(),
+            )
+        )
+        assert fallback == bcast and len(fallback) > 0
+
+    def test_embedding_fallback_values_identical(self, spark, monkeypatch):
+        import math
+
+        from syncflux_spark.operators import dedup as dmod
+        from syncflux_spark.operators.similarity import near_dup_pairs
+
+        rows = []
+        for i in range(12):
+            v = [1.0] * 8
+            v[i % 8] += 0.01 * (i + 1)
+            rows.append((i, v))
+        rows += [
+            (100, [(-1.0) ** d * (d + 1.0) for d in range(8)]),
+            (101, [math.sin(d + 1.0) * 5 for d in range(8)]),
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+        def run():
+            return sorted(
+                map(
+                    tuple,
+                    near_dup_pairs(
+                        df,
+                        threshold=0.9,
+                        n_planes=3,
+                        dim=8,
+                        auto_floor=2,
+                        auto_ceiling=4,
+                    ).collect(),
+                )
+            )
+
+        bcast = run()
+        monkeypatch.setattr(dmod, "HOT_BROADCAST_MAX", 0)
+        fallback = run()
+        assert fallback == bcast and len(fallback) > 0
