@@ -315,13 +315,33 @@ def ivf_assign(
         "cid",
         (dot("_v", "centv", dim) / (F.col("_n") * F.col("centn"))).alias("_cs"),
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy(id_col).orderBy(F.desc("_cs"), F.asc("cid"))
+    # argmax as a PARTIAL-AGG max_by, not a window: the window form
+    # shuffled all n×k scored rows — each dragging the full vector
+    # payload — through a per-id sort (measured ~20 GB of exchange at
+    # 200k vectors × 196 auto centroids, SCALE.md r11); max_by
+    # combines map-side (the broadcast crossJoin preserves corpus
+    # partitioning, so every id's k candidates are combined locally)
+    # and the exchange carries exactly n rows. Tie-break identical to
+    # the old ORDER BY _cs DESC, cid ASC: max over (_cs, -cid).
+    # _v/_n are constant within an id group, so any-value is exact.
+    pick = F.max_by(
+        F.struct(F.col("cid"), F.col("_cs")),
+        F.struct(F.col("_cs").alias("s"), (-F.col("cid")).alias("t")),
+    )
     return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .select(id_col, "_v", "_n", "cid", "_cs")
+        scored.groupBy(id_col)
+        .agg(
+            pick.alias("_b"),
+            F.first("_v").alias("_v"),
+            F.first("_n").alias("_n"),
+        )
+        .select(
+            id_col,
+            "_v",
+            "_n",
+            F.col("_b.cid").alias("cid"),
+            F.col("_b._cs").alias("_cs"),
+        )
     )
 
 
@@ -1253,14 +1273,44 @@ def cell_representatives(
     )
 
 
+#: semantic_dedup_flags auto-k: hold the expected CELL size constant
+#: instead of the cluster count — pair work per cell is c², so a
+#: fixed k goes quadratic in the corpus (measured: k=16 read alpha
+#: 1.78 on the x10→x30 step, 51 s → 359.6 s — SCALE.md r11) while a
+#: fixed cell size keeps total pair mass linear. 1024 matches the
+#: sign-LSH kernel's target_bucket_size and the SemDeDup paper's
+#: cluster sizing regime. The centroid count is capped so the
+#: broadcast (k × dim doubles) and the assignment fan-out stay sane:
+#: past ~67M vectors cells grow beyond target again — the documented
+#: residual (the next step is hierarchical assignment, not a bigger
+#: broadcast).
+SEMDEDUP_CELL_SIZE = 1024
+SEMDEDUP_MAX_K = 65536
+
+
+def semdedup_auto_k(
+    n_rows: int, target_cell_size: int = SEMDEDUP_CELL_SIZE
+) -> int:
+    """ceil(n / target) clamped to [1, SEMDEDUP_MAX_K] — integer-exact
+    (mirrored by the semantic_dedup_auto oracle as
+    (COUNT(*) + target - 1) // target)."""
+    if target_cell_size < 1:
+        raise ValueError(
+            f"target_cell_size must be >= 1, got {target_cell_size}"
+        )
+    return max(1, min(SEMDEDUP_MAX_K,
+                      (n_rows + target_cell_size - 1) // target_cell_size))
+
+
 def semantic_dedup_flags(
     corpus: DataFrame,
-    n_centroids: int = 16,
+    n_centroids: int | None = None,
     tau: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
     centroids: DataFrame | None = None,
+    target_cell_size: int = SEMDEDUP_CELL_SIZE,
 ) -> DataFrame:
     """Semantic deduplication in the SemDeDup shape (Abbas et al.
     2023, arXiv:2303.09540): cluster the embedding space, then look
@@ -1284,9 +1334,21 @@ def semantic_dedup_flags(
     vector — callers filter ``dropped = 0`` for the surviving set or
     aggregate for a dedup-rate report. Deterministic for any
     deterministic centroid table (seed_centroids → oracle gate,
-    kmeans_centroids → production)."""
+    kmeans_centroids → production).
+
+    ``n_centroids=None`` (the default since r11) sizes k from the
+    corpus so the expected CELL stays ~``target_cell_size``: the
+    within-cluster join is O(Σ cell²), and a FIXED k makes that
+    quadratic in the corpus (measured alpha 1.78 at k=16, SCALE.md
+    r11) while a fixed cell size keeps it linear — the SemDeDup paper
+    itself scales cluster count with the corpus. One count job pays
+    for the derivation; pass an int to pin k (the registered pinned
+    gate query), or a ``centroids`` table to skip derivation
+    entirely."""
     from syncflux_spark.utils import eager_persist
 
+    if n_centroids is None and centroids is None:
+        n_centroids = semdedup_auto_k(corpus.count(), target_cell_size)
     assigned = eager_persist(
         ivf_assign(corpus, n_centroids, id_col, vec_col, dim, centroids)
     )  # scanned three times: both join sides + the flag base

@@ -13333,6 +13333,64 @@ def semantic_dedup_flags(spark, sf):
     )
 
 
+#: gate-binding cell size for semantic_dedup_auto: ceil(500/64) = 8
+#: cells on the driver corpus, so the k-derivation resolves to a real
+#: multi-cell assignment there (production default is 1024)
+_SEMDEDUP_GATE_CELL = 64
+
+
+@register(
+    "semantic_dedup_auto",
+    f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    kv AS (SELECT GREATEST(1, LEAST(65536,
+             (COUNT(*) + {_SEMDEDUP_GATE_CELL - 1}) // {_SEMDEDUP_GATE_CELL}))
+             AS k FROM v),
+    cent AS (SELECT vec_id AS cid, v AS cv FROM v
+             WHERE vec_id < (SELECT k FROM kv)),
+    assign AS (
+      SELECT vec_id, v, cid, cs FROM (
+        SELECT a.vec_id, a.v, c.cid, {_sql_cos('a.v', 'c.cv')} AS cs,
+               row_number() OVER (PARTITION BY a.vec_id
+                                  ORDER BY {_sql_cos('a.v', 'c.cv')} DESC,
+                                           c.cid) AS rn
+        FROM v a CROSS JOIN cent c)
+      WHERE rn = 1),
+    dom AS (SELECT DISTINCT a.vec_id
+            FROM assign a JOIN assign b
+              ON a.cid = b.cid AND a.vec_id <> b.vec_id
+            WHERE {_sql_cos('a.v', 'b.v')} >= 0.30
+              AND (b.cs < a.cs OR (b.cs = a.cs AND b.vec_id < a.vec_id)))
+    SELECT a.vec_id, a.cid, a.cs AS cos_to_centroid,
+           CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END AS dropped
+    FROM assign a LEFT JOIN dom d ON a.vec_id = d.vec_id
+    """,
+)
+def semantic_dedup_auto(spark, sf):
+    """semantic_dedup_flags at the r11 DEFAULT k position: the
+    centroid count derives from the corpus so the expected CELL size
+    stays constant — k = clamp(ceil(n / target_cell_size), 1, 65536)
+    (operators/similarity.py::semdedup_auto_k). The within-cluster
+    dominance join is O(Σ cell²): a FIXED k (the original registered
+    dial) goes quadratic in the corpus — measured alpha 1.78 on the
+    x10→x30 step, 51 s → 359.6 s at k=16 (SCALE.md r11) — while a
+    fixed cell size keeps total pair mass linear, which is how the
+    SemDeDup paper itself scales. Registered with a 64-vector gate
+    cell so the derivation BINDS on the driver corpus (500 vectors →
+    k = 8 real cells); the oracle replays the integer k-derivation as
+    a scalar subquery and the same seeded-centroid assignment."""
+    from syncflux_spark.operators.similarity import semantic_dedup_flags as op
+
+    return op(
+        load_table(spark, sf, "embeddings"),
+        tau=0.30,
+        target_cell_size=_SEMDEDUP_GATE_CELL,
+    ).select(
+        "vec_id", "cid", "cos_to_centroid",
+        F.col("dropped").cast("integer").alias("dropped"),
+    )
+
+
 @register(
     "epoch_shuffle_manifest",
     """
@@ -14994,6 +15052,18 @@ _ROUND_FOCUS = (
     "emb_near_dup_pairs",
     "emb_near_dup_pairs_capped",
     "emb_dedup_components",
+    # r11: n_centroids=None auto-k default added to the operator (the
+    # registered query still pins k=16 explicitly — same values, but
+    # changed impl re-pins; the new auto form is semantic_dedup_auto)
+    "semantic_dedup_flags",
+    # r11: ivf_assign's argmax rewritten from a per-id window over all
+    # n×k scored rows (full vector payload through the sort exchange)
+    # to a map-side-combined max_by — identical values and tie-break,
+    # changed impl re-pins every assignment consumer
+    "ivf_topk",
+    "ivf_topk_kmeans",
+    "emb_diverse_sample",
+    "ivf_index_roundtrip",
     # r11: decisions() now probes the band rows persisted at ingest
     # instead of re-banding the corpus (the measured A/B — SCALE.md)
     "stream_neardup_index",

@@ -773,3 +773,50 @@ class TestMaxSimAnn:
             for r in maxsim_topk_ann(c, q, k=5, m=20, nprobe=4).collect()
         }
         assert len(approx & exact) / len(exact) >= 0.5
+
+
+class TestSemdedupAutoK:
+    def test_auto_k_arithmetic(self):
+        """clamp(ceil(n/target), 1, 65536) — the integer-exact rule the
+        semantic_dedup_auto oracle mirrors as (n + t - 1) // t."""
+        from syncflux_spark.operators.similarity import (
+            SEMDEDUP_MAX_K,
+            semdedup_auto_k,
+        )
+
+        assert semdedup_auto_k(0) == 1
+        assert semdedup_auto_k(1) == 1
+        assert semdedup_auto_k(1024) == 1
+        assert semdedup_auto_k(1025) == 2
+        assert semdedup_auto_k(500, target_cell_size=64) == 8
+        assert semdedup_auto_k(10**12) == SEMDEDUP_MAX_K
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="target_cell_size"):
+            semdedup_auto_k(10, target_cell_size=0)
+
+    def test_auto_default_matches_pinned_k(self, spark):
+        """On a corpus where ceil(n/target) equals the pinned k, the
+        default path must give byte-identical flags."""
+        from syncflux_spark.operators.similarity import semantic_dedup_flags
+
+        rows = [
+            (i, [float(i % 7 + 1), float((i * 3) % 5 + 1), 1.0])
+            for i in range(40)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        auto = sorted(
+            map(
+                tuple,
+                semantic_dedup_flags(
+                    df, tau=0.9, target_cell_size=10
+                ).collect(),
+            )
+        )
+        pinned = sorted(
+            map(
+                tuple,
+                semantic_dedup_flags(df, n_centroids=4, tau=0.9).collect(),
+            )
+        )
+        assert auto == pinned and len(auto) == 40
