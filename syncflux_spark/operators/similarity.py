@@ -535,8 +535,16 @@ def near_dup_pairs(
     hot_is_small = True
     if bucket_cap == "auto":
         floor = AUTO_CAP_FLOOR if auto_floor is None else auto_floor
+        # derived ceiling never undercuts the floor: at
+        # target_bucket_size < floor/2 a bare 2×target would make
+        # resolve_auto_cap raise about parameters the caller never
+        # passed (ADVICE r11); clamping collapses the auto band to
+        # [floor, floor] there, i.e. cap = floor — still a valid
+        # survival bound, and tiny targets already imply tiny buckets
         ceiling = (
-            2 * target_bucket_size if auto_ceiling is None else auto_ceiling
+            max(floor, 2 * target_bucket_size)
+            if auto_ceiling is None
+            else auto_ceiling
         )
         hist = [
             (int(r["_c"]), int(r["_f"]))

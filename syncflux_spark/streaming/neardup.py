@@ -247,6 +247,17 @@ class StreamingLshIndex:
         self.bands_path = bands_path or f"{dst_path}_bands"
 
     _SHARDS_MARKER = "SYNCFLUX_N_SHARDS"
+    _BANDS_MARKER = "SYNCFLUX_BANDS_SINCE"
+
+    def _marker_path(self, name: str) -> str:
+        # the checkpoint may live on any Hadoop filesystem (hdfs://,
+        # s3a://, dbfs:/ — Spark accepts them all for
+        # checkpointLocation), so markers resolve through the Hadoop
+        # FS API, never driver-local os.path (ADVICE r11: a local-only
+        # exists() misses every remote marker, silently re-derives
+        # n_shards from the grown corpus, and orphans all bucket
+        # state — the exact failure the marker prevents)
+        return self.checkpoint_path.rstrip("/") + "/" + name
 
     def _resolve_n_shards(self) -> int:
         """n_shards is baked into the state-store keys: restarting an
@@ -256,11 +267,17 @@ class StreamingLshIndex:
         order: the checkpoint's marker wins for n_shards=None (a
         restart must never re-derive from a grown corpus); an explicit
         value must MATCH an existing marker or fail; a first run
-        derives (if None), then persists the marker."""
-        marker = os.path.join(self.checkpoint_path, self._SHARDS_MARKER)
-        if os.path.exists(marker):
-            with open(marker) as f:
-                stored = int(f.read().strip())
+        derives (if None), then persists the marker. The marker lives
+        on the checkpoint's OWN filesystem (utils.checkpoint_marker_*)."""
+        from syncflux_spark.utils import (
+            checkpoint_marker_read,
+            checkpoint_marker_write,
+        )
+
+        marker = self._marker_path(self._SHARDS_MARKER)
+        raw = checkpoint_marker_read(self.spark, marker)
+        if raw is not None:
+            stored = int(raw.strip())
             if self.n_shards is not None and stored != self.n_shards:
                 raise ValueError(
                     f"checkpoint at {self.checkpoint_path} was built with "
@@ -281,10 +298,53 @@ class StreamingLshIndex:
             n = shards_for_buckets(
                 self.spark.sparkContext.defaultParallelism, 2 * n_docs
             )
-        os.makedirs(self.checkpoint_path, exist_ok=True)
-        with open(marker, "w") as f:
-            f.write(str(n))
+        checkpoint_marker_write(self.spark, marker, str(n))
         return n
+
+    def _resolve_bands_coverage(self) -> None:
+        """Pin the bands sink's COVERAGE in a checkpoint marker, so
+        :meth:`decisions_ingested`'s identity claim ("the persisted
+        band rows are exactly band_keys(every delivered doc)") is
+        checked, not assumed (ADVICE r11). The marker records that the
+        sink has covered every batch since 0; it can only be written
+        on a checkpoint with no prior commits. Two loud failures
+        instead of silent subsets:
+
+        * enabling ``persist_bands`` on a checkpoint that already
+          ingested batches without it → the sink would cover only the
+          newer batches;
+        * DISABLING it on a checkpoint whose marker claims coverage →
+          new batches would ingest without band rows, breaking the
+          claim for every later probe."""
+        from syncflux_spark.utils import (
+            checkpoint_has_commits,
+            checkpoint_marker_read,
+            checkpoint_marker_write,
+        )
+
+        marker = self._marker_path(self._BANDS_MARKER)
+        stored = checkpoint_marker_read(self.spark, marker)
+        if self.persist_bands:
+            if stored is not None:
+                return
+            if checkpoint_has_commits(self.spark, self.checkpoint_path):
+                raise ValueError(
+                    f"checkpoint at {self.checkpoint_path} already ingested "
+                    "batches WITHOUT persist_bands: the bands sink would "
+                    "cover only newer batches and decisions_ingested() "
+                    "would silently decide a subset of the corpus. Rebuild "
+                    "on a fresh checkpoint with persist_bands=True, or use "
+                    "decisions() (full re-band) against this one."
+                )
+            checkpoint_marker_write(self.spark, marker, "0")
+        elif stored is not None:
+            raise ValueError(
+                f"checkpoint at {self.checkpoint_path} persists band rows "
+                "(coverage-from-batch-0 marker present); running with "
+                "persist_bands=False would ingest batches without band "
+                "rows and break decisions_ingested() for every later "
+                "probe. Pass persist_bands=True."
+            )
 
     def _reader(self):
         batch_reader = self.spark.read
@@ -311,6 +371,7 @@ class StreamingLshIndex:
         # no .rdd — so the operator spreads here, before the
         # CPU-heavy narrow stage)
         n_shards = self._resolve_n_shards()
+        self._resolve_bands_coverage()
         docs = self._reader().repartition(
             self.spark.sparkContext.defaultParallelism
         )
@@ -423,6 +484,20 @@ class StreamingLshIndex:
         if not self.persist_bands:
             raise ValueError(
                 "ingested_bands requires persist_bands=True at ingest"
+            )
+        from syncflux_spark.utils import checkpoint_marker_read
+
+        stored = checkpoint_marker_read(
+            self.spark, self._marker_path(self._BANDS_MARKER)
+        )
+        if stored is None or stored.strip() != "0":
+            raise ValueError(
+                f"checkpoint at {self.checkpoint_path} has no "
+                "coverage-from-batch-0 bands marker: the persisted band "
+                "rows do not provably cover every ingested batch (the "
+                "checkpoint predates the bands sink, or ingest never "
+                "ran). Use decisions() against the full corpus, or "
+                "rebuild on a fresh checkpoint with persist_bands=True."
             )
         return self.spark.read.option("recursiveFileLookup", "true").parquet(
             self.bands_path

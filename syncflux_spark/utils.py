@@ -186,6 +186,69 @@ def loop_checkpoint(df: DataFrame) -> DataFrame:
         return ck
 
 
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for ``path`` resolved through Hadoop's
+    filesystem registry — the SAME resolution Spark applies to
+    ``checkpointLocation``, so ``file:/``, ``hdfs://``, ``s3a://``,
+    ``dbfs:/`` and scheme-less local paths all land on the store the
+    checkpoint actually lives on. Driver-local ``os.path`` calls only
+    see the local disk, which silently misses every remote scheme
+    (ADVICE r11: a marker "not found" on s3a:// would re-derive state
+    sizing against a grown corpus and orphan the checkpoint)."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jpath
+
+
+def checkpoint_marker_read(spark: SparkSession, path: str) -> str | None:
+    """Read a small text marker from any Hadoop-visible filesystem;
+    ``None`` when absent. Markers pin per-checkpoint decisions (state
+    shard counts, sink coverage) that must survive restarts on the
+    checkpoint's OWN store — see :func:`_hadoop_fs` for why this is
+    not ``open()``."""
+    fs, jpath = _hadoop_fs(spark, path)
+    if not fs.exists(jpath):
+        return None
+    stream = fs.open(jpath)
+    try:
+        out = bytearray()
+        while True:
+            b = stream.read()
+            if b < 0:
+                break
+            out.append(b)
+        return out.decode("utf-8")
+    finally:
+        stream.close()
+
+
+def checkpoint_marker_write(spark: SparkSession, path: str, value: str) -> None:
+    """Write (overwrite) a small text marker on the checkpoint's
+    filesystem — companion of :func:`checkpoint_marker_read`."""
+    fs, jpath = _hadoop_fs(spark, path)
+    parent = jpath.getParent()
+    if parent is not None and not fs.exists(parent):
+        fs.mkdirs(parent)
+    stream = fs.create(jpath, True)
+    try:
+        stream.write(bytearray(value.encode("utf-8")))
+    finally:
+        stream.close()
+
+
+def checkpoint_has_commits(spark: SparkSession, checkpoint_path: str) -> bool:
+    """True when a streaming checkpoint has at least one COMMITTED
+    batch — the "this checkpoint has history" predicate sink-coverage
+    markers need (a marker may only claim from-batch-0 coverage on a
+    checkpoint with no prior commits). Resolved on the checkpoint's
+    filesystem like the markers."""
+    fs, jpath = _hadoop_fs(spark, checkpoint_path.rstrip("/") + "/commits")
+    if not fs.exists(jpath):
+        return False
+    return len(fs.listStatus(jpath)) > 0
+
+
 def eager_persist(df: DataFrame) -> DataFrame:
     """Persist AND materialize now.
 

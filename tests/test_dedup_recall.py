@@ -570,6 +570,18 @@ class TestEmbeddingAutoCap:
         assert auto == explicit
         assert len(auto) > 0
 
+    def test_tiny_target_bucket_size_does_not_raise(self, clustered):
+        """target_bucket_size < AUTO_CAP_FLOOR/2 used to derive a
+        ceiling below the floor and raise about parameters the caller
+        never passed (ADVICE r11); the derived ceiling now clamps to
+        the floor (auto band collapses to cap = floor)."""
+        from syncflux_spark.operators.similarity import near_dup_pairs
+
+        out = near_dup_pairs(
+            clustered, threshold=0.9, dim=8, target_bucket_size=8
+        ).collect()
+        assert len(out) > 0
+
 
 class TestHotSetShuffleFallback:
     """The auto path's no-broadcast branch (hot count >

@@ -537,6 +537,166 @@ class TestStreamingLshIndex:
         with _pytest.raises(ValueError, match="persist_bands"):
             op.ingested_bands()
 
+    def test_markers_resolve_through_hadoop_fs_uri(self, spark, tmp_path):
+        """Checkpoint markers must follow the checkpoint's OWN
+        filesystem (ADVICE r11): a scheme'd ``file:`` URI — the same
+        resolution class as hdfs://, s3a:// — must round-trip the
+        n_shards marker (restart adopts it, no re-derive) instead of
+        probing a driver-local literal path named after the URI."""
+        import os
+
+        from syncflux_spark.streaming.neardup import StreamingLshIndex
+
+        schema = "doc_id long, text string"
+        rows = [(i, f"document number {i} with plenty of text") for i in range(6)]
+        src = str(tmp_path / "src")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+        ckpt_uri = "file:" + str(tmp_path / "ckpt")
+
+        op = StreamingLshIndex(
+            spark, src, str(tmp_path / "dst"), ckpt_uri
+        )
+        op.run_available()
+        # the marker landed inside the resolved checkpoint dir, and no
+        # bogus local directory literally named "file:..." was created
+        marker = tmp_path / "ckpt" / "SYNCFLUX_N_SHARDS"
+        assert marker.exists()
+        derived = int(marker.read_text())
+        assert not os.path.exists("file:" + str(tmp_path / "ckpt"))
+        # grow the corpus; a None restart must ADOPT, not re-derive
+        spark.createDataFrame(
+            [(100 + i, f"new arrival {i} text body") for i in range(40)],
+            schema,
+        ).coalesce(1).write.mode("append").parquet(src)
+        op2 = StreamingLshIndex(
+            spark, src, str(tmp_path / "dst"), ckpt_uri
+        )
+        op2.run_available()
+        assert int(marker.read_text()) == derived
+
+    def test_bands_coverage_marker_guards_both_directions(
+        self, spark, tmp_path
+    ):
+        """The bands sink's from-batch-0 coverage is pinned in a
+        checkpoint marker (ADVICE r11): enabling persist_bands on a
+        checkpoint that already ingested without it fails loudly
+        (the sink would cover a SUBSET), disabling it on a covered
+        checkpoint fails loudly (later batches would ingest without
+        band rows), and decisions_ingested refuses a checkpoint with
+        no coverage claim."""
+        import pytest as _pytest
+
+        from syncflux_spark.streaming.neardup import StreamingLshIndex
+
+        schema = "doc_id long, text string"
+        base = "the quick brown fox jumps over the lazy dog "
+        rows = [(10, base * 3), (11, base * 3)]
+        src = str(tmp_path / "src")
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+        def mk(**kw):
+            return StreamingLshIndex(
+                spark, src, str(tmp_path / "dst"), str(tmp_path / "ckpt"), **kw
+            )
+
+        mk().run_available()  # batch 0 ingested WITHOUT the bands sink
+        spark.createDataFrame(
+            [(20, base * 3)], schema
+        ).coalesce(1).write.mode("append").parquet(src)
+        with _pytest.raises(ValueError, match="subset"):
+            mk(persist_bands=True).run_available()
+        # the probe refuses the uncovered checkpoint too, even with
+        # the flag set on the (fresh) operator object
+        with _pytest.raises(ValueError, match="coverage"):
+            mk(persist_bands=True).ingested_bands()
+
+        # fresh checkpoint, covered from batch 0 → marker written
+        cov = StreamingLshIndex(
+            spark,
+            src,
+            str(tmp_path / "dst2"),
+            str(tmp_path / "ckpt2"),
+            persist_bands=True,
+        )
+        cov.run_available()
+        assert (tmp_path / "ckpt2" / "SYNCFLUX_BANDS_SINCE").read_text() == "0"
+        assert cov.decisions_ingested().count() == 3
+        # ...and turning the sink OFF against it is refused
+        off = StreamingLshIndex(
+            spark, src, str(tmp_path / "dst2"), str(tmp_path / "ckpt2")
+        )
+        with _pytest.raises(ValueError, match="persist_bands=True"):
+            off.run_available()
+
+    def test_ingested_decisions_survive_restart_with_redelivery(
+        self, spark, tmp_path
+    ):
+        """The r11 probe identity across the CHECKPOINT LIFECYCLE
+        (VERDICT r11 #6): ingest, restart a fresh operator on the same
+        checkpoint with re-delivered + new files, and assert (a) the
+        persisted band parquet's duplicate rows collapse in the min,
+        (b) decisions_ingested equals a cold decisions() re-band over
+        the full corpus."""
+        from pyspark.sql import functions as F
+
+        from syncflux_spark.streaming.neardup import StreamingLshIndex
+
+        schema = "doc_id long, text string"
+        base = "the quick brown fox jumps over the lazy dog "
+        rows1 = [
+            (10, base * 3),
+            (11, base * 3),
+            (12, "completely different content with its own shingles"),
+        ]
+        src = str(tmp_path / "src")
+        spark.createDataFrame(rows1, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+        def mk():
+            return StreamingLshIndex(
+                spark,
+                src,
+                str(tmp_path / "dst"),
+                str(tmp_path / "ckpt"),
+                max_files_per_trigger=1,
+                persist_bands=True,
+            )
+
+        mk().run_available()
+        # restart: re-deliver docs 10+11 and add a new dup (20)
+        rows2 = [(10, base * 3), (11, base * 3), (20, base * 3)]
+        spark.createDataFrame(rows2, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        op2 = mk()
+        op2.run_available()
+
+        bands = op2.ingested_bands()
+        # doc 10 was delivered twice → its band rows appear once per
+        # delivery; the min-agg probe must collapse them to ONE row
+        per_delivery = (
+            bands.where(F.col("doc_id") == 10)
+            .groupBy("band_id", "band_key")
+            .count()
+        )
+        assert per_delivery.count() > 0
+        assert all(r["count"] == 2 for r in per_delivery.collect())
+
+        all_docs = spark.createDataFrame(rows1 + [(20, base * 3)], schema)
+        via_reban = sorted(
+            tuple(r) for r in op2.decisions(all_docs).collect()
+        )
+        via_ingested = sorted(
+            tuple(r) for r in op2.decisions_ingested().collect()
+        )
+        assert via_ingested == via_reban
+        assert len(via_ingested) == 4
+        dec = {r[0]: r for r in via_ingested}
+        assert dec[20][1] == 10 and dec[20][2] is True
+
 
 class TestStreamingSessionCloserEdges:
     def test_gap_boundary_duplicates_and_singletons(self, spark, tmp_path):
