@@ -506,8 +506,14 @@ def jaccard_verify(
     sh = eager_persist(
         _verify_arrays(df, text_col, id_col, k_shingle, mode)
     )  # scanned twice (both join sides) — eager so neither recomputes
-    a = sh.alias("sa")
-    b = sh.alias("sb")
+    # SHUFFLE_HASH on the fingerprint sides (r12): a sort-merge join
+    # would SORT the pair-side stream — after the first join each pair
+    # row drags a full fingerprint array through that sort, which is
+    # exactly the verify-stage spill mechanism at 100 TB pair mass.
+    # Hash-building the corpus side instead streams the wide rows
+    # through unsorted; the build side is O(corpus/partitions).
+    a = sh.hint("shuffle_hash").alias("sa")
+    b = sh.hint("shuffle_hash").alias("sb")
     joined = (
         pairs.join(a, pairs.id_a == F.col(f"sa.{id_col}"))
         .join(b, pairs.id_b == F.col(f"sb.{id_col}"))
@@ -614,8 +620,10 @@ def ngram_jaccard_pairs(
     # clique would have held together (the documented recall trade
     # inside over-cap buckets)
     pairs = _bands_to_pairs(bands, id_col, bucket_cap, auto_floor, auto_ceiling)
-    sa = combined.select(F.col(id_col), "sh").alias("sa")
-    sb = combined.select(F.col(id_col), "sh").alias("sb")
+    # SHUFFLE_HASH on the fingerprint sides — same rationale as
+    # jaccard_verify: never sort the pair×payload stream
+    sa = combined.select(F.col(id_col), "sh").hint("shuffle_hash").alias("sa")
+    sb = combined.select(F.col(id_col), "sh").hint("shuffle_hash").alias("sb")
     joined = (
         pairs.join(sa, pairs.id_a == F.col(f"sa.{id_col}"))
         .join(sb, pairs.id_b == F.col(f"sb.{id_col}"))
@@ -672,8 +680,9 @@ def containment_pairs(
     sh = eager_persist(
         _verify_arrays(df, text_col, id_col, k_shingle, mode)
     )
-    a = sh.alias("ca")
-    b = sh.alias("cb")
+    # SHUFFLE_HASH on the fingerprint sides — see jaccard_verify
+    a = sh.hint("shuffle_hash").alias("ca")
+    b = sh.hint("shuffle_hash").alias("cb")
     joined = (
         pairs.join(a, pairs.id_a == F.col(f"ca.{id_col}"))
         .join(b, pairs.id_b == F.col(f"cb.{id_col}"))

@@ -488,15 +488,29 @@ def near_dup_pairs(
     opts out (pre-r11 behavior); an int pins the cap.
 
     Hot-set size bound (the broadcast premise): each hot bucket
-    contributes one min row carrying a dim-double payload (~8·dim
-    bytes), so the mins broadcast holds while hot buckets ≲ a few
-    hundred thousand. In auto mode the operator KNOWS the hot count
-    from the census histogram and falls back to shuffle joins past
-    200k hot buckets; with a MANUAL ``bucket_cap`` the caller owns
-    that bound — keep ``bucket_cap`` high enough that the expected
-    over-cap bucket count stays well under ~200k (for a corpus of n
-    vectors, cap ≳ n / 10⁶ · target_bucket_size is a practical
-    floor), or use "auto"."""
+    contributes one ~60-byte (tbl, bk, min-id) row — since r12 the
+    hot set carries NO vector payload (candidates are ids-only until
+    the verify stage), so the broadcast holds while hot buckets ≲ a
+    few hundred thousand. In auto mode the operator KNOWS the hot
+    count from the census histogram and falls back to shuffle joins
+    past 200k hot buckets; with a MANUAL ``bucket_cap`` the caller
+    owns that bound — keep ``bucket_cap`` high enough that the
+    expected over-cap bucket count stays well under ~200k (for a
+    corpus of n vectors, cap ≳ n / 10⁶ · target_bucket_size is a
+    practical floor), or use "auto".
+
+    CANDIDATES CARRY IDS ONLY (r12): the bucket self-join, the star
+    edges, and the pair-dedup all move (id_a, id_b) rows; the two
+    dim-double payloads attach AFTER ``dropDuplicates``, joined back
+    from the cached projection. The r11 shape shipped both vectors on
+    every candidate row — at x100 that was 98M pairs × ~1 KB through
+    the dedup exchange and its sort, the measured alpha-1.4 residual
+    (SCALE.md r11) — where the slim shape's dedup moves ~16 B/pair
+    and exactly one verify join shuffles a pair-mass payload. The
+    payload joins are SHUFFLE_HASH-hinted: a sort-merge join would
+    SORT the pair×payload stream (the r10/r11 spill mechanism);
+    hash-building the corpus side streams the wide rows through
+    unsorted."""
     from syncflux_spark.operators.dedup import (
         AUTO_CAP_FLOOR,
         _validate_bucket_cap,
@@ -569,79 +583,68 @@ def near_dup_pairs(
             hot_is_small = n_hot <= HOT_BROADCAST_MAX
         else:
             bucket_cap = None
-    join_src = tagged
+    # ids-only candidate generation (r12): the self-join sides, the
+    # star edges and the pair-dedup move (id, tbl, bk)/(id_a, id_b)
+    # rows; the cached frame's vector columns are pruned out of the
+    # exchanges entirely (in-memory column batches prune on read)
+    bands = tagged.select(F.col(id_col), "tbl", "bk")
+    join_src = bands
     star = None
     if bucket_cap is not None:
         # hot set = one map-side-combined count, broadcast back (few
         # by definition; in auto mode the census PROVED it small, else
-        # the shuffle fallback above); the vector payload rides only
-        # the candidate rows either way, so the dial's whole effect is
-        # pair count
+        # the shuffle fallback above)
         maybe_bcast = F.broadcast if hot_is_small else (lambda df: df)
         hot = maybe_bcast(
-            tagged.groupBy("tbl", "bk")
+            bands.groupBy("tbl", "bk")
             .agg(
                 F.count(F.lit(1)).alias("_c"),
                 F.min(id_col).alias("_m"),
             )
             .where(F.col("_c") > bucket_cap)
         )
-        join_src = tagged.join(hot, ["tbl", "bk"], "left_anti")
-        # one row per hot bucket: its min id + that vector's payload
-        mins = (
-            tagged.alias("t")
-            .join(
-                maybe_bcast(hot.alias("h")),
-                (F.col("t.tbl") == F.col("h.tbl"))
-                & (F.col("t.bk") == F.col("h.bk"))
-                & (F.col(f"t.{id_col}") == F.col("h._m")),
-            )
-            .select(
-                F.col("t.tbl").alias("_htbl"),
-                F.col("t.bk").alias("_hbk"),
-                F.col(f"t.{id_col}").alias("_min_id"),
-                F.col("t.v").alias("va"),
-                F.col("t.n").alias("na"),
-            )
-        )
+        join_src = bands.join(hot, ["tbl", "bk"], "left_anti")
+        # the star needs no payload and therefore no mins frame: the
+        # hot row already carries the bucket's min id
         star = (
-            tagged.join(
-                maybe_bcast(mins),
-                (F.col("tbl") == F.col("_htbl"))
-                & (F.col("bk") == F.col("_hbk"))
-                & (F.col(id_col) > F.col("_min_id")),
-            )
+            bands.join(hot, ["tbl", "bk"])
+            .where(F.col(id_col) > F.col("_m"))
             .select(
-                F.col("_min_id").alias("id_a"),
-                F.col(id_col).alias("id_b"),
-                "va",
-                "na",
-                F.col("v").alias("vb"),
-                F.col("n").alias("nb"),
+                F.col("_m").alias("id_a"), F.col(id_col).alias("id_b")
             )
         )
     a, c = join_src.alias("a"), join_src.alias("b")
-    pairs = (
-        a.join(
-            c,
-            (F.col("a.tbl") == F.col("b.tbl"))
-            & (F.col("a.bk") == F.col("b.bk"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.v").alias("va"),
-            F.col("a.n").alias("na"),
-            F.col("b.v").alias("vb"),
-            F.col("b.n").alias("nb"),
-        )
+    pairs = a.join(
+        c,
+        (F.col("a.tbl") == F.col("b.tbl"))
+        & (F.col("a.bk") == F.col("b.bk"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
     )
     if star is not None:
         pairs = pairs.unionByName(star)
     pairs = pairs.dropDuplicates(["id_a", "id_b"])
+    # verify: attach both payloads AFTER dedup, from the cached frame
+    # (tbl == first table → exactly one row per id, cache hit, no
+    # shuffle to distinct). SHUFFLE_HASH builds the corpus side so
+    # the pair×payload stream is never sorted — see the docstring.
+    vecs = tagged.where(F.col("tbl") == 0).select(F.col(id_col), "v", "n")
+    vb = vecs.select(
+        F.col(id_col).alias("_ib"),
+        F.col("v").alias("vb"),
+        F.col("n").alias("nb"),
+    )
+    va = vecs.select(
+        F.col(id_col).alias("_ia"),
+        F.col("v").alias("va"),
+        F.col("n").alias("na"),
+    )
     return (
-        pairs.select(
+        pairs.join(vb.hint("shuffle_hash"), F.col("id_b") == F.col("_ib"))
+        .join(va.hint("shuffle_hash"), F.col("id_a") == F.col("_ia"))
+        .select(
             "id_a",
             "id_b",
             (dot("va", "vb", dim) / (F.col("na") * F.col("nb"))).alias("cos_sim"),
@@ -1382,6 +1385,49 @@ def semantic_dedup_flags(
             "cid",
             F.col("_cs").alias("cos_to_centroid"),
             F.coalesce("_dropped", F.lit(0)).cast("integer").alias("dropped"),
+        )
+    )
+
+
+def semdedup_cell_census(
+    corpus: DataFrame,
+    n_centroids: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    centroids: DataFrame | None = None,
+    target_cell_size: int = SEMDEDUP_CELL_SIZE,
+) -> DataFrame:
+    """The SemDeDup PRE-FLIGHT (r12, precedent: dedup.py's LSH bucket
+    census): the cell-size histogram of a centroid assignment plus
+    each size's within-cell pair mass — the decision input a user
+    needs BEFORE pinning a cluster count by hand, because the
+    dominance join's cost is Σ cell·(cell−1)/2 and a fixed k goes
+    quadratic in the corpus (measured alpha 1.78 at k=16, SCALE.md
+    r11; ≥1.25B pair mass at x100 — not runnable). Output one row per
+    DISTINCT cell size: (cell_size, n_cells, pair_mass) with
+    pair_mass = n_cells · c·(c−1)/2 unordered within-cell pairs.
+    Driver/collect footprint anywhere this is consumed is O(distinct
+    cell sizes) — scale-free, same shape as the map-side-combined
+    count-of-counts the auto bucket cap resolves from.
+
+    ``n_centroids`` semantics match :func:`semantic_dedup_flags`
+    (None → auto-k from the corpus count; int → the pinned partition
+    being pre-flighted; ``centroids`` table → as given)."""
+    if n_centroids is None and centroids is None:
+        n_centroids = semdedup_auto_k(corpus.count(), target_cell_size)
+    assigned = ivf_assign(corpus, n_centroids, id_col, vec_col, dim, centroids)
+    sizes = assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("_c"))
+    return (
+        sizes.groupBy("_c")
+        .agg(F.count(F.lit(1)).alias("n_cells"))
+        .select(
+            F.col("_c").cast("long").alias("cell_size"),
+            F.col("n_cells").cast("long"),
+            (
+                F.col("n_cells")
+                * (F.col("_c") * (F.col("_c") - 1) / F.lit(2)).cast("long")
+            ).cast("long").alias("pair_mass"),
         )
     )
 

@@ -18,7 +18,11 @@ from pyspark.sql import SparkSession
 DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 
-def get_spark(app_name: str = "syncflux-spark", master: str | None = None) -> SparkSession:
+def get_spark(
+    app_name: str = "syncflux-spark",
+    master: str | None = None,
+    conf: dict[str, str] | None = None,
+) -> SparkSession:
     """Build (or fetch) a SparkSession tuned for this engine.
 
     Config rationale (all equally valid on a 1000-executor cluster):
@@ -51,4 +55,11 @@ def get_spark(app_name: str = "syncflux-spark", master: str | None = None) -> Sp
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "10m")
     )
+    # caller overrides apply LAST (e.g. the measurement harnesses
+    # re-enable the UI to read stage shuffle metrics over REST; a
+    # cluster deployment overrides shuffle partitions / memory).
+    # Session-level settings only bind if no session exists yet —
+    # getOrCreate() ignores them otherwise, same as any builder conf.
+    for k, v in (conf or {}).items():
+        builder = builder.config(k, v)
     return builder.getOrCreate()
