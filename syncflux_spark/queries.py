@@ -13289,59 +13289,17 @@ def bpe_tokenize_stats(spark, sf):
     return op(load_table(spark, sf, "documents"), _BPE_MERGES)
 
 
-@register(
-    "semantic_dedup_flags",
-    f"""
-    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    cent AS (SELECT vec_id AS cid, v AS cv FROM v WHERE vec_id < 16),
-    assign AS (
-      SELECT vec_id, v, cid, cs FROM (
-        SELECT a.vec_id, a.v, c.cid, {_sql_cos('a.v', 'c.cv')} AS cs,
-               row_number() OVER (PARTITION BY a.vec_id
-                                  ORDER BY {_sql_cos('a.v', 'c.cv')} DESC,
-                                           c.cid) AS rn
-        FROM v a CROSS JOIN cent c)
-      WHERE rn = 1),
-    dom AS (SELECT DISTINCT a.vec_id
-            FROM assign a JOIN assign b
-              ON a.cid = b.cid AND a.vec_id <> b.vec_id
-            WHERE {_sql_cos('a.v', 'b.v')} >= 0.30
-              AND (b.cs < a.cs OR (b.cs = a.cs AND b.vec_id < a.vec_id)))
-    SELECT a.vec_id, a.cid, a.cs AS cos_to_centroid,
-           CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END AS dropped
-    FROM assign a LEFT JOIN dom d ON a.vec_id = d.vec_id
-    """,
-)
-def semantic_dedup_flags(spark, sf):
-    """SemDeDup-shape semantic dedup (Abbas et al. 2023): cluster the
-    embedding space (16 seed centroids for oracle replay —
-    kmeans_centroids in production), flag within-cluster near-dup
-    vectors, keeping the LOW centroid-similarity representative of
-    each duplicate pair (cluster-edge examples preserve diversity).
-    The cluster partition bounds pair work at O(Σ cell²) — never the
-    corpus square. τ=0.30 is fixture-calibrated: this synthetic
-    corpus has no true semantic dups (max pairwise cos ≈ 0.51), so
-    the gate exercises the machinery at the 99th-percentile cosine;
-    production text embeddings use τ≈0.95 per the paper."""
-    from syncflux_spark.operators.similarity import semantic_dedup_flags as op
-
-    return op(
-        load_table(spark, sf, "embeddings"), n_centroids=16, tau=0.30
-    ).select(
-        "vec_id", "cid", "cos_to_centroid",
-        F.col("dropped").cast("integer").alias("dropped"),
-    )
-
-
-#: gate-binding cell size for semantic_dedup_auto: ceil(500/64) = 8
-#: cells on the driver corpus, so the k-derivation resolves to a real
-#: multi-cell assignment there (production default is 1024)
+#: gate-binding cell size for the auto-k SemDeDup gates: ceil(500/64)
+#: = 8 cells on the driver corpus, so the k-derivation resolves to a
+#: real multi-cell assignment there (production default is 1024)
 _SEMDEDUP_GATE_CELL = 64
 
-
-@register(
-    "semantic_dedup_auto",
-    f"""
+#: the auto-k SemDeDup oracle — shared verbatim by
+#: semantic_dedup_flags (the PRIMARY name since r12) and
+#: semantic_dedup_auto (the r11 name, kept registered): the integer
+#: k-derivation replayed as a scalar subquery, then the same
+#: seeded-centroid assignment + within-cell dominance join
+_SEMDEDUP_AUTO_SQL = f"""
     WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     kv AS (SELECT GREATEST(1, LEAST(65536,
              (COUNT(*) + {_SEMDEDUP_GATE_CELL - 1}) // {_SEMDEDUP_GATE_CELL}))
@@ -13364,21 +13322,10 @@ _SEMDEDUP_GATE_CELL = 64
     SELECT a.vec_id, a.cid, a.cs AS cos_to_centroid,
            CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END AS dropped
     FROM assign a LEFT JOIN dom d ON a.vec_id = d.vec_id
-    """,
-)
-def semantic_dedup_auto(spark, sf):
-    """semantic_dedup_flags at the r11 DEFAULT k position: the
-    centroid count derives from the corpus so the expected CELL size
-    stays constant — k = clamp(ceil(n / target_cell_size), 1, 65536)
-    (operators/similarity.py::semdedup_auto_k). The within-cluster
-    dominance join is O(Σ cell²): a FIXED k (the original registered
-    dial) goes quadratic in the corpus — measured alpha 1.78 on the
-    x10→x30 step, 51 s → 359.6 s at k=16 (SCALE.md r11) — while a
-    fixed cell size keeps total pair mass linear, which is how the
-    SemDeDup paper itself scales. Registered with a 64-vector gate
-    cell so the derivation BINDS on the driver corpus (500 vectors →
-    k = 8 real cells); the oracle replays the integer k-derivation as
-    a scalar subquery and the same seeded-centroid assignment."""
+    """
+
+
+def _semdedup_auto_impl(spark, sf):
     from syncflux_spark.operators.similarity import semantic_dedup_flags as op
 
     return op(
@@ -13389,6 +13336,119 @@ def semantic_dedup_auto(spark, sf):
         "vec_id", "cid", "cos_to_centroid",
         F.col("dropped").cast("integer").alias("dropped"),
     )
+
+
+@register("semantic_dedup_flags", _SEMDEDUP_AUTO_SQL)
+def semantic_dedup_flags(spark, sf):
+    """SemDeDup-shape semantic dedup (Abbas et al. 2023): cluster the
+    embedding space, flag within-cluster near-dup vectors, keeping
+    the LOW centroid-similarity representative of each duplicate pair
+    (cluster-edge examples preserve diversity). The cluster partition
+    bounds pair work at O(Σ cell²) — never the corpus square.
+
+    SWAPPED to the survivable default in r12 (VERDICT r11 #2): the
+    unqualified name — the one a user reaches for first — now runs
+    the AUTO-K form (k = clamp(ceil(n / target_cell_size), 1, 65536),
+    holding the expected cell constant so total pair mass stays
+    linear in the corpus). The previous pinned k=16 registration —
+    quadratic by construction, alpha 1.78 measured, not runnable at
+    x100 — carries the qualified name ``semantic_dedup_k16``. Flags
+    are k-dependent by SemDeDup's own semantics, so this is a VALUE
+    change for this name; the oracle replays the k-derivation as a
+    scalar subquery. τ=0.30 is fixture-calibrated (this synthetic
+    corpus has no true semantic dups; production uses τ≈0.95)."""
+    return _semdedup_auto_impl(spark, sf)
+
+
+@register(
+    "semantic_dedup_k16",
+    f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cent AS (SELECT vec_id AS cid, v AS cv FROM v WHERE vec_id < 16),
+    assign AS (
+      SELECT vec_id, v, cid, cs FROM (
+        SELECT a.vec_id, a.v, c.cid, {_sql_cos('a.v', 'c.cv')} AS cs,
+               row_number() OVER (PARTITION BY a.vec_id
+                                  ORDER BY {_sql_cos('a.v', 'c.cv')} DESC,
+                                           c.cid) AS rn
+        FROM v a CROSS JOIN cent c)
+      WHERE rn = 1),
+    dom AS (SELECT DISTINCT a.vec_id
+            FROM assign a JOIN assign b
+              ON a.cid = b.cid AND a.vec_id <> b.vec_id
+            WHERE {_sql_cos('a.v', 'b.v')} >= 0.30
+              AND (b.cs < a.cs OR (b.cs = a.cs AND b.vec_id < a.vec_id)))
+    SELECT a.vec_id, a.cid, a.cs AS cos_to_centroid,
+           CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END AS dropped
+    FROM assign a LEFT JOIN dom d ON a.vec_id = d.vec_id
+    """,
+)
+def semantic_dedup_k16(spark, sf):
+    """The PINNED-K SemDeDup gate (the pre-r12 ``semantic_dedup_flags``
+    registration, renamed per VERDICT r11 #2): k fixed at 16 seed
+    centroids regardless of corpus size. Kept registered because a
+    manual cluster count is a real API surface (the paper's own
+    configuration) and its flags differ from auto-k by SemDeDup's
+    semantics — but it is a documented SCALE WALL: O(Σ cell²) with
+    n/16-sized cells goes quadratic (alpha 1.78 measured x10→x30,
+    ≥1.25B pair mass at x100, SCALE.md r11). Run
+    ``semantic_dedup_cell_census`` first to price a pinned k; the
+    unqualified name runs the survivable auto-k form."""
+    from syncflux_spark.operators.similarity import semantic_dedup_flags as op
+
+    return op(
+        load_table(spark, sf, "embeddings"), n_centroids=16, tau=0.30
+    ).select(
+        "vec_id", "cid", "cos_to_centroid",
+        F.col("dropped").cast("integer").alias("dropped"),
+    )
+
+
+@register(
+    "semantic_dedup_cell_census",
+    f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cent AS (SELECT vec_id AS cid, v AS cv FROM v WHERE vec_id < 16),
+    assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT a.vec_id, c.cid,
+               row_number() OVER (PARTITION BY a.vec_id
+                                  ORDER BY {_sql_cos('a.v', 'c.cv')} DESC,
+                                           c.cid) AS rn
+        FROM v a CROSS JOIN cent c)
+      WHERE rn = 1),
+    sizes AS (SELECT cid, COUNT(*) AS c FROM assign GROUP BY cid)
+    SELECT CAST(c AS BIGINT) AS cell_size,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(COUNT(*) * ((c * (c - 1)) // 2) AS BIGINT) AS pair_mass
+    FROM sizes GROUP BY c
+    """,
+)
+def semantic_dedup_cell_census(spark, sf):
+    """SemDeDup cell-size PRE-FLIGHT (VERDICT r11 #4; precedent:
+    lsh_bucket_census): the cell-size histogram of the pinned k=16
+    partition plus each size's within-cell pair mass
+    (n_cells · c·(c−1)/2) — the Σ cell² cost estimate a user needs
+    BEFORE choosing a manual cluster count, and the input that makes
+    keeping ``semantic_dedup_k16`` registered safe. One
+    map-side-combined groupBy chain; driver rows are O(distinct cell
+    sizes) at any corpus size
+    (operators/similarity.py::semdedup_cell_census)."""
+    from syncflux_spark.operators.similarity import semdedup_cell_census as op
+
+    return op(load_table(spark, sf, "embeddings"), n_centroids=16)
+
+
+@register("semantic_dedup_auto", _SEMDEDUP_AUTO_SQL)
+def semantic_dedup_auto(spark, sf):
+    """The r11 name for the auto-k SemDeDup form, kept registered:
+    since the r12 swap it is an exact alias of the primary
+    ``semantic_dedup_flags`` (same impl, same oracle — the k
+    derivation k = clamp(ceil(n / target_cell_size), 1, 65536)
+    replayed as a scalar subquery; see that query's docstring for the
+    full rationale and the measured quadratic wall of the pinned
+    ``semantic_dedup_k16`` form it replaced as the default)."""
+    return _semdedup_auto_impl(spark, sf)
 
 
 @register(
