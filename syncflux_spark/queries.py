@@ -4746,6 +4746,90 @@ def ivf_topk(spark, sf):
     return out.withColumn("rank", F.col("rank").cast("int"))
 
 
+@register(
+    "ivf_topk_twolevel",
+    f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cent AS (SELECT vec_id AS cid, v AS cv FROM v WHERE vec_id < 16),
+    coarse AS (
+      SELECT cid AS gid, cv AS gv FROM (
+        SELECT cid, cv, row_number() OVER (ORDER BY cid) AS rn FROM cent)
+      WHERE rn <= 4),
+    cmap AS (
+      SELECT cid, gid FROM (
+        SELECT c.cid, g.gid,
+               row_number() OVER (PARTITION BY c.cid
+                                  ORDER BY {_sql_cos('c.cv', 'g.gv')} DESC,
+                                           g.gid) AS rn
+        FROM cent c CROSS JOIN coarse g)
+      WHERE rn = 1),
+    vg AS (
+      SELECT vec_id, v, gid FROM (
+        SELECT a.vec_id, a.v, g.gid,
+               row_number() OVER (PARTITION BY a.vec_id
+                                  ORDER BY {_sql_cos('a.v', 'g.gv')} DESC,
+                                           g.gid) AS rn
+        FROM v a CROSS JOIN coarse g)
+      WHERE rn = 1),
+    assign AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT vg.vec_id, vg.v, c.cid,
+               row_number() OVER (PARTITION BY vg.vec_id
+                                  ORDER BY {_sql_cos('vg.v', 'c.cv')} DESC,
+                                           c.cid) AS rn
+        FROM vg JOIN (SELECT cent.cid, cent.cv, cmap.gid
+                      FROM cent JOIN cmap ON cent.cid = cmap.cid) c
+          ON c.gid = vg.gid)
+      WHERE rn = 1),
+    probe AS (
+      SELECT vec_id AS query_id, v AS qv, cid FROM (
+        SELECT q.vec_id, q.v, c.cid,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {_sql_cos('q.v', 'c.cv')} DESC, c.cid)
+                 AS rn
+        FROM v q CROSS JOIN cent c WHERE q.vec_id < 10)
+      WHERE rn <= 4),
+    cand AS (
+      SELECT p.query_id, p.qv, a.vec_id AS neighbor_id, a.v AS cv
+      FROM probe p JOIN assign a USING (cid)
+      WHERE a.vec_id != p.query_id)
+    SELECT query_id, neighbor_id, cos_sim, CAST(rn AS INTEGER) AS rank
+    FROM (SELECT query_id, neighbor_id,
+                 {_sql_cos('qv', 'cv')} AS cos_sim,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY {_sql_cos('qv', 'cv')} DESC,
+                                             neighbor_id) AS rn
+          FROM cand)
+    WHERE rn <= 5
+    """,
+)
+def ivf_topk_twolevel(spark, sf):
+    """IVF top-5 with HIERARCHICAL corpus assignment (VERDICT r11
+    #3): vectors route through ceil(√16) = 4 coarse centroids (the 4
+    lowest fine cids) and then argmax only over the fine centroids of
+    their coarse group — O(2√k) dots per vector instead of flat
+    assignment's O(k), the path that removes the 65536-centroid
+    flat-assignment ceiling past ~67M vectors
+    (operators/similarity.py::ivf_assign_twolevel; slope vs flat
+    measured in SCALE.md r12). Probes stay flat over the fine table
+    (queries are the small side). The oracle replays BOTH argmax
+    levels and the fine→coarse map, so the whole routing is
+    value-hash-gated; recall vs flat IVF is gated in
+    tests/test_ann_quality.py."""
+    from syncflux_spark.operators.similarity import ivf_topk as _ivf
+
+    emb = load_table(spark, sf, "embeddings")
+    out = _ivf(
+        emb,
+        emb.where(F.col("vec_id") < 10),
+        k=5,
+        n_centroids=16,
+        nprobe=4,
+        assign_levels=2,
+    )
+    return out.withColumn("rank", F.col("rank").cast("int"))
+
+
 def _pagerank_sql(
     n_iter: int = 10, scale: int = 10**12, edges_sql: str | None = None
 ) -> str:

@@ -72,6 +72,41 @@ def test_lsh_more_tables_more_recall(spark, emb, truth):
     assert r4 >= r1
 
 
+def test_ivf_twolevel_recall_and_routing(spark, emb, truth):
+    """Two-level assignment (ivf_assign_twolevel) is the >67M-vector
+    path: recall must stay in the flat kernel's class (it changes
+    ROUTING, not scoring), and the routing itself must stay a valid
+    fine-centroid assignment — every assigned cid must exist in the
+    centroid table, and vectors that ARE fine centroids must agree
+    with flat assignment on themselves (a centroid's nearest fine
+    centroid is itself at either level)."""
+    from syncflux_spark.operators.similarity import (
+        ivf_assign,
+        ivf_assign_twolevel,
+    )
+
+    q = emb.where(F.col("vec_id") < N_QUERIES)
+    approx = ivf_topk(
+        emb, q, k=K, n_centroids=16, nprobe=4, assign_levels=2
+    )
+    r = _recall(approx, truth)
+    assert r >= 0.4, f"two-level IVF recall collapsed: {r:.2f}"
+
+    two = ivf_assign_twolevel(emb, n_centroids=16)
+    flat = ivf_assign(emb, n_centroids=16)
+    cids = {r2.cid for r2 in two.select("cid").distinct().collect()}
+    assert cids <= set(range(16))
+    self_two = {
+        r2.vec_id: r2.cid
+        for r2 in two.where(F.col("vec_id") < 16).collect()
+    }
+    self_flat = {
+        r2.vec_id: r2.cid
+        for r2 in flat.where(F.col("vec_id") < 16).collect()
+    }
+    assert self_two == self_flat == {i: i for i in range(16)}
+
+
 def test_ivf_more_probes_more_recall(spark, emb, truth):
     """nprobe is the recall/cost dial — turning it up must not turn
     recall down (monotonicity is what makes it tunable at scale)."""
