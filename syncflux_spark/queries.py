@@ -15169,18 +15169,20 @@ _PRIORITY_PREFIXES = (
 #: anything else (a changed query with a stale green row is the one
 #: regression the self-maintaining order can't see on its own).
 _ROUND_FOCUS = (
-    # r11: bucket_cap now defaults to "auto" in the banded-candidate
-    # operators and every consumer's oracle carries the census-derived
-    # cap chain (_AUTO_CAND_SQL) — values are unchanged at gate scale
-    # (the 64 floor never binds there: max band bucket 4), but both
-    # impl and oracle text changed for this whole family, so the old
-    # green rows are stale evidence. The new *_auto/*_capped/census
-    # registrations are unconfirmed and auto-front on their own.
+    # r12: the near-dup VERIFY stage was slimmed — candidates carry
+    # ids only through pair-dedup (embedding kernel restructured: no
+    # payload on the self-join/star/dropDuplicates, payload joined
+    # back post-dedup) and every exact-verify join is SHUFFLE_HASH-
+    # hinted instead of sort-merge. Values are unchanged by
+    # construction, but the plan and impl changed for the whole
+    # banded family, so every consumer's green row re-pins.
     "lsh_candidate_pairs",
     "lsh_candidate_pairs_strict",
     "lsh_candidate_pairs_capped",
+    "lsh_candidate_pairs_auto",
     "ngram_jaccard_pairs",
     "ngram_jaccard_pairs_strfp",
+    "containment_pairs",
     "dedup_graph_triangles",
     "dedup_graph_clustering",
     "dedup_graph_triangles_verified",
@@ -15191,25 +15193,32 @@ _ROUND_FOCUS = (
     "dedup_near_keep_capped",
     "dedup_keep_longest",
     "doc_pagerank",
+    "doc_pagerank_capped",
+    "doc_novelty",
     "leakage_safe_split",
     "contrastive_triplets",
     "emb_near_dup_pairs",
     "emb_near_dup_pairs_capped",
+    "emb_near_dup_pairs_auto",
     "emb_dedup_components",
-    # r11: n_centroids=None auto-k default added to the operator (the
-    # registered query still pins k=16 explicitly — same values, but
-    # changed impl re-pins; the new auto form is semantic_dedup_auto)
+    "emb_dedup_components_capped",
+    # r12: the SemDeDup primary-name SWAP — semantic_dedup_flags now
+    # runs the auto-k form (a VALUE change for this name: flags are
+    # k-dependent); semantic_dedup_auto is its exact alias. The new
+    # semantic_dedup_k16 / semantic_dedup_cell_census registrations
+    # are unconfirmed and auto-front on their own.
     "semantic_dedup_flags",
-    # r11: ivf_assign's argmax rewritten from a per-id window over all
-    # n×k scored rows (full vector payload through the sort exchange)
-    # to a map-side-combined max_by — identical values and tie-break,
-    # changed impl re-pins every assignment consumer
+    "semantic_dedup_auto",
+    # r12: ivf_topk gained the assign_levels dial (default path's
+    # values unchanged; signature changed) — re-pin the family. The
+    # new ivf_topk_twolevel auto-fronts as unconfirmed.
     "ivf_topk",
     "ivf_topk_kmeans",
     "emb_diverse_sample",
     "ivf_index_roundtrip",
-    # r11: decisions() now probes the band rows persisted at ingest
-    # instead of re-banding the corpus (the measured A/B — SCALE.md)
+    # r12: checkpoint markers now resolve through the Hadoop FS API
+    # and the bands sink's coverage is marker-gated — the registered
+    # stream query rides both paths
     "stream_neardup_index",
 )
 
