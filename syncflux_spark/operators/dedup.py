@@ -564,15 +564,18 @@ def ngram_jaccard_pairs(
     FUSED single-extraction form (r7): shingles are extracted ONCE
     and both hash families ride the same pass — the md5 lanes the
     banding needs and the verify fingerprints — persisted together as
-    one narrow frame (8 lane strings + a long array per doc). The
-    banding explode, the band self-join, and both verify join sides
-    all read that cache. Earlier rounds re-extracted per stage
-    because caching the RAW shingle-string arrays measured slower
-    than recomputing (4.3s vs 3.9s at sf0.1, r3); caching the
-    64-bit fingerprints instead is ~8× fewer cached bytes and
-    measured 5.4s → 3.7s end-to-end at sf0.1. Five registry
-    consumers (dedup_near_keep, dedup_components, leakage_safe_split,
-    contrastive_triplets, doc_novelty) ride this kernel."""
+    one narrow frame (8 lane strings + a long array per doc). Since
+    r12 the verify also FUSES INTO THE BAND JOIN (score-in-bucket,
+    see the inline comment): band rows carry the fingerprint array,
+    candidates are verified where the band join co-located both
+    arrays, and only slim verified stats reach the pair-dedup
+    exchange. Earlier rounds re-extracted per stage because caching
+    the RAW shingle-string arrays measured slower than recomputing
+    (4.3s vs 3.9s at sf0.1, r3); caching the 64-bit fingerprints
+    instead is ~8× fewer cached bytes and measured 5.4s → 3.7s
+    end-to-end at sf0.1. Five registry consumers (dedup_near_keep,
+    dedup_components, leakage_safe_split, contrastive_triplets,
+    doc_novelty) ride this kernel."""
     mode = verify_fingerprint_mode(fingerprint)
     base = shingle_sets(df, text_col, id_col, k_shingle)
     fp = (
@@ -611,40 +614,129 @@ def ngram_jaccard_pairs(
         )
         for b in range(n_bands)
     ]
+    # SCORE-IN-BUCKET (r12): band rows carry the verify fingerprint
+    # array, so the band self-join CO-LOCATES both sides' arrays in
+    # one corpus-sized exchange (identical subplans on both sides →
+    # the exchange is planned once and REUSED) and every candidate is
+    # exact-verified map-side right after the join. The threshold
+    # filter then runs BEFORE the pair-dedup, so the dedup exchange
+    # moves ~40-byte stat rows — never fingerprint arrays. The prior
+    # shape deduplicated ids first and joined the arrays back, which
+    # re-shuffled the corpus arrays per join side AND moved one
+    # pair-mass array payload exchange; at wall scale (candidates ≫
+    # corpus) that payload exchange is the spill driver. The trade: a
+    # pair colliding in BOTH bands is verified twice (bit-identical
+    # results — pure function of the pair) — intersect CPU for
+    # shuffle bytes, the right side of the ledger at every measured
+    # scale (A/B in SCALE.md r12).
     bands = combined.select(
-        F.col(id_col), F.explode(F.array(*band_structs)).alias("bd")
-    ).select(F.col(id_col), F.col("bd.band_id"), F.col("bd.band_key"))
-    # hot-bucket star collapse, auto-capped by default (r11) — see
-    # lsh_candidate_pairs; star edges go through the SAME verify
-    # below, so a failing star edge can split a hot cluster the
-    # clique would have held together (the documented recall trade
-    # inside over-cap buckets)
-    pairs = _bands_to_pairs(bands, id_col, bucket_cap, auto_floor, auto_ceiling)
-    # SHUFFLE_HASH on the fingerprint sides — same rationale as
-    # jaccard_verify: never sort the pair×payload stream
-    sa = combined.select(F.col(id_col), "sh").hint("shuffle_hash").alias("sa")
-    sb = combined.select(F.col(id_col), "sh").hint("shuffle_hash").alias("sb")
-    joined = (
-        pairs.join(sa, pairs.id_a == F.col(f"sa.{id_col}"))
-        .join(sb, pairs.id_b == F.col(f"sb.{id_col}"))
-        .select(
+        F.col(id_col), "sh", F.explode(F.array(*band_structs)).alias("bd")
+    ).select(
+        F.col(id_col), "sh", F.col("bd.band_id"), F.col("bd.band_key")
+    )
+    _validate_bucket_cap(bucket_cap)
+    hot_is_small = True
+    if bucket_cap == "auto":
+        # count-of-counts histogram (column-pruned to the band keys);
+        # doubles as the cache materialization — see _bands_to_pairs
+        hist = [
+            (int(r["_c"]), int(r["_f"]))
+            for r in bands.groupBy("band_id", "band_key")
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .groupBy("_c")
+            .agg(F.count(F.lit(1)).alias("_f"))
+            .collect()
+        ]
+        cap = resolve_auto_cap(hist, auto_floor, auto_ceiling)
+        max_c = max((c for c, _ in hist), default=0)
+        if max_c > cap:
+            bucket_cap = cap
+            n_hot = sum(f for c, f in hist if c > cap)
+            hot_is_small = n_hot <= HOT_BROADCAST_MAX
+        else:
+            bucket_cap = None
+
+    def stats(frame):
+        joined = frame.select(
             "id_a",
             "id_b",
-            F.size(F.array_intersect("sa.sh", "sb.sh")).alias("n_inter"),
+            F.size(F.array_intersect("sha", "shb")).alias("n_inter"),
             # arithmetic union size — see jaccard_verify
-            (F.size("sa.sh") + F.size("sb.sh")).alias("n_ab"),
-        )
-        .select(
+            (F.size("sha") + F.size("shb")).alias("n_ab"),
+        ).select(
             "id_a",
             "id_b",
             "n_inter",
             (F.col("n_ab") - F.col("n_inter")).alias("n_union"),
         )
+        return joined.withColumn(
+            "jaccard", F.col("n_inter") / F.col("n_union")
+        )
+
+    join_src = bands
+    star_scored = None
+    if bucket_cap is not None:
+        # hot-bucket star collapse — see lsh_candidate_pairs; a star
+        # edge failing the verify can split a hot cluster the clique
+        # would have held (the documented over-cap recall trade). Only
+        # the mins frame carries an array payload (one per hot bucket).
+        maybe_bcast = F.broadcast if hot_is_small else (lambda df: df)
+        hot = maybe_bcast(
+            bands.groupBy("band_id", "band_key")
+            .agg(
+                F.count(F.lit(1)).alias("_c"),
+                F.min(id_col).alias("_m"),
+            )
+            .where(F.col("_c") > bucket_cap)
+        )
+        join_src = bands.join(hot, ["band_id", "band_key"], "left_anti")
+        mins = (
+            bands.alias("t")
+            .join(
+                maybe_bcast(hot.alias("h")),
+                (F.col("t.band_id") == F.col("h.band_id"))
+                & (F.col("t.band_key") == F.col("h.band_key"))
+                & (F.col(f"t.{id_col}") == F.col("h._m")),
+            )
+            .select(
+                F.col("t.band_id").alias("_hbid"),
+                F.col("t.band_key").alias("_hbk"),
+                F.col(f"t.{id_col}").alias("_min_id"),
+                F.col("t.sh").alias("sha"),
+            )
+        )
+        star_scored = stats(
+            bands.join(
+                maybe_bcast(mins),
+                (F.col("band_id") == F.col("_hbid"))
+                & (F.col("band_key") == F.col("_hbk"))
+                & (F.col(id_col) > F.col("_min_id")),
+            ).select(
+                F.col("_min_id").alias("id_a"),
+                F.col(id_col).alias("id_b"),
+                "sha",
+                F.col("sh").alias("shb"),
+            )
+        )
+    a, b_ = join_src.alias("a"), join_src.alias("b")
+    scored = stats(
+        a.join(
+            b_,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        ).select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.sh").alias("sha"),
+            F.col("b.sh").alias("shb"),
+        )
     )
-    out = joined.withColumn("jaccard", F.col("n_inter") / F.col("n_union"))
+    if star_scored is not None:
+        scored = scored.unionByName(star_scored)
     if threshold > 0:
-        out = out.where(F.col("jaccard") >= threshold)
-    return out
+        scored = scored.where(F.col("jaccard") >= threshold)
+    return scored.dropDuplicates(["id_a", "id_b"])
 
 
 def containment_pairs(

@@ -636,29 +636,36 @@ def near_dup_pairs(
     opts out (pre-r11 behavior); an int pins the cap.
 
     Hot-set size bound (the broadcast premise): each hot bucket
-    contributes one ~60-byte (tbl, bk, min-id) row — since r12 the
-    hot set carries NO vector payload (candidates are ids-only until
-    the verify stage), so the broadcast holds while hot buckets ≲ a
-    few hundred thousand. In auto mode the operator KNOWS the hot
-    count from the census histogram and falls back to shuffle joins
-    past 200k hot buckets; with a MANUAL ``bucket_cap`` the caller
-    owns that bound — keep ``bucket_cap`` high enough that the
-    expected over-cap bucket count stays well under ~200k (for a
-    corpus of n vectors, cap ≳ n / 10⁶ · target_bucket_size is a
-    practical floor), or use "auto".
+    contributes one min row carrying a dim-double payload (~8·dim
+    bytes), so the mins broadcast holds while hot buckets ≲ a few
+    hundred thousand. In auto mode the operator KNOWS the hot count
+    from the census histogram and falls back to shuffle joins past
+    200k hot buckets; with a MANUAL ``bucket_cap`` the caller owns
+    that bound — keep ``bucket_cap`` high enough that the expected
+    over-cap bucket count stays well under ~200k (for a corpus of n
+    vectors, cap ≳ n / 10⁶ · target_bucket_size is a practical
+    floor), or use "auto".
 
-    CANDIDATES CARRY IDS ONLY (r12): the bucket self-join, the star
-    edges, and the pair-dedup all move (id_a, id_b) rows; the two
-    dim-double payloads attach AFTER ``dropDuplicates``, joined back
-    from the cached projection. The r11 shape shipped both vectors on
-    every candidate row — at x100 that was 98M pairs × ~1 KB through
-    the dedup exchange and its sort, the measured alpha-1.4 residual
-    (SCALE.md r11) — where the slim shape's dedup moves ~16 B/pair
-    and exactly one verify join shuffles a pair-mass payload. The
-    payload joins are SHUFFLE_HASH-hinted: a sort-merge join would
-    SORT the pair×payload stream (the r10/r11 spill mechanism);
-    hash-building the corpus side streams the wide rows through
-    unsorted."""
+    SCORE-IN-BUCKET, DEDUP SLIM (r12): the bucket self-join already
+    CO-LOCATES both payloads (one corpus-sized exchange, reused for
+    both sides), so each candidate is exact-scored immediately after
+    the join — map-side, no extra shuffle — and the threshold filter
+    runs BEFORE ``dropDuplicates``. The dedup exchange therefore
+    moves 24-byte (id_a, id_b, cos) rows, never vector payloads. The
+    r11 shape deduplicated FIRST and scored after, which shipped both
+    vectors on every candidate row through the dedup exchange and its
+    sort (98M pairs × ~1 KB at x100 — the measured alpha-1.4
+    residual, SCALE.md r11); an intermediate r12 design carried ids
+    only and joined payloads back post-dedup, but that re-shuffles
+    the corpus payload per join side AND still moves one pair-mass
+    payload exchange — scoring where the bucket join already put
+    both vectors does neither. The trade: a pair colliding in
+    several tables is scored once per collision instead of once —
+    d multiply-adds per extra collision, bytes-free, the right side
+    of the CPU-vs-shuffle ledger at any scale. Values are identical
+    by construction: the score is a pure per-pair function, so
+    filter∘dedup ≡ dedup∘filter, and duplicate collisions score
+    bit-identically."""
     from syncflux_spark.operators.dedup import (
         AUTO_CAP_FLOOR,
         _validate_bucket_cap,
@@ -731,73 +738,89 @@ def near_dup_pairs(
             hot_is_small = n_hot <= HOT_BROADCAST_MAX
         else:
             bucket_cap = None
-    # ids-only candidate generation (r12): the self-join sides, the
-    # star edges and the pair-dedup move (id, tbl, bk)/(id_a, id_b)
-    # rows; the cached frame's vector columns are pruned out of the
-    # exchanges entirely (in-memory column batches prune on read)
-    bands = tagged.select(F.col(id_col), "tbl", "bk")
-    join_src = bands
-    star = None
+    # score-in-bucket (r12): the bucket join co-locates both payloads
+    # already — score each candidate map-side right after the join and
+    # filter by threshold BEFORE the pair-dedup, so the dedup exchange
+    # carries 24-byte (id_a, id_b, cos) rows, never vectors
+    cos = (dot("va", "vb", dim) / (F.col("na") * F.col("nb"))).alias(
+        "cos_sim"
+    )
+    join_src = tagged
+    star_scored = None
     if bucket_cap is not None:
         # hot set = one map-side-combined count, broadcast back (few
         # by definition; in auto mode the census PROVED it small, else
-        # the shuffle fallback above)
+        # the shuffle fallback above); only the hot-bucket MINS frame
+        # carries a vector payload (8·dim B per hot bucket)
         maybe_bcast = F.broadcast if hot_is_small else (lambda df: df)
         hot = maybe_bcast(
-            bands.groupBy("tbl", "bk")
+            tagged.groupBy("tbl", "bk")
             .agg(
                 F.count(F.lit(1)).alias("_c"),
                 F.min(id_col).alias("_m"),
             )
             .where(F.col("_c") > bucket_cap)
         )
-        join_src = bands.join(hot, ["tbl", "bk"], "left_anti")
-        # the star needs no payload and therefore no mins frame: the
-        # hot row already carries the bucket's min id
-        star = (
-            bands.join(hot, ["tbl", "bk"])
-            .where(F.col(id_col) > F.col("_m"))
+        join_src = tagged.join(hot, ["tbl", "bk"], "left_anti")
+        # one row per hot bucket: its min id + that vector's payload
+        mins = (
+            tagged.alias("t")
+            .join(
+                maybe_bcast(hot.alias("h")),
+                (F.col("t.tbl") == F.col("h.tbl"))
+                & (F.col("t.bk") == F.col("h.bk"))
+                & (F.col(f"t.{id_col}") == F.col("h._m")),
+            )
             .select(
-                F.col("_m").alias("id_a"), F.col(id_col).alias("id_b")
+                F.col("t.tbl").alias("_htbl"),
+                F.col("t.bk").alias("_hbk"),
+                F.col(f"t.{id_col}").alias("_min_id"),
+                F.col("t.v").alias("va"),
+                F.col("t.n").alias("na"),
             )
         )
-    a, c = join_src.alias("a"), join_src.alias("b")
-    pairs = a.join(
-        c,
-        (F.col("a.tbl") == F.col("b.tbl"))
-        & (F.col("a.bk") == F.col("b.bk"))
-        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-    ).select(
-        F.col(f"a.{id_col}").alias("id_a"),
-        F.col(f"b.{id_col}").alias("id_b"),
-    )
-    if star is not None:
-        pairs = pairs.unionByName(star)
-    pairs = pairs.dropDuplicates(["id_a", "id_b"])
-    # verify: attach both payloads AFTER dedup, from the cached frame
-    # (tbl == first table → exactly one row per id, cache hit, no
-    # shuffle to distinct). SHUFFLE_HASH builds the corpus side so
-    # the pair×payload stream is never sorted — see the docstring.
-    vecs = tagged.where(F.col("tbl") == 0).select(F.col(id_col), "v", "n")
-    vb = vecs.select(
-        F.col(id_col).alias("_ib"),
-        F.col("v").alias("vb"),
-        F.col("n").alias("nb"),
-    )
-    va = vecs.select(
-        F.col(id_col).alias("_ia"),
-        F.col("v").alias("va"),
-        F.col("n").alias("na"),
-    )
-    return (
-        pairs.join(vb.hint("shuffle_hash"), F.col("id_b") == F.col("_ib"))
-        .join(va.hint("shuffle_hash"), F.col("id_a") == F.col("_ia"))
-        .select(
-            "id_a",
-            "id_b",
-            (dot("va", "vb", dim) / (F.col("na") * F.col("nb"))).alias("cos_sim"),
+        star_scored = (
+            tagged.join(
+                maybe_bcast(mins),
+                (F.col("tbl") == F.col("_htbl"))
+                & (F.col("bk") == F.col("_hbk"))
+                & (F.col(id_col) > F.col("_min_id")),
+            )
+            .select(
+                F.col("_min_id").alias("id_a"),
+                F.col(id_col).alias("id_b"),
+                "va",
+                "na",
+                F.col("v").alias("vb"),
+                F.col("n").alias("nb"),
+            )
+            .select("id_a", "id_b", cos)
         )
-        .where(F.col("cos_sim") >= threshold)
+    a, c = join_src.alias("a"), join_src.alias("b")
+    scored = (
+        a.join(
+            c,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bk") == F.col("b.bk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.v").alias("va"),
+            F.col("a.n").alias("na"),
+            F.col("b.v").alias("vb"),
+            F.col("b.n").alias("nb"),
+        )
+        .select("id_a", "id_b", cos)
+    )
+    if star_scored is not None:
+        scored = scored.unionByName(star_scored)
+    # threshold BEFORE dedup: score is a pure per-pair function, so
+    # every duplicate collision scores bit-identically and the filter
+    # commutes with dropDuplicates — only survivors pay the exchange
+    return scored.where(F.col("cos_sim") >= threshold).dropDuplicates(
+        ["id_a", "id_b"]
     )
 
 

@@ -679,15 +679,20 @@ class TestIterationLoopInvariants:
         assert digits(bare) > digits(fixed)
 
     def test_ngram_pipeline_reads_one_cached_extraction(self, spark, sf_dir):
-        """The r7 fusion: band self-join sides AND both verify join
-        sides must read the single persisted shingle+signature frame
-        (4 InMemoryTableScans), never re-run the extraction — and the
-        whole pipeline stays JVM-side. (The plan text prints the
-        cache's child scan per reference, so we assert the cache
-        reads, not the FileScan count — same caveat as the
-        kmv_rolling_distinct test.)"""
+        """The r7 fusion + r12 score-in-bucket: both band self-join
+        sides read the single persisted shingle+signature frame
+        (2 InMemoryTableScans — the verify no longer has separate
+        join sides, it rides the band join itself), the extraction
+        never re-runs, and the whole pipeline stays JVM-side. (The
+        plan text prints the cache's child scan per reference, so we
+        assert the cache reads, not the FileScan count — same caveat
+        as the kmv_rolling_distinct test.)"""
         plan = plan_of(spark, sf_dir, "ngram_jaccard_pairs")
-        assert plan.count("InMemoryTableScan") >= 4
+        assert plan.count("InMemoryTableScan") >= 2
+        # the verify must NOT re-join the corpus arrays post-dedup:
+        # no join in the plan keys on the pair ids (the only joins
+        # are the band-key self-join and, when capped, the broadcast
+        # hot/mins joins)
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
