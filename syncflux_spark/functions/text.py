@@ -32,14 +32,25 @@ def token_count(text: Column | str) -> Column:
 
 def char_shingles(text: Column | str, k: int = 5) -> Column:
     """All overlapping k-character shingles of a string (positions
-    1..len-k+1). Empty array when the text is shorter than k —
-    guarded because Spark's ``sequence(1, 0)`` counts *down* instead
-    of returning empty."""
+    1..len-k+1), via a single regex pass: a zero-width lookahead
+    ``(?=(.{k}))`` captures the k chars at every position, so one
+    JVM-regex scan emits all shingles in position order. Measured
+    4-5× faster than the previous higher-order-function form
+    (``transform(sequence(1, n), i -> substr(t, i, k))``) — HOF
+    lambdas evaluate INTERPRETED per element, and the shingle
+    explode was the single largest constant of the whole banded
+    dedup family (x30 profile: 63 s of a 66 s banding pass,
+    SCALE.md r12); bit-identical output verified corpus-wide.
+    ``(?s)`` makes ``.`` cross newlines like substr does; both
+    engines' ``.`` consumes one code point, matching substr's
+    code-point indexing. Empty array when the text is shorter than
+    k (no match positions), and on NULL text (coalesce — the old
+    guard's behavior)."""
     t = _c(text)
-    n = F.length(t) - F.lit(k - 1)
-    return F.when(
-        n >= 1, F.transform(F.sequence(F.lit(1), n), lambda i: t.substr(i, F.lit(k)))
-    ).otherwise(F.array().cast("array<string>"))
+    return F.coalesce(
+        F.regexp_extract_all(t, F.lit(rf"(?s)(?=(.{{{k}}}))"), 1),
+        F.array().cast("array<string>"),
+    )
 
 
 def word_fingerprint(text: Column | str) -> Column:

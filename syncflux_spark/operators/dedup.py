@@ -576,6 +576,76 @@ def ngram_jaccard_pairs(
     end-to-end at sf0.1. Five registry consumers (dedup_near_keep,
     dedup_components, leakage_safe_split, contrastive_triplets,
     doc_novelty) ride this kernel."""
+    def stats(frame):
+        joined = frame.select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("sha", "shb")).alias("n_inter"),
+            # arithmetic union size — see jaccard_verify
+            (F.size("sha") + F.size("shb")).alias("n_ab"),
+        ).select(
+            "id_a",
+            "id_b",
+            "n_inter",
+            (F.col("n_ab") - F.col("n_inter")).alias("n_union"),
+        )
+        return joined.withColumn(
+            "jaccard", F.col("n_inter") / F.col("n_union")
+        )
+
+    scored = _fused_scored_pairs(
+        df,
+        text_col,
+        id_col,
+        k_shingle,
+        n_hashes,
+        band_size,
+        fingerprint,
+        bucket_cap,
+        auto_floor,
+        auto_ceiling,
+        stats,
+    )
+    if threshold > 0:
+        scored = scored.where(F.col("jaccard") >= threshold)
+    return scored.dropDuplicates(["id_a", "id_b"])
+
+
+def _fused_scored_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k_shingle: int,
+    n_hashes: int,
+    band_size: int,
+    fingerprint: str | None,
+    bucket_cap: int | None | str,
+    auto_floor: int,
+    auto_ceiling: int,
+    stats,
+) -> DataFrame:
+    """The shared SCORE-IN-BUCKET core of the fused banded kernels
+    (r12): one shingle extraction feeding both hash families, band
+    rows CARRYING the verify fingerprint array, so the band self-join
+    co-locates both sides' arrays in one corpus-sized exchange
+    (identical subplans on both sides → the exchange is planned once
+    and REUSED) and every candidate is exact-verified map-side right
+    after the join via ``stats`` (a callable over (id_a, id_b, sha,
+    shb) rows returning slim scored columns). Callers filter by their
+    threshold BEFORE dropDuplicates — the score is a pure per-pair
+    function, so filter∘dedup ≡ dedup∘filter and the dedup exchange
+    moves ~40-byte stat rows, never fingerprint arrays.
+
+    The prior shape deduplicated ids first and joined the arrays
+    back, which re-shuffled the corpus arrays per join side AND moved
+    one pair-mass array payload exchange; at wall scale (candidates ≫
+    corpus) that payload exchange is the spill driver. The trade
+    here: a pair colliding in BOTH bands is verified twice
+    (bit-identical results) — intersect CPU for shuffle bytes, the
+    right side of the ledger at every measured scale (A/B in SCALE.md
+    r12). Hot-bucket star collapse rides the same resolution as
+    lsh_candidate_pairs; only the hot-mins frame carries an array
+    payload (one per hot bucket)."""
     mode = verify_fingerprint_mode(fingerprint)
     base = shingle_sets(df, text_col, id_col, k_shingle)
     fp = (
@@ -594,9 +664,9 @@ def ngram_jaccard_pairs(
     cols = [F.col(id_col), F.col("sh")]
     for i in range(n_hashes):
         cols.append(F.array_min(F.transform("_hs", lane(i))).alias(f"mh{i}"))
-    # in auto mode the census collect inside _bands_to_pairs is the
-    # first action over the cached frame and materializes it (one job
-    # replaces the eager count — see lsh_candidate_pairs)
+    # in auto mode the census collect below is the first action over
+    # the cached frame and materializes it (one job replaces the
+    # eager count — see lsh_candidate_pairs)
     combined = hashed.select(*cols)
     if bucket_cap == "auto":
         combined = combined.persist()
@@ -614,21 +684,6 @@ def ngram_jaccard_pairs(
         )
         for b in range(n_bands)
     ]
-    # SCORE-IN-BUCKET (r12): band rows carry the verify fingerprint
-    # array, so the band self-join CO-LOCATES both sides' arrays in
-    # one corpus-sized exchange (identical subplans on both sides →
-    # the exchange is planned once and REUSED) and every candidate is
-    # exact-verified map-side right after the join. The threshold
-    # filter then runs BEFORE the pair-dedup, so the dedup exchange
-    # moves ~40-byte stat rows — never fingerprint arrays. The prior
-    # shape deduplicated ids first and joined the arrays back, which
-    # re-shuffled the corpus arrays per join side AND moved one
-    # pair-mass array payload exchange; at wall scale (candidates ≫
-    # corpus) that payload exchange is the spill driver. The trade: a
-    # pair colliding in BOTH bands is verified twice (bit-identical
-    # results — pure function of the pair) — intersect CPU for
-    # shuffle bytes, the right side of the ledger at every measured
-    # scale (A/B in SCALE.md r12).
     bands = combined.select(
         F.col(id_col), "sh", F.explode(F.array(*band_structs)).alias("bd")
     ).select(
@@ -656,30 +711,11 @@ def ngram_jaccard_pairs(
         else:
             bucket_cap = None
 
-    def stats(frame):
-        joined = frame.select(
-            "id_a",
-            "id_b",
-            F.size(F.array_intersect("sha", "shb")).alias("n_inter"),
-            # arithmetic union size — see jaccard_verify
-            (F.size("sha") + F.size("shb")).alias("n_ab"),
-        ).select(
-            "id_a",
-            "id_b",
-            "n_inter",
-            (F.col("n_ab") - F.col("n_inter")).alias("n_union"),
-        )
-        return joined.withColumn(
-            "jaccard", F.col("n_inter") / F.col("n_union")
-        )
-
     join_src = bands
     star_scored = None
     if bucket_cap is not None:
-        # hot-bucket star collapse — see lsh_candidate_pairs; a star
-        # edge failing the verify can split a hot cluster the clique
-        # would have held (the documented over-cap recall trade). Only
-        # the mins frame carries an array payload (one per hot bucket).
+        # a star edge failing the verify can split a hot cluster the
+        # clique would have held (the documented over-cap recall trade)
         maybe_bcast = F.broadcast if hot_is_small else (lambda df: df)
         hot = maybe_bcast(
             bands.groupBy("band_id", "band_key")
@@ -734,9 +770,7 @@ def ngram_jaccard_pairs(
     )
     if star_scored is not None:
         scored = scored.unionByName(star_scored)
-    if threshold > 0:
-        scored = scored.where(F.col("jaccard") >= threshold)
-    return scored.dropDuplicates(["id_a", "id_b"])
+    return scored
 
 
 def containment_pairs(
@@ -763,40 +797,52 @@ def containment_pairs(
     extreme size skew. :func:`containment_pairs_exact` is the
     100%-recall variant (prefix filtering on the containment bound) —
     use it when the quote-in-book case matters; this banding form
-    stays for the cheap moderate-skew regime. Verify cost is
-    O(candidates × shingles), identical shape to jaccard_verify."""
-    pairs = lsh_candidate_pairs(df, text_col, id_col, k_shingle, n_hashes, band_size)
-    # verify arrays fingerprinted per the dial — same exact-count
-    # argument as jaccard_verify (collision bound m²/2⁶⁵/pair)
-    mode = verify_fingerprint_mode(fingerprint)
-    sh = eager_persist(
-        _verify_arrays(df, text_col, id_col, k_shingle, mode)
-    )
-    # SHUFFLE_HASH on the fingerprint sides — see jaccard_verify
-    a = sh.hint("shuffle_hash").alias("ca")
-    b = sh.hint("shuffle_hash").alias("cb")
-    joined = (
-        pairs.join(a, pairs.id_a == F.col(f"ca.{id_col}"))
-        .join(b, pairs.id_b == F.col(f"cb.{id_col}"))
-        .select(
+    stays for the cheap moderate-skew regime. Since r12 it rides the
+    same fused score-in-bucket core as :func:`ngram_jaccard_pairs`
+    (:func:`_fused_scored_pairs`): containments computed where the
+    band join co-located the arrays, threshold filter before the
+    pair-dedup, no pair-mass payload exchange — and the hot-bucket
+    auto cap applies (the old shape delegated candidates to
+    lsh_candidate_pairs and joined the arrays back per side)."""
+
+    def stats(frame):
+        j = frame.select(
             "id_a",
             "id_b",
-            F.size(F.array_intersect("ca.sh", "cb.sh")).cast("long").alias("n_inter"),
-            F.size("ca.sh").cast("long").alias("n_a"),
-            F.size("cb.sh").cast("long").alias("n_b"),
+            F.size(F.array_intersect("sha", "shb")).cast("long").alias(
+                "n_inter"
+            ),
+            F.size("sha").cast("long").alias("n_a"),
+            F.size("shb").cast("long").alias("n_b"),
         )
+        c_ab = F.col("n_inter").cast("double") / F.col("n_a").cast("double")
+        c_ba = F.col("n_inter").cast("double") / F.col("n_b").cast("double")
+        return j.select(
+            "id_a",
+            "id_b",
+            "n_inter",
+            "n_a",
+            "n_b",
+            c_ab.alias("c_ab"),
+            c_ba.alias("c_ba"),
+        )
+
+    scored = _fused_scored_pairs(
+        df,
+        text_col,
+        id_col,
+        k_shingle,
+        n_hashes,
+        band_size,
+        fingerprint,
+        "auto",
+        AUTO_CAP_FLOOR,
+        AUTO_CAP_CEILING,
+        stats,
     )
-    c_ab = F.col("n_inter").cast("double") / F.col("n_a").cast("double")
-    c_ba = F.col("n_inter").cast("double") / F.col("n_b").cast("double")
-    return joined.select(
-        "id_a",
-        "id_b",
-        "n_inter",
-        "n_a",
-        "n_b",
-        c_ab.alias("c_ab"),
-        c_ba.alias("c_ba"),
-    ).where((c_ab >= threshold) | (c_ba >= threshold))
+    return scored.where(
+        (F.col("c_ab") >= threshold) | (F.col("c_ba") >= threshold)
+    ).dropDuplicates(["id_a", "id_b"])
 
 
 def containment_pairs_exact(

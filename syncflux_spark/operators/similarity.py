@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from syncflux_spark.functions.vectors import as_double, dot, norm
+from syncflux_spark.utils import spread_for_cpu
 
 # ---------------------------------------------------------------------------
 # Per-pair scoring discipline: every pairwise stage below pre-casts the
@@ -45,7 +46,15 @@ def _sides(
     df: DataFrame, id_col: str, vec_col: str, prefix: str,
     dim: int | None = None,
 ) -> DataFrame:
-    """(id, double-cast vector, norm) projection for one join side."""
+    """(id, double-cast vector, norm) projection for one join side.
+    The CORPUS side ("c") is spread to the session parallelism first:
+    every downstream scoring stage is a small-bytes big-CPU narrow
+    pass (n×k HOF dot products) that otherwise runs on the parquet's
+    few byte-sized scan partitions — the utils.spread_for_cpu trap;
+    no-op on already-wide input. Query sides broadcast, so spreading
+    them would buy nothing."""
+    if prefix == "c":
+        df = spread_for_cpu(df)
     return df.select(
         F.col(id_col).alias(f"{prefix}_id"),
         as_double(vec_col).alias(f"{prefix}v"),
@@ -303,7 +312,11 @@ def ivf_assign(
         if centroids is not None
         else seed_centroids(corpus, n_centroids, id_col, vec_col)
     )
-    rows = corpus.select(
+    # spread first: the n×k dot stage is small-bytes big-CPU and the
+    # broadcast crossJoin preserves input partitioning (the max_by
+    # combine relies on that) — on a few-partition parquet scan the
+    # whole assignment would otherwise run on those few cores
+    rows = spread_for_cpu(corpus).select(
         F.col(id_col),
         as_double(vec_col).alias("_v"),
         norm(vec_col).alias("_n"),
@@ -424,7 +437,8 @@ def ivf_assign_twolevel(
         .agg(pick_g.alias("gid"))
     )
     fine_tagged = cents.join(F.broadcast(cmap), "cid")
-    rows = corpus.select(
+    # spread: same small-bytes big-CPU rationale as ivf_assign
+    rows = spread_for_cpu(corpus).select(
         F.col(id_col),
         as_double(vec_col).alias("_v"),
         norm(vec_col).alias("_n"),
@@ -687,7 +701,10 @@ def near_dup_pairs(
             for t in range(n_tables)
         ]
     )
-    tagged = corpus.select(
+    # spread: the bucket bitmap is n_planes×dim multiply-adds per row
+    # (small-bytes big-CPU) — see utils.spread_for_cpu; no-op on wide
+    # input
+    tagged = spread_for_cpu(corpus).select(
         F.col(id_col),
         as_double(vec_col).alias("v"),
         norm(vec_col).alias("n"),
@@ -1659,6 +1676,7 @@ def ivf_index_build(
     vec_col: str = "embedding",
     dim: int | None = None,
     centroids: DataFrame | None = None,
+    assign_levels: int = 1,
 ):
     """Build the IVF index as two PLAIN TABLES to persist: the
     centroid table (cid, centv, centn) and the inverted-file
@@ -1668,13 +1686,29 @@ def ivf_index_build(
     every later search reads the tables instead of re-clustering
     (the ANN analog of dedup.py::build_dedup_index). Partition the
     persisted index by ``cid`` so a probe prunes to nprobe
-    directories. Returns (centroids, assignments)."""
+    directories. Returns (centroids, assignments).
+
+    ``assign_levels=2`` builds the assignment hierarchically
+    (:func:`ivf_assign_twolevel`, O(2√k) dots per vector) — the
+    explicit dial for the >67M-vector / large-k ingest, where flat
+    assignment's n×k dots are the build-time wall. The dial changes
+    ROUTING (two-level is approximate), so it is a build-time choice
+    recorded by the index's contents, never flipped implicitly."""
+    if assign_levels not in (1, 2):
+        raise ValueError(
+            f"assign_levels must be 1 or 2, got {assign_levels}"
+        )
     cents = (
         centroids
         if centroids is not None
         else seed_centroids(corpus, n_centroids, id_col, vec_col)
     )
-    assigned = ivf_assign(corpus, n_centroids, id_col, vec_col, dim, cents)
+    if assign_levels == 2:
+        assigned = ivf_assign_twolevel(
+            corpus, n_centroids, None, id_col, vec_col, dim, cents
+        )
+    else:
+        assigned = ivf_assign(corpus, n_centroids, id_col, vec_col, dim, cents)
     index = assigned.select(
         F.col(id_col),
         F.col("_v").alias("vec"),

@@ -85,6 +85,18 @@ def main() -> int:
 
         run(f"x{scale} +shingle", shingle_only)
 
+        def shingle_nodistinct():
+            from syncflux_spark.functions.text import char_shingles
+
+            sh = docs.select(
+                F.col("doc_id"),
+                char_shingles("text", 5).alias("_sh"),
+            ).where(F.size("_sh") > 0)
+            row = sh.agg(F.sum(F.size("_sh"))).collect()[0]
+            return {"shingles_with_dups": int(row[0])}
+
+        run(f"x{scale} +shingle-nodistinct (alt)", shingle_nodistinct)
+
         def with_md5():
             sh = shingle_sets(docs).select(
                 F.transform("_sh", F.md5).alias("_hs")
@@ -108,7 +120,14 @@ def main() -> int:
             ]
             row = (
                 sh.select(*lanes)
-                .agg(*[F.sum(f"mh{i}") for i in range(ns.n_hashes)])
+                # modulo before summing: raw xxhash64 longs overflow
+                # an ANSI int64 sum
+                .agg(
+                    *[
+                        F.sum(F.pmod(f"mh{i}", F.lit(1_000_003)))
+                        for i in range(ns.n_hashes)
+                    ]
+                )
                 .collect()[0]
             )
             return {"lane0_sum": int(row[0])}
