@@ -15078,22 +15078,33 @@ def doc_compression_ratio(spark, sf):
 _DRIVER_CONFIRMED = frozenset(
     """
     benchmark_contamination bigram_top_terms bloom_purchase_filter
-    bm25_search bpe_merge_candidates bpe_tokenize_stats c4_filter_flags
-    cdc_merge_apply cdc_merge_audit cms_user_counts cohort_retention
+    bm25_search bpe_merge_candidates bpe_tokenize_stats
+    bucketed_join_revenue c4_filter_flags cdc_merge_apply
+    cdc_merge_audit cms_sketch_merge cms_user_counts cohort_retention
     containment_pairs containment_pairs_exact contrastive_triplets
     conversion_latency_daily corpus_filter_report corpus_mixture_stats
-    corpus_overview cq_daily_rollup cq_downsample_roundtrip
+    corpus_overview corpus_snapshot_diff cq_daily_rollup
+    cq_downsample_roundtrip csv_roundtrip_stats
     cumulative_spend_per_customer customer_rfm_segments
-    dedup_components dedup_exact dedup_graph_clustering
-    dedup_graph_kcore dedup_graph_triangles dedup_incremental
-    dedup_incremental_indexed dedup_keep_documents dedup_near_keep
-    dedup_normalized dedup_rate_by_source doc_chunk_windows
-    doc_fingerprint doc_novelty doc_pack_bins doc_pagerank
+    dedup_components dedup_cross_source_matrix dedup_exact
+    dedup_graph_clustering dedup_graph_kcore dedup_graph_triangles
+    dedup_graph_triangles_verified dedup_incremental
+    dedup_incremental_indexed dedup_keep_documents dedup_keep_longest
+    dedup_near_keep dedup_near_keep_capped dedup_normalized
+    dedup_rate_by_source doc_boilerplate_ratio doc_chunk_windows
+    doc_compression_ratio doc_cosine_pairs doc_fingerprint doc_lang_mix
+    doc_novelty doc_pack_bins doc_pagerank doc_pagerank_capped
     doc_sample_10pct doc_size_weighted_sample doc_split_assign
     doc_stratified_sample doc_top_terms drift_value_chi2
-    emb_dedup_components emb_near_dup_pairs emb_norms emb_quantize_int8
-    emb_top_eigenvector event_transitions funnel_conversion
-    gopher_quality_flags influxql_agg_math influxql_cmo_daily
+    duplicate_substring_spans emb_bucket_census emb_class_centroids
+    emb_covariance emb_dedup_components emb_dedup_components_capped
+    emb_diverse_sample emb_eval_leakage emb_hard_negatives
+    emb_near_dup_pairs emb_near_dup_pairs_auto
+    emb_near_dup_pairs_capped emb_norms emb_quantize_int8
+    emb_random_projection emb_top_eigenvector entity_match_pairs
+    epoch_shuffle_manifest event_transitions funnel_conversion
+    global_value_quantiles gopher_quality_flags hll_distinct_users
+    hybrid_search_rrf influxql_agg_math influxql_cmo_daily
     influxql_count_star influxql_cumulative_daily influxql_dema_daily
     influxql_derivative_daily influxql_elapsed_clicks
     influxql_ema_daily influxql_field_math influxql_fill_zero_6h
@@ -15108,45 +15119,66 @@ _DRIVER_CONFIRMED = frozenset(
     influxql_tag_values influxql_tema_daily influxql_top3_daily
     influxql_trix_daily influxql_tz_daily influxql_where_math
     ivf_index_roundtrip ivf_pq_topk ivf_topk ivf_topk_kmeans
-    kmv_distinct_users kmv_set_overlap knn_threshold_pairs knn_topk
-    lang_confusion_matrix lang_detect leakage_safe_split
-    lm_predictability lp_roundtrip_stats lsh_ann_topk
-    lsh_candidate_pairs maxsim_topk_ann minhash_signatures
+    json_roundtrip_stats key_skew_report kmv_distinct_users
+    kmv_rolling_distinct kmv_set_overlap kmv_sketch_merge
+    knn_threshold_pairs knn_topk lang_confusion_matrix lang_detect
+    leakage_safe_split lm_predictability lp_roundtrip_stats
+    lsh_ann_topk lsh_ann_topk_multi lsh_auto_cap lsh_bucket_census
+    lsh_candidate_pairs lsh_candidate_pairs_auto
+    lsh_candidate_pairs_capped lsh_candidate_pairs_strict maxsim_topk
+    maxsim_topk_ann minhash_signatures mixture_resample
     mm_audio_features mm_audio_frame_counts mm_audio_meta
-    mm_decode_meta mm_feature_knn mm_frame_counts mm_phash_dedup
-    ngram_jaccard_pairs ngram_jaccard_pairs_strfp orders_per_month
-    partitioned_scan_counts pii_scrub_stats pipeline_corpus_publish
-    pq_ann_topk pq_rescored_topk q10_returned_items q11_important_parts
+    mm_decode_meta mm_feature_knn mm_frame_counts mm_image_decode
+    mm_phash_dedup mm_video_frames ngram_jaccard_pairs
+    ngram_jaccard_pairs_strfp orc_roundtrip_stats orders_per_month
+    outage_event_counts partitioned_scan_counts passage_boilerplate
+    pii_scrub_stats pipeline_corpus_publish pmi_top_bigrams pq_ann_topk
+    pq_rescored_topk q10_returned_items q11_important_parts
     q12_priority_shipping q13_customer_distribution q14_promo_share
     q15_top_supplier q16_supplier_counts q17_small_quantity_revenue
     q18_large_orders q19_discounted_revenue q1_pricing_summary
     q20_excess_suppliers q21_waiting_suppliers q22_inactive_customers
     q2_min_cost_supplier q3_shipping_priority q4_order_priority
     q5_local_supplier_volume q6_revenue_forecast q7_volume_shipping
-    q8_market_share q9_product_profit quality_scores regex_token_stats
+    q8_market_share q9_product_profit quality_scores
+    quantile_rolling_series quantile_sketch_merge regex_token_stats
     repetition_stats revenue_cube_flags revenue_rollup_region
-    session_top_paths session_type_lift simhash_fingerprint
-    simhash_near_pairs sliding_distinct_users source_quota_cap
+    semantic_dedup_auto semantic_dedup_flags session_top_paths
+    session_type_lift simhash_fingerprint simhash_near_pairs
+    simhash_near_pairs_wide simhash_near_pairs_wide64
+    sliding_distinct_users sorted_neighborhood_pairs source_quota_cap
     stream_attribution_pairs stream_attribution_unmatched
     stream_cdc_apply stream_corpus_publish stream_dedup_counts
-    stream_kmv_users stream_late_events stream_quantile_sketch
-    stream_replicate_counts stream_replicate_counts_tx
-    stream_session_rollup stream_stateful_totals stream_windowed_rollup
-    supplier_rank_in_nation token_diversity token_stats
-    top_customers_by_revenue top_users_per_event_type ts_asof_purchase
-    ts_asof_tolerance ts_changepoint ts_chunk_counts ts_copy_roundtrip
-    ts_copy_roundtrip_tx ts_count_distinct ts_counter_increase
-    ts_derivative ts_difference ts_downsample_1h ts_elapsed
-    ts_field_coercion ts_first_per_series ts_gap_detect ts_hourly_bands
-    ts_integral ts_json_props ts_last_per_series ts_measurement_stats
-    ts_moving_average ts_nn_derivative ts_nn_difference ts_outliers
-    ts_percentiles ts_pivot_daily_counts ts_retention_tx
-    ts_sample_per_series ts_scan_range ts_series_discovery
+    stream_kmv_users stream_late_events stream_neardup_index
+    stream_quantile_sketch stream_replicate_counts
+    stream_replicate_counts_tx stream_session_close
+    stream_session_facts stream_session_rollup stream_stateful_totals
+    stream_windowed_rollup substring_dup_fraction
+    supplier_rank_in_nation table_profile token_budget_by_source
+    token_budget_select token_diversity token_stats
+    top_customers_by_revenue top_users_per_event_type
+    training_shard_manifest ts_acf ts_asof_purchase ts_asof_tolerance
+    ts_ccf_click_purchase ts_chande_momentum ts_changepoint
+    ts_chunk_counts ts_copy_roundtrip ts_copy_roundtrip_tx
+    ts_count_distinct ts_counter_increase ts_cumulative_sum
+    ts_derivative ts_difference ts_downsample_1h ts_downsample_fill
+    ts_downsample_fill_linear ts_downsample_fill_previous ts_elapsed
+    ts_ema ts_ema_cascade ts_field_coercion ts_first_per_series
+    ts_gap_detect ts_holt_winters ts_hourly_bands ts_integral
+    ts_interval_coverage ts_json_props ts_kaufman_er ts_last_per_series
+    ts_m4_downsample ts_mad_outliers ts_math_transforms
+    ts_measurement_stats ts_mode ts_moving_average ts_nn_derivative
+    ts_nn_difference ts_outliers ts_percentiles ts_pivot_daily_counts
+    ts_retention_tx ts_rolling_median ts_rsi ts_sample_per_series
+    ts_scan_range ts_seasonal_anomaly ts_seasonal_mase
+    ts_series_cardinality ts_series_discovery ts_series_similarity
     ts_series_stats ts_sessionize ts_sparse_field_merge
-    ts_spread_stddev ts_theil_sen ts_type_correlation
-    ts_upsert_collapse users_click_and_purchase users_click_no_purchase
-    vocab_growth_curve vocab_top_terms word_jaccard_pairs
-    zorder_scan_counts
+    ts_spread_stddev ts_theil_sen ts_top_bottom ts_trailing_1h_stats
+    ts_trend_slope ts_type_correlation ts_upsert_collapse
+    ts_value_histogram ts_winsorized_stats users_click_and_purchase
+    users_click_no_purchase value_decile_bins vocab_growth_curve
+    vocab_top_terms winnow_incremental winnow_overlap_pairs
+    winnow_profile word_jaccard_pairs zorder_scan_counts
     """.split()
 )
 
