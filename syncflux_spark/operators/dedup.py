@@ -950,8 +950,15 @@ def containment_pairs_exact(
         if mode == "hash64"
         else F.col("sh")
     )
-    da = docs.select(F.col(id_col), varr.alias("sh_a"), F.col("n").alias("n_a"))
-    db = docs.select(F.col(id_col), varr.alias("sh_b"), F.col("n").alias("n_b"))
+    # SHUFFLE_HASH (r12): same verify doctrine as jaccard_verify /
+    # word_jaccard_all_pairs — never let a sort-merge join sort the
+    # pair×payload stream; hash-build the corpus side instead
+    da = docs.select(
+        F.col(id_col), varr.alias("sh_a"), F.col("n").alias("n_a")
+    ).hint("shuffle_hash")
+    db = docs.select(
+        F.col(id_col), varr.alias("sh_b"), F.col("n").alias("n_b")
+    ).hint("shuffle_hash")
     joined = (
         cand.join(da, cand.id_a == da[id_col])
         .join(db, cand.id_b == db[id_col])
@@ -1149,6 +1156,7 @@ def word_jaccard_all_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.5,
+    fingerprint: str | None = None,
 ) -> DataFrame:
     """Exact word-set Jaccard ≥ threshold over all pairs, via
     **prefix filtering** (the AllPairs/PPJoin family — Xiao et al.,
@@ -1167,12 +1175,44 @@ def word_jaccard_all_pairs(
     The naive join-on-every-token variant was the round-1
     implementation; it answered correctly but put every document
     sharing one hot token into a single shuffle partition — the
-    classic skewed-key self-join scale-killer."""
+    classic skewed-key self-join scale-killer.
+
+    VERIFY (r12): the per-pair intersection dominates wall clock on
+    dup-heavy corpora (the sf0.1 fixture: 12.17M candidates from 5k
+    docs, ~7 s of a 9 s query was the verify stage), so the verify
+    stage applies the three measured fixes from the banded family:
+
+    * token arrays cross the verify joins as xxhash64 FINGERPRINTS
+      by default (``verify_fingerprint_mode`` dial, same collision
+      class as :func:`jaccard_verify`: counts exact modulo a
+      m²/2⁶⁵-per-pair chance — and long-vs-long intersection hashes
+      8-byte keys instead of rehashing full token strings per pair);
+    * the AllPairs LENGTH FILTER runs before the intersection:
+      J ≥ t ⇒ t·|B| ≤ |A| (for |A| ≤ |B|), so any pair whose sizes
+      violate ``n_a ≥ t·n_b ∧ n_b ≥ t·n_a`` is dropped from exact
+      integer sizes alone — no array work, provably no qualifying
+      pair lost (i ≤ min(n_a,n_b) and i ≥ t(n_a+n_b)/(1+t) force the
+      bound);
+    * the array sides are SHUFFLE_HASH-hinted: a sort-merge join
+      would sort the pair×payload stream — the r12 verify doctrine
+      (never sort wide rows; hash-build the corpus side).
+
+    The persisted frame is also slimmer: it carries the PREFIX token
+    array (``pw``, the only part the candidate stage reads) plus the
+    fingerprint array, never the full raw token array alongside.
+    Measured at sf0.1: 9.0 s → 5.25 s, identical rows AND identical
+    Σ n_inter (76,782,232)."""
+    mode = verify_fingerprint_mode(fingerprint)
     toks = spread_for_cpu(df).select(
         F.col(id_col), F.explode(F.array_distinct(words(text_col))).alias("w")
     )
     # global document frequency — the canonical rare-first total order
     dfreq = toks.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    varr = (
+        F.transform("ws", lambda w: F.xxhash64(w))
+        if mode == "hash64"
+        else F.col("ws")
+    )
     docs = eager_persist(
         toks.join(dfreq, "w")
         .groupBy(id_col)
@@ -1191,10 +1231,14 @@ def word_jaccard_all_pairs(
             - F.ceil(F.lit(threshold) * F.col("n") - F.lit(1e-9)).cast("int")
             + 1,
         )
+        .select(
+            F.col(id_col),
+            F.slice("ws", F.lit(1), F.col("plen")).alias("pw"),
+            varr.alias("vw"),
+            F.col("n"),
+        )
     )  # scanned three times: two prefix-join sides + verify
-    pref = docs.select(
-        F.col(id_col), F.explode(F.slice("ws", F.lit(1), F.col("plen"))).alias("w")
-    )
+    pref = docs.select(F.col(id_col), F.explode("pw").alias("w"))
     a, b = pref.alias("a"), pref.alias("b")
     cand = (
         a.join(
@@ -1207,11 +1251,21 @@ def word_jaccard_all_pairs(
         )
         .distinct()
     )
-    da = docs.select(F.col(id_col), F.col("ws").alias("ws_a"), F.col("n").alias("n_a"))
-    db = docs.select(F.col(id_col), F.col("ws").alias("ws_b"), F.col("n").alias("n_b"))
+    da = docs.select(
+        F.col(id_col), F.col("vw").alias("ws_a"), F.col("n").alias("n_a")
+    ).hint("shuffle_hash")
+    db = docs.select(
+        F.col(id_col), F.col("vw").alias("ws_b"), F.col("n").alias("n_b")
+    ).hint("shuffle_hash")
     out = (
         cand.join(da, cand.id_a == da[id_col])
         .join(db, cand.id_b == db[id_col])
+        # length filter: exact integer predicate, evaluated before any
+        # array materializes for the pair
+        .where(
+            (F.col("n_b") >= F.lit(threshold) * F.col("n_a"))
+            & (F.col("n_a") >= F.lit(threshold) * F.col("n_b"))
+        )
         .select(
             "id_a",
             "id_b",

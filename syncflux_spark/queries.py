@@ -15201,13 +15201,15 @@ _PRIORITY_PREFIXES = (
 #: anything else (a changed query with a stale green row is the one
 #: regression the self-maintaining order can't see on its own).
 _ROUND_FOCUS = (
-    # r12: the near-dup VERIFY stage was slimmed — candidates carry
-    # ids only through pair-dedup (embedding kernel restructured: no
-    # payload on the self-join/star/dropDuplicates, payload joined
-    # back post-dedup) and every exact-verify join is SHUFFLE_HASH-
-    # hinted instead of sort-merge. Values are unchanged by
-    # construction, but the plan and impl changed for the whole
-    # banded family, so every consumer's green row re-pins.
+    # r12: the near-dup VERIFY stage was restructured to SCORE IN-
+    # BUCKET — the band/bucket self-join co-locates both payloads, so
+    # candidates are exact-scored map-side right after the join and
+    # the pair-dedup exchange carries slim stat rows, never
+    # fingerprint/vector arrays (an intermediate ids-only+join-back
+    # design was measured and replaced; the standalone caller-pairs
+    # verifies keep SHUFFLE_HASH-hinted join-backs). Values are
+    # unchanged by construction, but the plan and impl changed for
+    # the whole banded family, so every consumer's green row re-pins.
     "lsh_candidate_pairs",
     "lsh_candidate_pairs_strict",
     "lsh_candidate_pairs_capped",
@@ -15252,6 +15254,14 @@ _ROUND_FOCUS = (
     # and the bands sink's coverage is marker-gated — the registered
     # stream query rides both paths
     "stream_neardup_index",
+    # r12 session 2: word_jaccard verify slimmed (hash64 fingerprints,
+    # AllPairs length filter, shuffle_hash verify joins, prefix-only
+    # persisted frame) and containment_pairs_exact's verify joins
+    # gained the shuffle_hash hints — values unchanged (mode-equality
+    # + brute-force pins in test_dedup_recall.py), impl changed, so
+    # both green rows re-pin.
+    "word_jaccard_pairs",
+    "containment_pairs_exact",
 )
 
 

@@ -291,6 +291,54 @@ class TestVerifyFingerprintDial:
         }
         assert h == s
 
+    def test_word_jaccard_modes_agree_and_match_brute_force(
+        self, spark, sf_dir
+    ):
+        """r12 verify slimming for word_jaccard_all_pairs: the hash64
+        fingerprint dial and the AllPairs length filter must change
+        NOTHING about the output — both modes equal, and both equal a
+        brute-force all-pairs word Jaccard (which uses neither the
+        prefix filter, the length filter, nor fingerprints)."""
+        from syncflux_spark.functions.text import words
+        from syncflux_spark.operators import dedup as dd
+        from syncflux_spark.sources.parquet import load_table
+
+        docs = load_table(spark, sf_dir, "documents").limit(120)
+        t = 0.6
+        h = {
+            (r.id_a, r.id_b): (r.n_inter, r.n_union)
+            for r in dd.word_jaccard_all_pairs(
+                docs, threshold=t, fingerprint="hash64"
+            ).collect()
+        }
+        s = {
+            (r.id_a, r.id_b): (r.n_inter, r.n_union)
+            for r in dd.word_jaccard_all_pairs(
+                docs, threshold=t, fingerprint="string"
+            ).collect()
+        }
+        assert h == s and len(h) > 0
+        sets = docs.select(
+            "doc_id", F.array_distinct(words("text")).alias("ws")
+        )
+        a, b = sets.alias("a"), sets.alias("b")
+        brute = {
+            (r.id_a, r.id_b): (r.n_inter, r.n_union)
+            for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("id_a"),
+                F.col("b.doc_id").alias("id_b"),
+                F.size(F.array_intersect("a.ws", "b.ws")).alias("n_inter"),
+                (
+                    F.size("a.ws") + F.size("b.ws")
+                    - F.size(F.array_intersect("a.ws", "b.ws"))
+                ).alias("n_union"),
+            )
+            .where(F.col("n_inter") / F.col("n_union") >= t)
+            .collect()
+        }
+        assert h == brute
+
     def test_bad_mode_rejected(self):
         import pytest as _pytest
 
