@@ -883,7 +883,12 @@ def containment_pairs_exact(
     pairs with either containment ≥ threshold, not a banding-limited
     subset. Shuffles: dfreq agg, sort-collect agg, candidate join,
     verify joins — all on keys bounded by prefix selectivity, no
-    all-pairs stage anywhere."""
+    all-pairs stage anywhere. r13 adds the PPJoin directional
+    positional filter on the candidate match rows (see the inline
+    comment at ``cand`` for the exactness argument — it also subsumes
+    the directional length bound) so non-qualifying matches are
+    dropped map-side before the candidate-dedup exchange and the
+    verify joins."""
     # persisted: scanned twice (df aggregation + the df join-back);
     # recomputing would re-shingle the corpus — measured 7.3s → 6.0s
     # at sf0.1 for the k=12 registry entry. VERIFY fingerprints are a
@@ -898,12 +903,30 @@ def containment_pairs_exact(
     # measured and NOT taken (15s vs 10s — the window's per-partition
     # sort of the full explode costs more than the agg + join-back
     # it saves).
+    # HASH-EARLY (r13): in hash64 mode the xxhash64 fingerprint moves
+    # from the verify stage to directly after the shingle explode, so
+    # the dfreq exchange, the sort-collect agg (whose per-doc
+    # sort_array compares 8-byte longs instead of k-char strings) and
+    # every candidate/semi join key carry longs. array_distinct still
+    # runs on the STRINGS, so per-doc counts (n) are bit-identical to
+    # string mode, and the verify intersects exactly the same hash
+    # values the r12 form produced via transform() — the output is
+    # value-identical to the previous hash64 default, same documented
+    # per-pair collision class, brute-force-pinned. r12 probed this
+    # and measured no win at sf0.1 (1.9M shingle rows — the extra
+    # hash pass ≈ the narrower-type saving); on the r13 zipfian x30
+    # fixture (58M rows) the sort-collect stage was 42 s of a 62 s
+    # wall and the trade flips (measured, OPTIMIZATION_r13.md).
+    mode = verify_fingerprint_mode(fingerprint, default="hash64")
+    tok = F.explode(
+        F.array_distinct(char_shingles(text_col, k_shingle))
+    ).alias("s0")
     sh = eager_persist(
-        spread_for_cpu(df).select(
+        spread_for_cpu(df)
+        .select(F.col(id_col), tok)
+        .select(
             F.col(id_col),
-            F.explode(
-                F.array_distinct(char_shingles(text_col, k_shingle))
-            ).alias("s"),
+            (F.xxhash64("s0") if mode == "hash64" else F.col("s0")).alias("s"),
         )
     )
     dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
@@ -925,18 +948,47 @@ def containment_pairs_exact(
             + 1,
         )
     )  # scanned four times: probe, index, two verify sides
+    # "rem" = how many shingles remain at or after this position in
+    # the doc's rare-first order (0-based pos: rem = n - pos) — the
+    # per-row overlap upper bound the positional filter compares.
     pref = docs.select(
-        F.col(id_col), F.explode(F.slice("sh", F.lit(1), F.col("plen"))).alias("s")
+        F.col(id_col),
+        F.col("n"),
+        F.posexplode(F.slice("sh", F.lit(1), F.col("plen"))).alias("p", "s"),
+    ).select(
+        F.col(id_col), F.col("n"), (F.col("n") - F.col("p")).alias("rem"), "s"
     )
-    index = docs.select(F.col(id_col), F.explode("sh").alias("s")).join(
-        pref.select("s").distinct(), "s", "left_semi"
+    index = (
+        docs.select(F.col(id_col), F.col("n"), F.posexplode("sh").alias("p", "s"))
+        # only rem crosses the (full-list, corpus-sized) index explode:
+        # the directional length bound n_x ≥ ceil(t·n_p) is implied by
+        # the positional filter (rem_x ≤ n_x), so x.n is never needed
+        .select(F.col(id_col), (F.col("n") - F.col("p")).alias("rem"), "s")
+        .join(pref.select("s").distinct(), "s", "left_semi")
     )
     p, x = pref.alias("p"), index.alias("x")
+    # per-DIRECTION positional filter (r13, PPJoin): this probe row
+    # only has to witness C(P→X) ≥ t (the opposite direction is
+    # generated by the X-as-probe row), which needs overlap ≥
+    # ceil(t·n_p). A FIRST common shingle at (p_p, p_x) bounds the
+    # overlap at min(rem_p, rem_x) (everything strictly before a
+    # first common shingle is unshared), and for a qualifying
+    # direction that first-common row is inside the probe prefix
+    # (pigeonhole) with bound ≥ overlap ≥ ceil(t·n_p) — so at least
+    # one row per qualifying pair survives. Exact, like
+    # word_jaccard_all_pairs; runs map-side before the candidate-dedup
+    # exchange. (r12 noted "no length filter exists for containment" —
+    # true pair-symmetrically, but the DIRECTIONAL bound is real and
+    # subsumed by this predicate.)
     cand = (
         p.join(
             x,
             (F.col("p.s") == F.col("x.s"))
             & (F.col(f"p.{id_col}") != F.col(f"x.{id_col}")),
+        )
+        .where(
+            F.least(F.col("p.rem"), F.col("x.rem"))
+            >= F.ceil(F.lit(threshold) * F.col("p.n") - F.lit(1e-9))
         )
         .select(
             F.least(F.col(f"p.{id_col}"), F.col(f"x.{id_col}")).alias("id_a"),
@@ -944,20 +996,16 @@ def containment_pairs_exact(
         )
         .distinct()
     )
-    mode = verify_fingerprint_mode(fingerprint, default="hash64")
-    varr = (
-        F.transform("sh", lambda s: F.xxhash64(s))
-        if mode == "hash64"
-        else F.col("sh")
-    )
+    # hash-early already fingerprinted the arrays at the explode (or
+    # left strings in string mode) — the verify reads them as stored.
     # SHUFFLE_HASH (r12): same verify doctrine as jaccard_verify /
     # word_jaccard_all_pairs — never let a sort-merge join sort the
     # pair×payload stream; hash-build the corpus side instead
     da = docs.select(
-        F.col(id_col), varr.alias("sh_a"), F.col("n").alias("n_a")
+        F.col(id_col), F.col("sh").alias("sh_a"), F.col("n").alias("n_a")
     ).hint("shuffle_hash")
     db = docs.select(
-        F.col(id_col), varr.alias("sh_b"), F.col("n").alias("n_b")
+        F.col(id_col), F.col("sh").alias("sh_b"), F.col("n").alias("n_b")
     ).hint("shuffle_hash")
     joined = (
         cand.join(da, cand.id_a == da[id_col])
@@ -1187,12 +1235,25 @@ def word_jaccard_all_pairs(
       class as :func:`jaccard_verify`: counts exact modulo a
       m²/2⁶⁵-per-pair chance — and long-vs-long intersection hashes
       8-byte keys instead of rehashing full token strings per pair);
-    * the AllPairs LENGTH FILTER runs before the intersection:
-      J ≥ t ⇒ t·|B| ≤ |A| (for |A| ≤ |B|), so any pair whose sizes
-      violate ``n_a ≥ t·n_b ∧ n_b ≥ t·n_a`` is dropped from exact
-      integer sizes alone — no array work, provably no qualifying
-      pair lost (i ≤ min(n_a,n_b) and i ≥ t(n_a+n_b)/(1+t) force the
-      bound);
+    * the AllPairs LENGTH FILTER runs at the CANDIDATE stage (r13 —
+      it ran after the verify joins in r12): J ≥ t ⇒ t·|B| ≤ |A|
+      (for |A| ≤ |B|), so any match row whose sizes violate
+      ``n_a ≥ t·n_b ∧ n_b ≥ t·n_a`` is dropped from exact integer
+      sizes alone, before the candidate-dedup exchange ever sees the
+      pair — no array work, provably no qualifying pair lost
+      (i ≤ min(n_a,n_b) and i ≥ t(n_a+n_b)/(1+t) force the bound);
+    * the PPJOIN POSITIONAL FILTER (r13, Xiao et al. §3.2) runs
+      beside it: a prefix match at 0-based sorted positions (p_a,
+      p_b) bounds the overlap at ``min(n_a - p_a, n_b - p_b)``
+      (everything strictly before a FIRST common token is, by
+      definition of "first", not shared), so rows where that bound
+      misses the required overlap α = ceil(t/(1+t)·(n_a+n_b)) are
+      dropped map-side. Exact: a qualifying pair's first common
+      token is inside both prefixes (the prefix-filter pigeonhole)
+      and ITS row has bound ≥ overlap ≥ α, so at least one row per
+      qualifying pair always survives to the dedup. Measured on the
+      50k-zipf x10 corpus: candidate pairs 3.37M → 319k (0.095×;
+      length alone only reaches 0.61×);
     * the array sides are SHUFFLE_HASH-hinted: a sort-merge join
       would sort the pair×payload stream — the r12 verify doctrine
       (never sort wide rows; hash-build the corpus side).
@@ -1203,16 +1264,24 @@ def word_jaccard_all_pairs(
     Measured at sf0.1: 9.0 s → 5.25 s, identical rows AND identical
     Σ n_inter (76,782,232)."""
     mode = verify_fingerprint_mode(fingerprint)
-    toks = spread_for_cpu(df).select(
-        F.col(id_col), F.explode(F.array_distinct(words(text_col))).alias("w")
+    # HASH-EARLY (r13): in hash64 mode tokens become xxhash64 longs at
+    # the explode, so the dfreq exchange, the rare-first sort_array
+    # (long comparisons, not string), and the prefix join keys all
+    # carry 8 bytes — same trade as containment_pairs_exact (see its
+    # inline comment); value-identical to the r12 hash64 default
+    # (array_distinct still runs on the strings, the verify intersects
+    # the same hash values), brute-force-pinned.
+    tok = F.explode(F.array_distinct(words(text_col))).alias("w0")
+    toks = (
+        spread_for_cpu(df)
+        .select(F.col(id_col), tok)
+        .select(
+            F.col(id_col),
+            (F.xxhash64("w0") if mode == "hash64" else F.col("w0")).alias("w"),
+        )
     )
     # global document frequency — the canonical rare-first total order
     dfreq = toks.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
-    varr = (
-        F.transform("ws", lambda w: F.xxhash64(w))
-        if mode == "hash64"
-        else F.col("ws")
-    )
     docs = eager_persist(
         toks.join(dfreq, "w")
         .groupBy(id_col)
@@ -1234,17 +1303,36 @@ def word_jaccard_all_pairs(
         .select(
             F.col(id_col),
             F.slice("ws", F.lit(1), F.col("plen")).alias("pw"),
-            varr.alias("vw"),
+            F.col("ws").alias("vw"),
             F.col("n"),
         )
     )  # scanned three times: two prefix-join sides + verify
-    pref = docs.select(F.col(id_col), F.explode("pw").alias("w"))
+    pref = docs.select(
+        F.col(id_col), F.col("n"), F.posexplode("pw").alias("p", "w")
+    )
     a, b = pref.alias("a"), pref.alias("b")
+    # required overlap for J >= t; 1e-9 guards float overshoot like plen
+    alpha = F.ceil(
+        F.lit(threshold / (1.0 + threshold)) * (F.col("a.n") + F.col("b.n"))
+        - F.lit(1e-9)
+    )
     cand = (
         a.join(
             b,
             (F.col("a.w") == F.col("b.w"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        # length + positional filters run map-side on the match rows,
+        # BEFORE the candidate-dedup exchange (see docstring: exact)
+        .where(
+            (F.col("b.n") >= F.lit(threshold) * F.col("a.n"))
+            & (F.col("a.n") >= F.lit(threshold) * F.col("b.n"))
+        )
+        .where(
+            F.least(
+                F.col("a.n") - F.col("a.p"), F.col("b.n") - F.col("b.p")
+            )
+            >= alpha
         )
         .select(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
@@ -1260,12 +1348,6 @@ def word_jaccard_all_pairs(
     out = (
         cand.join(da, cand.id_a == da[id_col])
         .join(db, cand.id_b == db[id_col])
-        # length filter: exact integer predicate, evaluated before any
-        # array materializes for the pair
-        .where(
-            (F.col("n_b") >= F.lit(threshold) * F.col("n_a"))
-            & (F.col("n_a") >= F.lit(threshold) * F.col("n_b"))
-        )
         .select(
             "id_a",
             "id_b",

@@ -15216,73 +15216,19 @@ _PRIORITY_PREFIXES = (
 #: anything else (a changed query with a stale green row is the one
 #: regression the self-maintaining order can't see on its own).
 _ROUND_FOCUS = (
-    # r12: the near-dup VERIFY stage was restructured to SCORE IN-
-    # BUCKET — the band/bucket self-join co-locates both payloads, so
-    # candidates are exact-scored map-side right after the join and
-    # the pair-dedup exchange carries slim stat rows, never
-    # fingerprint/vector arrays (an intermediate ids-only+join-back
-    # design was measured and replaced; the standalone caller-pairs
-    # verifies keep SHUFFLE_HASH-hinted join-backs). Values are
-    # unchanged by construction, but the plan and impl changed for
-    # the whole banded family, so every consumer's green row re-pins.
-    "lsh_candidate_pairs",
-    "lsh_candidate_pairs_strict",
-    "lsh_candidate_pairs_capped",
-    "lsh_candidate_pairs_auto",
-    "ngram_jaccard_pairs",
-    "ngram_jaccard_pairs_strfp",
-    "containment_pairs",
-    "dedup_graph_triangles",
-    "dedup_graph_clustering",
-    "dedup_graph_triangles_verified",
-    "dedup_graph_kcore",
-    "dedup_cross_source_matrix",
-    "dedup_components",
-    "dedup_near_keep",
-    "dedup_near_keep_capped",
-    "dedup_keep_longest",
-    "doc_pagerank",
-    "doc_pagerank_capped",
-    "doc_novelty",
-    "leakage_safe_split",
-    "contrastive_triplets",
-    "emb_near_dup_pairs",
-    "emb_near_dup_pairs_capped",
-    "emb_near_dup_pairs_auto",
-    "emb_dedup_components",
-    "emb_dedup_components_capped",
-    # r12: the SemDeDup primary-name SWAP — semantic_dedup_flags now
-    # runs the auto-k form (a VALUE change for this name: flags are
-    # k-dependent); semantic_dedup_auto is its exact alias. The new
-    # semantic_dedup_k16 / semantic_dedup_cell_census registrations
-    # are unconfirmed and auto-front on their own.
-    "semantic_dedup_flags",
-    "semantic_dedup_auto",
-    # r12: ivf_topk gained the assign_levels dial (default path's
-    # values unchanged; signature changed) — re-pin the family. The
-    # new ivf_topk_twolevel auto-fronts as unconfirmed.
-    "ivf_topk",
-    "ivf_topk_kmeans",
-    "emb_diverse_sample",
-    "ivf_index_roundtrip",
-    # r12: checkpoint markers now resolve through the Hadoop FS API
-    # and the bands sink's coverage is marker-gated — the registered
-    # stream query rides both paths
-    "stream_neardup_index",
-    # r12 session 2: word_jaccard verify slimmed (hash64 fingerprints,
-    # AllPairs length filter, shuffle_hash verify joins, prefix-only
-    # persisted frame) and containment_pairs_exact's verify joins
-    # gained the shuffle_hash hints — values unchanged (mode-equality
-    # + brute-force pins in test_dedup_recall.py), impl changed, so
-    # both green rows re-pin.
+    # r13: word_jaccard_all_pairs and containment_pairs_exact gained
+    # (a) the PPJoin POSITIONAL filter at the candidate stage (plus
+    # the AllPairs length filter moved there for word Jaccard), and
+    # (b) HASH-EARLY fingerprints in hash64 mode — xxhash64 applied
+    # right after the token/shingle explode so dfreq, the rare-first
+    # sort-collect, and every candidate/semi-join key carry longs.
+    # Values unchanged by construction (filters are exact — pigeonhole
+    # on the rare-first order; hash-early produces the same hash sets
+    # the verify already intersected), pinned by brute-force + mode-
+    # equality tests and both oracles at sf0.001/sf0.01 — but impl
+    # and plan changed, so both green rows re-pin first.
     "word_jaccard_pairs",
     "containment_pairs_exact",
-    # r12 session 3: table_profile split into a keyless plain-agg pass
-    # + an all-HashAggregate distinct pass (crossJoined 1-row frames) —
-    # the string min/max buffers no longer force the 7×-Expand stream
-    # through SortAggregate + Sort. Values identical (same exact
-    # aggregates), impl/plan changed, so the green row re-pins.
-    "table_profile",
 )
 
 

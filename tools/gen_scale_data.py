@@ -17,6 +17,19 @@ query's side lookups still resolve). Never writes inside
 
 Usage: python tools/gen_scale_data.py [--base /root/testdata/sf0.1]
                                       [--out /tmp/syncflux_scale]
+
+``--zipf-vocab N`` (r13) swaps the 44-word vocabulary for an N-word
+zipfian one (exponent ``--zipf-s``, default 1.07 — web-corpus-like).
+The 44-word corpus makes word-SET similarity degenerate: every pair
+of 40-80-word docs shares most of the vocabulary, so at t=0.8
+essentially all C(n,2) pairs qualify and any word-family measurement
+times the Θ(n²) OUTPUT, not the algorithm (SCALE.md r12). A 50k-word
+zipfian draw gives realistic selectivity — random pairs share only
+stop-words (which prefix filtering excludes by construction), near-dup
+tail pairs still qualify — so prefix/positional-filter candidate
+masses can actually be measured. Write zipf corpora to a SEPARATE
+--out (default appends ``_zipf``) so the char-shingle fixtures and
+their recorded slopes stay untouched.
 """
 
 from __future__ import annotations
@@ -38,6 +51,60 @@ _VOCAB = (
 ).split()
 _LANGS = ["en", "de", "fr", "es", "it"]
 _EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+def zipf_vocab(size: int) -> list[str]:
+    """Deterministic synthetic vocabulary: short low-rank "stop words"
+    through long rare tails, so token length correlates with rarity
+    like real text (matters only for char-shingle realism)."""
+    import hashlib
+
+    out = []
+    for i in range(size):
+        h = hashlib.md5(f"zv{i}".encode()).hexdigest()
+        ln = 2 + min(10, int(np.log2(i + 2)))  # rank 0 → 3 chars, tail → 12
+        out.append(h[:ln])
+    return out
+
+
+def gen_documents_zipf(
+    n: int, rng: np.random.RandomState, vocab_size: int, s: float
+) -> pa.Table:
+    """:func:`gen_documents` with a ``vocab_size``-word zipfian draw
+    (P(rank r) ∝ 1/r^s) — realistic word-level selectivity; same
+    doc-length range, same ~5% mutate-one-word near-duplicate tail,
+    same schema. Bulk-vectorized (one choice() over all docs' words;
+    the per-doc loop at 44 words was fine, at 9M draws it is not)."""
+    vocab = np.array(zipf_vocab(vocab_size))
+    p = 1.0 / np.power(np.arange(1, vocab_size + 1, dtype=np.float64), s)
+    p /= p.sum()
+    lens = rng.randint(40, 80, size=n)
+    flat = rng.choice(vocab_size, size=int(lens.sum()), p=p)
+    bounds = np.concatenate([[0], np.cumsum(lens)])
+    texts: list[str] = []
+    dup_draws = rng.rand(n)
+    for i in range(n):
+        if i > 0 and dup_draws[i] < 0.05:
+            words = texts[rng.randint(0, i)].split()
+            words[rng.randint(0, len(words))] = vocab[
+                rng.choice(vocab_size, p=p)
+            ]
+            texts.append(" ".join(words))
+        else:
+            texts.append(" ".join(vocab[flat[bounds[i]:bounds[i + 1]]]))
+    langs = [_LANGS[j] for j in rng.randint(0, len(_LANGS), size=n)]
+    sources = [f"src{j}" for j in rng.randint(0, 20, size=n)]
+    return pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "text": pa.array(texts),
+            "lang": pa.array(langs),
+            "source": pa.array(sources),
+            "n_chars": pa.array(
+                np.array([len(t) for t in texts], dtype=np.int64)
+            ),
+        }
+    )
 
 
 def gen_documents(n: int, rng: np.random.RandomState) -> pa.Table:
@@ -132,15 +199,32 @@ def gen_events(n: int, rng: np.random.RandomState) -> pa.Table:
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--base", default="/root/testdata/sf0.1")
-    ap.add_argument("--out", default="/tmp/syncflux_scale")
+    ap.add_argument("--out", default=None)
     ap.add_argument("--scales", default="1,3,10")
+    ap.add_argument(
+        "--zipf-vocab",
+        type=int,
+        default=0,
+        help="documents vocabulary size with zipfian draw (0 = the "
+        "original 44-word vocab)",
+    )
+    ap.add_argument("--zipf-s", type=float, default=1.07)
     ns = ap.parse_args()
+    if ns.out is None:
+        ns.out = (
+            "/tmp/syncflux_scale_zipf" if ns.zipf_vocab else "/tmp/syncflux_scale"
+        )
     for mult in [int(s) for s in ns.scales.split(",")]:
         d = os.path.join(ns.out, f"x{mult}")
         os.makedirs(d, exist_ok=True)
         rng = np.random.RandomState(42)  # same stream prefix per scale
+        docs = (
+            gen_documents_zipf(BASE_DOCS * mult, rng, ns.zipf_vocab, ns.zipf_s)
+            if ns.zipf_vocab
+            else gen_documents(BASE_DOCS * mult, rng)
+        )
         pq.write_table(
-            gen_documents(BASE_DOCS * mult, rng),
+            docs,
             os.path.join(d, "documents.parquet"),
         )
         pq.write_table(
