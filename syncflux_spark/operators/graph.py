@@ -236,32 +236,57 @@ def triangle_counts(
     Output is orientation-invariant: (id_col, n_triangles) for nodes
     in ≥1 triangle, identical to the naive enumeration.
     """
-    from syncflux_spark.utils import eager_persist
+    from syncflux_spark.utils import (
+        eager_persist,
+        loop_parallelism,
+        shuffle_partitions,
+    )
 
-    o = eager_persist(degree_oriented_edges(pairs))
+    # r13 (guide §2.4): everything downstream of the pair generator —
+    # orientation, the wedge/close joins, the count agg — moves only
+    # the edge list and its wedges, so their shuffle partitions are
+    # sized to the EDGE mass, not the batch default the corpus-scale
+    # pair generator needs (the loop_parallelism lever; stage-isolated
+    # A/B at sf0.1 on a 4,280-edge graph: 1.68 s → 1.05 s steady-
+    # state, identical counts — query-level effect sits inside box
+    # noise because pair-gen dominates there). Pair-gen materializes
+    # OUTSIDE the clamp at full parallelism (the localCheckpoint);
+    # rows_per_partition is 10× tighter than the label-loop default
+    # because the wedge stage fans out up to O(√E) per edge; at
+    # production edge counts the quotient exceeds the session default
+    # and the clamp is a no-op. The result materializes inside the
+    # clamp (localCheckpoint — per-node counts, small) so the sizing
+    # sticks when the caller executes the returned frame.
+    edges = pairs.select("id_a", "id_b").localCheckpoint()
+    spark = pairs.sparkSession
+    parts = loop_parallelism(spark, edges.count(), rows_per_partition=25_000)
     below = (F.col("e1.deg_dst") < F.col("e2.deg_dst")) | (
         (F.col("e1.deg_dst") == F.col("e2.deg_dst"))
         & (F.col("e1.dst") < F.col("e2.dst"))
     )
-    tri = (
-        o.alias("e1")
-        .join(o.alias("e2"), (F.col("e1.src") == F.col("e2.src")) & below)
-        .join(
-            o.alias("e3"),
-            (F.col("e3.src") == F.col("e1.dst"))
-            & (F.col("e3.dst") == F.col("e2.dst")),
+    with shuffle_partitions(spark, parts):
+        o = eager_persist(degree_oriented_edges(edges))
+        tri = (
+            o.alias("e1")
+            .join(o.alias("e2"), (F.col("e1.src") == F.col("e2.src")) & below)
+            .join(
+                o.alias("e3"),
+                (F.col("e3.src") == F.col("e1.dst"))
+                & (F.col("e3.dst") == F.col("e2.dst")),
+            )
+            .select(
+                F.col("e1.src").alias("a"),
+                F.col("e1.dst").alias("b"),
+                F.col("e2.dst").alias("c"),
+            )
         )
-        .select(
-            F.col("e1.src").alias("a"),
-            F.col("e1.dst").alias("b"),
-            F.col("e2.dst").alias("c"),
+        out = (
+            tri.select(F.explode(F.array("a", "b", "c")).alias(id_col))
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+            .localCheckpoint()
         )
-    )
-    return (
-        tri.select(F.explode(F.array("a", "b", "c")).alias(id_col))
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
-    )
+    return out
 
 
 def k_core(

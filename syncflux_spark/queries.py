@@ -15229,6 +15229,13 @@ _ROUND_FOCUS = (
     # and plan changed, so both green rows re-pin first.
     "word_jaccard_pairs",
     "containment_pairs_exact",
+    # r13: triangle_counts sizes every post-pair-gen shuffle to the
+    # edge mass (loop_parallelism) and materializes inside the clamp —
+    # values unchanged (counts are partitioning-invariant; parity
+    # green at sf0.001/sf0.01), impl/plan changed for its consumers.
+    "dedup_graph_triangles",
+    "dedup_graph_triangles_verified",
+    "dedup_graph_clustering",
 )
 
 
