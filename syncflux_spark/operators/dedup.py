@@ -2320,8 +2320,19 @@ def winnow_incremental_pairs(
     batch_fps = eager_persist(
         winnow_fingerprints(batch, text_col, id_col, k=k, w=w)
     )
-    all_fps = index_fps.select(id_col, "fp").unionByName(
-        batch_fps.select(id_col, "fp")
+    # r13: one flagged union instead of separate batch/all posting
+    # builds — the batch side of the pair join is posting rows with
+    # is_batch set (identical set to the old batch_fps⋈keep), so the
+    # df-gate join runs ONCE and the pair join's two sides scan the
+    # same persisted frame (one exchange, reused). Previously the
+    # keep aggregate fed two separate joins and the index∪batch union
+    # was rebuilt per consumer.
+    all_fps = index_fps.select(
+        F.col(id_col), F.col("fp"), F.lit(False).alias("_is_batch")
+    ).unionByName(
+        batch_fps.select(
+            F.col(id_col), F.col("fp"), F.lit(True).alias("_is_batch")
+        )
     )
     sizes = all_fps.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_fp")
@@ -2332,8 +2343,8 @@ def winnow_incremental_pairs(
         .where((F.col("_df") >= 2) & (F.col("_df") <= max_df))
         .select("fp")
     )
-    posting = all_fps.join(keep, "fp")
-    b = batch_fps.join(keep, "fp").alias("pb")
+    posting = eager_persist(all_fps.join(keep, "fp"))
+    b = posting.where(F.col("_is_batch")).alias("pb")
     a = posting.alias("pa")
     # candidate pairs must include a batch doc; canonicalize id_a<id_b
     shared = (

@@ -15236,6 +15236,11 @@ _ROUND_FOCUS = (
     "dedup_graph_triangles",
     "dedup_graph_triangles_verified",
     "dedup_graph_clustering",
+    # r13: winnow_incremental_pairs builds ONE flagged, persisted
+    # posting frame (df-gate join runs once; pair-join sides share the
+    # cache) instead of separate batch/all keep-joins — values
+    # unchanged (x30 checksums identical), impl/plan changed.
+    "winnow_incremental",
 )
 
 
