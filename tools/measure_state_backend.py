@@ -44,6 +44,19 @@ def drive(spark, events_path: str, backend: str) -> dict:
 
     from syncflux_spark.streaming.joins import ClickAttributionStream
 
+    # "rocksdb+changelog" (r13): RocksDB provider with changelog
+    # checkpointing — per-batch uploads become the changed keys only,
+    # not zipped full snapshots; the conf is session-scoped here and
+    # restored after the run (it must be set before the checkpoint's
+    # FIRST batch, like the provider itself).
+    chlog_key = (
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    )
+    changelog = backend.endswith("+changelog")
+    if changelog:
+        backend = backend.split("+", 1)[0]
+        prev_chlog = spark.conf.get(chlog_key, "false")
+        spark.conf.set(chlog_key, "true")
     root = tempfile.mkdtemp(prefix=f"sf_sb_{backend}_")
     try:
         src = os.path.join(root, "src")
@@ -76,6 +89,8 @@ def drive(spark, events_path: str, backend: str) -> dict:
             "state_mb": round(state_b / 1e6, 2),
         }
     finally:
+        if changelog:
+            spark.conf.set(chlog_key, prev_chlog)
         shutil.rmtree(root, ignore_errors=True)
 
 
