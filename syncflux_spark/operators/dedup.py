@@ -930,8 +930,36 @@ def containment_pairs_exact(
         )
     )
     dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    # The sort-collect agg's per-task state is (grouped rows × struct
+    # bytes) IN MEMORY, but AQE's partition coalescing provisions
+    # tasks from the exchange's COMPRESSED map-output bytes — and
+    # hash-early longs compress ~5× denser than the strings they
+    # replaced, so at 58M exploded rows AQE packed the collect state
+    # into so few tasks that ObjectHashAggregate could not acquire
+    # memory (measured: bench form at zipf x30 / local[32] / 8g OOMs;
+    # completes in 60 s with coalescing off). Pin the exchange with an
+    # EXPLICIT partition count (user-specified counts are never
+    # AQE-coalesced) sized at ≤2M exploded rows (~80 MB collect state)
+    # per task, floored at the session default so the dial only ever
+    # turns UP: at cluster scale the default (sized for the cluster)
+    # wins unless the row mass genuinely needs more tasks. The count
+    # is free — eager_persist already materialized sh.
+    import math
+
+    parts = max(
+        int(df.sparkSession.conf.get("spark.sql.shuffle.partitions")),
+        math.ceil(sh.count() / 2_000_000),
+    )
+    # BOTH the join inputs and the agg exchange are pinned: the
+    # partial collect_list buffers ride the join-output stage, so the
+    # join's own (s-keyed) exchanges are the ones whose coalescing
+    # blows the partial-agg state — pinning only the agg exchange was
+    # measured insufficient (still OOM'd; the failing stack is the
+    # SMJ stage's createHashMap).
     docs = eager_persist(
-        sh.join(dfreq, "s")
+        sh.repartition(parts, "s")
+        .join(dfreq.repartition(parts, "s"), "s")
+        .repartition(parts, id_col)
         .groupBy(id_col)
         .agg(F.sort_array(F.collect_list(F.struct("df", "s"))).alias("ss"))
         .select(
